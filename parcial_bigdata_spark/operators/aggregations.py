@@ -1,0 +1,126 @@
+"""Aggregation operators.
+
+The reference has only envelope/accounting counts (SURVEY.md §2.4:
+A1-A4); the declared capability surface adds the full Spark aggregation
+set: grouped aggs, distinct counts, rollup/cube, approximate sketches.
+
+Scale notes: every aggregate here is expressed with built-in functions so
+Spark plans a partial (map-side) HashAggregate before the shuffle — the
+shuffle carries one row per (partition × group), not per input row.
+Monetary sums are rounded at the OUTPUT edge only, never mid-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Capability parity for grouped multi-aggregate (SURVEY.md §2.4): 2
+    grouping columns, 8 aggregates, ordered output.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6-style scan-heavy filter + single aggregate.
+
+    The headline bench query for scan throughput: predicate pushes to
+    parquet row-group stats, projection prunes to 4 columns, aggregate is
+    a single partial+final sum (no groups → one-row shuffle).
+    """
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def distinct_customers_per_status(orders: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase aggregate (distinct
+    partial per partition, then merge) with no row explosion."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def approx_distinct_parts(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB substitute for exact distinct.
+    No SQL oracle (approximate by design); paired with the exact count in
+    tests for a tolerance check."""
+    return lineitem.agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
+            "price_percentiles"
+        ),
+    )
+
+
+def rollup_order_totals(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (status, priority): per-group totals + subtotals +
+    grand total in one pass (Spark Expand operator → single shuffle)."""
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def cube_lineitem_counts(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def top_orders_by_price(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k: ORDER BY ... LIMIT k plans as TakeOrderedAndProject —
+    each partition keeps only its local top-k, the driver merges k×P rows,
+    no global sort.  Tie-broken on the key for determinism."""
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(k)
+    )

@@ -1,0 +1,161 @@
+"""Join operators.
+
+The reference joins nothing (SURVEY.md §2.5); the capability surface
+declares the full join family over the star schema.  Strategy selection
+is left to Catalyst with explicit ``broadcast()`` hints on dimension
+tables — at 100 TB the fact table never shuffles for a dim join; only
+fact-fact joins (orders⋈lineitem) shuffle, on their natural key, and AQE
+splits skewed partitions at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def revenue_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Broadcast-hash join: part is dims-sized (SF×200 rows) → ship it to
+    every executor; lineitem streams through with zero shuffle."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style: dim-filtered customer broadcast into orders, then
+    the one genuine shuffle joins orders⋈lineitem on orderkey; top-k by
+    revenue with key tie-break for determinism."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        items.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-style multi-way join: the whole dim chain
+    (region→nation→customer / supplier) broadcasts; the only shuffles are
+    the two fact joins on their keys."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(dims), customer.c_nationkey == dims.n_nationkey
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+def orders_with_big_items(orders: DataFrame, lineitem: DataFrame, min_qty: float = 45.0) -> DataFrame:
+    """LEFT SEMI join (EXISTS): orders having at least one big lineitem.
+    Semi joins never duplicate the left side and only the key column of
+    the right side crosses the wire."""
+    big = lineitem.where(F.col("l_quantity") > min_qty).select("l_orderkey")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers that never ordered."""
+    return (
+        customer.join(
+            orders.select("o_custkey"), customer.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tolerance: None = None,
+) -> DataFrame:
+    """Generic as-of (point-in-time) join: for each left row, the latest
+    right row with ``right.ts <= left.ts`` for the same key.
+
+    Spark has no native ASOF JOIN; this is the union+window formulation
+    (SURVEY.md §2.5): tag both sides, union, and carry the last right
+    values forward with ``last(..., ignorenulls)`` over a key-partitioned
+    window.  One shuffle on (key), no range explosion — unlike the naive
+    inequality join, this scales linearly at 100 TB.  Equivalent to
+    DuckDB's native ``ASOF LEFT JOIN`` (oracle-verified).
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_vals],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on) for c in lcols],
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+    )
+    # Right rows sort before left rows at the same timestamp (asof is <=).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r_tag.unionByName(l_tag).select(
+        *lcols,
+        "_is_left",
+        *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals],
+    )
+    return carried.where(F.col("_is_left") == 1).drop("_is_left")

@@ -1,0 +1,35 @@
+"""Set operators (SURVEY.md §2.8 — absent in reference, declared
+capability).  INTERSECT/EXCEPT plan as semi/anti hash joins after
+distinct; UNION is a zero-shuffle concatenation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _custkeys_in_year(orders: DataFrame, year: int) -> DataFrame:
+    return (
+        orders.where(F.year("o_orderdate") == year)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+
+
+def repeat_customers(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """INTERSECT: customers active in both years."""
+    return _custkeys_in_year(orders, y1).intersect(_custkeys_in_year(orders, y2)).orderBy("custkey")
+
+
+def churned_customers(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """EXCEPT: active in y1 but not y2."""
+    return _custkeys_in_year(orders, y1).exceptAll(_custkeys_in_year(orders, y2)).orderBy("custkey")
+
+
+def all_party_keys(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """UNION ALL then distinct over heterogeneous sources brought to a
+    common schema — the multi-file-append semantics of the reference's
+    ingest loop (SURVEY.md §2.8) expressed relationally."""
+    c = customer.select(F.col("c_custkey").alias("party_key"), F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_suppkey").alias("party_key"), F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().orderBy("party_key", "nationkey")

@@ -1,0 +1,131 @@
+"""Similarity search over the ``embeddings`` table.
+
+Baseline: exact brute-force cosine top-k (broadcast the query set,
+stream the corpus — one scan, no shuffle until the tiny per-query top-k).
+Scale paths: IVF (coarse centroids prune the corpus to nprobe clusters)
+and random-hyperplane LSH bucketing.  All vector math is built-in
+higher-order functions (functions/vector.py) — JVM-side, codegen'd.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.functions.vector import cosine, dot, elementwise_avg
+
+
+def knn_brute_force(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query set (tiny) broadcasts; the corpus is scanned once; the
+    per-query top-k is a window row_number over (query, sim desc) —
+    rank-partitioned, so it scales with corpus size × |queries|.
+    """
+    queries = embeddings.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sim = cosine(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        embeddings.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", "sim")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def ivf_centroids(embeddings: DataFrame, cluster_col: str = "label") -> DataFrame:
+    """Coarse centroids per cluster (element-wise mean).  At 100 TB the
+    cluster assignment comes from a trained quantizer; here the ``label``
+    column plays that role deterministically."""
+    return elementwise_avg(embeddings, [cluster_col], "embedding", dim=64).withColumnRenamed(
+        cluster_col, "cluster"
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF search: rank clusters by query→centroid cosine, search only the
+    top ``nprobe`` clusters.  Corpus scan is pruned to nprobe/|clusters|
+    of the data — the standard ANN recall/cost dial.  Deterministic given
+    the cluster column → exact given the probe set (no SQL oracle for the
+    recall-loss variant; rows-only check)."""
+    cents = ivf_centroids(embeddings, cluster_col)
+    queries = embeddings.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    csim = cosine(F.col("qvec"), F.col("centroid"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cluster").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "cluster", csim.alias("csim"))
+        .withColumn("crnk", F.row_number().over(wq))
+        .where(F.col("crnk") <= nprobe)
+        .select("query_id", "qvec", "cluster")
+    )
+    sim = cosine(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        embeddings.join(
+            F.broadcast(probes), F.col(cluster_col) == F.col("cluster")
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", "sim")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64").tolist()
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over ``n_planes``
+    fixed hyperplanes (seeded, deterministic).  Bucketing is a projection
+    — no shuffle; the bucket column then drives equi-join candidate
+    generation or bucketed search."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        (dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) > 0).cast("int").alias(f"bit{i}")
+        for i, p in enumerate(planes)
+    ]
+    with_bits = embeddings.select("vec_id", "embedding", "label", *bits)
+    bucket = sum(F.col(f"bit{i}") * (2**i) for i in range(n_planes))
+    return with_bits.select("vec_id", "embedding", "label", bucket.alias("bucket"))
+
+
+def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 6) -> DataFrame:
+    """LSH-bucketed ANN: search only the query's bucket.  Approximate
+    (recall < 1) by design — rows-only correctness check; recall is
+    asserted against brute force in tests."""
+    bucketed = lsh_buckets(embeddings, n_planes)
+    queries = bucketed.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sim = cosine(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        bucketed.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", "sim")
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,101 @@
+"""Window-function operators over the events time-series.
+
+The reference has no OVER clauses (SURVEY.md §2.6); its natural
+extension — day-over-day delta on the dolar series — generalizes here to
+per-user deltas / rankings / running totals on ``events``.
+
+Scale: every window is partitioned by a high-cardinality key (user_id),
+so state per partition stays bounded; there is exactly one shuffle on the
+partition key per window spec.  All orderings carry ``event_id`` as a
+tie-break so results are deterministic (oracle-comparable) even when
+timestamps collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _user_ts_window() -> Window:
+    return Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+
+
+def value_delta(events: DataFrame) -> DataFrame:
+    """lag(): change vs the user's previous event (the reference series'
+    day-over-day delta, SURVEY.md §2.6)."""
+    w = _user_ts_window()
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 2).alias("delta"),
+    )
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k per group via row_number ≤ k — the distributed top-k idiom:
+    rank within each user partition, filter early, never a global sort."""
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        events.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("user_id", "rnk", "event_id", "value")
+    )
+
+
+def running_total(events: DataFrame) -> DataFrame:
+    """Running per-user sum (rowsBetween unboundedPreceding..current)."""
+    w = _user_ts_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via lag(ts) + cumulative gap counter: a new session
+    starts when the in-user gap exceeds ``gap_minutes``.  Two stacked
+    windows on the same (user_id, ts) spec → one shuffle total."""
+    w = _user_ts_window()
+    gap_us = gap_minutes * 60 * 1_000_000
+    # Integer microseconds: exact gap arithmetic (oracle: epoch_us).
+    new_sess = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts")), 1, None).over(w) > gap_us
+    )
+    sess_id = F.sum(F.when(new_sess, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.withColumn("session_seq", sess_id)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch flavor of the streaming
+    windowed agg, SURVEY.md §2.9 ST7).  ``F.window`` buckets without a
+    per-row UDF; equivalent to date_trunc('hour')."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,644 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) →
+DataFrame callable, plus the DuckDB oracle SQL twin for differential
+correctness (driver contract, __spark_entry__.py).
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing values.  Aggregate doubles
+are rounded at the output edge on BOTH sides so partial-aggregation
+order (Spark) vs sequential order (DuckDB) cannot flip the hash.
+Approximate operators (MinHash/LSH, SimHash, ANN, HLL sketches) have no
+oracle by design → rows-only check; each one's exact ground-truth twin
+IS oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.catalog import load_table
+from parcial_bigdata_spark.operators import (
+    aggregations as agg_ops,
+    dedup as dedup_ops,
+    interval as interval_ops,
+    joins as join_ops,
+    multimodal as mm_ops,
+    setops as set_ops,
+    similarity as sim_ops,
+    text as text_ops,
+    windows as win_ops,
+)
+from parcial_bigdata_spark.session import tune_runtime
+
+INTERVAL_START = "2024-01-05 00:00:00"
+INTERVAL_END = "2024-01-20 00:00:00"
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_EN_STOP = "('the','a','of','and','is')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_runtime(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Spark-side query callables
+# --------------------------------------------------------------------------
+
+def q_interval(spark, sf_dir):
+    return interval_ops.interval(
+        _t(spark, sf_dir, "events"), "ts", "value", INTERVAL_START, INTERVAL_END
+    )
+
+
+def q_interval_count(spark, sf_dir):
+    return interval_ops.interval_count(
+        _t(spark, sf_dir, "events"), "ts", INTERVAL_START, INTERVAL_END
+    )
+
+
+def q_ingest_accounting(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("rows_inserted"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
+def q_json_props(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_valid"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    return agg_ops.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def q_revenue_forecast(spark, sf_dir):
+    return agg_ops.revenue_forecast(_t(spark, sf_dir, "lineitem"))
+
+
+def q_distinct_customers(spark, sf_dir):
+    return agg_ops.distinct_customers_per_status(_t(spark, sf_dir, "orders"))
+
+
+def q_rollup_orders(spark, sf_dir):
+    return agg_ops.rollup_order_totals(_t(spark, sf_dir, "orders"))
+
+
+def q_cube_lineitem(spark, sf_dir):
+    return agg_ops.cube_lineitem_counts(_t(spark, sf_dir, "lineitem"))
+
+
+def q_top_orders(spark, sf_dir):
+    return agg_ops.top_orders_by_price(_t(spark, sf_dir, "orders"))
+
+
+def q_revenue_by_brand(spark, sf_dir):
+    return join_ops.revenue_by_brand(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    return join_ops.shipping_priority(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    return join_ops.region_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    return join_ops.orders_with_big_items(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    return join_ops.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = events.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts")
+    )
+    return join_ops.asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["signup_ts"],
+    ).orderBy("event_id")
+
+
+def q_window_delta(spark, sf_dir):
+    return win_ops.value_delta(_t(spark, sf_dir, "events")).orderBy("event_id")
+
+
+def q_window_topk(spark, sf_dir):
+    return win_ops.top_events_per_user(_t(spark, sf_dir, "events")).orderBy(
+        "user_id", "rnk"
+    )
+
+
+def q_running_total(spark, sf_dir):
+    return win_ops.running_total(_t(spark, sf_dir, "events")).orderBy("event_id")
+
+
+def q_sessionize(spark, sf_dir):
+    return win_ops.sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_hourly_rollup(spark, sf_dir):
+    return win_ops.hourly_rollup(_t(spark, sf_dir, "events"))
+
+
+def q_repeat_customers(spark, sf_dir):
+    return set_ops.repeat_customers(_t(spark, sf_dir, "orders"))
+
+
+def q_churned_customers(spark, sf_dir):
+    return set_ops.churned_customers(_t(spark, sf_dir, "orders"))
+
+
+def q_all_party_keys(spark, sf_dir):
+    return set_ops.all_party_keys(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    return text_ops.quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return text_ops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark, sf_dir):
+    return text_ops.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark, sf_dir):
+    return text_ops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_ops.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    return dedup_ops.dedup_exact_survivors(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup_ops.minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup_ops.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embedding_dups(spark, sf_dir):
+    return dedup_ops.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def q_knn_brute(spark, sf_dir):
+    return sim_ops.knn_brute_force(_t(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
+
+
+def q_knn_ivf(spark, sf_dir):
+    return sim_ops.knn_ivf(_t(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
+
+
+def q_knn_lsh(spark, sf_dir):
+    return sim_ops.knn_lsh(_t(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
+
+
+def q_approx_distinct(spark, sf_dir):
+    return agg_ops.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
+
+
+def q_media_summary(spark, sf_dir):
+    return mm_ops.media_summary(_t(spark, sf_dir, "documents"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference parity (SURVEY.md §2.1-2.7)
+    "interval_query": q_interval,
+    "interval_count": q_interval_count,
+    "ingest_accounting": q_ingest_accounting,
+    "json_props_agg": q_json_props,
+    # aggregations
+    "q1_pricing_summary": q_pricing_summary,
+    "q6_revenue_forecast": q_revenue_forecast,
+    "distinct_customers_per_status": q_distinct_customers,
+    "rollup_order_totals": q_rollup_orders,
+    "cube_lineitem_counts": q_cube_lineitem,
+    "top_orders_by_price": q_top_orders,
+    "approx_distinct_parts": q_approx_distinct,
+    # joins
+    "join_revenue_by_brand": q_revenue_by_brand,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_region_revenue": q_region_revenue,
+    "semi_join_big_orders": q_semi_join,
+    "anti_join_idle_customers": q_anti_join,
+    "asof_purchase_signup": q_asof_join,
+    # windows
+    "window_value_delta": q_window_delta,
+    "window_topk_per_user": q_window_topk,
+    "window_running_total": q_running_total,
+    "sessionize_events": q_sessionize,
+    "hourly_rollup": q_hourly_rollup,
+    # set ops
+    "setop_repeat_customers": q_repeat_customers,
+    "setop_churned_customers": q_churned_customers,
+    "setop_all_party_keys": q_all_party_keys,
+    # text analysis
+    "text_quality_metrics": q_text_quality,
+    "text_token_counts": q_token_counts,
+    "text_language_id": q_language_id,
+    "text_fingerprints": q_fingerprints,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_survivors": q_dedup_survivors,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_embedding_dups,
+    # similarity search
+    "knn_cosine_brute_force": q_knn_brute,
+    "knn_cosine_ivf": q_knn_ivf,
+    "knn_cosine_lsh": q_knn_lsh,
+    # multimodal
+    "multimodal_media_summary": q_media_summary,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (ANSI) — same aliases, same rounding
+# --------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "interval_query": f"""
+        SELECT ts, CAST(value AS DOUBLE) AS value
+        FROM events
+        WHERE ts >= TIMESTAMP '{INTERVAL_START}' AND ts <= TIMESTAMP '{INTERVAL_END}'
+        ORDER BY ts
+    """,
+    "interval_count": f"""
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '{INTERVAL_START}' AND ts <= TIMESTAMP '{INTERVAL_END}'
+    """,
+    "ingest_accounting": """
+        SELECT source, count(*) AS rows_inserted,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "json_props_agg": """
+        SELECT event_type, count(*) AS n_events, count(k) AS n_valid,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM (
+            SELECT event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        ) GROUP BY event_type ORDER BY event_type
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q6_revenue_forecast": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "distinct_customers_per_status": """
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "rollup_order_totals": """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "cube_lineitem_counts": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "top_orders_by_price": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "join_revenue_by_brand": """
+        SELECT p_brand,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "q3_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    "q5_region_revenue": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE s_nationkey = c_nationkey
+        GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """,
+    "semi_join_big_orders": """
+        SELECT o_orderstatus, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "anti_join_idle_customers": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "asof_purchase_signup": """
+        SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts
+        FROM (
+            SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'
+        ) p
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, ts AS signup_ts FROM events
+            WHERE event_type = 'signup'
+        ) s ON p.user_id = s.user_id AND p.ts >= s.ts
+        ORDER BY p.event_id
+    """,
+    "window_value_delta": """
+        SELECT event_id, user_id, ts,
+               round(value - lag(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+        FROM events ORDER BY event_id
+    """,
+    "window_topk_per_user": """
+        SELECT user_id, rnk, event_id, value FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER
+                       (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+            FROM events
+        ) WHERE rnk <= 3 ORDER BY user_id, rnk
+    """,
+    "window_running_total": """
+        SELECT event_id, user_id, ts,
+               round(sum(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+        FROM events ORDER BY event_id
+    """,
+    "sessionize_events": """
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), s AS (
+            SELECT *, CAST(sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """,
+    "hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "setop_repeat_customers": """
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        ORDER BY custkey
+    """,
+    "setop_churned_customers": """
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        ORDER BY custkey
+    """,
+    "setop_all_party_keys": """
+        SELECT DISTINCT party_key, nationkey FROM (
+            SELECT c_custkey AS party_key, c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_suppkey AS party_key, s_nationkey AS nationkey FROM supplier
+        ) ORDER BY party_key, nationkey
+    """,
+    "text_quality_metrics": f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   length(text) AS chars,
+                   len(string_split(text, ' ')) AS nw,
+                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text) AS punct_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN {_EN_STOP})) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio,
+                   CAST(length(text) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS avg_word_len
+            FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(chars), 2) AS avg_chars,
+               round(avg(nw), 2) AS avg_words,
+               round(avg(punct_ratio), 4) AS avg_punct_ratio,
+               round(avg(stop_ratio), 4) AS avg_stop_ratio,
+               round(avg(avg_word_len), 4) AS avg_word_len
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "text_token_counts": """
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS regex_tokens
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "text_language_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   string_split({_NORM_SQL}, ' ') AS w
+            FROM documents
+        ), ratios AS (
+            SELECT doc_id, lang,
+                CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(w) AS score_en,
+                CAST(len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS DOUBLE) / len(w) AS score_es,
+                CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS DOUBLE) / len(w) AS score_fr,
+                CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS DOUBLE) / len(w) AS score_de
+            FROM scored
+        ), pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(score_en, score_es, score_fr, score_de) < 0.05 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                        ELSE 'de' END AS predicted_lang
+            FROM ratios
+        )
+        SELECT lang, predicted_lang, count(*) AS n_docs
+        FROM pred GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
+    """,
+    "text_fingerprints": f"""
+        SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
+        FROM documents ORDER BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT keep_doc_id, n_copies FROM (
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        ) WHERE n_copies > 1 ORDER BY keep_doc_id
+    """,
+    "dedup_exact_survivors": """
+        WITH kept AS (
+            SELECT lang, text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY lang, text
+        )
+        SELECT lang, count(*) AS distinct_docs,
+               CAST(sum(n_copies) AS BIGINT) AS total_docs
+        FROM kept GROUP BY lang ORDER BY lang
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH ws AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+            FROM ws a JOIN ws b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+        )
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+    """,
+    "dedup_embedding_cosine": """
+        SELECT vec_a, vec_b, cosine_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.3 ORDER BY vec_a, vec_b
+    """,
+    "knn_cosine_brute_force": """
+        SELECT query_id, rnk, vec_id, sim FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                                    CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                                e.vec_id ASC) AS rnk
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        ) WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+    "multimodal_media_summary": """
+        SELECT source, count(*) AS n_media,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               count(DISTINCT md5(text)) AS distinct_payloads
+        FROM documents GROUP BY source ORDER BY source
+    """,
+}
+
+# The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the
+# nanos-as-long escape hatch truncated to microseconds (catalog.load_table),
+# so every oracle must apply the matching truncation on the DuckDB side.
+_EVENTS_US = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events) events"
+)
+for _name, _sql in list(ORACLES.items()):
+    if "FROM events" in _sql:
+        ORACLES[_name] = _sql.replace("FROM events", f"FROM {_EVENTS_US}")
