@@ -27,7 +27,7 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def elementwise_avg(df, group_cols: list[str], vec_col: str, dim: int):
+def elementwise_avg(df, group_cols: list[str], vec_col: str):
     """Element-wise mean of vectors per group (IVF centroid builder).
 
     posexplode → (group, pos, value) partial-aggregated avg → re-assemble

@@ -43,7 +43,7 @@ def ivf_centroids(embeddings: DataFrame, cluster_col: str = "label") -> DataFram
     """Coarse centroids per cluster (element-wise mean).  At 100 TB the
     cluster assignment comes from a trained quantizer; here the ``label``
     column plays that role deterministically."""
-    return elementwise_avg(embeddings, [cluster_col], "embedding", dim=64).withColumnRenamed(
+    return elementwise_avg(embeddings, [cluster_col], "embedding").withColumnRenamed(
         cluster_col, "cluster"
     )
 
@@ -93,12 +93,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).astype("float64").tolist()
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
+def _vec_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality probed from one row (zip_with null-pads on
+    length mismatch, silently zeroing every bucket — so never guess)."""
+    row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError("empty embeddings table: cannot infer vector dim")
+    return row.d
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = 8, dim: int | None = None, seed: int = 42
+) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string over ``n_planes``
     fixed hyperplanes (seeded, deterministic).  Bucketing is a projection
     — no shuffle; the bucket column then drives equi-join candidate
     generation or bucketed search."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = _hyperplanes(dim or _vec_dim(embeddings), n_planes, seed)
     bits = [
         (dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) > 0).cast("int").alias(f"bit{i}")
         for i, p in enumerate(planes)

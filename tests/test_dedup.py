@@ -1,0 +1,92 @@
+"""Dedup operators on the conftest `documents` fixture: exact dup pair
+(1,2), near-dup pair (1,3) at word-set Jaccard 9/11 ≈ 0.818."""
+
+from __future__ import annotations
+
+import pytest
+
+from parcial_bigdata_spark.operators import dedup
+
+
+def test_exact_duplicates(documents):
+    out = dedup.exact_duplicates(documents).collect()
+    assert [(r.keep_doc_id, r.n_copies) for r in out] == [(1, 2)]
+
+
+def test_dedup_exact_survivors(documents):
+    out = {r.lang: (r.distinct_docs, r.total_docs)
+           for r in dedup.dedup_exact_survivors(documents).collect()}
+    assert out == {"en": (3, 4), "es": (1, 1)}
+
+
+def test_jaccard_pairs_finds_near_dup(documents):
+    out = dedup.jaccard_pairs(documents, threshold=0.6).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 3) in got
+    assert (1, 3) in got and abs(got[(1, 3)] - round(9 / 11, 4)) < 1e-9
+    assert not any(4 in p or 5 in p for p in got)
+
+
+def test_jaccard_blocking_is_lossless_vs_naive(spark, documents):
+    """Length-bucket blocking must not drop pairs the naive quadratic
+    same-lang join would find."""
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.text import normalized
+
+    ws = documents.select(
+        "doc_id", "lang", "n_chars",
+        F.array_distinct(F.split(normalized(F.col("text")), " ")).alias("wset"),
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
+        / F.size(F.array_union("a.wset", "b.wset"))
+    )
+    naive = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(
+            F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+            <= 0.2 * F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.6)
+    )
+    expected = {(r.doc_a, r.doc_b, r.jaccard) for r in naive.collect()}
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup.jaccard_pairs(documents, threshold=0.6).collect()}
+    assert got == expected
+
+
+def test_minhash_finds_exact_and_near_dups(documents):
+    out = dedup.minhash_near_duplicates(documents, threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs  # exact dup always collides on every band
+    jacc = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert jacc[(1, 2)] == 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_flags_near_dup_pair(documents):
+    out = dedup.simhash_near_duplicates(documents, max_hamming=10).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs[(1, 2)] == 0  # identical text → identical fingerprint
+    assert (1, 3) in pairs  # one-word change → small hamming distance
+    assert pairs[(1, 3)] <= 10
+
+
+def test_embedding_near_duplicates(spark):
+    from parcial_bigdata_spark.operators.dedup import embedding_near_duplicates
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.01, 0.0, 0.0], "a"),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], "a"),  # orthogonal
+        (4, [1.0, 0.0, 0.0, 0.0], "b"),  # same vector, different block
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = embedding_near_duplicates(emb, threshold=0.95)
+    got = {(r.vec_a, r.vec_b) for r in out.collect()}
+    assert got == {(1, 2)}  # blocked by label: (1,4) never compared

@@ -1,0 +1,67 @@
+"""Interval query (the reference's one real query, main.py:61-86):
+closed bounds, ascending order, projection, count, range guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from parcial_bigdata_spark.operators import interval as iv
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    rows = [
+        (dt.datetime(2025, 1, 1, 10, 0, 0), Decimal("3920.0000")),
+        (dt.datetime(2025, 1, 1, 12, 0, 0), Decimal("3921.5000")),
+        (dt.datetime(2025, 1, 1, 11, 0, 0), Decimal("3922.2500")),
+        (dt.datetime(2025, 1, 2, 9, 0, 0), Decimal("3930.0000")),
+    ]
+    return spark.createDataFrame(rows, "fechahora timestamp, valor decimal(12,4)")
+
+
+def test_interval_closed_bounds_and_order(series):
+    out = iv.interval(
+        series,
+        "fechahora",
+        "valor",
+        dt.datetime(2025, 1, 1, 10, 0, 0),
+        dt.datetime(2025, 1, 1, 12, 0, 0),
+    ).collect()
+    # both endpoints included (>= and <=), ascending, valor → double
+    assert [(r.fechahora, r.valor) for r in out] == [
+        (dt.datetime(2025, 1, 1, 10, 0, 0), 3920.0),
+        (dt.datetime(2025, 1, 1, 11, 0, 0), 3922.25),
+        (dt.datetime(2025, 1, 1, 12, 0, 0), 3921.5),
+    ]
+    assert all(isinstance(r.valor, float) for r in out)
+
+
+def test_interval_count(series):
+    out = iv.interval_count(
+        series, "fechahora", dt.datetime(2025, 1, 1, 0, 0, 0), dt.datetime(2025, 1, 1, 23, 59, 59)
+    ).collect()
+    assert out[0].cnt == 3
+
+
+def test_validate_range_rejects_inverted():
+    with pytest.raises(ValueError):
+        iv.validate_range(dt.datetime(2025, 1, 2), dt.datetime(2025, 1, 1))
+    with pytest.raises(ValueError):
+        iv.validate_range(dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 1))
+    iv.validate_range(dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2))  # ok
+
+
+def test_interval_pushes_predicate_to_parquet(spark, series, tmp_path):
+    """The range filter must reach the scan (PushedFilters), and the scan
+    must read only the two projected columns (ReadSchema) — SURVEY.md §4."""
+    path = str(tmp_path / "series")
+    series.withColumn("extra", series.valor * 2).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = iv.interval(
+        df, "fechahora", "valor", dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(fechahora), GreaterThanOrEqual(fechahora" in plan
+    assert "extra" not in plan.split("ReadSchema")[1].splitlines()[0]

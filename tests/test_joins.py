@@ -1,0 +1,82 @@
+"""Join operators: as-of golden semantics, semi/anti, broadcast plans."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.operators import joins
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2025, 1, 1, 10, minute, 0)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5)), (2, 100, _ts(20)), (3, 200, _ts(10)), (4, 300, _ts(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), 1.0), (100, _ts(20), 2.0), (200, _ts(11), 3.0)],
+        "user_id long, ts timestamp, px double",
+    )
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_vals=["px"]
+    )
+    got = {r.event_id: r.px for r in out.collect()}
+    assert got == {
+        1: 1.0,  # latest right at/before 10:05 is 10:00
+        2: 2.0,  # equal timestamps match (asof is <=)
+        3: None,  # right row at 10:11 is AFTER left 10:10 → no match
+        4: None,  # no right rows for user 300
+    }
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+window as-of must shuffle once on the key — no range-
+    explosion join (SURVEY.md §2.5 scale rationale)."""
+    left = spark.createDataFrame([(1, 100, _ts(5))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(100, _ts(0), 1.0)], "user_id long, ts timestamp, px double")
+    plan = (
+        joins.asof_join(left, right, "user_id", "ts", "ts", ["px"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semi_and_anti_join(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "O"), (2, 20, "F"), (3, 30, "O")],
+        "o_orderkey long, o_custkey long, o_orderstatus string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 50.0), (1, 10.0), (2, 10.0)], "l_orderkey long, l_quantity double"
+    )
+    semi = joins.orders_with_big_items(orders, lineitem, min_qty=45.0).collect()
+    assert [(r.o_orderstatus, r.n_orders) for r in semi] == [("O", 1)]
+
+    customer = spark.createDataFrame(
+        [(10, "a", 1), (20, "b", 1), (99, "c", 2)],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    anti = joins.customers_without_orders(customer, orders).collect()
+    assert [r.c_custkey for r in anti] == [99]
+
+
+def test_dim_join_broadcasts(spark):
+    """revenue_by_brand must plan a broadcast-hash join, never shuffle
+    the fact side for a dim join."""
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.1)], "l_partkey long, l_extendedprice double, l_discount double"
+    )
+    part = spark.createDataFrame([(1, "BrandA")], "p_partkey long, p_brand string")
+    plan = (
+        joins.revenue_by_brand(lineitem, part)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

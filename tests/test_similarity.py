@@ -1,0 +1,84 @@
+"""Similarity search: brute-force exactness on a hand-built corpus, and
+IVF/LSH recall against the brute-force ground truth."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    """16 vectors in 4 tight clusters around the 4 axes of R^4."""
+    rows = []
+    vid = 0
+    for axis, label in enumerate(["a", "b", "c", "d"]):
+        for j in range(4):
+            vec = [0.0] * 4
+            vec[axis] = 1.0
+            vec[(axis + 1) % 4] = 0.01 * j  # slight spread within cluster
+            rows.append((vid, vec, label))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+
+def test_brute_force_exact_golden(embeddings):
+    out = sim.knn_brute_force(embeddings, query_ids=[0], k=3).collect()
+    assert [r.rnk for r in out] == [1, 2, 3]
+    # nearest neighbors of vec 0 (pure x-axis) are its cluster-mates 1,2,3
+    assert {r.vec_id for r in out} == {1, 2, 3}
+    assert out[0].sim > 0.999
+    # ranking is by similarity desc with vec_id tie-break
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_brute_force_excludes_self(embeddings):
+    out = sim.knn_brute_force(embeddings, query_ids=[0], k=15).collect()
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_ivf_matches_brute_force_within_probed_clusters(embeddings):
+    """nprobe=1 on tight clusters: the query's own cluster holds the true
+    top-3, so IVF@1 must equal brute force exactly."""
+    bf = sim.knn_brute_force(embeddings, query_ids=[0, 4, 8], k=3).collect()
+    ivf = sim.knn_ivf(embeddings, query_ids=[0, 4, 8], k=3, nprobe=1).collect()
+    assert [(r.query_id, r.rnk, r.vec_id) for r in ivf] == [
+        (r.query_id, r.rnk, r.vec_id) for r in bf
+    ]
+
+
+def test_lsh_recall_at_k(embeddings):
+    """LSH buckets by random hyperplanes; near-identical vectors land in
+    the same bucket, so recall@3 for cluster-mates should be high."""
+    bf = sim.knn_brute_force(embeddings, query_ids=[0, 4, 8, 12], k=3).collect()
+    lsh = sim.knn_lsh(embeddings, query_ids=[0, 4, 8, 12], k=3, n_planes=4).collect()
+    truth = {(r.query_id, r.vec_id) for r in bf}
+    got = {(r.query_id, r.vec_id) for r in lsh}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.75
+
+
+def test_cosine_function_matches_math(spark):
+    from parcial_bigdata_spark.functions.vector import cosine
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    dot = 1 * 4 + 2 * 5 + 3 * 6
+    expected = dot / (math.sqrt(14) * math.sqrt(77))
+    assert abs(got - expected) < 1e-12
+
+
+def test_brute_force_broadcasts_queries(embeddings):
+    """The query side must broadcast — no shuffle of the corpus."""
+    plan = (
+        sim.knn_brute_force(embeddings, query_ids=[0], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

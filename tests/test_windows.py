@@ -1,0 +1,78 @@
+"""Window operators: golden-exact on a tiny two-user event stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from parcial_bigdata_spark.operators import windows as win
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2025, 1, 1, 10, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: three events in one session, one 40-min-gap later
+        (1, 1, _ts(0), "click", 10.0),
+        (2, 1, _ts(5), "click", 30.0),
+        (3, 1, _ts(10), "purchase", 20.0),
+        (4, 1, _ts(50), "click", 5.0),
+        # user 2: single event
+        (5, 2, _ts(0), "signup", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_value_delta(events):
+    got = {r.event_id: r.delta for r in win.value_delta(events).collect()}
+    assert got == {1: None, 2: 20.0, 3: -10.0, 4: -15.0, 5: None}
+
+
+def test_top_events_per_user(events):
+    got = [(r.user_id, r.rnk, r.event_id) for r in
+           win.top_events_per_user(events, k=2).orderBy("user_id", "rnk").collect()]
+    assert got == [(1, 1, 2), (1, 2, 3), (2, 1, 5)]
+
+
+def test_running_total(events):
+    got = {r.event_id: r.running_value for r in win.running_total(events).collect()}
+    assert got == {1: 10.0, 2: 40.0, 3: 60.0, 4: 65.0, 5: 1.0}
+
+
+def test_sessionize_gap_splits(events):
+    out = win.sessionize(events, gap_minutes=30).collect()
+    got = [
+        (r.user_id, r.session_seq, r.n_events, r.session_start, r.session_end, r.session_value)
+        for r in out
+    ]
+    assert got == [
+        (1, 0, 3, _ts(0), _ts(10), 60.0),
+        (1, 1, 1, _ts(50), _ts(50), 5.0),
+        (2, 0, 1, _ts(0), _ts(0), 1.0),
+    ]
+
+
+def test_hourly_rollup(events):
+    out = win.hourly_rollup(events).collect()
+    got = [(r.window_start, r.event_type, r.n_events, r.total_value) for r in out]
+    hour = dt.datetime(2025, 1, 1, 10, 0, 0)
+    assert got == [
+        (hour, "click", 3, 45.0),
+        (hour, "purchase", 1, 20.0),
+        (hour, "signup", 1, 1.0),
+    ]
+
+
+def test_windows_share_one_shuffle(spark, events):
+    """sessionize stacks two window specs on the same (user_id, ts) key —
+    the plan must contain exactly one Exchange for them (SURVEY.md §4)."""
+    plan = win.sessionize(events)._jdf.queryExecution().optimizedPlan().toString()
+    # one shuffle for the windows; the final groupBy reuses the same
+    # hash-partitioning on user_id so no extra exchange is needed for it
+    assert plan.count("Window") <= 2
