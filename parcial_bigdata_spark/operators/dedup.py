@@ -144,44 +144,59 @@ N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
 
+def _word_hashes(documents: DataFrame) -> DataFrame:
+    """Words of the normalized text, each hashed once to a long.  All
+    downstream shingling/fingerprinting works on these 8-byte values —
+    strings are hashed exactly once per word occurrence."""
+    return documents.select(
+        "doc_id",
+        F.transform(
+            F.split(normalized(F.col("text")), " "), lambda t: F.xxhash64(t)
+        ).alias("wh"),
+    )
+
+
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """k-word shingles of the normalized text (distinct per doc)."""
-    w = F.split(normalized(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    return documents.select("doc_id", F.array_distinct(sh).alias("shingles"))
+    """Distinct k-word shingles per doc, represented as 64-bit hashes of
+    the k word-hashes (no O(n·k) string re-concatenation; collisions at
+    64 bits are negligible for set semantics)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size("wh") - k, F.lit(0)))
+
+    def _sh(i):
+        return F.xxhash64(*[F.get("wh", i + j) for j in range(k)])
+
+    return _word_hashes(documents).select(
+        "doc_id", F.array_distinct(F.transform(idx, _sh)).alias("shingles")
+    )
+
+
+def _perm(j: int):
+    # closure factory — a two-param lambda would make PySpark pass
+    # the array index as the second argument
+    return lambda h: F.xxhash64(h, F.lit(j))
 
 
 def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
-    """MinHash signature (N_HASHES perms) per document.
-
-    Computed entirely row-locally (pure projection, zero shuffle):
-    1. hash every shingle STRING once → long array,
-    2. derive each permutation by re-hashing the LONGS (8-byte input,
-       far cheaper than re-hashing strings 16×),
-    3. array_min per permutation.
-    """
-    sh = shingles(documents, k).select(
-        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shashes")
-    )
-
-    def _perm(j: int):
-        # closure factory — a two-param lambda would make PySpark pass
-        # the array index as the second argument
-        return lambda h: F.xxhash64(h, F.lit(j))
-
+    """MinHash signature (N_HASHES perms) per document — row-local (pure
+    projection, zero shuffle): each permutation re-hashes the shingle
+    longs with a distinct salt, array_min takes the signature element."""
     sigs = [
-        F.array_min(F.transform("shashes", _perm(j))).alias(f"h{j}") for j in range(N_HASHES)
+        F.array_min(F.transform("shingles", _perm(j))).alias(f"h{j}")
+        for j in range(N_HASHES)
     ]
-    return sh.select("doc_id", *sigs)
+    return shingles(documents, k).select("doc_id", *sigs)
 
 
 def _banded(documents: DataFrame, k: int, carry_shingles: bool) -> DataFrame:
-    """Signature → LSH bands, optionally carrying the shingle array so a
-    downstream verify step needs no re-derivation join."""
-    sig = minhash_signatures(documents, k)
-    if carry_shingles:
-        sig = sig.join(shingles(documents, k), "doc_id")  # same lineage; planner reuses scan
+    """Shingles → signature → exploded LSH band rows, one projection
+    chain (no joins); optionally carries the shingle array for verify."""
+    sh = shingles(documents, k)
+    sigs = [
+        F.array_min(F.transform("shingles", _perm(j))).alias(f"h{j}")
+        for j in range(N_HASHES)
+    ]
+    carried = ["doc_id"] + (["shingles"] if carry_shingles else [])
+    sig = sh.select(*carried, *sigs)
     n_bands = N_HASHES // BAND_SIZE
     bands = F.array(
         *[
@@ -194,25 +209,43 @@ def _banded(documents: DataFrame, k: int, carry_shingles: bool) -> DataFrame:
             for i in range(n_bands)
         ]
     )
-    carried = ["doc_id"] + (["shingles"] if carry_shingles else [])
     return sig.select(*carried, F.explode(bands).alias("b")).select(
         *carried, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
 
 
+def _bucket_pairs(blocked: DataFrame, block_keys: list[str], payload: list[str]) -> DataFrame:
+    """All ordered (doc_id asc) pairs within each block, WITHOUT a
+    self-join: group docs per block key, emit pairs with higher-order
+    functions.  The expensive upstream lineage (shingling, signatures)
+    is computed exactly once — a self-join would recompute it per side.
+    Output: struct columns ``a`` and ``b`` with doc_id + payload fields.
+    """
+    buckets = (
+        blocked.groupBy(*block_keys)
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", *payload))).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+
+
 def minhash_candidates(documents: DataFrame, k: int = 3) -> DataFrame:
     """LSH banding: docs agreeing on any band of the signature become
-    candidate pairs.  Join is equi on (band_id, band_hash) — each bucket
-    is tiny, so the pair step never goes quadratic in the corpus."""
+    candidate pairs.  Pairs are generated inside each (band, hash)
+    bucket — buckets are tiny by construction, so the pair step never
+    goes quadratic in the corpus."""
     banded = _banded(documents, k, carry_shingles=False)
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(banded, ["band_id", "band_hash"], [])
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -222,32 +255,28 @@ def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7, k: int
     """Full MinHash+LSH near-dup: banded candidates, then exact shingle-
     Jaccard verification of ONLY the candidates.
 
-    The shingle arrays ride along the banded rows, so the whole operator
-    is one self-join + one dedup — shingling runs once per side instead
-    of being re-derived by verify-time joins.  (Approximate recall by
-    design → no SQL oracle; the exact ``jaccard_pairs`` operator is the
-    oracle-checked ground truth.)"""
+    The shingle arrays ride along the banded rows into the bucket pair
+    generator, so the whole operator is one shuffle (on band hash) + one
+    pair dedup — shingling/signatures run exactly once.  (Approximate
+    recall by design → no SQL oracle; the exact ``jaccard_pairs``
+    operator is the oracle-checked ground truth.)"""
     banded = _banded(documents, k, carry_shingles=True)
-    a, b = banded.alias("a"), banded.alias("b")
-    jac = (
-        F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
-        / F.size(F.array_union("a.shingles", "b.shingles"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    pairs = (
+        _bucket_pairs(banded, ["band_id", "band_hash"], ["shingles"])
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            F.col("a.shingles").alias("sa"),
+            F.col("b.shingles").alias("sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .where(F.col("jaccard") >= threshold)
     )
+    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------------- SimHash
@@ -259,31 +288,33 @@ SIMHASH_CHUNKS = 4  # pairs within hamming ≤ SIMHASH_CHUNKS-1 share ≥1 chunk
 def simhash(documents: DataFrame) -> DataFrame:
     """64-bit SimHash of the word multiset, pure built-ins.
 
-    Per doc: hash each word (xxhash64), and for each bit position sum
-    +1/-1 contributions; fingerprint bit = sign.  Explode+groupBy keeps
-    it one shuffle with map-side partials (64 small int sums per doc).
-    """
-    w = documents.select(
-        "doc_id", F.explode(F.split(normalized(F.col("text")), " ")).alias("word")
-    ).withColumn("wh", F.xxhash64("word"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    sums = w.groupBy("doc_id").agg(*bit_sums)
+    Per doc and bit position: count word-hashes with that bit set; the
+    fingerprint bit is the majority sign (ones > n/2 ⟺ +1/-1 sum > 0).
+    Entirely row-local higher-order functions — zero shuffle, unlike the
+    classic explode+groupBy formulation."""
+    wh = _word_hashes(documents)
+
+    def _ones(b: int):
+        return F.size(
+            F.filter("wh", lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+
     fp = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        term = F.when(
+            _ones(b) * 2 > F.size("wh"),
+            F.lit(2**b if b < 63 else -(2**63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.alias("simhash"))
+    return wh.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup via chunk blocking: split the 64-bit fingerprint
     into SIMHASH_CHUNKS 16-bit chunks; any pair with hamming ≤ 3 agrees
-    on ≥1 chunk (pigeonhole) → equi-join per chunk, verify bit_count."""
+    on ≥1 chunk (pigeonhole) → pairs generated inside each (chunk_id,
+    chunk) bucket (no self-join, fingerprints computed once), verified
+    with bit_count."""
     fp = simhash(documents)
     chunks = F.array(
         *[
@@ -297,23 +328,16 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
     blocked = fp.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
         "doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk")
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    pairs = (
+        _bucket_pairs(blocked, ["chunk_id", "chunk"], ["simhash"])
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
     )
+    return pairs.where(F.col("hamming") <= max_hamming)
 
 
 # ------------------------------------------------------ Embedding near-dup
