@@ -53,3 +53,22 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register each table as a temp view so operators can use spark.sql."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def create_silver_table(spark: SparkSession, table: str = "dolar", location: str | None = None) -> None:
+    """Idempotent silver DDL (S7) — the reference's CREATE TABLE IF NOT
+    EXISTS ``dolar(fechahora DATETIME NOT NULL, valor DECIMAL(12,4) NOT
+    NULL)`` (``lambda/subirDB.py:71-77``), upgraded to partitioned
+    parquet: date partitioning gives the dynamic partition pruning the
+    unindexed MySQL table never had (SURVEY.md §4)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {table} (
+            fechahora TIMESTAMP NOT NULL,
+            valor DECIMAL(12,4) NOT NULL,
+            source_file STRING,
+            dt DATE
+        ) USING parquet PARTITIONED BY (dt){loc}
+        """
+    )

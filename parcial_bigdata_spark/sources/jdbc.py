@@ -1,0 +1,74 @@
+"""JDBC table scan/sink (S5/S6) — the reference's MySQL boundary.
+
+Reference: batch INSERT via ``executemany`` (``lambda/subirDB.py:116``)
+and a parameterized SELECT (``main.py:76-81``).  In Spark both become
+the JDBC DataFrame connector with the knobs that matter at scale:
+
+- scan: ``pushDownPredicate`` ships WHERE clauses to the database;
+  ``partitionColumn/lowerBound/upperBound/numPartitions`` split the read
+  into parallel range queries instead of one giant cursor.
+- sink: ``batchsize`` groups inserts per round-trip (the executemany
+  analogue); ``isolationLevel=READ_COMMITTED`` and append mode match the
+  reference's autocommit appends.
+
+No database (or JDBC driver) ships in this container, so these builders
+are exercised in tests up to the ``format("jdbc")`` reader/writer
+configuration and run for real on any cluster with a driver jar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+
+def jdbc_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: str | int | None = None,
+    upper_bound: str | int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrameReader:
+    """Configured JDBC scan (S6).  Call ``.load()`` where a driver jar
+    exists.  ``dbtable`` accepts a subquery alias for pre-pushdown."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("pushDownPredicate", "true")
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader
+
+
+def jdbc_writer(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> DataFrameWriter:
+    """Configured JDBC append sink (S5).  Call ``.save()`` where a driver
+    jar exists; ``batchsize`` is the executemany-style batching."""
+    writer = (
+        df.write.format("jdbc")
+        .mode("append")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "READ_COMMITTED")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    return writer

@@ -1,0 +1,131 @@
+"""Parity-gap modules: HTTP shim (S1/S2/T6), JDBC builders (S5/S6),
+silver DDL (S7), env utilities (T8), multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from parcial_bigdata_spark import config
+from parcial_bigdata_spark.catalog import create_silver_table
+from parcial_bigdata_spark.operators import multimodal as mm
+from parcial_bigdata_spark.sources import http as http_src
+from parcial_bigdata_spark.sources import jdbc as jdbc_src
+
+
+# ------------------------------------------------------------- HTTP shim
+
+def test_fetch_to_landing_verbatim_bytes(tmp_path):
+    payload = json.dumps([["1757509256000", "3920.00"]]).encode()
+    out = http_src.fetch_to_landing(
+        "http://example.test/dolar", str(tmp_path), fetcher=lambda url: payload,
+        epoch=1757509256,
+    )
+    assert out["key"] == "dolar-1757509256.json"
+    assert out["size_bytes"] == len(payload)
+    # bronze is byte-identical to upstream (reference tests/tests.py:95-97)
+    assert (tmp_path / out["key"]).read_bytes() == payload
+
+
+def test_fetch_many_permissive_errors(spark):
+    def fetcher(url: str) -> bytes:
+        if "bad" in url:
+            raise OSError("connection refused")
+        return b"ok:" + url.encode()
+
+    urls = spark.createDataFrame([("http://a",), ("http://bad",)], "url string")
+    rows = {r.url: r for r in http_src.fetch_many(urls, fetcher).collect()}
+    assert rows["http://a"].payload == b"ok:http://a"
+    assert rows["http://a"].error is None
+    assert rows["http://bad"].payload is None
+    assert "connection refused" in rows["http://bad"].error
+
+
+# ---------------------------------------------------------- JDBC builders
+
+def test_jdbc_reader_options(spark):
+    reader = jdbc_src.jdbc_reader(
+        spark, "jdbc:mysql://db:3306/x", "dolar",
+        properties={"user": "u"}, partition_column="fechahora",
+        lower_bound="2024-01-01", upper_bound="2025-01-01", num_partitions=16,
+    )
+    opts = reader._jreader.toString()  # smoke: builder constructed
+    assert reader is not None and opts is not None
+
+
+def test_jdbc_writer_options(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    writer = jdbc_src.jdbc_writer(df, "jdbc:mysql://db:3306/x", "dolar", batchsize=500)
+    assert writer is not None
+
+
+# ----------------------------------------------------------------- S7 DDL
+
+def test_create_silver_table_idempotent(spark, tmp_path):
+    loc = str(tmp_path / "dolar_tbl")
+    create_silver_table(spark, "dolar_test", location=loc)
+    create_silver_table(spark, "dolar_test", location=loc)  # IF NOT EXISTS
+    cols = {f.name for f in spark.table("dolar_test").schema.fields}
+    assert cols == {"fechahora", "valor", "source_file", "dt"}
+    spark.sql("DROP TABLE dolar_test")
+
+
+# -------------------------------------------------------------- env utils
+
+def test_first_env_coalesce_and_placeholder():
+    env = {"A": "${DB_HOST}", "B": "  ", "C": "real-host"}
+    assert config.first_env("A", "B", "C", env=env) == "real-host"
+    assert config.first_env("A", "B", env=env) is None
+
+
+def test_require_env_raises():
+    with pytest.raises(ValueError, match="missing required"):
+        config.require_env("NOPE_X", "NOPE_Y", env={})
+
+
+def test_env_port_validation():
+    assert config.env_port("P", env={}) == 3306
+    assert config.env_port("P", env={"P": "3307"}) == 3307
+    with pytest.raises(ValueError, match="invalid port"):
+        config.env_port("P", env={"P": "abc"})
+    with pytest.raises(ValueError, match="out of range"):
+        config.env_port("P", env={"P": "70000"})
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_decode_media_fake_path(spark, documents):
+    media = mm.as_media(documents, "doc_id", "text", "source")
+    out = {r.media_id: r for r in mm.decode_media(media, use_fake_decode=True).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    r = out[1]
+    assert r.byte_len == len("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    assert r.width > 0 and r.height > 0 and r.channels == 3
+    # identical payloads decode identically (deterministic fake)
+    assert (out[1].width, out[1].sha) == (out[2].width, out[2].sha)
+
+
+def test_decode_media_real_path_raises(spark, documents):
+    media = mm.as_media(documents, "doc_id", "text", "source")
+    with pytest.raises(Exception, match="NotImplementedError|use_fake_decode"):
+        mm.decode_media(media, use_fake_decode=False).collect()
+
+
+def test_frame_sample_expansion(spark, documents):
+    media = mm.as_media(documents, "doc_id", "text", "source")
+    frames = mm.frame_sample(media, every_n_bytes=16).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.media_id, []).append(r)
+    # doc 1 text is 56 bytes → frames 0..3 (16+16+16+8)
+    assert [f.frame_bytes for f in sorted(by_doc[1], key=lambda f: f.frame_no)] == [16, 16, 16, 8]
+
+
+def test_sniff_format_magic_bytes(spark):
+    rows = [(1, bytes.fromhex("FFD8FFE0") + b"rest", "m", "s"),
+            (2, b"plain text", "m", "s")]
+    df = spark.createDataFrame(rows, "media_id long, content binary, media_type string, source string")
+    out = {r.media_id: r.format for r in mm.sniff_format(df).collect()}
+    assert out[1] == "jpeg"
+    assert out[2] == "unknown"
