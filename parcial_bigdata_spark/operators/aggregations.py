@@ -115,6 +115,59 @@ def cube_lineitem_counts(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def stats_price_by_status(orders: DataFrame) -> DataFrame:
+    """Statistical aggregate family: mean/stddev/min/max/exact median per
+    group — one partial+final pass; the exact percentile aggregates the
+    value multiset per group (fine for bounded groups; use
+    approx_percentile at unbounded cardinality)."""
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_priority_counts(orders: DataFrame) -> DataFrame:
+    """PIVOT: priorities become columns.  The value list is explicit, so
+    Spark skips the extra distinct-values job and the output schema is
+    static (required for oracle comparison and for sane plans at scale)."""
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ORDER_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in ORDER_PRIORITIES],
+    ).orderBy("o_orderstatus")
+
+
+def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube): per-returnflag,
+    per-linestatus, and grand total in one Expand pass."""
+    lineitem.createOrReplaceTempView("lineitem_gs")
+    return lineitem.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
 def top_orders_by_price(orders: DataFrame, k: int = 10) -> DataFrame:
     """Global top-k: ORDER BY ... LIMIT k plans as TakeOrderedAndProject —
     each partition keeps only its local top-k, the driver merges k×P rows,

@@ -115,6 +115,48 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     )
 
 
+VALUE_BANDS = [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000.0, "high")]
+
+
+def value_band_join(events: DataFrame, bands: list[tuple] = VALUE_BANDS) -> DataFrame:
+    """Range (non-equi) join: classify each event into a [lo, hi) value
+    band.  The band table is tiny → broadcast nested-loop, so the fact
+    side streams with zero shuffle; the only shuffle is the final small
+    aggregate.  (The general band-join pattern for histogram/bucketing
+    dims at 100 TB.)"""
+    spark = events.sparkSession
+    band_df = spark.createDataFrame(bands, "lo double, hi double, band string")
+    joined = events.join(
+        F.broadcast(band_df),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        "inner",
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+def reliable_big_spenders(
+    customer: DataFrame, orders: DataFrame, floor: float = 50_000.0
+) -> DataFrame:
+    """Correlated-subquery parity (EXISTS ∧ NOT EXISTS): customers with
+    at least one order and none below ``floor``.  Expressed as semi +
+    anti join — exactly what Catalyst decorrelates the SQL form into."""
+    small = orders.where(F.col("o_totalprice") < floor).select("o_custkey")
+    any_order = orders.select("o_custkey")
+    return (
+        customer.join(any_order, customer.c_custkey == any_order.o_custkey, "left_semi")
+        .join(small, F.col("c_custkey") == small.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -88,6 +88,26 @@ def knn_ivf(
     )
 
 
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-cluster L2-norm profile — the sanity check before any
+    cosine-based search (catches unnormalized or degenerate vectors).
+    norm() is a sequential fold in double precision, so the value is
+    bitwise-deterministic and oracle-comparable."""
+    from parcial_bigdata_spark.functions.vector import norm
+
+    n = norm(F.col("embedding"))
+    return (
+        embeddings.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(n), 4).alias("avg_norm"),
+            F.round(F.min(n), 4).alias("min_norm"),
+            F.round(F.max(n), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype("float64").tolist()

@@ -110,6 +110,28 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_words_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k words per language: explode → per-(lang, word) count (one
+    shuffle with map-side partials) → per-lang row_number top-k.  The
+    vocabulary-building primitive for corpus analysis; word counts are
+    the high-cardinality agg, the top-k window only sees |vocab| rows."""
+    from pyspark.sql import Window
+
+    w = documents.select(
+        "lang", F.explode(F.split(normalized(F.col("text")), " ")).alias("word")
+    ).where(F.col("word") != "")
+    counts = w.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= k)
+        .select("lang", "rnk", "word", "n")
+        .orderBy("lang", "rnk")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 of the normalized text.
     The join key for exact-dedup across shards/snapshots at scale (hash

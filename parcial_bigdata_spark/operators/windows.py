@@ -81,6 +81,23 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def daily_delta(events: DataFrame) -> DataFrame:
+    """Day-over-day change of the daily mean value — the reference
+    series' natural lag() extension (SURVEY.md §2.6) lifted to the events
+    table.  The agg shrinks data to |days| rows first, so the unkeyed
+    lag window is a single tiny partition by construction (safe here;
+    partition by series key when there are many series)."""
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.round(F.avg("value"), 4).alias("avg_value")
+    )
+    w = Window.orderBy(F.col("d").asc())
+    return daily.select(
+        "d",
+        "avg_value",
+        F.round(F.col("avg_value") - F.lag("avg_value", 1).over(w), 4).alias("delta"),
+    ).orderBy("d")
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate (batch flavor of the streaming
     windowed agg, SURVEY.md §2.9 ST7).  ``F.window`` buckets without a

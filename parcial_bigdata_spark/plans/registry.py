@@ -254,6 +254,40 @@ def q_approx_distinct(spark, sf_dir):
     return agg_ops.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
 
 
+def q_stats_by_status(spark, sf_dir):
+    return agg_ops.stats_price_by_status(_t(spark, sf_dir, "orders"))
+
+
+def q_pivot_priority(spark, sf_dir):
+    return agg_ops.pivot_priority_counts(_t(spark, sf_dir, "orders"))
+
+
+def q_grouping_sets(spark, sf_dir):
+    return agg_ops.grouping_sets_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+def q_top_words(spark, sf_dir):
+    return text_ops.top_words_per_lang(_t(spark, sf_dir, "documents"))
+
+
+def q_value_bands(spark, sf_dir):
+    return join_ops.value_band_join(_t(spark, sf_dir, "events"))
+
+
+def q_big_spenders(spark, sf_dir):
+    return join_ops.reliable_big_spenders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_daily_delta(spark, sf_dir):
+    return win_ops.daily_delta(_t(spark, sf_dir, "events"))
+
+
+def q_embedding_norms(spark, sf_dir):
+    return sim_ops.embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_media_summary(spark, sf_dir):
     return mm_ops.media_summary(_t(spark, sf_dir, "documents"))
 
@@ -272,6 +306,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_lineitem_counts": q_cube_lineitem,
     "top_orders_by_price": q_top_orders,
     "approx_distinct_parts": q_approx_distinct,
+    "stats_price_by_status": q_stats_by_status,
+    "pivot_priority_counts": q_pivot_priority,
+    "grouping_sets_revenue": q_grouping_sets,
     # joins
     "join_revenue_by_brand": q_revenue_by_brand,
     "q3_shipping_priority": q_shipping_priority,
@@ -279,12 +316,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_big_orders": q_semi_join,
     "anti_join_idle_customers": q_anti_join,
     "asof_purchase_signup": q_asof_join,
+    "range_value_bands": q_value_bands,
+    "subquery_big_spenders": q_big_spenders,
     # windows
     "window_value_delta": q_window_delta,
     "window_topk_per_user": q_window_topk,
     "window_running_total": q_running_total,
     "sessionize_events": q_sessionize,
     "hourly_rollup": q_hourly_rollup,
+    "window_daily_delta": q_daily_delta,
     # set ops
     "setop_repeat_customers": q_repeat_customers,
     "setop_churned_customers": q_churned_customers,
@@ -294,6 +334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_token_counts,
     "text_language_id": q_language_id,
     "text_fingerprints": q_fingerprints,
+    "text_top_words_per_lang": q_top_words,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
@@ -305,6 +346,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_brute_force": q_knn_brute,
     "knn_cosine_ivf": q_knn_ivf,
     "knn_cosine_lsh": q_knn_lsh,
+    "embedding_norm_stats": q_embedding_norms,
     # multimodal
     "multimodal_media_summary": q_media_summary,
 }
@@ -385,6 +427,84 @@ ORACLES: dict[str, str] = {
     "top_orders_by_price": """
         SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "stats_price_by_status": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price,
+               round(stddev_samp(o_totalprice), 2) AS sd_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "pivot_priority_counts": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "text_top_words_per_lang": f"""
+        WITH words AS (
+            SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents
+        ), c AS (
+            SELECT lang, word, count(*) AS n FROM words
+            WHERE word <> '' GROUP BY lang, word
+        )
+        SELECT lang, rnk, word, n FROM (
+            SELECT lang, word, n,
+                   row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rnk
+            FROM c
+        ) WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+    "range_value_bands": """
+        SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events
+        JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                     (150.0, 1000.0, 'high')) AS bands(lo, hi, band)
+          ON value >= lo AND value < hi
+        GROUP BY band ORDER BY band
+    """,
+    "subquery_big_spenders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000
+          )
+        ORDER BY c_custkey
+    """,
+    "window_daily_delta": """
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
+        )
+        SELECT d, avg_value,
+               round(avg_value - lag(avg_value) OVER (ORDER BY d ASC), 4) AS delta
+        FROM daily ORDER BY d
+    """,
+    "embedding_norm_stats": """
+        SELECT label, count(*) AS n_vecs,
+               round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm
+        FROM (
+            SELECT label,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x * x))) AS nrm
+            FROM embeddings
+        ) GROUP BY label ORDER BY label
     """,
     "join_revenue_by_brand": """
         SELECT p_brand,
