@@ -41,6 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to microseconds (integer `div` — a double would lose precision at
         # 1.7e18 ns).  The DuckDB oracles apply the matching CAST(ts AS
         # TIMESTAMP) truncation.
+        # Trade-off: ts filters hit the DERIVED column, so they cannot push
+        # into the parquet scan on this one fixture table.  On standard
+        # TIMESTAMP(MICROS) data the same operators get full row-group
+        # pruning (asserted by test_interval_pushes_predicate_to_parquet);
+        # at 100 TB, store micros (or partition by date) — never nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
