@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "knn_cosine_brute_force",
+    "knn_cosine_arrow",
     "text_token_counts",
 ]
 

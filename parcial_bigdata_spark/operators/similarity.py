@@ -88,6 +88,62 @@ def knn_ivf(
     )
 
 
+def knn_brute_force_arrow(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k on the Arrow path: the tiny query matrix
+    broadcasts to executors; each Arrow batch computes ALL similarities
+    as one numpy matmul and keeps only its local top-k per query, so the
+    shuffle carries ≤ k·|queries| rows per batch instead of n·|queries|.
+
+    This is the wide-embedding scale path (BLAS beats per-element HOF
+    folds as dims grow); `knn_brute_force` (built-in expressions, oracle-
+    checked) is the ground truth it must match — asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        embeddings.where(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )  # |queries| rows — driver-safe by contract
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Qn))
+
+    def batches(it):
+        b_qids, b_Qn = bq.value
+        for pdf in it:
+            E = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ b_Qn.T  # (batch, queries)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(b_qids):
+                col = S[:, j]
+                mask = vids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) > k:  # local top-k prune
+                    part = cand_idx[np.argpartition(-col[cand_idx], k)[: k]]
+                else:
+                    part = cand_idx
+                out_q.extend([qid] * len(part))
+                out_v.extend(vids[part].tolist())
+                out_s.extend(np.round(col[part], 6).tolist())
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
+
+    local = embeddings.select("vec_id", "embedding").mapInPandas(
+        batches, schema="query_id long, vec_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "vec_id", "sim")
+        .orderBy("query_id", "rnk")
+    )
+
+
 def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
     """Per-cluster L2-norm profile — the sanity check before any
     cosine-based search (catches unnormalized or degenerate vectors).

@@ -250,6 +250,10 @@ def q_knn_lsh(spark, sf_dir):
     return sim_ops.knn_lsh(_t(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
 
 
+def q_knn_arrow(spark, sf_dir):
+    return sim_ops.knn_brute_force_arrow(_t(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
+
+
 def q_approx_distinct(spark, sf_dir):
     return agg_ops.approx_distinct_parts(_t(spark, sf_dir, "lineitem"))
 
@@ -346,6 +350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_brute_force": q_knn_brute,
     "knn_cosine_ivf": q_knn_ivf,
     "knn_cosine_lsh": q_knn_lsh,
+    "knn_cosine_arrow": q_knn_arrow,
     "embedding_norm_stats": q_embedding_norms,
     # multimodal
     "multimodal_media_summary": q_media_summary,

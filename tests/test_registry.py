@@ -19,6 +19,7 @@ NO_ORACLE_OK = {
     "dedup_simhash",
     "knn_cosine_ivf",
     "knn_cosine_lsh",
+    "knn_cosine_arrow",  # exactness vs oracle-checked HOF twin is test-asserted
     "approx_distinct_parts",
 }
 

@@ -1,0 +1,72 @@
+"""Scale-posture tests: plan-shape assertions that the 100 TB
+techniques actually produce the plans they promise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.operators import scale
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    spark.sql("CREATE DATABASE IF NOT EXISTS scaletest")
+    yield
+    spark.sql("DROP DATABASE IF EXISTS scaletest CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_custkey")
+    )
+    items = spark.range(3000).select(
+        (F.col("id") % 1000).alias("o_orderkey"), F.col("id").alias("l_qty")
+    )
+    scale.write_bucketed(orders, "scaletest.orders_b", "o_orderkey", 4, sort_col="o_orderkey")
+    scale.write_bucketed(items, "scaletest.items_b", "o_orderkey", 4, sort_col="o_orderkey")
+
+    joined = scale.bucketed_join(
+        spark, "scaletest.orders_b", "scaletest.items_b", "o_orderkey",
+        force_sortmerge=True,
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: shuffle paid at write time
+    assert joined.count() == 3000
+
+
+def test_salted_join_matches_plain_join(spark):
+    # pathological skew: 90% of left rows share one key
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+
+    plain = left.join(right, "k").select("k", "v", "w")
+    salted = scale.salted_join(left, right, "k", n_salts=4).select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_outer_preserves_unmatched(spark):
+    left = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    right = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    out = scale.salted_join(left, right, "k", n_salts=4, how="left").collect()
+    assert len(out) == 10
+    unmatched = [r for r in out if r.w is None]
+    assert len(unmatched) == 7
+
+
+def test_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("bucket5")
+    )
+    df.write.partitionBy("bucket5").parquet(path)
+
+    pruned = scale.read_pruned(spark, path, "bucket5", 2)
+    assert pruned.count() == 20
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the partition filter must act on metadata, not as a data Filter
+    assert "PartitionFilters: [isnotnull(bucket5" in plan or "PartitionFilters: [(bucket5" in plan
