@@ -87,18 +87,22 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     # bits, a word set becomes one long and Jaccard collapses to two
     # bitwise ops + bit_count — ~100× cheaper per pair AND an ~40×
     # smaller shuffle row.  Larger dictionaries keep the array path.
-    vocab = ws.select(F.explode("wset").alias("w")).distinct()
-    n_vocab = vocab.count()
-    if n_vocab <= 64:
-        from pyspark.sql import Window
-
-        vidx = vocab.withColumn("wid", F.row_number().over(Window.orderBy("w")) - 1)
-        feat = (
-            ws.select("doc_id", "lang", "n_chars", "bucket", "wsize", F.explode("wset").alias("w"))
-            .join(F.broadcast(vidx), "w")
-            .groupBy("doc_id", "lang", "n_chars", "bucket", "wsize")
-            .agg(F.expr("bit_or(shiftleft(1L, wid))").alias("wmask"))
+    # take(65) short-circuits: it proves >64 without counting the full
+    # dictionary, and at ≤64 returns the whole vocabulary, which then
+    # becomes a LITERAL word→bit map — the mask is a row-local fold,
+    # no broadcast join, no groupBy, nothing extra to recompute on the
+    # pair join's second branch.
+    vocab = [r.w for r in ws.select(F.explode("wset").alias("w")).distinct().take(65)]
+    if len(vocab) <= 64:
+        bit_map = F.create_map(
+            *[x for i, w in enumerate(sorted(vocab)) for x in (F.lit(w), F.lit(2**i if i < 63 else -(2**63)).cast("long"))]
         )
+        wmask = F.aggregate(
+            "wset",
+            F.lit(0).cast("long"),
+            lambda acc, w: acc.bitwiseOR(F.coalesce(F.element_at(bit_map, w), F.lit(0).cast("long"))),
+        )
+        feat = ws.select("doc_id", "lang", "n_chars", "bucket", "wsize", wmask.alias("wmask"))
         inter = F.bit_count(F.col("a.wmask").bitwiseAND(F.col("b.wmask")))
         union = F.bit_count(F.col("a.wmask").bitwiseOR(F.col("b.wmask")))
         pair_cols = ["doc_id", "lang", "n_chars", "wsize", "wmask"]
