@@ -110,6 +110,31 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_pass_rates(
+    documents: DataFrame,
+    min_chars: int = 120,
+    max_word_len: float = 12.0,
+) -> DataFrame:
+    """Quality-gate pass rates per language: the pre-training corpus
+    filter (length + average-word-length gates) reported as kept/total —
+    the accounting view a data pipeline emits alongside the filtered
+    corpus itself."""
+    n_words = F.size(F.split(F.col("text"), " "))
+    awl = F.length("text").cast("double") / n_words
+    passes = (F.col("n_chars") >= min_chars) & (awl <= max_word_len)
+    return (
+        documents.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
+            F.round(
+                F.sum(F.when(passes, 1).otherwise(0)) / F.count("*"), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def top_words_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     """Top-k words per language: explode → per-(lang, word) count (one
     shuffle with map-side partials) → per-lang row_number top-k.  The

@@ -98,6 +98,49 @@ def daily_delta(events: DataFrame) -> DataFrame:
     ).orderBy("d")
 
 
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user linear trend (OLS slope of value over time) with the
+    built-in regr_slope aggregate — one partial+final pass, no UDF."""
+    x = F.unix_micros(F.col("ts")).cast("double") / 86_400_000_000.0  # days
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.regr_slope(F.col("value"), x), 4).alias("slope_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def user_value_trend_pandas(events: DataFrame) -> DataFrame:
+    """Grouped-pandas-UDF twin of user_value_trend via applyInPandas —
+    the escape hatch for per-group logic built-ins cannot express
+    (here: plain OLS, so the two must agree; asserted in tests).
+    Each group arrives as one pandas DataFrame; state is bounded by the
+    largest single group, not the partition."""
+    import numpy as np
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["ts"].astype("int64").to_numpy() / 1e9 / 86_400.0
+        y = pdf["value"].to_numpy()
+        if len(pdf) > 1 and np.ptp(x) > 0:
+            slope = float(np.polyfit(x, y, 1)[0])
+        else:
+            slope = float("nan")
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [len(pdf)],
+             "slope_per_day": [round(slope, 4)]}
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fit, schema="user_id long, n_events long, slope_per_day double")
+        .orderBy("user_id")
+    )
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate (batch flavor of the streaming
     windowed agg, SURVEY.md §2.9 ST7).  ``F.window`` buckets without a

@@ -288,6 +288,18 @@ def q_daily_delta(spark, sf_dir):
     return win_ops.daily_delta(_t(spark, sf_dir, "events"))
 
 
+def q_user_trend(spark, sf_dir):
+    return win_ops.user_value_trend(_t(spark, sf_dir, "events"))
+
+
+def q_user_trend_pandas(spark, sf_dir):
+    return win_ops.user_value_trend_pandas(_t(spark, sf_dir, "events"))
+
+
+def q_quality_pass(spark, sf_dir):
+    return text_ops.quality_pass_rates(_t(spark, sf_dir, "documents"))
+
+
 def q_embedding_norms(spark, sf_dir):
     return sim_ops.embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
 
@@ -329,6 +341,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize,
     "hourly_rollup": q_hourly_rollup,
     "window_daily_delta": q_daily_delta,
+    "agg_user_value_trend": q_user_trend,
+    "agg_user_value_trend_pandas": q_user_trend_pandas,
     # set ops
     "setop_repeat_customers": q_repeat_customers,
     "setop_churned_customers": q_churned_customers,
@@ -339,6 +353,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_language_id": q_language_id,
     "text_fingerprints": q_fingerprints,
     "text_top_words_per_lang": q_top_words,
+    "text_quality_pass_rates": q_quality_pass,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
@@ -489,6 +504,31 @@ ORACLES: dict[str, str] = {
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000
           )
         ORDER BY c_custkey
+    """,
+    "agg_user_value_trend": """
+        SELECT user_id, count(*) AS n_events,
+               round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+                   AS slope_per_day
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "agg_user_value_trend_pandas": """
+        SELECT user_id, count(*) AS n_events,
+               round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
+                   AS slope_per_day
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "text_quality_pass_rates": """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 4) AS pass_rate
+        FROM (
+            SELECT lang,
+                   n_chars >= 120 AND
+                   CAST(length(text) AS DOUBLE)
+                       / len(string_split(text, ' ')) <= 12.0 AS passes
+            FROM documents
+        ) GROUP BY lang ORDER BY lang
     """,
     "window_daily_delta": """
         WITH daily AS (

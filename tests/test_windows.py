@@ -76,3 +76,15 @@ def test_windows_share_one_shuffle(spark, events):
     # one shuffle for the windows; the final groupBy reuses the same
     # hash-partitioning on user_id so no extra exchange is needed for it
     assert plan.count("Window") <= 2
+
+
+def test_user_trend_builtin_equals_pandas(events):
+    builtin = win.user_value_trend(events).collect()
+    pandas_v = win.user_value_trend_pandas(events).collect()
+    assert [(r.user_id, r.n_events, r.slope_per_day) for r in builtin] == [
+        (r.user_id, r.n_events, r.slope_per_day) for r in pandas_v
+    ]
+    # user 2 has one event -> undefined slope on both paths
+    one = {r.user_id: r.slope_per_day for r in builtin}[2]
+    import math
+    assert one is None or math.isnan(one)
