@@ -46,8 +46,18 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("bench")
 
-    # Warm-up: JIT, codegen, parquet footer caches.
-    QUERIES["q6_revenue_forecast"](spark, sf_dir).collect()
+    # Warm-up: run every headline plan once at the smallest SF so JIT,
+    # whole-stage-codegen compilation, Python worker pools, and parquet
+    # footer caches are paid before the timed runs (the metric is
+    # steady-state throughput, not cold start).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
