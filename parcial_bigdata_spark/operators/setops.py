@@ -26,6 +26,31 @@ def churned_customers(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> Data
     return _custkeys_in_year(orders, y1).exceptAll(_custkeys_in_year(orders, y2)).orderBy("custkey")
 
 
+def status_bag_overlap(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics): per-status order
+    multiplicities common to both years, and y1's surplus — multiplicity
+    math (min/difference of counts) the DISTINCT variants throw away.
+    Plans as a count-aggregate per side + one join: no row explosion."""
+    def bag(year: int) -> DataFrame:
+        return orders.where(F.year("o_orderdate") == year).select("o_orderstatus")
+
+    both = bag(y1).intersectAll(bag(y2)).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_common")
+    )
+    surplus = bag(y1).exceptAll(bag(y2)).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_surplus_y1")
+    )
+    return (
+        both.join(surplus, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("n_surplus_y1", F.lit(0)).alias("n_surplus_y1"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def all_party_keys(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     """UNION ALL then distinct over heterogeneous sources brought to a
     common schema — the multi-file-append semantics of the reference's

@@ -141,6 +141,26 @@ def user_value_trend_pandas(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 1-hour/30-minute window counts in batch (each event lands
+    in exactly window/slide = 2 windows).  ``F.window`` materializes the
+    overlap as a compact internal explode — no self-join, no UDF."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate (batch flavor of the streaming
     windowed agg, SURVEY.md §2.9 ST7).  ``F.window`` buckets without a

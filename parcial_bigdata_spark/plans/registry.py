@@ -190,6 +190,14 @@ def q_churned_customers(spark, sf_dir):
     return set_ops.churned_customers(_t(spark, sf_dir, "orders"))
 
 
+def q_status_bag_overlap(spark, sf_dir):
+    return set_ops.status_bag_overlap(_t(spark, sf_dir, "orders"))
+
+
+def q_sliding_counts(spark, sf_dir):
+    return win_ops.sliding_counts(_t(spark, sf_dir, "events"))
+
+
 def q_all_party_keys(spark, sf_dir):
     return set_ops.all_party_keys(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
@@ -347,6 +355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_repeat_customers": q_repeat_customers,
     "setop_churned_customers": q_churned_customers,
     "setop_all_party_keys": q_all_party_keys,
+    "setop_status_bag_overlap": q_status_bag_overlap,
+    "window_sliding_counts": q_sliding_counts,
     # text analysis
     "text_quality_metrics": q_text_quality,
     "text_token_counts": q_token_counts,
@@ -655,6 +665,38 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "setop_status_bag_overlap": """
+        WITH b1 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1995),
+             b2 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1996),
+             c AS (
+                SELECT o_orderstatus, count(*) AS n_common
+                FROM (SELECT * FROM b1 INTERSECT ALL SELECT * FROM b2)
+                GROUP BY o_orderstatus
+             ),
+             s AS (
+                SELECT o_orderstatus, count(*) AS n_surplus_y1
+                FROM (SELECT * FROM b1 EXCEPT ALL SELECT * FROM b2)
+                GROUP BY o_orderstatus
+             )
+        SELECT o_orderstatus,
+               COALESCE(n_common, 0) AS n_common,
+               COALESCE(n_surplus_y1, 0) AS n_surplus_y1
+        FROM c FULL OUTER JOIN s USING (o_orderstatus)
+        ORDER BY o_orderstatus
+    """,
+    "window_sliding_counts": """
+        WITH ex AS (
+            SELECT event_type, value,
+                   unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS window_start
+            FROM events
+        )
+        SELECT window_start, event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM ex GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
     """,
     "setop_repeat_customers": """
         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995

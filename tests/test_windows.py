@@ -88,3 +88,14 @@ def test_user_trend_builtin_equals_pandas(events):
     one = {r.user_id: r.slope_per_day for r in builtin}[2]
     import math
     assert one is None or math.isnan(one)
+
+
+def test_sliding_counts_each_event_in_two_windows(events):
+    out = win.sliding_counts(events).collect()
+    total = sum(r.n_events for r in out)
+    assert total == 2 * events.count()  # 1h window / 30m slide
+    clicks_at_10 = [
+        r for r in out
+        if r.event_type == "click" and r.window_start == dt.datetime(2025, 1, 1, 10, 0)
+    ]
+    assert clicks_at_10[0].n_events == 3  # clicks at :00, :05, :50 all in [10:00, 11:00)
