@@ -142,6 +142,29 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     )
 
 
+def cross_split_contamination(documents: DataFrame, split_col: str = "source") -> DataFrame:
+    """Train/test contamination check: normalized-content fingerprints
+    that appear in MORE THAN ONE split (source standing in for the
+    train/eval split key).  Two aggregates over the fingerprint — both
+    shuffle |distinct docs| rows, never pairs; at 100 TB this is the
+    cheap screen run before any eval-set release."""
+    from parcial_bigdata_spark.operators.text import normalized
+
+    fp = documents.select(
+        split_col, F.md5(normalized(F.col("text"))).alias("fingerprint")
+    )
+    per_split = fp.groupBy("fingerprint", split_col).agg(F.count("*").alias("n"))
+    return (
+        per_split.groupBy("fingerprint")
+        .agg(
+            F.countDistinct(split_col).alias("n_splits"),
+            F.sum("n").alias("n_docs"),
+        )
+        .where(F.col("n_splits") > 1)
+        .orderBy("fingerprint")
+    )
+
+
 # ---------------------------------------------------------------- MinHash/LSH
 
 N_HASHES = 16

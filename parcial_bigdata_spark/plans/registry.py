@@ -240,6 +240,10 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_ops.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_contamination(spark, sf_dir):
+    return dedup_ops.cross_split_contamination(_t(spark, sf_dir, "documents"))
+
+
 def q_embedding_dups(spark, sf_dir):
     return dedup_ops.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.3
@@ -371,6 +375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_embedding_dups,
+    "dedup_cross_split_contamination": q_contamination,
     # similarity search
     "knn_cosine_brute_force": q_knn_brute,
     "knn_cosine_ivf": q_knn_ivf,
@@ -804,6 +809,18 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+    """,
+    "dedup_cross_split_contamination": f"""
+        WITH fp AS (
+            SELECT source, md5({_NORM_SQL}) AS fingerprint FROM documents
+        ), per_split AS (
+            SELECT fingerprint, source, count(*) AS n
+            FROM fp GROUP BY fingerprint, source
+        )
+        SELECT fingerprint, count(DISTINCT source) AS n_splits,
+               CAST(sum(n) AS BIGINT) AS n_docs
+        FROM per_split GROUP BY fingerprint
+        HAVING count(DISTINCT source) > 1 ORDER BY fingerprint
     """,
     "dedup_embedding_cosine": """
         SELECT vec_a, vec_b, cosine_sim FROM (

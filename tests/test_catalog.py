@@ -1,0 +1,52 @@
+"""Catalog guards: every driver table loads with its contract schema
+(TESTDATA.md / FIXTURES.md), so fixture drift fails loudly here instead
+of deep inside an operator."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from parcial_bigdata_spark.catalog import TABLES, load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EXPECTED_COLS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_mktsegment"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name", "p_brand"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"},
+    "events": {"event_id", "user_id", "ts", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.mark.parametrize("name", TABLES)
+def test_table_loads_with_contract_columns(spark, name):
+    df = load_table(spark, SF_DIR, name)
+    assert EXPECTED_COLS[name] <= set(df.columns), (
+        f"{name}: missing {EXPECTED_COLS[name] - set(df.columns)}"
+    )
+    assert df.count() > 0
+
+
+def test_events_ts_is_timestamp_after_nanos_escape(spark):
+    df = load_table(spark, SF_DIR, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_unknown_table_rejected(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, SF_DIR, "nope")

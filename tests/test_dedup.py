@@ -90,3 +90,18 @@ def test_embedding_near_duplicates(spark):
     out = embedding_near_duplicates(emb, threshold=0.95)
     got = {(r.vec_a, r.vec_b) for r in out.collect()}
     assert got == {(1, 2)}  # blocked by label: (1,4) never compared
+
+
+def test_cross_split_contamination_detects_planted_dup(spark):
+    rows = [
+        (1, "Shared Text!", "en", "train", 12),
+        (2, "shared text",  "en", "eval",  11),   # same normalized content
+        (3, "only in train", "en", "train", 13),
+        (4, "another eval doc", "en", "eval", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.cross_split_contamination(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_splits == 2 and out[0].n_docs == 2
