@@ -34,6 +34,29 @@ def streaming_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> Da
     )
 
 
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Generic tumbling counts — the op used to demonstrate watermark
+    semantics: events older than (max seen ts − watermark) are dropped;
+    in append mode a window only emits once the watermark passes its
+    end (exactly-once finalized results downstream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_sliding_counts(
     events: DataFrame, window: str = "1 hour", slide: str = "15 minutes",
     watermark: str = "2 hours",

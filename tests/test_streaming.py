@@ -149,3 +149,64 @@ def test_streaming_sliding_counts(spark, events_dir, tmp_path):
     }
     assert dt.datetime(2025, 1, 1, 9, 30) in starts
     assert dt.datetime(2025, 1, 1, 10, 0) in starts
+
+
+def test_watermark_finalization_and_late_drop(spark, tmp_path):
+    """ST4 semantics, as Spark actually guarantees them: a window emits
+    exactly once (append mode) when the watermark passes its end; late
+    rows arriving BEFORE finalization still merge; late rows arriving
+    AFTER their window was finalized/evicted are dropped silently."""
+    d = tmp_path / "events"
+    d.mkdir()
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+
+    def iso(minute):
+        return (base + dt.timedelta(minutes=minute)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    def ev(i, minute, value=1.0):
+        return {"event_id": i, "user_id": 1, "ts": iso(minute),
+                "event_type": "c", "value": value}
+
+    # batch 0: 10:00 + 10:25 → watermark (effective next batch) = 10:15
+    _write_events_json(d / "b1.json", [ev(1, 0), ev(2, 25)])
+    # batch 1: wm 10:15 finalizes [10:00,10:10) at batch end; 10:50
+    # pushes the wm (effective batch 2) to 10:40
+    _write_events_json(d / "b2.json", [ev(3, 50)])
+    # batch 2: 10:03 arrives AFTER its window was finalized → dropped;
+    # 10:55 keeps the stream advancing
+    _write_events_json(d / "b3.json", [ev(4, 3), ev(5, 55)])
+    # file-source batch order follows modification time — pin it
+    import os
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(d / name, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    out = sw.streaming_tumbling_counts(stream, window="10 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("wmtest").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from wmtest").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.window_start, []).append(r.n_events)
+
+    w0 = dt.datetime(2025, 1, 1, 10, 0)
+    w20 = dt.datetime(2025, 1, 1, 10, 20)
+    # [10:00,10:10) emitted exactly once, WITHOUT the post-eviction 10:03
+    assert got[w0] == [1]
+    assert got[w20] == [1]
+    # [10:50,11:00) never finalized (final wm 10:45 < window end) → no row
+    assert dt.datetime(2025, 1, 1, 10, 50) not in got
+    # the engine explicitly counted the dropped late row
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress if p["stateOperators"]
+    )
+    assert dropped == 1
