@@ -177,3 +177,41 @@ def top_orders_by_price(orders: DataFrame, k: int = 10) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .limit(k)
     )
+
+
+def percentile_value_by_type(events: DataFrame) -> DataFrame:
+    """Exact percentiles (median / p90) of event value per type.
+
+    Uses the exact ``percentile`` aggregate (linear interpolation —
+    identical semantics to ANSI ``percentile_cont`` / DuckDB
+    ``quantile_cont``).  Exact percentiles sort within each group; at
+    100 TB the approx twin (``percentile_approx``, a t-digest that
+    merges map-side) is the scale path — both are exposed, the exact one
+    is the oracle-checked ground truth.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def correlation_stats(lineitem: DataFrame) -> DataFrame:
+    """Pearson correlation / sample covariance / sample stddev of
+    quantity vs extended price per return flag.  All three are single-pass
+    streaming aggregates (sum of cross-moments) with map-side partials —
+    the shuffle carries 6 doubles per (partition × group)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -157,6 +157,155 @@ def reliable_big_spenders(
     )
 
 
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q4-style: count orders per priority that have at least one
+    lineitem shipped after the order date (correlated EXISTS).  The
+    correlation becomes a LEFT SEMI join with a non-equi residual
+    condition — only (l_orderkey, l_shipdate) cross the shuffle, and the
+    date filter on orders prunes partitions before the join."""
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    items = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        ords.join(
+            items,
+            (ords.o_orderkey == items.l_orderkey)
+            & (items.l_shipdate > ords.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-style: top-k customers by lost revenue on returned
+    items.  Date-filtered orders broadcast into lineitem('R'); the final
+    per-customer aggregate is the only wide shuffle."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    items = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        items.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        # Round through decimal(18,4): a double sum landing within 1 ulp of a
+        # .xx5 boundary would round differently on Spark (shortest-decimal
+        # HALF_UP) vs the oracle (binary round); the 4-decimal snap first
+        # makes the 2-decimal round deterministic on both sides.
+        .agg(
+            F.round(F.sum(revenue).cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-02-01",
+) -> DataFrame:
+    """TPC-H Q14-style: percentage of revenue from PROMO parts in one
+    month.  Conditional aggregation over a broadcast dim join — a single
+    scalar row out, no wide shuffle at any scale."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    items = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    joined = items.join(F.broadcast(part), items.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0)))
+    return joined.agg(
+        F.round(100.0 * promo / F.sum(revenue), 4).alias("promo_revenue_pct")
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_total_qty: float = 250.0,
+    k: int = 50,
+) -> DataFrame:
+    """TPC-H Q18-style: orders whose total lineitem quantity exceeds a
+    floor, with customer attribution.  The IN-subquery form decorrelates
+    to aggregate→semi-join; the quantity aggregate is partial (map-side)
+    before its one shuffle on l_orderkey."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > min_total_qty)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
+def brand_band_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-style: disjunctive (OR-of-ANDs) predicate bands across
+    the lineitem⋈part join.  Catalyst extracts the common conjuncts
+    (brand membership) below the join and evaluates the residual OR after
+    it — the scan is pruned even though the predicate is disjunctive."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.where(band).agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -179,3 +179,56 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def gapfill_daily_series(
+    events: DataFrame,
+    event_type: str = "purchase",
+    min_value: float = 120.0,
+    max_users: int = 40,
+) -> DataFrame:
+    """Time-series resample + gap-fill: daily max value per user on a
+    dense day grid, missing days carried forward from the last observed
+    value (nulls before the first observation).
+
+    The dense grid is built with ``sequence()`` over the global [min,max]
+    day span (a 1-row aggregate broadcast into the per-user cross join) —
+    no driver collect.  The carry-forward is ``last(ignorenulls)`` over a
+    per-user window: one shuffle on user_id, linear state.  This is the
+    standard Spark formulation of a hypertable ``time_bucket_gapfill`` /
+    ``locf`` rollup.
+    """
+    obs = (
+        events.where(
+            (F.col("event_type") == event_type)
+            & (F.col("value") > min_value)
+            & (F.col("user_id") < max_users)
+        )
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.max("value"), 2).alias("max_value"))
+    )
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    users = obs.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    filled = grid.join(obs, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        filled.select(
+            "user_id",
+            # midnight timestamp, not DATE: the oracle-compare convention for
+            # day buckets (DateType and DuckDB DATE render differently)
+            F.col("day").cast("timestamp").alias("day"),
+            F.last("max_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("max_value").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "day")
+    )

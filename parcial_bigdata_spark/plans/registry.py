@@ -320,6 +320,52 @@ def q_media_summary(spark, sf_dir):
     return mm_ops.media_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_order_priority(spark, sf_dir):
+    return join_ops.order_priority_counts(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    return join_ops.returned_item_revenue(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_promo_share(spark, sf_dir):
+    return join_ops.promo_revenue_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    return join_ops.large_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_brand_bands(spark, sf_dir):
+    return join_ops.brand_band_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    return agg_ops.percentile_value_by_type(_t(spark, sf_dir, "events"))
+
+
+def q_correlation(spark, sf_dir):
+    return agg_ops.correlation_stats(_t(spark, sf_dir, "lineitem"))
+
+
+def q_gapfill(spark, sf_dir):
+    return win_ops.gapfill_daily_series(_t(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference parity (SURVEY.md §2.1-2.7)
     "interval_query": q_interval,
@@ -346,6 +392,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_signup": q_asof_join,
     "range_value_bands": q_value_bands,
     "subquery_big_spenders": q_big_spenders,
+    "q4_order_priority": q_order_priority,
+    "q10_returned_items": q_returned_items,
+    "q14_promo_share": q_promo_share,
+    "q18_large_orders": q_large_orders,
+    "q19_brand_bands": q_brand_bands,
+    "percentile_value_by_type": q_percentiles,
+    "correlation_stats": q_correlation,
+    "gapfill_daily_series": q_gapfill,
     # windows
     "window_value_delta": q_window_delta,
     "window_topk_per_user": q_window_topk,
@@ -519,6 +573,107 @@ ORACLES: dict[str, str] = {
             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000
           )
         ORDER BY c_custkey
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                               AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q14_promo_share": """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               round(total_qty, 2) AS total_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 50
+    """,
+    "q19_brand_bands": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "percentile_value_by_type": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50_value,
+               round(quantile_cont(value, 0.9), 4) AS p90_value,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "correlation_stats": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "gapfill_daily_series": """
+        WITH obs AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   round(max(value), 2) AS max_value
+            FROM events
+            WHERE event_type = 'purchase' AND value > 120 AND user_id < 40
+            GROUP BY 1, 2
+        ), span AS (
+            SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+            FROM events
+        ), days AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM span
+        ), grid AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days d
+        )
+        SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+               last_value(o.max_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value,
+               o.max_value IS NOT NULL AS observed
+        FROM grid g
+        LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+        ORDER BY g.user_id, g.day
     """,
     "agg_user_value_trend": """
         SELECT user_id, count(*) AS n_events,

@@ -1,0 +1,146 @@
+"""Golden tests for the second TPC-H-style batch (Q4/Q10/Q14/Q18/Q19
+shapes), exact percentiles, correlation stats, and the time-series
+gap-fill operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.operators import aggregations, joins, windows
+
+
+def _d(day: int) -> dt.datetime:
+    return dt.datetime(1996, 1, day)
+
+
+def test_order_priority_counts_exists_semantics(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 1.0, _d(5), "1-URGENT"),   # has late-shipped item → counted
+            (2, 10, "O", 1.0, _d(5), "1-URGENT"),   # item shipped same day → NOT counted
+            (3, 10, "O", 1.0, _d(5), "2-HIGH"),     # no items → NOT counted
+            (4, 10, "O", 1.0, dt.datetime(1999, 1, 1), "1-URGENT"),  # outside window
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, _d(6)), (1, _d(2)), (2, _d(5)), (4, _d(9))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in joins.order_priority_counts(orders, lineitem).collect()
+    }
+    assert got == {"1-URGENT": 1}
+
+
+def test_promo_revenue_share_conditional_ratio(spark):
+    lineitem = spark.createDataFrame(
+        [(1, 100.0, 0.0, _d(10)), (2, 300.0, 0.0, _d(10))],
+        "l_partkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    [row] = joins.promo_revenue_share(lineitem, part).collect()
+    assert row.promo_revenue_pct == 25.0
+
+
+def test_large_orders_threshold_and_order(spark):
+    customer = spark.createDataFrame(
+        [(10, "Customer#10", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 500.0, _d(1), "1-URGENT"),
+            (2, 10, "O", 900.0, _d(2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 200.0), (1, 60.0), (2, 100.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    rows = joins.large_orders(customer, orders, lineitem, min_total_qty=250.0).collect()
+    assert [(r.o_orderkey, r.total_qty) for r in rows] == [(1, 260.0)]
+
+
+def test_brand_band_revenue_disjunction(spark):
+    lineitem = spark.createDataFrame(
+        [(1, 5.0, 100.0, 0.0), (2, 15.0, 200.0, 0.0), (1, 30.0, 400.0, 0.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#12", 10), (2, "Brand#23", 18)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    # row1 matches band 1; row2 matches band 2; row3 fails qty band
+    [row] = joins.brand_band_revenue(lineitem, part).collect()
+    assert (row.revenue, row.n_items) == (300.0, 2)
+
+
+def test_percentile_exact_interpolation(spark):
+    events = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), 1, "view", float(v), "{}") for i, v in enumerate([1, 2, 3, 4])],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    [row] = aggregations.percentile_value_by_type(events).collect()
+    assert row.p50_value == 2.5  # linear interpolation, not nearest-rank
+    assert row.p90_value == 3.7
+    assert row.n_events == 4
+
+
+def test_correlation_stats_perfect_linear(spark):
+    lineitem = spark.createDataFrame(
+        [("N", 1.0, 10.0), ("N", 2.0, 20.0), ("N", 3.0, 30.0)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    [row] = aggregations.correlation_stats(lineitem).collect()
+    assert row.corr_qty_price == 1.0
+    assert row.covar_qty_price == 10.0
+    assert row.stddev_price == 10.0
+
+
+def test_gapfill_carries_last_value_forward(spark):
+    events = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 12), 1, "purchase", 150.0, "{}"),
+            (2, dt.datetime(2024, 1, 3, 12), 1, "purchase", 170.0, "{}"),
+            # user 2 defines the global span end; below min_value → filtered
+            (3, dt.datetime(2024, 1, 4, 12), 2, "purchase", 10.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    rows = windows.gapfill_daily_series(events).collect()
+    # only user 1 survives the filter; grid spans Jan 1-4 (global span)
+    assert [(r.day.day, r.filled_value, r.observed) for r in rows] == [
+        (1, 150.0, True),
+        (2, 150.0, False),   # gap → carried forward
+        (3, 170.0, True),
+        (4, 170.0, False),   # trailing gap → carried forward
+    ]
+
+
+def test_returned_items_rounds_through_decimal(spark):
+    """The money-round convention: a sum landing exactly on a .xx5
+    boundary rounds HALF_UP deterministically (not via double repr)."""
+    customer = spark.createDataFrame(
+        [(10, "Customer#10", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 1.0, _d(2), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 10.005, 0.0, "R")],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_returnflag string",
+    )
+    [row] = joins.returned_item_revenue(customer, orders, lineitem).collect()
+    assert row.revenue == 10.01
