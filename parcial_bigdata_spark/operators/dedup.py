@@ -10,6 +10,9 @@ inside small buckets.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +51,10 @@ def dedup_exact_survivors(documents: DataFrame) -> DataFrame:
 
 _BUCKET_BASE = 1.25  # must stay ≥ 1/(1-length_slack) for lossless ±1 blocking
 
+# Bitmask fast-path width: dictionaries up to 64×this many words encode as
+# per-lane longs; beyond it the exact array-intersect path takes over.
+MAX_MASK_LANES = 8
+
 
 def _word_sets(documents: DataFrame) -> DataFrame:
     import math
@@ -83,29 +90,59 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     ws = _word_sets(documents)
 
     # Dictionary-encode the token space (an adaptive stat probe, like
-    # AQE's runtime statistics).  When the corpus dictionary fits in 64
-    # bits, a word set becomes one long and Jaccard collapses to two
-    # bitwise ops + bit_count — ~100× cheaper per pair AND an ~40×
-    # smaller shuffle row.  Larger dictionaries keep the array path.
-    # take(65) short-circuits: it proves >64 without counting the full
-    # dictionary, and at ≤64 returns the whole vocabulary, which then
-    # becomes a LITERAL word→bit map — the mask is a row-local fold,
-    # no broadcast join, no groupBy, nothing extra to recompute on the
-    # pair join's second branch.
-    vocab = [r.w for r in ws.select(F.explode("wset").alias("w")).distinct().take(65)]
-    if len(vocab) <= 64:
-        bit_map = F.create_map(
-            *[x for i, w in enumerate(sorted(vocab)) for x in (F.lit(w), F.lit(2**i if i < 63 else -(2**63)).cast("long"))]
-        )
-        wmask = F.aggregate(
-            "wset",
-            F.lit(0).cast("long"),
-            lambda acc, w: acc.bitwiseOR(F.coalesce(F.element_at(bit_map, w), F.lit(0).cast("long"))),
-        )
-        feat = ws.select("doc_id", "lang", "n_chars", "bucket", "wsize", wmask.alias("wmask"))
-        inter = F.bit_count(F.col("a.wmask").bitwiseAND(F.col("b.wmask")))
-        union = F.bit_count(F.col("a.wmask").bitwiseOR(F.col("b.wmask")))
-        pair_cols = ["doc_id", "lang", "n_chars", "wsize", "wmask"]
+    # AQE's runtime statistics).  When the corpus dictionary fits in
+    # MAX_MASK_LANES×64 bits, a word set becomes a handful of longs and
+    # Jaccard collapses to per-lane bitwise ops + bit_count — ~100×
+    # cheaper per pair AND a far smaller shuffle row than the word
+    # array.  Larger dictionaries keep the array path.  take(cap+1)
+    # short-circuits: it proves >cap without counting the full
+    # dictionary, and under the cap returns the whole vocabulary, which
+    # then becomes LITERAL per-lane word→bit maps — each lane mask is a
+    # row-local fold, no broadcast join, no groupBy, nothing extra to
+    # recompute on the pair join's second branch.  Lanes are scalar
+    # columns (wmask0..wmaskN), not an array, so the pair predicate
+    # stays inside whole-stage codegen with no HOF per candidate pair.
+    cap = 64 * MAX_MASK_LANES
+    vocab = [r.w for r in ws.select(F.explode("wset").alias("w")).distinct().take(cap + 1)]
+    if len(vocab) <= cap:
+        sorted_vocab = sorted(vocab)
+        n_lanes = max(1, (len(vocab) + 63) // 64)
+        mask_cols = []
+        for lane in range(n_lanes):
+            lane_words = sorted_vocab[lane * 64 : (lane + 1) * 64]
+            lane_map = F.create_map(
+                *[
+                    x
+                    for i, w in enumerate(lane_words)
+                    for x in (F.lit(w), F.lit(2**i if i < 63 else -(2**63)).cast("long"))
+                ]
+            )
+            # closure factory, not a default-arg lambda: PySpark derives the
+            # HOF arity from the lambda signature, so extra params break it
+            def _lane_fold(m):
+                return lambda acc, w: acc.bitwiseOR(
+                    F.coalesce(F.element_at(m, w), F.lit(0).cast("long"))
+                )
+
+            mask_cols.append(
+                F.aggregate("wset", F.lit(0).cast("long"), _lane_fold(lane_map)).alias(
+                    f"wmask{lane}"
+                )
+            )
+        feat = ws.select("doc_id", "lang", "n_chars", "bucket", "wsize", *mask_cols)
+        lane_inters = [
+            F.bit_count(F.col(f"a.wmask{i}").bitwiseAND(F.col(f"b.wmask{i}")))
+            for i in range(n_lanes)
+        ]
+        lane_unions = [
+            F.bit_count(F.col(f"a.wmask{i}").bitwiseOR(F.col(f"b.wmask{i}")))
+            for i in range(n_lanes)
+        ]
+        inter = reduce(operator.add, lane_inters)
+        union = reduce(operator.add, lane_unions)
+        pair_cols = ["doc_id", "lang", "n_chars", "wsize"] + [
+            f"wmask{i}" for i in range(n_lanes)
+        ]
     else:
         feat = ws
         inter = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset")))

@@ -105,3 +105,36 @@ def test_cross_split_contamination_detects_planted_dup(spark):
     out = dedup.cross_split_contamination(docs).collect()
     assert len(out) == 1
     assert out[0].n_splits == 2 and out[0].n_docs == 2
+
+
+def test_jaccard_multilane_bitmask_matches_array_path(spark, monkeypatch):
+    """A 65..512-word vocabulary takes the k-lane bitmask path; forcing
+    the array path (cap=0) must yield byte-identical pairs."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(120)]  # >64 → multi-lane
+    base = vocab[:40]
+    docs = []
+    for i in range(12):
+        words = list(base)
+        # progressively perturb so some pairs clear 0.6 and others don't
+        for _ in range(i):
+            words[rng.randrange(len(words))] = vocab[rng.randrange(len(vocab))]
+        text = " ".join(words)
+        docs.append((i, text, "en", "web", len(text)))
+    documents = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_pairs(documents, threshold=0.6).collect()
+    }
+    monkeypatch.setattr(dedup, "MAX_MASK_LANES", 0)  # force array path
+    slow = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_pairs(documents, threshold=0.6).collect()
+    }
+    assert fast == slow
+    assert fast  # the perturbation keeps at least some near-dup pairs
