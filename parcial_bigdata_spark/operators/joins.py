@@ -350,3 +350,65 @@ def asof_join(
         *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals],
     )
     return carried.where(F.col("_is_left") == 1).drop("_is_left")
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) achieving the maximum quarterly
+    revenue.  The max-of-aggregate scalar subquery becomes a 1-row
+    aggregate cross-joined (broadcast) back against the per-supplier
+    revenue — two passes over one shuffled aggregate, no window over the
+    whole table.  Revenue rounds through decimal(18,4) so the equality
+    against the max is exact on both engines."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(revenue).cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def wealthy_inactive_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average account balance and
+    no orders since ``since``, counted per nation-key group.  The average
+    is a 1-row aggregate broadcast into the filter (scalar subquery); the
+    NOT EXISTS is a left-anti join on the date-filtered orders.
+    Positive-balance rows feed the average, per the TPC-H definition."""
+    avg_bal = customer.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal").cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

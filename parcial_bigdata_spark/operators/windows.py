@@ -232,3 +232,28 @@ def gapfill_daily_series(
         )
         .orderBy("user_id", "day")
     )
+
+
+def order_price_rank_bands(orders: DataFrame) -> DataFrame:
+    """Ranking-family windows per order status: ntile quartile,
+    percent_rank, and cume_dist over total price, returned for the top-3
+    rows per status by rank.  One shuffle on the partition key; the
+    per-status sort is the unavoidable cost of ranking semantics.
+    Ordering carries o_orderkey as tie-break for determinism."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.where(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_orderstatus", F.col("o_totalprice").desc(), "o_orderkey")
+    )

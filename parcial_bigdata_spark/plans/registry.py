@@ -354,6 +354,22 @@ def q_brand_bands(spark, sf_dir):
     )
 
 
+def q_top_suppliers(spark, sf_dir):
+    return join_ops.top_revenue_suppliers(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_wealthy_inactive(spark, sf_dir):
+    return join_ops.wealthy_inactive_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_rank_bands(spark, sf_dir):
+    return win_ops.order_price_rank_bands(_t(spark, sf_dir, "orders"))
+
+
 def q_percentiles(spark, sf_dir):
     return agg_ops.percentile_value_by_type(_t(spark, sf_dir, "events"))
 
@@ -397,6 +413,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_share": q_promo_share,
     "q18_large_orders": q_large_orders,
     "q19_brand_bands": q_brand_bands,
+    "q15_top_suppliers": q_top_suppliers,
+    "q22_wealthy_inactive": q_wealthy_inactive,
+    "window_rank_bands": q_rank_bands,
     "percentile_value_by_type": q_percentiles,
     "correlation_stats": q_correlation,
     "gapfill_daily_series": q_gapfill,
@@ -631,6 +650,50 @@ ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q15_top_suppliers": """
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                                   AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+        ORDER BY s_suppkey
+    """,
+    "q22_wealthy_inactive": """
+        SELECT c_nationkey, count(*) AS n_customers,
+               CAST(round(CAST(sum(c_acctbal) AS DECIMAL(18,4)), 2) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+          )
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "window_rank_bands": """
+        SELECT o_orderstatus, o_orderkey, o_totalprice, price_quartile,
+               pct_rank, cume
+        FROM (
+            SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   ntile(4) OVER w AS price_quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   row_number() OVER w AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+        )
+        WHERE rn <= 3
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
     """,
     "percentile_value_by_type": """
         SELECT event_type,

@@ -144,3 +144,59 @@ def test_returned_items_rounds_through_decimal(spark):
     )
     [row] = joins.returned_item_revenue(customer, orders, lineitem).collect()
     assert row.revenue == 10.01
+
+
+def test_top_revenue_suppliers_keeps_ties(spark):
+    supplier = spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0), (3, "S3", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, _d(10)),
+            (2, 60.0, 0.0, _d(11)),
+            (2, 40.0, 0.0, _d(12)),   # supplier 2 also totals 100 → tie kept
+            (3, 10.0, 0.0, _d(13)),
+            (1, 999.0, 0.0, dt.datetime(1999, 6, 1)),  # outside the quarter
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, l_shipdate timestamp",
+    )
+    rows = joins.top_revenue_suppliers(supplier, lineitem).collect()
+    assert [(r.s_suppkey, r.total_revenue) for r in rows] == [(1, 100.0), (2, 100.0)]
+
+
+def test_wealthy_inactive_customers_avg_and_recency(spark):
+    customer = spark.createDataFrame(
+        [
+            (1, "C1", 7, 100.0, "X"),   # above avg, recent order → excluded
+            (2, "C2", 7, 90.0, "X"),    # above avg, only old order → kept
+            (3, "C3", 8, 10.0, "X"),    # below avg → excluded
+            (4, "C4", 8, -50.0, "X"),   # negative: excluded AND not in avg
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, dt.datetime(1999, 6, 1), "1-URGENT"),
+            (2, 2, "O", 1.0, dt.datetime(1996, 6, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    # avg over positive balances = (100+90+10)/3 = 66.67
+    rows = joins.wealthy_inactive_customers(customer, orders).collect()
+    assert [(r.c_nationkey, r.n_customers, r.total_acctbal) for r in rows] == [(7, 1, 90.0)]
+
+
+def test_order_price_rank_bands_golden(spark):
+    orders = spark.createDataFrame(
+        [(k, 1, "O", float(p), _d(1), "1-URGENT") for k, p in [(1, 40), (2, 30), (3, 20), (4, 10)]],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = windows.order_price_rank_bands(orders).collect()
+    assert [(r.o_orderkey, r.price_quartile, r.pct_rank, r.cume) for r in rows] == [
+        (1, 1, 0.0, 0.25),
+        (2, 2, round(1 / 3, 6), 0.5),
+        (3, 3, round(2 / 3, 6), 0.75),
+    ]
