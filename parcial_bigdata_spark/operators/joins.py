@@ -359,11 +359,16 @@ def top_revenue_suppliers(
     end: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15-style: supplier(s) achieving the maximum quarterly
-    revenue.  The max-of-aggregate scalar subquery becomes a 1-row
-    aggregate cross-joined (broadcast) back against the per-supplier
-    revenue — two passes over one shuffled aggregate, no window over the
-    whole table.  Revenue rounds through decimal(18,4) so the equality
-    against the max is exact on both engines."""
+    revenue (ties kept).
+
+    The max-of-aggregate scalar subquery is expressed as rank()==1 over
+    the per-supplier aggregate rather than a second aggregate branch:
+    Spark does not reuse the exchange across the two branches, so the
+    subquery form would scan + shuffle lineitem twice.  The unpartitioned
+    rank window costs one SinglePartition exchange over |suppliers| rows
+    — negligible next to a second pass over the fact table at 100 TB.
+    Revenue rounds through decimal(18,4) so rank ties are exact on both
+    engines."""
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = (
         lineitem.where(
@@ -377,9 +382,10 @@ def top_revenue_suppliers(
             .alias("total_revenue")
         )
     )
-    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    w = Window.orderBy(F.col("total_revenue").desc())
     return (
-        per_supp.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        per_supp.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") == 1)
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
