@@ -215,3 +215,21 @@ def correlation_stats(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def approx_percentile_value_by_type(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """Sketch twin of ``percentile_value_by_type``: ``percentile_approx``
+    builds a mergeable quantile sketch per partition (map-side partials)
+    — the scale path for percentiles at 100 TB, where the exact operator
+    must sort each group.  No SQL oracle by design (approximate); the
+    exact twin is oracle-checked and the two are bounded-error-compared
+    in tests."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)), 4).alias("p50_value"),
+            F.round(F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)), 4).alias("p90_value"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

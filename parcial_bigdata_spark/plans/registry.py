@@ -378,6 +378,10 @@ def q_correlation(spark, sf_dir):
     return agg_ops.correlation_stats(_t(spark, sf_dir, "lineitem"))
 
 
+def q_approx_percentiles(spark, sf_dir):
+    return agg_ops.approx_percentile_value_by_type(_t(spark, sf_dir, "events"))
+
+
 def q_gapfill(spark, sf_dir):
     return win_ops.gapfill_daily_series(_t(spark, sf_dir, "events"))
 
@@ -417,6 +421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_wealthy_inactive": q_wealthy_inactive,
     "window_rank_bands": q_rank_bands,
     "percentile_value_by_type": q_percentiles,
+    "approx_percentile_value_by_type": q_approx_percentiles,
     "correlation_stats": q_correlation,
     "gapfill_daily_series": q_gapfill,
     # windows

@@ -200,3 +200,17 @@ def test_order_price_rank_bands_golden(spark):
         (2, 2, round(1 / 3, 6), 0.5),
         (3, 3, round(2 / 3, 6), 0.75),
     ]
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """Sketch twin tracks the exact percentiles within sketch error on a
+    small uniform sample."""
+    events = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), 1, "view", float(i % 100), "{}") for i in range(1000)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    [exact] = aggregations.percentile_value_by_type(events).collect()
+    [approx] = aggregations.approx_percentile_value_by_type(events).collect()
+    assert approx.n_events == exact.n_events == 1000
+    assert abs(approx.p50_value - exact.p50_value) <= 1.0
+    assert abs(approx.p90_value - exact.p90_value) <= 1.0
