@@ -392,6 +392,175 @@ def top_revenue_suppliers(
     )
 
 
+def nation_trade_volume(
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_8",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations per year, in
+    both directions.  Both dim chains (supplier→nation, customer→nation)
+    broadcast; the only wide shuffles are lineitem⋈orders on orderkey and
+    the tiny final aggregate.  The nation-pair predicate is applied on
+    the broadcast sides, so the fact join never carries rows outside the
+    pair."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = [nation_a, nation_b]
+    supp = (
+        supplier.join(
+            F.broadcast(nation.where(F.col("n_name").isin(pair))),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        customer.join(
+            F.broadcast(nation.where(F.col("n_name").isin(pair))),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    items = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    return (
+        items.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(revenue).cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_5",
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8-style: the target nation's share of revenue for one part
+    type sold into one region, per order year.  Share is a conditional
+    aggregate (sum-if over the supplier-nation flag) — one pass, no
+    second join branch.  All dims broadcast; lineitem⋈orders is the one
+    fact shuffle."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    region_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey")
+    )
+    cust = customer.join(
+        F.broadcast(region_nations), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    parts = part.where(F.col("p_type") == part_type).select("p_partkey")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            revenue.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    target = F.sum(F.when(F.col("supp_nation") == target_nation, F.col("volume")).otherwise(F.lit(0.0)))
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(target / F.sum("volume"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def profit_by_nation_year(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_pattern: str = "%red%",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9-style: profit per supplier nation per order year for a
+    part-name family.  The fixture schema has no partsupp, so unit cost
+    is modeled as ``cost_factor × p_retailprice`` (documented deviation —
+    same operator shape: 5-way join + 2-key aggregate).  part/supplier/
+    nation broadcast; lineitem⋈orders is the single fact shuffle."""
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        cost_factor
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    parts = part.where(F.col("p_name").like(name_pattern)).select("p_partkey", "p_retailprice")
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(profit).cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by how many qualifying
+    orders they placed (zero included).  Left outer join with the filter
+    on the right side BEFORE the join (an outer join's right-side filter
+    cannot be pushed post-hoc), then two aggregations: per-customer count
+    — counting o_orderkey so null-extended rows count 0 — and the
+    histogram over those counts.  Both shuffles are on keys that shrink
+    monotonically (custkey → count value)."""
+    qualifying = orders.where(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.join(qualifying, customer.c_custkey == qualifying.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 def wealthy_inactive_customers(
     customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
 ) -> DataFrame:

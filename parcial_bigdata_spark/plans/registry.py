@@ -366,6 +366,44 @@ def q_wealthy_inactive(spark, sf_dir):
     )
 
 
+def q_nation_volume(spark, sf_dir):
+    return join_ops.nation_trade_volume(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_market_share(spark, sf_dir):
+    return join_ops.market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_profit_by_nation(spark, sf_dir):
+    return join_ops.profit_by_nation_year(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_order_distribution(spark, sf_dir):
+    return join_ops.customer_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_rank_bands(spark, sf_dir):
     return win_ops.order_price_rank_bands(_t(spark, sf_dir, "orders"))
 
@@ -419,6 +457,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_brand_bands": q_brand_bands,
     "q15_top_suppliers": q_top_suppliers,
     "q22_wealthy_inactive": q_wealthy_inactive,
+    "q7_nation_volume": q_nation_volume,
+    "q8_market_share": q_market_share,
+    "q9_profit_by_nation": q_profit_by_nation,
+    "q13_order_distribution": q_order_distribution,
     "window_rank_bands": q_rank_bands,
     "percentile_value_by_type": q_percentiles,
     "approx_percentile_value_by_type": q_approx_percentiles,
@@ -683,6 +725,80 @@ ORACLES: dict[str, str] = {
               AND o.o_orderdate >= TIMESTAMP '1999-01-01'
           )
         GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "q7_nation_volume": """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(round(CAST(sum(volume) AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue
+        FROM (
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_3', 'NATION_8')
+              AND cn.n_name IN ('NATION_3', 'NATION_8')
+              AND sn.n_name <> cn.n_name
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q8_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        GROUP BY o_year ORDER BY o_year
+    """,
+    "q9_profit_by_nation": """
+        SELECT nation, o_year,
+               CAST(round(CAST(sum(amount) AS DECIMAL(18,4)), 2) AS DOUBLE)
+                   AS sum_profit
+        FROM (
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity AS amount
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+        )
+        GROUP BY nation, o_year
+        ORDER BY nation ASC, o_year DESC
+    """,
+    "q13_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
     """,
     "window_rank_bands": """
         SELECT o_orderstatus, o_orderkey, o_totalprice, price_quartile,
