@@ -217,6 +217,31 @@ def correlation_stats(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def important_parts_by_value(lineitem: DataFrame, fraction: float = 1.2) -> DataFrame:
+    """TPC-H Q11-style: parts whose revenue exceeds ``fraction`` × the
+    mean per-part revenue (the fixture has no partsupp, so lineitem
+    revenue stands in for stock value; mean-relative rather than
+    total-relative so the threshold is scale-free — same operator
+    shape: group-agg filtered by a global scalar aggregate).  The
+    per-part aggregate is computed once; the global threshold is a
+    1-row aggregate over it, broadcast into the filter — no second
+    scan of the fact table.  Per-part sums snap through decimal(18,4)
+    before the threshold compare so the boundary is deterministic
+    across engines."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.round(F.sum(revenue).cast("decimal(18,4)"), 4).cast("double").alias("part_value")
+    )
+    threshold = per_part.agg(
+        (F.avg("part_value") * F.lit(fraction)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(threshold), F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
 def approx_percentile_value_by_type(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
     """Sketch twin of ``percentile_value_by_type``: ``percentile_approx``
     builds a mergeable quantile sketch per partition (map-side partials)

@@ -561,6 +561,111 @@ def customer_order_distribution(
     )
 
 
+def supplier_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_brand: str = "Brand#1",
+    exclude_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 5, 10, 15, 20, 25, 30, 35, 40),
+) -> DataFrame:
+    """TPC-H Q16-style: how many distinct suppliers serve each
+    (brand, type, size) part family, excluding one brand and one type
+    (the fixture has no partsupp; lineitem supplies the part↔supplier
+    pairs — same shape: filtered dim join + count-distinct).  part
+    broadcasts with its predicate applied first, so excluded families
+    never reach the join; the distinct-supplier count is a two-phase
+    hash aggregate on (brand, type, size)."""
+    parts = part.where(
+        (F.col("p_brand") != exclude_brand)
+        & (F.col("p_type") != exclude_type)
+        & F.col("p_size").isin(list(sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#23",
+    qty_factor: float = 0.5,
+    years: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders for one brand's parts were not taken.  The correlated scalar
+    subquery (per-part average quantity) decorrelates to one aggregate
+    over lineitem joined back by partkey — the per-part averages are
+    |parts|-sized, so they broadcast; lineitem is scanned twice but
+    never shuffled (both passes are scan→broadcast-join→filter).
+    (Fixture has no p_container; brand alone scopes the part set.)"""
+    parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    scoped = lineitem.join(
+        F.broadcast(parts), lineitem.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = scoped.groupBy("l_partkey").agg(
+        (F.lit(qty_factor) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        scoped.join(F.broadcast(avg_qty), on="l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round((F.sum("l_extendedprice") / F.lit(years)).cast("decimal(18,4)"), 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the ONLY late supplier on a
+    multi-supplier finalized order (the fixture has no receipt/commit
+    dates; "late" = shipped more than ``late_days`` after the order
+    date — documented deviation, same operator shape).
+
+    The classic form is a double-correlated EXISTS / NOT EXISTS — three
+    scans of lineitem.  Rewritten as ONE per-order aggregate: count
+    distinct suppliers and collect the distinct late-supplier set, then
+    keep orders with >1 suppliers and exactly one late one.  One fact
+    shuffle on l_orderkey instead of two extra self-joins; the oracle
+    proves the rewrite equivalent to the EXISTS form."""
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    base = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_order = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.array_distinct(F.collect_list(F.when(late, F.col("l_suppkey")))).alias("late_supps"),
+    )
+    culprits = per_order.where(
+        (F.col("n_supp") > 1) & (F.size("late_supps") == 1)
+    ).select(F.element_at("late_supps", 1).alias("suppkey"))
+    return (
+        culprits.groupBy("suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(k)
+    )
+
+
 def wealthy_inactive_customers(
     customer: DataFrame, orders: DataFrame, since: str = "1999-01-01"
 ) -> DataFrame:

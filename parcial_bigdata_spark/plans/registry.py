@@ -404,6 +404,30 @@ def q_order_distribution(spark, sf_dir):
     )
 
 
+def q_important_parts(spark, sf_dir):
+    return agg_ops.important_parts_by_value(_t(spark, sf_dir, "lineitem"))
+
+
+def q_supplier_variety(spark, sf_dir):
+    return join_ops.supplier_variety(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    return join_ops.small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    return join_ops.waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_rank_bands(spark, sf_dir):
     return win_ops.order_price_rank_bands(_t(spark, sf_dir, "orders"))
 
@@ -461,6 +485,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q_market_share,
     "q9_profit_by_nation": q_profit_by_nation,
     "q13_order_distribution": q_order_distribution,
+    "q11_important_parts": q_important_parts,
+    "q16_supplier_variety": q_supplier_variety,
+    "q17_small_qty_revenue": q_small_qty_revenue,
+    "q21_waiting_suppliers": q_waiting_suppliers,
     "window_rank_bands": q_rank_bands,
     "percentile_value_by_type": q_percentiles,
     "approx_percentile_value_by_type": q_approx_percentiles,
@@ -799,6 +827,60 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC
+    """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                                   AS DECIMAL(18,4)), 4) AS DOUBLE) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(part_value, 2) AS part_value
+        FROM per_part
+        WHERE part_value > (SELECT avg(part_value) * 1.2 FROM per_part)
+        ORDER BY part_value DESC, l_partkey ASC
+    """,
+    "q16_supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+    "q17_small_qty_revenue": """
+        SELECT CAST(round(CAST(sum(l_extendedprice) / 7.0 AS DECIMAL(18,4)), 2)
+                    AS DOUBLE) AS avg_yearly
+        FROM lineitem l
+        JOIN part ON l.l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l.l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2
+            JOIN part p2 ON l2.l_partkey = p2.p_partkey
+            WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey
+          )
+    """,
+    "q21_waiting_suppliers": """
+        SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20
     """,
     "window_rank_bands": """
         SELECT o_orderstatus, o_orderkey, o_totalprice, price_quartile,

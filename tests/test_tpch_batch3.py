@@ -1,12 +1,14 @@
 """Golden tests for the third TPC-H-style batch: Q7 (two-nation trade
 volume), Q8 (market share), Q9 (profit by nation/year, adapted cost),
-Q13 (customer order-count distribution)."""
+Q11 (important parts), Q13 (customer order-count distribution),
+Q16 (supplier variety), Q17 (small-quantity revenue), Q21 (waiting
+suppliers)."""
 
 from __future__ import annotations
 
 import datetime as dt
 
-from parcial_bigdata_spark.operators import joins
+from parcial_bigdata_spark.operators import aggregations, joins
 
 
 def _d(year: int, month: int = 6, day: int = 1) -> dt.datetime:
@@ -108,6 +110,80 @@ def test_profit_by_nation_year_cost_model(spark):
     )
     rows = joins.profit_by_nation_year(nation, supplier, orders, lineitem, part).collect()
     assert [(r.nation, r.o_year, r.sum_profit) for r in rows] == [("NATION_0", 1995, 60.0)]
+
+
+def test_important_parts_mean_relative_threshold(spark):
+    lineitem = spark.createDataFrame(
+        # part values: 1 → 100, 2 → 400, 3 → 100; mean = 200, 1.2×mean = 240
+        [(1, 100.0, 0.0), (2, 300.0, 0.0), (2, 100.0, 0.0), (3, 100.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    )
+    rows = aggregations.important_parts_by_value(lineitem).collect()
+    assert [(r.l_partkey, r.part_value) for r in rows] == [(2, 400.0)]
+
+
+def test_supplier_variety_distinct_and_exclusions(spark):
+    part = spark.createDataFrame(
+        [
+            (1, "p", "Brand#2", "LARGE", 5, 1.0),
+            (2, "p", "Brand#1", "LARGE", 5, 1.0),    # excluded brand
+            (3, "p", "Brand#2", "PROMO", 5, 1.0),    # excluded type
+            (4, "p", "Brand#2", "LARGE", 7, 1.0),    # size not in set
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, "
+        "p_retailprice double",
+    )
+    lineitem = spark.createDataFrame(
+        # part 1 served by suppliers {1, 2} (2 twice → distinct); excluded parts ignored
+        [(1, 1), (1, 2), (1, 2), (2, 3), (3, 3), (4, 3)],
+        "l_partkey long, l_suppkey long",
+    )
+    rows = joins.supplier_variety(lineitem, part).collect()
+    assert [(r.p_brand, r.p_type, r.p_size, r.supplier_cnt) for r in rows] == [
+        ("Brand#2", "LARGE", 5, 2)
+    ]
+
+
+def test_small_quantity_revenue_per_part_threshold(spark):
+    part = spark.createDataFrame(
+        [(1, "p", "Brand#23", "LARGE", 5, 1.0), (2, "p", "Brand#9", "LARGE", 5, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int, "
+        "p_retailprice double",
+    )
+    lineitem = spark.createDataFrame(
+        # part 1: avg qty = 20, limit = 10 → only the qty-5 row (70.0) qualifies
+        [(1, 5.0, 70.0), (1, 35.0, 999.0), (2, 1.0, 888.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    [row] = joins.small_quantity_revenue(lineitem, part).collect()
+    assert row.avg_yearly == 10.0  # 70 / 7
+
+
+def test_waiting_suppliers_sole_late_on_multi_supplier_order(spark):
+    supplier = spark.createDataFrame(
+        [(1, "Supplier#1", 0, 0.0), (2, "Supplier#2", 0, 0.0)], SUPP_SCHEMA
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "F", 0.0, _d(1996), "P"),  # multi-supplier, s1 only late → counted
+            (200, 1, "F", 0.0, _d(1996), "P"),  # both suppliers late → nobody counted
+            (300, 1, "F", 0.0, _d(1996), "P"),  # single-supplier → not counted
+            (400, 1, "O", 0.0, _d(1996), "P"),  # not finalized → ignored
+        ],
+        ORDERS_SCHEMA,
+    )
+    late, ontime = _d(1996, 9), _d(1996, 6, 15)
+    lineitem = spark.createDataFrame(
+        [
+            (100, 1, late), (100, 1, late), (100, 2, ontime),
+            (200, 1, late), (200, 2, late),
+            (300, 1, late),
+            (400, 1, late), (400, 2, ontime),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    rows = joins.waiting_suppliers(supplier, orders, lineitem).collect()
+    assert [(r.s_name, r.numwait) for r in rows] == [("Supplier#1", 1)]
 
 
 def test_customer_order_distribution_counts_zero(spark):
