@@ -1,0 +1,103 @@
+"""Sampling / split / packing operators for training-data pipelines.
+
+The reference has no sampling surface (it loads every row,
+`lambda/subirDB.py:102-116`); these are the north-star extension
+operators a 100 TB corpus pipeline needs: deterministic train/val/test
+splits, exact per-stratum sampling, and context-window sequence packing.
+
+Every operator keys its randomness off ``md5`` of a stable id — not
+``rand()`` — so assignments are reproducible across runs, engines, and
+cluster sizes (the property a training pipeline actually needs: a doc's
+split never changes when the corpus grows).  All are single-shuffle:
+hash-partition on the stratum key, window or aggregate inside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(id_col: str, n_buckets: int = 100):
+    """Deterministic [0, n_buckets) bucket from the md5 of an id.
+
+    First 4 hex chars → 16 bits → modulo.  Row-local (no shuffle), and
+    engine-portable: md5 is md5 everywhere, unlike hash()/rand(seed)
+    whose implementations differ per engine."""
+    hex4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return F.conv(hex4, 16, 10).cast("int") % n_buckets
+
+
+def split_assign(
+    documents: DataFrame, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Assign every document to train/val/test by md5 bucket of doc_id
+    and summarize the split per language.  The assignment is a row-local
+    projection — at 100 TB this is a zero-shuffle map; only the tiny
+    (split × lang) summary aggregates."""
+    bucket = _md5_bucket("doc_id")
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+def stratified_sample_exact(documents: DataFrame, n_per_lang: int = 20) -> DataFrame:
+    """Exactly ``n_per_lang`` documents per language, chosen by md5
+    order — a deterministic uniform draw (md5 is uniform over ids and
+    independent of the sort order the data arrived in).
+
+    One shuffle on the stratum key; ``row_number`` + filter is the
+    rank-k pattern WindowGroupLimit prunes to per-partition top-k before
+    the exchange, so the shuffle carries ≤ n_per_lang rows per upstream
+    partition, not the corpus."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= n_per_lang)
+        .select("doc_id", "lang", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
+    """Pack documents into fixed token-budget bins per language
+    (context-window packing for LLM training).  Documents are laid out
+    in deterministic doc_id order; each one's bin is its exclusive
+    running token total divided by the budget — the streaming layout a
+    sequential packer would produce, computed as one window cumsum
+    instead of a driver loop.  One shuffle on the stratum key; bin
+    stats aggregate on (lang, bin) which inherits that partitioning."""
+    tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_bin = documents.select(
+        "doc_id",
+        "lang",
+        tokens.alias("n_tokens"),
+        F.floor(F.coalesce(F.sum(tokens).over(w), F.lit(0)) / budget)
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        with_bin.groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+    )

@@ -25,6 +25,7 @@ from parcial_bigdata_spark.operators import (
     interval as interval_ops,
     joins as join_ops,
     multimodal as mm_ops,
+    sampling as sample_ops,
     setops as set_ops,
     similarity as sim_ops,
     text as text_ops,
@@ -420,6 +421,18 @@ def q_small_qty_revenue(spark, sf_dir):
     )
 
 
+def q_split_assign(spark, sf_dir):
+    return sample_ops.split_assign(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    return sample_ops.stratified_sample_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    return sample_ops.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
 def q_waiting_suppliers(spark, sf_dir):
     return join_ops.waiting_suppliers(
         _t(spark, sf_dir, "supplier"),
@@ -517,6 +530,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_top_words_per_lang": q_top_words,
     "text_quality_pass_rates": q_quality_pass,
     # dedup
+    "sample_split_assign": q_split_assign,
+    "sample_stratified_exact": q_stratified_sample,
+    "sample_pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -861,6 +877,54 @@ ORACLES: dict[str, str] = {
             JOIN part p2 ON l2.l_partkey = p2.p_partkey
             WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey
           )
+    """,
+    "sample_split_assign": """
+        SELECT split, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM (
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, n_chars
+            FROM (
+                SELECT lang, n_chars,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS INT) % 100 AS b
+                FROM documents
+            )
+        )
+        GROUP BY split, lang ORDER BY split, lang
+    """,
+    "sample_stratified_exact": """
+        SELECT doc_id, lang, rn
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 20
+        ORDER BY lang, rn
+    """,
+    "sample_pack_sequences": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), binned AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR(COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) / 2048.0) AS BIGINT) AS bin
+            FROM toks
+        )
+        SELECT lang, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM binned GROUP BY lang, bin ORDER BY lang, bin
     """,
     "q21_waiting_suppliers": """
         SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait

@@ -1,0 +1,67 @@
+"""Tests for the sampling/split/packing operator family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.operators import sampling
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, n=200):
+    rows = [
+        (i, " ".join(["tok"] * (10 + i % 40)), "en" if i % 3 else "fr", "web", 100 + i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_split_assign_deterministic_and_partitions_everything(spark):
+    docs = _docs(spark)
+    a = sampling.split_assign(docs).collect()
+    b = sampling.split_assign(docs).collect()
+    assert a == b  # md5-keyed, not rand(): stable across runs
+    assert sum(r.n_docs for r in a) == 200
+    assert {r.split for r in a} <= {"train", "val", "test"}
+    # train should dominate at 80/10/10
+    train = sum(r.n_docs for r in a if r.split == "train")
+    assert train > 100
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """A document's split must not change when more docs arrive —
+    the property md5-bucketing buys over rand(seed) or ntile."""
+    small, big = _docs(spark, 50), _docs(spark, 200)
+    bucket = sampling._md5_bucket("doc_id")
+    s = {r.doc_id: r.b for r in small.select("doc_id", bucket.alias("b")).collect()}
+    g = {r.doc_id: r.b for r in big.select("doc_id", bucket.alias("b")).collect()}
+    assert all(g[k] == v for k, v in s.items())
+
+
+def test_stratified_sample_exact_n_per_stratum(spark):
+    docs = _docs(spark)
+    out = sampling.stratified_sample_exact(docs, n_per_lang=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.rn)
+    assert set(by_lang) == {"en", "fr"}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_lang.values())
+
+
+def test_pack_sequences_respects_budget_layout(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["t"] * 60), "en", "web", 1),
+            (2, " ".join(["t"] * 60), "en", "web", 1),
+            (3, " ".join(["t"] * 60), "en", "web", 1),
+            (4, " ".join(["t"] * 10), "fr", "web", 1),
+        ],
+        DOC_SCHEMA,
+    )
+    rows = sampling.pack_sequences(docs, budget=100).collect()
+    got = {(r.lang, r.bin): (r.n_docs, r.total_tokens, r.first_doc, r.last_doc) for r in rows}
+    # en: cumsum-exclusive 0,60,120 → bins 0,0,1
+    assert got[("en", 0)] == (2, 120, 1, 2)
+    assert got[("en", 1)] == (1, 60, 3, 3)
+    assert got[("fr", 0)] == (1, 10, 4, 4)
