@@ -69,6 +69,36 @@ def stratified_sample_exact(documents: DataFrame, n_per_lang: int = 20) -> DataF
     )
 
 
+DEFAULT_QUOTAS = {"src0": 30, "src1": 10, "src2": 5, "src3": 0}
+
+
+def quota_sample_by_source(
+    documents: DataFrame,
+    quotas: dict[str, int] | None = None,
+    default_quota: int = 8,
+) -> DataFrame:
+    """Corpus mixing: cap each source at its quota (unlisted sources get
+    ``default_quota``; a 0 quota drops the source), drawing
+    deterministically by md5 order.  The quota table is tiny → broadcast
+    left join + coalesce; one shuffle on the source key for the rank,
+    pruned map-side by WindowGroupLimit at the max quota.  Over-asking
+    (quota > available) just takes everything — the cap is a min, not a
+    requirement."""
+    quotas = DEFAULT_QUOTAS if quotas is None else quotas
+    spark = documents.sparkSession
+    qdf = spark.createDataFrame(list(quotas.items()), "source string, quota int")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .join(F.broadcast(qdf), on="source", how="left")
+        .where(F.col("rn") <= F.coalesce(F.col("quota"), F.lit(default_quota)))
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    )
+
+
 def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
     """Pack documents into fixed token-budget bins per language
     (context-window packing for LLM training).  Documents are laid out

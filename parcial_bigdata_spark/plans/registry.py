@@ -433,6 +433,10 @@ def q_pack_sequences(spark, sf_dir):
     return sample_ops.pack_sequences(_t(spark, sf_dir, "documents"))
 
 
+def q_quota_sample(spark, sf_dir):
+    return sample_ops.quota_sample_by_source(_t(spark, sf_dir, "documents"))
+
+
 def q_waiting_suppliers(spark, sf_dir):
     return join_ops.waiting_suppliers(
         _t(spark, sf_dir, "supplier"),
@@ -533,6 +537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split_assign": q_split_assign,
     "sample_stratified_exact": q_stratified_sample,
     "sample_pack_sequences": q_pack_sequences,
+    "sample_quota_by_source": q_quota_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -925,6 +930,22 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM binned GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    "sample_quota_by_source": """
+        WITH q(source, quota) AS (
+            VALUES ('src0', 30), ('src1', 10), ('src2', 5), ('src3', 0)
+        ), ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, ranked.source, rn
+        FROM ranked LEFT JOIN q ON ranked.source = q.source
+        WHERE rn <= COALESCE(quota, 8)
+        ORDER BY ranked.source, rn
     """,
     "q21_waiting_suppliers": """
         SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait

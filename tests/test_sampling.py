@@ -49,6 +49,19 @@ def test_stratified_sample_exact_n_per_stratum(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_lang.values())
 
 
+def test_quota_sample_caps_defaults_and_drops(spark):
+    rows = [(i, "t", "en", f"src{i % 3}", 1) for i in range(30)]  # 10 docs/source
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = sampling.quota_sample_by_source(
+        docs, quotas={"src0": 4, "src1": 0, "src2": 99}, default_quota=7
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    # src0 capped at 4; src1 dropped; src2 over-asked → takes all 10
+    assert by_src == {"src0": 4, "src2": 10}
+
+
 def test_pack_sequences_respects_budget_layout(spark):
     docs = spark.createDataFrame(
         [
