@@ -99,6 +99,50 @@ def quota_sample_by_source(
     )
 
 
+DEFAULT_EPOCHS = {"src0": 3, "src1": 2, "src2": 0}
+
+
+def epoch_repeat_summary(
+    documents: DataFrame,
+    epochs: dict[str, int] | None = None,
+    default_epochs: int = 1,
+) -> DataFrame:
+    """Corpus mixing by oversampling: repeat each source's documents
+    ``n_epochs`` times (0 drops the source) and summarize the resulting
+    mix.  Repetition is ``explode(sequence(...))`` — a row-local
+    generator, no join against itself, no driver loop; at 100 TB the
+    repeated rows never materialize outside the downstream pipeline
+    that consumes them.  Spark's ``sequence`` reverses direction when
+    start > stop, so 0-epoch sources are filtered BEFORE the explode
+    rather than relying on an empty sequence."""
+    epochs = DEFAULT_EPOCHS if epochs is None else epochs
+    spark = documents.sparkSession
+    edf = spark.createDataFrame(list(epochs.items()), "source string, n_epochs int")
+    repeated = (
+        documents.join(F.broadcast(edf), on="source", how="left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_epochs"), F.lit(default_epochs)).alias("n_epochs"),
+        )
+        .where(F.col("n_epochs") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_epochs"), F.lit(1))).alias("epoch"),
+        )
+    )
+    return (
+        repeated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("epoch").alias("max_epoch"),
+        )
+        .orderBy("source")
+    )
+
+
 def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
     """Pack documents into fixed token-budget bins per language
     (context-window packing for LLM training).  Documents are laid out

@@ -437,6 +437,10 @@ def q_quota_sample(spark, sf_dir):
     return sample_ops.quota_sample_by_source(_t(spark, sf_dir, "documents"))
 
 
+def q_epoch_repeat(spark, sf_dir):
+    return sample_ops.epoch_repeat_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_waiting_suppliers(spark, sf_dir):
     return join_ops.waiting_suppliers(
         _t(spark, sf_dir, "supplier"),
@@ -538,6 +542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified_exact": q_stratified_sample,
     "sample_pack_sequences": q_pack_sequences,
     "sample_quota_by_source": q_quota_sample,
+    "sample_epoch_repeat": q_epoch_repeat,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -946,6 +951,20 @@ ORACLES: dict[str, str] = {
         FROM ranked LEFT JOIN q ON ranked.source = q.source
         WHERE rn <= COALESCE(quota, 8)
         ORDER BY ranked.source, rn
+    """,
+    "sample_epoch_repeat": """
+        WITH e(source, n_epochs) AS (
+            VALUES ('src0', 3), ('src1', 2), ('src2', 0)
+        ), rep AS (
+            SELECT doc_id, d.source,
+                   unnest(generate_series(1, COALESCE(e.n_epochs, 1))) AS epoch
+            FROM documents d LEFT JOIN e ON d.source = e.source
+            WHERE COALESCE(e.n_epochs, 1) >= 1
+        )
+        SELECT source, count(*) AS n_rows,
+               count(DISTINCT doc_id) AS n_docs,
+               max(epoch) AS max_epoch
+        FROM rep GROUP BY source ORDER BY source
     """,
     "q21_waiting_suppliers": """
         SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait

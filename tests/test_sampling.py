@@ -62,6 +62,19 @@ def test_quota_sample_caps_defaults_and_drops(spark):
     assert by_src == {"src0": 4, "src2": 10}
 
 
+def test_epoch_repeat_oversamples_and_drops(spark):
+    rows = [(i, "t", "en", f"src{i % 3}", 1) for i in range(9)]  # 3 docs/source
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r.source: (r.n_rows, r.n_docs, r.max_epoch)
+        for r in sampling.epoch_repeat_summary(
+            docs, epochs={"src0": 3, "src1": 0}, default_epochs=1
+        ).collect()
+    }
+    # src0 ×3, src1 dropped, src2 default ×1
+    assert out == {"src0": (9, 3, 3), "src2": (3, 3, 1)}
+
+
 def test_pack_sequences_respects_budget_layout(spark):
     docs = spark.createDataFrame(
         [
