@@ -152,6 +152,29 @@ def pivot_priority_counts(orders: DataFrame) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def unpivot_status_metrics(orders: DataFrame) -> DataFrame:
+    """UNPIVOT (melt): per-status metric columns become (metric, value)
+    rows — the inverse of the pivot operator.  ``unpivot`` is a
+    row-local Expand (each input row fans out to one row per metric),
+    so the only shuffle is the upstream per-status aggregate; value
+    columns share one type (double) as the operator requires."""
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.round(F.sum("o_totalprice").cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.avg("o_totalprice").cast("decimal(18,4)"), 2)
+        .cast("double")
+        .alias("avg_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return agg.unpivot(
+        ["o_orderstatus"],
+        ["sum_price", "avg_price", "n_orders"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
 def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube): per-returnflag,
     per-linestatus, and grand total in one Expand pass."""

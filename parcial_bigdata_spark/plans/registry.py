@@ -461,6 +461,10 @@ def q_correlation(spark, sf_dir):
     return agg_ops.correlation_stats(_t(spark, sf_dir, "lineitem"))
 
 
+def q_unpivot_status(spark, sf_dir):
+    return agg_ops.unpivot_status_metrics(_t(spark, sf_dir, "orders"))
+
+
 def q_approx_percentiles(spark, sf_dir):
     return agg_ops.approx_percentile_value_by_type(_t(spark, sf_dir, "events"))
 
@@ -485,6 +489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_parts": q_approx_distinct,
     "stats_price_by_status": q_stats_by_status,
     "pivot_priority_counts": q_pivot_priority,
+    "unpivot_status_metrics": q_unpivot_status,
     "grouping_sets_revenue": q_grouping_sets,
     # joins
     "join_revenue_by_brand": q_revenue_by_brand,
@@ -965,6 +970,23 @@ ORACLES: dict[str, str] = {
                count(DISTINCT doc_id) AS n_docs,
                max(epoch) AS max_epoch
         FROM rep GROUP BY source ORDER BY source
+    """,
+    "unpivot_status_metrics": """
+        WITH a AS (
+            SELECT o_orderstatus,
+                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,4)), 2)
+                        AS DOUBLE) AS sum_price,
+                   CAST(round(CAST(avg(o_totalprice) AS DECIMAL(18,4)), 2)
+                        AS DOUBLE) AS avg_price,
+                   CAST(count(*) AS DOUBLE) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM a
+        UNION ALL
+        SELECT o_orderstatus, 'avg_price', avg_price FROM a
+        UNION ALL
+        SELECT o_orderstatus, 'n_orders', n_orders FROM a
+        ORDER BY o_orderstatus, metric
     """,
     "q21_waiting_suppliers": """
         SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait

@@ -202,6 +202,21 @@ def test_order_price_rank_bands_golden(spark):
     ]
 
 
+def test_unpivot_status_metrics_melts_to_rows(spark):
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 10.0, _d(1), "P"), (2, 1, "O", 30.0, _d(1), "P"),
+         (3, 1, "F", 5.0, _d(1), "P")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = aggregations.unpivot_status_metrics(orders).collect()
+    got = {(r.o_orderstatus, r.metric): r.value for r in rows}
+    assert got == {
+        ("F", "sum_price"): 5.0, ("F", "avg_price"): 5.0, ("F", "n_orders"): 1.0,
+        ("O", "sum_price"): 40.0, ("O", "avg_price"): 20.0, ("O", "n_orders"): 2.0,
+    }
+
+
 def test_approx_percentile_close_to_exact(spark):
     """Sketch twin tracks the exact percentiles within sketch error on a
     small uniform sample."""
