@@ -75,12 +75,20 @@ def distinct_customers_per_status(orders: DataFrame) -> DataFrame:
 def approx_distinct_parts(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB substitute for exact distinct.
     No SQL oracle (approximate by design); paired with the exact count in
-    tests for a tolerance check."""
+    tests for a tolerance check.
+
+    Percentiles are emitted as scalar columns (p50/p95/p99), not an
+    array<double>, so downstream order-insensitive hashing works on the
+    result (atomic cells only at the output edge)."""
+    pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
     return lineitem.agg(
         F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias(
-            "price_percentiles"
-        ),
+        pcts.alias("_pcts"),
+    ).select(
+        "approx_parts",
+        F.col("_pcts")[0].alias("p50"),
+        F.col("_pcts")[1].alias("p95"),
+        F.col("_pcts")[2].alias("p99"),
     )
 
 

@@ -87,6 +87,15 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     The exact length + Jaccard predicates re-apply at the end, so the
     blocking never changes the result — only the candidate count.
     """
+    # ±1-bucket blocking is lossless only while a qualifying pair can
+    # span at most one bucket boundary: length_slack ≤ 1 - 1/_BUCKET_BASE.
+    max_slack = 1 - 1 / _BUCKET_BASE
+    if length_slack > max_slack + 1e-12:
+        raise ValueError(
+            f"length_slack={length_slack} exceeds the lossless blocking bound "
+            f"{max_slack:.4f} for bucket base {_BUCKET_BASE}; widen _BUCKET_BASE "
+            "or lower length_slack"
+        )
     ws = _word_sets(documents)
 
     # Dictionary-encode the token space (an adaptive stat probe, like
@@ -384,6 +393,13 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
     on ≥1 chunk (pigeonhole) → pairs generated inside each (chunk_id,
     chunk) bucket (no self-join, fingerprints computed once), verified
     with bit_count."""
+    # Pigeonhole recall guarantee: hamming ≤ SIMHASH_CHUNKS-1 implies ≥1
+    # identical chunk.  Larger radii would silently miss pairs.
+    if max_hamming > SIMHASH_CHUNKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the chunk-blocking recall bound "
+            f"{SIMHASH_CHUNKS - 1}; raise SIMHASH_CHUNKS to max_hamming+1"
+        )
     fp = simhash(documents)
     chunks = F.array(
         *[

@@ -644,7 +644,12 @@ def waiting_suppliers(
     keep orders with >1 suppliers and exactly one late one.  One fact
     shuffle on l_orderkey instead of two extra self-joins; the oracle
     proves the rewrite equivalent to the EXISTS form."""
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    # timestamp-preserving arithmetic (not date_add, which truncates to
+    # DATE midnight) so the boundary matches `+ INTERVAL n DAY` oracles
+    # even if order dates ever carry a time-of-day component
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
     base = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
         orders.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
         F.col("l_orderkey") == F.col("o_orderkey"),

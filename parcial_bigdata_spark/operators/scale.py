@@ -66,7 +66,16 @@ def salted_join(
     AQE's skewJoin handles moderate skew automatically; explicit salting
     is for the pathological case (one key = 30 % of the data) or for
     engines/strategies AQE cannot split (e.g. bucketed SMJ).  Results
-    are identical to a plain join (salt columns never escape)."""
+    are identical to a plain join (salt columns never escape) for the
+    supported join types; right/full outer are rejected because the
+    replicated right side would emit each unmatched right row once per
+    salt."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, not {how!r}: "
+            "the right side is replicated per salt, so right/full outer "
+            "would duplicate unmatched right rows"
+        )
     salt = (F.rand(seed=42) * n_salts).cast("int")
     l_s = left.withColumn("_salt", salt)
     r_s = right.join(
