@@ -355,7 +355,6 @@ def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7, k: int
 # ------------------------------------------------------------------- SimHash
 
 SIMHASH_BITS = 64
-SIMHASH_CHUNKS = 4  # pairs within hamming ≤ SIMHASH_CHUNKS-1 share ≥1 chunk
 
 
 def simhash(documents: DataFrame) -> DataFrame:
@@ -388,26 +387,42 @@ def simhash(documents: DataFrame) -> DataFrame:
 
 
 def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup via chunk blocking: split the 64-bit fingerprint
-    into SIMHASH_CHUNKS 16-bit chunks; any pair with hamming ≤ 3 agrees
-    on ≥1 chunk (pigeonhole) → pairs generated inside each (chunk_id,
-    chunk) bucket (no self-join, fingerprints computed once), verified
-    with bit_count."""
-    # Pigeonhole recall guarantee: hamming ≤ SIMHASH_CHUNKS-1 implies ≥1
-    # identical chunk.  Larger radii would silently miss pairs.
-    if max_hamming > SIMHASH_CHUNKS - 1:
+    """SimHash near-dup via adaptive chunk blocking: split the 64-bit
+    fingerprint into ``max_hamming + 1`` chunks; by pigeonhole, any pair
+    within the hamming radius agrees exactly on ≥1 chunk → pairs are
+    generated inside each (chunk_id, chunk) bucket (no self-join,
+    fingerprints computed once), then verified with bit_count.
+
+    The chunk count scales with the radius, so recall stays exact at any
+    radius ≤ 63.  Cost dial: a radius of h explodes h+1 blocking rows
+    per doc and shrinks chunks to ~64/(h+1) bits (more collisions), so
+    large radii trade shuffle volume for recall — the standard LSH
+    radius/cost trade, made explicit instead of silently lossy."""
+    if not 0 <= max_hamming < SIMHASH_BITS:
         raise ValueError(
-            f"max_hamming={max_hamming} exceeds the chunk-blocking recall bound "
-            f"{SIMHASH_CHUNKS - 1}; raise SIMHASH_CHUNKS to max_hamming+1"
+            f"max_hamming={max_hamming} out of range: chunk blocking needs "
+            f"0 <= max_hamming < {SIMHASH_BITS} (at >= {SIMHASH_BITS} every "
+            "pair matches — that is a cross join, not a near-dup screen)"
         )
+    n_chunks = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     fp = simhash(documents)
+
+    def _chunk(i: int):
+        # arithmetic shiftright sign-extends, but the AND mask keeps only
+        # the low `width` bits, so the sign bits cancel; a full-width
+        # chunk (n_chunks=1) is the fingerprint itself
+        if widths[i] == SIMHASH_BITS:
+            return F.col("simhash")
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(F.lit(mask))
+
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
-            )
-            for i in range(SIMHASH_CHUNKS)
+            F.struct(F.lit(i).alias("chunk_id"), _chunk(i).alias("chunk"))
+            for i in range(n_chunks)
         ]
     )
     blocked = fp.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(

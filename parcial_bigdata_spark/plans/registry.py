@@ -473,7 +473,48 @@ def q_gapfill(spark, sf_dir):
     return win_ops.gapfill_daily_series(_t(spark, sf_dir, "events"))
 
 
+# Dict order matters: the correctness driver checks the FIRST 50 entries.
+# Rounds 1-2 hash-verified the reference-parity/TPC-H/window block, so the
+# LLM-pipeline families (set ops, text, sampling, dedup, kNN, multimodal)
+# now lead to earn driver rows; the two-round-green block follows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # set ops
+    "setop_repeat_customers": q_repeat_customers,
+    "setop_churned_customers": q_churned_customers,
+    "setop_all_party_keys": q_all_party_keys,
+    "setop_status_bag_overlap": q_status_bag_overlap,
+    "window_sliding_counts": q_sliding_counts,
+    # text analysis
+    "text_quality_metrics": q_text_quality,
+    "text_token_counts": q_token_counts,
+    "text_language_id": q_language_id,
+    "text_fingerprints": q_fingerprints,
+    "text_top_words_per_lang": q_top_words,
+    "text_quality_pass_rates": q_quality_pass,
+    # sampling / splits / packing
+    "sample_split_assign": q_split_assign,
+    "sample_stratified_exact": q_stratified_sample,
+    "sample_pack_sequences": q_pack_sequences,
+    "sample_quota_by_source": q_quota_sample,
+    "sample_epoch_repeat": q_epoch_repeat,
+    # dedup
+    "dedup_exact": q_dedup_exact,
+    "dedup_exact_survivors": q_dedup_survivors,
+    "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_embedding_dups,
+    "dedup_cross_split_contamination": q_contamination,
+    # similarity search
+    "knn_cosine_brute_force": q_knn_brute,
+    "knn_cosine_ivf": q_knn_ivf,
+    "knn_cosine_lsh": q_knn_lsh,
+    "knn_cosine_arrow": q_knn_arrow,
+    "embedding_norm_stats": q_embedding_norms,
+    # multimodal
+    "multimodal_media_summary": q_media_summary,
+    # windows (pandas twin never driver-checked before)
+    "agg_user_value_trend_pandas": q_user_trend_pandas,
     # reference parity (SURVEY.md §2.1-2.7)
     "interval_query": q_interval,
     "interval_count": q_interval_count,
@@ -528,41 +569,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_rollup": q_hourly_rollup,
     "window_daily_delta": q_daily_delta,
     "agg_user_value_trend": q_user_trend,
-    "agg_user_value_trend_pandas": q_user_trend_pandas,
-    # set ops
-    "setop_repeat_customers": q_repeat_customers,
-    "setop_churned_customers": q_churned_customers,
-    "setop_all_party_keys": q_all_party_keys,
-    "setop_status_bag_overlap": q_status_bag_overlap,
-    "window_sliding_counts": q_sliding_counts,
-    # text analysis
-    "text_quality_metrics": q_text_quality,
-    "text_token_counts": q_token_counts,
-    "text_language_id": q_language_id,
-    "text_fingerprints": q_fingerprints,
-    "text_top_words_per_lang": q_top_words,
-    "text_quality_pass_rates": q_quality_pass,
-    # dedup
-    "sample_split_assign": q_split_assign,
-    "sample_stratified_exact": q_stratified_sample,
-    "sample_pack_sequences": q_pack_sequences,
-    "sample_quota_by_source": q_quota_sample,
-    "sample_epoch_repeat": q_epoch_repeat,
-    "dedup_exact": q_dedup_exact,
-    "dedup_exact_survivors": q_dedup_survivors,
-    "dedup_ngram_jaccard": q_dedup_jaccard,
-    "dedup_minhash_lsh": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding_cosine": q_embedding_dups,
-    "dedup_cross_split_contamination": q_contamination,
-    # similarity search
-    "knn_cosine_brute_force": q_knn_brute,
-    "knn_cosine_ivf": q_knn_ivf,
-    "knn_cosine_lsh": q_knn_lsh,
-    "knn_cosine_arrow": q_knn_arrow,
-    "embedding_norm_stats": q_embedding_norms,
-    # multimodal
-    "multimodal_media_summary": q_media_summary,
 }
 
 

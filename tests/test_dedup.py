@@ -77,6 +77,37 @@ def test_simhash_flags_near_dup_pair(documents):
     assert pairs[(1, 3)] <= 10
 
 
+def test_simhash_rejects_impossible_radius(documents):
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_duplicates(documents, max_hamming=64)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_duplicates(documents, max_hamming=-1)
+
+
+def test_simhash_blocking_is_lossless_vs_naive(spark, documents):
+    """Adaptive chunk blocking at radius 10 must find every pair the
+    naive all-pairs hamming join finds."""
+    from pyspark.sql import functions as F
+
+    fp = dedup.simhash(documents)
+    a, b = fp.alias("a"), fp.alias("b")
+    naive = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 10)
+    )
+    expected = {(r.doc_a, r.doc_b, r.hamming) for r in naive.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_near_duplicates(documents, max_hamming=10).collect()
+    }
+    assert got == expected
+
+
 def test_embedding_near_duplicates(spark):
     from parcial_bigdata_spark.operators.dedup import embedding_near_duplicates
 
