@@ -89,8 +89,14 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     """
     # ±1-bucket blocking is lossless only while a qualifying pair can
     # span at most one bucket boundary: length_slack ≤ 1 - 1/_BUCKET_BASE.
+    # The DEFAULT length_slack=0.2 sits exactly on this bound for
+    # _BUCKET_BASE=1.25 (0.2 == 1 - 1/1.25) — intentional, accepted via
+    # isclose; tests pin the invariant so changing _BUCKET_BASE without
+    # revisiting the default fails loudly.
+    import math
+
     max_slack = 1 - 1 / _BUCKET_BASE
-    if length_slack > max_slack + 1e-12:
+    if length_slack > max_slack and not math.isclose(length_slack, max_slack):
         raise ValueError(
             f"length_slack={length_slack} exceeds the lossless blocking bound "
             f"{max_slack:.4f} for bucket base {_BUCKET_BASE}; widen _BUCKET_BASE "

@@ -70,11 +70,16 @@ def salted_join(
     supported join types; right/full outer are rejected because the
     replicated right side would emit each unmatched right row once per
     salt."""
-    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+    # Normalize Spark's join-type aliases (left_outer == leftouter == left,
+    # semi == leftsemi, ...) before the safety check.  Everything
+    # left-oriented is salt-safe: a left row matches iff its key exists in
+    # the replicated right side, same as unsalted.
+    canon = how.replace("_", "").lower()
+    if canon not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
         raise ValueError(
-            f"salted_join supports inner/left/left_semi joins, not {how!r}: "
-            "the right side is replicated per salt, so right/full outer "
-            "would duplicate unmatched right rows"
+            f"salted_join supports inner/left/left_semi/left_anti joins, not "
+            f"{how!r}: the right side is replicated per salt, so right/full "
+            "outer would duplicate unmatched right rows"
         )
     salt = (F.rand(seed=42) * n_salts).cast("int")
     l_s = left.withColumn("_salt", salt)

@@ -60,6 +60,23 @@ def test_jaccard_blocking_is_lossless_vs_naive(spark, documents):
     assert got == expected
 
 
+def test_default_length_slack_within_blocking_bound():
+    """The default length_slack must satisfy the lossless ±1-bucket bound
+    (slack ≤ 1 - 1/_BUCKET_BASE, isclose counts).  If _BUCKET_BASE is ever
+    tightened, this fails loudly instead of the default call raising."""
+    import inspect
+    import math
+
+    default = inspect.signature(dedup.jaccard_pairs).parameters["length_slack"].default
+    bound = 1 - 1 / dedup._BUCKET_BASE
+    assert default <= bound or math.isclose(default, bound)
+
+
+def test_jaccard_rejects_slack_beyond_bound(documents):
+    with pytest.raises(ValueError, match="length_slack"):
+        dedup.jaccard_pairs(documents, threshold=0.6, length_slack=0.5)
+
+
 def test_minhash_finds_exact_and_near_dups(documents):
     out = dedup.minhash_near_duplicates(documents, threshold=0.5).collect()
     pairs = {(r.doc_a, r.doc_b) for r in out}

@@ -58,6 +58,20 @@ def test_salted_join_outer_preserves_unmatched(spark):
     assert len(unmatched) == 7
 
 
+def test_salted_join_accepts_alias_spellings_and_rejects_right(spark):
+    left = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    right = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    # Spark-valid aliases of salt-safe types must not raise
+    assert scale.salted_join(left, right, "k", how="leftouter").count() == 10
+    assert scale.salted_join(left, right, "k", how="left_anti").count() == 7
+    assert scale.salted_join(left, right, "k", how="semi").count() == 3
+    import pytest
+
+    for bad in ("right", "right_outer", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            scale.salted_join(left, right, "k", how=bad)
+
+
 def test_partition_pruning(spark, tmp_path):
     path = str(tmp_path / "part")
     df = spark.range(100).select(
