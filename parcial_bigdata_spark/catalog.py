@@ -41,15 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # to microseconds (integer `div` — a double would lose precision at
         # 1.7e18 ns).  The DuckDB oracles apply the matching CAST(ts AS
         # TIMESTAMP) truncation.
-        # Trade-off: ts filters hit the DERIVED column, so they cannot push
-        # into the parquet scan on this one fixture table.  On standard
-        # TIMESTAMP(MICROS) data the same operators get full row-group
-        # pruning (asserted by test_interval_pushes_predicate_to_parquet);
-        # at 100 TB, store micros (or partition by date) — never nanos.
+        # The raw bigint rides along as ``ts_nanos``: filters on the DERIVED
+        # ts column cannot reach the scan, but interval operators translate
+        # their bounds to nanos and filter ts_nanos — a pure alias of the
+        # parquet column — so range predicates DO push into row-group
+        # pruning (PushedFilters on ts).  Unused, the column is pruned away.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -18,6 +18,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _range_filter(df: DataFrame, ts_col: str, start, end) -> DataFrame:
+    """Closed-interval filter on ``ts_col``, pushdown-aware.
+
+    When the table carries a raw ``{ts_col}_nanos`` bigint companion (the
+    events fixture stores TIMESTAMP(NANOS), which Spark reads as long —
+    see catalog.load_table), the bounds are translated to nanos and the
+    filter lands on the raw column instead: ``ts = timestamp_micros(raw
+    div 1000)``, so ``start <= ts <= end`` ⟺ ``micros(start)*1000 <= raw
+    <= micros(end)*1000 + 999`` (floor-division algebra, lossless).  The
+    bound expressions are foldable, so Catalyst folds them to long
+    literals and pushes the comparison into the parquet scan — row-group
+    min/max pruning on the biggest time-series table, instead of a full
+    scan + post-filter on the derived timestamp."""
+    ts = F.col(ts_col)
+    nanos_col = f"{ts_col}_nanos"
+    if nanos_col in df.columns:
+        lo = F.unix_micros(F.to_timestamp(F.lit(start))) * 1000
+        hi = F.unix_micros(F.to_timestamp(F.lit(end))) * 1000 + 999
+        return df.where(F.col(nanos_col).between(lo, hi))
+    return df.where(ts.between(F.lit(start), F.lit(end)))
+
+
 def interval(
     df: DataFrame,
     ts_col: str,
@@ -32,7 +54,7 @@ def interval(
     """
     ts = F.col(ts_col)
     return (
-        df.where(ts.between(F.lit(start), F.lit(end)))
+        _range_filter(df, ts_col, start, end)
         .orderBy(ts.asc())
         .select(ts.alias(ts_col), F.col(value_col).cast("double").alias(value_col))
     )
@@ -46,8 +68,7 @@ def interval_count(
 ) -> DataFrame:
     """The response-envelope ``count`` (reference ``main.py:85-86``) as a
     single-row aggregate — computed distributed, never via driver len()."""
-    ts = F.col(ts_col)
-    return df.where(ts.between(F.lit(start), F.lit(end))).agg(F.count("*").alias("cnt"))
+    return _range_filter(df, ts_col, start, end).agg(F.count("*").alias("cnt"))
 
 
 def validate_range(start: dt.datetime, end: dt.datetime) -> None:

@@ -54,6 +54,33 @@ def test_validate_range_rejects_inverted():
     iv.validate_range(dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2))  # ok
 
 
+def test_events_interval_pushes_nanos_predicate(spark):
+    """On the TIMESTAMP(NANOS) events fixture the ts filter cannot push
+    (ts is derived), so interval() must translate the bounds to nanos and
+    push them on the raw bigint column — row-group pruning at 100 TB."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        _pytest.skip("driver testdata not present")
+    from parcial_bigdata_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plan = (
+        iv.interval(events, "ts", "value", "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(ts,1704412800000000000)" in plan
+    assert "LessThanOrEqual(ts,1705708800000000999)" in plan
+    # only the two needed physical columns leave storage
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert read_schema == "struct<ts:bigint,value:double>"
+
+
 def test_interval_pushes_predicate_to_parquet(spark, series, tmp_path):
     """The range filter must reach the scan (PushedFilters), and the scan
     must read only the two projected columns (ReadSchema) — SURVEY.md §4."""
