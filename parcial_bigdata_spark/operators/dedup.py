@@ -55,10 +55,19 @@ _BUCKET_BASE = 1.25  # must stay ≥ 1/(1-length_slack) for lossless ±1 blockin
 # per-lane longs; beyond it the exact array-intersect path takes over.
 MAX_MASK_LANES = 8
 
+# Prefix-filter canonical order: the PREFIX_COMMONS most document-frequent
+# tokens sort to the BACK of every word set, so they (almost) never land in
+# a blocking prefix — stopword buckets are exactly the ones that would go
+# quadratic.  256 covers the Zipf head of any natural-language corpus.
+PREFIX_COMMONS = 256
+
 
 def _word_sets(documents: DataFrame) -> DataFrame:
     import math
 
+    from parcial_bigdata_spark.operators.scale import fan_out_small_scan
+
+    documents = fan_out_small_scan(documents, "doc_id")
     bucket = F.floor(F.log(F.col("n_chars").cast("double")) / math.log(_BUCKET_BASE))
     return documents.select(
         "doc_id",
@@ -84,6 +93,17 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     - **Size-ratio prune**: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|);
       applied before the intersect, it is implied by the final predicate
       (lossless).
+    - **Prefix filtering** (array path — the real-corpus scale path):
+      Bayardo et al., "Scaling Up All Pairs Similarity Search" (WWW'07).
+      Sort every word set in one canonical rarest-first order; any pair
+      with J ≥ t must share a token within each side's first
+      ``|x| − ⌈t·|x|⌉ + 1`` tokens (pigeonhole on the ≥ ⌈t·max⌉ common
+      tokens both sides must carry).  Blocking adds the shared-prefix-
+      token requirement to the join key, so within-bucket candidates
+      scale with token co-occurrence, not bucket-size².  The canonical
+      order sends the PREFIX_COMMONS most frequent tokens (the Zipf
+      head — exactly the tokens whose buckets would explode) to the
+      back, so prefixes hold only rare tokens.
     The exact length + Jaccard predicates re-apply at the end, so the
     blocking never changes the result — only the candidate count.
     """
@@ -104,24 +124,34 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
         )
     ws = _word_sets(documents)
 
-    # Dictionary-encode the token space (an adaptive stat probe, like
-    # AQE's runtime statistics).  When the corpus dictionary fits in
-    # MAX_MASK_LANES×64 bits, a word set becomes a handful of longs and
-    # Jaccard collapses to per-lane bitwise ops + bit_count — ~100×
-    # cheaper per pair AND a far smaller shuffle row than the word
-    # array.  Larger dictionaries keep the array path.  take(cap+1)
-    # short-circuits: it proves >cap without counting the full
-    # dictionary, and under the cap returns the whole vocabulary, which
-    # then becomes LITERAL per-lane word→bit maps — each lane mask is a
-    # row-local fold, no broadcast join, no groupBy, nothing extra to
-    # recompute on the pair join's second branch.  Lanes are scalar
-    # columns (wmask0..wmaskN), not an array, so the pair predicate
-    # stays inside whole-stage codegen with no HOF per candidate pair.
+    # Adaptive stat probe (like AQE's runtime statistics), one top-K
+    # aggregation job serving BOTH paths: when the corpus dictionary
+    # fits in MAX_MASK_LANES×64 bits it returns the whole vocabulary
+    # (mask fast path engages); otherwise its head IS the Zipf-head
+    # common-token list the prefix filter needs.  orderBy+take compiles
+    # to TakeOrderedAndProject — a streaming top-K, never a full sort.
     cap = 64 * MAX_MASK_LANES
-    vocab = [r.w for r in ws.select(F.explode("wset").alias("w")).distinct().take(cap + 1)]
-    if len(vocab) <= cap:
-        sorted_vocab = sorted(vocab)
-        n_lanes = max(1, (len(vocab) + 63) // 64)
+    probe_n = max(cap, PREFIX_COMMONS) + 1
+    freq = (
+        ws.select(F.explode("wset").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .take(probe_n)
+    )
+    if len(freq) <= cap:
+        # Dictionary-encode the token space: a word set becomes a
+        # handful of longs and Jaccard collapses to per-lane bitwise
+        # ops + bit_count — ~100× cheaper per pair AND a far smaller
+        # shuffle row than the word array.  The vocabulary becomes
+        # LITERAL per-lane word→bit maps — each lane mask is a
+        # row-local fold, no broadcast join, no groupBy, nothing extra
+        # to recompute on the pair join's second branch.  Lanes are
+        # scalar columns (wmask0..wmaskN), not an array, so the pair
+        # predicate stays inside whole-stage codegen with no HOF per
+        # candidate pair.
+        sorted_vocab = sorted(r.w for r in freq)
+        n_lanes = max(1, (len(freq) + 63) // 64)
         mask_cols = []
         for lane in range(n_lanes):
             lane_words = sorted_vocab[lane * 64 : (lane + 1) * 64]
@@ -158,25 +188,92 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
         pair_cols = ["doc_id", "lang", "n_chars", "wsize"] + [
             f"wmask{i}" for i in range(n_lanes)
         ]
-    else:
-        feat = ws
-        inter = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset")))
-        union = F.size(F.array_union(F.col("a.wset"), F.col("b.wset")))
-        pair_cols = ["doc_id", "lang", "n_chars", "wsize", "wset"]
+        a = feat.alias("a")
+        b = feat.select(
+            *pair_cols,
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("jbucket"),
+        ).alias("b")
+        jac = inter.cast("double") / union
+        return (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.bucket") == F.col("b.jbucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (
+                    F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                    <= length_slack * F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+                )
+                & (F.col("a.wsize") >= threshold * F.col("b.wsize"))
+                & (F.col("b.wsize") >= threshold * F.col("a.wsize")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(jac, 4).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
 
-    a = feat.alias("a")
-    b = feat.select(
-        *pair_cols,
-        F.explode(
-            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
-        ).alias("jbucket"),
-    ).alias("b")
-    jac = inter.cast("double") / union
-    return (
+    # ------------- array path: prefix-filtered candidate generation ----
+    # Canonical rarest-first token order, computed ROW-LOCALLY per doc:
+    # sort key = (Zipf-head position — 0 for every rare token, ascending-
+    # frequency 1..C for the head —, 64-bit token hash, then the token
+    # string so the total order is deterministic across recomputations of
+    # this lineage).  The head map is a small literal: no broadcast join.
+    commons_asc = [r.w for r in reversed(freq[:PREFIX_COMMONS])]
+    cmap = F.create_map(
+        *[x for i, w in enumerate(commons_asc) for x in (F.lit(w), F.lit(i + 1))]
+    )
+    keyed = F.array_sort(
+        F.transform(
+            "wset",
+            lambda w: F.struct(
+                F.coalesce(F.element_at(cmap, w), F.lit(0)).alias("p"),
+                F.xxhash64(w).alias("h"),
+                w.alias("w"),
+            ),
+        )
+    )
+    # Lossless prefix length |x| − ⌈t·|x|⌉ + 1: a pair with J ≥ t shares
+    # ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|x|⌉ tokens, which cannot all hide in the
+    # ⌈t·|x|⌉ − 1 tokens after the prefix (Bayardo/PPJoin prefix lemma).
+    plen = (
+        F.col("wsize") - F.ceil(F.lit(float(threshold)) * F.col("wsize")) + F.lit(1)
+    ).cast("int")
+    feat = ws.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "bucket",
+        "wsize",
+        "wset",
+        F.transform(F.slice(keyed, F.lit(1), plen), lambda s: s["h"]).alias("prefix"),
+    )
+    # Candidates are SLIM rows (ids + block keys only — the word arrays
+    # never ride the exploded shuffle); payloads re-join after the pair
+    # dedup, so verification cost scales with candidates, not blocks².
+    slim = ["doc_id", "lang", "n_chars", "bucket", "wsize"]
+    a = feat.select(*slim, F.explode("prefix").alias("ptok")).alias("a")
+    b = (
+        feat.select(
+            *slim,
+            "prefix",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("jbucket"),
+        )
+        .select(*slim, "jbucket", F.explode("prefix").alias("ptok"))
+        .alias("b")
+    )
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.bucket") == F.col("b.jbucket"))
+            & (F.col("a.ptok") == F.col("b.ptok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
@@ -185,11 +282,17 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
             & (F.col("a.wsize") >= threshold * F.col("b.wsize"))
             & (F.col("b.wsize") >= threshold * F.col("a.wsize")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    payload = feat.select("doc_id", "wset")
+    inter = F.size(F.array_intersect(F.col("pa.wset"), F.col("pb.wset")))
+    union = F.size(F.array_union(F.col("pa.wset"), F.col("pb.wset")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(payload.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
+        .join(payload.alias("pb"), F.col("doc_b") == F.col("pb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -227,6 +330,9 @@ def _word_hashes(documents: DataFrame) -> DataFrame:
     """Words of the normalized text, each hashed once to a long.  All
     downstream shingling/fingerprinting works on these 8-byte values —
     strings are hashed exactly once per word occurrence."""
+    from parcial_bigdata_spark.operators.scale import fan_out_small_scan
+
+    documents = fan_out_small_scan(documents, "doc_id")
     return documents.select(
         "doc_id",
         F.transform(

@@ -92,6 +92,52 @@ def salted_join(
     return out.drop("_salt")
 
 
+def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
+    """Adaptive parallelism repair for degenerate scans.
+
+    A table that arrives as fewer parquet splits than the cluster has
+    slots (the classic small-file / single-row-group case) runs every
+    row-local expression pipeline — regex normalization, shingling,
+    hash permutations, vector folds — on a handful of threads while the
+    rest of the cluster idles.  When, and only when, the scan is
+    provably degenerate, pay one cheap shuffle of the raw rows to
+    restore full parallelism.
+
+    The probe estimates scan parallelism from file count and total
+    bytes (Spark splits large files at ``spark.sql.files.
+    maxPartitionBytes``): at 100 TB the estimate is always ≥ the slot
+    count, so this is a structural no-op there — the repartition never
+    enters the plan.  In-memory DataFrames (no files) and non-local
+    object stores are left untouched.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    total = 0
+    for p in files:
+        u = urlparse(p)
+        if u.scheme not in ("file", ""):
+            return df  # remote store: trust the scan's own split planning
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return df
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    max_split = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    est_splits = max(len(files), total // max_split)
+    if est_splits < target:
+        return df.repartition(target, by_col)
+    return df
+
+
 def read_pruned(
     spark: SparkSession, path: str, partition_col: str, value
 ) -> DataFrame:
