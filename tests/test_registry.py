@@ -17,6 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 NO_ORACLE_OK = {
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",  # approximate recall; exact label-blocked twin is oracle-checked
     "knn_cosine_ivf",
     "knn_cosine_lsh",
     "knn_cosine_arrow",  # exactness vs oracle-checked HOF twin is test-asserted
