@@ -697,3 +697,139 @@ def wealthy_inactive_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    size: int = 5,
+    type_pattern: str = "%PROMO%",
+    region_name: str = "EUROPE",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-style: the cheapest supplier(s) per qualifying part within
+    a region.  The fixture has no partsupp, so supply cost is DERIVED
+    from observed sales: unit_cost(part, supp) = sum(l_extendedprice) /
+    sum(l_quantity) over that pair's lineitems (documented deviation —
+    same operator shape: derived cost table, correlated per-part min,
+    region-filtered supplier dimension, top-k output).
+
+    Plan: one fact shuffle builds the (part, supp) cost table; part and
+    the region-filtered supplier dimension broadcast into it; the
+    correlated ``cost = min(cost) per part`` becomes a window min — one
+    more shuffle on p_partkey, no self-join, no correlated re-scan."""
+    unit_cost = F.round(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).cast("decimal(18,6)"), 4
+    ).cast("double")
+    psupp = lineitem.groupBy("l_partkey", "l_suppkey").agg(unit_cost.alias("unit_cost"))
+    parts = part.where(
+        (F.col("p_size") == size) & F.col("p_type").like(type_pattern)
+    ).select("p_partkey", "p_name", "p_brand")
+    rsupp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    priced = psupp.join(F.broadcast(parts), psupp.l_partkey == parts.p_partkey).join(
+        F.broadcast(rsupp), psupp.l_suppkey == rsupp.s_suppkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        priced.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def line_priority_by_status(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12-style: lines shipped in a year window, classified by
+    order priority (urgent/high vs rest) per group.  The fixture has no
+    l_shipmode or commit/receipt dates, so the group key is l_linestatus
+    and the date filter is on l_shipdate (documented deviation — same
+    operator shape: fact-fact equi-join + CASE'd conditional counts).
+    The ship-window filter pushes into the lineitem scan; the join
+    shuffles only filtered lines against the 2-column orders side."""
+    lines = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            lines.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def dominant_part_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "small%",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    share: float = 0.5,
+    nation_name: str | None = None,
+) -> DataFrame:
+    """TPC-H Q20-style: suppliers who dominate the supply of a part-name
+    family in a year.  The fixture has no partsupp.availqty, so "excess
+    stock" becomes market dominance: a (part, supplier) pair qualifies
+    when its shipped quantity exceeds ``share`` of the part's TOTAL
+    shipped quantity in the window (documented deviation — same operator
+    shape: name-filtered part family, nested per-pair aggregate compared
+    against a correlated per-part aggregate, semi-join back to supplier,
+    optional nation filter).
+
+    Plan: part family broadcasts into the date-pruned lineitem scan; one
+    shuffle aggregates per (part, supp); the correlated total is a window
+    sum over p_partkey (no re-aggregation join); qualifying suppkeys
+    semi-join the supplier dim."""
+    parts = part.where(F.col("p_name").like(name_prefix)).select("p_partkey")
+    lf = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    ps = lf.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps.withColumn("part_total", F.sum("qty").over(w))
+        .where(F.col("qty") > share * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = supplier
+    if nation_name is not None:
+        keys = nation.where(F.col("n_name") == nation_name).select("n_nationkey")
+        supp = supp.join(
+            F.broadcast(keys), supp.s_nationkey == F.col("n_nationkey"), "left_semi"
+        )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -460,6 +460,31 @@ def q_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    return join_ops.min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_priority_lines(spark, sf_dir):
+    return join_ops.line_priority_by_status(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    return join_ops.dominant_part_suppliers(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_rank_bands(spark, sf_dir):
     return win_ops.order_price_rank_bands(_t(spark, sf_dir, "orders"))
 
@@ -526,6 +551,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_summary": q_media_summary,
     # windows (pandas twin never driver-checked before)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
+
+    # round-3 TPC-H adaptations (new — need driver rows)
+    "q2_min_cost_supplier": q_min_cost_supplier,
+    "q12_priority_lines": q_priority_lines,
+    "q20_dominant_suppliers": q_dominant_suppliers,
     # reference parity (SURVEY.md §2.1-2.7)
     "interval_query": q_interval,
     "interval_count": q_interval_count,
@@ -848,6 +878,63 @@ ORACLES: dict[str, str] = {
               AND o_orderdate < TIMESTAMP '1998-01-01'
         )
         GROUP BY o_year ORDER BY o_year
+    """,
+    "q2_min_cost_supplier": """
+        WITH psupp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(CAST(sum(l_extendedprice) / sum(l_quantity)
+                                   AS DECIMAL(18,6)), 4) AS DOUBLE) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ), rsupp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), priced AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost,
+                   min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+            FROM psupp
+            JOIN part ON l_partkey = p_partkey
+            JOIN rsupp ON l_suppkey = s_suppkey
+            WHERE p_size = 5 AND p_type LIKE '%PROMO%'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+        FROM priced WHERE unit_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q12_priority_lines": """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    "q20_dominant_suppliers": """
+        WITH lf AS (
+            SELECT l_partkey, l_suppkey, l_quantity
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+        ), ps AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+            FROM lf GROUP BY 1, 2
+        ), dom AS (
+            SELECT DISTINCT l_suppkey FROM (
+                SELECT l_suppkey, qty,
+                       sum(qty) OVER (PARTITION BY l_partkey) AS part_total
+                FROM ps
+            ) WHERE qty > 0.5 * part_total
+        )
+        SELECT s_name, s_acctbal FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        ORDER BY s_name
     """,
     "q9_profit_by_nation": """
         SELECT nation, o_year,
