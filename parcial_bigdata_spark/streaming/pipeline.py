@@ -20,9 +20,13 @@ Reference semantics preserved / upgraded:
   accounting.
 
 Scale: the file source lists incrementally (``maxFilesPerTrigger``
-bounds batch size); the anti-join key set is one small column (file
-paths) read from silver's own footer statistics — not a full data scan —
-and every transform is the same codegen'd expression pipeline as batch.
+bounds batch size); the idempotency filter reads a PROCESSED-FILES
+LEDGER parquet (one row per ingested file — O(files), tiny) instead of
+scanning silver itself, so the per-batch overhead no longer grows with
+the table.  Replays are detected via the ledger's batch-id high-water
+mark and fall back to the exact silver-derived file set — the O(table)
+path runs only on actual crash recovery, never steady-state.  Every
+transform is the same codegen'd expression pipeline as batch.
 """
 
 from __future__ import annotations
@@ -65,6 +69,17 @@ def _existing_files(spark: SparkSession, silver_path: str) -> DataFrame | None:
         return None
 
 
+def _ledger_path(silver_path: str) -> str:
+    return silver_path.rstrip("/") + "_ledger"
+
+
+def _read_ledger(spark: SparkSession, silver_path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_ledger_path(silver_path))
+    except Exception:  # first batch: no ledger yet
+        return None
+
+
 def make_silver_batch_writer(
     silver_path: str,
     on_metrics: Callable[[int, dict], None] | None = None,
@@ -72,15 +87,34 @@ def make_silver_batch_writer(
     """foreachBatch body: idempotent per-file append + accounting.
 
     Replayed batches (failure between write and checkpoint commit) are
-    filtered out by the source-file anti-join, upgrading the reference's
+    filtered out by a source-file anti-join, upgrading the reference's
     at-least-once duplicate inserts to effectively-once (ST3).
+
+    The anti-join's key set comes from the processed-files LEDGER — one
+    row per ingested file, appended after each silver write — so the
+    steady-state cost is O(files seen), independent of table size.  A
+    batch whose id is at or below the ledger's high-water mark (crash
+    replay, or a rebuilt checkpoint restarting ids at 0) cannot trust
+    the ledger — the crash may have landed between the silver write and
+    the ledger append — so it falls back to the exact silver-derived
+    file set.  That O(table) scan runs only on recovery.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         candidates = parse_rows(batch_df)
         rows = silver_rows(candidates)
-        existing = _existing_files(spark, silver_path)
+        ledger = _read_ledger(spark, silver_path)
+        replay = False
+        if ledger is not None:
+            max_bid = ledger.agg(F.max("batch_id").alias("m")).collect()[0].m
+            replay = max_bid is not None and batch_id <= max_bid
+        if replay:
+            existing = _existing_files(spark, silver_path)
+        elif ledger is not None:
+            existing = ledger.select("source_file").distinct()
+        else:
+            existing = None
         if existing is not None:
             rows = rows.join(existing, "source_file", "left_anti")
         # Counters come from the same pass (cached once, two small aggs).
@@ -94,6 +128,21 @@ def make_silver_batch_writer(
                     .partitionBy("dt")
                     .parquet(silver_path)
                 )
+            # Ledger append AFTER the silver write: a crash in between
+            # leaves the file unrecorded, and the next (replayed) batch's
+            # exact fallback re-filters it against silver itself.  Every
+            # file seen in the batch is recorded — including all-bad-row
+            # files — so it is never re-parsed.
+            batch_files = candidates.select("source_file").distinct()
+            if ledger is not None:
+                batch_files = batch_files.join(
+                    ledger.select("source_file").distinct(), "source_file", "left_anti"
+                )
+            (
+                batch_files.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("append")
+                .parquet(_ledger_path(silver_path))
+            )
             if on_metrics is not None:
                 acct = candidates.groupBy().agg(
                     F.countDistinct("source_file").alias("files"),
