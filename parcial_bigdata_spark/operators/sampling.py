@@ -143,6 +143,42 @@ def epoch_repeat_summary(
     )
 
 
+def temperature_mixture(
+    documents: DataFrame, tau: float = 2.0, budget: int = 1000
+) -> DataFrame:
+    """Temperature-based corpus mixing (the mT5-style sampling schedule):
+    per-source sampling share ∝ n_s^(1/τ), flattening the raw size
+    distribution so small sources are not drowned out (τ=1 keeps raw
+    proportions; τ→∞ approaches uniform).
+
+    Emits the mixing plan per source: raw vs tempered share, the target
+    document count for a ``budget``-doc draw, and the repeat factor
+    (targets above a source's size mean oversampling epochs — see
+    ``epoch_repeat_summary`` for the row-level mechanism; the md5-rank
+    draw in ``quota_sample_by_source`` executes sub-size targets).
+
+    Cost: one map-side-combined count per source plus a 1-row total —
+    both tiny at any scale; the plan itself never touches row data."""
+    counts = documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weighted = counts.withColumn("w", F.pow(F.col("n_docs").cast("double"), 1.0 / tau))
+    totals = weighted.agg(
+        F.sum("w").alias("tw"), F.sum("n_docs").alias("tn")
+    )
+    target = F.floor(F.lit(float(budget)) * F.col("w") / F.col("tw")).cast("long")
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("tn"), 4).alias("raw_share"),
+            F.round(F.col("w") / F.col("tw"), 4).alias("tempered_share"),
+            target.alias("target_docs"),
+            F.round(target.cast("double") / F.col("n_docs"), 2).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )
+
+
 def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
     """Pack documents into fixed token-budget bins per language
     (context-window packing for LLM training).  Documents are laid out

@@ -452,6 +452,10 @@ def q_epoch_repeat(spark, sf_dir):
     return sample_ops.epoch_repeat_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_temperature_mix(spark, sf_dir):
+    return sample_ops.temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
 def q_waiting_suppliers(spark, sf_dir):
     return join_ops.waiting_suppliers(
         _t(spark, sf_dir, "supplier"),
@@ -533,6 +537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_pack_sequences": q_pack_sequences,
     "sample_quota_by_source": q_quota_sample,
     "sample_epoch_repeat": q_epoch_repeat,
+    "sample_temperature_mix": q_temperature_mix,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
@@ -1077,6 +1082,23 @@ ORACLES: dict[str, str] = {
                count(DISTINCT doc_id) AS n_docs,
                max(epoch) AS max_epoch
         FROM rep GROUP BY source ORDER BY source
+    """,
+    "sample_temperature_mix": """
+        WITH counts AS (
+            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), weighted AS (
+            SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS w
+            FROM counts
+        ), totals AS (
+            SELECT sum(w) AS tw, sum(n_docs) AS tn FROM weighted
+        )
+        SELECT source, n_docs,
+               round(n_docs / tn, 4) AS raw_share,
+               round(w / tw, 4) AS tempered_share,
+               CAST(floor(1000.0 * w / tw) AS BIGINT) AS target_docs,
+               round(CAST(floor(1000.0 * w / tw) AS DOUBLE) / n_docs, 2)
+                   AS repeat_factor
+        FROM weighted, totals ORDER BY source
     """,
     "unpivot_status_metrics": """
         WITH a AS (

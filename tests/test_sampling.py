@@ -91,3 +91,18 @@ def test_pack_sequences_respects_budget_layout(spark):
     assert got[("en", 0)] == (2, 120, 1, 2)
     assert got[("en", 1)] == (1, 60, 3, 3)
     assert got[("fr", 0)] == (1, 10, 4, 4)
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    # 80/20 corpus at tau=2: weights sqrt(80):sqrt(20) = 2:1 exactly,
+    # so tempered shares are 2/3 vs 1/3 (vs raw 0.8/0.2)
+    rows = [(i, "t", "en", "big", 1) for i in range(80)] + [
+        (100 + i, "t", "en", "small", 1) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r.source: (r.n_docs, r.raw_share, r.tempered_share, r.target_docs, r.repeat_factor)
+        for r in sampling.temperature_mixture(docs, tau=2.0, budget=100).collect()
+    }
+    assert out["big"] == (80, 0.8, 0.6667, 66, 0.83)  # 66/80 = 0.825, HALF_UP
+    assert out["small"] == (20, 0.2, 0.3333, 33, 1.65)
