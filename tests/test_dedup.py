@@ -140,6 +140,68 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}  # blocked by label: (1,4) never compared
 
 
+def test_jaccard_prefix_filter_lossless_large_vocab(spark, monkeypatch):
+    """The prefix-filtered array path must stay lossless when the
+    vocabulary exceeds PREFIX_COMMONS — i.e. when real rare tokens lead
+    the canonical order and drive the candidate blocking.  Compared
+    against the naive all-pairs join on a 400-word vocabulary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    vocab = [f"tok{i:04d}" for i in range(400)]  # > PREFIX_COMMONS (256)
+    docs = []
+    base: list[str] = []
+    for i in range(30):
+        if i % 3 == 0:  # one shared base per trio → planted near-dup clusters
+            base = rng.sample(vocab, 30)
+        words = list(base)
+        for _ in range(i % 3 * 3):  # 0, 3, or 6 word swaps
+            words[rng.randrange(len(words))] = vocab[rng.randrange(len(vocab))]
+        text = " ".join(words)
+        docs.append((i, text, "en", "web", len(text)))
+    documents = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(dedup, "MAX_MASK_LANES", 0)  # force the array path
+
+    ws = documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", " ")), " ")).alias("w"),
+    )
+    a, b = ws.alias("a"), ws.alias("b")
+    jac = F.size(F.array_intersect("a.w", "b.w")).cast("double") / F.size(
+        F.array_union("a.w", "b.w")
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= 0.2 * F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.6)
+    )
+    expected = {(r.doc_a, r.doc_b, r.jaccard) for r in naive.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.jaccard_pairs(documents, threshold=0.6).collect()
+    }
+    assert got == expected
+    assert expected  # the generator must actually produce near-dup pairs
+
+
 def test_embedding_lsh_recall_and_precision(spark):
     """LSH-blocked embedding dedup vs exhaustive ground truth: exact
     verification makes precision 1.0; multi-table OR-construction must
