@@ -1532,6 +1532,12 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+# The Arrow/BLAS kNN is bit-identical to the HOF brute-force twin (same
+# rounding edge, same tie-break; exactness asserted in tests and verified
+# at sf0.01/sf0.1), so it shares the same oracle instead of a weaker
+# rows-only check.
+ORACLES["knn_cosine_arrow"] = ORACLES["knn_cosine_brute_force"]
+
 # The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the
 # nanos-as-long escape hatch truncated to microseconds (catalog.load_table),
 # so every oracle must apply the matching truncation on the DuckDB side.

@@ -20,7 +20,6 @@ NO_ORACLE_OK = {
     "dedup_embedding_lsh",  # approximate recall; exact label-blocked twin is oracle-checked
     "knn_cosine_ivf",
     "knn_cosine_lsh",
-    "knn_cosine_arrow",  # exactness vs oracle-checked HOF twin is test-asserted
     "approx_distinct_parts",
     "approx_percentile_value_by_type",  # sketch; exact twin is oracle-checked
 }
