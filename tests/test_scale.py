@@ -84,3 +84,21 @@ def test_partition_pruning(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # the partition filter must act on metadata, not as a data Filter
     assert "PartitionFilters: [isnotnull(bucket5" in plan or "PartitionFilters: [(bucket5" in plan
+
+
+def test_fan_out_small_scan_repairs_degenerate_scan(spark, tmp_path):
+    """A single-split parquet scan gets repartitioned to the slot count;
+    rows are preserved exactly; in-memory frames are left untouched."""
+    path = str(tmp_path / "tiny")
+    spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v")).coalesce(
+        1
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = scale.fan_out_small_scan(df, "id")
+    target = spark.sparkContext.defaultParallelism
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert f"REPARTITION_BY_NUM, {target}" in plan or "hashpartitioning(id" in plan
+    assert {r.id for r in out.collect()} == set(range(1000))
+
+    mem = spark.range(10)  # no files behind it -> structural no-op
+    assert scale.fan_out_small_scan(mem, "id") is mem
