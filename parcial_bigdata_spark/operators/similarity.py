@@ -58,13 +58,14 @@ def knn_ivf(
     """IVF search: rank clusters by query→centroid cosine, search only the
     top ``nprobe`` clusters.  Corpus scan is pruned to nprobe/|clusters|
     of the data — the standard ANN recall/cost dial.  Deterministic given
-    the cluster column → exact given the probe set (no SQL oracle for the
-    recall-loss variant; rows-only check)."""
+    the cluster column, and the probe ranking orders by ROUNDED csim
+    (ties broken by cluster id) so the probe set is stable across engines
+    — which is what lets the full query carry an exact SQL oracle."""
     cents = ivf_centroids(embeddings, cluster_col)
     queries = embeddings.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    csim = cosine(F.col("qvec"), F.col("centroid"))
+    csim = F.round(cosine(F.col("qvec"), F.col("centroid")), 6)
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cluster").asc())
     probes = (
         queries.crossJoin(F.broadcast(cents))

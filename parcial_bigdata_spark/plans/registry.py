@@ -1538,6 +1538,50 @@ ORACLES: dict[str, str] = {
 # rows-only check.
 ORACLES["knn_cosine_arrow"] = ORACLES["knn_cosine_brute_force"]
 
+# IVF is deterministic given the cluster column, and its probe ranking
+# orders by csim ROUNDED to 6 (cluster-id tie-break), so the whole query
+# is engine-stable and exactly SQL-expressible: centroids via a lateral
+# element-index unnest, probes via the same rounded ranking.
+ORACLES["knn_cosine_ivf"] = """
+    WITH cent AS (
+        SELECT label AS cluster, list(m ORDER BY i) AS centroid
+        FROM (
+            -- fixture embeddings are 64-dim at every SF (TESTDATA
+            -- contract); DuckDB's generate_series cannot take a subquery
+            -- bound in FROM, so the index range is the constant 1..64
+            SELECT label, t.i, avg(embedding[t.i]) AS m
+            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+            GROUP BY label, t.i
+        )
+        GROUP BY label
+    ), q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+    ), probes AS (
+        SELECT query_id, qvec, cluster FROM (
+            SELECT q.query_id, q.qvec, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                                    q.qvec, c.centroid), 6) DESC,
+                                c.cluster ASC) AS crnk
+            FROM q, cent c
+        ) WHERE crnk <= 2
+    )
+    SELECT query_id, rnk, vec_id, sim FROM (
+        SELECT p.query_id, e.vec_id,
+               round(list_cosine_similarity(
+                   p.qvec, CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY round(list_cosine_similarity(
+                                p.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                            e.vec_id ASC) AS rnk
+        FROM probes p JOIN embeddings e ON e.label = p.cluster
+        WHERE e.vec_id <> p.query_id
+    ) WHERE rnk <= 10 ORDER BY query_id, rnk
+"""
+
 # The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the
 # nanos-as-long escape hatch truncated to microseconds (catalog.load_table),
 # so every oracle must apply the matching truncation on the DuckDB side.
