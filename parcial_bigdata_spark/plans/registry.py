@@ -1582,6 +1582,48 @@ ORACLES["knn_cosine_ivf"] = """
     ) WHERE rnk <= 10 ORDER BY query_id, rnk
 """
 
+# LSH kNN's hyperplanes are seeded numpy draws — deterministic — so they
+# inline into the oracle as full-precision DOUBLE[] literals (repr round-
+# trips the exact bits).  Bucket assignment and both rankings then
+# replicate exactly; a sign flip would need a query·plane dot within
+# ~1e-15 of zero, which the O(1)-magnitude dots never approach.
+def _lsh_oracle() -> str:
+    from parcial_bigdata_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i, p in enumerate(_hyperplanes(64, 6, 42)):
+            arr = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {arr}) > 0"
+                f" THEN {2 ** i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+        WITH b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                   {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, emb AS qvec, bucket AS qbucket
+            FROM b WHERE vec_id IN (0, 1, 2, 3, 4)
+        )
+        SELECT query_id, rnk, vec_id, sim FROM (
+            SELECT q.query_id, b.vec_id,
+                   round(list_cosine_similarity(q.qvec, b.emb), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(q.qvec, b.emb), 6)
+                                    DESC,
+                                b.vec_id ASC) AS rnk
+            FROM q JOIN b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+        ) WHERE rnk <= 10 ORDER BY query_id, rnk
+    """
+
+
+ORACLES["knn_cosine_lsh"] = _lsh_oracle()
+
 # The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the
 # nanos-as-long escape hatch truncated to microseconds (catalog.load_table),
 # so every oracle must apply the matching truncation on the DuckDB side.

@@ -18,7 +18,6 @@ NO_ORACLE_OK = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",  # approximate recall; exact label-blocked twin is oracle-checked
-    "knn_cosine_lsh",
     "approx_distinct_parts",
     "approx_percentile_value_by_type",  # sketch; exact twin is oracle-checked
 }
