@@ -332,6 +332,11 @@ def q_media_summary(spark, sf_dir):
     return mm_ops.media_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_frame_sample(spark, sf_dir):
+    media = mm_ops.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text", "source")
+    return mm_ops.frame_sample(media, every_n_bytes=64)
+
+
 def q_order_priority(spark, sf_dir):
     return join_ops.order_priority_counts(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
@@ -554,6 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": q_embedding_norms,
     # multimodal
     "multimodal_media_summary": q_media_summary,
+    "multimodal_frame_sample": q_frame_sample,
     # windows (pandas twin never driver-checked before)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
 
@@ -1529,6 +1535,23 @@ ORACLES: dict[str, str] = {
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(DISTINCT md5(text)) AS distinct_payloads
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "multimodal_frame_sample": """
+        -- one row per 64-byte frame window of the utf8 payload, i.e. the
+        -- mapInPandas 1->N expansion shape, replicated relationally:
+        -- frames = range(0, max(n,1)) step 64 -> ceil(max(n,1)/64) rows
+        SELECT doc_id AS media_id,
+               CAST(f AS INT) AS frame_no,
+               CAST(least(64, greatest(octet_length(encode(text)), 0) - f * 64)
+                    AS INT) AS frame_bytes
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0,
+                       CAST(ceil(greatest(octet_length(encode(text)), 1)
+                                 / 64.0) AS BIGINT) - 1)) AS f
+            FROM documents
+        )
     """,
 }
 
