@@ -297,6 +297,63 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     )
 
 
+def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns pairwise matches into dedup CLUSTERS (one survivor per
+    component), which is what an actual corpus dedup ships.
+
+    Iterative min-label propagation (the standard large-graph CC
+    pattern): every round each vertex adopts the minimum component id
+    among itself and its neighbors; rounds needed = graph diameter, and
+    near-dup clusters are shallow (a handful of rounds).  The driver
+    only orchestrates the loop and a 1-row convergence check — vertices,
+    edges, and labels all stay distributed.
+
+    Each round's label frame is cut with ``localCheckpoint(eager=True)``:
+    persist alone caches DATA but leaves the LOGICAL plan nested one
+    join+union deeper per round, so analysis/optimization cost grows
+    superlinearly and deep chains stack-overflow Catalyst — checkpointing
+    truncates lineage to the materialized blocks.  (On a real cluster
+    with executor churn, swap for ``spark.sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` — same shape, fault-tolerant storage.)
+
+    Component id = min doc_id in the component (deterministic, and
+    exactly reproducible by a recursive-CTE transitive closure, which is
+    the DuckDB oracle)."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    und = edges.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = und.join(labels, und.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "comp"
+        )
+        new_labels = (
+            labels.select("doc_id", "comp")
+            .union(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
 def cross_split_contamination(documents: DataFrame, split_col: str = "source") -> DataFrame:
     """Train/test contamination check: normalized-content fingerprints
     that appear in MORE THAN ONE split (source standing in for the

@@ -251,6 +251,11 @@ def q_embedding_dups(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    pairs = dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return dedup_ops.duplicate_components(pairs)
+
+
 def q_embedding_dups_lsh(spark, sf_dir):
     # Data-derived blocking (no label column needed).  The fixture has no
     # true near-dups (max pairwise cosine ~0.51), so the threshold and
@@ -547,6 +552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -1491,6 +1497,30 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE ws AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ws a JOIN ws b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), closure(src, reach) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT c.src, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+        )
+        SELECT src AS doc_id, least(src, min(reach)) AS comp
+        FROM closure GROUP BY src ORDER BY doc_id
     """,
     "dedup_cross_split_contamination": f"""
         WITH fp AS (

@@ -140,6 +140,27 @@ def test_embedding_near_duplicates(spark):
     assert got == {(1, 2)}  # blocked by label: (1,4) never compared
 
 
+def test_duplicate_components_chain_and_islands(spark):
+    """Min-label propagation must follow transitive chains (A-B, B-C in
+    one component even when A-C is not a pair) and keep disjoint pairs
+    apart; isolated docs (no pairs) are not vertices."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    """A 10-vertex path graph needs several propagation rounds; the loop
+    must run to convergence, not stop after one round."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert out == {i: 0 for i in range(11)}
+
+
 def test_jaccard_prefix_filter_lossless_large_vocab(spark, monkeypatch):
     """The prefix-filtered array path must stay lossless when the
     vocabulary exceeds PREFIX_COMMONS — i.e. when real rare tokens lead
