@@ -157,6 +157,142 @@ def top_words_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style heuristic quality rules (Rae et al. 2021, public
+    corpus-filtering recipe), reported as per-source rule-failure counts
+    plus the all-rules pass count.
+
+    Every rule is a built-in array/regex expression over the document's
+    own words — row-local, codegen'd, no shuffle until the per-source
+    aggregate — so the filter runs at scan speed over 100 TB and the
+    accounting aggregate moves |sources| rows."""
+    w = words(F.col("text"))
+    nw = F.size(w)
+    word_chars = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    mean_wl = word_chars / nw
+    symbols = F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("double") / nw
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double") / nw
+    )
+    stop_hits = F.size(F.filter(w, lambda t: t.isin(*LANG_MARKERS["en"])))
+    fails = {
+        "fail_word_count": ~nw.between(min_words, max_words),
+        "fail_word_len": ~mean_wl.between(min_word_len, max_word_len),
+        "fail_symbol_ratio": symbols > max_symbol_ratio,
+        "fail_alpha_frac": alpha_frac < min_alpha_frac,
+        "fail_stopwords": stop_hits < min_stop_hits,
+    }
+    flagged = documents.select(
+        "source", *[cond.alias(name) for name, cond in fails.items()]
+    )
+    passed = ~sum([F.col(n).cast("int") for n in fails], F.lit(0)).cast("boolean")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(F.col(n).cast("int")).alias(n) for n in fails],
+            F.sum(passed.cast("int")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+def repetition_ratios(documents: DataFrame, min_distinct_ratio: float = 0.3) -> DataFrame:
+    """Repetition detection (the 'degenerate generated text' filter):
+    type-token ratio plus duplicate bigram/trigram fractions, averaged
+    per language with a count of docs below the distinct-word floor.
+
+    N-grams are built array-side with transform over an index sequence —
+    no explode, no shuffle of the token stream; the only exchange is the
+    final per-language aggregate."""
+    d = documents.withColumn("w", words(F.col("text")))
+    grams = {
+        2: "CASE WHEN size(w) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1])) END",
+        3: "CASE WHEN size(w) < 3 THEN array() ELSE "
+        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END",
+    }
+    dup_frac = {
+        n: F.when(F.size(F.expr(g)) == 0, F.lit(0.0)).otherwise(
+            1.0
+            - F.size(F.array_distinct(F.expr(g))).cast("double") / F.size(F.expr(g))
+        )
+        for n, g in grams.items()
+    }
+    distinct_ratio = F.size(F.array_distinct(F.col("w"))).cast("double") / F.size("w")
+    per_doc = d.select(
+        "lang",
+        distinct_ratio.alias("distinct_ratio"),
+        dup_frac[2].alias("dup_bigram_frac"),
+        dup_frac[3].alias("dup_trigram_frac"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+            F.round(F.avg("dup_bigram_frac"), 4).alias("avg_dup_bigram_frac"),
+            F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
+            F.sum(
+                (F.col("distinct_ratio") < min_distinct_ratio).cast("int")
+            ).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Public-knowledge PII surface patterns (emails, NANP-ish phones, IPv4).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder — the transform a
+    pipeline applies before training.  Pure regexp_replace chain: stays
+    inside codegen, scan-speed at any scale."""
+    out = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_redaction_accounting(documents: DataFrame) -> DataFrame:
+    """Per-source PII accounting: match counts per pattern and how many
+    documents change under redaction — the audit view shipped alongside
+    the redacted corpus."""
+    counts = {
+        name: F.regexp_count("text", F.lit(pat)) for name, pat in PII_PATTERNS.items()
+    }
+    per_doc = documents.select(
+        "source",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (redact(F.col("text")) != F.col("text")).cast("int").alias("doc_redacted"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(f"n_{name}").alias(f"n_{name}") for name in PII_PATTERNS],
+            F.sum("doc_redacted").alias("n_docs_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Deterministic content fingerprint: md5 of the normalized text.
     The join key for exact-dedup across shards/snapshots at scale (hash

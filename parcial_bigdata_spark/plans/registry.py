@@ -221,6 +221,18 @@ def q_fingerprints(spark, sf_dir):
     return text_ops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_gopher_flags(spark, sf_dir):
+    return text_ops.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_repetition_ratios(spark, sf_dir):
+    return text_ops.repetition_ratios(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_accounting(spark, sf_dir):
+    return text_ops.pii_redaction_accounting(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_ops.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -541,6 +553,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprints": q_fingerprints,
     "text_top_words_per_lang": q_top_words,
     "text_quality_pass_rates": q_quality_pass,
+    "text_gopher_flags": q_gopher_flags,
+    "text_repetition_ratios": q_repetition_ratios,
+    "text_pii_redaction": q_pii_accounting,
     # sampling / splits / packing
     "sample_split_assign": q_split_assign,
     "sample_stratified_exact": q_stratified_sample,
@@ -1232,6 +1247,93 @@ ORACLES: dict[str, str] = {
                        / len(string_split(text, ' ')) <= 12.0 AS passes
             FROM documents
         ) GROUP BY lang ORDER BY lang
+    """,
+    "text_gopher_flags": """
+        WITH m AS (
+            SELECT source,
+                   len(string_split(text, ' ')) AS nw,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> length(x))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS mean_wl,
+                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS symbol_ratio,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS alpha_frac,
+                   len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','is'))) AS stop_hits
+            FROM documents
+        ), flags AS (
+            SELECT source,
+                   CASE WHEN nw BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS fail_word_count,
+                   CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END AS fail_word_len,
+                   CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END AS fail_symbol_ratio,
+                   CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END AS fail_alpha_frac,
+                   CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS fail_stopwords
+            FROM m
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(fail_word_count) AS BIGINT) AS fail_word_count,
+               CAST(sum(fail_word_len) AS BIGINT) AS fail_word_len,
+               CAST(sum(fail_symbol_ratio) AS BIGINT) AS fail_symbol_ratio,
+               CAST(sum(fail_alpha_frac) AS BIGINT) AS fail_alpha_frac,
+               CAST(sum(fail_stopwords) AS BIGINT) AS fail_stopwords,
+               CAST(sum(CASE WHEN fail_word_count + fail_word_len + fail_symbol_ratio
+                          + fail_alpha_frac + fail_stopwords = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass
+        FROM flags GROUP BY source ORDER BY source
+    """,
+    "text_repetition_ratios": """
+        WITH d AS (
+            SELECT lang, string_split(text, ' ') AS w FROM documents
+        ), g AS (
+            SELECT lang, w,
+                   list_transform(range(len(w)-1),
+                        i -> w[i+1] || ' ' || w[i+2]) AS bg,
+                   list_transform(range(len(w)-2),
+                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS tg
+            FROM d
+        ), per_doc AS (
+            SELECT lang,
+                   CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+                   CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+                        1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                   END AS dup_bigram_frac,
+                   CASE WHEN len(tg) = 0 THEN 0.0 ELSE
+                        1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                   END AS dup_trigram_frac
+            FROM g
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(distinct_ratio), 4) AS avg_distinct_ratio,
+               round(avg(dup_bigram_frac), 4) AS avg_dup_bigram_frac,
+               round(avg(dup_trigram_frac), 4) AS avg_dup_trigram_frac,
+               CAST(sum(CASE WHEN distinct_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_repetitive
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "text_pii_redaction": """
+        WITH per_doc AS (
+            SELECT source,
+                   len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text,
+                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+                   len(regexp_extract_all(text,
+                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                   CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                            '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')
+                        != text THEN 1 ELSE 0 END AS doc_redacted
+            FROM documents
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_email) AS BIGINT) AS n_email,
+               CAST(sum(n_phone) AS BIGINT) AS n_phone,
+               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+               CAST(sum(doc_redacted) AS BIGINT) AS n_docs_redacted
+        FROM per_doc GROUP BY source ORDER BY source
     """,
     "window_daily_delta": """
         WITH daily AS (

@@ -51,3 +51,69 @@ def test_fingerprints_ignore_case_and_punct(spark):
     assert out[1] == out[2]  # normalization collapses case + punctuation
     assert out[1] != out[3]
     assert len(out[1]) == 32  # md5 hex
+
+
+def test_gopher_flags_each_rule(spark):
+    """One crafted doc per failure mode, plus one that passes all rules."""
+    good = " ".join(["the", "and"] + ["word"] * 60)  # 62 words, stopwords, all alpha
+    rows = [
+        (1, good, "en", "web", len(good)),
+        (2, "the and " + " ".join(["word"] * 10), "en", "web", 60),  # too few words
+        (3, " ".join(["the", "and"] + ["ab"] * 60), "en", "web", 150),  # short words
+        (4, " ".join(["the", "and"] + ["word#"] * 30 + ["word"] * 30), "en", "web", 300),  # symbols
+        (5, " ".join(["the", "and"] + ["123"] * 60), "en", "web", 200),  # non-alpha
+        (6, " ".join(["word"] * 60), "en", "book", 300),  # no stopwords
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in text.gopher_quality_flags(docs).collect()}
+    web = out["web"]
+    assert web.n_docs == 5 and web.n_pass == 1
+    assert web.fail_word_count == 1
+    assert web.fail_word_len == 1  # mean word length < 3
+    assert web.fail_symbol_ratio == 1
+    assert web.fail_alpha_frac == 1
+    assert out["book"].fail_stopwords == 1 and out["book"].n_pass == 0
+
+
+def test_repetition_ratios_flags_degenerate_doc(spark):
+    rows = [
+        (1, " ".join(["spam"] * 50), "en", "web", 249),  # fully repetitive
+        (2, " ".join(f"w{i}" for i in range(50)), "en", "web", 180),  # all distinct
+        (3, "a b", "fr", "web", 3),  # bigram edge: exactly one bigram
+        (4, "a", "de", "web", 1),  # no bigrams/trigrams at all
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.lang: r for r in text.repetition_ratios(docs).collect()}
+    en = out["en"]
+    assert en.n_repetitive == 1  # only the spam doc
+    # averages over {spam: ttr=0.02 dup_bg=48/49, distinct: ttr=1 dup_bg=0}
+    assert abs(en.avg_distinct_ratio - round((0.02 + 1.0) / 2, 4)) < 1e-9
+    assert abs(en.avg_dup_bigram_frac - round((1 - 1 / 49) / 2, 4)) < 1e-9
+    assert out["fr"].avg_dup_bigram_frac == 0.0  # 1 distinct bigram of 1
+    assert out["de"].avg_dup_bigram_frac == 0.0 and out["de"].avg_dup_trigram_frac == 0.0
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.org or call 555-123-4567", "en", "web", 52),
+        (2, "server at 10.0.0.1 and 192.168.1.255 up", "en", "web", 39),
+        (3, "nothing sensitive here", "en", "book", 22),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    red = {r.doc_id: r.red for r in
+           docs.select("doc_id", text.redact(F.col("text")).alias("red")).collect()}
+    assert red[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert red[2] == "server at <IPV4> and <IPV4> up"
+    assert red[3] == "nothing sensitive here"
+    out = {r.source: r for r in text.pii_redaction_accounting(docs).collect()}
+    assert (out["web"].n_email, out["web"].n_phone, out["web"].n_ipv4) == (1, 1, 2)
+    assert out["web"].n_docs_redacted == 2
+    assert out["book"].n_docs_redacted == 0
