@@ -36,22 +36,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # The fixture stores ts as parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects.  Read nanos as long, then floor-divide
-        # to microseconds (integer `div` — a double would lose precision at
-        # 1.7e18 ns).  The DuckDB oracles apply the matching CAST(ts AS
-        # TIMESTAMP) truncation.
-        # The raw bigint rides along as ``ts_nanos``: filters on the DERIVED
-        # ts column cannot reach the scan, but interval operators translate
-        # their bounds to nanos and filter ts_nanos — a pure alias of the
-        # parquet column — so range predicates DO push into row-group
-        # pruning (PushedFilters on ts).  Unused, the column is pruned away.
+        # The events fixture has shipped ts two ways; handle both:
+        #  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+        #    read nanos as long (nanosAsLong), floor-divide to micros
+        #    (integer `div` — a double loses precision at 1.7e18 ns), and
+        #    keep the raw bigint as ``ts_nanos`` so interval operators can
+        #    translate bounds to nanos and push row-group pruning onto the
+        #    physical column (the derived ts can't reach the scan).
+        #  - TIMESTAMP(MICROS) without isAdjustedToUTC: Spark infers
+        #    TIMESTAMP_NTZ by default, which breaks unix_micros() and
+        #    tz-aware arithmetic downstream.  Disable NTZ inference so the
+        #    scan yields a plain TIMESTAMP (session tz is UTC, so values
+        #    match DuckDB's naive reading) — and ts predicates push into
+        #    the parquet scan natively, no nanos escape needed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Reader built before the conf was set (cached schema) — coerce.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -40,6 +40,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
@@ -59,6 +60,9 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Parquet TIMESTAMP(MICROS) without isAdjustedToUTC must read as plain
+    # TIMESTAMP (not NTZ) for oracle-identical UTC semantics (see catalog).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         defaults = int(spark.conf.get("spark.sql.shuffle.partitions"))
         if defaults > 4 * _cpus():

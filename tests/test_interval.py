@@ -55,9 +55,11 @@ def test_validate_range_rejects_inverted():
 
 
 def test_events_interval_pushes_nanos_predicate(spark):
-    """On the TIMESTAMP(NANOS) events fixture the ts filter cannot push
-    (ts is derived), so interval() must translate the bounds to nanos and
-    push them on the raw bigint column — row-group pruning at 100 TB."""
+    """The events ts range filter must reach the parquet scan whichever way
+    the fixture stores ts: TIMESTAMP(NANOS) (read as bigint; interval()
+    translates bounds to nanos and pushes on the raw column) or
+    TIMESTAMP(MICROS) (native TIMESTAMP scan column; the timestamp
+    predicate pushes directly) — row-group pruning at 100 TB either way."""
     import os
 
     import pytest as _pytest
@@ -65,6 +67,8 @@ def test_events_interval_pushes_nanos_predicate(spark):
     sf_dir = "/root/testdata/sf0.001"
     if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
         _pytest.skip("driver testdata not present")
+    import pyarrow.parquet as pq
+
     from parcial_bigdata_spark.catalog import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -74,11 +78,18 @@ def test_events_interval_pushes_nanos_predicate(spark):
         .executedPlan()
         .toString()
     )
-    assert "GreaterThanOrEqual(ts,1704412800000000000)" in plan
-    assert "LessThanOrEqual(ts,1705708800000000999)" in plan
-    # only the two needed physical columns leave storage
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
-    assert read_schema == "struct<ts:bigint,value:double>"
+    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if str(arrow_ts) == "timestamp[ns]":
+        # nanos escape: bounds translated to raw int64 nanos, pushed on ts
+        assert "GreaterThanOrEqual(ts,1704412800000000000)" in plan
+        assert "LessThanOrEqual(ts,1705708800000000999)" in plan
+        assert read_schema == "struct<ts:bigint,value:double>"
+    else:
+        # native timestamp column: the range predicate pushes as-is
+        assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+        assert "LessThanOrEqual(ts," in plan
+        assert read_schema == "struct<ts:timestamp,value:double>"
 
 
 def test_interval_pushes_predicate_to_parquet(spark, series, tmp_path):
