@@ -50,3 +50,37 @@ def test_events_ts_is_timestamp_after_nanos_escape(spark):
 def test_unknown_table_rejected(spark):
     with pytest.raises(KeyError):
         load_table(spark, SF_DIR, "nope")
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_ts_layout_drift(spark, tmp_path, unit):
+    """The driver has shipped events.ts both as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) without isAdjustedToUTC (regenerated between
+    rounds).  load_table must yield a plain TIMESTAMP ts either way:
+    nanos via the nanosAsLong escape + micros floor-division, micros via
+    NTZ-inference off (NTZ would break unix_micros downstream)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / f"layout_{unit}"
+    d.mkdir()
+    stamps = [dt.datetime(2024, 1, 5, 12, 0, 0), dt.datetime(2024, 1, 10, 8, 30, 0)]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(stamps, pa.timestamp(unit)),
+            "user_id": pa.array([7, 8], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    df = load_table(spark, str(d), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in df.select("ts").collect())
+    assert got == stamps
+    if unit == "ns":
+        assert "ts_nanos" in df.columns  # raw column kept for pushdown
