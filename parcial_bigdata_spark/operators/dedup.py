@@ -377,6 +377,66 @@ def cross_split_contamination(documents: DataFrame, split_col: str = "source") -
     )
 
 
+def ngram_contamination(train: DataFrame, eval_: DataFrame, n: int = 5) -> DataFrame:
+    """Token n-gram overlap decontamination (the GPT-3-style screen):
+    for every eval doc, the fraction of its distinct word n-grams that
+    appear ANYWHERE in the train split.  Catches partial containment —
+    a quoted eval passage inside a train doc — that the whole-document
+    fingerprint screen (cross_split_contamination) misses entirely.
+
+    Plan: both sides reduce to hashed n-grams (one xxhash64 per word,
+    then one per n-gram of word-hashes — never re-concatenated strings);
+    the train side collapses to a DISTINCT hash set; one equi-join on
+    the gram hash + per-doc aggregate.  Everything is linear in corpus
+    size and shuffles on the gram hash — no pairwise doc comparison, so
+    at 100 TB this is a distinct + one shuffle join (add a bloom filter
+    on the train set to prune the eval explode server-side if the train
+    gram set dwarfs executor memory).
+
+    Eval docs with fewer than ``n`` words have no n-grams and are
+    excluded (nothing to screen).  Output: one row per screened eval
+    doc — ``n_ngrams`` distinct grams, ``n_contaminated`` of them found
+    in train, and the rounded fraction."""
+    grams = lambda df: _doc_ngrams(df, n)  # noqa: E731
+    train_set = grams(train).select(F.explode("grams").alias("gram")).distinct()
+    eval_grams = grams(eval_).where(F.size("grams") > 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    hits = eval_grams.join(
+        train_set.withColumn("hit", F.lit(1)), "gram", "left"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_ngrams(documents: DataFrame, n: int) -> DataFrame:
+    """Distinct hashed word n-grams per doc (empty array below n words).
+
+    Like shingles() but with exact sub-n semantics: a 4-word doc has
+    zero 5-grams, not one padded pseudo-gram."""
+    idx = F.sequence(F.lit(0), F.size("wh") - n)
+
+    def _gram(i):
+        return F.xxhash64(*[F.get("wh", i + j) for j in range(n)])
+
+    return _word_hashes(documents).select(
+        "doc_id",
+        F.when(F.size("wh") >= n, F.array_distinct(F.transform(idx, _gram)))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("grams"),
+    )
+
+
 # ---------------------------------------------------------------- MinHash/LSH
 
 N_HASHES = 16

@@ -257,6 +257,16 @@ def q_contamination(spark, sf_dir):
     return dedup_ops.cross_split_contamination(_t(spark, sf_dir, "documents"))
 
 
+def q_ngram_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # even-numbered sources = train split, odd = eval (fixture sources
+    # are src0..src19; a real pipeline passes its actual split frames)
+    is_train = F.substring("source", 4, 10).cast("int") % 2 == 0
+    return dedup_ops.ngram_contamination(
+        docs.where(is_train), docs.where(~is_train), n=5
+    )
+
+
 def q_embedding_dups(spark, sf_dir):
     return dedup_ops.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.3
@@ -572,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_embedding_dups,
     "dedup_cross_split_contamination": q_contamination,
+    "dedup_ngram_decontaminate": q_ngram_decontaminate,
     # similarity search
     "knn_cosine_brute_force": q_knn_brute,
     "knn_cosine_ivf": q_knn_ivf,
@@ -1635,6 +1646,34 @@ ORACLES: dict[str, str] = {
                CAST(sum(n) AS BIGINT) AS n_docs
         FROM per_split GROUP BY fingerprint
         HAVING count(DISTINCT source) > 1 ORDER BY fingerprint
+    """,
+    "dedup_ngram_decontaminate": f"""
+        WITH norm AS (
+            SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 = 0 AS is_train,
+                   string_split({_NORM_SQL}, ' ') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, is_train,
+                   CASE WHEN len(w) >= 5
+                        THEN list_distinct(list_transform(range(1, len(w) - 4 + 1),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END AS g
+            FROM norm
+        ), train AS (
+            SELECT DISTINCT unnest(g) AS gram FROM grams WHERE is_train
+        ), eval_g AS (
+            SELECT doc_id, unnest(g) AS gram FROM grams WHERE NOT is_train
+        ), hits AS (
+            SELECT e.doc_id, count(*) AS n_hit
+            FROM eval_g e JOIN train t USING (gram) GROUP BY e.doc_id
+        )
+        SELECT g.doc_id, len(g.g) AS n_ngrams,
+               COALESCE(h.n_hit, 0) AS n_contaminated,
+               round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(g.g), 4)
+                   AS contaminated_frac
+        FROM grams g LEFT JOIN hits h USING (doc_id)
+        WHERE NOT g.is_train AND len(g.g) > 0
+        ORDER BY g.doc_id
     """,
     "dedup_embedding_cosine": """
         SELECT vec_a, vec_b, cosine_sim FROM (

@@ -314,3 +314,27 @@ def test_jaccard_multilane_bitmask_matches_array_path(spark, monkeypatch):
     }
     assert fast == slow
     assert fast  # the perturbation keeps at least some near-dup pairs
+
+
+def test_ngram_contamination_partial_overlap(spark, documents):
+    """doc 3 (eval) shares its first 9 words with train doc 1: 5 of its
+    6 distinct 5-grams hit; unrelated doc 5 scores zero."""
+    from pyspark.sql import functions as F
+
+    train = documents.where(F.col("source") == "web")
+    evals = documents.where(F.col("source") == "book")
+    out = {r.doc_id: r for r in dedup.ngram_contamination(train, evals, n=5).collect()}
+    assert set(out) == {3, 5}
+    assert (out[3].n_ngrams, out[3].n_contaminated) == (6, 5)
+    assert abs(out[3].contaminated_frac - round(5 / 6, 4)) < 1e-9
+    assert (out[5].n_contaminated, out[5].contaminated_frac) == (0, 0.0)
+
+
+def test_ngram_contamination_short_docs_excluded(spark, documents):
+    """Eval docs below n words have no n-grams and emit no row."""
+    short = spark.createDataFrame(
+        [(99, "too short to shingle", "en", "book", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.ngram_contamination(documents, short, n=5).collect()
+    assert out == []
