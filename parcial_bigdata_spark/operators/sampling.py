@@ -211,3 +211,40 @@ def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = 32, stride: int = 24
+) -> DataFrame:
+    """Overlapping context-window chunks — the sharding step that turns
+    long documents into fixed-size training sequences (stride < chunk
+    size overlaps consecutive windows so no boundary context is lost).
+
+    Entirely row-local: token split, a stride-stepped ``sequence`` of
+    start offsets, one ``explode`` — zero shuffle, linear in corpus
+    size, and the explode factor is bounded by ceil(len/stride), so
+    partition sizes stay predictable at 100 TB (no skew amplification
+    beyond document length itself, which upstream length filters cap)."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from parcial_bigdata_spark.operators.text import normalized
+
+    toks = F.split(normalized(F.col("text")), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    chunked = documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        toks.alias("toks"),
+        F.explode(starts).alias("chunk_start"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.expr(f"chunk_start div {stride}").alias("chunk_id"),
+        "chunk_start",
+        F.least(F.lit(chunk_size), F.col("n_tokens") - F.col("chunk_start")).alias(
+            "chunk_tokens"
+        ),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("chunk_start") + 1, F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

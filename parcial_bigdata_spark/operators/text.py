@@ -303,3 +303,32 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         "lang",
         "source",
     ).orderBy("doc_id")
+
+
+def vocabulary_stats(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary profile: per-word document frequency and IDF —
+    the first pass of tokenizer training / stopword derivation.
+
+    Distinct-words-per-doc explode then one groupBy(word): shuffle rows
+    = Σ|doc vocabularies|, with map-side partial counts.  The corpus
+    doc count joins in as a broadcast single-row aggregate (no driver
+    collect).  Top-N by (doc_freq desc, word) is a TakeOrdered, not a
+    global sort."""
+    dw = documents.select(
+        F.explode(F.array_distinct(words(normalized(F.col("text"))))).alias("word")
+    )
+    total = documents.agg(F.count("*").alias("n_corpus_docs"))
+    return (
+        dw.groupBy("word")
+        .agg(F.count("*").alias("doc_freq"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "doc_freq",
+            F.round(
+                F.log(F.col("n_corpus_docs").cast("double") / F.col("doc_freq")), 4
+            ).alias("idf"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "word")
+        .limit(top_n)
+    )

@@ -476,6 +476,14 @@ def q_pack_sequences(spark, sf_dir):
     return sample_ops.pack_sequences(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    return sample_ops.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_vocabulary_stats(spark, sf_dir):
+    return text_ops.vocabulary_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_quota_sample(spark, sf_dir):
     return sample_ops.quota_sample_by_source(_t(spark, sf_dir, "documents"))
 
@@ -566,10 +574,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_flags": q_gopher_flags,
     "text_repetition_ratios": q_repetition_ratios,
     "text_pii_redaction": q_pii_accounting,
+    "text_vocabulary": q_vocabulary_stats,
     # sampling / splits / packing
     "sample_split_assign": q_split_assign,
     "sample_stratified_exact": q_stratified_sample,
     "sample_pack_sequences": q_pack_sequences,
+    "sample_chunk_documents": q_chunk_documents,
     "sample_quota_by_source": q_quota_sample,
     "sample_epoch_repeat": q_epoch_repeat,
     "sample_temperature_mix": q_temperature_mix,
@@ -1073,6 +1083,20 @@ ORACLES: dict[str, str] = {
         WHERE rn <= 20
         ORDER BY lang, rn
     """,
+    "sample_chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+        ), s AS (
+            SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS chunk_start
+            FROM t
+        )
+        SELECT doc_id,
+               chunk_start // 24 AS chunk_id,
+               chunk_start,
+               least(32, len(w) - chunk_start) AS chunk_tokens,
+               array_to_string(w[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_id
+    """,
     "sample_pack_sequences": """
         WITH toks AS (
             SELECT doc_id, lang,
@@ -1322,6 +1346,16 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN distinct_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_repetitive
         FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "text_vocabulary": f"""
+        WITH dw AS (
+            SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS word
+            FROM documents
+        ), tot AS (SELECT count(*) AS n FROM documents)
+        SELECT word, count(*) AS doc_freq,
+               round(ln(CAST(tot.n AS DOUBLE) / count(*)), 4) AS idf
+        FROM dw, tot GROUP BY word, tot.n
+        ORDER BY doc_freq DESC, word LIMIT 100
     """,
     "text_pii_redaction": """
         WITH per_doc AS (

@@ -106,3 +106,31 @@ def test_temperature_mixture_flattens_shares(spark):
     }
     assert out["big"] == (80, 0.8, 0.6667, 66, 0.83)  # 66/80 = 0.825, HALF_UP
     assert out["small"] == (20, 0.2, 0.3333, 33, 1.65)
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    """10 tokens, chunk=4, stride=3 → starts 0/3/6/9; the tail window
+    carries only the 1 remaining token; overlap regions repeat."""
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "web", 29)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sampling.chunk_documents(df, chunk_size=4, stride=3).collect()
+    got = [(r.chunk_id, r.chunk_start, r.chunk_tokens, r.chunk_text) for r in out]
+    assert got == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+        (3, 9, 1, "t9"),
+    ]
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b", "en", "web", 3)],
+                               "doc_id long, text string, lang string, source string, n_chars long")
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        sampling.chunk_documents(df, stride=-1)

@@ -117,3 +117,21 @@ def test_pii_redaction_masks_and_counts(spark):
     assert (out["web"].n_email, out["web"].n_phone, out["web"].n_ipv4) == (1, 1, 2)
     assert out["web"].n_docs_redacted == 2
     assert out["book"].n_docs_redacted == 0
+
+
+def test_vocabulary_stats_doc_freq_and_idf(spark):
+    """'common' is in all 3 docs (idf=0), 'pair' in 2, the rest in 1;
+    ordering is doc_freq desc then word asc."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "common pair alpha", "en", "w", 17),
+         (2, "common pair beta", "en", "w", 16),
+         (3, "common gamma gamma", "en", "w", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = [(r.word, r.doc_freq, r.idf) for r in text.vocabulary_stats(df).collect()]
+    assert out[0] == ("common", 3, 0.0)
+    assert out[1] == ("pair", 2, round(math.log(3 / 2), 4))
+    assert [w for w, *_ in out[2:]] == ["alpha", "beta", "gamma"]
+    assert all(f == 1 and i == round(math.log(3), 4) for _, f, i in out[2:])
