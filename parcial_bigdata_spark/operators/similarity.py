@@ -89,6 +89,74 @@ def knn_ivf(
     )
 
 
+def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by ROUNDED cosine (ties → lowest
+    cluster id).  The rounding pins the argmax across engines and
+    summation orders, which is what lets the trained quantizer carry an
+    exact SQL oracle.  Centroids broadcast (k rows); the corpus streams
+    through one scan — no shuffle until the caller aggregates."""
+    s = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cluster", s.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster", "sim")
+    )
+
+
+def train_spherical_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Train the IVF coarse quantizer itself: spherical k-means by Lloyd
+    iteration, entirely as DataFrame ops — the step that produces the
+    cluster assignment knn_ivf consumes (instead of borrowing the
+    fixture ``label``).
+
+    Init is the first ``k`` vectors by vec_id (deterministic, no RNG);
+    each round assigns every vector to its max-cosine centroid
+    (broadcast k×dim, one corpus scan) and recomputes element-wise mean
+    centroids (one shuffle of |clusters|·dim partial sums).  The
+    iteration count is FIXED, not convergence-tested: per-round cost is
+    known, the result is reproducible, and an unrolled SQL twin can
+    verify it — at 100 TB you run Lloyd on a sample anyway, so bounded
+    iterations are the production shape.  Per-round lineage is cut with
+    localCheckpoint (same rationale as duplicate_components)."""
+    if k <= 0 or iters <= 0:
+        raise ValueError("k and iters must be positive")
+    e = embeddings.select("vec_id", "embedding")
+    w0 = Window.orderBy("vec_id")
+    cents = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).alias("cluster"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        asg = assign_clusters(e, cents)
+        cents = elementwise_avg(asg, ["cluster"], "embedding").localCheckpoint(
+            eager=True
+        )
+    return cents
+
+
+def kmeans_cluster_summary(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """Per-cluster profile of the trained quantizer: member count and
+    mean member→centroid cosine (the coherence metric that tells you
+    whether k is sane before building the IVF index)."""
+    cents = train_spherical_kmeans(embeddings, k, iters)
+    final = assign_clusters(embeddings.select("vec_id", "embedding"), cents)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def knn_brute_force_arrow(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
     """Brute-force cosine top-k on the Arrow path: the tiny query matrix
     broadcasts to executors; each Arrow batch computes ALL similarities

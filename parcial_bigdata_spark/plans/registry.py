@@ -355,6 +355,12 @@ def q_embedding_norms(spark, sf_dir):
     return sim_ops.embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans_train(spark, sf_dir):
+    return sim_ops.kmeans_cluster_summary(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+
+
 def q_media_summary(spark, sf_dir):
     return mm_ops.media_summary(_t(spark, sf_dir, "documents"))
 
@@ -599,6 +605,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_lsh": q_knn_lsh,
     "knn_cosine_arrow": q_knn_arrow,
     "embedding_norm_stats": q_embedding_norms,
+    "embedding_kmeans_train": q_kmeans_train,
     # multimodal
     "multimodal_media_summary": q_media_summary,
     "multimodal_frame_sample": q_frame_sample,
@@ -1851,6 +1858,57 @@ def _lsh_oracle() -> str:
 
 
 ORACLES["knn_cosine_lsh"] = _lsh_oracle()
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd twin of train_spherical_kmeans: the FIXED iteration
+    count is what makes the iterative algorithm SQL-expressible — one
+    assign/recenter CTE pair per round, same rounded-cosine argmax and
+    per-position mean as the Spark side."""
+
+    def assign(cent: str, out: str, keep_sim: bool) -> str:
+        sim_col = ", s" if keep_sim else ""
+        return f"""
+    {out} AS (
+        SELECT vec_id, v, cluster{sim_col} FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   round(list_cosine_similarity(e.v, c.centroid), 6) AS s,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                c.cluster ASC) AS rn
+            FROM e, {cent} c
+        ) WHERE rn = 1
+    )"""
+
+    def recenter(asg: str, out: str) -> str:
+        return f"""
+    {out} AS (
+        SELECT cluster, list(m ORDER BY i) AS centroid FROM (
+            SELECT a.cluster, t.i, avg(a.v[t.i]) AS m
+            FROM {asg} a, (SELECT unnest(range(1, {dim + 1})) AS i) t
+            GROUP BY a.cluster, t.i
+        ) GROUP BY cluster
+    )"""
+
+    ctes = [
+        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS centroid
+        FROM e ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(assign(f"c{r - 1}", f"a{r}", keep_sim=False))
+        ctes.append(recenter(f"a{r}", f"c{r}"))
+    ctes.append(assign(f"c{iters}", "final", keep_sim=True))
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT cluster, count(*) AS n_vecs, round(avg(s), 4) AS avg_sim
+    FROM final GROUP BY cluster ORDER BY cluster
+    """
+
+
+ORACLES["embedding_kmeans_train"] = _kmeans_oracle()
 
 # The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the
 # nanos-as-long escape hatch truncated to microseconds (catalog.load_table),

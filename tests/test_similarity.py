@@ -82,3 +82,63 @@ def test_brute_force_broadcasts_queries(embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.fixture(scope="module")
+def interleaved_embeddings(spark):
+    """Same 4 axis clusters, but vec_ids interleave across clusters
+    (vid = axis + 4j), so the deterministic first-k init seeds one
+    vector per cluster."""
+    rows = []
+    for axis in range(4):
+        for j in range(4):
+            vec = [0.0] * 4
+            vec[axis] = 1.0
+            vec[(axis + 1) % 4] = 0.01 * j
+            rows.append((axis + 4 * j, vec, str(axis)))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+
+
+def test_kmeans_recovers_axis_clusters(interleaved_embeddings):
+    """4 tight axis-aligned clusters, k=4, one seed per cluster: Lloyd
+    must converge to one cluster per axis with high coherence."""
+    cents = sim.train_spherical_kmeans(interleaved_embeddings, k=4, iters=2)
+    asg = sim.assign_clusters(
+        interleaved_embeddings.select("vec_id", "embedding"), cents
+    ).collect()
+    by_cluster = {}
+    for r in asg:
+        by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+    # each axis group {axis, axis+4, axis+8, axis+12} is one cluster
+    assert sorted(map(tuple, (sorted(v) for v in by_cluster.values()))) == [
+        (0, 4, 8, 12), (1, 5, 9, 13), (2, 6, 10, 14), (3, 7, 11, 15)
+    ]
+    assert all(r.sim > 0.99 for r in asg)
+
+
+def test_kmeans_summary_counts_and_coherence(interleaved_embeddings):
+    out = sim.kmeans_cluster_summary(interleaved_embeddings, k=4, iters=2).collect()
+    assert [r.cluster for r in out] == sorted(r.cluster for r in out)
+    assert [r.n_vecs for r in out] == [4, 4, 4, 4]
+    assert all(r.avg_sim > 0.99 for r in out)
+
+
+def test_kmeans_rejects_bad_params(embeddings):
+    with pytest.raises(ValueError):
+        sim.train_spherical_kmeans(embeddings, k=0)
+    with pytest.raises(ValueError):
+        sim.train_spherical_kmeans(embeddings, iters=0)
+
+
+def test_ivf_runs_on_trained_assignment(interleaved_embeddings):
+    """The trained quantizer plugs straight into knn_ivf as cluster_col —
+    the end-to-end 'train index, then search it' path."""
+    cents = sim.train_spherical_kmeans(interleaved_embeddings, k=4, iters=2)
+    asg = sim.assign_clusters(
+        interleaved_embeddings.select("vec_id", "embedding"), cents
+    ).select("vec_id", "embedding", F.col("cluster").alias("ivf_cluster"))
+    out = sim.knn_ivf(
+        asg, query_ids=[0], k=3, nprobe=1, cluster_col="ivf_cluster"
+    ).collect()
+    # nprobe=1 on a perfect clustering: exactly the cluster-mates of vec 0
+    assert {r.vec_id for r in out} == {4, 8, 12}
