@@ -250,7 +250,11 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup_ops.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+    # arrow=True: the bit-identical numpy fingerprint path (the HOF twin
+    # is the pytest-asserted ground truth, as with knn_cosine_arrow)
+    return dedup_ops.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, arrow=True
+    )
 
 
 def q_contamination(spark, sf_dir):

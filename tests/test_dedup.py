@@ -338,3 +338,16 @@ def test_ngram_contamination_short_docs_excluded(spark, documents):
     )
     out = dedup.ngram_contamination(documents, short, n=5).collect()
     assert out == []
+
+
+def test_simhash_arrow_matches_hof_fingerprints(documents):
+    """The Arrow fingerprint path must be BIT-identical to the built-in
+    HOF ground truth (same contract as knn_cosine_arrow vs brute force)."""
+    hof = {r.doc_id: r.simhash for r in dedup.simhash(documents).collect()}
+    arw = {r.doc_id: r.simhash for r in dedup.simhash_arrow(documents).collect()}
+    assert hof == arw
+    pairs_hof = {(r.doc_a, r.doc_b) for r in
+                 dedup.simhash_near_duplicates(documents, 10).collect()}
+    pairs_arw = {(r.doc_a, r.doc_b) for r in
+                 dedup.simhash_near_duplicates(documents, 10, arrow=True).collect()}
+    assert pairs_hof == pairs_arw
