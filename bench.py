@@ -46,6 +46,10 @@ HEADLINE = [
     "knn_cosine_lsh",
     "sample_stratified_exact",
     "text_token_counts",
+    "dedup_ngram_decontaminate",
+    "sample_chunk_documents",
+    "text_vocabulary",
+    "embedding_kmeans_train",
 ]
 
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))

@@ -330,6 +330,15 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # Convergence via the label-sum invariant: comp is monotone non-
+    # increasing per vertex each round, so the total is unchanged iff NO
+    # vertex changed — a 1-row aggregate over the checkpointed frame,
+    # instead of a join + filter + count.  DECIMAL(38,0) keeps the sum
+    # exact at any corpus size (a long sum would wrap silently).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neigh = und.join(labels, und.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), "comp"
@@ -341,16 +350,11 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.orderBy("doc_id")
 
 
@@ -397,11 +401,8 @@ def ngram_contamination(train: DataFrame, eval_: DataFrame, n: int = 5) -> DataF
     excluded (nothing to screen).  Output: one row per screened eval
     doc — ``n_ngrams`` distinct grams, ``n_contaminated`` of them found
     in train, and the rounded fraction."""
-    grams = lambda df: _doc_ngrams(df, n)  # noqa: E731
-    train_set = grams(train).select(F.explode("grams").alias("gram")).distinct()
-    eval_grams = grams(eval_).where(F.size("grams") > 0).select(
-        "doc_id", F.explode("grams").alias("gram")
-    )
+    train_set = _doc_gram_rows(train, n).select("gram").distinct()
+    eval_grams = _doc_gram_rows(eval_, n)
     hits = eval_grams.join(
         train_set.withColumn("hit", F.lit(1)), "gram", "left"
     )
@@ -419,21 +420,30 @@ def ngram_contamination(train: DataFrame, eval_: DataFrame, n: int = 5) -> DataF
     )
 
 
-def _doc_ngrams(documents: DataFrame, n: int) -> DataFrame:
-    """Distinct hashed word n-grams per doc (empty array below n words).
+def _doc_gram_rows(documents: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, gram-hash) rows of word n-grams; docs below
+    ``n`` words contribute nothing (exact sub-n semantics — a 4-word
+    doc has zero 5-grams, no padded pseudo-gram).
 
-    Like shingles() but with exact sub-n semantics: a 4-word doc has
-    zero 5-grams, not one padded pseudo-gram."""
-    idx = F.sequence(F.lit(0), F.size("wh") - n)
-
-    def _gram(i):
-        return F.xxhash64(*[F.get("wh", i + j) for j in range(n)])
-
-    return _word_hashes(documents).select(
-        "doc_id",
-        F.when(F.size("wh") >= n, F.array_distinct(F.transform(idx, _gram)))
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("grams"),
+    Deliberately explode-the-INDEX, hash-after: exploding a precomputed
+    gram ARRAY lets Catalyst inline the array expression into the
+    Generate, which re-evaluates it per emitted element — O(len²)
+    hashes per doc, measured 20× slower at sf0.1.  The index sequence
+    is cheap to re-evaluate; the n-gram hash then runs exactly once per
+    output row in codegen."""
+    wh = _word_hashes(documents)
+    return (
+        wh.where(F.size("wh") >= n)
+        .select(
+            "doc_id",
+            "wh",
+            F.explode(F.sequence(F.lit(0), F.size("wh") - n)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(*[F.get("wh", F.col("i") + j) for j in range(n)]).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
     )
 
 
