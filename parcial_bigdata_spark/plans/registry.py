@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from parcial_bigdata_spark.catalog import load_table
 from parcial_bigdata_spark.operators import (
     aggregations as agg_ops,
+    analytics as ana_ops,
     dedup as dedup_ops,
     interval as interval_ops,
     joins as join_ops,
@@ -197,6 +198,14 @@ def q_status_bag_overlap(spark, sf_dir):
 
 def q_sliding_counts(spark, sf_dir):
     return win_ops.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_steps(spark, sf_dir):
+    return ana_ops.funnel_steps(_t(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark, sf_dir):
+    return ana_ops.retention_cohorts(_t(spark, sf_dir, "events"))
 
 
 def q_all_party_keys(spark, sf_dir):
@@ -574,6 +583,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_all_party_keys": q_all_party_keys,
     "setop_status_bag_overlap": q_status_bag_overlap,
     "window_sliding_counts": q_sliding_counts,
+    "events_funnel_steps": q_funnel_steps,
+    "events_retention_cohorts": q_retention_cohorts,
     # text analysis
     "text_quality_metrics": q_text_quality,
     "text_token_counts": q_token_counts,
@@ -1535,6 +1546,41 @@ ORACLES: dict[str, str] = {
                COALESCE(n_surplus_y1, 0) AS n_surplus_y1
         FROM c FULL OUTER JOIN s USING (o_orderstatus)
         ORDER BY o_orderstatus
+    """,
+    "events_funnel_steps": """
+        WITH s0 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s1 AS (
+            SELECT events.user_id, min(events.ts) AS t
+            FROM events JOIN s0 ON events.user_id = s0.user_id
+            WHERE events.event_type = 'click' AND events.ts > s0.t
+            GROUP BY events.user_id
+        ), s2 AS (
+            SELECT events.user_id, min(events.ts) AS t
+            FROM events JOIN s1 ON events.user_id = s1.user_id
+            WHERE events.event_type = 'purchase' AND events.ts > s1.t
+            GROUP BY events.user_id
+        )
+        SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+        UNION ALL SELECT 1, 'click', count(*) FROM s1
+        UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+        ORDER BY step_idx
+    """,
+    "events_retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+               count(*) AS n_users
+        FROM activity a JOIN cohort c USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
     """,
     "window_sliding_counts": """
         WITH ex AS (

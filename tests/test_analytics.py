@@ -1,0 +1,69 @@
+"""Funnel and retention-cohort analytics on a hand-built event stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from parcial_bigdata_spark.operators import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, 0.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    return _ev(spark, [
+        (d(1), 1, "view"), (d(2), 1, "click"), (d(3), 1, "purchase"),
+        (d(1), 2, "view"), (d(2), 2, "purchase"),        # skips click
+        (d(1), 3, "click"), (d(2), 3, "view"), (d(3), 3, "click"),
+        (d(1), 4, "purchase"), (d(2), 4, "view"),        # purchase BEFORE view
+    ])
+
+
+def test_funnel_strict_ordering(funnel_events):
+    out = {r.step: r.n_users for r in analytics.funnel_steps(funnel_events).collect()}
+    # all four users viewed; only 1 and 3 clicked AFTER their first view;
+    # only user 1 purchased after that click (user 4's purchase predates
+    # the view, user 2 never clicked)
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_funnel_step_order_and_rejects_empty(funnel_events):
+    rows = analytics.funnel_steps(funnel_events).collect()
+    assert [r.step_idx for r in rows] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        analytics.funnel_steps(funnel_events, steps=())
+
+
+def test_retention_weekly_triangle(spark):
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    # weeks: Jan 1 (Mon) starts week0, Jan 8 week1, Jan 15 week2
+    ev = _ev(spark, [
+        (d(1), 1, "signup"), (d(2), 1, "click"), (d(9), 1, "view"),   # w0, active w0+w1
+        (d(8), 2, "signup"), (d(10), 2, "click"),                     # w1, active w1
+        (d(2), 3, "view"),                                            # never signed up
+        (d(15), 1, "click"),                                          # w2 activity for user 1
+    ])
+    out = {(r.cohort_week.date(), r.week_offset): r.n_users
+           for r in analytics.retention_cohorts(ev).collect()}
+    w0, w1 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert out == {(w0, 0): 1, (w0, 1): 1, (w0, 2): 1, (w1, 0): 1}
+
+
+def test_retention_excludes_pre_cohort_activity(spark):
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    ev = _ev(spark, [
+        (d(1), 1, "view"),          # week0 activity BEFORE the signup
+        (d(8), 1, "signup"), (d(9), 1, "click"),
+    ])
+    out = {(r.cohort_week.date(), r.week_offset): r.n_users
+           for r in analytics.retention_cohorts(ev).collect()}
+    assert out == {(dt.date(2024, 1, 8), 0): 1}
