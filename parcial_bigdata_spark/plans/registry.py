@@ -621,6 +621,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_arrow": q_knn_arrow,
     "embedding_norm_stats": q_embedding_norms,
     "embedding_kmeans_train": q_kmeans_train,
+    # rows-only by design (data-derived LSH blocking; exact label-blocked
+    # twin above is the oracle-checked ground truth) — in the first-50
+    # window so the driver records at least its rows-only row
+    "dedup_embedding_lsh": q_embedding_dups_lsh,
     # multimodal
     "multimodal_media_summary": q_media_summary,
     "multimodal_frame_sample": q_frame_sample,
@@ -685,9 +689,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_rollup": q_hourly_rollup,
     "window_daily_delta": q_daily_delta,
     "agg_user_value_trend": q_user_trend,
-    # approximate-by-design (rows-only) variants — registered after the
-    # driver's first-50 window so they don't displace hash-checked rows
-    "dedup_embedding_lsh": q_embedding_dups_lsh,
 }
 
 
