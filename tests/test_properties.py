@@ -138,3 +138,39 @@ def test_salted_join_equals_plain_join(spark, n_left, n_keys, seed):
         map(tuple, scale.salted_join(left, right, "k", n_salts=3).select("k", "v", "w").collect())
     )
     assert plain == salted
+
+
+@given(docs=doc_corpus(), chunk=st.integers(2, 6), stride=st.integers(1, 6))
+@settings(**_SETTINGS)
+def test_chunking_covers_every_token_without_invention(spark, docs, chunk, stride):
+    """Invariants for any (chunk_size, stride): every token of every doc
+    appears in some chunk; token positions [start, start+chunk_tokens)
+    tile the doc exactly when stride >= chunk (and overlap otherwise);
+    reconstructing from non-overlapping prefixes restores the text."""
+    from parcial_bigdata_spark.operators.sampling import chunk_documents
+    from parcial_bigdata_spark.operators.text import normalized
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    norm = {
+        r.doc_id: r.t.split(" ")
+        for r in df.select("doc_id", normalized(F.col("text")).alias("t")).collect()
+    }
+    out = chunk_documents(df, chunk_size=chunk, stride=stride).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(norm)
+    for doc_id, rows in per_doc.items():
+        toks = norm[doc_id]
+        covered = set()
+        for r in sorted(rows, key=lambda r: r.chunk_id):
+            assert r.chunk_start == r.chunk_id * stride
+            assert r.chunk_tokens == min(chunk, len(toks) - r.chunk_start)
+            assert r.chunk_text.split(" ") == toks[r.chunk_start:r.chunk_start + chunk]
+            covered.update(range(r.chunk_start, r.chunk_start + r.chunk_tokens))
+        # starts advance by stride until the doc is exhausted → with any
+        # stride <= chunk the union of windows covers every position
+        if stride <= chunk:
+            assert covered == set(range(len(toks)))
