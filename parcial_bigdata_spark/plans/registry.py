@@ -208,6 +208,19 @@ def q_retention_cohorts(spark, sf_dir):
     return ana_ops.retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+def q_streaming_hourly_rollup(spark, sf_dir):
+    """A REAL structured-streaming run (file stream → watermarked window
+    → AvailableNow → memory sink), hash-checked against the same SQL
+    oracle as the batch rollup: streaming converges to the batch answer
+    on a bounded replay."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import hourly_rollup_available_now
+
+    tune_runtime(spark)
+    return hourly_rollup_available_now(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_all_party_keys(spark, sf_dir):
     return set_ops.all_party_keys(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
@@ -585,6 +598,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_sliding_counts": q_sliding_counts,
     "events_funnel_steps": q_funnel_steps,
     "events_retention_cohorts": q_retention_cohorts,
+    "streaming_hourly_rollup": q_streaming_hourly_rollup,
     # text analysis
     "text_quality_metrics": q_text_quality,
     "text_token_counts": q_token_counts,
@@ -1525,6 +1539,13 @@ ORACLES: dict[str, str] = {
         FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
     """,
     "hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # the streaming twin must converge to the exact batch answer on a
+    # bounded replay — same oracle as hourly_rollup by construction
+    "streaming_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2

@@ -97,3 +97,45 @@ def streaming_sessionize(
             "session_value",
         )
     )
+
+
+def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
+    """Run streaming_hourly_rollup as a REAL structured-streaming query
+    (file-stream source over the events parquet, Trigger.AvailableNow,
+    complete-mode memory sink) and return the final result — proof that
+    the streaming twin converges to the batch answer on a bounded input,
+    hash-checkable against the same SQL oracle as the batch rollup.
+
+    Complete mode emits every window at termination regardless of the
+    watermark, so on a finite replay the result is exactly the batch
+    group-by.  The memory sink is the test/driver harness sink; a
+    production deployment writes the same query to Kafka/Delta with the
+    same AvailableNow cadence (checkpointed, restart-safe)."""
+    import tempfile
+
+    import os
+
+    schema = spark.read.parquet(events_parquet).schema
+    # FileStreamSource requires a directory: stream the parent with a
+    # glob pinned to the events file (same trick as the bronze P1 filter)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_parquet))
+        .parquet(os.path.dirname(events_parquet))
+    )
+    rollup = streaming_hourly_rollup(stream)
+    name = "stream_hourly_rollup_result"
+    with tempfile.TemporaryDirectory(prefix="stream-ckpt-") as ckpt:
+        q = (
+            rollup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .orderBy("window_start", "event_type")
+    )

@@ -210,3 +210,27 @@ def test_watermark_finalization_and_late_drop(spark, tmp_path):
         for p in q.recentProgress if p["stateOperators"]
     )
     assert dropped == 1
+
+
+def test_available_now_rollup_matches_batch(spark):
+    """The AvailableNow streaming rollup over the events fixture equals
+    the batch hourly rollup exactly, and the memory-sink query can be
+    re-run in the same session (driver re-invocation safety)."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(path):
+        _pytest.skip("driver testdata not present")
+    from parcial_bigdata_spark.catalog import load_table
+    from parcial_bigdata_spark.operators.windows import hourly_rollup
+    from parcial_bigdata_spark.streaming.windows import hourly_rollup_available_now
+
+    batch = hourly_rollup(load_table(spark, os.path.dirname(path), "events"))
+    batch_rows = {tuple(r) for r in batch.collect()}
+    for _ in range(2):  # second run exercises memory-sink name reuse
+        stream_rows = {
+            tuple(r) for r in hourly_rollup_available_now(spark, path).collect()
+        }
+        assert stream_rows == batch_rows
