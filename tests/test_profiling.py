@@ -1,0 +1,44 @@
+"""Profiling utilities: single-pass column profile and key-skew report."""
+
+from __future__ import annotations
+
+from parcial_bigdata_spark.operators import profiling
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5), (3, None, 1.5), (4, "b", None)],
+        "id long, cat string, val double",
+    )
+    out = {r.col_name: (r.n_nulls, r.n_distinct)
+           for r in profiling.profile_table(df).collect()}
+    assert out == {"id": (0, 4), "cat": (1, 2), "val": (2, 1)}
+
+
+def test_profile_respects_column_subset(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, cat string")
+    out = profiling.profile_table(df, columns=["cat"]).collect()
+    assert [r.col_name for r in out] == ["cat"]
+
+
+def test_profile_is_single_scan(spark):
+    """All per-column aggregates must land in ONE aggregate over one
+    scan — no per-column jobs."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.5)], "id long, cat string, val double"
+    )
+    plan = profiling.profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_skew_profile_flags_hot_key(spark):
+    rows = [(1,)] * 8 + [(2,)] * 1 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = profiling.skew_profile(df, "k", top_n=2).collect()
+    assert [r.key_value for r in out] == [1, 2]
+    hot = out[0]
+    # key 1 holds 8/10 rows; mean frequency is 10/3 ≈ 3.33 → skew 2.4
+    assert hot.n_rows == 8 and abs(hot.share - 0.8) < 1e-9
+    assert abs(hot.skew_ratio - 2.4) < 1e-9
+    # ties at the cut broken by key order
+    assert out[1].n_rows == 1
