@@ -50,6 +50,10 @@ HEADLINE = [
     "sample_chunk_documents",
     "text_vocabulary",
     "embedding_kmeans_train",
+    "events_funnel_steps",
+    "events_retention_cohorts",
+    "profile_orders_table",
+    "skew_lineitem_suppkey",
 ]
 
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
