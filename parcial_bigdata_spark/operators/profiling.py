@@ -63,3 +63,49 @@ def skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
         .limit(top_n)
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare: list[str] | None = None
+) -> DataFrame:
+    """CDC-style audit between two snapshots of a table: per-key rows
+    classified added / removed / changed / unchanged, returned as
+    category counts (the pipeline-run health check before promoting a
+    new snapshot).
+
+    One full-outer join on the key; change detection hashes the
+    compared columns on EACH SIDE BEFORE the join, so only (key, hash)
+    pairs shuffle — the payload columns never leave their scan.  Each
+    column is null-tagged before hashing: Spark's xxhash64 SKIPS null
+    inputs (hash(null, x) == hash(x, null)), so raw multi-column hashes
+    would silently equate cross-column null swaps."""
+    cols = compare or [c for c in old.columns if c != key]
+    if set(cols) - set(new.columns):
+        raise ValueError(f"compare columns missing from new snapshot: "
+                         f"{sorted(set(cols) - set(new.columns))}")
+
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+            for c in cols
+        ]
+        return df.select(
+            F.col(key).alias(f"{side}_key"),
+            F.xxhash64(*tagged).alias(f"{side}_hash"),
+        )
+
+    joined = keyed(old, "o").join(
+        keyed(new, "n"), F.col("o_key") == F.col("n_key"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o_key").isNull(), F.lit("added"))
+        .when(F.col("n_key").isNull(), F.lit("removed"))
+        .when(F.col("o_hash") != F.col("n_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("change_type")
+    )

@@ -217,6 +217,20 @@ def q_skew_lineitem_suppkey(spark, sf_dir):
     return prof_ops.skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    # simulated second snapshot of orders: drop every 20th key, bump
+    # totalprice on every 7th — classification must find all four classes
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 13 != 0)
+    new = orders.where(F.col("o_orderkey") % 20 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return prof_ops.snapshot_diff(old, new, "o_orderkey")
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     """A REAL structured-streaming run (file stream → watermarked window
     → AvailableNow → memory sink), hash-checked against the same SQL
@@ -616,6 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
     "profile_orders_table": q_profile_orders,
     "skew_lineitem_suppkey": q_skew_lineitem_suppkey,
+    "snapshot_diff_orders": q_snapshot_diff,
     # text analysis
     "text_quality_metrics": q_text_quality,
     "text_token_counts": q_token_counts,
@@ -1615,6 +1630,32 @@ ORACLES: dict[str, str] = {
                    AS skew_ratio
         FROM c, t
         ORDER BY n_rows DESC, key_value ASC LIMIT 10
+    """,
+    "snapshot_diff_orders": """
+        WITH old_snap AS (
+            SELECT * FROM orders WHERE o_orderkey % 13 <> 0
+        ), new_snap AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 20 <> 0
+        ), j AS (
+            SELECT CASE
+                WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                  OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                  OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+            FROM old_snap o FULL OUTER JOIN new_snap n
+              ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT change_type, count(*) AS n_rows
+        FROM j GROUP BY change_type ORDER BY change_type
     """,
     "events_funnel_steps": """
         WITH s0 AS (

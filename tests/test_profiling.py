@@ -42,3 +42,37 @@ def test_skew_profile_flags_hot_key(spark):
     assert abs(hot.skew_ratio - 2.4) < 1e-9
     # ties at the cut broken by key order
     assert out[1].n_rows == 1
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", None), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    out = {r.change_type: r.n_rows
+           for r in profiling.snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged, 2 changed (case), 3 unchanged (null == null), 4 removed, 5 added
+    assert out == {"added": 1, "removed": 1, "changed": 1, "unchanged": 2}
+
+
+def test_snapshot_diff_null_vs_sentinel_not_conflated(spark):
+    """A real null must not hash-collide with an adjacent column's null
+    (xxhash64 skips nulls; the null tagging restores positional info)."""
+    old = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
+    out = {r.change_type: r.n_rows
+           for r in profiling.snapshot_diff(old, new, "k").collect()}
+    assert out == {"changed": 1}
+
+
+def test_snapshot_diff_rejects_missing_compare_columns(spark):
+    import pytest
+
+    old = spark.createDataFrame([(1, "a")], "k long, s string")
+    new = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        profiling.snapshot_diff(old, new, "k")
