@@ -248,3 +248,47 @@ def chunk_documents(
             F.slice(F.col("toks"), F.col("chunk_start") + 1, F.lit(chunk_size)), " "
         ).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_id")
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    threshold: float = 0.6,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: the md5 bucket is taken on
+    the document's DUPLICATE COMPONENT id (connected components over the
+    near-dup pair graph; singletons use their own doc_id), so every near
+    duplicate of a test document lands in test with it — the split-
+    leakage failure mode plain per-doc bucketing cannot prevent.
+
+    Cost on top of the plain split: the near-dup pair graph + CC label
+    propagation (both already linear/bucketed — see jaccard_pairs /
+    duplicate_components); the split itself stays a row-local projection
+    of the component id.  Summary reports docs, distinct components, and
+    chars per split."""
+    from parcial_bigdata_spark.operators.dedup import (
+        duplicate_components,
+        jaccard_pairs,
+    )
+
+    comps = duplicate_components(jaccard_pairs(documents, threshold=threshold))
+    assigned = documents.join(comps, "doc_id", "left").withColumn(
+        "comp", F.coalesce(F.col("comp"), F.col("doc_id"))
+    )
+    bucket = _md5_bucket("comp")
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return (
+        assigned.select(split.alias("split"), "comp", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("comp").alias("n_components"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -134,3 +134,37 @@ def test_chunk_documents_rejects_bad_params(spark):
         sampling.chunk_documents(df, chunk_size=0)
     with pytest.raises(ValueError):
         sampling.chunk_documents(df, stride=-1)
+
+
+def test_leakage_safe_split_colocates_near_dups(spark, documents):
+    """Docs 1, 2, 3 form one near-dup component — whatever split the
+    component draws, all three land there together (the leakage the
+    per-doc split cannot prevent), and the summary counts components."""
+    out = sampling.leakage_safe_split(documents, threshold=0.6).collect()
+    total_docs = sum(r.n_docs for r in out)
+    total_comps = sum(r.n_components for r in out)
+    assert total_docs == 5
+    # components: {1,2,3} as one, 4 and 5 as singletons
+    assert total_comps == 3
+    # the 3-doc component is indivisible: no split may hold exactly 1 or
+    # 2 docs MORE than its component count would allow — check directly
+    # by recomputing the assignment
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.dedup import (
+        duplicate_components,
+        jaccard_pairs,
+    )
+    from parcial_bigdata_spark.operators.sampling import _md5_bucket
+
+    comps = duplicate_components(jaccard_pairs(documents, threshold=0.6))
+    assigned = documents.join(comps, "doc_id", "left").withColumn(
+        "comp", F.coalesce(F.col("comp"), F.col("doc_id"))
+    )
+    b = _md5_bucket("comp")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    rows = assigned.select("doc_id", "comp", split.alias("split")).collect()
+    by_doc = {r.doc_id: r.split for r in rows}
+    assert by_doc[1] == by_doc[2] == by_doc[3]
