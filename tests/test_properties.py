@@ -174,3 +174,28 @@ def test_chunking_covers_every_token_without_invention(spark, docs, chunk, strid
         # stride <= chunk the union of windows covers every position
         if stride <= chunk:
             assert covered == set(range(len(toks)))
+
+
+@given(docs=doc_corpus(), n=st.integers(2, 4))
+@settings(**_SETTINGS)
+def test_decontamination_containment_properties(spark, docs, n):
+    """For any corpus: screening a corpus against ITSELF yields
+    contaminated_frac == 1.0 for every doc with >= n words, and fractions
+    always lie in [0, 1] with n_contaminated <= n_ngrams."""
+    from parcial_bigdata_spark.operators.dedup import ngram_contamination
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    self_screen = ngram_contamination(df, df, n=n).collect()
+    for r in self_screen:
+        assert r.n_contaminated == r.n_ngrams
+        assert r.contaminated_frac == 1.0
+    disjoint = spark.createDataFrame(
+        [(999, "qqq www eee rrr ttt yyy uuu", "en", "web", 27)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    screened = ngram_contamination(disjoint, df, n=n).collect()
+    for r in screened:
+        assert 0 <= r.n_contaminated <= r.n_ngrams
+        assert 0.0 <= r.contaminated_frac <= 1.0
