@@ -260,15 +260,33 @@ def important_parts_by_value(lineitem: DataFrame, fraction: float = 1.2) -> Data
     before the threshold compare so the boundary is deterministic
     across engines."""
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Sum in DECIMAL, not double: decimal addition is exact and
+    # order-independent, so the per-part totals (and the threshold
+    # derived from their exact grand total) are bit-identical across
+    # engines and partition orders.  A double sum rounds differently
+    # depending on partial-sum order — at sf0.1 two parts landed on a
+    # round-half boundary and flipped the last cent vs the oracle.
     per_part = lineitem.groupBy("l_partkey").agg(
-        F.round(F.sum(revenue).cast("decimal(18,4)"), 4).cast("double").alias("part_value")
+        F.sum(revenue.cast("decimal(18,4)")).alias("pv_dec")
     )
     threshold = per_part.agg(
-        (F.avg("part_value") * F.lit(fraction)).alias("threshold")
+        (
+            F.sum("pv_dec").cast("double")
+            / F.count("*")
+            * F.lit(fraction)
+        ).alias("threshold")
     )
+    pv = F.col("pv_dec").cast("double")
+    # Round the DECIMAL, then cast: an exact .xx5 half cast to double
+    # first rounds differently per engine (Spark rounds the shortest
+    # decimal repr, DuckDB the binary value); decimal round is
+    # half-away-from-zero in both.
     return (
-        per_part.join(F.broadcast(threshold), F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        per_part.join(F.broadcast(threshold), pv > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("pv_dec"), 2).cast("double").alias("part_value"),
+        )
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
 

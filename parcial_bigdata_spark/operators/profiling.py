@@ -5,6 +5,10 @@ join burns a cluster on one hot partition.
 
 Both are single-scan linear aggregates; neither collects anything to
 the driver.
+
+Beyond-reference capability (SURVEY.md §2.11 — the reference has no
+introspection surface; its one table is unindexed MySQL,
+``lambda/subirDB.py:72-77``).
 """
 
 from __future__ import annotations

@@ -1097,13 +1097,16 @@ ORACLES: dict[str, str] = {
     "q11_important_parts": """
         WITH per_part AS (
             SELECT l_partkey,
-                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
-                                   AS DECIMAL(18,4)), 4) AS DOUBLE) AS part_value
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS pv_dec
             FROM lineitem GROUP BY l_partkey
+        ), t AS (
+            SELECT CAST(sum(pv_dec) AS DOUBLE) / count(*) * 1.2 AS threshold
+            FROM per_part
         )
-        SELECT l_partkey, round(part_value, 2) AS part_value
-        FROM per_part
-        WHERE part_value > (SELECT avg(part_value) * 1.2 FROM per_part)
+        SELECT l_partkey, CAST(round(pv_dec, 2) AS DOUBLE) AS part_value
+        FROM per_part, t
+        WHERE CAST(pv_dec AS DOUBLE) > threshold
         ORDER BY part_value DESC, l_partkey ASC
     """,
     "q16_supplier_variety": """
