@@ -1,0 +1,34 @@
+"""Order-independent money aggregation.
+
+Double sums depend on partial-sum order (Spark's partition merge vs a
+sequential scan), and ``round(double, 2)`` of an exact ``.xx5`` half
+itself differs across engines — Spark rounds the double's shortest
+decimal repr (HALF_UP), DuckDB rounds the binary value.  Money inputs
+carry ≤4 decimals, so their sums DO land exactly on half-cent
+boundaries (observed at sf0.1: 2183640.6550).
+
+``money_sum`` removes both hazards: accumulate in DECIMAL(18,4)
+(exact, order-independent addition), round while still decimal
+(half-away-from-zero in Spark and DuckDB alike), cast to double only
+for output.  The matching oracle-SQL pattern is
+``CAST(round(sum(CAST(<expr> AS DECIMAL(18,4))), 2) AS DOUBLE)``.
+
+Averages stay double: division by a count yields non-terminating
+decimal expansions, so exact-half collisions effectively cannot occur.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money_sum(col: Column | str, scale: int = 2, cast: str = "decimal(18,4)") -> Column:
+    """``cast`` must carry AT LEAST the term's exact decimal scale — 2
+    for raw money columns, 4 for two-factor products (price×rate), 6
+    for three-factor (price×rate×rate).  At or above the exact scale
+    the double→decimal cast recovers the exact value on both engines
+    (no rounding happens); below it, the cast itself must round, and
+    engine rounding of binary doubles near decimal halves diverges."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(cast)), scale).cast("double")

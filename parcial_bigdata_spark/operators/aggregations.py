@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parcial_bigdata_spark.functions.money import money_sum
+
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem.
@@ -28,10 +30,10 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(charge, cast="decimal(18,6)").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -55,7 +57,7 @@ def revenue_forecast(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -98,7 +100,7 @@ def rollup_order_totals(orders: DataFrame) -> DataFrame:
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(
@@ -114,7 +116,7 @@ def cube_lineitem_counts(lineitem: DataFrame) -> DataFrame:
         lineitem.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money_sum("l_quantity").alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -167,9 +169,7 @@ def unpivot_status_metrics(orders: DataFrame) -> DataFrame:
     so the only shuffle is the upstream per-status aggregate; value
     columns share one type (double) as the operator requires."""
     agg = orders.groupBy("o_orderstatus").agg(
-        F.round(F.sum("o_totalprice").cast("decimal(18,4)"), 2)
-        .cast("double")
-        .alias("sum_price"),
+        money_sum("o_totalprice").alias("sum_price"),
         F.round(F.avg("o_totalprice").cast("decimal(18,4)"), 2)
         .cast("double")
         .alias("avg_price"),
@@ -190,7 +190,8 @@ def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
     return lineitem.sparkSession.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

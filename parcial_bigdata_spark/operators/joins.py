@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from parcial_bigdata_spark.functions.money import money_sum
+
 
 def revenue_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Broadcast-hash join: part is dims-sized (SF×200 rows) → ship it to
@@ -22,7 +24,7 @@ def revenue_by_brand(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            money_sum(revenue).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("p_brand")
@@ -54,7 +56,7 @@ def shipping_priority(
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(money_sum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(k)
     )
@@ -86,7 +88,7 @@ def region_revenue(
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(money_sum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -214,9 +216,7 @@ def returned_item_revenue(
         # HALF_UP) vs the oracle (binary round); the 4-decimal snap first
         # makes the 2-decimal round deterministic on both sides.
         .agg(
-            F.round(F.sum(revenue).cast("decimal(18,4)"), 2)
-            .cast("double")
-            .alias("revenue")
+            money_sum(revenue).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
@@ -301,7 +301,7 @@ def brand_band_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         )
     )
     return joined.where(band).agg(
-        F.round(F.sum(revenue), 2).alias("revenue"),
+        money_sum(revenue).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -377,9 +377,7 @@ def top_revenue_suppliers(
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(revenue).cast("decimal(18,4)"), 2)
-            .cast("double")
-            .alias("total_revenue")
+            money_sum(revenue).alias("total_revenue")
         )
     )
     w = Window.orderBy(F.col("total_revenue").desc())
@@ -436,9 +434,7 @@ def nation_trade_volume(
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(revenue).cast("decimal(18,4)"), 2)
-            .cast("double")
-            .alias("revenue")
+            money_sum(revenue).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -528,9 +524,7 @@ def profit_by_nation_year(
         .join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == F.col("o_orderkey"))
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(profit).cast("decimal(18,4)"), 2)
-            .cast("double")
-            .alias("sum_profit")
+            money_sum(profit).alias("sum_profit")
         )
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
@@ -691,9 +685,7 @@ def wealthy_inactive_customers(
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal").cast("decimal(18,4)"), 2)
-            .cast("double")
-            .alias("total_acctbal"),
+            money_sum("c_acctbal").alias("total_acctbal"),
         )
         .orderBy("c_nationkey")
     )

@@ -775,10 +775,10 @@ ORACLES: dict[str, str] = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 2) AS avg_qty,
                round(avg(l_extendedprice), 2) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
@@ -789,7 +789,7 @@ ORACLES: dict[str, str] = {
         ORDER BY l_returnflag, l_linestatus
     """,
     "q6_revenue_forecast": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -803,7 +803,7 @@ ORACLES: dict[str, str] = {
     """,
     "rollup_order_totals": """
         SELECT o_orderstatus, o_orderpriority,
-               round(sum(o_totalprice), 2) AS total_price,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
                count(*) AS n_orders
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -811,7 +811,7 @@ ORACLES: dict[str, str] = {
     """,
     "cube_lineitem_counts": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               round(sum(l_quantity), 2) AS sum_qty
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -840,7 +840,7 @@ ORACLES: dict[str, str] = {
     """,
     "grouping_sets_revenue": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
@@ -890,8 +890,8 @@ ORACLES: dict[str, str] = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name,
-               CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
-                               AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -925,7 +925,7 @@ ORACLES: dict[str, str] = {
         LIMIT 50
     """,
     "q19_brand_bands": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -938,8 +938,8 @@ ORACLES: dict[str, str] = {
     "q15_top_suppliers": """
         WITH per_supp AS (
             SELECT l_suppkey,
-                   CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
-                                   AS DECIMAL(18,4)), 2) AS DOUBLE) AS total_revenue
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -952,7 +952,7 @@ ORACLES: dict[str, str] = {
     """,
     "q22_wealthy_inactive": """
         SELECT c_nationkey, count(*) AS n_customers,
-               CAST(round(CAST(sum(c_acctbal) AS DECIMAL(18,4)), 2) AS DOUBLE)
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS total_acctbal
         FROM customer c
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
@@ -965,7 +965,7 @@ ORACLES: dict[str, str] = {
     """,
     "q7_nation_volume": """
         SELECT supp_nation, cust_nation, l_year,
-               CAST(round(CAST(sum(volume) AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM (
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
@@ -1066,7 +1066,7 @@ ORACLES: dict[str, str] = {
     """,
     "q9_profit_by_nation": """
         SELECT nation, o_year,
-               CAST(round(CAST(sum(amount) AS DECIMAL(18,4)), 2) AS DOUBLE)
+               CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS sum_profit
         FROM (
             SELECT n_name AS nation, year(o_orderdate) AS o_year,
@@ -1243,7 +1243,7 @@ ORACLES: dict[str, str] = {
     "unpivot_status_metrics": """
         WITH a AS (
             SELECT o_orderstatus,
-                   CAST(round(CAST(sum(o_totalprice) AS DECIMAL(18,4)), 2)
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
                         AS DOUBLE) AS sum_price,
                    CAST(round(CAST(avg(o_totalprice) AS DECIMAL(18,4)), 2)
                         AS DOUBLE) AS avg_price,
@@ -1481,14 +1481,14 @@ ORACLES: dict[str, str] = {
     """,
     "join_revenue_by_brand": """
         SELECT p_brand,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand
     """,
     "q3_shipping_priority": """
         SELECT o_orderkey, o_orderdate, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -1500,7 +1500,7 @@ ORACLES: dict[str, str] = {
     """,
     "q5_region_revenue": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
