@@ -138,7 +138,14 @@ def stats_price_by_status(orders: DataFrame) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+            # the interpolated median of 2-decimal money lands on exact
+            # 3-decimal halves (midpoint of an odd cent sum) — recover
+            # the exact value at scale 3, round half-away in decimal
+            F.round(
+                F.percentile("o_totalprice", F.lit(0.5)).cast("decimal(18,3)"), 2
+            )
+            .cast("double")
+            .alias("median_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -826,7 +826,8 @@ ORACLES: dict[str, str] = {
                round(stddev_samp(o_totalprice), 2) AS sd_price,
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price,
-               round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.5)
+                               AS DECIMAL(18,3)), 2) AS DOUBLE) AS median_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     "pivot_priority_counts": """
