@@ -29,3 +29,31 @@ def test_money_sum_order_independent_across_partitions(spark):
     sa = a.agg(money_sum("v").alias("s")).collect()[0].s
     sb = b.agg(money_sum("v").alias("s")).collect()[0].s
     assert sa == sb
+
+
+def test_money_sum_matches_python_decimal_reference(spark):
+    """Property (randomized): money_sum equals an exact decimal.Decimal
+    reference sum for arbitrary 2-decimal money values, across a
+    multi-partition layout."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1, max_size=200,
+    ))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(cents):
+        vals = [c / 100.0 for c in cents]
+        ref = sum(Decimal(c) for c in cents) / Decimal(100)
+        ref = float(ref.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(8)
+        from parcial_bigdata_spark.functions.money import money_sum
+
+        got = df.agg(money_sum("v").alias("s")).collect()[0].s
+        assert got == ref, (got, ref)
+
+    check()
