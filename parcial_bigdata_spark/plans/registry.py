@@ -231,6 +231,17 @@ def q_snapshot_diff(spark, sf_dir):
     return prof_ops.snapshot_diff(old, new, "o_orderkey")
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Second real-streaming oracle query: session windows under
+    AvailableNow must converge to the batch gap-sessionization."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import sessionize_available_now
+
+    tune_runtime(spark)
+    return sessionize_available_now(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     """A REAL structured-streaming run (file stream → watermarked window
     → AvailableNow → memory sink), hash-checked against the same SQL
@@ -682,6 +693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # is full of rows with no driver history yet); the judge's tool
     # still verifies everything below
     "sample_leakage_safe_split": q_leakage_safe_split,
+    "streaming_sessionize": q_streaming_sessionize,
     # pandas twin of agg_user_value_trend (driver-green twice via the
     # built-in twin's shared oracle)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
@@ -1584,6 +1596,27 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "streaming_sessionize": """
+        WITH g AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), s AS (
+            SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM g
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_start
     """,
     # the streaming twin must converge to the exact batch answer on a
     # bounded replay — same oracle as hourly_rollup by construction

@@ -99,21 +99,20 @@ def streaming_sessionize(
     )
 
 
-def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
-    """Run streaming_hourly_rollup as a REAL structured-streaming query
+def _run_available_now(spark, events_parquet: str, transform, name: str) -> DataFrame:
+    """Run ``transform(stream)`` as a REAL structured-streaming query
     (file-stream source over the events parquet, Trigger.AvailableNow,
-    complete-mode memory sink) and return the final result — proof that
-    the streaming twin converges to the batch answer on a bounded input,
-    hash-checkable against the same SQL oracle as the batch rollup.
+    complete-mode memory sink) and return the final table — proof that
+    a streaming twin converges to the batch answer on a bounded input,
+    hash-checkable against the batch operator's SQL oracle.
 
     Complete mode emits every window at termination regardless of the
     watermark, so on a finite replay the result is exactly the batch
     group-by.  The memory sink is the test/driver harness sink; a
     production deployment writes the same query to Kafka/Delta with the
     same AvailableNow cadence (checkpointed, restart-safe)."""
-    import tempfile
-
     import os
+    import tempfile
 
     schema = spark.read.parquet(events_parquet).schema
     # FileStreamSource requires a directory: stream the parent with a
@@ -123,11 +122,10 @@ def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
         .option("pathGlobFilter", os.path.basename(events_parquet))
         .parquet(os.path.dirname(events_parquet))
     )
-    rollup = streaming_hourly_rollup(stream)
-    name = "stream_hourly_rollup_result"
     with tempfile.TemporaryDirectory(prefix="stream-ckpt-") as ckpt:
         q = (
-            rollup.writeStream.format("memory")
+            transform(stream)
+            .writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
             .option("checkpointLocation", ckpt)
@@ -135,7 +133,28 @@ def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return (
-        spark.table(name)
-        .orderBy("window_start", "event_type")
-    )
+    return spark.table(name)
+
+
+def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
+    """streaming_hourly_rollup under AvailableNow — shares the batch
+    rollup's SQL oracle (see _run_available_now)."""
+    return _run_available_now(
+        spark, events_parquet, streaming_hourly_rollup, "stream_hourly_rollup_result"
+    ).orderBy("window_start", "event_type")
+
+
+def sessionize_available_now(
+    spark, events_parquet: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """streaming_sessionize under AvailableNow: session_window merges
+    events within ``gap`` of the running session end — identical
+    partitioning to the batch lag-gap sessionization, with
+    session_end = last event + gap.  Oracle: the batch gap-CTE grouped
+    per session with max(ts) + gap as the end."""
+    return _run_available_now(
+        spark,
+        events_parquet,
+        lambda st: streaming_sessionize(st, gap=gap),
+        "stream_sessionize_result",
+    ).orderBy("user_id", "session_start")
