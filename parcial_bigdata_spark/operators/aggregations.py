@@ -315,3 +315,22 @@ def approx_percentile_value_by_type(events: DataFrame, accuracy: int = 10_000) -
         )
         .orderBy("event_type")
     )
+
+
+def price_histogram(orders: DataFrame, bin_width: float = 25_000.0) -> DataFrame:
+    """Fixed-width histogram of order totals — the width_bucket shape:
+    bucket id is a row-local floor division, so the histogram is one
+    partial-aggregated groupBy regardless of bucket count (never a
+    sort, never a pass per bucket)."""
+    bucket = F.floor(F.col("o_totalprice") / bin_width).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .withColumn("bucket_low", (F.col("bucket") * bin_width).cast("double"))
+        .select("bucket", "bucket_low", "n_orders", "min_price", "max_price")
+        .orderBy("bucket")
+    )

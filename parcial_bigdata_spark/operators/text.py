@@ -332,3 +332,31 @@ def vocabulary_stats(documents: DataFrame, top_n: int = 100) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "word")
         .limit(top_n)
     )
+
+
+def word_pair_counts(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """Corpus-wide adjacent word-pair frequencies — the first merge-
+    candidate table of BPE-style tokenizer training.
+
+    Index-explode pattern (never explode a computed pair array — the
+    Generate would re-evaluate it per element, see dedup._doc_gram_rows):
+    explode the cheap position sequence, build each pair string once per
+    row in codegen, one groupBy(pair) with map-side partial counts;
+    top-N is a TakeOrdered."""
+    w = words(normalized(F.col("text")))
+    pairs = (
+        documents.select(w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select("w", F.explode(F.sequence(F.lit(0), F.size("w") - 2)).alias("i"))
+        .select(
+            F.concat_ws(
+                " ", F.get("w", F.col("i")), F.get("w", F.col("i") + 1)
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

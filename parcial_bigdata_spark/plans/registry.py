@@ -231,6 +231,14 @@ def q_snapshot_diff(spark, sf_dir):
     return prof_ops.snapshot_diff(old, new, "o_orderkey")
 
 
+def q_price_histogram(spark, sf_dir):
+    return agg_ops.price_histogram(_t(spark, sf_dir, "orders"))
+
+
+def q_word_pairs(spark, sf_dir):
+    return text_ops.word_pair_counts(_t(spark, sf_dir, "documents"))
+
+
 def q_streaming_sessionize(spark, sf_dir):
     """Second real-streaming oracle query: session windows under
     AvailableNow must converge to the batch gap-sessionization."""
@@ -694,6 +702,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # still verifies everything below
     "sample_leakage_safe_split": q_leakage_safe_split,
     "streaming_sessionize": q_streaming_sessionize,
+    "price_histogram": q_price_histogram,
+    "text_word_pairs": q_word_pairs,
     # pandas twin of agg_user_value_trend (driver-green twice via the
     # built-in twin's shared oracle)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
@@ -1596,6 +1606,23 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "price_histogram": """
+        SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+               CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_low,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "text_word_pairs": f"""
+        WITH t AS (
+            SELECT string_split({_NORM_SQL}, ' ') AS w FROM documents
+        ), s AS (
+            SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2
+        )
+        SELECT w[i] || ' ' || w[i+1] AS pair, count(*) AS n_occurrences
+        FROM s GROUP BY pair ORDER BY n_occurrences DESC, pair ASC LIMIT 50
     """,
     "streaming_sessionize": """
         WITH g AS (

@@ -168,3 +168,21 @@ def test_leakage_safe_split_colocates_near_dups(spark, documents):
     rows = assigned.select("doc_id", "comp", split.alias("split")).collect()
     by_doc = {r.doc_id: r.split for r in rows}
     assert by_doc[1] == by_doc[2] == by_doc[3]
+
+
+def test_price_histogram_buckets(spark):
+    from parcial_bigdata_spark.operators.aggregations import price_histogram
+
+    df = spark.createDataFrame(
+        [(1, 1, "O", 100.0, None, "x"), (2, 1, "O", 24999.99, None, "x"),
+         (3, 1, "O", 25000.0, None, "x"), (4, 1, "O", 60000.5, None, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    out = {r.bucket: (r.bucket_low, r.n_orders, r.min_price, r.max_price)
+           for r in price_histogram(df).collect()}
+    assert out == {
+        0: (0.0, 2, 100.0, 24999.99),
+        1: (25000.0, 1, 25000.0, 25000.0),
+        2: (50000.0, 1, 60000.5, 60000.5),
+    }

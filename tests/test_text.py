@@ -135,3 +135,13 @@ def test_vocabulary_stats_doc_freq_and_idf(spark):
     assert out[1] == ("pair", 2, round(math.log(3 / 2), 4))
     assert [w for w, *_ in out[2:]] == ["alpha", "beta", "gamma"]
     assert all(f == 1 and i == round(math.log(3), 4) for _, f, i in out[2:])
+
+
+def test_word_pair_counts_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b", "en", "w", 7), (2, "a b c", "en", "w", 5), (3, "x", "en", "w", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = [(r.pair, r.n_occurrences) for r in text.word_pair_counts(df).collect()]
+    # doc1: (a b), (b a), (a b); doc2: (a b), (b c); doc3: too short
+    assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
