@@ -12,7 +12,7 @@ Monetary sums are rounded at the OUTPUT edge only, never mid-plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parcial_bigdata_spark.functions.money import money_sum
@@ -334,3 +334,18 @@ def price_histogram(orders: DataFrame, bin_width: float = 25_000.0) -> DataFrame
         .select("bucket", "bucket_low", "n_orders", "min_price", "max_price")
         .orderBy("bucket")
     )
+
+
+def revenue_share_by_priority(orders: DataFrame) -> DataFrame:
+    """Ratio-to-report: each priority's share of total revenue via a
+    window sum over the AGGREGATED frame (|priorities| rows — the
+    unpartitioned window runs after reduction, never over raw facts)."""
+    per = orders.groupBy("o_orderpriority").agg(
+        money_sum("o_totalprice").alias("revenue")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    ).orderBy("o_orderpriority")

@@ -257,3 +257,25 @@ def order_price_rank_bands(orders: DataFrame) -> DataFrame:
         .drop("rn")
         .orderBy("o_orderstatus", F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+def time_range_moving_avg(events: DataFrame, window_seconds: int = 3600) -> DataFrame:
+    """RANGE-frame window: per user, the average of values in the
+    trailing ``window_seconds`` of EVENT TIME (not row count) — the
+    moving-average shape row frames cannot express when events arrive
+    unevenly.  Spark range frames need a numeric ordering key, so the
+    frame is declared over epoch microseconds; one shuffle on user_id."""
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value"), 2).alias("value"),
+        F.round(F.avg("value").over(w), 4).alias("trailing_avg"),
+        F.count("*").over(w).alias("trailing_n"),
+    ).orderBy("user_id", "ts", "event_id")

@@ -231,6 +231,14 @@ def q_snapshot_diff(spark, sf_dir):
     return prof_ops.snapshot_diff(old, new, "o_orderkey")
 
 
+def q_time_range_avg(spark, sf_dir):
+    return win_ops.time_range_moving_avg(_t(spark, sf_dir, "events"))
+
+
+def q_revenue_share(spark, sf_dir):
+    return agg_ops.revenue_share_by_priority(_t(spark, sf_dir, "orders"))
+
+
 def q_price_histogram(spark, sf_dir):
     return agg_ops.price_histogram(_t(spark, sf_dir, "orders"))
 
@@ -704,6 +712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": q_streaming_sessionize,
     "price_histogram": q_price_histogram,
     "text_word_pairs": q_word_pairs,
+    "window_time_range_avg": q_time_range_avg,
+    "revenue_share_by_priority": q_revenue_share,
     # pandas twin of agg_user_value_trend (driver-green twice via the
     # built-in twin's shared oracle)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
@@ -1606,6 +1616,26 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "window_time_range_avg": """
+        SELECT event_id, user_id, ts, round(value, 2) AS value,
+               round(avg(value) OVER w, 4) AS trailing_avg,
+               count(*) OVER w AS trailing_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
+    """,
+    "revenue_share_by_priority": """
+        WITH per AS (
+            SELECT o_orderpriority,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, revenue,
+               round(revenue / sum(revenue) OVER (), 6) AS share
+        FROM per ORDER BY o_orderpriority
     """,
     "price_histogram": """
         SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,

@@ -99,3 +99,35 @@ def test_sliding_counts_each_event_in_two_windows(events):
         if r.event_type == "click" and r.window_start == dt.datetime(2025, 1, 1, 10, 0)
     ]
     assert clicks_at_10[0].n_events == 3  # clicks at :00, :05, :50 all in [10:00, 11:00)
+
+
+def test_time_range_moving_avg_uses_event_time_not_rows(spark):
+    """Events at :00, :30, :90 min with a 60-min trailing window: the
+    third event's frame holds only itself + the :30 event."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.windows import time_range_moving_avg
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 7, "a", 10.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 7, "a", 20.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=90), 7, "a", 40.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    out = {r.event_id: (r.trailing_avg, r.trailing_n)
+           for r in time_range_moving_avg(df, window_seconds=3600).collect()}
+    assert out == {1: (10.0, 1), 2: (15.0, 2), 3: (30.0, 2)}
+
+
+def test_revenue_share_sums_to_one(spark):
+    from parcial_bigdata_spark.operators.aggregations import revenue_share_by_priority
+
+    df = spark.createDataFrame(
+        [(1, 1, "O", 100.0, None, "1-URGENT"), (2, 1, "O", 300.0, None, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    out = {r.o_orderpriority: r.share for r in revenue_share_by_priority(df).collect()}
+    assert out == {"1-URGENT": 0.25, "5-LOW": 0.75}
