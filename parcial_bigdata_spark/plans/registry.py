@@ -231,6 +231,10 @@ def q_snapshot_diff(spark, sf_dir):
     return prof_ops.snapshot_diff(old, new, "o_orderkey")
 
 
+def q_session_overlap(spark, sf_dir):
+    return join_ops.session_overlap_pairs(_t(spark, sf_dir, "events"))
+
+
 def q_time_range_avg(spark, sf_dir):
     return win_ops.time_range_moving_avg(_t(spark, sf_dir, "events"))
 
@@ -714,6 +718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_word_pairs": q_word_pairs,
     "window_time_range_avg": q_time_range_avg,
     "revenue_share_by_priority": q_revenue_share,
+    "session_overlap_pairs": q_session_overlap,
     # pandas twin of agg_user_value_trend (driver-green twice via the
     # built-in twin's shared oracle)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
@@ -1616,6 +1621,35 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "session_overlap_pairs": """
+        WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), s AS (
+            SELECT *, sum(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM g
+        ), sess AS (
+            SELECT user_id, session_seq,
+                   epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+            FROM s GROUP BY user_id, session_seq
+        ), pairs AS (
+            SELECT a.user_id AS user_a, b.user_id AS user_b,
+                   least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov_us
+            FROM sess a JOIN sess b
+              ON a.user_id < b.user_id
+             AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        )
+        SELECT user_a, user_b, count(*) AS n_overlaps,
+               CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
+        FROM pairs GROUP BY user_a, user_b ORDER BY user_a, user_b
     """,
     "window_time_range_avg": """
         SELECT event_id, user_id, ts, round(value, 2) AS value,

@@ -80,3 +80,31 @@ def test_dim_join_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_session_overlap_pairs_exact_micros(spark):
+    """Two users with one overlapping session window (10:00-10:10 vs
+    10:05-10:20 → 5 min overlap) and one disjoint session; a third user
+    far away contributes nothing.  Bucket-blocked result must equal the
+    exact interval-overlap semantics in integer microseconds."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.joins import session_overlap_pairs
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: session A spans 10:00-10:10 (events 0 and 10)
+        (1, t(0), 1, "a", 0.0, "{}"), (2, t(10), 1, "a", 0.0, "{}"),
+        # user 1: session B spans 11:30-11:35 (> 30 min gap from A)
+        (3, t(90), 1, "a", 0.0, "{}"), (4, t(95), 1, "a", 0.0, "{}"),
+        # user 2: one session 10:05-10:20 — overlaps A by 5 minutes
+        (5, t(5), 2, "a", 0.0, "{}"), (6, t(20), 2, "a", 0.0, "{}"),
+        # user 3: session next day
+        (7, t(24 * 60), 3, "a", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    out = [(r.user_a, r.user_b, r.n_overlaps, r.total_overlap_us)
+           for r in session_overlap_pairs(df).collect()]
+    assert out == [(1, 2, 1, 5 * 60 * 1_000_000)]
