@@ -13,7 +13,7 @@ from __future__ import annotations
 import operator
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parcial_bigdata_spark.functions.vector import cosine
@@ -799,4 +799,36 @@ def embedding_near_duplicates_lsh(
         .join(payload.alias("pb"), F.col("vec_b") == F.col("pb.vec_id"))
         .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def component_survivors(documents: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the artifact a
+    corpus dedup actually ships: one survivor per connected component
+    (longest text wins, doc_id breaks ties), with the member count that
+    was collapsed into it.
+
+    Composes jaccard_pairs → duplicate_components → a per-component
+    row_number; singleton documents are their own component (coalesce),
+    so the output covers the WHOLE corpus: |docs| − Σ(|comp|−1) rows."""
+    comps = duplicate_components(jaccard_pairs(documents, threshold=threshold))
+    assigned = documents.join(comps, "doc_id", "left").withColumn(
+        "comp", F.coalesce(F.col("comp"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        assigned.select(
+            "comp", "doc_id", "n_chars", F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("comp")).alias("n_members"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "comp",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            "n_members",
+        )
+        .orderBy("comp")
     )

@@ -231,6 +231,10 @@ def q_snapshot_diff(spark, sf_dir):
     return prof_ops.snapshot_diff(old, new, "o_orderkey")
 
 
+def q_component_survivors(spark, sf_dir):
+    return dedup_ops.component_survivors(_t(spark, sf_dir, "documents"))
+
+
 def q_session_overlap(spark, sf_dir):
     return join_ops.session_overlap_pairs(_t(spark, sf_dir, "events"))
 
@@ -719,6 +723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_time_range_avg": q_time_range_avg,
     "revenue_share_by_priority": q_revenue_share,
     "session_overlap_pairs": q_session_overlap,
+    "dedup_component_survivors": q_component_survivors,
     # pandas twin of agg_user_value_trend (driver-green twice via the
     # built-in twin's shared oracle)
     "agg_user_value_trend_pandas": q_user_trend_pandas,
@@ -1621,6 +1626,43 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dedup_component_survivors": f"""
+        WITH RECURSIVE ws AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ws a JOIN ws b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), closure(src, reach) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT c.src, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+        ), comps AS (
+            SELECT src AS doc_id, least(src, min(reach)) AS comp
+            FROM closure GROUP BY src
+        ), assigned AS (
+            SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp
+            FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+        ), ranked AS (
+            SELECT comp, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY comp
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY comp) AS n_members
+            FROM assigned
+        )
+        SELECT comp, doc_id AS survivor_doc_id, n_chars AS survivor_chars,
+               n_members
+        FROM ranked WHERE rn = 1 ORDER BY comp
     """,
     "session_overlap_pairs": """
         WITH g AS (

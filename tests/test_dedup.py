@@ -351,3 +351,14 @@ def test_simhash_arrow_matches_hof_fingerprints(documents):
     pairs_arw = {(r.doc_a, r.doc_b) for r in
                  dedup.simhash_near_duplicates(documents, 10, arrow=True).collect()}
     assert pairs_hof == pairs_arw
+
+
+def test_component_survivors_one_per_cluster(documents):
+    """Docs {1,2,3} form one near-dup component; the longest text wins
+    (doc 3's 'lambda' makes it one char longer than the 'kappa' base);
+    singletons 4 and 5 survive as themselves."""
+    out = {r.comp: (r.survivor_doc_id, r.n_members)
+           for r in dedup.component_survivors(documents, threshold=0.6).collect()}
+    assert set(out) == {1, 4, 5}
+    assert out[1] == (3, 3)  # three docs collapsed; longest (doc 3) kept
+    assert out[4] == (4, 1) and out[5] == (5, 1)
