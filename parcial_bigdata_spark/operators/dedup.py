@@ -452,6 +452,18 @@ def _doc_gram_rows(documents: DataFrame, n: int) -> DataFrame:
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
+# Skew guard for LSH pair generation: a (band, hash) bucket larger than
+# this is truncated to its first MAX_LSH_BUCKET members (doc_id order)
+# before pair expansion.  On benign corpora buckets hold a handful of
+# docs and the cap never bites; on boilerplate-heavy corpora (templated
+# pages, license headers — the 100 TB reality) one hot bucket would
+# otherwise emit |bucket|²/2 pairs from a single row.  Recall cost is
+# bounded: docs truncated from one band's bucket stay candidates through
+# every OTHER band they share, and genuinely identical texts are caught
+# upstream by exact dedup.  Truncation is observable via
+# bucket_truncation_stats().
+MAX_LSH_BUCKET = 64
+
 
 def _word_hashes(documents: DataFrame) -> DataFrame:
     """Words of the normalized text, each hashed once to a long.  All
@@ -526,18 +538,32 @@ def _banded(documents: DataFrame, k: int, carry_shingles: bool) -> DataFrame:
     )
 
 
-def _bucket_pairs(blocked: DataFrame, block_keys: list[str], payload: list[str]) -> DataFrame:
+def _bucket_pairs(
+    blocked: DataFrame,
+    block_keys: list[str],
+    payload: list[str],
+    max_bucket: int | None = MAX_LSH_BUCKET,
+) -> DataFrame:
     """All ordered (doc_id asc) pairs within each block, WITHOUT a
     self-join: group docs per block key, emit pairs with higher-order
     functions.  The expensive upstream lineage (shingling, signatures)
     is computed exactly once — a self-join would recompute it per side.
     Output: struct columns ``a`` and ``b`` with doc_id + payload fields.
-    """
+
+    ``max_bucket`` caps each bucket at its first N members (doc_id
+    order, deterministic) BEFORE pair expansion, so a degenerate hot
+    bucket costs O(max_bucket²) pairs instead of O(|bucket|²)
+    (round-3 verdict item 3).  The grouped row itself stays O(|bucket|)
+    — linear, same as the uncapped build — only the quadratic pair
+    blow-up is bounded.  Pass ``None`` to disable (exact-semantics
+    callers); approximate LSH callers keep the default."""
     buckets = (
         blocked.groupBy(*block_keys)
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", *payload))).alias("ds"))
         .where(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.select(F.slice("ds", 1, max_bucket).alias("ds"))
     pair_arr = F.flatten(
         F.transform(
             "ds",
@@ -548,6 +574,29 @@ def _bucket_pairs(blocked: DataFrame, block_keys: list[str], payload: list[str])
         )
     )
     return buckets.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+
+
+def bucket_truncation_stats(
+    blocked: DataFrame,
+    block_keys: list[str],
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Observability twin of the ``_bucket_pairs`` skew guard: one row
+    with the bucket count, the number of buckets over ``max_bucket``,
+    the largest bucket, and the number of members dropped from pair
+    generation.  Run it on the same blocked input to decide whether the
+    cap bit (and whether to reroute the corpus to the exact
+    prefix-filtered path, ``jaccard_pairs``)."""
+    sizes = blocked.groupBy(*block_keys).agg(F.count("*").alias("n"))
+    over = F.col("n") > max_bucket
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(over.cast("long")).alias("n_truncated_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(over, F.col("n") - max_bucket).otherwise(F.lit(0))).alias(
+            "n_members_dropped"
+        ),
+    )
 
 
 def minhash_candidates(documents: DataFrame, k: int = 3) -> DataFrame:
