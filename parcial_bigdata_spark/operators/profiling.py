@@ -26,12 +26,19 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     distinct counts (oracle-comparable); swap in approx_count_distinct
     for the sketch path on truly wide tables."""
     cols = columns or df.columns
+    # Internal aliases are INDEXED (__n_0, __d_0, …), never derived from
+    # the column name: a name with a quote/space/dash would otherwise
+    # produce an invalid alias or a collision.  The user-visible name
+    # appears only as an escaped string literal in the stack() expr.
     aggs = []
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"__d_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{i}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{i}"))
     one = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', __n_{c}, __d_{c}" for c in cols)
+    stack_args = ", ".join(
+        "'{}', __n_{}, __d_{}".format(c.replace("\\", "\\\\").replace("'", "\\'"), i, i)
+        for i, c in enumerate(cols)
+    )
     return one.select(
         F.expr(
             f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
@@ -64,7 +71,11 @@ def skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
                 F.col("n_rows") / (F.col("total_rows") / F.col("n_keys")), 4
             ).alias("skew_ratio"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+        # asc_nulls_last pins the NULL-key group's tiebreak position to
+        # DuckDB's default (ASC → NULLS LAST); Spark's default NULLS
+        # FIRST would diverge from the oracle whenever a null key lands
+        # on the top-N cut or ties with a non-null key.
+        .orderBy(F.col("n_rows").desc(), F.col("key_value").asc_nulls_last())
         .limit(top_n)
     )
 

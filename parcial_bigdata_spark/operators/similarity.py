@@ -120,7 +120,22 @@ def train_spherical_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 2) ->
     known, the result is reproducible, and an unrolled SQL twin can
     verify it — at 100 TB you run Lloyd on a sample anyway, so bounded
     iterations are the production shape.  Per-round lineage is cut with
-    localCheckpoint (same rationale as duplicate_components)."""
+    localCheckpoint (same rationale as duplicate_components).
+
+    Oracle-equality caveat (round-3 advice): centroid components come
+    from double ``avg()`` whose partial-sum order differs between Spark
+    and the unrolled DuckDB oracle, so centroids can differ by ~1 ulp;
+    the round-to-6 cosine in assign_clusters then pins the argmax only
+    when no two cluster similarities fall within ~1e-6.  Empirically
+    exact at sf0.001-0.1; a different scale/partitioning could flip an
+    assignment whose top-2 similarities tie inside that band.  The money
+    fix (sum in DECIMAL) does NOT port here: the inputs are float32, and
+    double→decimal casts at any fixed scale themselves round differently
+    per engine (Spark rounds the shortest decimal repr, DuckDB the
+    binary value), reintroducing the same class of divergence.  If a
+    driver mismatch ever appears here, the fix is to demote the query to
+    rows-only and keep kmeans_cluster_summary (count-dominated) as the
+    hash-checked twin."""
     if k <= 0 or iters <= 0:
         raise ValueError("k and iters must be positive")
     e = embeddings.select("vec_id", "embedding")

@@ -81,7 +81,13 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Session windows with a dynamic gap — the streaming twin of
     operators/windows.sessionize (same aggregate columns; session identity
-    is the window itself rather than a per-user sequence number)."""
+    is the window itself rather than a per-user sequence number).
+
+    Gap-boundary semantics: session_window spans [ts, ts+gap) per event
+    and MERGES touching windows, so an event exactly ``gap`` after its
+    predecessor joins the same session — identical to the batch twin's
+    strict ``diff > gap`` new-session rule and its SQL oracle (pinned by
+    tests/test_streaming.py::test_session_window_exact_gap_boundary)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

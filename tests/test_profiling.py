@@ -76,3 +76,23 @@ def test_snapshot_diff_rejects_missing_compare_columns(spark):
     new = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         profiling.snapshot_diff(old, new, "k")
+
+
+def test_profile_handles_hostile_column_names(spark):
+    """Column names with spaces, dashes, and quotes must survive the
+    stack() unpivot (indexed internal aliases + escaped literals)."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["weird name-col", "it's quoted"]
+    )
+    out = {r.col_name: (r.n_nulls, r.n_distinct)
+           for r in profiling.profile_table(df).collect()}
+    assert out == {"weird name-col": (0, 2), "it's quoted": (1, 1)}
+
+
+def test_skew_profile_null_key_sorts_last(spark):
+    """A NULL key tying with a non-null key must sort AFTER it (DuckDB
+    ASC default = NULLS LAST), so the top-N cut matches the oracle."""
+    rows = [(1,)] * 3 + [(None,)] * 3 + [(2,)] * 3 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k int")
+    out = profiling.skew_profile(df, "k", top_n=3).collect()
+    assert [r.key_value for r in out] == [1, 2, None]

@@ -138,6 +138,40 @@ def test_streaming_sessionize_matches_batch_semantics(spark, events_dir, tmp_pat
     assert by_user[2] == [(1, 1.0)]
 
 
+def test_session_window_exact_gap_boundary(spark):
+    """Boundary contract (round-3 advice): two events exactly ``gap``
+    apart MERGE into one session.  Spark's session_window spans
+    [ts, ts+gap) per event and merges touching windows, so an event at
+    prev_ts + gap lands in the same session — the SAME semantics as the
+    batch sessionize / oracle rule 'new session only when the inter-event
+    gap is STRICTLY greater than gap'.  Pinned here so an upstream
+    semantics change (merge-on-overlap-only) fails loudly instead of
+    silently diverging from the oracle."""
+    from pyspark.sql import functions as F
+
+    pair = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+         (2, 1, dt.datetime(2024, 1, 1, 0, 30, 0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    sessions = (
+        pair.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(sessions) == 1 and sessions[0].n == 2
+    # batch twin agrees: strict '>' comparison keeps the exact-gap pair
+    from parcial_bigdata_spark.operators import windows as bw
+
+    batch = bw.sessionize(
+        pair.select(
+            "event_id", "user_id", "ts",
+            F.lit("click").alias("event_type"), F.lit(1.0).alias("value"),
+        )
+    ).collect()
+    assert {r.n_events for r in batch} == {2}
+
+
 def test_streaming_sliding_counts(spark, events_dir, tmp_path):
     out = sw.streaming_sliding_counts(
         _stream_events(spark, events_dir), window="1 hour", slide="30 minutes"
