@@ -381,7 +381,59 @@ def cross_split_contamination(documents: DataFrame, split_col: str = "source") -
     )
 
 
-def ngram_contamination(train: DataFrame, eval_: DataFrame, n: int = 5) -> DataFrame:
+def gram_bloom(grams: DataFrame, bits: int, n_hashes: int) -> DataFrame:
+    """A Bloom filter over ``grams.gram`` as ONE DataFrame row: a
+    map<word_index → 64-bit mask> covering the set positions of a
+    ``bits``-wide filter.  Pure built-in exprs end to end — each gram
+    emits ``n_hashes`` seeded positions (xxhash64 double-hashing), the
+    positions bit-OR into per-word masks, and the masks collect into a
+    single broadcastable map.  1 MiB of filter ≈ 2²³ bits; the map
+    never exceeds min(n_hashes·|grams|, bits/64) entries."""
+    positions = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"pmod(xxhash64(gram, {i}), CAST({bits} AS BIGINT))")
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            F.expr("pos DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("bloom")
+    )
+
+
+def _bloom_maybe(gram_col: str, bits: int, n_hashes: int):
+    """Membership predicate against the broadcast ``bloom`` map column:
+    true iff ALL seeded positions of the gram are set (no false
+    negatives; false positives fall through to the exact join).  Built
+    as one SQL expr so the position arithmetic is textually identical
+    to gram_bloom's builder."""
+    tests = []
+    for i in range(n_hashes):
+        pos = f"pmod(xxhash64({gram_col}, {i}), CAST({bits} AS BIGINT))"
+        word = f"coalesce(element_at(bloom, CAST({pos} DIV 64 AS BIGINT)), CAST(0 AS BIGINT))"
+        mask = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
+        tests.append(f"(({word} & {mask}) != 0)")
+    return F.expr(" AND ".join(tests))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    n: int = 5,
+    bloom_bits: int | None = 1 << 23,
+    bloom_hashes: int = 3,
+) -> DataFrame:
     """Token n-gram overlap decontamination (the GPT-3-style screen):
     for every eval doc, the fraction of its distinct word n-grams that
     appear ANYWHERE in the train split.  Catches partial containment —
@@ -390,12 +442,19 @@ def ngram_contamination(train: DataFrame, eval_: DataFrame, n: int = 5) -> DataF
 
     Plan: both sides reduce to hashed n-grams (one xxhash64 per word,
     then one per n-gram of word-hashes — never re-concatenated strings);
-    the train side collapses to a DISTINCT hash set; one equi-join on
-    the gram hash + per-doc aggregate.  Everything is linear in corpus
-    size and shuffles on the gram hash — no pairwise doc comparison, so
-    at 100 TB this is a distinct + one shuffle join (add a bloom filter
-    on the train set to prune the eval explode server-side if the train
-    gram set dwarfs executor memory).
+    the train side collapses to a DISTINCT hash set; eval grams are
+    pre-pruned through a broadcast Bloom filter built from that set
+    (``gram_bloom`` — round-3 verdict item 6), then the survivors take
+    ONE left-semi equi-join on the gram hash.  The join shuffle carries
+    only Bloom-positive eval grams — on a clean corpus a fraction of a
+    percent of them — instead of every eval gram; false positives are
+    re-checked by the join itself, so the result is exactly the
+    unfiltered answer and the SQL oracle is unchanged.  Per-doc totals
+    aggregate separately from hits, so the only full-width shuffle left
+    is the per-doc count the output semantics require.  Pass
+    ``bloom_bits=None`` to disable the prune (the ground-truth path the
+    tests compare against); size ``bloom_bits`` ≈ 10× the distinct
+    train-gram count for a ~1% false-positive rate at scale.
 
     Eval docs with fewer than ``n`` words have no n-grams and are
     excluded (nothing to screen).  Output: one row per screened eval
@@ -403,14 +462,29 @@ def ngram_contamination(train: DataFrame, eval_: DataFrame, n: int = 5) -> DataF
     in train, and the rounded fraction."""
     train_set = _doc_gram_rows(train, n).select("gram").distinct()
     eval_grams = _doc_gram_rows(eval_, n)
-    hits = eval_grams.join(
-        train_set.withColumn("hit", F.lit(1)), "gram", "left"
+    if bloom_bits is not None:
+        bloom = gram_bloom(train_set, bloom_bits, bloom_hashes)
+        candidates = (
+            eval_grams.crossJoin(F.broadcast(bloom))
+            .where(_bloom_maybe("gram", bloom_bits, bloom_hashes))
+            .select("doc_id", "gram")
+        )
+    else:
+        candidates = eval_grams
+    totals = eval_grams.groupBy("doc_id").agg(F.count("*").alias("n_ngrams"))
+    contaminated = (
+        candidates.join(train_set, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
     )
     return (
-        hits.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_ngrams"),
-            F.count("hit").alias("n_contaminated"),
+        totals.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
         )
         .withColumn(
             "contaminated_frac",

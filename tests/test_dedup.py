@@ -409,3 +409,41 @@ def test_bucket_truncation_stats_reports_dropped_members(spark):
     assert row.n_truncated_buckets == 1
     assert row.max_bucket_size == 100
     assert row.n_members_dropped == 36
+
+
+def test_ngram_bloom_prune_matches_exact_path(spark, documents):
+    """The Bloom pre-prune is a pure optimization: the screened result
+    must equal the unfiltered ground truth row for row."""
+    from pyspark.sql import functions as F
+
+    train = documents.where(F.col("doc_id") <= 3)
+    ev = documents.where(F.col("doc_id") > 3)
+    with_bloom = dedup.ngram_contamination(train, ev, n=3).collect()
+    exact = dedup.ngram_contamination(train, ev, n=3, bloom_bits=None).collect()
+    assert [r.asDict() for r in with_bloom] == [r.asDict() for r in exact]
+    assert len(with_bloom) > 0
+
+
+def test_gram_bloom_has_no_false_negatives_and_prunes(spark):
+    """Every inserted gram must test positive (no false negatives);
+    a disjoint probe set must be mostly pruned (the join-input
+    reduction the prune exists for)."""
+    from pyspark.sql import functions as F
+
+    bits, k = 1 << 20, 3
+    train = spark.range(1000).select(F.col("id").alias("gram"))
+    probe = spark.range(5000, 15000).select(F.col("id").alias("gram"))
+    bloom = dedup.gram_bloom(train, bits, k)
+    hits_train = (
+        train.crossJoin(F.broadcast(bloom))
+        .where(dedup._bloom_maybe("gram", bits, k))
+        .count()
+    )
+    assert hits_train == 1000  # all members pass
+    survivors = (
+        probe.crossJoin(F.broadcast(bloom))
+        .where(dedup._bloom_maybe("gram", bits, k))
+        .count()
+    )
+    # 3 hashes over 2^20 bits with 1000 grams: fp rate ~(3000/2^20)^3
+    assert survivors < 100, f"bloom pruned nothing: {survivors}/10000 passed"
