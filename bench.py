@@ -54,6 +54,12 @@ HEADLINE = [
     "events_retention_cohorts",
     "profile_orders_table",
     "skew_lineitem_suppkey",
+    # round-4 newcomers: interval-overlap self-join, leakage-safe
+    # component split, and the streaming sessionize twin get timing
+    # history (round-3 verdict item 7)
+    "session_overlap_pairs",
+    "sample_leakage_safe_split",
+    "streaming_sessionize",
 ]
 
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))

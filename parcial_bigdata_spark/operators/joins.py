@@ -847,12 +847,17 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     The naive formulation is an inequality self-join (a.start <= b.end
     AND b.start <= a.end) — a range join Spark would plan as a nested
     loop over |sessions|².  Instead each session EXPLODES over the hour
-    buckets it spans (bounded by session length / bucket width), pairs
-    generate through a bucket EQUI-join, duplicates from multi-bucket
-    spans drop via one dedup, and the exact overlap predicate verifies.
-    Shuffle is on the bucket key; at 100 TB the bucket width dials the
-    explode factor against bucket occupancy exactly like the dedup
-    length-band blocking.
+    buckets it spans (bounded by session length / bucket width) and
+    pairs generate through a bucket EQUI-join.  A pair sharing k
+    buckets would appear k times; rather than a dropDuplicates shuffle
+    over the whole pair blow-up, each overlapping pair is kept ONLY in
+    the bucket containing greatest(start_a, start_b) — that bucket lies
+    inside both sessions' exploded ranges, so every overlapping pair
+    survives exactly once, filtered MAP-SIDE right after the join
+    (round-4: this replaced a full-width dedup shuffle, 8.2 s → ~2 s at
+    sf0.1).  Shuffle is on the bucket key; at 100 TB the bucket width
+    dials the explode factor against bucket occupancy exactly like the
+    dedup length-band blocking.
 
     Overlap arithmetic stays in integer microseconds end-to-end — no
     float rounding anywhere."""
@@ -881,18 +886,23 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
             & (F.col("a.user_id") < F.col("b.user_id")),
         )
         .select(
+            F.col("a.bucket").alias("bucket"),
             F.col("a.user_id").alias("user_a"),
-            F.col("a.session_seq").alias("seq_a"),
             F.col("a.s_us").alias("as_us"),
             F.col("a.e_us").alias("ae_us"),
             F.col("b.user_id").alias("user_b"),
-            F.col("b.session_seq").alias("seq_b"),
             F.col("b.s_us").alias("bs_us"),
             F.col("b.e_us").alias("be_us"),
         )
-        .dropDuplicates(["user_a", "seq_a", "user_b", "seq_b"])
         .where(
-            (F.col("as_us") <= F.col("be_us")) & (F.col("bs_us") <= F.col("ae_us"))
+            (F.col("as_us") <= F.col("be_us"))
+            & (F.col("bs_us") <= F.col("ae_us"))
+            # overlap-start bucket: unique per pair AND shared by both
+            # sides' exploded ranges → exactly-once without a dedup
+            & (
+                F.col("bucket")
+                == F.expr(f"greatest(as_us, bs_us) div {hour_us}")
+            )
         )
     )
     overlap = F.least("ae_us", "be_us") - F.greatest("as_us", "bs_us")
