@@ -861,10 +861,10 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
 
     Overlap arithmetic stays in integer microseconds end-to-end — no
     float rounding anywhere."""
-    from parcial_bigdata_spark.operators.windows import sessionize
+    from parcial_bigdata_spark.operators.windows import sessions_unordered
 
     hour_us = 3_600_000_000
-    sess = sessionize(events, gap_minutes=gap_minutes).select(
+    sess = sessions_unordered(events, gap_minutes=gap_minutes).select(
         "user_id",
         "session_seq",
         F.unix_micros("session_start").alias("s_us"),

@@ -55,10 +55,13 @@ def running_total(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessions_unordered(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization via lag(ts) + cumulative gap counter: a new session
     starts when the in-user gap exceeds ``gap_minutes``.  Two stacked
-    windows on the same (user_id, ts) spec → one shuffle total."""
+    windows on the same (user_id, ts) spec → one shuffle total.  No
+    output ordering — composing operators (session_overlap_pairs) build
+    on this so the presentation sort never lands mid-plan as a useless
+    range exchange."""
     w = _user_ts_window()
     gap_us = gap_minutes * 60 * 1_000_000
     # Integer microseconds: exact gap arithmetic (oracle: epoch_us).
@@ -77,8 +80,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.max("ts").alias("session_end"),
             F.round(F.sum("value"), 2).alias("session_value"),
         )
-        .orderBy("user_id", "session_seq")
     )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """``sessions_unordered`` with the presentation sort (the query
+    surface / oracle twin)."""
+    return sessions_unordered(events, gap_minutes).orderBy("user_id", "session_seq")
 
 
 def daily_delta(events: DataFrame) -> DataFrame:
