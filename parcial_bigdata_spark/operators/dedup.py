@@ -355,7 +355,15 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.orderBy("doc_id")
+    return labels
+
+
+def duplicate_components_sorted(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """``duplicate_components`` with the presentation sort — the query
+    surface.  Composing operators (component_survivors,
+    leakage_safe_split) consume the unordered labels so the sort never
+    lands mid-plan as a range exchange over the full label frame."""
+    return duplicate_components(pairs, max_iter).orderBy("doc_id")
 
 
 def cross_split_contamination(documents: DataFrame, split_col: str = "source") -> DataFrame:

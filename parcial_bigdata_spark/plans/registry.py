@@ -359,7 +359,7 @@ def q_embedding_dups(spark, sf_dir):
 
 def q_dedup_components(spark, sf_dir):
     pairs = dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
-    return dedup_ops.duplicate_components(pairs)
+    return dedup_ops.duplicate_components_sorted(pairs)
 
 
 def q_embedding_dups_lsh(spark, sf_dir):
