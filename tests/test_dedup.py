@@ -161,6 +161,40 @@ def test_duplicate_components_long_chain_converges(spark):
     assert out == {i: 0 for i in range(11)}
 
 
+def test_duplicate_components_contraction_path_matches_tail(spark, monkeypatch):
+    """Force the pure contraction loop (tail solver disabled) and the
+    tail-only path (threshold above the edge count) on the same graph —
+    both must produce the identical min-id labeling.  The graph mixes a
+    long path (diameter > 1 contraction level), a clique, and an edge
+    whose endpoints' one-hop minima differ (the case pointer-jumping
+    alone gets wrong)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)]
+        + [(20, 21), (20, 22), (21, 22)]
+        + [(1, 30), (2, 40), (30, 40)],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", 0)
+    contraction = {
+        r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", 10**6)
+    tail = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    expected = {i: 0 for i in range(9)} | {30: 0, 40: 0} | {20: 20, 21: 20, 22: 20}
+    assert contraction == expected
+    assert tail == expected
+
+
+def test_duplicate_components_string_ids_tail(spark):
+    """The tail union-find must handle non-numeric doc ids (min = lexical
+    min, matching F.min on strings)."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    out = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_jaccard_prefix_filter_lossless_large_vocab(spark, monkeypatch):
     """The prefix-filtered array path must stay lossless when the
     vocabulary exceeds PREFIX_COMMONS — i.e. when real rare tokens lead
