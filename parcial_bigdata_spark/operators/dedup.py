@@ -572,7 +572,16 @@ def ngram_contamination(
     train_set = _doc_gram_rows(train, n).select("gram").distinct()
     stream = _doc_gram_stream(eval_, n)
     if bloom_bits is not None:
-        bloom = gram_bloom(train_set, bloom_bits, bloom_hashes)
+        # Build the filter from the PRE-distinct train gram stream:
+        # bit-OR insertion is idempotent, so duplicates change nothing,
+        # and skipping the distinct here means the expensive train-side
+        # dedup exchange runs ONCE (for the semi-join) instead of being
+        # recomputed for the bloom branch.  The extra occurrences all
+        # fold map-side into ≤ bits/64 partial-agg groups — no
+        # gram-cardinality shuffle on this branch at any scale.
+        bloom = gram_bloom(
+            _doc_gram_rows(train, n).select("gram"), bloom_bits, bloom_hashes
+        )
         candidates = (
             stream.crossJoin(F.broadcast(bloom))
             .where(_bloom_maybe("gram", bloom_bits, bloom_hashes))
