@@ -185,6 +185,17 @@ def test_duplicate_components_contraction_path_matches_tail(spark, monkeypatch):
     assert tail == expected
 
 
+def test_duplicate_components_tail_spans_arrow_batches(spark):
+    """The tail union-find receives its single partition as an iterator
+    of Arrow batches (~10k rows each by default); a 25k-edge path graph
+    forces multiple batches whose edges must union across batch
+    boundaries into one component."""
+    pairs = spark.range(25_000).selectExpr("id as doc_a", "id + 1 as doc_b")
+    out = dedup.duplicate_components(pairs)
+    assert out.count() == 25_001
+    assert [r.comp for r in out.select("comp").distinct().collect()] == [0]
+
+
 def test_duplicate_components_string_ids_tail(spark):
     """The tail union-find must handle non-numeric doc ids (min = lexical
     min, matching F.min on strings)."""
