@@ -199,3 +199,43 @@ def test_decontamination_containment_properties(spark, docs, n):
     for r in screened:
         assert 0 <= r.n_contaminated <= r.n_ngrams
         assert 0.0 <= r.contaminated_frac <= 1.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    tail_threshold=st.sampled_from([0, 10**6]),
+)
+@settings(**_SETTINGS)
+def test_duplicate_components_matches_union_find(spark, monkeypatch, edges, tail_threshold):
+    """On any random edge list, contraction CC (tail disabled) and the
+    Arrow union-find tail both label every vertex with the exact
+    component minimum computed by a driver-side union-find reference."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", tail_threshold)
+    got = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert got == expected
