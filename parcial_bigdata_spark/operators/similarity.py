@@ -94,15 +94,29 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     cluster id).  The rounding pins the argmax across engines and
     summation orders, which is what lets the trained quantizer carry an
     exact SQL oracle.  Centroids broadcast (k rows); the corpus streams
-    through one scan — no shuffle until the caller aggregates."""
+    through one scan.
+
+    The argmax is a groupBy max over struct(sim, -cluster) — lexical
+    struct ordering gives highest sim then lowest cluster id, exactly
+    the old row_number(sim DESC, cluster ASC) = 1 — NOT a per-vec
+    window: the window shuffles and sorts all n·k candidate rows, while
+    the aggregate collapses each vector's k candidates map-side (they
+    are emitted consecutively by the broadcast join in the same task),
+    so the exchange carries one partial row per vector — a k× shuffle
+    cut with no sort."""
     s = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    sc = F.struct(s.alias("sim"), (-F.col("cluster")).alias("negc"))
     return (
         embeddings.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cluster", s.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster", "sim")
+        .select("vec_id", "embedding", sc.alias("sc"))
+        .groupBy("vec_id", "embedding")
+        .agg(F.max("sc").alias("sc"))
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.col("sc.negc")).alias("cluster"),
+            F.col("sc.sim").alias("sim"),
+        )
     )
 
 
