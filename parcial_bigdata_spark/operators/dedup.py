@@ -1069,25 +1069,29 @@ def component_survivors(documents: DataFrame, threshold: float = 0.6) -> DataFra
     was collapsed into it.
 
     Composes jaccard_pairs → duplicate_components → a per-component
-    row_number; singleton documents are their own component (coalesce),
-    so the output covers the WHOLE corpus: |docs| − Σ(|comp|−1) rows."""
+    argmax; singleton documents are their own component (coalesce),
+    so the output covers the WHOLE corpus: |docs| − Σ(|comp|−1) rows.
+
+    The survivor pick is a groupBy min over struct(-n_chars, doc_id) —
+    lexical struct ordering gives longest text then lowest doc_id,
+    exactly a row_number(n_chars DESC, doc_id ASC) = 1 window — chosen
+    over the window because the aggregate partial-combines map-side:
+    the exchange carries per-partition partial rows instead of every
+    document, and nothing is sorted."""
     comps = duplicate_components(jaccard_pairs(documents, threshold=threshold))
     assigned = documents.join(comps, "doc_id", "left").withColumn(
         "comp", F.coalesce(F.col("comp"), F.col("doc_id"))
     )
-    w = Window.partitionBy("comp").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+    best = F.min(
+        F.struct((-F.col("n_chars")).alias("negc"), F.col("doc_id").alias("d"))
     )
     return (
-        assigned.select(
-            "comp", "doc_id", "n_chars", F.row_number().over(w).alias("rn"),
-            F.count("*").over(Window.partitionBy("comp")).alias("n_members"),
-        )
-        .where(F.col("rn") == 1)
+        assigned.groupBy("comp")
+        .agg(best.alias("best"), F.count("*").alias("n_members"))
         .select(
             "comp",
-            F.col("doc_id").alias("survivor_doc_id"),
-            F.col("n_chars").alias("survivor_chars"),
+            F.col("best.d").alias("survivor_doc_id"),
+            (-F.col("best.negc")).alias("survivor_chars"),
             "n_members",
         )
         .orderBy("comp")
