@@ -239,3 +239,106 @@ def test_duplicate_components_matches_union_find(spark, monkeypatch, edges, tail
     monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", tail_threshold)
     got = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # doc_id (unique-ified below)
+            st.integers(min_value=1, max_value=50),  # n_chars
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    comp_of=st.dictionaries(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=3),
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_survivor_aggregate_matches_rank_semantics(spark, docs, comp_of):
+    """The min-struct survivor pick must equal the rank-1 row under
+    (n_chars DESC, doc_id ASC) for any component assignment."""
+    from collections import defaultdict
+
+    rows = {d: n for d, n in docs}  # dedupe doc ids, last wins
+    assigned = [(d, n, comp_of.get(d, d)) for d, n in rows.items()]
+    groups = defaultdict(list)
+    for d, n, c in assigned:
+        groups[c].append((d, n))
+    expected = {}
+    for c, members in groups.items():
+        best = sorted(members, key=lambda m: (-m[1], m[0]))[0]
+        expected[c] = (best[0], best[1], len(members))
+
+    df = spark.createDataFrame(assigned, "doc_id long, n_chars long, comp long")
+    best_expr = F.min(
+        F.struct((-F.col("n_chars")).alias("negc"), F.col("doc_id").alias("d"))
+    )
+    got = {
+        r.comp: (r.survivor_doc_id, r.survivor_chars, r.n_members)
+        for r in df.groupBy("comp")
+        .agg(best_expr.alias("best"), F.count("*").alias("n_members"))
+        .select(
+            "comp",
+            F.col("best.d").alias("survivor_doc_id"),
+            (-F.col("best.negc")).alias("survivor_chars"),
+            "n_members",
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-4),  # cosine is
+        # undefined (ANSI divide-by-zero) on zero-norm vectors — outside
+        # the engine's embedding contract, like its DuckDB oracle
+        min_size=2,
+        max_size=10,
+    ),
+    k=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_assign_clusters_matches_argmax_reference(spark, vecs, k):
+    """The map-side max-struct assignment must pick, for every vector,
+    the centroid with the highest rounded cosine (ties -> lowest cluster
+    id), per a driver-side reference."""
+    import math
+
+    from parcial_bigdata_spark.operators.similarity import assign_clusters
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        if da == 0 or db == 0:
+            return None
+        return round(num / (da * db), 6)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents_rows = [(c, [float(x) for x in vecs[c % len(vecs)]]) for c in range(k)]
+    cents = spark.createDataFrame(cents_rows, "cluster int, centroid array<double>")
+    got = {
+        r.vec_id: (r.cluster, r.sim)
+        for r in assign_clusters(emb, cents).collect()
+    }
+    for i, v in enumerate(vecs):
+        sims = [(cos(v, cv), c) for c, cv in cents_rows]
+        # None (zero-norm) sims sort below any real sim, matching SQL
+        # null ordering in max(); a vector with all-null sims keeps
+        # whatever null row max() produces — skip those.
+        real = [(s, c) for s, c in sims if s is not None]
+        if not real:
+            continue
+        best = sorted(real, key=lambda t: (-t[0], t[1]))[0]
+        assert got[i] == (best[1], best[0])
