@@ -80,18 +80,28 @@ def quota_sample_by_source(
     """Corpus mixing: cap each source at its quota (unlisted sources get
     ``default_quota``; a 0 quota drops the source), drawing
     deterministically by md5 order.  The quota table is tiny → broadcast
-    left join + coalesce; one shuffle on the source key for the rank,
-    pruned map-side by WindowGroupLimit at the max quota.  Over-asking
-    (quota > available) just takes everything — the cap is a min, not a
-    requirement."""
+    left join + coalesce.  Over-asking (quota > available) just takes
+    everything — the cap is a min, not a requirement.
+
+    The rank filter is applied in two stages on purpose: the exact
+    per-source bound references the joined quota column, which
+    WindowGroupLimit cannot see — filtered only there, the window
+    shuffles the WHOLE corpus into |sources| hot partitions.  Capping
+    first at the LITERAL max quota (known driver-side from the dict)
+    restores the pushdown: each upstream partition forwards ≤ max-quota
+    rows per source, and the exact per-source cap prunes the remainder
+    after the join (lossless: quota ≤ max quota).  Plan-shape pinned by
+    test_quota_sample_plan_prunes_map_side."""
     quotas = DEFAULT_QUOTAS if quotas is None else quotas
     spark = documents.sparkSession
     qdf = spark.createDataFrame(list(quotas.items()), "source string, quota int")
+    max_quota = max([*quotas.values(), default_quota])
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
     )
     return (
         documents.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= F.lit(max_quota))
         .join(F.broadcast(qdf), on="source", how="left")
         .where(F.col("rn") <= F.coalesce(F.col("quota"), F.lit(default_quota)))
         .select("doc_id", "source", "rn")

@@ -186,3 +186,24 @@ def test_price_histogram_buckets(spark):
         1: (25000.0, 1, 25000.0, 25000.0),
         2: (50000.0, 1, 60000.5, 60000.5),
     }
+
+
+def test_quota_sample_plan_prunes_map_side(spark):
+    """The literal max-quota pre-filter must restore WindowGroupLimit —
+    without it the rank bound lives behind the quota join and the window
+    shuffles the whole corpus into |sources| partitions."""
+    from parcial_bigdata_spark.operators.sampling import quota_sample_by_source
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = quota_sample_by_source(docs, quotas={"src0": 3, "src1": 5}, default_quota=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rn)
+    assert sorted(per_src["src0"]) == [1, 2, 3]
+    assert sorted(per_src["src1"]) == [1, 2, 3, 4, 5]
+    assert sorted(per_src["src2"]) == [1, 2]
