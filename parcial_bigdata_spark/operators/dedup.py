@@ -764,17 +764,31 @@ def _bucket_pairs(
     ``max_bucket`` caps each bucket at its first N members (doc_id
     order, deterministic) BEFORE pair expansion, so a degenerate hot
     bucket costs O(max_bucket²) pairs instead of O(|bucket|²)
-    (round-3 verdict item 3).  The grouped row itself stays O(|bucket|)
-    — linear, same as the uncapped build — only the quadratic pair
-    blow-up is bounded.  Pass ``None`` to disable (exact-semantics
-    callers); approximate LSH callers keep the default."""
+    (round-3 verdict item 3).  The cap is applied as a rank filter
+    BEFORE the group, not a slice after: row_number ≤ N compiles to
+    WindowGroupLimit, which prunes map-side, so a 10⁷-member
+    boilerplate bucket never rides the shuffle or materializes as a
+    multi-GB collect_list row — both the exchange and the grouped row
+    are bounded at N members per bucket.  The window adds no exchange:
+    it partitions on the same block keys the groupBy needs, so the
+    aggregate reuses its partitioning (plan-shape pinned by
+    test_lsh_bucket_cap_prunes_map_side).  Docs appear once per bucket,
+    so doc_id rank order equals the old array_sort order.  Pass
+    ``None`` to disable (exact-semantics callers); approximate LSH
+    callers keep the default."""
+    src = blocked
+    if max_bucket is not None:
+        wcap = Window.partitionBy(*block_keys).orderBy("doc_id")
+        src = (
+            blocked.withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
     buckets = (
-        blocked.groupBy(*block_keys)
+        src.groupBy(*block_keys)
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", *payload))).alias("ds"))
         .where(F.size("ds") > 1)
     )
-    if max_bucket is not None:
-        buckets = buckets.select(F.slice("ds", 1, max_bucket).alias("ds"))
     pair_arr = F.flatten(
         F.transform(
             "ds",

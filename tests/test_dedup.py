@@ -439,6 +439,28 @@ def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
     assert elapsed < 60, f"degenerate bucket took {elapsed:.1f}s"
 
 
+def test_lsh_bucket_cap_prunes_map_side(spark):
+    """The bucket cap must compile to WindowGroupLimit (map-side prune
+    BEFORE the shuffle) with no extra exchange: the rank window and the
+    collect_list groupBy share the block-key partitioning, so a
+    degenerate bucket never rides the wire past max_bucket members."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    blocked = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("bucket")
+    )
+    pairs = dedup._bucket_pairs(blocked, ["bucket"], [])
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # correctness: capped pair count per bucket
+    cap = dedup.MAX_LSH_BUCKET
+    per_bucket = cap * (cap - 1) // 2
+    assert pairs.count() == 3 * per_bucket
+
+
 def test_bucket_truncation_stats_reports_dropped_members(spark):
     from pyspark.sql import functions as F
 
