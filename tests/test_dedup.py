@@ -514,3 +514,21 @@ def test_gram_bloom_has_no_false_negatives_and_prunes(spark):
     )
     # 3 hashes over 2^20 bits with 1000 grams: fp rate ~(3000/2^20)^3
     assert survivors < 100, f"bloom pruned nothing: {survivors}/10000 passed"
+
+
+def test_gram_bloom_identical_from_duplicated_stream(spark):
+    """Bit-OR insertion is idempotent: the filter built from a stream
+    with every gram repeated many times must be mask-for-mask identical
+    to one built from the distinct set — what lets ngram_contamination
+    feed the PRE-distinct train gram stream to the bloom branch."""
+    from pyspark.sql import functions as F
+
+    bits, k = 1 << 16, 2
+    distinct = spark.range(500).select(F.col("id").alias("gram"))
+    duplicated = (
+        spark.range(500)
+        .select(F.explode(F.array_repeat(F.col("id"), 7)).alias("gram"))
+    )
+    m1 = dedup.gram_bloom(distinct, bits, k).collect()[0].bloom
+    m2 = dedup.gram_bloom(duplicated, bits, k).collect()[0].bloom
+    assert m1 == m2
