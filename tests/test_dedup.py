@@ -532,3 +532,30 @@ def test_gram_bloom_identical_from_duplicated_stream(spark):
     m1 = dedup.gram_bloom(distinct, bits, k).collect()[0].bloom
     m2 = dedup.gram_bloom(duplicated, bits, k).collect()[0].bloom
     assert m1 == m2
+
+
+def test_contraction_equals_tail_on_fixture_corpus(spark, monkeypatch):
+    """On the real sf0.001 near-dup graph, the pure contraction loop
+    (tail disabled) must produce exactly the labels of the tail-only
+    union-find — the cross-path equivalence the driver gate cannot see
+    (at sf0.01 the whole graph fits the tail threshold, so only the
+    tail path is oracle-checked there)."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata not present")
+    from parcial_bigdata_spark.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.6).localCheckpoint(eager=True)
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", 0)
+    contraction = {
+        r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", 10**9)
+    tail = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert contraction == tail
+    assert len(contraction) > 0
