@@ -374,23 +374,26 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     instead of paying fixed per-level job overhead on a few hundred
     rows.
 
-    Each level's frames are cut with ``localCheckpoint(eager=True)``:
-    persist alone caches DATA but leaves the LOGICAL plan nested one
-    join deeper per level, so analysis/optimization cost grows
-    superlinearly and deep chains stack-overflow Catalyst — checkpointing
-    truncates lineage to the materialized blocks.  (On a real cluster
-    with executor churn, swap for ``spark.sparkContext.setCheckpointDir``
-    + ``.checkpoint()`` — same shape, fault-tolerant storage.)
+    Each level's frames are cut with ``iter_checkpoint``: persist alone
+    caches DATA but leaves the LOGICAL plan nested one join deeper per
+    level, so analysis/optimization cost grows superlinearly and deep
+    chains stack-overflow Catalyst — checkpointing truncates lineage to
+    the materialized blocks.  On a real cluster with executor churn,
+    configure ``spark.sparkContext.setCheckpointDir`` and the same code
+    cuts lineage with fault-tolerant ``.checkpoint()`` automatically
+    (``operators/scale.iter_checkpoint``).
 
     Component id = min doc_id in the component: the global minimum of a
     component is its own one-hop min at every level, so it survives
     contraction to the end and every vertex's composed label chain
     terminates at it (deterministic, and exactly reproducible by a
     recursive-CTE transitive closure, which is the DuckDB oracle)."""
-    und = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    und = iter_checkpoint(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
     )
     level = und
     labs: list[DataFrame] = []
@@ -411,13 +414,10 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             break
         # l(v) = min(v, N(v)) — one groupBy over the level's edges (the
         # self term folds in via least(), no self-loop union needed).
-        lab = (
+        lab = iter_checkpoint(
             level.groupBy("src")
             .agg(F.min("dst").alias("mn"))
-            .select(
-                F.col("src").alias("v"), F.least("src", "mn").alias("c")
-            )
-            .localCheckpoint(eager=True)
+            .select(F.col("src").alias("v"), F.least("src", "mn").alias("c"))
         )
         labs.append(lab)
         # Contract: rewrite each edge to its endpoints' labels, drop
@@ -425,13 +425,12 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # the contracted graph stays undirected by construction.  The
         # label map is |V_level| rows against |E_level| edges — AQE
         # broadcast-joins it at any realistic dup-graph shape.
-        contracted = (
+        contracted = iter_checkpoint(
             level.join(lab.select(F.col("v").alias("src"), F.col("c").alias("lsrc")), "src")
             .join(lab.select(F.col("v").alias("dst"), F.col("c").alias("ldst")), "dst")
             .where(F.col("lsrc") != F.col("ldst"))
             .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         level = contracted
     if not labs:  # max_iter=0 or no edges: identity labels over the vertices

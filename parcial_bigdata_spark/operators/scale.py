@@ -92,6 +92,28 @@ def salted_join(
     return out.drop("_salt")
 
 
+def iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage cut for iterative loops (CC contraction levels, Lloyd
+    rounds): checkpointing truncates the logical plan that would
+    otherwise nest one join deeper per iteration (superlinear analysis
+    cost, eventual Catalyst stack overflow).
+
+    ``localCheckpoint`` materializes to executor block storage — right
+    for local mode, but lost with an executor on a real cluster.  When
+    the session has a RELIABLE checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir`` — the cluster posture),
+    fault-tolerant ``.checkpoint()`` is used instead; detection is
+    automatic, so the same operator code serves both postures."""
+    sc = df.sparkSession.sparkContext
+    try:
+        reliable = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
     """Adaptive parallelism repair for degenerate scans.
 

@@ -134,7 +134,8 @@ def train_spherical_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 2) ->
     known, the result is reproducible, and an unrolled SQL twin can
     verify it — at 100 TB you run Lloyd on a sample anyway, so bounded
     iterations are the production shape.  Per-round lineage is cut with
-    localCheckpoint (same rationale as duplicate_components).
+    ``iter_checkpoint`` (same rationale as duplicate_components; reliable
+    ``.checkpoint()`` engages automatically when a checkpoint dir is set).
 
     Oracle-equality caveat (round-3 advice): centroid components come
     from double ``avg()`` whose partial-sum order differs between Spark
@@ -162,11 +163,11 @@ def train_spherical_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 2) ->
             F.col("embedding").alias("centroid"),
         )
     )
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
     for _ in range(iters):
         asg = assign_clusters(e, cents)
-        cents = elementwise_avg(asg, ["cluster"], "embedding").localCheckpoint(
-            eager=True
-        )
+        cents = iter_checkpoint(elementwise_avg(asg, ["cluster"], "embedding"))
     return cents
 
 

@@ -102,3 +102,26 @@ def test_fan_out_small_scan_repairs_degenerate_scan(spark, tmp_path):
 
     mem = spark.range(10)  # no files behind it -> structural no-op
     assert scale.fan_out_small_scan(mem, "id") is mem
+
+
+def test_iter_checkpoint_uses_reliable_dir_when_configured(spark, tmp_path):
+    """With a checkpoint dir configured (cluster posture), iterative
+    loops must cut lineage via fault-tolerant .checkpoint() — files
+    appear under the dir — and produce the same labels as local mode."""
+    import os
+
+    from parcial_bigdata_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(10, 11)], "doc_a long, doc_b long"
+    )
+    baseline = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+
+    ckdir = str(tmp_path / "reliable-ckpt")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    got = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert got == baseline
+    written = []
+    for root, _dirs, files in os.walk(ckdir):
+        written += files
+    assert written, "no reliable checkpoint files were written"
