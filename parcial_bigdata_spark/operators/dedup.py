@@ -327,8 +327,9 @@ def _tail_components(edges: DataFrame) -> DataFrame:
                 x = parent[x]
             return x
 
-        frames = list(batches)
-        for b in frames:
+        # stream the batch iterator — collecting it first would double
+        # the tail task's peak memory for a single pass (round-4 advice)
+        for b in batches:
             for s, d in zip(b["src"], b["dst"]):
                 parent.setdefault(s, s)
                 parent.setdefault(d, d)
@@ -397,9 +398,11 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     level = und
     labs: list[DataFrame] = []
+    converged = False
     for _ in range(max_iter):
         n_edges = level.count()
         if n_edges == 0:
+            converged = True
             break
         if n_edges <= _CC_TAIL_EDGES:
             # The contracted graph now fits one task: finish it with a
@@ -411,6 +414,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             # is big, so the tail solver's input is bounded by the
             # threshold regardless of corpus size.
             labs.append(_tail_components(level))
+            converged = True
             break
         # l(v) = min(v, N(v)) — one groupBy over the level's edges (the
         # self term folds in via least(), no self-loop union needed).
@@ -433,7 +437,22 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .distinct()
         )
         level = contracted
-    if not labs:  # max_iter=0 or no edges: identity labels over the vertices
+    if not converged:
+        # Returning the composed labels here would hand the caller
+        # intermediate contraction ids as if they were component minima
+        # — silently wrong clusters.  Exhausting max_iter on a graph
+        # that still has edges is a configuration error (round-4
+        # advice): each level contracts every star to a point, so the
+        # default budget covers any realistic diameter; a caller who
+        # lowered it must raise it, not consume unconverged labels.
+        if not level.isEmpty():
+            raise ValueError(
+                f"duplicate_components did not converge within "
+                f"max_iter={max_iter} contraction levels (contracted "
+                "graph still has edges); raise max_iter"
+            )
+        converged = True
+    if not labs:  # no edges at all: identity labels over the (empty) vertex set
         return und.select(
             F.col("src").alias("doc_id"), F.col("src").alias("comp")
         ).distinct()

@@ -103,7 +103,16 @@ def iter_checkpoint(df: DataFrame) -> DataFrame:
     the session has a RELIABLE checkpoint directory configured
     (``spark.sparkContext.setCheckpointDir`` — the cluster posture),
     fault-tolerant ``.checkpoint()`` is used instead; detection is
-    automatic, so the same operator code serves both postures."""
+    automatic, so the same operator code serves both postures.
+
+    Cluster posture note: reliable checkpoints are files in the
+    checkpoint dir, and Spark does NOT delete them unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — a long iterative job (one checkpoint per contraction /
+    Lloyd level) otherwise leaks checkpoint storage.  Set that conf in
+    the cluster posture, or point the checkpoint dir at a
+    lifecycle-managed path (e.g. an object-store prefix with a TTL
+    rule)."""
     sc = df.sparkSession.sparkContext
     try:
         reliable = sc._jsc.sc().getCheckpointDir().isDefined()

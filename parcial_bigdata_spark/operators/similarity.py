@@ -106,11 +106,18 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     cut with no sort."""
     s = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
     sc = F.struct(s.alias("sim"), (-F.col("cluster")).alias("negc"))
+    # Group by the primitive vec_id ONLY and carry the embedding through
+    # the aggregate with first(): grouping on the array column would (a)
+    # return Spark's normalized key (-0.0→0.0, NaN canonicalized) instead
+    # of the bit-identical input vector and (b) forgo the primitive-key
+    # fast-path hash aggregate (round-4 advice).  Every group is one
+    # vec_id's k candidate rows with an identical embedding, so first()
+    # is deterministic in value.
     return (
         embeddings.crossJoin(F.broadcast(centroids))
         .select("vec_id", "embedding", sc.alias("sc"))
-        .groupBy("vec_id", "embedding")
-        .agg(F.max("sc").alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.first("embedding").alias("embedding"), F.max("sc").alias("sc"))
         .select(
             "vec_id",
             "embedding",
