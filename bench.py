@@ -64,6 +64,89 @@ HEADLINE = [
 
 N_ITER = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
 
+# ---- LSH skew stress (round-4 verdict item 4) -----------------------------
+# A boilerplate-heavy corpus with ONE degenerate >=10^4-member band bucket
+# (10,500 byte-identical "license page" docs — every LSH band collides), plus
+# 100 planted genuine near-dup pairs and unique filler.  Without the
+# MAX_LSH_BUCKET cap the hot bucket emits ~5.5e7 pairs from one grouped row;
+# with it, pair generation stays bounded and wall-time flat.  The bench times
+# the capped run + the observability twin, and reports the cap's measured
+# recall effect: planted-pair recall (must stay high — real near-dups live in
+# small buckets) vs the identical block (deliberately truncated; exact dedup
+# catches identical texts upstream).
+
+_SKEW_IDENTICAL = 10_500
+_SKEW_PLANTED = 100
+
+
+def _skew_corpus(spark):
+    boiler = ("terms of service agreement all rights reserved no warranty "
+              "of any kind either expressed or implied including but not "
+              "limited to the implied warranties of merchantability and "
+              "fitness for a particular purpose " * 2)
+    rows = [(i, boiler) for i in range(_SKEW_IDENTICAL)]
+    vid = _SKEW_IDENTICAL
+    for p in range(_SKEW_PLANTED):  # pair = 30-word text, last 2 words mutated
+        words = [f"w{p}x{j}" for j in range(30)]
+        rows.append((vid, " ".join(words)))
+        rows.append((vid + 1, " ".join(words[:-2] + [f"m{p}a", f"m{p}b"])))
+        vid += 2
+    for f in range(1_300):
+        rows.append((vid, " ".join(f"f{f}u{j}" for j in range(25))))
+        vid += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run_skew_stress(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import dedup as D
+
+    corpus = _skew_corpus(spark).persist()
+    corpus.count()
+    timings: dict[str, float] = {}
+
+    best = float("inf")
+    for _ in range(max(1, N_ITER)):
+        t0 = time.perf_counter()
+        banded = D._banded(corpus, 3, carry_shingles=False)
+        stats_row = D.bucket_truncation_stats(
+            banded, ["band_id", "band_hash"]
+        ).collect()[0]
+        best = min(best, time.perf_counter() - t0)
+    timings["lsh_skew_bucket_stats"] = round(best, 3)
+
+    best, found = float("inf"), None
+    for _ in range(max(1, N_ITER)):
+        t0 = time.perf_counter()
+        pairs = D.minhash_near_duplicates(corpus, threshold=0.6).persist()
+        n_pairs = pairs.count()
+        best = min(best, time.perf_counter() - t0)
+        if found is None:
+            from pyspark.sql import functions as F
+
+            planted = (F.col("doc_a") >= _SKEW_IDENTICAL) & (
+                F.col("doc_b") == F.col("doc_a") + 1
+            ) & ((F.col("doc_a") - _SKEW_IDENTICAL) % 2 == 0)
+            found = pairs.where(planted).count()
+            n_identical_pairs = pairs.where(
+                F.col("doc_b") < _SKEW_IDENTICAL
+            ).count()
+        pairs.unpersist()
+    timings["lsh_skew_capped_pairs"] = round(best, 3)
+    corpus.unpersist()
+
+    detail = {
+        "identical_block_docs": _SKEW_IDENTICAL,
+        "max_bucket_size": stats_row.max_bucket_size,
+        "n_truncated_buckets": stats_row.n_truncated_buckets,
+        "n_members_dropped": stats_row.n_members_dropped,
+        "pairs_emitted_total": n_pairs,
+        "identical_block_pairs_emitted": n_identical_pairs,
+        "planted_pairs": _SKEW_PLANTED,
+        "planted_found": found,
+        "planted_recall": round(found / _SKEW_PLANTED, 4),
+    }
+    return timings, detail
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,6 +177,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    skew_timings, skew_detail = _run_skew_stress(spark)
+    timings.update(skew_timings)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -103,6 +189,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "skew_lsh": skew_detail,
             }
         )
     )

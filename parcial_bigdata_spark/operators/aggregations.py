@@ -349,3 +349,85 @@ def revenue_share_by_priority(orders: DataFrame) -> DataFrame:
         "revenue",
         F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
     ).orderBy("o_orderpriority")
+
+
+def approx_distinct_parts_checked(
+    lineitem: DataFrame, rsd: float = 0.01, pct_tol: float = 0.02
+) -> DataFrame:
+    """Oracle-checkable audit form of ``approx_distinct_parts``: runs the
+    HLL++ distinct sketch and the t-digest percentile sketch SIDE BY SIDE
+    with their exact counterparts in one aggregate pass, and emits the
+    exact values (ANSI-SQL-reproducible) plus deterministic error-bound
+    flags (``approx BETWEEN lo AND hi`` rendered as INT, per the round-4
+    verdict) — so the registry row hash-greens instead of recording a
+    rows-only ``err:no_oracle``.
+
+    Bounds: HLL++ with relative standard deviation ``rsd`` is asserted
+    within 5·rsd of exact (5 sigma); ``approx_percentile`` within
+    ``pct_tol`` of the value RANGE (its rank error is ≤ n/accuracy —
+    far inside that on any non-degenerate distribution).  The raw
+    sketch-only operator remains the production path at 100 TB, where
+    the exact twin columns would cost a sort/expand this audit pays on
+    purpose."""
+    pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+    epcts = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+    agg = lineitem.agg(
+        F.countDistinct("l_partkey").alias("n_exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd).alias("_approx"),
+        pcts.alias("_ap"),
+        epcts.alias("_ep"),
+        F.min("l_extendedprice").alias("_mn"),
+        F.max("l_extendedprice").alias("_mx"),
+    )
+    tol = (F.col("_mx") - F.col("_mn")) * pct_tol
+
+    def _pct_ok(i):
+        return (
+            F.abs(F.col("_ap")[i] - F.col("_ep")[i]) <= tol
+        ).cast("int")
+
+    return agg.select(
+        "n_exact_parts",
+        F.round(F.col("_ep")[0], 4).alias("p50"),
+        F.round(F.col("_ep")[1], 4).alias("p95"),
+        F.round(F.col("_ep")[2], 4).alias("p99"),
+        (
+            F.abs(F.col("_approx") - F.col("n_exact_parts"))
+            <= F.lit(5 * rsd) * F.col("n_exact_parts")
+        )
+        .cast("int")
+        .alias("approx_distinct_ok"),
+        _pct_ok(0).alias("p50_ok"),
+        _pct_ok(1).alias("p95_ok"),
+        _pct_ok(2).alias("p99_ok"),
+    )
+
+
+def approx_percentile_value_by_type_checked(
+    events: DataFrame, accuracy: int = 10_000, pct_tol: float = 0.02
+) -> DataFrame:
+    """Oracle-checkable audit form of ``approx_percentile_value_by_type``:
+    per event type, the exact interpolated percentiles (= DuckDB
+    ``quantile_cont``, the oracle) alongside bound flags asserting the
+    quantile sketch lands within ``pct_tol`` of each group's value range
+    (rank error ≤ n/accuracy ⟹ far tighter in practice).  Same purpose
+    as ``approx_distinct_parts_checked`` — no rows-only driver record for
+    a by-design approximate aggregate."""
+    grouped = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias("_a50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)).alias("_a90"),
+        F.min("value").alias("_mn"),
+        F.max("value").alias("_mx"),
+        F.count("*").alias("n_events"),
+    )
+    tol = (F.col("_mx") - F.col("_mn")) * pct_tol
+    return grouped.select(
+        "event_type",
+        "p50_value",
+        "p90_value",
+        "n_events",
+        (F.abs(F.col("_a50") - F.col("p50_value")) <= tol).cast("int").alias("p50_ok"),
+        (F.abs(F.col("_a90") - F.col("p90_value")) <= tol).cast("int").alias("p90_ok"),
+    ).orderBy("event_type")

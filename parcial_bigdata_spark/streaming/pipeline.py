@@ -24,9 +24,11 @@ bounds batch size); the idempotency filter reads a PROCESSED-FILES
 LEDGER parquet (one row per ingested file — O(files), tiny) instead of
 scanning silver itself, so the per-batch overhead no longer grows with
 the table.  Replays are detected via the ledger's batch-id high-water
-mark and fall back to the exact silver-derived file set — the O(table)
-path runs only on actual crash recovery, never steady-state.  Every
-transform is the same codegen'd expression pipeline as batch.
+mark and fall back to the exact silver-derived file set, partition-
+pruned to the dt partitions the replayed batch itself touches — so even
+crash recovery is O(recent partitions), never O(table), and it runs
+only on actual recovery, never steady-state.  Every transform is the
+same codegen'd expression pipeline as batch.
 """
 
 from __future__ import annotations
@@ -62,11 +64,28 @@ def read_bronze_stream(
     )
 
 
-def _existing_files(spark: SparkSession, silver_path: str) -> DataFrame | None:
+def _existing_files(
+    spark: SparkSession, silver_path: str, dts: list | None = None
+) -> DataFrame | None:
+    """Silver-derived processed-file set for the crash-recovery replay
+    filter.  ``dts`` restricts the scan to the given ``dt`` partitions —
+    sound because the caller passes the CURRENT batch's distinct event
+    dates: the silver write is job-atomic, and a file's rows land in
+    exactly the dt partitions its parse produces (deterministically), so
+    any crashed-write copy of a current-batch file is visible inside the
+    current batch's own dt set.  Recovery cost is O(partitions the batch
+    touches), not O(table) (round-4 verdict item 5)."""
     try:
-        return spark.read.parquet(silver_path).select("source_file").distinct()
+        df = spark.read.parquet(silver_path)
     except Exception:  # first batch: silver does not exist yet
         return None
+    if dts is not None:
+        non_null = [d for d in dts if d is not None]
+        cond = F.col("dt").isin(non_null)
+        if len(non_null) < len(dts):  # unparseable dates partition separately
+            cond = cond | F.col("dt").isNull()
+        df = df.where(cond)
+    return df.select("source_file").distinct()
 
 
 def _ledger_path(silver_path: str) -> str:
@@ -110,7 +129,16 @@ def make_silver_batch_writer(
             max_bid = ledger.agg(F.max("batch_id").alias("m")).collect()[0].m
             replay = max_bid is not None and batch_id <= max_bid
         if replay:
-            existing = _existing_files(spark, silver_path)
+            # one extra recovery-only pass over the (small) batch to
+            # learn which dt partitions its rows would land in; the
+            # fallback scan then partition-prunes to exactly those
+            batch_dts = [
+                r.d
+                for r in rows.select(F.to_date("fechahora").alias("d"))
+                .distinct()
+                .collect()
+            ]
+            existing = _existing_files(spark, silver_path, batch_dts)
         elif ledger is not None:
             existing = ledger.select("source_file").distinct()
         else:

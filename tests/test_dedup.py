@@ -559,3 +559,73 @@ def test_contraction_equals_tail_on_fixture_corpus(spark, monkeypatch):
     tail = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
     assert contraction == tail
     assert len(contraction) > 0
+
+
+def test_recall_audit_twins_flags_green_and_wired(spark):
+    """The round-5 audit twins must (a) report green flags on the
+    fixture corpus and (b) actually wire the flag to the measurement —
+    an unreachable floor must trip it to 0."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata not present")
+    from parcial_bigdata_spark.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+
+    [mh] = dedup.minhash_recall_check(docs).collect()
+    assert (mh.recall_ok, mh.n_sample_docs) == (1, 250)
+    assert mh.n_truth_pairs >= 0
+
+    [sh] = dedup.simhash_recall_check(docs).collect()
+    assert (sh.twin_ok, sh.recall_ok) == (1, 1)
+
+    [el] = dedup.embedding_lsh_recall_check(emb).collect()
+    assert el.recall_ok == 1 and el.n_truth_pairs > 0
+
+    # floor > 1 with non-zero truth is unreachable -> flag must drop
+    [el_bad] = dedup.embedding_lsh_recall_check(emb, recall_floor=1.5).collect()
+    assert el_bad.recall_ok == 0
+
+
+def test_embedding_lsh_coarse_geometry_needs_uncapped_buckets(spark):
+    """Pin the round-5 finding: with the fixture's coarse 2-plane/4-bucket
+    geometry the global bucket cap wholesale-truncates the corpus (recall
+    collapse), while max_bucket=None restores the OR-construction's
+    near-full recall.  Guards against the cap silently re-entering the
+    coarse-geometry path."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata not present")
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.catalog import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    capped = dedup.embedding_near_duplicates_lsh(
+        emb, threshold=0.4, n_planes=2, n_tables=8, max_bucket=64
+    ).count()
+    uncapped = dedup.embedding_near_duplicates_lsh(
+        emb, threshold=0.4, n_planes=2, n_tables=8, max_bucket=None
+    ).count()
+    truth = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(
+            F.round(
+                dedup.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            )
+            >= 0.4
+        )
+        .count()
+    )
+    assert uncapped >= 0.9 * truth
+    assert capped < uncapped  # the cap measurably bites this geometry

@@ -12,14 +12,15 @@ import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Approximate operators exempt from the SQL oracle by design (recall<1 or
-# sketch-valued); each has an oracle-checked exact ground-truth twin.
+# Approximate operators exempt from the SQL oracle by design (their
+# OUTPUT depends on hash geometry no SQL engine reproduces); each has an
+# oracle-checked *_check audit twin (recall/error bounds vs exact ground
+# truth) in the registry since round 5.  The approx_* aggregates run
+# their _checked audit forms and carry real oracles now.
 NO_ORACLE_OK = {
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_lsh",  # approximate recall; exact label-blocked twin is oracle-checked
-    "approx_distinct_parts",
-    "approx_percentile_value_by_type",  # sketch; exact twin is oracle-checked
+    "dedup_embedding_lsh",
 }
 
 pytestmark = pytest.mark.skipif(
@@ -49,3 +50,25 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
     assert cols == sorted(set(cols), key=cols.index), f"duplicate columns in {name}"
     n = df.count()
     assert n >= 0
+
+
+def test_cc_py_oracle_matches_sql_oracle():
+    """The checker's bounded Python union-find oracles (used where the
+    recursive-CTE closure is infeasible, e.g. sf0.1) must reproduce the
+    SQL oracles' exact frames at a SF where both are computable."""
+    import duckdb
+
+    from parcial_bigdata_spark.catalog import TABLES
+    from parcial_bigdata_spark.plans.registry import ORACLES
+    from tools.check_correctness import PY_ORACLES, _canon
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name, py_fn in PY_ORACLES.items():
+        sql_df = con.execute(ORACLES[name]).df()
+        py_df = py_fn(con)
+        sql_df.columns = [c.lower() for c in sql_df.columns]
+        py_df.columns = [c.lower() for c in py_df.columns]
+        assert sorted(sql_df.columns) == sorted(py_df.columns), name
+        assert _canon(sql_df).equals(_canon(py_df)), f"{name}: py != sql oracle"

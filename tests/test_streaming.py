@@ -268,3 +268,31 @@ def test_available_now_rollup_matches_batch(spark):
             tuple(r) for r in hourly_rollup_available_now(spark, path).collect()
         }
         assert stream_rows == batch_rows
+
+
+def test_recovery_fallback_scan_is_partition_pruned(spark, tmp_path):
+    """Round-5 hardening (r4 verdict item 5): the crash-recovery
+    silver-derived file set must partition-prune to the replayed batch's
+    own dt partitions — O(recent partitions), not O(table) — while still
+    seeing the files those partitions hold."""
+    silver = tmp_path / "silver"
+    rows = [
+        ("f1", dt.datetime(2025, 9, 10, 12), dt.date(2025, 9, 10)),
+        ("f2", dt.datetime(2025, 9, 11, 12), dt.date(2025, 9, 11)),
+        ("f3", dt.datetime(2025, 9, 12, 12), dt.date(2025, 9, 12)),
+    ]
+    spark.createDataFrame(
+        rows, "source_file string, fechahora timestamp, dt date"
+    ).write.partitionBy("dt").parquet(str(silver))
+
+    pruned = sp._existing_files(spark, str(silver), [dt.date(2025, 9, 11)])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+    # the plan keeps the dt predicate as a partition filter (metadata-only
+    # prune, no data read outside the batch's partitions)
+    assert "19976" in plan or "2025-09-11" in plan  # date literal rendering
+    assert {r.source_file for r in pruned.collect()} == {"f2"}
+
+    # unpruned fallback (no dts) still sees everything — semantics anchor
+    full = sp._existing_files(spark, str(silver), None)
+    assert {r.source_file for r in full.collect()} == {"f1", "f2", "f3"}
