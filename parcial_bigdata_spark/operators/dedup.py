@@ -16,7 +16,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from parcial_bigdata_spark.functions.vector import cosine
+from parcial_bigdata_spark.functions.vector import dot, norm
 from parcial_bigdata_spark.operators.text import normalized
 
 
@@ -793,7 +793,32 @@ def _bucket_pairs(
     test_lsh_bucket_cap_prunes_map_side).  Docs appear once per bucket,
     so doc_id rank order equals the old array_sort order.  Pass
     ``None`` to disable (exact-semantics callers); approximate LSH
-    callers keep the default."""
+    callers keep the default.
+
+    Uncapped + slim (``max_bucket is None`` and no payload) switches
+    from the grouped-HOF expansion to a plain self-equi-join on the
+    block keys: with no cap a bucket of n members would materialize an
+    n(n−1)/2-element struct array in a SINGLE grouped row (a coarse
+    4-bucket LSH geometry puts ~|corpus|/4 members per bucket — that
+    row is quadratic in corpus size, and parallelism collapses to
+    |buckets|), while the join streams the same pairs across tasks with
+    nothing wider than the slim key rows on the wire.  The HOF path's
+    recompute-lineage argument doesn't apply: a slim blocked frame is
+    ids + block keys, so the join re-derives only the cheap bucket
+    assignment, never shingles/signatures."""
+    if max_bucket is None and not payload:
+        eq = reduce(
+            operator.and_,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in block_keys],
+        )
+        return (
+            blocked.alias("a")
+            .join(blocked.alias("b"), eq & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.struct(F.col("a.doc_id").alias("doc_id")).alias("a"),
+                F.struct(F.col("b.doc_id").alias("doc_id")).alias("b"),
+            )
+        )
     src = blocked
     if max_bucket is not None:
         wcap = Window.partitionBy(*block_keys).orderBy("doc_id")
@@ -1017,11 +1042,22 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup, blocked by a precomputed cluster column
     (the fixture ``label``; at scale an IVF/quantizer assignment).  Exact
     within blocks — the oracle-checked ground truth that the LSH-blocked
-    variant below is measured against."""
-    cols = ["vec_id", "embedding", block_col]
-    a = embeddings.select(*cols).alias("a")
-    b = embeddings.select(*cols).alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    variant below is measured against.
+
+    Vector norms are hoisted to a per-vector column BEFORE the pair
+    join: cosine over a pair then costs one zip_with/aggregate pass
+    (the dot) plus a scalar divide, instead of three array folds —
+    the norms are computed |vectors| times, not |pairs|×2 times.
+    Bitwise-identical to the unhoisted form (same deterministic fold
+    per vector, same multiply/divide order)."""
+    src = embeddings.select("vec_id", "embedding", block_col).withColumn(
+        "nrm", norm("embedding")
+    )
+    a = src.alias("a")
+    b = src.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
@@ -1096,8 +1132,12 @@ def embedding_near_duplicates_lsh(
         .select(F.col("a.doc_id").alias("vec_a"), F.col("b.doc_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    payload = embeddings.select("vec_id", "embedding")
-    sim = cosine(F.col("pa.embedding"), F.col("pb.embedding"))
+    payload = embeddings.select("vec_id", "embedding").withColumn(
+        "nrm", norm("embedding")
+    )
+    sim = dot(F.col("pa.embedding"), F.col("pb.embedding")) / (
+        F.col("pa.nrm") * F.col("pb.nrm")
+    )
     return (
         cand.join(payload.alias("pa"), F.col("vec_a") == F.col("pa.vec_id"))
         .join(payload.alias("pb"), F.col("vec_b") == F.col("pb.vec_id"))
@@ -1190,11 +1230,29 @@ def minhash_recall_check(
     - ``n_truth_pairs``   oracle-checked (exact Jaccard in ANSI SQL)
     - ``recall_ok``       1 ⟺ |found ∩ truth| ≥ recall_floor·|truth|
     """
+    # Truth join blocks on (lang, log-length-bucket) with the same
+    # lossless ±1-bucket scheme as jaccard_pairs — a lang-only equi-join
+    # would put the whole O(sample²) shingle-intersect sweep on |langs|
+    # hot keys (parallelism 5 on this fixture).  The exact length-band
+    # and Jaccard predicates re-apply below, so blocking never changes
+    # the truth set; the size-ratio prune is implied by J ≥ t (lossless).
+    import math
+
+    max_slack = 1 - 1 / _BUCKET_BASE
+    if length_slack > max_slack and not math.isclose(length_slack, max_slack):
+        raise ValueError(
+            f"length_slack={length_slack} exceeds the lossless ±1-bucket bound "
+            f"{max_slack:.4f} for bucket base {_BUCKET_BASE}"
+        )
     samp_docs = documents.where(F.col("doc_id") % sample_mod == 0)
     sh = shingles(samp_docs, k).join(
         samp_docs.select("doc_id", "lang", "n_chars"), "doc_id"
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    bkt = F.floor(F.log(F.col("n_chars").cast("double")) / math.log(_BUCKET_BASE))
+    a = sh.withColumn("bkt", bkt).alias("a")
+    b = sh.withColumn(
+        "bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
+    ).alias("b")
     jac = F.round(
         F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
         / F.size(F.array_union("a.shingles", "b.shingles")),
@@ -1204,10 +1262,15 @@ def minhash_recall_check(
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
                 <= length_slack * F.greatest("a.n_chars", "b.n_chars")
+            )
+            & (
+                F.least(F.size("a.shingles"), F.size("b.shingles"))
+                >= threshold * F.greatest(F.size("a.shingles"), F.size("b.shingles"))
             ),
         )
         .where(jac >= threshold)
@@ -1216,15 +1279,18 @@ def minhash_recall_check(
     found = minhash_near_duplicates(documents, threshold=threshold, k=k).where(
         (F.col("doc_a") % sample_mod == 0) & (F.col("doc_b") % sample_mod == 0)
     )
-    n_truth = truth.agg(F.count("*").alias("n_truth_pairs"))
-    n_hit = (
-        truth.join(found, ["doc_a", "doc_b"], "left_semi")
-        .agg(F.count("*").alias("n_hit"))
+    # one pass over truth: marker left-join folds |truth| and
+    # |truth ∩ found| into a single aggregate (truth's all-pairs subtree
+    # would otherwise be evaluated once per counter branch)
+    marked = found.select("doc_a", "doc_b").dropDuplicates().withColumn(
+        "_hit", F.lit(1)
+    )
+    stats = truth.join(marked, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_truth_pairs"), F.count("_hit").alias("n_hit")
     )
     n_samp = samp_docs.agg(F.count("*").alias("n_sample_docs"))
     return (
-        n_samp.crossJoin(n_truth)
-        .crossJoin(n_hit)
+        n_samp.crossJoin(stats)
         .select(
             "n_sample_docs",
             "n_truth_pairs",
@@ -1270,16 +1336,17 @@ def simhash_recall_check(
     found = simhash_near_duplicates(documents, max_hamming=max_hamming, arrow=True).where(
         (F.col("doc_a") % sample_mod == 0) & (F.col("doc_b") % sample_mod == 0)
     )
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_hit = (
-        truth.join(found, ["doc_a", "doc_b"], "left_semi")
-        .agg(F.count("*").alias("n_hit"))
+    # one pass over truth (see minhash_recall_check)
+    marked = found.select("doc_a", "doc_b").dropDuplicates().withColumn(
+        "_hit", F.lit(1)
+    )
+    stats = truth.join(marked, ["doc_a", "doc_b"], "left").agg(
+        F.count("*").alias("n_truth"), F.count("_hit").alias("n_hit")
     )
     n_samp = samp_docs.agg(F.count("*").alias("n_sample_docs"))
     return (
         n_samp.crossJoin(twin_bad)
-        .crossJoin(n_truth)
-        .crossJoin(n_hit)
+        .crossJoin(stats)
         .select(
             "n_sample_docs",
             _flag(F.col("n_twin_bad") == 0).alias("twin_ok"),
@@ -1309,10 +1376,25 @@ def embedding_lsh_recall_check(
     - ``n_sample_vecs``   oracle-checked anchor
     - ``n_truth_pairs``   oracle-checked (list_cosine_similarity in SQL)
     - ``recall_ok``       1 ⟺ |found ∩ truth| ≥ recall_floor·|truth|
+
+    The truth side fans out the embeddings scan first: the all-pairs
+    nested-loop join inherits the STREAM side's partitioning, and a
+    single-file sample table would run the whole O(n²) cosine sweep on
+    one core (measured 26 s → 1.6 s at sf0.1 on local[32]).
     """
-    samp = embeddings.where(F.col("vec_id") % sample_mod == 0)
+    from parcial_bigdata_spark.operators.scale import fan_out_small_scan
+
+    samp = (
+        fan_out_small_scan(embeddings, "vec_id")
+        .where(F.col("vec_id") % sample_mod == 0)
+        .withColumn("nrm", norm("embedding"))
+    )
     a, b = samp.alias("a"), samp.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     truth = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(sim >= threshold)
@@ -1325,15 +1407,18 @@ def embedding_lsh_recall_check(
         n_planes=n_planes,
         max_bucket=max_bucket,
     ).where((F.col("vec_a") % sample_mod == 0) & (F.col("vec_b") % sample_mod == 0))
-    n_truth = truth.agg(F.count("*").alias("n_truth_pairs"))
-    n_hit = (
-        truth.join(found, ["vec_a", "vec_b"], "left_semi")
-        .agg(F.count("*").alias("n_hit"))
+    # single pass over truth: a marker left-join gives |truth| and
+    # |truth ∩ found| from ONE aggregate, so the O(n²) truth subtree is
+    # evaluated once, not once per counter branch
+    marked = found.select("vec_a", "vec_b").dropDuplicates().withColumn(
+        "_hit", F.lit(1)
+    )
+    stats = truth.join(marked, ["vec_a", "vec_b"], "left").agg(
+        F.count("*").alias("n_truth_pairs"), F.count("_hit").alias("n_hit")
     )
     n_samp = samp.agg(F.count("*").alias("n_sample_vecs"))
     return (
-        n_samp.crossJoin(n_truth)
-        .crossJoin(n_hit)
+        n_samp.crossJoin(stats)
         .select(
             "n_sample_vecs",
             "n_truth_pairs",

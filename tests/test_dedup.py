@@ -608,6 +608,7 @@ def test_embedding_lsh_coarse_geometry_needs_uncapped_buckets(spark):
     from pyspark.sql import functions as F
 
     from parcial_bigdata_spark.catalog import load_table
+    from parcial_bigdata_spark.functions.vector import cosine
 
     emb = load_table(spark, sf, "embeddings")
     capped = dedup.embedding_near_duplicates_lsh(
@@ -620,9 +621,7 @@ def test_embedding_lsh_coarse_geometry_needs_uncapped_buckets(spark):
         emb.alias("a")
         .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
         .where(
-            F.round(
-                dedup.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
-            )
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
             >= 0.4
         )
         .count()
