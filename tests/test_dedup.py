@@ -461,6 +461,27 @@ def test_lsh_bucket_cap_prunes_map_side(spark):
     assert pairs.count() == 3 * per_bucket
 
 
+def test_uncapped_slim_bucket_pairs_selfjoin_path(spark):
+    """Uncapped + slim payload takes the self-equi-join path: same pairs
+    as the grouped-HOF expansion (proxied by a cap far above every
+    bucket), via a hash equi-join on the block keys — never a nested-
+    loop join, never a quadratic grouped array."""
+    from pyspark.sql import functions as F
+
+    blocked = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("bucket")
+    )
+    slim = dedup._bucket_pairs(blocked, ["bucket"], [], max_bucket=None)
+    hof = dedup._bucket_pairs(blocked, ["bucket"], [], max_bucket=10_000)
+    flat = lambda df: {  # noqa: E731
+        (r["a"]["doc_id"], r["b"]["doc_id"]) for r in df.collect()
+    }
+    assert flat(slim) == flat(hof)
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+
 def test_bucket_truncation_stats_reports_dropped_members(spark):
     from pyspark.sql import functions as F
 
