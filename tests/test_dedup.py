@@ -582,6 +582,55 @@ def test_contraction_equals_tail_on_fixture_corpus(spark, monkeypatch):
     assert len(contraction) > 0
 
 
+def test_minhash_check_bucket_blocked_truth_is_lossless(spark):
+    """The (lang, log-length-bucket) blocking added to the minhash
+    audit's truth join must be lossless: its n_truth_pairs equals a
+    naive lang-only all-pairs computation of the same predicate set."""
+    import os
+
+    import pytest as _pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        _pytest.skip("driver testdata not present")
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.catalog import load_table
+
+    docs = load_table(spark, sf, "documents")
+    threshold, k, sample_mod, length_slack = 0.6, 3, 2, 0.2
+    [row] = dedup.minhash_recall_check(
+        docs, threshold=threshold, k=k, sample_mod=sample_mod,
+        length_slack=length_slack,
+    ).collect()
+    samp = docs.where(F.col("doc_id") % sample_mod == 0)
+    sh = dedup.shingles(samp, k).join(
+        samp.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double")
+        / F.size(F.array_union("a.shingles", "b.shingles"))
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= length_slack * F.greatest("a.n_chars", "b.n_chars")
+            ),
+        )
+        .where(F.round(jac, 4) >= threshold)
+        .count()
+    )
+    assert row.n_truth_pairs == naive
+    # the lossless-bound guard trips on an over-wide band
+    with _pytest.raises(ValueError, match="length_slack"):
+        dedup.minhash_recall_check(docs, length_slack=0.5).collect()
+
+
 def test_recall_audit_twins_flags_green_and_wired(spark):
     """The round-5 audit twins must (a) report green flags on the
     fixture corpus and (b) actually wire the flag to the measurement —
