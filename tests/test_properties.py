@@ -342,3 +342,104 @@ def test_assign_clusters_matches_argmax_reference(spark, vecs, k):
             continue
         best = sorted(real, key=lambda t: (-t[0], t[1]))[0]
         assert got[i] == (best[1], best[0])
+
+
+@st.composite
+def event_stream(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    rows = []
+    for _ in range(n):
+        user = draw(st.integers(min_value=1, max_value=3))
+        # minute offsets keep gap arithmetic exact; duplicates allowed
+        # (equal ts => gap 0 => same session, order-invariant)
+        minutes = draw(st.integers(min_value=0, max_value=300))
+        value = draw(st.integers(min_value=0, max_value=50))
+        rows.append((user, minutes, value))
+    return rows
+
+
+@given(stream=event_stream(), gap=st.integers(min_value=1, max_value=60))
+@settings(**_SETTINGS)
+def test_sessionize_matches_naive_gap_rule(spark, stream, gap):
+    """sessionize (lag + cumulative gap counter, one shuffle) must agree
+    with the obvious per-user sequential gap splitter on random event
+    streams — session boundaries, event counts, start/end, and value
+    sums all exact (integer values: no rounding-mode ambiguity)."""
+    from parcial_bigdata_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    events = spark.createDataFrame(
+        [
+            (i, u, base + dt.timedelta(minutes=m), float(v))
+            for i, (u, m, v) in enumerate(stream)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.session_seq): (
+            r.n_events,
+            r.session_start,
+            r.session_end,
+            r.session_value,
+        )
+        for r in sessionize(events, gap_minutes=gap).collect()
+    }
+
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for u, m, v in stream:
+        per_user.setdefault(u, []).append((m, v))
+    expected = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        seq, cur = 0, [evs[0]]
+        sessions = []
+        for prev, ev in zip(evs, evs[1:]):
+            if ev[0] - prev[0] > gap:
+                sessions.append((seq, cur))
+                seq, cur = seq + 1, [ev]
+            else:
+                cur.append(ev)
+        sessions.append((seq, cur))
+        for seq, cur in sessions:
+            expected[(u, seq)] = (
+                len(cur),
+                base + dt.timedelta(minutes=min(m for m, _ in cur)),
+                base + dt.timedelta(minutes=max(m for m, _ in cur)),
+                float(sum(v for _, v in cur)),
+            )
+    assert {k: (n, s.replace(tzinfo=dt.timezone.utc), e.replace(tzinfo=dt.timezone.utc), val) for k, (n, s, e, val) in got.items()} == expected
+
+
+@given(docs=doc_corpus(), budget=st.integers(min_value=1, max_value=20))
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_sequential_packer(spark, docs, budget):
+    """pack_sequences (window cumsum layout) must reproduce the exact
+    per-(lang, bin) accounting of a driver-side sequential packer that
+    walks docs in doc_id order and bins each at
+    floor(exclusive_running_tokens / budget) — token conservation, bin
+    boundaries, and first/last doc ids all exact."""
+    from parcial_bigdata_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.lang, r.bin): (r.n_docs, r.total_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, text, lang, _src, _nc in sorted(docs):
+        per_lang.setdefault(lang, []).append((doc_id, len(text.split(" "))))
+    expected: dict[tuple[str, int], list] = {}
+    for lang, entries in per_lang.items():
+        running = 0
+        for doc_id, ntok in entries:
+            b = running // budget
+            agg = expected.setdefault((lang, b), [0, 0, doc_id, doc_id])
+            agg[0] += 1
+            agg[1] += ntok
+            agg[2] = min(agg[2], doc_id)
+            agg[3] = max(agg[3], doc_id)
+            running += ntok
+    assert got == {k: tuple(v) for k, v in expected.items()}
