@@ -48,6 +48,18 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
     df = fn(spark, SF_DIR)
     cols = df.columns
     assert cols == sorted(set(cols), key=cols.index), f"duplicate columns in {name}"
+    # Blanket shuffle budget: the registry-wide worst case is 7 hash
+    # exchanges (the recall-audit twins) and 3 single-partition
+    # collapses (per-step 1-row funnel counts).  Tight per-query
+    # budgets live in test_plan_census for the headline set; this
+    # coarse ceiling catches a catastrophic plan regression (e.g. a
+    # broadcast join degrading into a shuffle cascade) anywhere in the
+    # registry.
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 7, name
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 3, name
     n = df.count()
     assert n >= 0
 
