@@ -7,6 +7,8 @@ sequential loop); they are the engine's answer to SURVEY.md §4's
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -123,6 +125,16 @@ def iter_checkpoint(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _parse_bytes(raw: str, default: int = 134217728) -> int:
+    """Spark byte-size conf values come plain (``134217728``) or
+    unit-suffixed (``128m``, ``1g``) — stripping non-digits would read
+    '128m' as 128 bytes and wildly inflate split estimates."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", raw.lower())
+    if not m:
+        return default
+    return int(m.group(1)) * 1024 ** " kmgtp".index(m.group(2) or " ")
+
+
 def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
     """Adaptive parallelism repair for degenerate scans.
 
@@ -162,7 +174,7 @@ def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
         except OSError:
             return df
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    max_split = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+    max_split = _parse_bytes(str(raw))
     est_splits = max(len(files), total // max_split)
     if est_splits < target:
         return df.repartition(target, by_col)

@@ -55,8 +55,15 @@ def fetch_to_landing(
     key = landing_key(prefix, epoch)
     os.makedirs(landing_dir, exist_ok=True)
     path = os.path.join(landing_dir, key)
-    with open(path, "wb") as f:
+    # Atomic publish: a streaming file source watching this directory
+    # must never list a half-written object (it would read truncated
+    # bytes once, mark the path seen, and lose the fetch forever).  The
+    # temp name starts with '.' so it can never match the bronze glob;
+    # rename within one directory is atomic on POSIX.
+    tmp = os.path.join(landing_dir, f".{key}.tmp")
+    with open(tmp, "wb") as f:
         f.write(raw)
+    os.replace(tmp, path)
     return {"dir": landing_dir, "key": key, "size_bytes": len(raw), "message": "stored"}
 
 

@@ -72,10 +72,14 @@ def parse_rows(bronze: DataFrame) -> DataFrame:
         "source_file", F.explode("payload").alias("pair")
     )
     # T1: epoch-ms (string or number) → UTC timestamp truncated to seconds.
-    # T2: string/number → float.  try_* keeps ANSI mode while giving the
-    # reference's permissive drop-and-count semantics.
-    ts_ms = F.element_at("pair", 1).try_cast("bigint")
-    val = F.element_at("pair", 2).try_cast("double")
+    # T2: string/number → float.  try_* keeps ANSI mode (default-on in
+    # Spark 4) while giving the reference's permissive drop-and-count
+    # semantics: try_element_at tolerates sub-2-element tuples (plain
+    # element_at THROWS under ANSI) and the decimal(12,4) range probe
+    # marks values the silver schema cannot store as bad rows instead of
+    # letting the at-rest cast blow up the write.
+    ts_ms = F.try_element_at("pair", F.lit(1)).try_cast("bigint")
+    val = F.try_element_at("pair", F.lit(2)).try_cast("double")
     return exploded.select(
         "source_file",
         F.date_trunc("second", F.timestamp_millis(ts_ms)).alias("fechahora"),
@@ -83,7 +87,7 @@ def parse_rows(bronze: DataFrame) -> DataFrame:
         (
             (F.size("pair") == 2)
             & ts_ms.isNotNull()
-            & val.isNotNull()
+            & val.try_cast("decimal(12,4)").isNotNull()
         ).alias("ok"),
     )
 
@@ -94,7 +98,9 @@ def silver_rows(candidates: DataFrame) -> DataFrame:
     return candidates.where("ok").select(
         "source_file",
         "fechahora",
-        F.col("valor_raw").cast(T.DecimalType(12, 4)).alias("valor"),
+        # try_cast cannot throw under ANSI; ok already guarantees the
+        # value fits decimal(12,4), so no row actually nulls out here.
+        F.col("valor_raw").try_cast(T.DecimalType(12, 4)).alias("valor"),
     )
 
 

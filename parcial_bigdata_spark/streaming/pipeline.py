@@ -20,15 +20,18 @@ Reference semantics preserved / upgraded:
   accounting.
 
 Scale: the file source lists incrementally (``maxFilesPerTrigger``
-bounds batch size); the idempotency filter reads a PROCESSED-FILES
-LEDGER parquet (one row per ingested file — O(files), tiny) instead of
-scanning silver itself, so the per-batch overhead no longer grows with
-the table.  Replays are detected via the ledger's batch-id high-water
-mark and fall back to the exact silver-derived file set, partition-
-pruned to the dt partitions the replayed batch itself touches — so even
-crash recovery is O(recent partitions), never O(table), and it runs
-only on actual recovery, never steady-state.  Every transform is the
-same codegen'd expression pipeline as batch.
+bounds batch size); the idempotency filter anti-joins each batch's
+files against a PROCESSED-FILES LEDGER parquet (one row per ingested
+file — O(files), tiny) UNIONED with the silver files already present
+in the batch's own ``dt`` partitions.  The ledger covers every
+committed batch cheaply; the partition-pruned silver probe covers the
+one window the ledger cannot — a crash BETWEEN the silver write and
+the ledger append, where the replayed batch's files are in silver but
+not yet in the ledger.  A replayed file's rows land in exactly the dt
+partitions its deterministic parse produces, so probing the current
+batch's own dt set always sees the crashed-write copy; the probe is
+O(partitions the batch touches) every batch, never O(table).  Every
+transform is the same codegen'd expression pipeline as batch.
 """
 
 from __future__ import annotations
@@ -64,20 +67,35 @@ def read_bronze_stream(
     )
 
 
+def _read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table, returning None ONLY when the path does not
+    exist yet (first batch).  Any other failure — corrupt footer,
+    permissions, object-store hiccup — re-raises: swallowing it would
+    silently disable the idempotency anti-join and write duplicates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if (e.getCondition() or "") == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
 def _existing_files(
     spark: SparkSession, silver_path: str, dts: list | None = None
 ) -> DataFrame | None:
-    """Silver-derived processed-file set for the crash-recovery replay
-    filter.  ``dts`` restricts the scan to the given ``dt`` partitions —
-    sound because the caller passes the CURRENT batch's distinct event
-    dates: the silver write is job-atomic, and a file's rows land in
-    exactly the dt partitions its parse produces (deterministically), so
-    any crashed-write copy of a current-batch file is visible inside the
-    current batch's own dt set.  Recovery cost is O(partitions the batch
-    touches), not O(table) (round-4 verdict item 5)."""
-    try:
-        df = spark.read.parquet(silver_path)
-    except Exception:  # first batch: silver does not exist yet
+    """Silver-derived processed-file set for the crash-window side of
+    the idempotency filter.  ``dts`` restricts the scan to the given
+    ``dt`` partitions — sound because the caller passes the CURRENT
+    batch's distinct event dates: the silver write is job-atomic, and a
+    file's rows land in exactly the dt partitions its parse produces
+    (deterministically), so any crashed-write copy of a current-batch
+    file is visible inside the current batch's own dt set.  Probe cost
+    is O(partitions the batch touches), not O(table) (round-4 verdict
+    item 5)."""
+    df = _read_parquet_if_exists(spark, silver_path)
+    if df is None:  # first batch: silver does not exist yet
         return None
     if dts is not None:
         non_null = [d for d in dts if d is not None]
@@ -93,10 +111,7 @@ def _ledger_path(silver_path: str) -> str:
 
 
 def _read_ledger(spark: SparkSession, silver_path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(_ledger_path(silver_path))
-    except Exception:  # first batch: no ledger yet
-        return None
+    return _read_parquet_if_exists(spark, _ledger_path(silver_path))
 
 
 def make_silver_batch_writer(
@@ -109,45 +124,44 @@ def make_silver_batch_writer(
     filtered out by a source-file anti-join, upgrading the reference's
     at-least-once duplicate inserts to effectively-once (ST3).
 
-    The anti-join's key set comes from the processed-files LEDGER — one
-    row per ingested file, appended after each silver write — so the
-    steady-state cost is O(files seen), independent of table size.  A
-    batch whose id is at or below the ledger's high-water mark (crash
-    replay, or a rebuilt checkpoint restarting ids at 0) cannot trust
-    the ledger — the crash may have landed between the silver write and
-    the ledger append — so it falls back to the exact silver-derived
-    file set.  That O(table) scan runs only on recovery.
+    The anti-join's key set is the processed-files LEDGER (one row per
+    file seen, appended after each silver write — O(files) steady
+    state) UNIONED with the silver files already present in the batch's
+    own dt partitions.  The partition-pruned silver probe is what makes
+    the crash window between the silver write and the ledger append
+    safe: a batch replayed across that window finds its files in silver
+    even though the ledger never recorded them.  Probing every batch —
+    rather than gating on a ledger batch-id heuristic — costs one
+    O(batch-partitions) read and leaves no undetectable window.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        candidates = parse_rows(batch_df)
+        # One parse, three consumers (silver rows, ledger file set,
+        # accounting) — persist so the JSON parse runs once per batch.
+        candidates = parse_rows(batch_df).persist()
         rows = silver_rows(candidates)
-        ledger = _read_ledger(spark, silver_path)
-        replay = False
-        if ledger is not None:
-            max_bid = ledger.agg(F.max("batch_id").alias("m")).collect()[0].m
-            replay = max_bid is not None and batch_id <= max_bid
-        if replay:
-            # one extra recovery-only pass over the (small) batch to
-            # learn which dt partitions its rows would land in; the
-            # fallback scan then partition-prunes to exactly those
+        try:
+            ledger = _read_ledger(spark, silver_path)
+            # the dt partitions this batch's rows would land in — keys
+            # for the crash-window silver probe
             batch_dts = [
                 r.d
                 for r in rows.select(F.to_date("fechahora").alias("d"))
                 .distinct()
                 .collect()
             ]
-            existing = _existing_files(spark, silver_path, batch_dts)
-        elif ledger is not None:
-            existing = ledger.select("source_file").distinct()
-        else:
-            existing = None
-        if existing is not None:
-            rows = rows.join(existing, "source_file", "left_anti")
-        # Counters come from the same pass (cached once, two small aggs).
-        rows = rows.persist()
-        try:
+            silver_seen = (
+                _existing_files(spark, silver_path, batch_dts) if batch_dts else None
+            )
+            existing = None if ledger is None else ledger.select("source_file")
+            if silver_seen is not None:
+                existing = (
+                    silver_seen if existing is None else existing.union(silver_seen)
+                )
+            if existing is not None:
+                rows = rows.join(existing.distinct(), "source_file", "left_anti")
+            rows = rows.persist()
             n_new = rows.count()
             if n_new > 0:  # ST6: empty batch skips the write entirely
                 (
@@ -157,34 +171,39 @@ def make_silver_batch_writer(
                     .parquet(silver_path)
                 )
             # Ledger append AFTER the silver write: a crash in between
-            # leaves the file unrecorded, and the next (replayed) batch's
-            # exact fallback re-filters it against silver itself.  Every
-            # file seen in the batch is recorded — including all-bad-row
-            # files — so it is never re-parsed.
-            batch_files = candidates.select("source_file").distinct()
+            # leaves the file unrecorded, and the replayed batch's
+            # silver probe (above) re-filters it against silver itself.
+            # Every file seen in the batch is recorded — including
+            # all-bad-row and non-list-payload files (from the RAW batch
+            # frame, which parse_rows' P5 filter never touches) — so no
+            # file is ever re-parsed.
+            seen = batch_df.select("source_file").distinct().persist()
+            new_files = seen
             if ledger is not None:
-                batch_files = batch_files.join(
+                new_files = seen.join(
                     ledger.select("source_file").distinct(), "source_file", "left_anti"
                 )
             (
-                batch_files.withColumn("batch_id", F.lit(batch_id).cast("long"))
+                new_files.withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("append")
                 .parquet(_ledger_path(silver_path))
             )
             if on_metrics is not None:
                 acct = candidates.groupBy().agg(
-                    F.countDistinct("source_file").alias("files"),
                     F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("bad_rows"),
                 ).collect()[0]
                 on_metrics(
                     batch_id,
                     {
-                        "files_processed": acct.files or 0,
+                        "files_processed": seen.count(),
                         "rows_inserted": n_new,
                         "bad_rows": acct.bad_rows or 0,
                     },
                 )
+            seen.unpersist()
         finally:
+            # unpersist is a no-op on frames that never got persisted
+            candidates.unpersist()
             rows.unpersist()
 
     return _write
@@ -198,11 +217,14 @@ def start_silver_stream(
     glob: str = "dolar-*.json",
     available_now: bool = True,
     on_metrics: Callable[[int, dict], None] | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Wire source → writer with Trigger.AvailableNow (ST1) and a
     checkpoint ledger (ST2).  Call ``.awaitTermination()`` for the batchy
-    one-shot run the reference's cron models."""
-    stream = read_bronze_stream(spark, bronze_dir, glob)
+    one-shot run the reference's cron models.  ``max_files_per_trigger``
+    bounds batch size so a large backlog drains in bounded-memory
+    batches instead of one giant one."""
+    stream = read_bronze_stream(spark, bronze_dir, glob, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(
         make_silver_batch_writer(silver_path, on_metrics)
     ).option("checkpointLocation", checkpoint_dir)

@@ -121,13 +121,20 @@ def _run_available_now(spark, events_parquet: str, transform, name: str) -> Data
     import tempfile
 
     schema = spark.read.parquet(events_parquet).schema
-    # FileStreamSource requires a directory: stream the parent with a
-    # glob pinned to the events file (same trick as the bronze P1 filter)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_parquet))
-        .parquet(os.path.dirname(events_parquet))
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(events_parquet):
+        # Spark-written parquet: a DIRECTORY of part files — stream it
+        # directly (a basename glob on the parent would match no leaf
+        # files and silently return an empty table).
+        stream = reader.parquet(events_parquet)
+    else:
+        # single-file parquet (pyarrow-written fixtures):
+        # FileStreamSource requires a directory, so stream the parent
+        # with a glob pinned to the events file (same trick as the
+        # bronze P1 filter)
+        stream = reader.option(
+            "pathGlobFilter", os.path.basename(events_parquet)
+        ).parquet(os.path.dirname(events_parquet))
     with tempfile.TemporaryDirectory(prefix="stream-ckpt-") as ckpt:
         q = (
             transform(stream)

@@ -109,3 +109,32 @@ def test_write_silver_partitions_by_date(spark, bronze_dir, tmp_path):
     # re-append is append-only (at-least-once parity with the reference)
     ingest.write_silver(rows, silver_path)
     assert spark.read.parquet(silver_path).count() == 8
+
+
+def test_parse_is_ansi_safe_on_short_rows_and_overflow(spark, tmp_path):
+    """ANSI mode is default-on in Spark 4 and the engine never disables
+    it: the permissive parse must stay drop-and-count — never throw —
+    for sub-2-element tuples (plain element_at raises
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT) and for values that fit a double
+    but overflow the silver DECIMAL(12,4) (a plain cast raises
+    NUMERIC_VALUE_OUT_OF_RANGE at write time).  Round-5 review pins."""
+    import json
+
+    d = tmp_path / "bronze"
+    d.mkdir()
+    payload = [
+        ["1757509256000", "3920.00"],   # good
+        ["1757509257000"],              # short row: bad
+        ["1757509258000", "99999999999"],  # decimal(12,4) overflow: bad
+    ]
+    (d / "dolar-1.json").write_text(json.dumps(payload))
+    candidates = ingest.parse_rows(ingest.read_bronze(spark, str(d)))
+    # materializing the FULL candidate frame (no ok filter pushed on
+    # top) must not throw under ANSI
+    rows = candidates.collect()
+    assert len(rows) == 3
+    assert sum(r.ok for r in rows) == 1
+    silver = ingest.silver_rows(candidates).collect()
+    assert len(silver) == 1 and float(silver[0].valor) == 3920.0
+    acct = ingest.accounting(candidates).collect()[0]
+    assert (acct.rows_inserted, acct.bad_rows) == (1, 2)

@@ -125,3 +125,17 @@ def test_iter_checkpoint_uses_reliable_dir_when_configured(spark, tmp_path):
     for root, _dirs, files in os.walk(ckdir):
         written += files
     assert written, "no reliable checkpoint files were written"
+
+
+def test_parse_bytes_handles_unit_suffixes():
+    """Spark byte-size confs come plain or unit-suffixed; '128m' read as
+    128 bytes would inflate split estimates and silently disable the
+    degenerate-scan repair (round-5 review)."""
+    from parcial_bigdata_spark.operators.scale import _parse_bytes
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 * 1024**2
+    assert _parse_bytes("128MB") == 128 * 1024**2
+    assert _parse_bytes("1g") == 1024**3
+    assert _parse_bytes("64k") == 64 * 1024
+    assert _parse_bytes("garbage") == 134217728  # falls back to default

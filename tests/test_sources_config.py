@@ -129,3 +129,17 @@ def test_sniff_format_magic_bytes(spark):
     out = {r.media_id: r.format for r in mm.sniff_format(df).collect()}
     assert out[1] == "jpeg"
     assert out[2] == "unknown"
+
+
+def test_fetch_to_landing_publishes_atomically(tmp_path):
+    """The bronze object appears under its final name only (temp file
+    renamed away) so a concurrently-watching file stream can never list
+    a half-written payload (round-5 review)."""
+    payload = b'[["1757509256000","3920.00"]]'
+    http_src.fetch_to_landing(
+        "http://example.test/dolar", str(tmp_path),
+        fetcher=lambda url: payload, epoch=7,
+    )
+    names = {p.name for p in tmp_path.iterdir()}
+    assert names == {"dolar-7.json"}  # no .tmp residue
+    assert (tmp_path / "dolar-7.json").read_bytes() == payload

@@ -296,3 +296,105 @@ def test_recovery_fallback_scan_is_partition_pruned(spark, tmp_path):
     # unpruned fallback (no dts) still sees everything — semantics anchor
     full = sp._existing_files(spark, str(silver), None)
     assert {r.source_file for r in full.collect()} == {"f1", "f2", "f3"}
+
+
+def test_crash_between_silver_write_and_ledger_append_no_duplicates(spark, tmp_path):
+    """The ledger cannot witness a crash that lands BETWEEN the silver
+    write and the ledger append: the replayed batch's files are in
+    silver but not in the ledger.  The writer's per-batch silver probe
+    (partition-pruned to the batch's own dt set) must catch exactly
+    this window — replaying the batch appends nothing."""
+    silver = tmp_path / "silver"
+    writer = sp.make_silver_batch_writer(str(silver))
+    batch = spark.createDataFrame(
+        [("file:///bronze/dolar-1.json", json.dumps(PAYLOAD_A))],
+        "source_file string, raw_payload string",
+    )
+
+    # simulate the crashed batch 0: silver rows landed, ledger append
+    # never happened (no ledger file at all)
+    from parcial_bigdata_spark.sources.ingest import parse_rows, silver_rows
+    from pyspark.sql import functions as F
+
+    silver_rows(parse_rows(batch)).withColumn(
+        "dt", F.to_date("fechahora")
+    ).write.mode("append").partitionBy("dt").parquet(str(silver))
+    assert spark.read.parquet(str(silver)).count() == 2
+
+    # streaming replays batch 0 after the crash → must write nothing new
+    writer(batch, 0)
+    assert spark.read.parquet(str(silver)).count() == 2
+    # and the replay finally records the file in the ledger
+    ledger = spark.read.parquet(str(silver) + "_ledger")
+    assert {r.source_file for r in ledger.collect()} == {
+        "file:///bronze/dolar-1.json"
+    }
+
+    # next batch with a NEW file proceeds normally against the ledger
+    batch2 = spark.createDataFrame(
+        [("file:///bronze/dolar-2.json", json.dumps(PAYLOAD_B))],
+        "source_file string, raw_payload string",
+    )
+    writer(batch2, 1)
+    assert spark.read.parquet(str(silver)).count() == 3
+
+
+def test_ledger_read_failure_surfaces_instead_of_duplicating(spark, tmp_path):
+    """A ledger that EXISTS but cannot be read must raise — returning
+    None would silently disable the idempotency anti-join and write
+    duplicates (round-5 review)."""
+    silver = tmp_path / "silver"
+    ledger_dir = tmp_path / "silver_ledger"
+    ledger_dir.mkdir()
+    (ledger_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        sp._read_ledger(spark, str(silver))
+
+
+def test_all_bad_and_nonlist_files_recorded_in_ledger(spark, tmp_path):
+    """Every file seen in a batch — including files whose payload is not
+    a JSON list (P5) — is recorded in the ledger and counted in
+    files_processed, so no file is ever re-parsed and accounting
+    matches what the batch actually saw."""
+    silver = tmp_path / "silver"
+    seen: list[tuple[int, dict]] = []
+    writer = sp.make_silver_batch_writer(
+        str(silver), on_metrics=lambda bid, m: seen.append((bid, m))
+    )
+    batch = spark.createDataFrame(
+        [
+            ("file:///bronze/dolar-1.json", json.dumps(PAYLOAD_A)),
+            ("file:///bronze/dolar-err.json", json.dumps({"error": "maintenance"})),
+        ],
+        "source_file string, raw_payload string",
+    )
+    writer(batch, 0)
+    ledger = spark.read.parquet(str(silver) + "_ledger")
+    assert {r.source_file for r in ledger.collect()} == {
+        "file:///bronze/dolar-1.json",
+        "file:///bronze/dolar-err.json",
+    }
+    assert seen[-1][1]["files_processed"] == 2
+
+
+def test_available_now_handles_directory_parquet(spark, tmp_path):
+    """Spark-written parquet is a DIRECTORY of part files; the
+    AvailableNow harness must stream it correctly rather than matching
+    zero leaf files through the single-file glob trick (round-5
+    review: silent empty table)."""
+    events = tmp_path / "events_dir.parquet"
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 1, base, "click", 10.0),
+            (2, 1, base + dt.timedelta(minutes=5), "click", 30.0),
+            (3, 2, base + dt.timedelta(minutes=90), "click", 5.0),
+        ],
+        EVENTS_SCHEMA,
+    )
+    df.write.parquet(str(events))
+    got = sw.hourly_rollup_available_now(spark, str(events))
+    rows = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in got.collect()}
+    assert rows[(dt.datetime(2025, 1, 1, 10, 0), "click")] == (2, 40.0)
+    assert rows[(dt.datetime(2025, 1, 1, 11, 0), "click")] == (1, 5.0)
