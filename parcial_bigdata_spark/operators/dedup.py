@@ -68,7 +68,13 @@ def _word_sets(documents: DataFrame) -> DataFrame:
     from parcial_bigdata_spark.operators.scale import fan_out_small_scan
 
     documents = fan_out_small_scan(documents, "doc_id")
-    bucket = F.floor(F.log(F.col("n_chars").cast("double")) / math.log(_BUCKET_BASE))
+    # greatest(n_chars, 1): log(0) is NULL in Spark, and a null bucket
+    # would silently exclude empty-text documents from all pairing (the
+    # equality join never matches null) — clamp them into bucket 0.
+    bucket = F.floor(
+        F.log(F.greatest(F.col("n_chars"), F.lit(1)).cast("double"))
+        / math.log(_BUCKET_BASE)
+    )
     return documents.select(
         "doc_id",
         "lang",
@@ -587,7 +593,7 @@ def ngram_contamination(
     excluded (nothing to screen).  Output: one row per screened eval
     doc — ``n_ngrams`` distinct grams, ``n_contaminated`` of them found
     in train, and the rounded fraction."""
-    train_set = _doc_gram_rows(train, n).select("gram").distinct()
+    train_set = _doc_gram_stream(train, n).select("gram").distinct()
     stream = _doc_gram_stream(eval_, n)
     if bloom_bits is not None:
         # Build the filter from the PRE-distinct train gram stream:
@@ -598,7 +604,7 @@ def ngram_contamination(
         # fold map-side into ≤ bits/64 partial-agg groups — no
         # gram-cardinality shuffle on this branch at any scale.
         bloom = gram_bloom(
-            _doc_gram_rows(train, n).select("gram"), bloom_bits, bloom_hashes
+            _doc_gram_stream(train, n).select("gram"), bloom_bits, bloom_hashes
         )
         candidates = (
             stream.crossJoin(F.broadcast(bloom))
@@ -671,11 +677,6 @@ def _doc_gram_stream(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _doc_gram_rows(documents: DataFrame, n: int) -> DataFrame:
-    """Distinct (doc_id, gram-hash) rows — the deduped gram stream."""
-    return _doc_gram_stream(documents, n).dropDuplicates(["doc_id", "gram"])
-
-
 # ---------------------------------------------------------------- MinHash/LSH
 
 N_HASHES = 16
@@ -729,25 +730,29 @@ def _perm(j: int):
     return lambda h: F.xxhash64(h, F.lit(j))
 
 
-def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
-    """MinHash signature (N_HASHES perms) per document — row-local (pure
-    projection, zero shuffle): each permutation re-hashes the shingle
-    longs with a distinct salt, array_min takes the signature element."""
-    sigs = [
+def _sig_columns() -> list:
+    """The one definition of the MinHash signature columns: permutation
+    j re-hashes the shingle longs with salt j, array_min takes the
+    signature element.  Shared by minhash_signatures and _banded so the
+    permutation scheme can never desynchronize between the signature
+    surface and the LSH candidate path."""
+    return [
         F.array_min(F.transform("shingles", _perm(j))).alias(f"h{j}")
         for j in range(N_HASHES)
     ]
-    return shingles(documents, k).select("doc_id", *sigs)
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
+    """MinHash signature (N_HASHES perms) per document — row-local (pure
+    projection, zero shuffle)."""
+    return shingles(documents, k).select("doc_id", *_sig_columns())
 
 
 def _banded(documents: DataFrame, k: int, carry_shingles: bool) -> DataFrame:
     """Shingles → signature → exploded LSH band rows, one projection
     chain (no joins); optionally carries the shingle array for verify."""
     sh = shingles(documents, k)
-    sigs = [
-        F.array_min(F.transform("shingles", _perm(j))).alias(f"h{j}")
-        for j in range(N_HASHES)
-    ]
+    sigs = _sig_columns()
     carried = ["doc_id"] + (["shingles"] if carry_shingles else [])
     sig = sh.select(*carried, *sigs)
     n_bands = N_HASHES // BAND_SIZE

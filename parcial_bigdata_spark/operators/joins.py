@@ -121,20 +121,23 @@ VALUE_BANDS = [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1000.0, "high")
 
 
 def value_band_join(events: DataFrame, bands: list[tuple] = VALUE_BANDS) -> DataFrame:
-    """Range (non-equi) join: classify each event into a [lo, hi) value
-    band.  The band table is tiny → broadcast nested-loop, so the fact
-    side streams with zero shuffle; the only shuffle is the final small
-    aggregate.  (The general band-join pattern for histogram/bucketing
-    dims at 100 TB.)"""
+    """Range (non-equi) join: classify EACH event into a [lo, hi) value
+    band.  Events outside every band (negative, ≥ the top edge, or null
+    value) land in an explicit ``unbanded`` bucket instead of being
+    silently dropped by an inner join — aggregate totals always
+    reconcile with the input row count.  The band table is tiny →
+    broadcast nested-loop, so the fact side streams with zero shuffle;
+    the only shuffle is the final small aggregate.  (The general
+    band-join pattern for histogram/bucketing dims at 100 TB.)"""
     spark = events.sparkSession
     band_df = spark.createDataFrame(bands, "lo double, hi double, band string")
     joined = events.join(
         F.broadcast(band_df),
         (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
-        "inner",
+        "left",
     )
     return (
-        joined.groupBy("band")
+        joined.groupBy(F.coalesce("band", F.lit("unbanded")).alias("band"))
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
@@ -313,10 +316,13 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
-    tolerance: None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Generic as-of (point-in-time) join: for each left row, the latest
     right row with ``right.ts <= left.ts`` for the same key.
+    ``tolerance`` (pandas merge_asof semantics) nulls out matches older
+    than the window — in SECONDS for timestamp columns, in the column's
+    own units for numeric ones.
 
     Spark has no native ASOF JOIN; this is the union+window formulation
     (SURVEY.md §2.5): tag both sides, union, and carry the last right
@@ -325,18 +331,22 @@ def asof_join(
     inequality join, this scales linearly at 100 TB.  Equivalent to
     DuckDB's native ``ASOF LEFT JOIN`` (oracle-verified).
     """
+    from pyspark.sql.types import TimestampType
+
     lcols = left.columns
     l_tag = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_is_left"),
         *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_vals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on) for c in lcols],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_is_left"),
         *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+        F.col(right_ts).alias("_r_ts"),
     )
     # Right rows sort before left rows at the same timestamp (asof is <=).
     w = (
@@ -344,12 +354,30 @@ def asof_join(
         .orderBy(F.col("_asof_ts").asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = r_tag.unionByName(l_tag).select(
-        *lcols,
-        "_is_left",
-        *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals],
+    carried = (
+        r_tag.unionByName(l_tag)
+        .select(
+            *lcols,
+            "_is_left",
+            F.col("_asof_ts"),
+            *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals],
+            F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts"),
+        )
+        .where(F.col("_is_left") == 1)
     )
-    return carried.where(F.col("_is_left") == 1).drop("_is_left")
+    if tolerance is not None:
+        if isinstance(left.schema[left_ts].dataType, TimestampType):
+            age_ok = (
+                F.unix_micros("_asof_ts") - F.unix_micros("_matched_ts")
+            ) <= int(tolerance * 1_000_000)
+        else:
+            age_ok = (F.col("_asof_ts") - F.col("_matched_ts")) <= F.lit(tolerance)
+        carried = carried.select(
+            *lcols,
+            # a too-stale match nulls out, the left row survives
+            *[F.when(age_ok, F.col(v)).alias(v) for v in right_vals],
+        )
+    return carried.select(*lcols, *right_vals)
 
 
 def top_revenue_suppliers(

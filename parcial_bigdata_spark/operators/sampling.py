@@ -190,13 +190,18 @@ def temperature_mixture(
 
 
 def pack_sequences(documents: DataFrame, budget: int = 2048) -> DataFrame:
-    """Pack documents into fixed token-budget bins per language
+    """Pack documents into token-budget bins per language
     (context-window packing for LLM training).  Documents are laid out
-    in deterministic doc_id order; each one's bin is its exclusive
-    running token total divided by the budget — the streaming layout a
-    sequential packer would produce, computed as one window cumsum
-    instead of a driver loop.  One shuffle on the stratum key; bin
-    stats aggregate on (lang, bin) which inherits that partitioning."""
+    in deterministic doc_id order as one concatenated token stream cut
+    every ``budget`` tokens; a document's bin is where it STARTS
+    (exclusive running total div budget), so a document straddling a
+    cut is accounted to its starting bin and that bin's total_tokens
+    can exceed the budget by up to one document's length — the
+    concat-and-cut layout LLM training uses (sequences are split at
+    the boundary), NOT first-fit bin packing (no bin ever ends early).
+    Computed as one window cumsum instead of a driver loop.  One
+    shuffle on the stratum key; bin stats aggregate on (lang, bin)
+    which inherits that partitioning."""
     tokens = F.size(F.split("text", " "))
     w = (
         Window.partitionBy("lang")

@@ -217,6 +217,16 @@ def knn_brute_force_arrow(embeddings: DataFrame, query_ids: list[int], k: int = 
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     bq = embeddings.sparkSession.sparkContext.broadcast((qids, Qn))
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        # Spark F.round(x, 6) semantics: HALF_UP on the shortest decimal
+        # repr (np.round is binary half-to-even — it diverges on
+        # …5-at-the-7th-decimal values, the exact rounding-divergence
+        # class the engine guards against elsewhere; verified equal to
+        # F.round on probe values in tests).
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
     def batches(it):
         b_qids, b_Qn = bq.value
         for pdf in it:
@@ -227,15 +237,26 @@ def knn_brute_force_arrow(embeddings: DataFrame, query_ids: list[int], k: int = 
             out_q, out_v, out_s = [], [], []
             for j, qid in enumerate(b_qids):
                 col = S[:, j]
-                mask = vids != qid
-                cand_idx = np.nonzero(mask)[0]
-                if len(cand_idx) > k:  # local top-k prune
-                    part = cand_idx[np.argpartition(-col[cand_idx], k)[: k]]
-                else:
-                    part = cand_idx
-                out_q.extend([qid] * len(part))
-                out_v.extend(vids[part].tolist())
-                out_s.extend(np.round(col[part], 6).tolist())
+                cand_idx = np.nonzero(vids != qid)[0]
+                if len(cand_idx) > k:
+                    # raw-sim prune with a 1e-6 slack band: rounding is
+                    # monotonic, so any row that could TIE the k-th row
+                    # after 6-decimal rounding (and then win on the
+                    # vec_id tie-break) lies within 1e-6 of the k-th raw
+                    # sim — keep the band, then cut exactly below.
+                    kth = np.partition(col[cand_idx], len(cand_idx) - k)[
+                        len(cand_idx) - k
+                    ]
+                    cand_idx = cand_idx[col[cand_idx] >= kth - 1e-6]
+                # exact final order (rounded sim desc, vec_id asc), so the
+                # batch-local cut keeps precisely the rows the global
+                # ground-truth ranking could place in the top k
+                scored = sorted(
+                    ((-_round6(col[i]), int(vids[i])) for i in cand_idx)
+                )[:k]
+                out_q.extend([qid] * len(scored))
+                out_v.extend(v for _, v in scored)
+                out_s.extend(-s for s, _ in scored)
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "sim": out_s})
 
     local = embeddings.select("vec_id", "embedding").mapInPandas(

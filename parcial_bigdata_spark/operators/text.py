@@ -339,7 +339,7 @@ def word_pair_counts(documents: DataFrame, top_n: int = 50) -> DataFrame:
     candidate table of BPE-style tokenizer training.
 
     Index-explode pattern (never explode a computed pair array — the
-    Generate would re-evaluate it per element, see dedup._doc_gram_rows):
+    Generate would re-evaluate it per element, see dedup._doc_gram_stream):
     explode the cheap position sequence, build each pair string once per
     row in codegen, one groupBy(pair) with map-side partial counts;
     top-N is a TakeOrdered."""

@@ -930,12 +930,13 @@ ORACLES: dict[str, str] = {
         ) WHERE rnk <= 5 ORDER BY lang, rnk
     """,
     "range_value_bands": """
-        SELECT band, count(*) AS n_events, round(sum(value), 2) AS total_value
+        SELECT COALESCE(band, 'unbanded') AS band,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events
-        JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
-                     (150.0, 1000.0, 'high')) AS bands(lo, hi, band)
+        LEFT JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+                          (150.0, 1000.0, 'high')) AS bands(lo, hi, band)
           ON value >= lo AND value < hi
-        GROUP BY band ORDER BY band
+        GROUP BY 1 ORDER BY 1
     """,
     "subquery_big_spenders": """
         SELECT c_custkey, c_name FROM customer c

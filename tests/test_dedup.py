@@ -698,3 +698,20 @@ def test_embedding_lsh_coarse_geometry_needs_uncapped_buckets(spark):
     )
     assert uncapped >= 0.9 * truth
     assert capped < uncapped  # the cap measurably bites this geometry
+
+
+def test_jaccard_pairs_includes_empty_documents(spark):
+    """n_chars=0 used to produce a NULL length bucket (log(0)), silently
+    excluding empty-text docs from all pairing; they must pair like any
+    other doc (two empty docs are Jaccard-1 exact dups — round-5
+    review)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "web", 0),
+            (2, "", "en", "web", 0),
+            (3, "totally different words here", "en", "web", 28),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}

@@ -108,3 +108,40 @@ def test_session_overlap_pairs_exact_micros(spark):
     out = [(r.user_a, r.user_b, r.n_overlaps, r.total_overlap_us)
            for r in session_overlap_pairs(df).collect()]
     assert out == [(1, 2, 1, 5 * 60 * 1_000_000)]
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """pandas merge_asof semantics for ``tolerance``: a match older than
+    the window nulls out while the left row survives (round-5 review:
+    the parameter used to be accepted and silently ignored)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5)), (2, 100, _ts(59))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), 1.0)],
+        "user_id long, ts timestamp, px double",
+    )
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["px"], tolerance=600.0,  # 10 minutes
+    )
+    got = {r.event_id: r.px for r in out.collect()}
+    assert got == {1: 1.0, 2: None}  # 59 min stale > 10 min window
+
+
+def test_value_band_join_classifies_every_event(spark):
+    """Out-of-band events (negative, >= top edge, null) land in an
+    explicit 'unbanded' bucket — totals reconcile with the input row
+    count instead of silently dropping rows (round-5 review)."""
+    events = spark.createDataFrame(
+        [(1, 10.0), (2, 75.0), (3, 999.0), (4, 1000.0), (5, -5.0), (6, None)],
+        "event_id long, value double",
+    )
+    got = {r.band: (r.n_events, r.total_value)
+           for r in joins.value_band_join(events).collect()}
+    assert got["low"] == (1, 10.0)
+    assert got["mid"] == (1, 75.0)
+    assert got["high"] == (1, 999.0)
+    assert got["unbanded"][0] == 3  # 1000.0 (half-open top), -5.0, null
+    assert sum(v[0] for v in got.values()) == 6
