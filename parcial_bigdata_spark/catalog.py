@@ -53,8 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
+            # FLOOR division, not `div` (which truncates toward zero):
+            # interval's nanos-bound translation relies on floor algebra,
+            # and a pre-epoch timestamp (negative nanos) under `div`
+            # would round up and disagree with the pushed-down filter
             df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "ts_nanos div 1000 - "
+                        "(CASE WHEN ts_nanos % 1000 < 0 THEN 1 ELSE 0 END)"
+                    )
+                ),
             )
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
             # Reader built before the conf was set (cached schema) — coerce.
@@ -75,7 +85,11 @@ def create_silver_table(spark: SparkSession, table: str = "dolar", location: str
     NULL)`` (``lambda/subirDB.py:71-77``), upgraded to partitioned
     parquet: date partitioning gives the dynamic partition pruning the
     unindexed MySQL table never had (SURVEY.md §4)."""
-    loc = f" LOCATION '{location}'" if location else ""
+    # escape/quote interpolated identifiers: a path with a single quote
+    # would break the DDL (or smuggle SQL into it); backticks keep a
+    # reserved-word table name valid
+    loc = " LOCATION '{}'".format(location.replace("'", "''")) if location else ""
+    table = "`{}`".format(table.replace("`", "``"))
     spark.sql(
         f"""
         CREATE TABLE IF NOT EXISTS {table} (

@@ -192,18 +192,21 @@ def unpivot_status_metrics(orders: DataFrame) -> DataFrame:
 
 def grouping_sets_revenue(lineitem: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube): per-returnflag,
-    per-linestatus, and grand total in one Expand pass."""
-    lineitem.createOrReplaceTempView("lineitem_gs")
+    per-linestatus, and grand total in one Expand pass.  The DataFrame
+    binds into the SQL as a named argument — no temp-view registration,
+    so nothing in the caller's catalog gets clobbered and concurrent
+    calls cannot race."""
     return lineitem.sparkSession.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
                                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_rows
-        FROM lineitem_gs
+        FROM {lineitem}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-        """
+        """,
+        lineitem=lineitem,
     )
 
 

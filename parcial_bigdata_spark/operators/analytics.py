@@ -21,38 +21,58 @@ def funnel_steps(
     earliest completion of the previous step (classic earliest-
     completion semantics, strict ordering).
 
-    Plan: one filtered min-aggregate per step on user_id — each is a
-    partial-aggregated groupBy of a type-pruned scan, joined user-to-
-    user.  Everything is linear in |events| and shuffles only
-    |users|-sized frames after the first aggregate; no window over the
-    raw stream, no event×event self-join, so the funnel holds at any
-    event volume.  Step count is typically ≤5, so the chain depth is
-    bounded."""
+    Plan: ONE scan of the step-pruned events and ONE shuffle on
+    user_id — per user, the sorted event-time array of each step is
+    collected, and the sequential earliest-completion chain (t_i = min
+    step-i time strictly after t_{i-1}) evaluates ROW-LOCALLY with
+    array HOFs; the per-step user counts collapse in a final 1-row
+    aggregate.  The previous formulation re-executed each step's whole
+    join chain per count — O(k²) scans of events for k steps; this is
+    O(1) scans, and per-user state is bounded by that user's own
+    funnel-event count (the same bound sessionization carries)."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    reached = (
-        events.where(F.col("event_type") == steps[0])
+    per_user = (
+        events.where(F.col("event_type").isin(*steps))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col("event_type") == s, F.col("ts")))
+                ).alias(f"_ts_{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
     )
-    counts = [(0, steps[0], reached)]
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            events.where(F.col("event_type") == step)
-            .join(reached.select("user_id", F.col("t").alias("prev_t")), "user_id")
-            .where(F.col("ts") > F.col("prev_t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
+
+    def _next_after(arr, prev):
+        # earliest element strictly after prev; null prev (step i-1 not
+        # reached) nulls the comparison, empties the filter, and
+        # array_min(empty) = null — unreachable propagates correctly
+        return F.array_min(F.filter(arr, lambda x: x > prev))
+
+    t = F.element_at(F.col("_ts_0"), 1)
+    step_ts = [t]
+    for i in range(1, len(steps)):
+        t = _next_after(F.col(f"_ts_{i}"), t)
+        step_ts.append(t)
+    counts = per_user.agg(
+        *[
+            F.coalesce(F.sum(step_ts[i].isNotNull().cast("long")), F.lit(0)).alias(
+                f"_n_{i}"
+            )
+            for i in range(len(steps))
+        ]
+    )
+    stack_args = ", ".join(
+        "{}, '{}', _n_{}".format(i, s.replace("'", "\\'"), i)
+        for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
         )
-        counts.append((i, step, nxt))
-        reached = nxt
-    rows = None
-    for i, step, frame in counts:
-        c = frame.agg(F.count("*").alias("n_users")).select(
-            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
-        )
-        rows = c if rows is None else rows.unionByName(c)
-    return rows.orderBy("step_idx")
+    ).orderBy("step_idx")
 
 
 def retention_cohorts(events: DataFrame, cohort_type: str = "signup") -> DataFrame:

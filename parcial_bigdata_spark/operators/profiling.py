@@ -25,7 +25,11 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     100 TB table costs exactly one scan, not |cols| scans.  Exact
     distinct counts (oracle-comparable); swap in approx_count_distinct
     for the sketch path on truly wide tables."""
-    cols = columns or df.columns
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        # an explicitly-empty list must not silently widen to a full
+        # 2×|all-cols| scan of a possibly-huge table
+        raise ValueError("profile_table: empty column list")
     # Internal aliases are INDEXED (__n_0, __d_0, …), never derived from
     # the column name: a name with a quote/space/dash would otherwise
     # produce an invalid alias or a collision.  The user-visible name
@@ -107,14 +111,19 @@ def snapshot_diff(
         return df.select(
             F.col(key).alias(f"{side}_key"),
             F.xxhash64(*tagged).alias(f"{side}_hash"),
+            # side-presence flag: change_type must key off which SIDE
+            # produced the row, not key nullness — a NULL-key row is a
+            # real row, and testing o_key.isNull() would misreport it
+            # as added/removed inversely
+            F.lit(True).alias(f"{side}_present"),
         )
 
     joined = keyed(old, "o").join(
-        keyed(new, "n"), F.col("o_key") == F.col("n_key"), "full_outer"
+        keyed(new, "n"), F.col("o_key").eqNullSafe(F.col("n_key")), "full_outer"
     )
     change = (
-        F.when(F.col("o_key").isNull(), F.lit("added"))
-        .when(F.col("n_key").isNull(), F.lit("removed"))
+        F.when(F.col("o_present").isNull(), F.lit("added"))
+        .when(F.col("n_present").isNull(), F.lit("removed"))
         .when(F.col("o_hash") != F.col("n_hash"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )

@@ -46,7 +46,9 @@ def quality_metrics(documents: DataFrame) -> DataFrame:
         "lang",
         n_chars.alias("chars"),
         n_words.alias("nw"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        # try_divide: an empty-text doc (n_chars=0) must profile as a
+        # null ratio, not throw DIVIDE_BY_ZERO under default-on ANSI
+        F.try_divide(n_punct.cast("double"), n_chars).alias("punct_ratio"),
         (stop_hits.cast("double") / n_words).alias("stop_ratio"),
         (n_chars.cast("double") / n_words).alias("avg_word_len"),
     )
@@ -316,7 +318,7 @@ def vocabulary_stats(documents: DataFrame, top_n: int = 100) -> DataFrame:
     global sort."""
     dw = documents.select(
         F.explode(F.array_distinct(words(normalized(F.col("text"))))).alias("word")
-    )
+    ).where(F.col("word") != "")  # an all-punctuation doc normalizes to ['']
     total = documents.agg(F.count("*").alias("n_corpus_docs"))
     return (
         dw.groupBy("word")

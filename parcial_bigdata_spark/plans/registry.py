@@ -1496,10 +1496,11 @@ ORACLES: dict[str, str] = {
         FROM per_doc GROUP BY lang ORDER BY lang
     """,
     "text_vocabulary": f"""
-        WITH dw AS (
+        WITH dw0 AS (
             SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS word
             FROM documents
-        ), tot AS (SELECT count(*) AS n FROM documents)
+        ), dw AS (SELECT * FROM dw0 WHERE word <> ''),
+        tot AS (SELECT count(*) AS n FROM documents)
         SELECT word, count(*) AS doc_freq,
                round(ln(CAST(tot.n AS DOUBLE) / count(*)), 4) AS idf
         FROM dw, tot GROUP BY word, tot.n
@@ -1937,7 +1938,7 @@ ORACLES: dict[str, str] = {
                    length(text) AS chars,
                    len(string_split(text, ' ')) AS nw,
                    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                       / length(text) AS punct_ratio,
+                       / NULLIF(length(text), 0) AS punct_ratio,
                    CAST(len(list_filter(string_split(text, ' '),
                         x -> x IN {_EN_STOP})) AS DOUBLE)
                        / len(string_split(text, ' ')) AS stop_ratio,

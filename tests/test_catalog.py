@@ -8,6 +8,7 @@ import os
 
 import pytest
 
+from parcial_bigdata_spark import catalog
 from parcial_bigdata_spark.catalog import TABLES, load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -84,3 +85,13 @@ def test_events_ts_layout_drift(spark, tmp_path, unit):
     assert got == stamps
     if unit == "ns":
         assert "ts_nanos" in df.columns  # raw column kept for pushdown
+
+
+def test_create_silver_table_escapes_location(spark, tmp_path):
+    """A location containing a single quote must not break (or inject
+    into) the DDL (round-5 review)."""
+    loc = str(tmp_path / "user's files" / "dolar")
+    spark.sql("DROP TABLE IF EXISTS quoted_silver")
+    catalog.create_silver_table(spark, table="quoted_silver", location=loc)
+    assert spark.catalog.tableExists("quoted_silver")
+    spark.sql("DROP TABLE IF EXISTS quoted_silver")

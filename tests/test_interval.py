@@ -103,3 +103,32 @@ def test_interval_pushes_predicate_to_parquet(spark, series, tmp_path):
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(fechahora), GreaterThanOrEqual(fechahora" in plan
     assert "extra" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_interval_nanos_path_agrees_on_negative_nanos(spark):
+    """Pre-epoch timestamps: the pushed-down nanos-bound filter must
+    select exactly the rows the derived-timestamp predicate would —
+    catalog derives ts with FLOOR division, and the bound algebra
+    assumes floor (round-5 review: `div` truncation disagreed on
+    negative nanos)."""
+    from pyspark.sql import functions as F
+
+    nanos = [-2001, -2000, -1500, -1000, -999, -1, 0, 1, 999, 1000, 1500]
+    df = spark.createDataFrame([(n,) for n in nanos], "ts_nanos long").withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr(
+                "ts_nanos div 1000 - (CASE WHEN ts_nanos % 1000 < 0 THEN 1 ELSE 0 END)"
+            )
+        ),
+    ).withColumn("value", F.col("ts_nanos").cast("double"))
+    start, end = "1969-12-31 23:59:59.999999", "1970-01-01 00:00:00.000001"
+    # nanos fast path (ts_nanos present) vs the plain ts predicate
+    fast = {r.value for r in iv.interval(df, "ts", "value", start, end).collect()}
+    slow = {
+        r.value
+        for r in iv.interval(
+            df.drop("ts_nanos"), "ts", "value", start, end
+        ).collect()
+    }
+    assert fast == slow and fast  # identical, and non-empty

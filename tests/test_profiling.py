@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from parcial_bigdata_spark.operators import profiling
 
 
@@ -96,3 +99,28 @@ def test_skew_profile_null_key_sorts_last(spark):
     df = spark.createDataFrame(rows, "k int")
     out = profiling.skew_profile(df, "k", top_n=3).collect()
     assert [r.key_value for r in out] == [1, 2, None]
+
+
+def test_snapshot_diff_null_keys_classified_correctly(spark):
+    """NULL-key rows are real rows: a NULL key present only in OLD is
+    'removed' (not 'added'), and one present in BOTH with equal payload
+    is 'unchanged' (round-5 review, misclassification reproduced)."""
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (None, "x")],
+        "k int, v string",
+    ).where(F.col("v") != "x")  # one NULL-key row in old
+    new = spark.createDataFrame([(1, "b")], "k int, v string")
+    got = {r.change_type: r.n_rows
+           for r in profiling.snapshot_diff(old, new, key="k").collect()}
+    assert got == {"removed": 1, "unchanged": 1}
+
+    both = spark.createDataFrame([(None, "a")], "k int, v string")
+    got2 = {r.change_type: r.n_rows
+            for r in profiling.snapshot_diff(both, both, key="k").collect()}
+    assert got2 == {"unchanged": 1}
+
+
+def test_profile_table_rejects_empty_column_list(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="empty column list"):
+        profiling.profile_table(df, columns=[])

@@ -145,3 +145,27 @@ def test_word_pair_counts_golden(spark):
     out = [(r.pair, r.n_occurrences) for r in text.word_pair_counts(df).collect()]
     # doc1: (a b), (b a), (a b); doc2: (a b), (b c); doc3: too short
     assert out == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_quality_metrics_survives_empty_text(spark):
+    """An empty-text doc must profile as a null punct_ratio, not throw
+    DIVIDE_BY_ZERO under default-on ANSI (round-5 review, reproduced
+    live)."""
+    docs = spark.createDataFrame(
+        [(1, "", "en", "web", 0), (2, "hello, world", "en", "web", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.lang: r for r in text.quality_metrics(docs).collect()}
+    assert rows["en"].n_docs == 2  # both profiled, no crash
+
+
+def test_vocabulary_excludes_empty_token(spark):
+    """A punctuation-only doc normalizes to [''] — the empty string must
+    not enter the vocabulary/IDF table (round-5 review)."""
+    docs = spark.createDataFrame(
+        [(1, "!!!", "en", "web", 3), (2, "alpha beta", "en", "web", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    words_out = {r.word for r in text.vocabulary_stats(docs).collect()}
+    assert "" not in words_out
+    assert {"alpha", "beta"} <= words_out

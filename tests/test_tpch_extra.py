@@ -249,3 +249,21 @@ def test_approx_percentile_close_to_exact(spark):
     assert approx.n_events == exact.n_events == 1000
     assert abs(approx.p50_value - exact.p50_value) <= 1.0
     assert abs(approx.p90_value - exact.p90_value) <= 1.0
+
+
+def test_grouping_sets_does_not_clobber_caller_views(spark):
+    """grouping_sets_revenue used to createOrReplaceTempView a fixed
+    name; it now binds the DataFrame as a SQL argument so a caller's
+    view of the same name survives (round-5 review)."""
+    from parcial_bigdata_spark.operators.aggregations import grouping_sets_revenue
+
+    marker = spark.createDataFrame([(42,)], "marker int")
+    marker.createOrReplaceTempView("lineitem_gs")
+    li = spark.createDataFrame(
+        [("A", "F", 10.0, 0.1), ("N", "O", 20.0, 0.0)],
+        "l_returnflag string, l_linestatus string, l_extendedprice double, l_discount double",
+    )
+    out = grouping_sets_revenue(li)
+    assert out.count() == 5  # 2 flags + 2 statuses + grand total
+    assert spark.table("lineitem_gs").columns == ["marker"]
+    spark.catalog.dropTempView("lineitem_gs")
