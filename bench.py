@@ -107,7 +107,7 @@ def _run_skew_stress(spark) -> tuple[dict[str, float], dict]:
     best = float("inf")
     for _ in range(max(1, N_ITER)):
         t0 = time.perf_counter()
-        banded = D._banded(corpus, 3, carry_shingles=False)
+        banded = D.band_rows(corpus, 3)
         stats_row = D.bucket_truncation_stats(
             banded, ["band_id", "band_hash"]
         ).collect()[0]
@@ -177,10 +177,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Headline total EXCLUDES the synthetic skew-stress timings: they run
+    # on a fixed-size generated corpus (not the sf under test), so folding
+    # them in would make 'value' incomparable with pre-skew rounds and
+    # insensitive to the sf field.  They still appear in 'queries' (per-
+    # entry history) and in the skew_lsh detail block.
+    total = round(sum(timings[name] for name in HEADLINE), 3)
     skew_timings, skew_detail = _run_skew_stress(spark)
     timings.update(skew_timings)
-
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {

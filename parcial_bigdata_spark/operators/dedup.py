@@ -748,6 +748,15 @@ def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
     return shingles(documents, k).select("doc_id", *_sig_columns())
 
 
+def band_rows(
+    documents: DataFrame, k: int = 3, carry_shingles: bool = False
+) -> DataFrame:
+    """Public LSH band-row surface: (doc_id, band_id, band_hash[,
+    shingles]) — the observability/bench entry point over the same
+    banding the near-duplicate path uses."""
+    return _banded(documents, k, carry_shingles)
+
+
 def _banded(documents: DataFrame, k: int, carry_shingles: bool) -> DataFrame:
     """Shingles → signature → exploded LSH band rows, one projection
     chain (no joins); optionally carries the shingle array for verify."""

@@ -42,6 +42,29 @@ KNN_QUERY_IDS = [0, 1, 2, 3, 4]
 _NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _EN_STOP = "('the','a','of','and','is')"
 
+# SQL-literal spelling of KNN_QUERY_IDS for the kNN oracles — derived,
+# never hand-synced
+_KNN_IDS_SQL = "({})".format(", ".join(str(i) for i in KNN_QUERY_IDS))
+
+# The normative near-dup pair definition (jaccard >= 0.6 within the 20%
+# length band, same language) as a shared CTE body — the ONE source of
+# truth for every connected-components-family oracle here AND for the
+# external checker's bounded union-find oracle
+# (tools/check_correctness.py imports it); a threshold or blocking-band
+# tweak lands everywhere at once instead of drifting across copies.
+_WS_PAIRS_SQL = f"""ws AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ws a JOIN ws b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
+        )"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_runtime(spark)
@@ -1656,18 +1679,7 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "dedup_component_survivors": f"""
-        WITH RECURSIVE ws AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM ws a JOIN ws b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
-        ), edges AS (
+        WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
@@ -2021,18 +2033,7 @@ ORACLES: dict[str, str] = {
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
     """,
     "sample_leakage_safe_split": f"""
-        WITH RECURSIVE ws AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM ws a JOIN ws b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
-        ), edges AS (
+        WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
@@ -2061,18 +2062,7 @@ ORACLES: dict[str, str] = {
         GROUP BY split ORDER BY split
     """,
     "dedup_components": f"""
-        WITH RECURSIVE ws AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM ws a JOIN ws b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
-        ), edges AS (
+        WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION ALL
             SELECT doc_b, doc_a FROM pairs
@@ -2134,7 +2124,7 @@ ORACLES: dict[str, str] = {
               ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cosine_sim >= 0.3 ORDER BY vec_a, vec_b
     """,
-    "knn_cosine_brute_force": """
+    "knn_cosine_brute_force": f"""
         SELECT query_id, rnk, vec_id, sim FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                    round(list_cosine_similarity(
@@ -2147,7 +2137,7 @@ ORACLES: dict[str, str] = {
                                     CAST(e.embedding AS DOUBLE[])), 6) DESC,
                                 e.vec_id ASC) AS rnk
             FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+            WHERE q.vec_id IN {_KNN_IDS_SQL}
         ) WHERE rnk <= 10 ORDER BY query_id, rnk
     """,
     "multimodal_media_summary": """
@@ -2185,7 +2175,7 @@ ORACLES["knn_cosine_arrow"] = ORACLES["knn_cosine_brute_force"]
 # orders by csim ROUNDED to 6 (cluster-id tie-break), so the whole query
 # is engine-stable and exactly SQL-expressible: centroids via a lateral
 # element-index unnest, probes via the same rounded ranking.
-ORACLES["knn_cosine_ivf"] = """
+ORACLES["knn_cosine_ivf"] = f"""
     WITH cent AS (
         SELECT label AS cluster, list(m ORDER BY i) AS centroid
         FROM (
@@ -2199,7 +2189,7 @@ ORACLES["knn_cosine_ivf"] = """
         GROUP BY label
     ), q AS (
         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-        FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+        FROM embeddings WHERE vec_id IN {_KNN_IDS_SQL}
     ), probes AS (
         SELECT query_id, qvec, cluster FROM (
             SELECT q.query_id, q.qvec, c.cluster,
@@ -2250,7 +2240,7 @@ def _lsh_oracle() -> str:
             FROM embeddings
         ), q AS (
             SELECT vec_id AS query_id, emb AS qvec, bucket AS qbucket
-            FROM b WHERE vec_id IN (0, 1, 2, 3, 4)
+            FROM b WHERE vec_id IN {_KNN_IDS_SQL}
         )
         SELECT query_id, rnk, vec_id, sim FROM (
             SELECT q.query_id, b.vec_id,

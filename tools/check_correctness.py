@@ -65,28 +65,27 @@ def _cell(v):
 # corpus is past _PY_ORACLE_DOCS (or --py-oracle forces them, used by a pytest
 # case that pins py-oracle == SQL-oracle at small SF).
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-_PAIRS_SQL = f"""
-    WITH ws AS (
-        SELECT doc_id, lang, n_chars,
-               list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
-        FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM ws a JOIN ws b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-     AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-    WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
-"""
+# The pair definition is IMPORTED from the registry (the single source
+# of truth the SQL oracles build on) so the checker's union-find truth
+# can never drift from the oracles' pair semantics.
+from parcial_bigdata_spark.plans.registry import _WS_PAIRS_SQL  # noqa: E402
+
+_PAIRS_SQL = f"WITH {_WS_PAIRS_SQL} SELECT doc_a, doc_b FROM pairs"
 _PY_ORACLE_DOCS = 2_000  # above this, the recursive closure is infeasible
+
+# the O(n²) pair self-join is the most expensive query in the sweep and
+# three py-oracles need the same labels — compute once per connection
+_CC_CACHE: dict[int, dict[int, int]] = {}
 
 
 def _cc_labels(con) -> dict[int, int]:
     """Union-find (union-by-min, path compression) over the exact
     near-dup pair graph; labels every vertex IN THE GRAPH with its
     component's minimum doc_id (singletons are absent, as in the SQL
-    oracle's comps CTE)."""
+    oracle's comps CTE).  Cached per connection — the three CC-family
+    py-oracles share one pair-join execution."""
+    if id(con) in _CC_CACHE:
+        return _CC_CACHE[id(con)]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -104,7 +103,9 @@ def _cc_labels(con) -> dict[int, int]:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    return {v: find(v) for v in parent}
+    labels = {v: find(v) for v in parent}
+    _CC_CACHE[id(con)] = labels
+    return labels
 
 
 def _assigned(con):
@@ -178,6 +179,11 @@ def main() -> int:
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("check-correctness")
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo'd filter must not produce a false-green '0 failures'
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
