@@ -43,6 +43,12 @@ def jdbc_reader(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the connector as the literal "None"
+            # and fail cryptically at load time on a live database
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -443,3 +443,77 @@ def test_pack_sequences_matches_sequential_packer(spark, docs, budget):
             agg[3] = max(agg[3], doc_id)
             running += ntok
     assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+@st.composite
+def asof_tol_data(draw):
+    n_left = draw(st.integers(min_value=1, max_value=10))
+    n_right = draw(st.integers(min_value=0, max_value=10))
+    lefts, rights, used = [], [], set()
+    for i in range(n_left):
+        lefts.append((i, draw(st.integers(1, 3)), draw(st.integers(0, 100))))
+    for _ in range(n_right):
+        key = draw(st.integers(1, 3))
+        m = draw(st.integers(0, 100))
+        if (key, m) in used:  # unique (key, ts): merge_asof tie rule differs
+            continue
+        used.add((key, m))
+        rights.append((key, m, float(len(used))))
+    tol = draw(st.one_of(st.none(), st.integers(1, 40)))
+    return lefts, rights, tol
+
+
+@given(data=asof_tol_data())
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """asof_join (union+window, one shuffle) with and without tolerance
+    must reproduce pandas merge_asof — an independent reference
+    implementation of point-in-time semantics (tolerance in minutes;
+    matches staler than the window null out, left rows survive)."""
+    import pandas as pd
+
+    lefts, rights, tol = data
+    base = dt.datetime(2024, 5, 1)
+
+    left = spark.createDataFrame(
+        [(e, k, base + dt.timedelta(minutes=m)) for e, k, m in lefts],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), v) for k, m, v in rights],
+        "k long, ts timestamp, px double",
+    ) if rights else spark.createDataFrame([], "k long, ts timestamp, px double")
+
+    from parcial_bigdata_spark.operators.joins import asof_join
+
+    got = {
+        r.event_id: r.px
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_vals=["px"],
+            tolerance=None if tol is None else tol * 60.0,
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame(
+        [(e, k, base + dt.timedelta(minutes=m)) for e, k, m in lefts],
+        columns=["event_id", "k", "ts"],
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+    rpdf = pd.DataFrame(
+        {
+            "k": pd.Series([k for k, _, _ in rights], dtype="int64"),
+            "ts": pd.to_datetime(
+                [base + dt.timedelta(minutes=m) for _, m, _ in rights]
+            ),
+            "px": pd.Series([v for _, _, v in rights], dtype="float64"),
+        }
+    ).sort_values("ts", kind="stable").reset_index(drop=True)
+    merged = pd.merge_asof(
+        lpdf, rpdf, on="ts", by="k",
+        tolerance=None if tol is None else pd.Timedelta(minutes=tol),
+    )
+    expected = {
+        int(r.event_id): (None if pd.isna(r.px) else float(r.px))
+        for r in merged.itertuples()
+    }
+    assert got == expected

@@ -143,3 +143,14 @@ def test_fetch_to_landing_publishes_atomically(tmp_path):
     names = {p.name for p in tmp_path.iterdir()}
     assert names == {"dolar-7.json"}  # no .tmp residue
     assert (tmp_path / "dolar-7.json").read_bytes() == payload
+
+
+def test_jdbc_reader_rejects_partition_column_without_bounds(spark):
+    import pytest as _pytest
+
+    from parcial_bigdata_spark.sources.jdbc import jdbc_reader
+
+    with _pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        jdbc_reader(
+            spark, "jdbc:mysql://db/x", "t", partition_column="id"
+        )
