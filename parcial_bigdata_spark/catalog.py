@@ -89,7 +89,8 @@ def create_silver_table(spark: SparkSession, table: str = "dolar", location: str
     # would break the DDL (or smuggle SQL into it); backticks keep a
     # reserved-word table name valid
     loc = " LOCATION '{}'".format(location.replace("'", "''")) if location else ""
-    table = "`{}`".format(table.replace("`", "``"))
+    # quote each dot-separated part so db-qualified names stay qualified
+    table = ".".join("`{}`".format(p.replace("`", "``")) for p in table.split("."))
     spark.sql(
         f"""
         CREATE TABLE IF NOT EXISTS {table} (

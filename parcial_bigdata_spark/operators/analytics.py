@@ -51,7 +51,10 @@ def funnel_steps(
         # array_min(empty) = null — unreachable propagates correctly
         return F.array_min(F.filter(arr, lambda x: x > prev))
 
-    t = F.element_at(F.col("_ts_0"), 1)
+    # F.get (0-based) returns null on an empty array; element_at THROWS
+    # under default-on ANSI for any user who has later-step events but
+    # no step-0 event
+    t = F.get(F.col("_ts_0"), 0)
     step_ts = [t]
     for i in range(1, len(steps)):
         t = _next_after(F.col(f"_ts_{i}"), t)

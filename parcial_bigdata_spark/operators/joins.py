@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from parcial_bigdata_spark.functions.money import money_sum
 
@@ -334,19 +335,35 @@ def asof_join(
     from pyspark.sql.types import TimestampType
 
     lcols = left.columns
+    if "_asof_row" in lcols or "_asof_row" in right_vals:
+        raise ValueError("column name '_asof_row' is reserved by asof_join")
+    # The matched right row is carried as ONE struct (null for left
+    # rows, non-null for every right row even when its value fields are
+    # null), so last(ignorenulls) picks the LATEST RIGHT ROW as a unit.
+    # Carrying each value column independently would forward-fill a
+    # null value from an older row — and let a stale row's value slip
+    # past the tolerance gate, which checks the matched row's timestamp.
+    row_struct = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(v).alias(v) for v in right_vals]
+    )
     l_tag = left.select(
         *lcols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in right_vals],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField("_ts", right.schema[right_ts].dataType)]
+                + [T.StructField(v, right.schema[v].dataType) for v in right_vals]
+            )
+        )
+        .alias("_asof_row"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on else F.col(on) for c in lcols],
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
-        F.col(right_ts).alias("_r_ts"),
+        row_struct.alias("_asof_row"),
     )
     # Right rows sort before left rows at the same timestamp (asof is <=).
     w = (
@@ -360,24 +377,23 @@ def asof_join(
             *lcols,
             "_is_left",
             F.col("_asof_ts"),
-            *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals],
-            F.last("_r_ts", ignorenulls=True).over(w).alias("_matched_ts"),
+            F.last("_asof_row", ignorenulls=True).over(w).alias("_asof_row"),
         )
         .where(F.col("_is_left") == 1)
     )
+    matched = F.col("_asof_row")
     if tolerance is not None:
         if isinstance(left.schema[left_ts].dataType, TimestampType):
             age_ok = (
-                F.unix_micros("_asof_ts") - F.unix_micros("_matched_ts")
+                F.unix_micros("_asof_ts") - F.unix_micros(matched["_ts"])
             ) <= int(tolerance * 1_000_000)
         else:
-            age_ok = (F.col("_asof_ts") - F.col("_matched_ts")) <= F.lit(tolerance)
-        carried = carried.select(
-            *lcols,
-            # a too-stale match nulls out, the left row survives
-            *[F.when(age_ok, F.col(v)).alias(v) for v in right_vals],
-        )
-    return carried.select(*lcols, *right_vals)
+            age_ok = (F.col("_asof_ts") - matched["_ts"]) <= F.lit(tolerance)
+        # a too-stale match nulls out, the left row survives
+        matched = F.when(age_ok, matched)
+    return carried.select(
+        *lcols, *[matched[v].alias(v) for v in right_vals]
+    )
 
 
 def top_revenue_suppliers(

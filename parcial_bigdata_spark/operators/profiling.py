@@ -118,8 +118,13 @@ def snapshot_diff(
             F.lit(True).alias(f"{side}_present"),
         )
 
+    # Plain equality: NULL keys never match (a row's identity across
+    # snapshots is unknowable without a key), so a null-key row counts
+    # as removed from old and/or added to new — totals always reconcile
+    # with both snapshots' row counts.  A null-safe match would instead
+    # cross-join M×N null-key rows and inflate the counts.
     joined = keyed(old, "o").join(
-        keyed(new, "n"), F.col("o_key").eqNullSafe(F.col("n_key")), "full_outer"
+        keyed(new, "n"), F.col("o_key") == F.col("n_key"), "full_outer"
     )
     change = (
         F.when(F.col("o_present").isNull(), F.lit("added"))

@@ -225,7 +225,9 @@ def knn_brute_force_arrow(embeddings: DataFrame, query_ids: list[int], k: int = 
         # …5-at-the-7th-decimal values, the exact rounding-divergence
         # class the engine guards against elsewhere; verified equal to
         # F.round on probe values in tests).
-        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+        # float(x) first: numpy 2.x reprs np.float64 as 'np.float64(…)',
+        # which Decimal cannot parse
+        return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
     def batches(it):
         b_qids, b_Qn = bq.value

@@ -141,6 +141,7 @@ def make_silver_batch_writer(
         # accounting) — persist so the JSON parse runs once per batch.
         candidates = parse_rows(batch_df).persist()
         rows = silver_rows(candidates)
+        seen = None
         try:
             ledger = _read_ledger(spark, silver_path)
             # the dt partitions this batch's rows would land in — keys
@@ -200,11 +201,12 @@ def make_silver_batch_writer(
                         "bad_rows": acct.bad_rows or 0,
                     },
                 )
-            seen.unpersist()
         finally:
             # unpersist is a no-op on frames that never got persisted
             candidates.unpersist()
             rows.unpersist()
+            if seen is not None:
+                seen.unpersist()
 
     return _write
 

@@ -67,3 +67,23 @@ def test_retention_excludes_pre_cohort_activity(spark):
     out = {(r.cohort_week.date(), r.week_offset): r.n_users
            for r in analytics.retention_cohorts(ev).collect()}
     assert out == {(dt.date(2024, 1, 8), 0): 1}
+
+
+def test_funnel_user_without_first_step(spark):
+    """A user with later-step events but NO step-0 event must count
+    toward nothing — and must not crash the query under ANSI
+    (element_at on an empty array throws; F.get returns null)."""
+    import datetime as dt
+
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, 1, base, "view", 1.0),
+            (2, 1, base + dt.timedelta(minutes=1), "click", 1.0),
+            (3, 2, base, "click", 1.0),  # user 2: click without view
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r.step: r.n_users
+           for r in analytics.funnel_steps(events, ("view", "click")).collect()}
+    assert got == {"view": 1, "click": 1}

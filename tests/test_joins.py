@@ -145,3 +145,44 @@ def test_value_band_join_classifies_every_event(spark):
     assert got["high"] == (1, 999.0)
     assert got["unbanded"][0] == 3  # 1000.0 (half-open top), -5.0, null
     assert sum(v[0] for v in got.values()) == 6
+
+
+def test_asof_join_matches_row_not_forward_filled_values(spark):
+    """The matched right ROW travels as a unit: when the latest at-or-
+    before right row has a NULL value, the result is NULL (merge_asof /
+    ASOF JOIN semantics) — not a value forward-filled from an older row
+    that the tolerance gate never checked (round-5 self-review)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), 5.0), (100, _ts(4), None)],
+        "user_id long, ts timestamp, px double",
+    )
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_vals=["px"]
+    ).collect()
+    assert out[0].px is None  # the 10:04 row matched; its px IS null
+
+    # and with tolerance, the AGE check applies to the matched row
+    out_tol = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["px"], tolerance=120.0,
+    ).collect()
+    assert out_tol[0].px is None
+
+
+def test_asof_join_right_vals_may_include_right_ts(spark):
+    """Asking for the matched timestamp itself (right_vals containing
+    the right_ts column) must not collide with internal aliases."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(3), 7.0)], "user_id long, ts timestamp, px double"
+    )
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_vals=["px", "ts"],
+    ).collect()
+    assert out[0].px == 7.0

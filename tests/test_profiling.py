@@ -102,9 +102,12 @@ def test_skew_profile_null_key_sorts_last(spark):
 
 
 def test_snapshot_diff_null_keys_classified_correctly(spark):
-    """NULL-key rows are real rows: a NULL key present only in OLD is
-    'removed' (not 'added'), and one present in BOTH with equal payload
-    is 'unchanged' (round-5 review, misclassification reproduced)."""
+    """NULL-key rows are real rows whose identity across snapshots is
+    unknowable: one present only in OLD is 'removed' (not 'added', the
+    round-5 review's reproduced misclassification), and with null-key
+    rows on both sides each is reported independently (removed+added) —
+    never cross-matched M×N — so totals reconcile with both snapshots'
+    row counts."""
     old = spark.createDataFrame(
         [(None, "a"), (1, "b"), (None, "x")],
         "k int, v string",
@@ -114,10 +117,15 @@ def test_snapshot_diff_null_keys_classified_correctly(spark):
            for r in profiling.snapshot_diff(old, new, key="k").collect()}
     assert got == {"removed": 1, "unchanged": 1}
 
-    both = spark.createDataFrame([(None, "a")], "k int, v string")
+    # two null-key rows in old, one in new: no cross-matching — counts
+    # reconcile (2 removed + 1 added + 1 unchanged = 3 old rows, 2 new)
+    old2 = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "k int, v string"
+    )
+    new2 = spark.createDataFrame([(None, "a"), (1, "c")], "k int, v string")
     got2 = {r.change_type: r.n_rows
-            for r in profiling.snapshot_diff(both, both, key="k").collect()}
-    assert got2 == {"unchanged": 1}
+            for r in profiling.snapshot_diff(old2, new2, key="k").collect()}
+    assert got2 == {"removed": 2, "added": 1, "unchanged": 1}
 
 
 def test_profile_table_rejects_empty_column_list(spark):

@@ -74,8 +74,12 @@ _PAIRS_SQL = f"WITH {_WS_PAIRS_SQL} SELECT doc_a, doc_b FROM pairs"
 _PY_ORACLE_DOCS = 2_000  # above this, the recursive closure is infeasible
 
 # the O(n²) pair self-join is the most expensive query in the sweep and
-# three py-oracles need the same labels — compute once per connection
-_CC_CACHE: dict[int, dict[int, int]] = {}
+# three py-oracles need the same labels — compute once per connection.
+# The cache holds a STRONG reference to the connection alongside the
+# labels: keyed on id() alone, a garbage-collected connection could be
+# replaced by a new one at the same address and silently serve another
+# dataset's labels.
+_CC_CACHE: dict[int, tuple[object, dict[int, int]]] = {}
 
 
 def _cc_labels(con) -> dict[int, int]:
@@ -84,8 +88,9 @@ def _cc_labels(con) -> dict[int, int]:
     component's minimum doc_id (singletons are absent, as in the SQL
     oracle's comps CTE).  Cached per connection — the three CC-family
     py-oracles share one pair-join execution."""
-    if id(con) in _CC_CACHE:
-        return _CC_CACHE[id(con)]
+    hit = _CC_CACHE.get(id(con))
+    if hit is not None and hit[0] is con:
+        return hit[1]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -104,7 +109,7 @@ def _cc_labels(con) -> dict[int, int]:
             else:
                 parent[ra] = rb
     labels = {v: find(v) for v in parent}
-    _CC_CACHE[id(con)] = labels
+    _CC_CACHE[id(con)] = (con, labels)
     return labels
 
 
