@@ -67,15 +67,20 @@ def funnel_steps(
             for i in range(len(steps))
         ]
     )
-    stack_args = ", ".join(
-        "{}, '{}', _n_{}".format(i, s.replace("'", "\\'"), i)
-        for i, s in enumerate(steps)
+    # one row per step via inline() over literal structs — no SQL-string
+    # interpolation, so step names with quotes/backslashes (or a parser
+    # running escapedStringLiterals) can't corrupt the plan
+    step_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"_n_{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
-    return counts.select(
-        F.expr(
-            f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
-        )
-    ).orderBy("step_idx")
+    return counts.select(F.inline(step_rows)).orderBy("step_idx")
 
 
 def retention_cohorts(events: DataFrame, cohort_type: str = "signup") -> DataFrame:

@@ -335,8 +335,15 @@ def asof_join(
     from pyspark.sql.types import TimestampType
 
     lcols = left.columns
-    if "_asof_row" in lcols or "_asof_row" in right_vals:
-        raise ValueError("column name '_asof_row' is reserved by asof_join")
+    # '_asof_row'/'_asof_ts'/'_is_left' are union-frame helper columns;
+    # '_ts' is the matched-struct's timestamp field — a right_vals entry
+    # by that name would shadow it and corrupt the tolerance gate
+    _reserved = {"_asof_row", "_asof_ts", "_is_left", "_ts"}
+    clash = _reserved & (set(lcols) | set(right_vals))
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} are reserved by asof_join"
+        )
     # The matched right row is carried as ONE struct (null for left
     # rows, non-null for every right row even when its value fields are
     # null), so last(ignorenulls) picks the LATEST RIGHT ROW as a unit.

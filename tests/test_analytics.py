@@ -87,3 +87,23 @@ def test_funnel_user_without_first_step(spark):
     got = {r.step: r.n_users
            for r in analytics.funnel_steps(events, ("view", "click")).collect()}
     assert got == {"view": 1, "click": 1}
+
+
+def test_funnel_hostile_step_names(spark):
+    """Step names with quotes/backslashes must pass through verbatim —
+    the funnel builds its output rows with inline() over literal structs,
+    not an interpolated stack() SQL string (round-6 ADVICE item)."""
+    import datetime as dt
+
+    steps = ("it's \\ tricky", "o'br\\'ien")
+    events = spark.createDataFrame(
+        [
+            (1, 10, steps[0], dt.datetime(2025, 1, 1, 10, 0)),
+            (2, 10, steps[1], dt.datetime(2025, 1, 1, 11, 0)),
+            (3, 20, steps[1], dt.datetime(2025, 1, 1, 9, 0)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    rows = analytics.funnel_steps(events, steps).collect()
+    assert [r.step for r in rows] == list(steps)
+    assert [r.n_users for r in rows] == [1, 1]

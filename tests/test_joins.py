@@ -186,3 +186,23 @@ def test_asof_join_right_vals_may_include_right_ts(spark):
         right_vals=["px", "ts"],
     ).collect()
     assert out[0].px == 7.0
+
+
+def test_asof_join_rejects_reserved_names(spark):
+    """'_asof_row'/'_asof_ts'/'_is_left' (union-frame helpers) and '_ts'
+    (the matched-struct timestamp field the tolerance gate reads) must be
+    rejected on BOTH sides — a right_vals entry named '_ts' would shadow
+    the gate's timestamp (round-6 ADVICE item)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), 1.0)], "user_id long, ts timestamp, _ts double"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        joins.asof_join(left, right, "user_id", "ts", "ts", ["_ts"])
+    bad_left = left.withColumnRenamed("event_id", "_is_left")
+    with pytest.raises(ValueError, match="reserved"):
+        joins.asof_join(
+            bad_left, right.select("user_id", "ts"), "user_id", "ts", "ts", []
+        )

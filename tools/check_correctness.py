@@ -75,11 +75,12 @@ _PY_ORACLE_DOCS = 2_000  # above this, the recursive closure is infeasible
 
 # the O(n²) pair self-join is the most expensive query in the sweep and
 # three py-oracles need the same labels — compute once per connection.
-# The cache holds a STRONG reference to the connection alongside the
-# labels: keyed on id() alone, a garbage-collected connection could be
-# replaced by a new one at the same address and silently serve another
-# dataset's labels.
-_CC_CACHE: dict[int, tuple[object, dict[int, int]]] = {}
+# Single-entry cache (most-recent connection only): the CLI flow uses one
+# connection, and a bounded cache can't accumulate connections/labels if
+# the module is reused long-lived.  The strong connection reference makes
+# identity checks safe (a GC'd connection can't be replaced at the same
+# address and silently serve another dataset's labels).
+_CC_CACHE: tuple[object, dict[int, int]] | None = None
 
 
 def _cc_labels(con) -> dict[int, int]:
@@ -88,9 +89,9 @@ def _cc_labels(con) -> dict[int, int]:
     component's minimum doc_id (singletons are absent, as in the SQL
     oracle's comps CTE).  Cached per connection — the three CC-family
     py-oracles share one pair-join execution."""
-    hit = _CC_CACHE.get(id(con))
-    if hit is not None and hit[0] is con:
-        return hit[1]
+    global _CC_CACHE
+    if _CC_CACHE is not None and _CC_CACHE[0] is con:
+        return _CC_CACHE[1]
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -109,7 +110,7 @@ def _cc_labels(con) -> dict[int, int]:
             else:
                 parent[ra] = rb
     labels = {v: find(v) for v in parent}
-    _CC_CACHE[id(con)] = (con, labels)
+    _CC_CACHE = (con, labels)
     return labels
 
 
