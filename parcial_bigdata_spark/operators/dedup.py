@@ -1210,21 +1210,44 @@ def component_survivors(documents: DataFrame, threshold: float = 0.6) -> DataFra
 # (round-4 verdict item 6).
 #
 # Scale contract: the ground-truth step is an all-pairs comparison
-# WITHIN THE SAMPLE — audit-sized by the caller's sample_mod (|corpus| /
-# sample_mod docs; keep it ≤ ~10⁴).  The operator under audit still runs
-# over the FULL corpus with its production plan; only the measurement is
-# sampled — the standard recall-audit shape for a 100 TB dedup run.
+# WITHIN THE SAMPLE, and the sample is a constant SIZE (the sample_size
+# ids with the smallest md5), not a constant fraction — so the truth
+# sweep is O(sample_size²) at ANY corpus size and the audit stays
+# constant-cost at 100 TB (round-5 verdict item 5).  The operator under
+# audit still runs over the FULL corpus with its production plan; only
+# the measurement is sampled — the standard recall-audit shape.
 
 
 def _flag(cond) -> "F.Column":
     return cond.cast("int")
 
 
+def _hash_topn_sample(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the ``n`` ids with the smallest
+    ``md5(CAST(id AS STRING))`` (ties broken by id) — reproducible in
+    ANSI SQL (``ORDER BY md5(...) LIMIT n``), uniform over the corpus,
+    and independent of corpus size.  TakeOrderedAndProject computes the
+    top-n map-side (partial top-n per partition, no global sort), and
+    membership is a broadcast semi-join — both O(1)-shaped at 100 TB."""
+    return (
+        df.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n)
+    )
+
+
+def _in_sample(pairs: DataFrame, ids: DataFrame, id_col: str, a: str, b: str) -> DataFrame:
+    """Keep pairs whose BOTH endpoints are in the broadcast sample."""
+    return pairs.join(
+        F.broadcast(ids.withColumnRenamed(id_col, a)), a, "leftsemi"
+    ).join(F.broadcast(ids.withColumnRenamed(id_col, b)), b, "leftsemi")
+
+
 def minhash_recall_check(
     documents: DataFrame,
     threshold: float = 0.6,
     k: int = 3,
-    sample_mod: int = 2,
+    sample_size: int = 1000,
     recall_floor: float = 0.8,
     length_slack: float = 0.2,
 ) -> DataFrame:
@@ -1258,7 +1281,8 @@ def minhash_recall_check(
             f"length_slack={length_slack} exceeds the lossless ±1-bucket bound "
             f"{max_slack:.4f} for bucket base {_BUCKET_BASE}"
         )
-    samp_docs = documents.where(F.col("doc_id") % sample_mod == 0)
+    samp_ids = _hash_topn_sample(documents, "doc_id", sample_size)
+    samp_docs = documents.join(F.broadcast(samp_ids), "doc_id")
     sh = shingles(samp_docs, k).join(
         samp_docs.select("doc_id", "lang", "n_chars"), "doc_id"
     )
@@ -1290,8 +1314,9 @@ def minhash_recall_check(
         .where(jac >= threshold)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    found = minhash_near_duplicates(documents, threshold=threshold, k=k).where(
-        (F.col("doc_a") % sample_mod == 0) & (F.col("doc_b") % sample_mod == 0)
+    found = _in_sample(
+        minhash_near_duplicates(documents, threshold=threshold, k=k),
+        samp_ids, "doc_id", "doc_a", "doc_b",
     )
     # one pass over truth: marker left-join folds |truth| and
     # |truth ∩ found| into a single aggregate (truth's all-pairs subtree
@@ -1318,7 +1343,7 @@ def minhash_recall_check(
 def simhash_recall_check(
     documents: DataFrame,
     max_hamming: int = 3,
-    sample_mod: int = 2,
+    sample_size: int = 1000,
     recall_floor: float = 0.9,
 ) -> DataFrame:
     """Audit ``simhash_near_duplicates``: brute-force all-pairs hamming
@@ -1333,7 +1358,8 @@ def simhash_recall_check(
     - ``twin_ok``          1 ⟺ simhash() ≡ simhash_arrow() on the sample
     - ``recall_ok``        1 ⟺ |blocked ∩ truth| ≥ recall_floor·|truth|
     """
-    samp_docs = documents.where(F.col("doc_id") % sample_mod == 0)
+    samp_ids = _hash_topn_sample(documents, "doc_id", sample_size)
+    samp_docs = documents.join(F.broadcast(samp_ids), "doc_id")
     fp_hof = simhash(samp_docs)
     fp_arrow = simhash_arrow(samp_docs).withColumnRenamed("simhash", "simhash_np")
     twin_bad = (
@@ -1347,8 +1373,9 @@ def simhash_recall_check(
         .where(F.expr("bit_count(a.simhash ^ b.simhash)") <= max_hamming)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    found = simhash_near_duplicates(documents, max_hamming=max_hamming, arrow=True).where(
-        (F.col("doc_a") % sample_mod == 0) & (F.col("doc_b") % sample_mod == 0)
+    found = _in_sample(
+        simhash_near_duplicates(documents, max_hamming=max_hamming, arrow=True),
+        samp_ids, "doc_id", "doc_a", "doc_b",
     )
     # one pass over truth (see minhash_recall_check)
     marked = found.select("doc_a", "doc_b").dropDuplicates().withColumn(
@@ -1376,7 +1403,7 @@ def embedding_lsh_recall_check(
     threshold: float = 0.4,
     n_planes: int = 2,
     n_tables: int = 8,
-    sample_mod: int = 1,
+    sample_size: int = 1000,
     recall_floor: float = 0.9,
     max_bucket: int | None = None,
 ) -> DataFrame:
@@ -1398,9 +1425,10 @@ def embedding_lsh_recall_check(
     """
     from parcial_bigdata_spark.operators.scale import fan_out_small_scan
 
+    samp_ids = _hash_topn_sample(embeddings, "vec_id", sample_size)
     samp = (
         fan_out_small_scan(embeddings, "vec_id")
-        .where(F.col("vec_id") % sample_mod == 0)
+        .join(F.broadcast(samp_ids), "vec_id")
         .withColumn("nrm", norm("embedding"))
     )
     a, b = samp.alias("a"), samp.alias("b")
@@ -1414,13 +1442,16 @@ def embedding_lsh_recall_check(
         .where(sim >= threshold)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
-    found = embedding_near_duplicates_lsh(
-        embeddings,
-        threshold=threshold,
-        n_tables=n_tables,
-        n_planes=n_planes,
-        max_bucket=max_bucket,
-    ).where((F.col("vec_a") % sample_mod == 0) & (F.col("vec_b") % sample_mod == 0))
+    found = _in_sample(
+        embedding_near_duplicates_lsh(
+            embeddings,
+            threshold=threshold,
+            n_tables=n_tables,
+            n_planes=n_planes,
+            max_bucket=max_bucket,
+        ),
+        samp_ids, "vec_id", "vec_a", "vec_b",
+    )
     # single pass over truth: a marker left-join gives |truth| and
     # |truth ∩ found| from ONE aggregate, so the O(n²) truth subtree is
     # evaluated once, not once per counter branch

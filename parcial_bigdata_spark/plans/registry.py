@@ -2374,6 +2374,19 @@ ORACLES["approx_percentile_value_by_type"] = """
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
+# Constant-SIZE audit samples (round-5 verdict item 5): the 1000 ids
+# with the smallest md5 — identical on both engines (Spark md5(CAST(id
+# AS STRING)) ≡ DuckDB md5(CAST(id AS VARCHAR)), both lowercase hex),
+# so the truth sweep is O(1000²) at any corpus size.
+_SAMP_DOCS_SQL = (
+    "SELECT doc_id FROM documents "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000"
+)
+_SAMP_VECS_SQL = (
+    "SELECT vec_id FROM embeddings "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000"
+)
+
 # Shingle semantics mirror operators/dedup.shingles(): max(len-2, 1)
 # windows; the last windows of a short doc shrink (xxhash64 skips the
 # NULL padding on the Spark side; string join skips it here), so the
@@ -2387,7 +2400,7 @@ _GRAMS_SQL = f"""
            )) AS grams
     FROM (SELECT doc_id, lang, n_chars,
                  string_split({_NORM_SQL}, ' ') AS w
-          FROM documents WHERE doc_id % 2 = 0)
+          FROM documents WHERE doc_id IN ({_SAMP_DOCS_SQL}))
 """
 
 ORACLES["dedup_minhash_lsh_check"] = f"""
@@ -2399,24 +2412,27 @@ ORACLES["dedup_minhash_lsh_check"] = f"""
         WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.6
     )
-    SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_sample_docs,
+    SELECT (SELECT count(*) FROM ({_SAMP_DOCS_SQL})) AS n_sample_docs,
            (SELECT count(*) FROM truth) AS n_truth_pairs,
            1 AS recall_ok
 """
 
-ORACLES["dedup_simhash_check"] = """
+ORACLES["dedup_simhash_check"] = f"""
     SELECT count(*) AS n_sample_docs, 1 AS twin_ok, 1 AS recall_ok
-    FROM documents WHERE doc_id % 2 = 0
+    FROM ({_SAMP_DOCS_SQL})
 """
 
-ORACLES["dedup_embedding_lsh_check"] = """
-    WITH truth AS (
+ORACLES["dedup_embedding_lsh_check"] = f"""
+    WITH samp AS ({_SAMP_VECS_SQL}),
+    truth AS (
         SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(
+        WHERE a.vec_id IN (SELECT vec_id FROM samp)
+          AND b.vec_id IN (SELECT vec_id FROM samp)
+          AND round(list_cosine_similarity(
                   CAST(a.embedding AS DOUBLE[]),
                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     )
-    SELECT (SELECT count(*) FROM embeddings) AS n_sample_vecs,
+    SELECT (SELECT count(*) FROM samp) AS n_sample_vecs,
            (SELECT count(*) FROM truth) AS n_truth_pairs,
            1 AS recall_ok
 """

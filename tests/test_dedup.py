@@ -598,12 +598,15 @@ def test_minhash_check_bucket_blocked_truth_is_lossless(spark):
     from parcial_bigdata_spark.catalog import load_table
 
     docs = load_table(spark, sf, "documents")
-    threshold, k, sample_mod, length_slack = 0.6, 3, 2, 0.2
+    threshold, k, sample_size, length_slack = 0.6, 3, 250, 0.2
     [row] = dedup.minhash_recall_check(
-        docs, threshold=threshold, k=k, sample_mod=sample_mod,
+        docs, threshold=threshold, k=k, sample_size=sample_size,
         length_slack=length_slack,
     ).collect()
-    samp = docs.where(F.col("doc_id") % sample_mod == 0)
+    samp = docs.join(
+        F.broadcast(dedup._hash_topn_sample(docs, "doc_id", sample_size)),
+        "doc_id",
+    )
     sh = dedup.shingles(samp, k).join(
         samp.select("doc_id", "lang", "n_chars"), "doc_id"
     )
@@ -647,9 +650,13 @@ def test_recall_audit_twins_flags_green_and_wired(spark):
     docs = load_table(spark, sf, "documents")
     emb = load_table(spark, sf, "embeddings")
 
+    # sample_size=1000 > the 500-doc fixture → sample is the whole corpus
     [mh] = dedup.minhash_recall_check(docs).collect()
-    assert (mh.recall_ok, mh.n_sample_docs) == (1, 250)
+    assert (mh.recall_ok, mh.n_sample_docs) == (1, 500)
     assert mh.n_truth_pairs >= 0
+    # constant-SIZE contract: a smaller budget caps the sample exactly
+    [mh_small] = dedup.minhash_recall_check(docs, sample_size=100).collect()
+    assert mh_small.n_sample_docs == 100
 
     [sh] = dedup.simhash_recall_check(docs).collect()
     assert (sh.twin_ok, sh.recall_ok) == (1, 1)

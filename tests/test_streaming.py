@@ -398,3 +398,66 @@ def test_available_now_handles_directory_parquet(spark, tmp_path):
             for r in got.collect()}
     assert rows[(dt.datetime(2025, 1, 1, 10, 0), "click")] == (2, 40.0)
     assert rows[(dt.datetime(2025, 1, 1, 11, 0), "click")] == (1, 5.0)
+
+
+def test_bounded_backlog_drain_matches_single_batch(spark, tmp_path):
+    """ST1 at 100 TB: a large bronze backlog must drain in BOUNDED
+    micro-batches (maxFilesPerTrigger) with the same ledger idempotency
+    — multi-batch result ≡ one-shot result, and a re-run with a fresh
+    checkpoint (simulated redelivery) appends nothing (round-5 verdict
+    item 6)."""
+    payloads = [
+        [[str(1757509256000 + i * 86_400_000), f"{3920 + i}.00"]] for i in range(5)
+    ]
+    for variant in ("bounded", "oneshot"):
+        bronze = tmp_path / f"bronze_{variant}"
+        bronze.mkdir()
+        for i, p in enumerate(payloads):
+            (bronze / f"dolar-{i}.json").write_text(json.dumps(p))
+    batches: list[tuple[int, dict]] = []
+    q = sp.start_silver_stream(
+        spark,
+        str(tmp_path / "bronze_bounded"),
+        str(tmp_path / "silver_bounded"),
+        str(tmp_path / "ckpt_bounded"),
+        on_metrics=lambda bid, m: batches.append((bid, m)),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    q = sp.start_silver_stream(
+        spark,
+        str(tmp_path / "bronze_oneshot"),
+        str(tmp_path / "silver_oneshot"),
+        str(tmp_path / "ckpt_oneshot"),
+    )
+    q.awaitTermination()
+
+    # the backlog really drained in several bounded batches...
+    assert len(batches) >= 3
+    assert all(m["files_processed"] <= 2 for _, m in batches)
+    bounded = spark.read.parquet(str(tmp_path / "silver_bounded"))
+    oneshot = spark.read.parquet(str(tmp_path / "silver_oneshot"))
+    # ...to the same silver rows as the single giant batch (source_file
+    # normalized to its basename — the two variants use different dirs)
+    from pyspark.sql import functions as F
+
+    def _rows(df):
+        cols = [
+            F.element_at(F.split("source_file", "/"), -1).alias("f")
+            if c == "source_file"
+            else F.col(c)
+            for c in sorted(df.columns)
+        ]
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    assert _rows(bounded) == _rows(oneshot)
+    # redelivery under a fresh checkpoint, still bounded: no duplicates
+    q = sp.start_silver_stream(
+        spark,
+        str(tmp_path / "bronze_bounded"),
+        str(tmp_path / "silver_bounded"),
+        str(tmp_path / "ckpt_bounded2"),
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "silver_bounded")).count() == bounded.count()

@@ -180,11 +180,19 @@ PY_ORACLES = {
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--py-oracle"]
+    argv = [a for a in sys.argv[1:] if a not in ("--py-oracle", "--ansi")]
     force_py = "--py-oracle" in sys.argv[1:]
+    force_ansi = "--ansi" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("check-correctness")
+    if force_ansi:
+        # Spark 4 defaults ANSI on, but the driver may hand queries a
+        # session with any conf — force it so the sweep certifies the
+        # strict-mode posture explicitly (SURVEY.md §11).
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print(f"ansi forced: spark.sql.ansi.enabled="
+              f"{spark.conf.get('spark.sql.ansi.enabled')}")
     unknown = only - set(entrymod.queries())
     if unknown:
         # a typo'd filter must not produce a false-green '0 failures'
