@@ -148,6 +148,132 @@ def _run_skew_stress(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- graph-family scale exponent (round-5 verdict item 2) -----------------
+# The 100 TB story for connected components / leakage-safe split rests on
+# O(E·α) contraction + O(log diameter) levels; the per-round bench measures
+# only one graph size.  These probes time the SAME operators on synthetic
+# corpora at ×1/×4/×16 edge counts (driver testdata is read-only, so the
+# corpora are generated distributed via spark.range — no driver-side row
+# loops) and report a fitted log-log scaling exponent.  Near-linear (< ~1.3
+# after fixed per-level Spark-job overhead) validates the design; anything
+# super-linear is a regression the JSON makes visible.
+
+_GRAPH_SCALES = (1, 4, 16)
+_CC_BASE_EDGES = 100_000
+_SPLIT_BASE_CLUSTERS = 200  # ×5 docs, ×10 intra-cluster edges
+
+
+def _cc_edges(spark, n_edges):
+    """Synthetic near-dup edge list: 80% 5-cliques (the bulk shape real
+    near-dup graphs take) + 20% disjoint 100-edge chains (diameter
+    stress for the Borůvka level count).  Deterministic, generated
+    executor-side."""
+    from pyspark.sql import functions as F
+
+    n_cliques = int(n_edges * 0.8) // 10
+    cliques = (
+        spark.range(n_cliques)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  flatten(transform(sequence(0, 3), i ->"
+                    "    transform(sequence(i + 1, 4), j -> array(i, j)))),"
+                    "  p -> named_struct("
+                    "    'doc_a', id * 5 + p[0], 'doc_b', id * 5 + p[1]))"
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+    )
+    n_chain_edges = n_edges - n_cliques * 10
+    off = n_cliques * 5
+    chains = spark.range(n_chain_edges).select(
+        (F.lit(off) + F.col("id") + F.floor(F.col("id") / 100)).alias("doc_a"),
+        (F.lit(off) + F.col("id") + F.floor(F.col("id") / 100) + 1).alias("doc_b"),
+    )
+    return cliques.unionByName(chains)
+
+
+def _split_corpus(spark, n_clusters):
+    """Documents in 5-doc near-dup clusters (28 shared + 2 unique words
+    → pairwise Jaccard ≈ 0.87 on either word-set or 3-gram semantics,
+    identical lengths) — exactly 10 exact-near-dup edges per cluster."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_clusters * 5)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "concat_ws(' ',"
+                "  concat_ws(' ', transform(sequence(0, 27), j ->"
+                "    concat('c', CAST(id DIV 5 AS STRING), 'w', CAST(j AS STRING)))),"
+                "  concat('c', CAST(id DIV 5 AS STRING), 'v', CAST(id % 5 AS STRING), 'a'),"
+                "  concat('c', CAST(id DIV 5 AS STRING), 'v', CAST(id % 5 AS STRING), 'b'))"
+            ).alias("text"),
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", F.length("text"))
+    )
+
+
+def _fit_exponent(sizes, secs):
+    """Least-squares slope of log(sec) vs log(size)."""
+    import math
+
+    xs = [math.log(s) for s in sizes]
+    ys = [math.log(max(t, 1e-6)) for t in secs]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return round(num / den, 3)
+
+
+def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import dedup as D
+    from parcial_bigdata_spark.operators import sampling as S
+
+    timings: dict[str, float] = {}
+    detail: dict = {"cc": {}, "leakage_split": {}}
+
+    cc_secs, cc_sizes = [], []
+    for s in _GRAPH_SCALES:
+        n_edges = _CC_BASE_EDGES * s
+        edges = _cc_edges(spark, n_edges).persist()
+        n_real = edges.count()  # materialize input outside the timing
+        t0 = time.perf_counter()
+        n_comp_rows = D.duplicate_components(edges).count()
+        el = round(time.perf_counter() - t0, 3)
+        edges.unpersist()
+        timings[f"cc_scale_x{s}"] = el
+        cc_secs.append(el)
+        cc_sizes.append(n_real)
+        detail["cc"][f"x{s}"] = {
+            "edges": n_real, "labeled_vertices": n_comp_rows, "sec": el,
+        }
+    detail["cc"]["exponent"] = _fit_exponent(cc_sizes, cc_secs)
+
+    sp_secs, sp_sizes = [], []
+    for s in _GRAPH_SCALES:
+        docs = _split_corpus(spark, _SPLIT_BASE_CLUSTERS * s).persist()
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        rows = S.leakage_safe_split(docs, threshold=0.6).collect()
+        el = round(time.perf_counter() - t0, 3)
+        docs.unpersist()
+        timings[f"leakage_split_scale_x{s}"] = el
+        sp_secs.append(el)
+        sp_sizes.append(n_docs)
+        detail["leakage_split"][f"x{s}"] = {
+            "docs": n_docs,
+            "components": sum(r.n_components for r in rows),
+            "sec": el,
+        }
+    detail["leakage_split"]["exponent"] = _fit_exponent(sp_sizes, sp_secs)
+    return timings, detail
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -185,6 +311,8 @@ def main() -> None:
     total = round(sum(timings[name] for name in HEADLINE), 3)
     skew_timings, skew_detail = _run_skew_stress(spark)
     timings.update(skew_timings)
+    graph_timings, graph_detail = _run_graph_scale(spark)
+    timings.update(graph_timings)
     print(
         json.dumps(
             {
@@ -194,6 +322,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "skew_lsh": skew_detail,
+                "graph_scale": graph_detail,
             }
         )
     )

@@ -360,119 +360,187 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     turns pairwise matches into dedup CLUSTERS (one survivor per
     component), which is what an actual corpus dedup ships.
 
-    Contraction CC (Borůvka-style; the "Cracker"/Kiveris et al.
-    "Connected Components in MapReduce and Beyond" family), NOT
-    per-round label propagation: each level computes the one-hop min
-    label l(v) = min(v, N(v)) with a single groupBy over the edge set,
-    then CONTRACTS the graph — every edge is rewritten to
-    (l(u), l(v)), self-loops and duplicates dropped — and the next
-    level runs on the contracted graph.  Contraction at least halves
-    the component diameter per level, so levels = O(log diameter), and
-    only level 0 touches the full edge set; every later level works on
-    the collapsed graph (orders of magnitude smaller for near-dup data,
-    where components are dense cluster-chains).  Plain label
-    propagation pays a full-edge-set join+groupBy per round and needs
-    diameter-many rounds — the fixture's near-dup graph measures
-    diameter ≈ 9, making this rewrite ~3× cheaper end-to-end.  The
-    driver only orchestrates the level loop and a tiny emptiness probe
-    — edges and labels stay distributed throughout.  Once the
-    contracted graph drops under ``_CC_TAIL_EDGES`` rows it finishes in
-    ONE single-partition Arrow union-find job (``_tail_components``)
-    instead of paying fixed per-level job overhead on a few hundred
-    rows.
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), NOT per-round
+    label propagation and NOT naive min-label contraction:
 
-    Each level's frames are cut with ``iter_checkpoint``: persist alone
-    caches DATA but leaves the LOGICAL plan nested one join deeper per
-    level, so analysis/optimization cost grows superlinearly and deep
-    chains stack-overflow Catalyst — checkpointing truncates lineage to
-    the materialized blocks.  On a real cluster with executor churn,
-    configure ``spark.sparkContext.setCheckpointDir`` and the same code
-    cuts lineage with fault-tolerant ``.checkpoint()`` automatically
+    - **large-star**: per vertex u, with m = min(u, N(u)), re-point
+      every LARGER neighbor v > u at m — emit (v, m).
+    - **small-star**: orient every edge (bigger, smaller); per vertex
+      u, with m = min of its smaller neighbors, re-point them all at m
+      — emit (v, m) for each smaller neighbor v plus the rib (u, m).
+
+    The alternation converges to star forests rooted at each
+    component's minimum id in O(log n) rounds — including on
+    high-diameter chain graphs, where one-hop min-label contraction
+    degrades to removing O(1) vertices per level (a monotone path
+    v0<v1<…<vk maps every vi to v(i-1): the path SHIFTS instead of
+    halving, measured live as 633k→627k→620k edges/level on a
+    3.2k-chain probe before this rewrite).
+
+    Each round is expressed as window-min + distinct — deliberately
+    **join-free**.  Spark's size-only stats estimator scores a join as
+    the PRODUCT of its children's sizeInBytes, and ``localCheckpoint``
+    preserves the origin plan's estimate through the lineage cut, so
+    an iterative join loop compounds the estimate multiplicatively:
+    the BigInteger digit count triples per level and the DRIVER burns
+    unbounded CPU in ``BigInteger.multiply`` during stats estimation
+    (measured: 0.5 s→142 s per level by level 14) before a single task
+    launches.  Window aggregation estimates stay linear in the child,
+    so round cost is flat no matter how many rounds run.
+
+    Each round's edge frame is cut with ``iter_checkpoint``: persist
+    alone caches DATA but leaves the logical plan nested one round
+    deeper (superlinear analysis cost, eventual Catalyst stack
+    overflow); checkpointing truncates lineage to the materialized
+    blocks.  On a real cluster with executor churn, configure
+    ``spark.sparkContext.setCheckpointDir`` and the same code cuts
+    lineage with fault-tolerant ``.checkpoint()`` automatically
     (``operators/scale.iter_checkpoint``).
 
-    Component id = min doc_id in the component: the global minimum of a
-    component is its own one-hop min at every level, so it survives
-    contraction to the end and every vertex's composed label chain
-    terminates at it (deterministic, and exactly reproducible by a
-    recursive-CTE transitive closure, which is the DuckDB oracle)."""
+    Once the edge frame drops under ``_CC_TAIL_EDGES`` rows it
+    finishes in ONE single-partition Arrow union-find job
+    (``_tail_components``) instead of paying fixed per-round job
+    overhead on a few hundred rows; star rounds preserve connectivity
+    and the incident-vertex set, so the tail sees the same components.
+
+    Convergence is detected by a (count, xxhash64-sum) signature of
+    the distinct edge set staying fixed across a round, then VERIFIED
+    exactly with one anti-join before trusting it — a hash collision
+    can delay convergence by a round but never mislabel.  Component
+    id = min doc_id in the component (deterministic, and exactly
+    reproducible by a recursive-CTE transitive closure, which is the
+    DuckDB oracle)."""
     from parcial_bigdata_spark.operators.scale import iter_checkpoint
 
-    und = iter_checkpoint(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
+    # Every vertex the input mentions gets a label — including ones
+    # whose only pairs are self-pairs, which the star rounds drop as
+    # self-loops.  This frame also feeds the final identity fallback.
+    verts = iter_checkpoint(
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    level = und
-    labs: list[DataFrame] = []
+    edges = iter_checkpoint(
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    w_src = Window.partitionBy("src")
+    labels: DataFrame | None = None
+    prev_sig: tuple | None = None
+    prev_edges: DataFrame | None = None
     converged = False
     for _ in range(max_iter):
-        n_edges = level.count()
+        n_edges, sig_hash = edges.agg(
+            F.count(F.lit(1)),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows (an ANSI-mode crash; ANSI is the Spark 4
+            # default), and the signature must be order-independent
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        ).first()
         if n_edges == 0:
             converged = True
             break
         if n_edges <= _CC_TAIL_EDGES:
-            # The contracted graph now fits one task: finish it with a
-            # single Arrow union-find pass instead of O(log diameter)
-            # more contraction levels, each a fixed-overhead Spark job
-            # over a few hundred rows.  Still a distributed plan (one
-            # single-partition stage), not a driver collect; the
-            # contraction loop above remains the path while the graph
-            # is big, so the tail solver's input is bounded by the
-            # threshold regardless of corpus size.
-            labs.append(_tail_components(level))
+            # The graph now fits one task: finish it with a single
+            # Arrow union-find pass instead of O(log n) more star
+            # rounds, each a fixed-overhead Spark job over a few
+            # hundred rows.  Still a distributed plan (one
+            # single-partition stage), not a driver collect; the star
+            # rounds above remain the path while the graph is big, so
+            # the tail solver's input is bounded by the threshold
+            # regardless of corpus size.
+            labels = _tail_components(edges)
             converged = True
             break
-        # l(v) = min(v, N(v)) — one groupBy over the level's edges (the
-        # self term folds in via least(), no self-loop union needed).
-        lab = iter_checkpoint(
-            level.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select(F.col("src").alias("v"), F.least("src", "mn").alias("c"))
+        sig = (n_edges, sig_hash)
+        if sig == prev_sig:
+            # Cheap signature says fixpoint — verify exactly (both
+            # frames are distinct sets of equal size, so an empty
+            # anti-join proves equality) before trusting it.
+            if edges.join(prev_edges, ["src", "dst"], "left_anti").isEmpty():
+                converged = True
+                break
+        prev_sig, prev_edges = sig, edges
+
+        # large-star: und carries both directions so each vertex sees
+        # its full neighborhood; m = min over the closed neighborhood
+        # via a window (JOIN-FREE — see docstring); larger neighbors
+        # re-point at m.  m <= src < dst, so no self-loops arise.
+        und = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        labs.append(lab)
-        # Contract: rewrite each edge to its endpoints' labels, drop
-        # self-loops and duplicates.  und carries both directions, so
-        # the contracted graph stays undirected by construction.  The
-        # label map is |V_level| rows against |E_level| edges — AQE
-        # broadcast-joins it at any realistic dup-graph shape.
-        contracted = iter_checkpoint(
-            level.join(lab.select(F.col("v").alias("src"), F.col("c").alias("lsrc")), "src")
-            .join(lab.select(F.col("v").alias("dst"), F.col("c").alias("ldst")), "dst")
-            .where(F.col("lsrc") != F.col("ldst"))
-            .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        large = (
+            und.withColumn("m", F.least("src", F.min("dst").over(w_src)))
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star: re-orient (src=bigger, dst=smaller); m = min of
+        # the smaller neighbors; re-point them all at m and keep the
+        # rib (src, m).  Emitting the rib per row is fine — distinct's
+        # map-side partial aggregate collapses the copies before the
+        # shuffle.
+        small_base = large.select(
+            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+        ).withColumn("m", F.min("dst").over(w_src))
+        edges = iter_checkpoint(
+            small_base.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("dst").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("src").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select(
+                F.greatest("e.u", "e.v").alias("src"),
+                F.least("e.u", "e.v").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-        level = contracted
     if not converged:
-        # Returning the composed labels here would hand the caller
-        # intermediate contraction ids as if they were component minima
-        # — silently wrong clusters.  Exhausting max_iter on a graph
-        # that still has edges is a configuration error (round-4
-        # advice): each level contracts every star to a point, so the
-        # default budget covers any realistic diameter; a caller who
-        # lowered it must raise it, not consume unconverged labels.
-        if not level.isEmpty():
-            raise ValueError(
-                f"duplicate_components did not converge within "
-                f"max_iter={max_iter} contraction levels (contracted "
-                "graph still has edges); raise max_iter"
+        # Returning star-round edges here would hand the caller
+        # partially-collapsed neighbor ids as if they were component
+        # minima — silently wrong clusters.  Exhausting max_iter on a
+        # graph that still has edges is a configuration error (round-4
+        # advice): the alternation needs O(log n) rounds on ANY graph
+        # shape, so the default budget covers any realistic corpus; a
+        # caller who lowered it must raise it, not consume unconverged
+        # labels.
+        raise ValueError(
+            f"duplicate_components did not converge within "
+            f"max_iter={max_iter} star rounds (edge set still "
+            "changing); raise max_iter"
+        )
+    if labels is None:
+        # Star-converged (or empty) edge set: every edge is
+        # (leaf, root) with root = component min; roots label
+        # themselves.
+        # Checkpointed so consumers (survivors, leakage split, audit
+        # twins) see a flat LogicalRDD instead of re-planning the
+        # union+distinct inside their own (budgeted) plans.
+        labels = iter_checkpoint(
+            edges.select(F.col("src").alias("v"), F.col("dst").alias("c"))
+            .unionByName(
+                edges.select(F.col("dst").alias("v"), F.col("dst").alias("c"))
             )
-        converged = True
-    if not labs:  # no edges at all: identity labels over the (empty) vertex set
-        return und.select(
-            F.col("src").alias("doc_id"), F.col("src").alias("comp")
-        ).distinct()
-    # Compose the per-level label maps: comp(v) = l_k(…l_1(l_0(v))).
-    # Level-0's map covers every vertex; later maps only cover surviving
-    # contracted vertices, so absent keys keep their current label.
-    # Every map is tiny (≤ |V| rows, shrinking per level) and the chain
-    # is O(log diameter) joins deep — no checkpointing needed.
-    mapping = labs[0].select(F.col("v").alias("doc_id"), F.col("c").alias("comp"))
-    for lab in labs[1:]:
-        mapping = mapping.join(
-            lab.withColumnRenamed("v", "comp"), "comp", "left"
-        ).select("doc_id", F.coalesce("c", "comp").alias("comp"))
-    return mapping
+            .distinct()
+        )
+    return verts.join(
+        labels.select(F.col("v").alias("doc_id"), F.col("c").alias("comp_lbl")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("comp_lbl", "doc_id").alias("comp"))
 
 
 def duplicate_components_sorted(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -1281,10 +1349,18 @@ def minhash_recall_check(
             f"length_slack={length_slack} exceeds the lossless ±1-bucket bound "
             f"{max_slack:.4f} for bucket base {_BUCKET_BASE}"
         )
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
     samp_ids = _hash_topn_sample(documents, "doc_id", sample_size)
     samp_docs = documents.join(F.broadcast(samp_ids), "doc_id")
-    sh = shingles(samp_docs, k).join(
-        samp_docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    # Checkpointed: the truth self-join consumes this frame on BOTH
+    # sides, and it is bounded (≤ sample_size docs) — materializing it
+    # once halves the sweep's scan+shuffle work and keeps the audit
+    # inside the registry-wide exchange budget.
+    sh = iter_checkpoint(
+        shingles(samp_docs, k).join(
+            samp_docs.select("doc_id", "lang", "n_chars"), "doc_id"
+        )
     )
     bkt = F.floor(F.log(F.col("n_chars").cast("double")) / math.log(_BUCKET_BASE))
     a = sh.withColumn("bkt", bkt).alias("a")
@@ -1358,9 +1434,13 @@ def simhash_recall_check(
     - ``twin_ok``          1 ⟺ simhash() ≡ simhash_arrow() on the sample
     - ``recall_ok``        1 ⟺ |blocked ∩ truth| ≥ recall_floor·|truth|
     """
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
     samp_ids = _hash_topn_sample(documents, "doc_id", sample_size)
     samp_docs = documents.join(F.broadcast(samp_ids), "doc_id")
-    fp_hof = simhash(samp_docs)
+    # Checkpointed: consumed by the twin comparison AND both sides of
+    # the all-pairs truth join; bounded at sample_size rows.
+    fp_hof = iter_checkpoint(simhash(samp_docs))
     fp_arrow = simhash_arrow(samp_docs).withColumnRenamed("simhash", "simhash_np")
     twin_bad = (
         fp_hof.join(fp_arrow, "doc_id")
