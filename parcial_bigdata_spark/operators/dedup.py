@@ -413,21 +413,23 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     DuckDB oracle)."""
     from parcial_bigdata_spark.operators.scale import iter_checkpoint
 
-    # Every vertex the input mentions gets a label — including ones
-    # whose only pairs are self-pairs, which the star rounds drop as
-    # self-loops.  This frame also feeds the final identity fallback.
-    verts = iter_checkpoint(
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    edges = iter_checkpoint(
+    # ONE canonicalize+distinct materialization serves both the edge
+    # set and the (rare) self-pair ids — star rounds preserve the
+    # edge-incident vertex set (see persistence note below), so the
+    # final labels already cover every vertex except ones whose only
+    # pairs are self-pairs; those label themselves at the end.  A
+    # separate full-vertex frame + final corpus-wide join would cost a
+    # second |V|-scale materialization and shuffle per call for
+    # coverage the labels already have.
+    canon = iter_checkpoint(
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("src"),
             F.least("doc_a", "doc_b").alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+        ).distinct()
+    )
+    edges = canon.where(F.col("src") != F.col("dst"))
+    self_ids = canon.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id")
     )
 
     w_src = Window.partitionBy("src")
@@ -508,7 +510,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .where(F.col("src") != F.col("dst"))
             .distinct()
         )
-    if not converged:
+    if not converged and not edges.isEmpty():
         # Returning star-round edges here would hand the caller
         # partially-collapsed neighbor ids as if they were component
         # minima — silently wrong clusters.  Exhausting max_iter on a
@@ -536,11 +538,23 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .distinct()
         )
-    return verts.join(
-        labels.select(F.col("v").alias("doc_id"), F.col("c").alias("comp_lbl")),
-        "doc_id",
-        "left",
-    ).select("doc_id", F.coalesce("comp_lbl", "doc_id").alias("comp"))
+    # Persistence note: both stars keep every edge-incident vertex in
+    # play — in large-star a vertex with a smaller neighbor is emitted
+    # from that neighbor's group, and one whose neighbors are all
+    # larger is its own group minimum (emitted as the target); in
+    # small-star each smaller neighbor is re-emitted and the rib keeps
+    # the group vertex.  So `labels` covers exactly the initially
+    # edge-incident vertices, and only self-pair-only ids need the
+    # identity fallback.  The emptiness probe is a cheap limit-1 scan
+    # of the already-materialized canon frame; real near-dup pair
+    # streams have no self-pairs, so the anti-join is normally skipped.
+    mapping = labels.select(F.col("v").alias("doc_id"), F.col("c").alias("comp"))
+    if self_ids.limit(1).isEmpty():
+        return mapping
+    extras = self_ids.join(mapping, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("comp")
+    )
+    return mapping.unionByName(extras)
 
 
 def duplicate_components_sorted(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
