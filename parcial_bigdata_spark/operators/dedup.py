@@ -355,7 +355,7 @@ def _tail_components(edges: DataFrame) -> DataFrame:
     )
 
 
-def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise matches into dedup CLUSTERS (one survivor per
     component), which is what an actual corpus dedup ships.
@@ -432,6 +432,12 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         F.col("src").alias("doc_id")
     )
 
+    # max_iter sizing: the loop only spins while the edge set exceeds
+    # _CC_TAIL_EDGES, and each round at least halves the worst-case
+    # chain, so rounds needed ≈ log2(E / tail) + O(1) — 22-ish even at
+    # E = 10^12 (a 100 TB-corpus dup graph).  The default of 40 leaves
+    # ~2× headroom and costs nothing: convergence and the tail cut
+    # exit early on every realistic graph.
     w_src = Window.partitionBy("src")
     labels: DataFrame | None = None
     prev_sig: tuple | None = None
@@ -557,7 +563,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return mapping.unionByName(extras)
 
 
-def duplicate_components_sorted(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def duplicate_components_sorted(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """``duplicate_components`` with the presentation sort — the query
     surface.  Composing operators (component_survivors,
     leakage_safe_split) consume the unordered labels so the sort never

@@ -185,6 +185,34 @@ def test_duplicate_components_contraction_path_matches_tail(spark, monkeypatch):
     assert tail == expected
 
 
+def test_duplicate_components_monotone_chain_star_rounds(spark, monkeypatch):
+    """A monotone path (ids increasing along the chain) is the shape
+    that degrades one-hop min-label contraction to O(diameter) levels
+    (each level just shifts the path by one).  With the tail solver
+    disabled, the star alternation must still converge within the
+    default round budget — pinning the O(log n) claim on the worst
+    shape, not just on dense near-dup clusters."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(3000)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", 0)
+    out = dedup.duplicate_components(pairs)
+    assert out.count() == 3001
+    assert [r.comp for r in out.select("comp").distinct().collect()] == [0]
+
+
+def test_duplicate_components_self_pairs_and_orientation(spark):
+    """Self-pairs label themselves (identity components), vertices with
+    both self and real pairs take the real component, and reversed /
+    duplicated pair orientation collapses to one canonical edge."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (2, 1), (1, 2), (2, 3), (9, 9), (9, 8)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 8: 8, 9: 8}
+
+
 def test_duplicate_components_tail_spans_arrow_batches(spark):
     """The tail union-find receives its single partition as an iterator
     of Arrow batches (~10k rows each by default); a 25k-edge path graph
