@@ -438,6 +438,13 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     # E = 10^12 (a 100 TB-corpus dup graph).  The default of 40 leaves
     # ~2× headroom and costs nothing: convergence and the tail cut
     # exit early on every realistic graph.
+    #
+    # Hub skew: a degree-d vertex puts its whole neighborhood in one
+    # window partition (spillable; measured 7.7 s end-to-end on a
+    # 1M-edge single-hub star).  Upstream pair generators bound degree
+    # by construction (LSH bucket caps, Bayardo prefix filter), and a
+    # hub's star is already the converged form — it exits after one
+    # verify round.
     w_src = Window.partitionBy("src")
     labels: DataFrame | None = None
     prev_sig: tuple | None = None
