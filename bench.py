@@ -219,7 +219,14 @@ def _split_corpus(spark, n_clusters):
 
 
 def _fit_exponent(sizes, secs):
-    """Least-squares slope of log(sec) vs log(size)."""
+    """Least-squares slope of log(sec) vs log(size).
+
+    Caveat the JSON consumer must know: at these probe sizes a fixed
+    per-round Spark-job floor dominates, DEFLATING the fitted slope —
+    a genuinely super-linear per-edge term can hide under it.  The
+    companion ``exponent_tail`` (slope between the two LARGEST sizes
+    only) is the less-contaminated signal; read both, and treat a
+    tail slope drifting above ~1.2 as the regression flag."""
     import math
 
     xs = [math.log(s) for s in sizes]
@@ -228,6 +235,17 @@ def _fit_exponent(sizes, secs):
     num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
     den = sum((x - mx) ** 2 for x in xs)
     return round(num / den, 3)
+
+
+def _tail_exponent(sizes, secs):
+    """Slope between the two largest sizes (see _fit_exponent caveat)."""
+    import math
+
+    return round(
+        math.log(max(secs[-1], 1e-6) / max(secs[-2], 1e-6))
+        / math.log(sizes[-1] / sizes[-2]),
+        3,
+    )
 
 
 def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
@@ -253,6 +271,7 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
             "edges": n_real, "labeled_vertices": n_comp_rows, "sec": el,
         }
     detail["cc"]["exponent"] = _fit_exponent(cc_sizes, cc_secs)
+    detail["cc"]["exponent_tail"] = _tail_exponent(cc_sizes, cc_secs)
 
     sp_secs, sp_sizes = [], []
     for s in _GRAPH_SCALES:
@@ -271,6 +290,7 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
             "sec": el,
         }
     detail["leakage_split"]["exponent"] = _fit_exponent(sp_sizes, sp_secs)
+    detail["leakage_split"]["exponent_tail"] = _tail_exponent(sp_sizes, sp_secs)
     return timings, detail
 
 

@@ -378,16 +378,30 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     halving, measured live as 633k→627k→620k edges/level on a
     3.2k-chain probe before this rewrite).
 
-    Each round is expressed as window-min + distinct — deliberately
-    **join-free**.  Spark's size-only stats estimator scores a join as
-    the PRODUCT of its children's sizeInBytes, and ``localCheckpoint``
-    preserves the origin plan's estimate through the lineage cut, so
-    an iterative join loop compounds the estimate multiplicatively:
-    the BigInteger digit count triples per level and the DRIVER burns
-    unbounded CPU in ``BigInteger.multiply`` during stats estimation
-    (measured: 0.5 s→142 s per level by level 14) before a single task
-    launches.  Window aggregation estimates stay linear in the child,
-    so round cost is flat no matter how many rounds run.
+    Each round computes the per-vertex neighborhood minimum with
+    groupBy (map-side partial min) and joins it back to the edge set —
+    NOT with a window.  The distinction is load-bearing twice over:
+
+    - **Skew.**  The star algorithm itself manufactures hubs — the
+      component minimum's degree grows toward |component| as stars
+      form — so any per-vertex grouping has a hot key on skewed
+      corpora (one boilerplate cluster of 10^8 docs = one 10^8-row
+      group).  A window partition is unsplittable by definition; the
+      groupBy reduces map-side and AQE's skew-join splits the
+      oversized join partition at runtime.
+    - **Stats.**  Spark's size-only stats estimator scores a join as
+      the PRODUCT of its children's sizeInBytes, and checkpoints
+      preserve the origin plan's estimate through the lineage cut, so
+      a naive iterative join loop compounds the estimate
+      multiplicatively: the BigInteger digit count triples per level
+      and the DRIVER burns unbounded CPU in ``BigInteger.multiply``
+      during stats estimation (measured: 0.5 s→142 s per level by
+      level 14) before a single task launches.  Each round's frames
+      are therefore cut with ``iter_checkpoint(reset_stats=True)``,
+      which rebuilds the checkpointed RDD as a fresh leaf with the
+      conservative default estimate — measured flat 0.5 s/round at
+      every depth, with AQE re-planning join strategies from runtime
+      sizes.
 
     Each round's edge frame is cut with ``iter_checkpoint``: persist
     alone caches DATA but leaves the logical plan nested one round
@@ -438,14 +452,6 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     # E = 10^12 (a 100 TB-corpus dup graph).  The default of 40 leaves
     # ~2× headroom and costs nothing: convergence and the tail cut
     # exit early on every realistic graph.
-    #
-    # Hub skew: a degree-d vertex puts its whole neighborhood in one
-    # window partition (spillable; measured 7.7 s end-to-end on a
-    # 1M-edge single-hub star).  Upstream pair generators bound degree
-    # by construction (LSH bucket caps, Bayardo prefix filter), and a
-    # hub's star is already the converged form — it exits after one
-    # verify round.
-    w_src = Window.partitionBy("src")
     labels: DataFrame | None = None
     prev_sig: tuple | None = None
     prev_edges: DataFrame | None = None
@@ -485,26 +491,36 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
 
         # large-star: und carries both directions so each vertex sees
         # its full neighborhood; m = min over the closed neighborhood
-        # via a window (JOIN-FREE — see docstring); larger neighbors
-        # re-point at m.  m <= src < dst, so no self-loops arise.
+        # via groupBy (map-side partial min — a hub key reduces
+        # DISTRIBUTED, unlike a window partition) joined back to the
+        # edges; larger neighbors re-point at m.  m <= src < dst, so
+        # the output is already oriented (bigger, smaller) and no
+        # self-loops arise.  The join key is skew-prone by nature (the
+        # component minimum's degree grows toward |component| as stars
+        # form) — that is WHY this is a join and not a window: AQE's
+        # skew-join splits an oversized src partition at runtime,
+        # while a window partition is unsplittable by definition.
         und = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        large = (
-            und.withColumn("m", F.least("src", F.min("dst").over(w_src)))
-            .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+        mins_l = und.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
         )
-        # small-star: re-orient (src=bigger, dst=smaller); m = min of
+        large = iter_checkpoint(
+            und.join(mins_l, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst")),
+            reset_stats=True,
+        )
+        # small-star over large's (bigger, smaller) edges: m = min of
         # the smaller neighbors; re-point them all at m and keep the
-        # rib (src, m).  Emitting the rib per row is fine — distinct's
-        # map-side partial aggregate collapses the copies before the
-        # shuffle.
-        small_base = large.select(
-            F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
-        ).withColumn("m", F.min("dst").over(w_src))
+        # rib (src, m).  dst >= m and src > m by construction, so the
+        # emitted pairs stay canonically oriented; the rib copies per
+        # row collapse in distinct's map-side partial aggregate.
+        mins_s = large.groupBy("src").agg(F.min("dst").alias("m"))
         edges = iter_checkpoint(
-            small_base.select(
+            large.join(mins_s, "src")
+            .select(
                 F.explode(
                     F.array(
                         F.struct(
@@ -516,12 +532,10 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
                     )
                 ).alias("e")
             )
-            .select(
-                F.greatest("e.u", "e.v").alias("src"),
-                F.least("e.u", "e.v").alias("dst"),
-            )
+            .select(F.col("e.u").alias("src"), F.col("e.v").alias("dst"))
             .where(F.col("src") != F.col("dst"))
-            .distinct()
+            .distinct(),
+            reset_stats=True,
         )
     if not converged and not edges.isEmpty():
         # Returning star-round edges here would hand the caller

@@ -94,11 +94,11 @@ def salted_join(
     return out.drop("_salt")
 
 
-def iter_checkpoint(df: DataFrame) -> DataFrame:
-    """Lineage cut for iterative loops (CC contraction levels, Lloyd
-    rounds): checkpointing truncates the logical plan that would
-    otherwise nest one join deeper per iteration (superlinear analysis
-    cost, eventual Catalyst stack overflow).
+def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
+    """Lineage cut for iterative loops (CC star rounds, Lloyd rounds):
+    checkpointing truncates the logical plan that would otherwise nest
+    one join deeper per iteration (superlinear analysis cost, eventual
+    Catalyst stack overflow).
 
     ``localCheckpoint`` materializes to executor block storage — right
     for local mode, but lost with an executor on a real cluster.  When
@@ -107,22 +107,40 @@ def iter_checkpoint(df: DataFrame) -> DataFrame:
     fault-tolerant ``.checkpoint()`` is used instead; detection is
     automatic, so the same operator code serves both postures.
 
-    Cluster posture note: reliable checkpoints are files in the
-    checkpoint dir, and Spark does NOT delete them unless
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
-    false) — a long iterative job (one checkpoint per contraction /
-    Lloyd level) otherwise leaks checkpoint storage.  Set that conf in
-    the cluster posture, or point the checkpoint dir at a
-    lifecycle-managed path (e.g. an object-store prefix with a TTL
-    rule)."""
+    ``reset_stats=True`` additionally DISCARDS the origin plan's size
+    estimate (the checkpoint otherwise preserves it through the cut).
+    Required for loops that JOIN per-iteration frames: Catalyst's
+    size-only stats visitor scores a join as the PRODUCT of its
+    children's sizeInBytes, so preserved estimates compound
+    multiplicatively across iterations — the BigInteger digit count
+    roughly triples per round and the driver burns unbounded CPU in
+    ``BigInteger.multiply`` during stats estimation (measured on the CC
+    contraction loop: 0.5 s→142 s per level by level 14; flat 0.5 s
+    with the reset).  The rebuilt frame reports the conservative
+    default estimate, so the static planner picks shuffle joins and
+    AQE re-plans from RUNTIME sizes — which is exactly the posture an
+    iterative graph loop wants.  Leave it off (default) for frames
+    whose accurate small estimate downstream plans rely on for static
+    broadcast decisions (bounded audit samples, centroids).  The reset
+    uses the stable-across-4.x ``internalCreateDataFrame`` JVM
+    constructor; any failure falls back to the plain checkpoint, which
+    is correct just slower to plan."""
     sc = df.sparkSession.sparkContext
     try:
         reliable = sc._jsc.sc().getCheckpointDir().isDefined()
     except Exception:
         reliable = False
-    if reliable:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    ck = df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+    if not reset_stats:
+        return ck
+    try:
+        jdf = ck._jdf
+        new_jdf = jdf.sparkSession().internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, ck.sparkSession)
+    except Exception:
+        return ck
 
 
 def _parse_bytes(raw: str, default: int = 134217728) -> int:
