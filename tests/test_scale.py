@@ -127,6 +127,37 @@ def test_iter_checkpoint_uses_reliable_dir_when_configured(spark, tmp_path):
     assert written, "no reliable checkpoint files were written"
 
 
+def test_iter_checkpoint_reset_stats_discards_origin_estimate(spark):
+    """reset_stats=True must rebuild the checkpointed RDD as a fresh
+    leaf whose size estimate is the conservative DEFAULT, not the
+    origin plan's — iterative join loops rely on this to keep
+    Catalyst's product-of-children join estimate from compounding
+    across rounds into unbounded driver-side BigInteger work.  The
+    implementation calls a package-private JVM constructor with a
+    silent fallback; this test exists so a Spark upgrade that breaks
+    the call turns RED here instead of silently re-exposing the
+    blowup."""
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    df = spark.range(100).select(F.col("id").alias("a"))
+    joined = df.join(df.withColumnRenamed("a", "b"), F.col("a") == F.col("b"))
+
+    def size_of(frame):
+        return int(
+            frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+
+    kept = iter_checkpoint(joined)
+    reset = iter_checkpoint(joined, reset_stats=True)
+    default = int(1 << 62)  # spark.sql.defaultSizeInBytes = Long.MaxValue
+    assert size_of(reset) > default, "reset frame must carry the default estimate"
+    assert size_of(kept) < default, "plain checkpoint must keep the origin estimate"
+    # and the data round-trips identically
+    assert sorted(r.a for r in reset.collect()) == list(range(100))
+
+
 def test_parse_bytes_handles_unit_suffixes():
     """Spark byte-size confs come plain or unit-suffixed; '128m' read as
     128 bytes would inflate split estimates and silently disable the
