@@ -238,14 +238,9 @@ def _fit_exponent(sizes, secs):
 
 
 def _tail_exponent(sizes, secs):
-    """Slope between the two largest sizes (see _fit_exponent caveat)."""
-    import math
-
-    return round(
-        math.log(max(secs[-1], 1e-6) / max(secs[-2], 1e-6))
-        / math.log(sizes[-1] / sizes[-2]),
-        3,
-    )
+    """Slope between the two largest sizes (see _fit_exponent caveat);
+    a two-point least-squares fit IS the endpoint slope, so delegate."""
+    return _fit_exponent(sizes[-2:], secs[-2:])
 
 
 def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:

@@ -506,12 +506,19 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
         mins_l = und.groupBy("src").agg(
             F.least(F.col("src"), F.min("dst")).alias("m")
         )
-        large = iter_checkpoint(
+        # persist, not checkpoint: large is consumed twice in ONE
+        # round (mins_s aggregate + the emission join) so the cache
+        # avoids a double evaluation, but its lineage is already
+        # shallow (one join over the round's checkpointed edge leaf)
+        # and its stats die with the round when edges checkpoints
+        # below — a second eager checkpoint per round would double the
+        # materialized footprint for nothing.  Unpersisted explicitly
+        # once the round's edge set is materialized.
+        large = (
             und.join(mins_l, "src")
             .where(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst")),
-            reset_stats=True,
-        )
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        ).persist()
         # small-star over large's (bigger, smaller) edges: m = min of
         # the smaller neighbors; re-point them all at m and keep the
         # rib (src, m).  dst >= m and src > m by construction, so the
@@ -537,6 +544,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             .distinct(),
             reset_stats=True,
         )
+        large.unpersist()
     if not converged and not edges.isEmpty():
         # Returning star-round edges here would hand the caller
         # partially-collapsed neighbor ids as if they were component

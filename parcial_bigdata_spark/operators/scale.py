@@ -94,6 +94,9 @@ def salted_join(
     return out.drop("_salt")
 
 
+_WARNED_STATS_RESET = False
+
+
 def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
     """Lineage cut for iterative loops (CC star rounds, Lloyd rounds):
     checkpointing truncates the logical plan that would otherwise nest
@@ -123,8 +126,21 @@ def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
     whose accurate small estimate downstream plans rely on for static
     broadcast decisions (bounded audit samples, centroids).  The reset
     uses the stable-across-4.x ``internalCreateDataFrame`` JVM
-    constructor; any failure falls back to the plain checkpoint, which
-    is correct just slower to plan."""
+    constructor; any failure falls back to the plain checkpoint —
+    correct but planner-slow — and WARNS once per process, because the
+    degradation is otherwise invisible until the driver stalls in
+    stats estimation (``test_iter_checkpoint_reset_stats...`` pins the
+    mechanism on the dev build; the warning covers a cluster build
+    whose internals drifted).
+
+    Cluster posture note: reliable checkpoints are files in the
+    checkpoint dir, and Spark does NOT delete them unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — a long iterative job (one-plus checkpoints per star /
+    Lloyd round) otherwise leaks checkpoint storage.  Set that conf in
+    the cluster posture, or point the checkpoint dir at a
+    lifecycle-managed path (e.g. an object-store prefix with a TTL
+    rule)."""
     sc = df.sparkSession.sparkContext
     try:
         reliable = sc._jsc.sc().getCheckpointDir().isDefined()
@@ -140,6 +156,19 @@ def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
         )
         return DataFrame(new_jdf, ck.sparkSession)
     except Exception:
+        global _WARNED_STATS_RESET
+        if not _WARNED_STATS_RESET:
+            _WARNED_STATS_RESET = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "iter_checkpoint(reset_stats=True) could not rebuild the "
+                "frame without origin stats (internalCreateDataFrame "
+                "unavailable on this Spark build); falling back to the "
+                "plain checkpoint.  Iterative join loops will plan "
+                "correctly but driver-side stats estimation may degrade "
+                "severely with round count."
+            )
         return ck
 
 
