@@ -859,6 +859,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # --------------------------------------------------------------------------
+# Driver-window rotation (round 7)
+#
+# The driver certifies the FIRST 50 queries() entries each round; the full
+# registry is always verifiable locally (tools/check_correctness.py runs all
+# of it). Round 6's window covered reference parity + TPC-H + joins +
+# windows; round 7 leads with the round-6-rewritten connected-components
+# family (large-star/small-star, operators/dedup.py) and the
+# longest-unseen families: approximate dedup + audit twins (edited r6 by
+# the checkpoint change), text (last driver-green r4/r5), sampling
+# (r4/r5), setops (r2-r4), profiling/CDC, and the multimodal pair (WAV
+# decode made real this round). Reference-parity core stays in-window
+# every round.
+# --------------------------------------------------------------------------
+
+_R7_WINDOW = [
+    # reference parity — every round
+    "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
+    # a real structured-streaming run — every round
+    "streaming_hourly_rollup",
+    # rewritten r6: large-star/small-star connected components + consumers
+    "dedup_components", "dedup_component_survivors", "sample_leakage_safe_split",
+    # approximate dedup + oracle-checked recall-audit twins (edited r6)
+    "dedup_minhash_lsh", "dedup_minhash_lsh_check",
+    "dedup_simhash", "dedup_simhash_check",
+    "dedup_embedding_lsh", "dedup_embedding_lsh_check",
+    # text family (last driver-green r4/r5)
+    "text_quality_metrics", "text_token_counts", "text_language_id",
+    "text_vocabulary", "text_word_pairs", "text_fingerprints",
+    "text_top_words_per_lang", "text_quality_pass_rates", "text_gopher_flags",
+    "text_repetition_ratios", "text_pii_redaction",
+    # sampling family (r4/r5)
+    "sample_stratified_exact", "sample_chunk_documents", "sample_quota_by_source",
+    "sample_split_assign", "sample_pack_sequences", "sample_epoch_repeat",
+    "sample_temperature_mix",
+    # set operations (r2-r4)
+    "setop_repeat_customers", "setop_churned_customers",
+    "setop_all_party_keys", "setop_status_bag_overlap",
+    # profiling / CDC / cohorts
+    "profile_orders_table", "skew_lineitem_suppkey", "snapshot_diff_orders",
+    "events_retention_cohorts",
+    # exact + n-gram dedup block (r4/r5)
+    "dedup_exact", "dedup_exact_survivors", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_cross_split_contamination",
+    "dedup_ngram_decontaminate",
+    # ANN ground truth + IVF training + multimodal (WAV decode new r7)
+    "knn_cosine_brute_force", "embedding_kmeans_train",
+    "multimodal_media_summary", "multimodal_frame_sample",
+]
+
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+assert all(name in QUERIES for name in _R7_WINDOW)
+QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in set(_R7_WINDOW)
+}
+
+
+# --------------------------------------------------------------------------
 # DuckDB oracle SQL (ANSI) — same aliases, same rounding
 # --------------------------------------------------------------------------
 
