@@ -95,6 +95,43 @@ def salted_join(
 
 
 _WARNED_STATS_RESET = False
+_WARNED_STATS_RESET_SLOW = False
+
+
+def _reset_stats_internal(ck: DataFrame) -> DataFrame:
+    """Fast tier of the stats reset: rewrap the checkpointed RDD via the
+    JVM-side ``internalCreateDataFrame`` constructor (stable across the
+    4.x line, but package-private — kept in its own function so a build
+    where it drifted is simulated in tests by monkeypatching this to
+    raise)."""
+    jdf = ck._jdf
+    new_jdf = jdf.sparkSession().internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, ck.sparkSession)
+
+
+def _reset_stats_public(ck: DataFrame) -> DataFrame:
+    """Public-API tier: rebuild the frame from its Python-visible RDD.
+    Still a fresh LogicalRDD leaf carrying the conservative default
+    estimate, but each downstream evaluation pays a JVM→Python→JVM row
+    round-trip — a working reset, degraded in throughput, so it WARNS
+    once (round-6 verdict: degrade to a *working* reset, not to the
+    BigInteger hazard, when internals drift)."""
+    rebuilt = ck.sparkSession.createDataFrame(ck.rdd, schema=ck.schema)
+    global _WARNED_STATS_RESET_SLOW
+    if not _WARNED_STATS_RESET_SLOW:
+        _WARNED_STATS_RESET_SLOW = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "iter_checkpoint(reset_stats=True): internalCreateDataFrame "
+            "unavailable on this Spark build; using the public-API "
+            "rebuild (createDataFrame over the checkpointed RDD).  The "
+            "stats reset still works, but each evaluation of the "
+            "rebuilt frame pays a JVM<->Python row round-trip."
+        )
+    return rebuilt
 
 
 def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
@@ -125,13 +162,16 @@ def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
     iterative graph loop wants.  Leave it off (default) for frames
     whose accurate small estimate downstream plans rely on for static
     broadcast decisions (bounded audit samples, centroids).  The reset
-    uses the stable-across-4.x ``internalCreateDataFrame`` JVM
-    constructor; any failure falls back to the plain checkpoint —
-    correct but planner-slow — and WARNS once per process, because the
+    is three-tiered: the stable-across-4.x ``internalCreateDataFrame``
+    JVM constructor (zero-copy), then a public-API
+    ``createDataFrame(ck.rdd, schema)`` rebuild (still a fresh
+    default-estimate leaf, but each evaluation pays a JVM<->Python row
+    hop — warns once), then the plain checkpoint — correct but
+    planner-slow — with its own once-per-process warning, because that
     degradation is otherwise invisible until the driver stalls in
     stats estimation (``test_iter_checkpoint_reset_stats...`` pins the
-    mechanism on the dev build; the warning covers a cluster build
-    whose internals drifted).
+    fast tier on the dev build and the public tier under simulated
+    drift).
 
     Cluster posture note: reliable checkpoints are files in the
     checkpoint dir, and Spark does NOT delete them unless
@@ -150,11 +190,11 @@ def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
     if not reset_stats:
         return ck
     try:
-        jdf = ck._jdf
-        new_jdf = jdf.sparkSession().internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        return DataFrame(new_jdf, ck.sparkSession)
+        return _reset_stats_internal(ck)
+    except Exception:
+        pass  # internals drifted on this build; take the public-API tier
+    try:
+        return _reset_stats_public(ck)
     except Exception:
         global _WARNED_STATS_RESET
         if not _WARNED_STATS_RESET:
@@ -163,11 +203,12 @@ def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
 
             logging.getLogger(__name__).warning(
                 "iter_checkpoint(reset_stats=True) could not rebuild the "
-                "frame without origin stats (internalCreateDataFrame "
-                "unavailable on this Spark build); falling back to the "
-                "plain checkpoint.  Iterative join loops will plan "
-                "correctly but driver-side stats estimation may degrade "
-                "severely with round count."
+                "frame without origin stats (neither the internal "
+                "constructor nor the public createDataFrame rebuild "
+                "succeeded); falling back to the plain checkpoint.  "
+                "Iterative join loops will plan correctly but "
+                "driver-side stats estimation may degrade severely "
+                "with round count."
             )
         return ck
 

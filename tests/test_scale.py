@@ -158,6 +158,29 @@ def test_iter_checkpoint_reset_stats_discards_origin_estimate(spark):
     assert sorted(r.a for r in reset.collect()) == list(range(100))
 
 
+def test_iter_checkpoint_reset_stats_public_fallback(spark, monkeypatch):
+    """When the package-private internalCreateDataFrame constructor
+    drifts away (simulated by making the fast tier raise), the reset
+    must degrade to the public-API createDataFrame rebuild — a WORKING
+    default-estimate leaf, not a silent re-exposure of the BigInteger
+    stats hazard (round-6 verdict item 4)."""
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators import scale
+
+    monkeypatch.setattr(
+        scale,
+        "_reset_stats_internal",
+        lambda ck: (_ for _ in ()).throw(RuntimeError("simulated drift")),
+    )
+    df = spark.range(100).select(F.col("id").alias("a"))
+    joined = df.join(df.withColumnRenamed("a", "b"), F.col("a") == F.col("b"))
+    reset = scale.iter_checkpoint(joined, reset_stats=True)
+    size = int(reset._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size > int(1 << 62), "fallback frame must carry the default estimate"
+    assert sorted(r.a for r in reset.collect()) == list(range(100))
+
+
 def test_parse_bytes_handles_unit_suffixes():
     """Spark byte-size confs come plain or unit-suffixed; '128m' read as
     128 bytes would inflate split estimates and silently disable the
