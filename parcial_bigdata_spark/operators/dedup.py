@@ -425,7 +425,10 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     id = min doc_id in the component (deterministic, and exactly
     reproducible by a recursive-CTE transitive closure, which is the
     DuckDB oracle)."""
-    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
 
     # ONE canonicalize+distinct materialization serves both the edge
     # set and the (rare) self-pair ids — star rounds preserve the
@@ -487,6 +490,14 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             if edges.join(prev_edges, ["src", "dst"], "left_anti").isEmpty():
                 converged = True
                 break
+        # the frame two rounds back is now unreferenced (the current
+        # round's edges are eagerly materialized and the fixpoint check
+        # above only ever needs ONE round of history) — free its
+        # executor blocks instead of letting up to max_iter rounds of
+        # checkpointed edge sets pile up until driver GC (round-6
+        # advice)
+        if prev_edges is not None and prev_edges is not edges:
+            release_checkpoint(prev_edges)
         prev_sig, prev_edges = sig, edges
 
         # large-star: und carries both directions so each vertex sees
@@ -560,6 +571,23 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             "changing); raise max_iter"
         )
     if labels is None:
+        # Star-forest guard (round-6 advice): the fixpoint check above
+        # proves the edge set stopped changing under the small∘large
+        # composition, and the labels build below ASSUMES that fixpoint
+        # is a star forest (each non-root src points at exactly one
+        # root).  Should that assumption ever be violated, the union
+        # would silently emit conflicting comp rows per doc_id — so
+        # spend one aggregate over the already-checkpointed frame to
+        # prove it.
+        n_rows, n_src = edges.agg(
+            F.count(F.lit(1)), F.countDistinct("src")
+        ).first()
+        if n_rows != n_src:
+            raise AssertionError(
+                f"duplicate_components: converged edge set is not a "
+                f"star forest ({n_rows} edges over {n_src} distinct "
+                "src vertices) — labels would be ambiguous"
+            )
         # Star-converged (or empty) edge set: every edge is
         # (leaf, root) with root = component min; roots label
         # themselves.
@@ -1345,9 +1373,15 @@ def _hash_topn_sample(df: DataFrame, id_col: str, n: int) -> DataFrame:
     ANSI SQL (``ORDER BY md5(...) LIMIT n``), uniform over the corpus,
     and independent of corpus size.  TakeOrderedAndProject computes the
     top-n map-side (partial top-n per partition, no global sort), and
-    membership is a broadcast semi-join — both O(1)-shaped at 100 TB."""
+    membership is a broadcast semi-join — both O(1)-shaped at 100 TB.
+
+    Null ids are excluded on BOTH engines: Spark sorts NULLS FIRST while
+    DuckDB's default is NULLS LAST, so an unfiltered null id would put
+    the two samples out of step (round-6 advice; latent — fixture ids
+    are non-null)."""
     return (
         df.select(id_col)
+        .where(F.col(id_col).isNotNull())
         .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(n)
     )
@@ -1367,6 +1401,7 @@ def minhash_recall_check(
     sample_size: int = 1000,
     recall_floor: float = 0.8,
     length_slack: float = 0.2,
+    min_truth_pairs: int = 5,
 ) -> DataFrame:
     """Audit ``minhash_near_duplicates`` against exact shingle-Jaccard
     ground truth on a deterministic sample.
@@ -1380,9 +1415,25 @@ def minhash_recall_check(
     by candidates sharing multiple bands — measured 0.985–1.0 on the
     fixtures).  One output row:
 
-    - ``n_sample_docs``   oracle-checked anchor (sample membership)
-    - ``n_truth_pairs``   oracle-checked (exact Jaccard in ANSI SQL)
-    - ``recall_ok``       1 ⟺ |found ∩ truth| ≥ recall_floor·|truth|
+    - ``n_sample_docs``      oracle-checked anchor (sample membership)
+    - ``n_truth_pairs``      oracle-checked (exact Jaccard in ANSI SQL)
+    - ``truth_sufficient``   1 ⟺ n_truth_pairs ≥ min_truth_pairs
+    - ``recall_ok``          1 ⟺ |found ∩ truth| ≥ recall_floor·|truth|
+
+    Statistical-power gate (round-6 advice, medium): both endpoints of a
+    truth pair must land in the constant-size sample, so expected truth
+    pairs scale as (sample_size/N)² — on a large corpus n_truth_pairs
+    drifts to 0 and ``recall_ok`` would be vacuously 1.
+    ``truth_sufficient`` makes that observable: a consumer must treat
+    ``recall_ok`` as certifying nothing unless ``truth_sufficient`` is
+    also 1, and respond by raising ``sample_size`` (cost grows as
+    sample², not corpus).  Measured on the fixtures: truth 6 at 500
+    docs, 4 at 5 000 docs — the shrinkage is real.  Seeding the sample
+    with blocked partners was considered and rejected: a (lang, bucket)
+    block is unbounded at 100 TB, so partner seeding breaks the
+    constant-cost contract unless capped, and a capped seed biases the
+    truth set toward dense neighborhoods — the honest gate keeps the
+    audit's uniform-sample semantics.
     """
     # Truth join blocks on (lang, log-length-bucket) with the same
     # lossless ±1-bucket scheme as jaccard_pairs — a lang-only equi-join
@@ -1458,6 +1509,9 @@ def minhash_recall_check(
         .select(
             "n_sample_docs",
             "n_truth_pairs",
+            _flag(F.col("n_truth_pairs") >= min_truth_pairs).alias(
+                "truth_sufficient"
+            ),
             _flag(
                 F.col("n_hit") >= F.lit(recall_floor) * F.col("n_truth_pairs")
             ).alias("recall_ok"),
@@ -1470,6 +1524,7 @@ def simhash_recall_check(
     max_hamming: int = 3,
     sample_size: int = 1000,
     recall_floor: float = 0.9,
+    min_truth_pairs: int = 5,
 ) -> DataFrame:
     """Audit ``simhash_near_duplicates``: brute-force all-pairs hamming
     over the sample fingerprints is the ground truth the chunk-pigeonhole
@@ -1479,9 +1534,14 @@ def simhash_recall_check(
     fingerprint path bit-identical to the built-in HOF path on the
     sample.  One output row:
 
-    - ``n_sample_docs``    oracle-checked anchor
-    - ``twin_ok``          1 ⟺ simhash() ≡ simhash_arrow() on the sample
-    - ``recall_ok``        1 ⟺ |blocked ∩ truth| ≥ recall_floor·|truth|
+    - ``n_sample_docs``      oracle-checked anchor
+    - ``twin_ok``            1 ⟺ simhash() ≡ simhash_arrow() on the sample
+    - ``truth_sufficient``   1 ⟺ |truth| ≥ min_truth_pairs (power gate —
+      see ``minhash_recall_check``; the truth count itself is not
+      SQL-reproducible here since it derives from simhash geometry, so
+      the oracle asserts the flag, not the count: 17 truth pairs at 500
+      fixture docs)
+    - ``recall_ok``          1 ⟺ |blocked ∩ truth| ≥ recall_floor·|truth|
     """
     from parcial_bigdata_spark.operators.scale import iter_checkpoint
 
@@ -1520,6 +1580,7 @@ def simhash_recall_check(
         .select(
             "n_sample_docs",
             _flag(F.col("n_twin_bad") == 0).alias("twin_ok"),
+            _flag(F.col("n_truth") >= min_truth_pairs).alias("truth_sufficient"),
             _flag(F.col("n_hit") >= F.lit(recall_floor) * F.col("n_truth")).alias(
                 "recall_ok"
             ),
@@ -1535,6 +1596,7 @@ def embedding_lsh_recall_check(
     sample_size: int = 1000,
     recall_floor: float = 0.9,
     max_bucket: int | None = None,
+    min_truth_pairs: int = 5,
 ) -> DataFrame:
     """Audit ``embedding_near_duplicates_lsh`` against exhaustive
     all-pairs cosine truth on the sample (defaults match the fixture
@@ -1543,9 +1605,11 @@ def embedding_lsh_recall_check(
     Exact-cosine verification makes found ⊆ truth, so the flag is pure
     recall.  One output row:
 
-    - ``n_sample_vecs``   oracle-checked anchor
-    - ``n_truth_pairs``   oracle-checked (list_cosine_similarity in SQL)
-    - ``recall_ok``       1 ⟺ |found ∩ truth| ≥ recall_floor·|truth|
+    - ``n_sample_vecs``      oracle-checked anchor
+    - ``n_truth_pairs``      oracle-checked (list_cosine_similarity in SQL)
+    - ``truth_sufficient``   1 ⟺ n_truth_pairs ≥ min_truth_pairs (power
+      gate — see ``minhash_recall_check``)
+    - ``recall_ok``          1 ⟺ |found ∩ truth| ≥ recall_floor·|truth|
 
     The truth side fans out the embeddings scan first: the all-pairs
     nested-loop join inherits the STREAM side's partitioning, and a
@@ -1596,6 +1660,9 @@ def embedding_lsh_recall_check(
         .select(
             "n_sample_vecs",
             "n_truth_pairs",
+            _flag(F.col("n_truth_pairs") >= min_truth_pairs).alias(
+                "truth_sufficient"
+            ),
             _flag(
                 F.col("n_hit") >= F.lit(recall_floor) * F.col("n_truth_pairs")
             ).alias("recall_ok"),

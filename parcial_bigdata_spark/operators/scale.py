@@ -108,7 +108,11 @@ def _reset_stats_internal(ck: DataFrame) -> DataFrame:
     new_jdf = jdf.sparkSession().internalCreateDataFrame(
         jdf.queryExecution().toRdd(), jdf.schema(), False
     )
-    return DataFrame(new_jdf, ck.sparkSession)
+    out = DataFrame(new_jdf, ck.sparkSession)
+    # the rebuilt frame wraps a DERIVED rdd; block release must go
+    # through the originally-persisted checkpoint frame
+    out._iter_ck_origin = ck
+    return out
 
 
 def _reset_stats_public(ck: DataFrame) -> DataFrame:
@@ -119,6 +123,7 @@ def _reset_stats_public(ck: DataFrame) -> DataFrame:
     once (round-6 verdict: degrade to a *working* reset, not to the
     BigInteger hazard, when internals drift)."""
     rebuilt = ck.sparkSession.createDataFrame(ck.rdd, schema=ck.schema)
+    rebuilt._iter_ck_origin = ck
     global _WARNED_STATS_RESET_SLOW
     if not _WARNED_STATS_RESET_SLOW:
         _WARNED_STATS_RESET_SLOW = True
@@ -211,6 +216,31 @@ def iter_checkpoint(df: DataFrame, reset_stats: bool = False) -> DataFrame:
                 "with round count."
             )
         return ck
+
+
+def release_checkpoint(df: DataFrame | None) -> None:
+    """Free the executor storage blocks of a SUPERSEDED
+    ``iter_checkpoint`` frame.
+
+    localCheckpoint blocks otherwise live until driver GC collects the
+    DataFrame — an iterative loop that checkpoints per round (CC star
+    rounds) would accumulate up to max_iter rounds of materialized edge
+    sets in executor storage (round-6 advice).  Callers release a frame
+    only once a NEWER round's frame is eagerly materialized, so nothing
+    re-reads the freed blocks.
+
+    Best-effort by design: reliable checkpoints are files (their cleanup
+    is the ``cleanCheckpoints`` conf documented on ``iter_checkpoint``),
+    and a frame whose analyzed plan is not a LogicalRDD has nothing to
+    release — both cases no-op.  Blocking is never requested
+    (``unpersist(false)``): the release races nothing."""
+    if df is None:
+        return
+    target = getattr(df, "_iter_ck_origin", df)
+    try:
+        target._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _parse_bytes(raw: str, default: int = 134217728) -> int:

@@ -2436,11 +2436,11 @@ ORACLES["approx_percentile_value_by_type"] = """
 # AS STRING)) ≡ DuckDB md5(CAST(id AS VARCHAR)), both lowercase hex),
 # so the truth sweep is O(1000²) at any corpus size.
 _SAMP_DOCS_SQL = (
-    "SELECT doc_id FROM documents "
+    "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL "
     "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000"
 )
 _SAMP_VECS_SQL = (
-    "SELECT vec_id FROM embeddings "
+    "SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL "
     "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000"
 )
 
@@ -2471,11 +2471,16 @@ ORACLES["dedup_minhash_lsh_check"] = f"""
     )
     SELECT (SELECT count(*) FROM ({_SAMP_DOCS_SQL})) AS n_sample_docs,
            (SELECT count(*) FROM truth) AS n_truth_pairs,
+           CAST((SELECT count(*) FROM truth) >= 5 AS INT) AS truth_sufficient,
            1 AS recall_ok
 """
 
+# simhash truth is hash-geometry (not ANSI-reproducible), so the oracle
+# asserts truth_sufficient as a literal — 17 truth pairs on the 500-doc
+# fixture, so a fixture regression below the 5-pair power floor turns red.
 ORACLES["dedup_simhash_check"] = f"""
-    SELECT count(*) AS n_sample_docs, 1 AS twin_ok, 1 AS recall_ok
+    SELECT count(*) AS n_sample_docs, 1 AS twin_ok,
+           1 AS truth_sufficient, 1 AS recall_ok
     FROM ({_SAMP_DOCS_SQL})
 """
 
@@ -2491,6 +2496,7 @@ ORACLES["dedup_embedding_lsh_check"] = f"""
     )
     SELECT (SELECT count(*) FROM samp) AS n_sample_vecs,
            (SELECT count(*) FROM truth) AS n_truth_pairs,
+           CAST((SELECT count(*) FROM truth) >= 5 AS INT) AS truth_sufficient,
            1 AS recall_ok
 """
 

@@ -681,20 +681,33 @@ def test_recall_audit_twins_flags_green_and_wired(spark):
     # sample_size=1000 > the 500-doc fixture → sample is the whole corpus
     [mh] = dedup.minhash_recall_check(docs).collect()
     assert (mh.recall_ok, mh.n_sample_docs) == (1, 500)
-    assert mh.n_truth_pairs >= 0
+    assert (mh.n_truth_pairs, mh.truth_sufficient) == (8, 1)
     # constant-SIZE contract: a smaller budget caps the sample exactly
     [mh_small] = dedup.minhash_recall_check(docs, sample_size=100).collect()
     assert mh_small.n_sample_docs == 100
 
     [sh] = dedup.simhash_recall_check(docs).collect()
-    assert (sh.twin_ok, sh.recall_ok) == (1, 1)
+    assert (sh.twin_ok, sh.truth_sufficient, sh.recall_ok) == (1, 1, 1)
 
     [el] = dedup.embedding_lsh_recall_check(emb).collect()
     assert el.recall_ok == 1 and el.n_truth_pairs > 0
+    assert el.truth_sufficient == 1
 
     # floor > 1 with non-zero truth is unreachable -> flag must drop
     [el_bad] = dedup.embedding_lsh_recall_check(emb, recall_floor=1.5).collect()
     assert el_bad.recall_ok == 0
+
+    # statistical-power gate (round-6 advice): a floor above the truth
+    # count must flag the audit as under-powered — recall_ok alone no
+    # longer certifies anything in that regime
+    [mh_weak] = dedup.minhash_recall_check(docs, min_truth_pairs=10**6).collect()
+    assert mh_weak.truth_sufficient == 0
+    [sh_weak] = dedup.simhash_recall_check(docs, min_truth_pairs=10**6).collect()
+    assert sh_weak.truth_sufficient == 0
+    [el_weak] = dedup.embedding_lsh_recall_check(
+        emb, min_truth_pairs=10**6
+    ).collect()
+    assert el_weak.truth_sufficient == 0
 
 
 def test_embedding_lsh_coarse_geometry_needs_uncapped_buckets(spark):

@@ -119,12 +119,20 @@ def test_iter_checkpoint_uses_reliable_dir_when_configured(spark, tmp_path):
 
     ckdir = str(tmp_path / "reliable-ckpt")
     spark.sparkContext.setCheckpointDir(ckdir)
-    got = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
-    assert got == baseline
-    written = []
-    for root, _dirs, files in os.walk(ckdir):
-        written += files
-    assert written, "no reliable checkpoint files were written"
+    try:
+        got = {
+            r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()
+        }
+        assert got == baseline
+        written = []
+        for root, _dirs, files in os.walk(ckdir):
+            written += files
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # restore the local posture: the session is shared, and a
+        # leaked checkpoint dir silently flips every later
+        # iter_checkpoint test onto the reliable (file) path
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
 
 
 def test_iter_checkpoint_reset_stats_discards_origin_estimate(spark):
@@ -179,6 +187,68 @@ def test_iter_checkpoint_reset_stats_public_fallback(spark, monkeypatch):
     size = int(reset._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     assert size > int(1 << 62), "fallback frame must carry the default estimate"
     assert sorted(r.a for r in reset.collect()) == list(range(100))
+
+
+def test_release_checkpoint_frees_blocks_including_reset_frames(spark):
+    """release_checkpoint must free the persisted blocks of a plain
+    localCheckpoint frame AND of a reset_stats frame (whose LogicalRDD
+    wraps a DERIVED rdd — the release has to route through the
+    originally-persisted origin frame)."""
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    def pinned_rdd_id(frame):
+        target = getattr(frame, "_iter_ck_origin", frame)
+        return int(target._jdf.queryExecution().analyzed().rdd().id())
+
+    def is_pinned(rdd_id):
+        # keyed lookup, not a global count: other tests' blocks are
+        # reaped asynchronously by the ContextCleaner mid-test
+        return bool(
+            spark.sparkContext._jsc.sc().getPersistentRDDs().contains(rdd_id)
+        )
+
+    plain = iter_checkpoint(spark.range(50).select(F.col("id").alias("a")))
+    assert is_pinned(pinned_rdd_id(plain))
+    release_checkpoint(plain)
+    assert not is_pinned(pinned_rdd_id(plain))
+
+    reset = iter_checkpoint(
+        spark.range(50).select(F.col("id").alias("a")), reset_stats=True
+    )
+    assert is_pinned(pinned_rdd_id(reset))
+    release_checkpoint(reset)
+    assert not is_pinned(pinned_rdd_id(reset))
+
+    # non-checkpointed frames and None are no-ops, never errors
+    release_checkpoint(spark.range(5))
+    release_checkpoint(None)
+
+
+def test_cc_star_rounds_release_superseded_blocks(spark):
+    """duplicate_components must not accumulate one materialized edge
+    set per star round: after the call, at most the final frames stay
+    pinned, not O(rounds) of history (round-6 advice)."""
+    from parcial_bigdata_spark.operators import dedup
+
+    def n_persistent():
+        return int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+
+    base = n_persistent()
+    # a long chain forces several star rounds before the tail cut
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(3000)], "doc_a long, doc_b long"
+    )
+    labels = dedup.duplicate_components(chain)
+    assert labels.where(labels.comp != 0).count() == 0
+    assert n_persistent() - base <= 3, (
+        "star rounds leaked checkpoint blocks: "
+        f"{n_persistent() - base} frames still pinned"
+    )
 
 
 def test_parse_bytes_handles_unit_suffixes():
