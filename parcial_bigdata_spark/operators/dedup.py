@@ -304,10 +304,17 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
 
 
 # Contracted graphs at or below this many (directed) edge rows route to
-# the single-task Arrow union-find tail solver instead of further
-# contraction levels.  Sized so one task's edge list is a few MB — far
-# below executor memory — while big graphs keep contracting first.
-_CC_TAIL_EDGES = 200_000
+# the single-task Arrow union-find tail solver instead of further star
+# rounds.  Chosen by measurement (round-7 sweep over 200k/500k/1M on the
+# ×1/×4/×16 probe corpora + the sf0.1 leakage split): each star round
+# costs ~2-5 s of fixed Spark-job overhead at small edge counts, while
+# the single-task union-find clears 1M edges in well under a second —
+# raising the cutoff 200k→1M cut cc_x4 11.9s→1.6s, cc_x16 16s→6.2s and
+# leakage split 4.2s→3.4s with the asymptotic story unchanged (bigger
+# graphs still contract first).  Memory bound for the one tail task:
+# 1M edge rows ≈ 16 MB Arrow in, ≤2M-entry Python parent dict ≈ a few
+# hundred MB peak — inside any standard executor profile.
+_CC_TAIL_EDGES = 1_000_000
 
 
 def _tail_components(edges: DataFrame) -> DataFrame:

@@ -229,17 +229,19 @@ def test_release_checkpoint_frees_blocks_including_reset_frames(spark):
     release_checkpoint(None)
 
 
-def test_cc_star_rounds_release_superseded_blocks(spark):
+def test_cc_star_rounds_release_superseded_blocks(spark, monkeypatch):
     """duplicate_components must not accumulate one materialized edge
     set per star round: after the call, at most the final frames stay
     pinned, not O(rounds) of history (round-6 advice)."""
     from parcial_bigdata_spark.operators import dedup
 
+    # disable the tail cut so a long chain actually spins star rounds
+    monkeypatch.setattr(dedup, "_CC_TAIL_EDGES", 0)
+
     def n_persistent():
         return int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
 
     base = n_persistent()
-    # a long chain forces several star rounds before the tail cut
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(3000)], "doc_a long, doc_b long"
     )
