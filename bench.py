@@ -158,7 +158,12 @@ def _run_skew_stress(spark) -> tuple[dict[str, float], dict]:
 # after fixed per-level Spark-job overhead) validates the design; anything
 # super-linear is a regression the JSON makes visible.
 
+# CC gets a ×64 point (6.4M edges — round-6 verdict item 8: the tail
+# exponent needs a reading past the fixed-overhead regime); the split
+# probe composes shingling+jaccard+CC+window and stays at ×16 to keep
+# the probe session bounded.
 _GRAPH_SCALES = (1, 4, 16)
+_CC_SCALES = (1, 4, 16, 64)
 _CC_BASE_EDGES = 100_000
 _SPLIT_BASE_CLUSTERS = 200  # ×5 docs, ×10 intra-cluster edges
 
@@ -250,8 +255,17 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
     timings: dict[str, float] = {}
     detail: dict = {"cc": {}, "leakage_split": {}}
 
+    # Warm the (fresh) probe session first: JIT, codegen, the Arrow
+    # union-find's Python workers — otherwise the x1 point absorbs the
+    # cold start and inverts the fit (measured 2.4 s x1 vs 1.7 s x4).
+    warm = _cc_edges(spark, 10_000).persist()
+    warm.count()
+    D.duplicate_components(warm).count()
+    warm.unpersist()
+
     cc_secs, cc_sizes = [], []
-    for s in _GRAPH_SCALES:
+    cc_units = []
+    for s in _CC_SCALES:
         n_edges = _CC_BASE_EDGES * s
         edges = _cc_edges(spark, n_edges).persist()
         n_real = edges.count()  # materialize input outside the timing
@@ -262,11 +276,28 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
         timings[f"cc_scale_x{s}"] = el
         cc_secs.append(el)
         cc_sizes.append(n_real)
+        # job units = star rounds + 1 if the Arrow tail ran: the raw
+        # wall-time conflates per-edge cost with ROUND COUNT, and round
+        # counts differ across sizes because the tail cutoff truncates
+        # rounds at small scales (x16 runs 2 star rounds, x64 runs ~10
+        # on the same diameter-100 chains).  Rounds are O(log diameter)
+        # — bounded, not a scaling axis — so sec/unit isolates the
+        # per-edge axis that must stay ~linear at 100 TB.
+        stats = dict(D._LAST_CC_STATS)
+        units = stats["star_rounds"] + (1 if stats["tail_edges"] else 0)
+        cc_units.append(max(units, 1))
         detail["cc"][f"x{s}"] = {
             "edges": n_real, "labeled_vertices": n_comp_rows, "sec": el,
+            "star_rounds": stats["star_rounds"],
+            "tail_edges": stats["tail_edges"],
         }
     detail["cc"]["exponent"] = _fit_exponent(cc_sizes, cc_secs)
     detail["cc"]["exponent_tail"] = _tail_exponent(cc_sizes, cc_secs)
+    per_round = [t / u for t, u in zip(cc_secs, cc_units)]
+    detail["cc"]["exponent_per_round"] = _fit_exponent(cc_sizes, per_round)
+    detail["cc"]["exponent_per_round_tail"] = _tail_exponent(
+        cc_sizes, per_round
+    )
 
     sp_secs, sp_sizes = [], []
     for s in _GRAPH_SCALES:
@@ -289,6 +320,19 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# Fixed, never-edited scan-agg query used as the ambient-noise sentinel.
+_SENTINEL = "q6_revenue_forecast"
+
+
+def _time_query(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(max(1, N_ITER)):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -308,15 +352,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # Noise sentinel (round-6 verdict item 2): the same untouched query
+    # timed immediately BEFORE and AFTER the headline window.  A ratio
+    # near 1.0 certifies the box was quiet for the whole measurement; a
+    # drifting ratio flags ambient load, making cross-round comparisons
+    # interpretable instead of silently inflated.
+    sentinel_start = _time_query(spark, _SENTINEL, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(max(1, N_ITER)):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _time_query(spark, name, sf_dir)
+
+    sentinel_end = _time_query(spark, _SENTINEL, sf_dir)
 
     # Headline total EXCLUDES the synthetic skew-stress timings: they run
     # on a fixed-size generated corpus (not the sf under test), so folding
@@ -324,9 +371,17 @@ def main() -> None:
     # insensitive to the sf field.  They still appear in 'queries' (per-
     # entry history) and in the skew_lsh detail block.
     total = round(sum(timings[name] for name in HEADLINE), 3)
-    skew_timings, skew_detail = _run_skew_stress(spark)
+
+    # Probe isolation (round-6 verdict item 2): the skew/graph probes do
+    # heavy fixed-size work (up to a 6.4M-edge CC run) that round 6
+    # showed can inflate headline timings when it shares the session —
+    # so the headline session is torn down first and the probes run in
+    # a fresh one, strictly after the sentinel-bracketed window closes.
+    spark.stop()
+    probe_spark = get_spark("bench-probes")
+    skew_timings, skew_detail = _run_skew_stress(probe_spark)
     timings.update(skew_timings)
-    graph_timings, graph_detail = _run_graph_scale(spark)
+    graph_timings, graph_detail = _run_graph_scale(probe_spark)
     timings.update(graph_timings)
     print(
         json.dumps(
@@ -336,6 +391,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "noise_sentinel": {
+                    "query": _SENTINEL,
+                    "start_sec": sentinel_start,
+                    "end_sec": sentinel_end,
+                    "ratio": round(sentinel_end / max(sentinel_start, 1e-9), 3),
+                },
                 "skew_lsh": skew_detail,
                 "graph_scale": graph_detail,
             }

@@ -362,6 +362,15 @@ def _tail_components(edges: DataFrame) -> DataFrame:
     )
 
 
+# Observability for the scale probes (bench.py graph_scale): the last
+# duplicate_components call's round count and tail routing.  Raw probe
+# wall-times conflate per-edge cost with the O(log diameter) ROUND count
+# (the tail cutoff truncates rounds at small scales, so round counts
+# differ across probe sizes); normalizing by rounds isolates the per-edge
+# axis, which is the one that must stay ~linear at 100 TB.
+_LAST_CC_STATS: dict = {"star_rounds": 0, "tail_edges": 0}
+
+
 def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise matches into dedup CLUSTERS (one survivor per
@@ -466,6 +475,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     prev_sig: tuple | None = None
     prev_edges: DataFrame | None = None
     converged = False
+    _LAST_CC_STATS.update(star_rounds=0, tail_edges=0)
     for _ in range(max_iter):
         n_edges, sig_hash = edges.agg(
             F.count(F.lit(1)),
@@ -487,6 +497,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             # the tail solver's input is bounded by the threshold
             # regardless of corpus size.
             labels = _tail_components(edges)
+            _LAST_CC_STATS["tail_edges"] = n_edges
             converged = True
             break
         sig = (n_edges, sig_hash)
@@ -563,6 +574,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
             reset_stats=True,
         )
         large.unpersist()
+        _LAST_CC_STATS["star_rounds"] += 1
     if not converged and not edges.isEmpty():
         # Returning star-round edges here would hand the caller
         # partially-collapsed neighbor ids as if they were component
@@ -704,6 +716,14 @@ def _bloom_maybe(gram_col: str, bits: int, n_hashes: int):
     return F.expr(" AND ".join(tests))
 
 
+# Train scans below this many local parquet bytes skip the Bloom prune:
+# the filter's fixed build cost (~0.6-0.8 s of small-stage overhead)
+# exceeds the ENTIRE unpruned shuffle at such sizes (measured at sf0.1:
+# 2.0 s with Bloom vs 1.37 s without, on a ~5 MB scan), while at real
+# corpus sizes the 94% shuffle cut dwarfs it.
+_BLOOM_MIN_TRAIN_BYTES = 64 * 1024 * 1024
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_: DataFrame,
@@ -744,9 +764,26 @@ def ngram_contamination(
     Eval docs with fewer than ``n`` words have no n-grams and are
     excluded (nothing to screen).  Output: one row per screened eval
     doc — ``n_ngrams`` distinct grams, ``n_contaminated`` of them found
-    in train, and the rounded fraction."""
+    in train, and the rounded fraction.
+
+    Adaptive prune (round-7): the Bloom build is a FIXED ~0.6-0.8 s of
+    extra stages (positions explode → per-word bit_or exchange →
+    single-row map assembly) regardless of corpus size, while its
+    benefit — the eval-shuffle cut — scales WITH corpus size.  Below
+    ``_BLOOM_MIN_TRAIN_BYTES`` of train scan the unpruned shuffles are
+    sub-second and the build can never pay for itself, so a provably
+    small local file-backed train side skips the Bloom (the result is
+    bit-identical either way; the prune only drops work).  Unknown
+    sizes — in-memory frames, remote object stores — keep the Bloom:
+    at 100 TB the decision must default to the scale path."""
     train_set = _doc_gram_stream(train, n).select("gram").distinct()
     stream = _doc_gram_stream(eval_, n)
+    if bloom_bits is not None:
+        from parcial_bigdata_spark.operators.scale import local_scan_bytes
+
+        train_bytes = local_scan_bytes(train)
+        if train_bytes is not None and train_bytes < _BLOOM_MIN_TRAIN_BYTES:
+            bloom_bits = None
     if bloom_bits is not None:
         # Build the filter from the PRE-distinct train gram stream:
         # bit-OR insertion is idempotent, so duplicates change nothing,

@@ -253,6 +253,32 @@ def _parse_bytes(raw: str, default: int = 134217728) -> int:
     return int(m.group(1)) * 1024 ** " kmgtp".index(m.group(2) or " ")
 
 
+def local_scan_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes behind a LOCAL file-backed scan, or ``None``
+    when the size is unknowable cheaply (in-memory frames, remote object
+    stores) — callers must treat ``None`` as "assume big" so adaptive
+    shortcuts never fire on unestimable inputs."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for p in files:
+        u = urlparse(p)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return None
+    return total
+
+
 def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
     """Adaptive parallelism repair for degenerate scans.
 
@@ -271,26 +297,13 @@ def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
     enters the plan.  In-memory DataFrames (no files) and non-local
     object stores are left untouched.
     """
-    import os
-    from urllib.parse import urlparse
-
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
+    total = local_scan_bytes(df)
+    if total is None:
+        # in-memory frame or remote store: trust the scan's own planning
         return df
-    if not files:
-        return df
-    total = 0
-    for p in files:
-        u = urlparse(p)
-        if u.scheme not in ("file", ""):
-            return df  # remote store: trust the scan's own split planning
-        try:
-            total += os.path.getsize(u.path)
-        except OSError:
-            return df
+    files = df.inputFiles()
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     max_split = _parse_bytes(str(raw))
     est_splits = max(len(files), total // max_split)

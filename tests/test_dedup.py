@@ -540,6 +540,38 @@ def test_ngram_bloom_prune_matches_exact_path(spark, documents):
     assert len(with_bloom) > 0
 
 
+def test_ngram_bloom_adaptive_skip_on_small_file_backed_train(
+    spark, documents, tmp_path
+):
+    """The Bloom prune's build cost is fixed while its benefit scales
+    with corpus size, so a provably SMALL file-backed train side must
+    skip it (round-7 adaptive decision), an in-memory/unestimable train
+    must keep it (scale-safe default), and both paths must return
+    identical rows."""
+    from pyspark.sql import functions as F
+
+    train_mem = documents.where(F.col("doc_id") <= 3)
+    ev_mem = documents.where(F.col("doc_id") > 3)
+    tdir, edir = str(tmp_path / "train"), str(tmp_path / "eval")
+    train_mem.write.parquet(tdir)
+    ev_mem.write.parquet(edir)
+    train_f = spark.read.parquet(tdir)
+    ev_f = spark.read.parquet(edir)
+
+    # the bloom predicate is the only shiftleft in this plan family
+    def has_bloom(df):
+        return "shiftleft" in df._jdf.queryExecution().toString()
+
+    skipped = dedup.ngram_contamination(train_f, ev_f, n=3)
+    assert not has_bloom(skipped), "tiny file-backed train must skip the bloom"
+    kept = dedup.ngram_contamination(train_mem, ev_mem, n=3)
+    assert has_bloom(kept), "unestimable (in-memory) train must keep the bloom"
+    key = lambda d: d["doc_id"]  # noqa: E731
+    assert sorted((r.asDict() for r in skipped.collect()), key=key) == sorted(
+        (r.asDict() for r in kept.collect()), key=key
+    )
+
+
 def test_gram_bloom_has_no_false_negatives_and_prunes(spark):
     """Every inserted gram must test positive (no false negatives);
     a disjoint probe set must be mostly pruned (the join-input
