@@ -11,9 +11,13 @@ the JDBC DataFrame connector with the knobs that matter at scale:
   analogue); ``isolationLevel=READ_COMMITTED`` and append mode match the
   reference's autocommit appends.
 
-No database (or JDBC driver) ships in this container, so these builders
-are exercised in tests up to the ``format("jdbc")`` reader/writer
-configuration and run for real on any cluster with a driver jar.
+Tested LIVE against embedded Apache Derby (already on the Spark
+classpath as the Hive-metastore engine): the round-trip test writes
+real rows, reads them back, asserts WHERE clauses arrive as
+``PushedFilters`` in the JDBC scan node, and splits a bounded
+partition-column read into parallel range queries.  Any server-class
+database (the reference's MySQL included) works the same way given its
+driver jar on the cluster classpath.
 """
 
 from __future__ import annotations

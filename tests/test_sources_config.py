@@ -60,6 +60,65 @@ def test_jdbc_writer_options(spark):
     assert writer is not None
 
 
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def test_jdbc_live_roundtrip_with_pushdown_and_partitioned_scan(spark, tmp_path):
+    """S5/S6 against a REAL database: Apache Derby ships on the Spark
+    classpath (the Hive-metastore engine), so the writer→reader path can
+    be exercised end-to-end exactly like the reference's MySQL boundary
+    (lambda/subirDB.py:116 batch insert; main.py:76-81 parameterized
+    select) — rows round-trip, WHERE clauses reach the database
+    (PushedFilters), appends accumulate, and a bounded partition-column
+    scan splits into parallel range queries."""
+    url = f"jdbc:derby:{tmp_path / 'derbydb'};create=true"
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(10)],
+        "id int, name string, val double",
+    )
+    jdbc_src.jdbc_writer(df, url, "dolar_rt", properties=_DERBY_PROPS).save()
+
+    back = jdbc_src.jdbc_reader(
+        spark, url, "dolar_rt", properties=_DERBY_PROPS
+    ).load()
+    assert sorted((r.id, r.name, r.val) for r in back.collect()) == [
+        (i, f"n{i}", float(i) * 1.5) for i in range(10)
+    ]
+
+    # predicate pushdown: the filter must appear in the JDBC scan node,
+    # not as a post-scan Spark Filter over a full-table read
+    plan = (
+        back.where("id >= 7")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(id,7)" in plan
+    assert back.where("id >= 7").count() == 3
+
+    # append mode accumulates (the reference's autocommit INSERT loop)
+    jdbc_src.jdbc_writer(df, url, "dolar_rt", properties=_DERBY_PROPS).save()
+    assert (
+        jdbc_src.jdbc_reader(spark, url, "dolar_rt", properties=_DERBY_PROPS)
+        .load()
+        .count()
+        == 20
+    )
+
+    # bounded partition-column scan: 4 parallel range queries that
+    # together return every row exactly once
+    part = jdbc_src.jdbc_reader(
+        spark,
+        url,
+        "dolar_rt",
+        properties=_DERBY_PROPS,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=10,
+        num_partitions=4,
+    ).load()
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 20
+    assert "numPartitions=4" in part._jdf.queryExecution().executedPlan().toString()
+
+
 # ----------------------------------------------------------------- S7 DDL
 
 def test_create_silver_table_idempotent(spark, tmp_path):
