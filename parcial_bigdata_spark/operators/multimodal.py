@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
+WAV audio decodes FOR REAL via the stdlib ``wave`` module (sample rate,
+channels, frames, duration from actual bytes — no dependencies).  The
+container has no image/video codecs, so those DECODE steps are stubbed
 (deterministic fake behind ``use_fake_decode=True``; the real path raises
 NotImplementedError with the library it needs).  Everything around the
 decode — schema, Arrow batch shape, mapInPandas plumbing, partitioning —
-is real and tested, so swapping in PIL/librosa on a real cluster touches
+is real and tested, so swapping in PIL/ffmpeg on a real cluster touches
 one function.
 """
 
@@ -29,7 +31,8 @@ MEDIA_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = (
     "media_id long, media_type string, byte_len long, sha string, "
-    "width int, height int, channels int"
+    "width int, height int, channels int, sample_rate int, "
+    "n_frames long, duration_ms double"
 )
 
 # Magic-byte prefixes → container format (hex of first bytes).
@@ -75,33 +78,88 @@ def _fake_decode(content: bytes | None) -> tuple[int, int, int]:
     return (64 + h % 193, 64 + (h // 7) % 193, 3)
 
 
+def _decode_wav(content: bytes) -> dict | None:
+    """REAL audio decode for RIFF/WAVE payloads via the stdlib ``wave``
+    module (zero extra dependencies): channel count, sample rate, frame
+    count, and duration from the actual container header.  Returns None
+    for payloads that carry the RIFF magic but are not parseable WAV —
+    the caller falls through to the fake/raise path."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            ch, sr, nf = w.getnchannels(), w.getframerate(), w.getnframes()
+    except (wave.Error, EOFError):
+        return None
+    return {
+        "channels": ch,
+        "sample_rate": sr,
+        "n_frames": nf,
+        "duration_ms": round(nf / sr * 1000.0, 3) if sr else 0.0,
+    }
+
+
+def _is_wav(content: bytes | None) -> bool:
+    return (
+        content is not None
+        and len(content) >= 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WAVE"
+    )
+
+
 def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched, partition-
-    parallel, constant memory per batch.  The real decoder needs PIL /
-    soundfile (absent here) → NotImplementedError unless the clearly-
-    marked deterministic fake is requested."""
+    parallel, constant memory per batch.
+
+    WAV audio decodes FOR REAL (stdlib ``wave`` — sample rate, channel
+    count, frame count, duration from the actual bytes) on both the fake
+    and real paths.  Other media types need PIL/ffmpeg (absent in this
+    container) → NotImplementedError unless the clearly-marked
+    deterministic fake is requested; audio fields are null for them."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            if not use_fake_decode:
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile; pass use_fake_decode=True"
+            rows = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                wav = _decode_wav(content) if _is_wav(content) else None
+                if wav is not None:
+                    dims = (0, 0, wav["channels"])
+                    audio = (
+                        wav["sample_rate"], wav["n_frames"], wav["duration_ms"]
+                    )
+                elif not use_fake_decode:
+                    raise NotImplementedError(
+                        "real decode for non-WAV media requires PIL/ffmpeg; "
+                        "pass use_fake_decode=True"
+                    )
+                else:
+                    dims = _fake_decode(content)
+                    audio = (None, None, None)
+                rows.append(
+                    (
+                        mid,
+                        mtype,
+                        len(content) if content is not None else 0,
+                        hashlib.md5(content).hexdigest()
+                        if content is not None
+                        else None,
+                        *dims,
+                        *audio,
+                    )
                 )
-            dims = pdf["content"].map(_fake_decode)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "byte_len": pdf["content"].map(lambda b: len(b) if b is not None else 0),
-                    "sha": pdf["content"].map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-                    ),
-                    "width": dims.map(lambda t: t[0]),
-                    "height": dims.map(lambda t: t[1]),
-                    "channels": dims.map(lambda t: t[2]),
-                }
+                rows,
+                columns=[
+                    "media_id", "media_type", "byte_len", "sha",
+                    "width", "height", "channels",
+                    "sample_rate", "n_frames", "duration_ms",
+                ],
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
