@@ -575,6 +575,13 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
         )
         large.unpersist()
         _LAST_CC_STATS["star_rounds"] += 1
+    # the last retained history frame is superseded on every exit path:
+    # labels derive from `edges` (fixpoint/empty breaks) or from the
+    # tail solver's lazy plan over `edges` (tail break) — never from
+    # prev_edges — so its blocks free here, leaving at most the canon,
+    # final-edges, and labels frames pinned
+    if prev_edges is not None and prev_edges is not edges:
+        release_checkpoint(prev_edges)
     if not converged and not edges.isEmpty():
         # Returning star-round edges here would hand the caller
         # partially-collapsed neighbor ids as if they were component
@@ -716,12 +723,16 @@ def _bloom_maybe(gram_col: str, bits: int, n_hashes: int):
     return F.expr(" AND ".join(tests))
 
 
-# Train scans below this many local parquet bytes skip the Bloom prune:
-# the filter's fixed build cost (~0.6-0.8 s of small-stage overhead)
-# exceeds the ENTIRE unpruned shuffle at such sizes (measured at sf0.1:
-# 2.0 s with Bloom vs 1.37 s without, on a ~5 MB scan), while at real
-# corpus sizes the 94% shuffle cut dwarfs it.
-_BLOOM_MIN_TRAIN_BYTES = 64 * 1024 * 1024
+# Eval scans below this many local parquet bytes skip the Bloom prune.
+# The gate keys on the EVAL side because that is where the prune's
+# benefit lives (it cuts the eval gram shuffles; review finding): with
+# a small eval the unpruned shuffles are sub-second no matter how big
+# train is — and since the Bloom branch re-scans the train gram stream,
+# skipping it there also saves an entire extra train pass.  With a big
+# eval the build cost (a train scan + ~0.6-0.8 s of small-stage
+# overhead) is dwarfed by the 94% shuffle cut, so the Bloom stays.
+# Measured at sf0.1 (~5 MB scans): 2.0 s with Bloom vs 1.37 s without.
+_BLOOM_MIN_EVAL_BYTES = 64 * 1024 * 1024
 
 
 def ngram_contamination(
@@ -766,13 +777,13 @@ def ngram_contamination(
     doc — ``n_ngrams`` distinct grams, ``n_contaminated`` of them found
     in train, and the rounded fraction.
 
-    Adaptive prune (round-7): the Bloom build is a FIXED ~0.6-0.8 s of
-    extra stages (positions explode → per-word bit_or exchange →
-    single-row map assembly) regardless of corpus size, while its
-    benefit — the eval-shuffle cut — scales WITH corpus size.  Below
-    ``_BLOOM_MIN_TRAIN_BYTES`` of train scan the unpruned shuffles are
+    Adaptive prune (round-7): the Bloom's cost is an extra train gram
+    scan plus ~0.6-0.8 s of fixed stages (positions explode → per-word
+    bit_or exchange → single-row map assembly), while its benefit — the
+    eval-shuffle cut — scales with EVAL size.  Below
+    ``_BLOOM_MIN_EVAL_BYTES`` of eval scan the unpruned shuffles are
     sub-second and the build can never pay for itself, so a provably
-    small local file-backed train side skips the Bloom (the result is
+    small local file-backed eval side skips the Bloom (the result is
     bit-identical either way; the prune only drops work).  Unknown
     sizes — in-memory frames, remote object stores — keep the Bloom:
     at 100 TB the decision must default to the scale path."""
@@ -781,8 +792,8 @@ def ngram_contamination(
     if bloom_bits is not None:
         from parcial_bigdata_spark.operators.scale import local_scan_bytes
 
-        train_bytes = local_scan_bytes(train)
-        if train_bytes is not None and train_bytes < _BLOOM_MIN_TRAIN_BYTES:
+        eval_bytes = local_scan_bytes(eval_)
+        if eval_bytes is not None and eval_bytes < _BLOOM_MIN_EVAL_BYTES:
             bloom_bits = None
     if bloom_bits is not None:
         # Build the filter from the PRE-distinct train gram stream:
@@ -1471,8 +1482,10 @@ def minhash_recall_check(
     ``truth_sufficient`` makes that observable: a consumer must treat
     ``recall_ok`` as certifying nothing unless ``truth_sufficient`` is
     also 1, and respond by raising ``sample_size`` (cost grows as
-    sample², not corpus).  Measured on the fixtures: truth 6 at 500
-    docs, 4 at 5 000 docs — the shrinkage is real.  Seeding the sample
+    sample², not corpus).  Measured with defaults: truth 8 on the
+    500-doc sf0.001 fixture, 6 on the 500-doc sf0.01 fixture, and 4
+    with the 1000-id sample over the 5 000-doc sf0.1 fixture — the
+    (n/N)² shrinkage is real.  Seeding the sample
     with blocked partners was considered and rejected: a (lang, bucket)
     block is unbounded at 100 TB, so partner seeding breaks the
     constant-cost contract unless capped, and a capped seed biases the

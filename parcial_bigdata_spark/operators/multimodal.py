@@ -90,7 +90,11 @@ def _decode_wav(content: bytes) -> dict | None:
     try:
         with wave.open(io.BytesIO(content)) as w:
             ch, sr, nf = w.getnchannels(), w.getframerate(), w.getnframes()
-    except (wave.Error, EOFError):
+    except Exception:
+        # broad by contract: wave.open raises wave.Error/EOFError on most
+        # corruption but a mangled chunk size escapes as a bare
+        # RuntimeError from _Chunk.skip (found by fuzzing) — ANY parse
+        # failure must fall through, never kill the batch
         return None
     return {
         "channels": ch,

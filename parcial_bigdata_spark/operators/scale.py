@@ -253,18 +253,21 @@ def _parse_bytes(raw: str, default: int = 134217728) -> int:
     return int(m.group(1)) * 1024 ** " kmgtp".index(m.group(2) or " ")
 
 
-def local_scan_bytes(df: DataFrame) -> int | None:
+def local_scan_bytes(df: DataFrame, files: list[str] | None = None) -> int | None:
     """Total on-disk bytes behind a LOCAL file-backed scan, or ``None``
     when the size is unknowable cheaply (in-memory frames, remote object
     stores) — callers must treat ``None`` as "assume big" so adaptive
-    shortcuts never fire on unestimable inputs."""
+    shortcuts never fire on unestimable inputs.  Pass ``files`` when the
+    caller already listed ``df.inputFiles()`` (one listing, consistent
+    files/bytes pair)."""
     import os
     from urllib.parse import urlparse
 
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
+    if files is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
     if not files:
         return None
     total = 0
@@ -299,11 +302,14 @@ def fan_out_small_scan(df: DataFrame, by_col: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    total = local_scan_bytes(df)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    total = local_scan_bytes(df, files)
     if total is None:
         # in-memory frame or remote store: trust the scan's own planning
         return df
-    files = df.inputFiles()
     raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     max_split = _parse_bytes(str(raw))
     est_splits = max(len(files), total // max_split)

@@ -540,14 +540,14 @@ def test_ngram_bloom_prune_matches_exact_path(spark, documents):
     assert len(with_bloom) > 0
 
 
-def test_ngram_bloom_adaptive_skip_on_small_file_backed_train(
+def test_ngram_bloom_adaptive_skip_on_small_file_backed_eval(
     spark, documents, tmp_path
 ):
-    """The Bloom prune's build cost is fixed while its benefit scales
-    with corpus size, so a provably SMALL file-backed train side must
-    skip it (round-7 adaptive decision), an in-memory/unestimable train
-    must keep it (scale-safe default), and both paths must return
-    identical rows."""
+    """The Bloom prune's benefit is the EVAL-shuffle cut, so the
+    adaptive gate keys on the eval side: a provably SMALL file-backed
+    eval skips the prune (round-7 adaptive decision, regardless of
+    train), an in-memory/unestimable eval keeps it (scale-safe
+    default), and both paths must return identical rows."""
     from pyspark.sql import functions as F
 
     train_mem = documents.where(F.col("doc_id") <= 3)
@@ -563,9 +563,15 @@ def test_ngram_bloom_adaptive_skip_on_small_file_backed_train(
         return "shiftleft" in df._jdf.queryExecution().toString()
 
     skipped = dedup.ngram_contamination(train_f, ev_f, n=3)
-    assert not has_bloom(skipped), "tiny file-backed train must skip the bloom"
+    assert not has_bloom(skipped), "tiny file-backed eval must skip the bloom"
+    # small file-backed eval skips even with an unestimable train (the
+    # gate keys on eval alone — review finding: a small train says
+    # nothing about the eval shuffles the prune exists to cut)
+    assert not has_bloom(dedup.ngram_contamination(train_mem, ev_f, n=3))
     kept = dedup.ngram_contamination(train_mem, ev_mem, n=3)
-    assert has_bloom(kept), "unestimable (in-memory) train must keep the bloom"
+    assert has_bloom(kept), "unestimable (in-memory) eval must keep the bloom"
+    # unestimable eval keeps the bloom even with a tiny file-backed train
+    assert has_bloom(dedup.ngram_contamination(train_f, ev_mem, n=3))
     key = lambda d: d["doc_id"]  # noqa: E731
     assert sorted((r.asDict() for r in skipped.collect()), key=key) == sorted(
         (r.asDict() for r in kept.collect()), key=key

@@ -226,14 +226,22 @@ def test_decode_media_wav_real_codec_golden(spark):
     with pytest.raises(Exception, match="PIL|ffmpeg|use_fake_decode"):
         mm.decode_media(media, use_fake_decode=False).collect()
 
-    # a corrupt RIFF/WAVE header must fall through to the fake path,
-    # not crash the batch
+    # corrupt RIFF/WAVE payloads must fall through to the fake path,
+    # not crash the batch — including the fuzz-found mutation whose
+    # mangled fmt-chunk size escapes wave's own error types as a bare
+    # RuntimeError from _Chunk.skip
+    runtime_err_wav = bytearray(_make_wav(1, 8000, 100))
+    runtime_err_wav[17] = 0xF3  # fmt chunk size 0x10 -> 0xF310
     bad = spark.createDataFrame(
-        [(9, b"RIFF\x00\x00\x00\x00WAVEgarbage", "audio/wav", "s")],
+        [
+            (9, b"RIFF\x00\x00\x00\x00WAVEgarbage", "audio/wav", "s"),
+            (10, bytes(runtime_err_wav), "audio/wav", "s"),
+        ],
         "media_id long, content binary, media_type string, source string",
     )
-    [r] = mm.decode_media(bad).collect()
-    assert r.sample_rate is None and r.width > 0
+    decoded = {r.media_id: r for r in mm.decode_media(bad).collect()}
+    assert decoded[9].sample_rate is None and decoded[9].width > 0
+    assert decoded[10].sample_rate is None and decoded[10].width > 0
 
 
 def test_frame_sample_expansion(spark, documents):
