@@ -739,7 +739,7 @@ def ngram_contamination(
     train: DataFrame,
     eval_: DataFrame,
     n: int = 5,
-    bloom_bits: int | None = 1 << 22,
+    bloom_bits: int | str | None = "auto",
     bloom_hashes: int = 2,
 ) -> DataFrame:
     """Token n-gram overlap decontamination (the GPT-3-style screen):
@@ -782,19 +782,21 @@ def ngram_contamination(
     bit_or exchange → single-row map assembly), while its benefit — the
     eval-shuffle cut — scales with EVAL size.  Below
     ``_BLOOM_MIN_EVAL_BYTES`` of eval scan the unpruned shuffles are
-    sub-second and the build can never pay for itself, so a provably
-    small local file-backed eval side skips the Bloom (the result is
-    bit-identical either way; the prune only drops work).  Unknown
-    sizes — in-memory frames, remote object stores — keep the Bloom:
-    at 100 TB the decision must default to the scale path."""
+    sub-second and the build can never pay for itself, so under the
+    default ``bloom_bits="auto"`` a provably small local file-backed
+    eval side skips the Bloom (the result is bit-identical either way;
+    the prune only drops work), while unknown sizes — in-memory
+    frames, remote object stores — keep it: at 100 TB the decision
+    must default to the scale path.  An explicit int always builds the
+    filter (the heuristic override); ``None`` never does."""
     train_set = _doc_gram_stream(train, n).select("gram").distinct()
     stream = _doc_gram_stream(eval_, n)
-    if bloom_bits is not None:
+    if bloom_bits == "auto":
         from parcial_bigdata_spark.operators.scale import local_scan_bytes
 
         eval_bytes = local_scan_bytes(eval_)
-        if eval_bytes is not None and eval_bytes < _BLOOM_MIN_EVAL_BYTES:
-            bloom_bits = None
+        small = eval_bytes is not None and eval_bytes < _BLOOM_MIN_EVAL_BYTES
+        bloom_bits = None if small else 1 << 22
     if bloom_bits is not None:
         # Build the filter from the PRE-distinct train gram stream:
         # bit-OR insertion is idempotent, so duplicates change nothing,
