@@ -14,8 +14,12 @@ from pyspark.sql import functions as F
 
 from parcial_bigdata_spark.operators import dedup, joins, scale
 
+import os
+
 _SETTINGS = dict(
-    max_examples=8,  # each example spins Spark jobs — keep the corpus small
+    # each example spins Spark jobs — keep the default corpus small;
+    # raise via SPARK_GRAFT_HYPOTHESIS_MAX for a deep one-off sweep
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_MAX", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
