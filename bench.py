@@ -324,9 +324,9 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
 _SENTINEL = "q6_revenue_forecast"
 
 
-def _time_query(spark, name: str, sf_dir: str) -> float:
+def _time_query(spark, name: str, sf_dir: str, iters: int | None = None) -> float:
     best = float("inf")
-    for _ in range(max(1, N_ITER)):
+    for _ in range(max(1, iters if iters is not None else N_ITER)):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
@@ -356,14 +356,16 @@ def main() -> None:
     # timed immediately BEFORE and AFTER the headline window.  A ratio
     # near 1.0 certifies the box was quiet for the whole measurement; a
     # drifting ratio flags ambient load, making cross-round comparisons
-    # interpretable instead of silently inflated.
-    sentinel_start = _time_query(spark, _SENTINEL, sf_dir)
+    # interpretable instead of silently inflated.  The sentinel runs
+    # min-of-5 (the query is ~0.2 s, so a 3-shot min is itself noisy —
+    # a first measurement read ratio 0.70 purely from JIT settling).
+    sentinel_start = _time_query(spark, _SENTINEL, sf_dir, iters=5)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = _time_query(spark, name, sf_dir)
 
-    sentinel_end = _time_query(spark, _SENTINEL, sf_dir)
+    sentinel_end = _time_query(spark, _SENTINEL, sf_dir, iters=5)
 
     # Headline total EXCLUDES the synthetic skew-stress timings: they run
     # on a fixed-size generated corpus (not the sf under test), so folding

@@ -871,6 +871,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (r4/r5), setops (r2-r4), profiling/CDC, and the multimodal pair (WAV
 # decode made real this round). Reference-parity core stays in-window
 # every round.
+#
+# r8 rotation note: after this window certifies, the longest-unseen
+# blocks become the aggregation family (distinct/rollup/cube/top/
+# pivot/unpivot/percentiles — driver r2-r4), the as-of pair + TPC-H +
+# joins + windows block (driver r6), and the kNN IVF/LSH variants +
+# streaming_sessionize + price_histogram/revenue_share (r6 local
+# sweep).  Keep the parity core + one real streaming run in-window,
+# as always.
 # --------------------------------------------------------------------------
 
 _R7_WINDOW = [
