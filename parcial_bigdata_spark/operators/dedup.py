@@ -513,8 +513,8 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
         # above only ever needs ONE round of history) — free its
         # executor blocks instead of letting up to max_iter rounds of
         # checkpointed edge sets pile up until driver GC (round-6
-        # advice)
-        if prev_edges is not None and prev_edges is not edges:
+        # advice); release_checkpoint(None) is a no-op
+        if prev_edges is not edges:
             release_checkpoint(prev_edges)
         prev_sig, prev_edges = sig, edges
 
@@ -580,7 +580,7 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     # tail solver's lazy plan over `edges` (tail break) — never from
     # prev_edges — so its blocks free here, leaving at most the canon,
     # final-edges, and labels frames pinned
-    if prev_edges is not None and prev_edges is not edges:
+    if prev_edges is not edges:
         release_checkpoint(prev_edges)
     if not converged and not edges.isEmpty():
         # Returning star-round edges here would hand the caller

@@ -385,14 +385,19 @@ def q_contamination(spark, sf_dir):
     return dedup_ops.cross_split_contamination(_t(spark, sf_dir, "documents"))
 
 
-def q_ngram_decontaminate(spark, sf_dir):
+def decontaminate_inputs(spark, sf_dir):
+    """(train, eval) document frames for the decontamination queries:
+    even-numbered sources = train split, odd = eval (fixture sources are
+    src0..src19; a real pipeline passes its actual split frames).  Also
+    used by tools/dump_plans.py to showcase the forced-Bloom plan."""
     docs = _t(spark, sf_dir, "documents")
-    # even-numbered sources = train split, odd = eval (fixture sources
-    # are src0..src19; a real pipeline passes its actual split frames)
     is_train = F.substring("source", 4, 10).cast("int") % 2 == 0
-    return dedup_ops.ngram_contamination(
-        docs.where(is_train), docs.where(~is_train), n=5
-    )
+    return docs.where(is_train), docs.where(~is_train)
+
+
+def q_ngram_decontaminate(spark, sf_dir):
+    train, eval_ = decontaminate_inputs(spark, sf_dir)
+    return dedup_ops.ngram_contamination(train, eval_, n=5)
 
 
 def q_embedding_dups(spark, sf_dir):
@@ -916,10 +921,11 @@ _R7_WINDOW = [
     "multimodal_media_summary", "multimodal_frame_sample",
 ]
 
-assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+_R7_SET = set(_R7_WINDOW)
+assert len(_R7_WINDOW) == 50 and len(_R7_SET) == 50
 assert all(name in QUERIES for name in _R7_WINDOW)
 QUERIES = {name: QUERIES[name] for name in _R7_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in set(_R7_WINDOW)
+    name: fn for name, fn in QUERIES.items() if name not in _R7_SET
 }
 
 
