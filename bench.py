@@ -1,9 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Prints TWO JSON lines (round-7 verdict item 1: the old single line
+outgrew the driver's 2000-char stdout tail capture, so BENCH_r07
+recorded ``parsed: null``):
+
+  line 1 — the DETAIL record: probe timings (skew / graph-scale /
+           dedup-scale), per-size round counts, fitted exponents,
+           sentinel start/end.  Unbounded size; consumers that want
+           probe history read this line.
+  line 2 — the COMPACT HEADLINE, always the FINAL stdout line and
+           pinned < 1800 chars by ``tests/test_registry.py``:
+           {"metric", "value", "unit", "queries": {headline only},
+            "sf", "noise_sentinel": {...}}
 
 Each query executes fully (noop sink — no driver collect skew) and is
 timed over N_ITER runs; the per-query MINIMUM is reported (single-shot
@@ -95,6 +104,24 @@ def _skew_corpus(spark):
         rows.append((vid, " ".join(f"f{f}u{j}" for j in range(25))))
         vid += 1
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _warm_probe_session(spark) -> None:
+    """One warm-up pass for the FRESH probe session (round-7 advice:
+    the skew stress used to run cold, so JIT/codegen/Python-worker
+    spin-up landed inside its timings and broke cross-round
+    comparability — noted in BASELINE.md's history).  Warms both probe
+    shapes: a small CC contraction (Arrow union-find workers, the
+    groupBy/join codegen) and a small minhash pipeline (shingle/
+    signature expressions, the banded-join codegen)."""
+    from parcial_bigdata_spark.operators import dedup as D
+
+    warm_edges = _cc_edges(spark, 10_000).persist()
+    warm_edges.count()
+    D.duplicate_components(warm_edges).count()
+    warm_edges.unpersist()
+    warm_docs = _split_corpus(spark, 40)
+    D.minhash_near_duplicates(warm_docs, threshold=0.6).count()
 
 
 def _run_skew_stress(spark) -> tuple[dict[str, float], dict]:
@@ -255,13 +282,9 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
     timings: dict[str, float] = {}
     detail: dict = {"cc": {}, "leakage_split": {}}
 
-    # Warm the (fresh) probe session first: JIT, codegen, the Arrow
-    # union-find's Python workers — otherwise the x1 point absorbs the
-    # cold start and inverts the fit (measured 2.4 s x1 vs 1.7 s x4).
-    warm = _cc_edges(spark, 10_000).persist()
-    warm.count()
-    D.duplicate_components(warm).count()
-    warm.unpersist()
+    # Session warm-up (JIT, codegen, Arrow Python workers — otherwise
+    # the x1 point absorbs the cold start and inverts the fit) happens
+    # once in _warm_probe_session before ANY probe family runs.
 
     cc_secs, cc_sizes = [], []
     cc_units = []
@@ -320,6 +343,43 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- MinHash/LSH pipeline scale exponent (round-7 verdict item 4) --------
+# minhash_near_duplicates is the single most load-bearing 100 TB operator
+# (shingle → 64-perm signature → banded LSH → capped bucket pairs →
+# Jaccard verify), but until round 8 it only had the fixed-size skew
+# stress.  These probes time the END-TO-END pipeline on synthetic corpora
+# at ×1/×4/×16 document counts (the same 5-doc near-dup cluster recipe as
+# the leakage-split probe — pairwise Jaccard ≈ 0.87, so every stage does
+# real work and pair volume scales with the corpus) and report fitted
+# log-log exponents.  Banded LSH with bucket caps is ~linear in docs;
+# a tail exponent drifting above ~1.2 is the regression flag.
+
+_DEDUP_SCALES = (1, 4, 16)
+_DEDUP_BASE_CLUSTERS = 400  # ×5 docs per cluster
+
+
+def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import dedup as D
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _DEDUP_SCALES:
+        docs = _split_corpus(spark, _DEDUP_BASE_CLUSTERS * s).persist()
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        n_pairs = D.minhash_near_duplicates(docs, threshold=0.6).count()
+        el = round(time.perf_counter() - t0, 3)
+        docs.unpersist()
+        timings[f"dedup_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(n_docs)
+        detail[f"x{s}"] = {"docs": n_docs, "pairs": n_pairs, "sec": el}
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # Fixed, never-edited scan-agg query used as the ambient-noise sentinel.
 _SENTINEL = "q6_revenue_forecast"
 
@@ -367,11 +427,11 @@ def main() -> None:
 
     sentinel_end = _time_query(spark, _SENTINEL, sf_dir, iters=5)
 
-    # Headline total EXCLUDES the synthetic skew-stress timings: they run
-    # on a fixed-size generated corpus (not the sf under test), so folding
-    # them in would make 'value' incomparable with pre-skew rounds and
-    # insensitive to the sf field.  They still appear in 'queries' (per-
-    # entry history) and in the skew_lsh detail block.
+    # Headline total EXCLUDES the synthetic probe timings (skew stress,
+    # graph/dedup scale): they run on fixed-size generated corpora (not
+    # the sf under test), so folding them in would make 'value'
+    # incomparable across rounds and insensitive to the sf field.  Their
+    # per-entry history lives in the detail line's 'probe_queries'.
     total = round(sum(timings[name] for name in HEADLINE), 3)
 
     # Probe isolation (round-6 verdict item 2): the skew/graph probes do
@@ -381,28 +441,55 @@ def main() -> None:
     # a fresh one, strictly after the sentinel-bracketed window closes.
     spark.stop()
     probe_spark = get_spark("bench-probes")
+    _warm_probe_session(probe_spark)
+    probe_timings: dict[str, float] = {}
     skew_timings, skew_detail = _run_skew_stress(probe_spark)
-    timings.update(skew_timings)
+    probe_timings.update(skew_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
-    timings.update(graph_timings)
+    probe_timings.update(graph_timings)
+    dedup_timings, dedup_detail = _run_dedup_scale(probe_spark)
+    probe_timings.update(dedup_timings)
+
+    sentinel = {
+        "query": _SENTINEL,
+        "start_sec": sentinel_start,
+        "end_sec": sentinel_end,
+        "ratio": round(sentinel_end / max(sentinel_start, 1e-9), 3),
+    }
+    # Detail record first (unbounded size — probe history lives here),
+    # compact headline LAST (the driver's 2000-char stdout tail capture
+    # must always contain a complete parseable headline line).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "noise_sentinel": {
-                    "query": _SENTINEL,
-                    "start_sec": sentinel_start,
-                    "end_sec": sentinel_end,
-                    "ratio": round(sentinel_end / max(sentinel_start, 1e-9), 3),
-                },
+                "record": "bench_detail",
+                "probe_queries": probe_timings,
                 "skew_lsh": skew_detail,
                 "graph_scale": graph_detail,
+                "dedup_scale": dedup_detail,
+                "noise_sentinel": sentinel,
             }
         )
+    )
+    print(headline_json(total, timings, sf, sentinel))
+
+
+def headline_json(total: float, timings: dict[str, float], sf: float,
+                  sentinel: dict) -> str:
+    """The bench-of-record line: compact by contract (< 1800 chars,
+    pinned by tests/test_registry.py::test_bench_headline_line_fits)
+    so the driver's stdout tail capture never truncates it again
+    (BENCH_r07 postmortem).  Probe/skew/graph blobs go on the earlier
+    detail line, never here."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "noise_sentinel": sentinel,
+        }
     )
 
 

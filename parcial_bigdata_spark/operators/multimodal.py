@@ -1,14 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-WAV audio decodes FOR REAL via the stdlib ``wave`` module (sample rate,
-channels, frames, duration from actual bytes — no dependencies).  The
-container has no image/video codecs, so those DECODE steps are stubbed
-(deterministic fake behind ``use_fake_decode=True``; the real path raises
-NotImplementedError with the library it needs).  Everything around the
-decode — schema, Arrow batch shape, mapInPandas plumbing, partitioning —
-is real and tested, so swapping in PIL/ffmpeg on a real cluster touches
-one function.
+Container HEADERS decode FOR REAL with zero dependencies: WAV via the
+stdlib ``wave`` module (sample rate, channels, frames, duration) and
+PNG / BMP / GIF via stdlib ``struct`` over the container's declared
+geometry (width, height, channels, bit depth) — all from actual bytes.
+Pixel/sample PAYLOAD decode needs PIL/ffmpeg (absent in this container),
+so that step is stubbed: deterministic fake behind ``use_fake_decode=
+True``; the real path raises NotImplementedError naming the library it
+needs for unrecognized media, and ValueError for a recognized-but-
+corrupt container (corruption must never masquerade as a missing
+dependency).  Everything around the decode — schema, Arrow batch shape,
+mapInPandas plumbing, partitioning — is real and tested, so swapping in
+PIL/ffmpeg on a real cluster touches one function.
 """
 
 from __future__ import annotations
@@ -31,8 +35,8 @@ MEDIA_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = (
     "media_id long, media_type string, byte_len long, sha string, "
-    "width int, height int, channels int, sample_rate int, "
-    "n_frames long, duration_ms double"
+    "width int, height int, channels int, bit_depth int, "
+    "sample_rate int, n_frames long, duration_ms double"
 )
 
 # Magic-byte prefixes → container format (hex of first bytes).
@@ -81,15 +85,17 @@ def _fake_decode(content: bytes | None) -> tuple[int, int, int]:
 def _decode_wav(content: bytes) -> dict | None:
     """REAL audio decode for RIFF/WAVE payloads via the stdlib ``wave``
     module (zero extra dependencies): channel count, sample rate, frame
-    count, and duration from the actual container header.  Returns None
-    for payloads that carry the RIFF magic but are not parseable WAV —
-    the caller falls through to the fake/raise path."""
+    count, sample width, and duration from the actual container header.
+    Returns None for payloads that carry the RIFF magic but are not
+    parseable WAV — the caller maps that to the fake path (fake mode)
+    or a corruption ValueError (real mode)."""
     import io
     import wave
 
     try:
         with wave.open(io.BytesIO(content)) as w:
             ch, sr, nf = w.getnchannels(), w.getframerate(), w.getnframes()
+            sw = w.getsampwidth()
     except Exception:
         # broad by contract: wave.open raises wave.Error/EOFError on most
         # corruption but a mangled chunk size escapes as a bare
@@ -97,31 +103,133 @@ def _decode_wav(content: bytes) -> dict | None:
         # failure must fall through, never kill the batch
         return None
     return {
+        "width": 0,
+        "height": 0,
         "channels": ch,
+        "bit_depth": sw * 8,
         "sample_rate": sr,
         "n_frames": nf,
         "duration_ms": round(nf / sr * 1000.0, 3) if sr else 0.0,
     }
 
 
-def _is_wav(content: bytes | None) -> bool:
-    return (
-        content is not None
-        and len(content) >= 12
+# PNG color type → sample count per pixel (PNG spec §11.2.2: gray,
+# RGB, palette-indexed, gray+alpha, RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(content: bytes) -> dict | None:
+    """REAL PNG header decode via stdlib ``struct``: width, height, bit
+    depth (bits per sample), and channel count from the IHDR chunk —
+    the first chunk of every valid PNG (spec §5.6).  Returns None for
+    payloads that carry the PNG magic but whose IHDR is missing,
+    truncated, or declares an invalid color type / zero geometry."""
+    import struct
+
+    if len(content) < 26 or content[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", content[16:24])
+    bit_depth, color_type = content[24], content[25]
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or w == 0 or h == 0:
+        return None
+    return {
+        "width": w, "height": h,
+        "channels": channels, "bit_depth": bit_depth,
+    }
+
+
+def _decode_bmp(content: bytes) -> dict | None:
+    """REAL BMP header decode via stdlib ``struct``: geometry and bits
+    per pixel from the DIB header (BITMAPINFOHEADER and later, plus the
+    legacy BITMAPCOREHEADER).  Height may be negative (top-down rows);
+    the magnitude is the pixel height.  Returns None for payloads that
+    carry the BM magic but whose header is truncated or inconsistent."""
+    import struct
+
+    if len(content) < 26:
+        return None
+    (dib_size,) = struct.unpack("<I", content[14:18])
+    if dib_size >= 40 and len(content) >= 30:
+        w, h = struct.unpack("<ii", content[18:26])
+        planes, bpp = struct.unpack("<HH", content[26:30])
+    elif dib_size == 12:
+        w, h = struct.unpack("<HH", content[18:22])
+        planes, bpp = struct.unpack("<HH", content[22:26])
+    else:
+        return None
+    if planes != 1 or w <= 0 or h == 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        return None
+    return {
+        "width": w, "height": abs(h),
+        # indexed/16-bit forms render to whole pixels; channel count is
+        # the storage sample count (≥1), bit_depth the declared bpp
+        "channels": max(1, bpp // 8), "bit_depth": bpp,
+    }
+
+
+def _decode_gif(content: bytes) -> dict | None:
+    """REAL GIF header decode via stdlib ``struct``: canvas geometry
+    from the logical screen descriptor and the declared color
+    resolution (bits per primary).  GIF pixels are palette-indexed RGB,
+    so the decoded channel count is 3."""
+    import struct
+
+    if len(content) < 13:
+        return None
+    w, h = struct.unpack("<HH", content[6:10])
+    if w == 0 or h == 0:
+        return None
+    bit_depth = ((content[10] >> 4) & 0x7) + 1
+    return {"width": w, "height": h, "channels": 3, "bit_depth": bit_depth}
+
+
+def _sniff_one(content: bytes | None) -> str | None:
+    """Container sniff for a single payload (the per-row twin of the
+    column-level ``sniff_format``): which REAL header decoder applies."""
+    if content is None:
+        return None
+    if (
+        len(content) >= 12
         and content[:4] == b"RIFF"
         and content[8:12] == b"WAVE"
-    )
+    ):
+        return "wav"
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:2] == b"BM" and len(content) >= 18:
+        return "bmp"
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+_DECODERS = {
+    "wav": _decode_wav,
+    "png": _decode_png,
+    "bmp": _decode_bmp,
+    "gif": _decode_gif,
+}
 
 
 def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched, partition-
     parallel, constant memory per batch.
 
-    WAV audio decodes FOR REAL (stdlib ``wave`` — sample rate, channel
-    count, frame count, duration from the actual bytes) on both the fake
-    and real paths.  Other media types need PIL/ffmpeg (absent in this
-    container) → NotImplementedError unless the clearly-marked
-    deterministic fake is requested; audio fields are null for them."""
+    Container headers decode FOR REAL on both paths, zero dependencies:
+    WAV (stdlib ``wave`` — channels, sample rate, frames, sample width,
+    duration) and PNG/BMP/GIF (stdlib ``struct`` — width, height,
+    channels, bit depth).  Payloads outside those containers need
+    PIL/ffmpeg (absent here):
+
+    - fake mode (default): the clearly-marked deterministic fake stands
+      in; recognized-but-corrupt containers also fall through to it
+      (never kill the batch over one bad blob).
+    - real mode (``use_fake_decode=False``): unrecognized media raises
+      NotImplementedError naming the missing library; a recognized
+      container whose header will not parse raises ValueError instead —
+      data corruption must not masquerade as a missing dependency
+      (round-7 advice)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -131,20 +239,29 @@ def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
             for mid, mtype, content in zip(
                 pdf["media_id"], pdf["media_type"], pdf["content"]
             ):
-                wav = _decode_wav(content) if _is_wav(content) else None
-                if wav is not None:
-                    dims = (0, 0, wav["channels"])
-                    audio = (
-                        wav["sample_rate"], wav["n_frames"], wav["duration_ms"]
+                fmt = _sniff_one(content)
+                meta = _DECODERS[fmt](content) if fmt else None
+                if meta is not None:
+                    fields = (
+                        meta["width"], meta["height"],
+                        meta["channels"], meta["bit_depth"],
+                        meta.get("sample_rate"), meta.get("n_frames"),
+                        meta.get("duration_ms"),
                     )
                 elif not use_fake_decode:
+                    if fmt is not None:
+                        raise ValueError(
+                            f"unparseable {fmt} payload "
+                            f"(media_id={mid}): carries the {fmt} magic "
+                            "but its header does not decode"
+                        )
                     raise NotImplementedError(
-                        "real decode for non-WAV media requires PIL/ffmpeg; "
-                        "pass use_fake_decode=True"
+                        "real decode for media outside wav/png/bmp/gif "
+                        "requires PIL/ffmpeg; pass use_fake_decode=True"
                     )
                 else:
-                    dims = _fake_decode(content)
-                    audio = (None, None, None)
+                    w, h, ch = _fake_decode(content)
+                    fields = (w, h, ch, 8, None, None, None)
                 rows.append(
                     (
                         mid,
@@ -153,15 +270,14 @@ def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                         hashlib.md5(content).hexdigest()
                         if content is not None
                         else None,
-                        *dims,
-                        *audio,
+                        *fields,
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "media_type", "byte_len", "sha",
-                    "width", "height", "channels",
+                    "width", "height", "channels", "bit_depth",
                     "sample_rate", "n_frames", "duration_ms",
                 ],
             )
@@ -187,6 +303,92 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, use_fake_decode: bool
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_bytes"])
 
     return df.mapInPandas(batches, schema="media_id long, frame_no int, frame_bytes int")
+
+
+def _be_bytes(col, n_bytes: int):
+    """Big-endian unsigned integer → n-byte binary, pure built-ins."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0"))
+
+
+def _le_bytes(col, n_bytes: int):
+    """Little-endian unsigned integer → n-byte binary: the big-endian
+    hex string re-concatenated byte-pair-reversed (still whole-stage
+    codegen — no UDF)."""
+    h = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+    return F.unhex(
+        F.concat(*[F.substring(h, i * 2 + 1, 2) for i in reversed(range(n_bytes))])
+    )
+
+
+def synth_image_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL image containers built from the documents
+    table with pure built-in byte expressions (no UDF): ``doc_id``
+    picks the format round-robin (png/bmp/gif) and the pixel geometry
+    (width = 16 + doc_id % 64, height = 16 + doc_id*7 % 48).  The
+    payloads are genuine container headers — PNG magic + IHDR, BMP
+    file + BITMAPINFOHEADER, GIF89a logical screen descriptor — so
+    ``decode_media``'s REAL path parses them with the same stdlib
+    struct code an actual image corpus hits.  Fixed container sizes
+    (png 33 B, bmp 54 B, gif 13 B) make byte accounting oracle-exact."""
+    w = (F.lit(16) + F.col("doc_id") % 64).cast("bigint")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 48).cast("bigint")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),     # magic
+        F.unhex(F.lit("0000000D49484452")),     # IHDR length 13 + tag
+        _be_bytes(w, 4), _be_bytes(h, 4),
+        F.unhex(F.lit("0806000000")),           # depth 8, RGBA, + flags
+        F.unhex(F.lit("00000000")),             # CRC (header-parse only)
+    )
+    bmp = F.concat(
+        F.unhex(F.lit("424D")),                              # 'BM'
+        _le_bytes(F.lit(54) + w * h * 3, 4),                 # file size
+        F.unhex(F.lit("00000000")), _le_bytes(F.lit(54), 4), # rsvd, offset
+        _le_bytes(F.lit(40), 4),                             # DIB size
+        _le_bytes(w, 4), _le_bytes(h, 4),
+        _le_bytes(F.lit(1), 2), _le_bytes(F.lit(24), 2),     # planes, bpp
+        F.unhex(F.lit("00" * 24)),                           # rest of DIB
+    )
+    gif = F.concat(
+        F.unhex(F.lit("474946383961")),          # 'GIF89a'
+        _le_bytes(w, 2), _le_bytes(h, 2),
+        F.unhex(F.lit("700000")),                # packed: no GCT, res 8; bg, aspect
+    )
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("bmp"), F.lit("gif")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    content = (
+        F.when(fmt == "png", png).when(fmt == "bmp", bmp).otherwise(gif)
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        content.alias("content"),
+        fmt.alias("media_type"),
+        F.col("source").alias("source"),
+    )
+
+
+def image_decode_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL-path image decode: synthesize genuine
+    PNG/BMP/GIF containers from the documents table, decode their
+    headers with ``decode_media(use_fake_decode=False)`` — the stdlib
+    struct parsers, no fakes anywhere on this path — and aggregate the
+    decoded geometry per format.  The DuckDB oracle replicates the
+    construction arithmetic, so every decoded width/height/bit-depth/
+    channel/byte value is pinned end-to-end."""
+    decoded = decode_media(synth_image_corpus(documents), use_fake_decode=False)
+    return (
+        decoded.groupBy(F.col("media_type").alias("format"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("byte_len").alias("sum_bytes"),
+            F.min("bit_depth").alias("bit_depth"),
+            F.min("channels").alias("channels"),
+        )
+        .orderBy("format")
+    )
 
 
 def media_summary(documents: DataFrame) -> DataFrame:

@@ -84,3 +84,27 @@ def test_cc_py_oracle_matches_sql_oracle():
         py_df.columns = [c.lower() for c in py_df.columns]
         assert sorted(sql_df.columns) == sorted(py_df.columns), name
         assert _canon(sql_df).equals(_canon(py_df)), f"{name}: py != sql oracle"
+
+
+def test_bench_headline_line_fits_driver_capture():
+    """BENCH_r07 postmortem (round-7 verdict item 1): the bench's single
+    JSON line outgrew the driver's 2000-char stdout tail capture and the
+    round's official bench artifact recorded ``parsed: null``.  The
+    headline is now a dedicated compact final line; pin it comfortably
+    under the capture window with worst-case-width dummy values so a
+    HEADLINE addition that would overflow fails HERE, not in the next
+    round's artifact."""
+    import bench
+
+    timings = {name: 9999.999 for name in bench.HEADLINE}
+    sentinel = {
+        "query": bench._SENTINEL,
+        "start_sec": 9999.999,
+        "end_sec": 9999.999,
+        "ratio": 9.999,
+    }
+    line = bench.headline_json(99999.999, timings, 0.1, sentinel)
+    import json
+
+    assert json.loads(line)["value"] == 99999.999
+    assert len(line) < 1800, f"headline line {len(line)} chars"
