@@ -350,12 +350,18 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
 # stress.  These probes time the END-TO-END pipeline on synthetic corpora
 # at ×1/×4/×16 document counts (the same 5-doc near-dup cluster recipe as
 # the leakage-split probe — pairwise Jaccard ≈ 0.87, so every stage does
-# real work and pair volume scales with the corpus) and report fitted
-# log-log exponents.  Banded LSH with bucket caps is ~linear in docs;
-# a tail exponent drifting above ~1.2 is the regression flag.
+# real work and pair volume scales linearly with the corpus) and report
+# fitted log-log exponents.  Base sizing is deliberately LARGE (80k docs
+# ×1 → 1.28M docs ×16): below ~300k docs the pipeline is fixed-overhead-
+# bound on this box (measured flat 1.2-2.6 s from 10k to 320k docs), and
+# a fit over that regime reads noise, not the per-doc axis.  Min-of-2
+# per point: single shots at these sizes swing with GC/ambient load.
+# Banded LSH with bucket caps is ~linear in docs; calibration read tail
+# ≈ 1.1 (shuffle-pressure bump past 640k docs at 32 fixed partitions);
+# a tail exponent drifting well above ~1.2 is the regression flag.
 
 _DEDUP_SCALES = (1, 4, 16)
-_DEDUP_BASE_CLUSTERS = 400  # ×5 docs per cluster
+_DEDUP_BASE_CLUSTERS = 16_000  # ×5 docs per cluster
 
 
 def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
@@ -367,9 +373,12 @@ def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
     for s in _DEDUP_SCALES:
         docs = _split_corpus(spark, _DEDUP_BASE_CLUSTERS * s).persist()
         n_docs = docs.count()
-        t0 = time.perf_counter()
-        n_pairs = D.minhash_near_duplicates(docs, threshold=0.6).count()
-        el = round(time.perf_counter() - t0, 3)
+        best, n_pairs = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pairs = D.minhash_near_duplicates(docs, threshold=0.6).count()
+            best = min(best, time.perf_counter() - t0)
+        el = round(best, 3)
         docs.unpersist()
         timings[f"dedup_scale_x{s}"] = el
         secs.append(el)
@@ -442,13 +451,17 @@ def main() -> None:
     spark.stop()
     probe_spark = get_spark("bench-probes")
     _warm_probe_session(probe_spark)
+    # Probe order: the dedup-scale probe runs BEFORE the graph probes —
+    # the ×64 CC run (6.4M edges) leaves enough JVM GC pressure behind
+    # to inflate whatever runs next (a calibration run read the 10k-doc
+    # dedup point at 4.2 s post-CC vs 1.5 s standalone).
     probe_timings: dict[str, float] = {}
     skew_timings, skew_detail = _run_skew_stress(probe_spark)
     probe_timings.update(skew_timings)
-    graph_timings, graph_detail = _run_graph_scale(probe_spark)
-    probe_timings.update(graph_timings)
     dedup_timings, dedup_detail = _run_dedup_scale(probe_spark)
     probe_timings.update(dedup_timings)
+    graph_timings, graph_detail = _run_graph_scale(probe_spark)
+    probe_timings.update(graph_timings)
 
     sentinel = {
         "query": _SENTINEL,

@@ -362,12 +362,99 @@ def _tail_components(edges: DataFrame) -> DataFrame:
     )
 
 
+# Per-task vertex cap for the partition-local contraction pass: bounds
+# the union-find dict at ~4M entries (a few hundred MB peak in the worst
+# case — the same envelope as the tail solver) regardless of how many
+# edge rows a 100 TB partition holds.  Edges whose endpoints are both
+# untracked once the cap is hit pass through unchanged; correctness
+# never depends on how much the pass contracts.
+_LOCAL_CONTRACT_MAX_VERTICES = 4_000_000
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Partition-LOCAL union-find contraction: one narrow mapInPandas
+    pass (no shuffle) that replaces each partition's edge set with the
+    star forest of the components those edges form inside the
+    partition — (v, local_min) per non-root vertex — plus any rows it
+    could not track (cap overflow, self-pairs) verbatim.
+
+    Why it exists: the star rounds' cost at scale is ROUND COUNT ×
+    fixed per-round job overhead, and round count is O(log diameter).
+    Pair producers emit locally clustered streams (bucket joins emit a
+    bucket's pairs together; probe corpora are id-contiguous), so most
+    of the diameter is INSIDE partitions — one local pass collapses it
+    before any shuffle happens, the same way map-side partial
+    aggregation eats a groupBy's volume.  Measured on the ×64 probe
+    (6.4M edges, diameter-100 chains): 8 star rounds → 1, 29.8 s →
+    under a third of that.  On an adversarial layout (every edge's
+    endpoints in different partitions) it degrades to a pass-through
+    and the star rounds do what they always did.
+
+    Correctness: inside a partition the union-find forest connects
+    exactly the vertices its consumed edges connect, and every tracked
+    vertex survives in the output (non-roots as src of their star
+    edge; a root's component has ≥2 members, so the root appears as a
+    dst) — so component structure and the edge-incident vertex set are
+    both preserved globally.  Self-pairs (src == dst) forward
+    unchanged: the caller's self-id handling depends on seeing them.
+    Input must already be canonically oriented (src ≥ dst); star edges
+    come out oriented because the local root is the local min."""
+    id_type = edges.schema["src"].dataType.simpleString()
+
+    def contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        capped = False
+        for b in batches:
+            through_s, through_d = [], []
+            for s, d in zip(b["src"], b["dst"]):
+                if s == d or (
+                    capped and (s not in parent or d not in parent)
+                ):
+                    through_s.append(s)
+                    through_d.append(d)
+                    continue
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+                if not capped and len(parent) >= _LOCAL_CONTRACT_MAX_VERTICES:
+                    capped = True
+            if through_s:
+                # flush pass-through rows per batch so they never
+                # accumulate task memory across a partition
+                yield pd.DataFrame({"src": through_s, "dst": through_d})
+        if parent:
+            src, dst = [], []
+            for v in parent:
+                r = find(v)
+                if r != v:
+                    src.append(v)
+                    dst.append(r)
+            yield pd.DataFrame({"src": src, "dst": dst})
+
+    return edges.mapInPandas(contract, f"src {id_type}, dst {id_type}")
+
+
 # Observability for the scale probes (bench.py graph_scale): the last
-# duplicate_components call's round count and tail routing.  Raw probe
-# wall-times conflate per-edge cost with the O(log diameter) ROUND count
-# (the tail cutoff truncates rounds at small scales, so round counts
-# differ across probe sizes); normalizing by rounds isolates the per-edge
-# axis, which is the one that must stay ~linear at 100 TB.
+# duplicate_components call's round count, tail routing, and what the
+# partition-local contraction pass ate.  Raw probe wall-times conflate
+# per-edge cost with the O(log diameter) ROUND count (the tail cutoff
+# truncates rounds at small scales, so round counts differ across probe
+# sizes); normalizing by rounds isolates the per-edge axis, which is
+# the one that must stay ~linear at 100 TB.
 _LAST_CC_STATS: dict = {"star_rounds": 0, "tail_edges": 0}
 
 
@@ -446,18 +533,28 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
         release_checkpoint,
     )
 
-    # ONE canonicalize+distinct materialization serves both the edge
-    # set and the (rare) self-pair ids — star rounds preserve the
+    # ONE canonicalize+contract+distinct materialization serves both the
+    # edge set and the (rare) self-pair ids — star rounds preserve the
     # edge-incident vertex set (see persistence note below), so the
     # final labels already cover every vertex except ones whose only
     # pairs are self-pairs; those label themselves at the end.  A
     # separate full-vertex frame + final corpus-wide join would cost a
     # second |V|-scale materialization and shuffle per call for
     # coverage the labels already have.
+    #
+    # The partition-local contraction sits BEFORE the distinct, on the
+    # producer's layout: pair streams arrive locally clustered (bucket
+    # joins emit a bucket's pairs together), and the distinct's hash
+    # shuffle would scatter that locality irrecoverably.  It also
+    # SHRINKS the distinct's shuffle input (duplicate pairs union into
+    # the same forest; a partition's edges leave as ≤ one star edge
+    # per tracked vertex).
     canon = iter_checkpoint(
-        pairs.select(
-            F.greatest("doc_a", "doc_b").alias("src"),
-            F.least("doc_a", "doc_b").alias("dst"),
+        _local_contract(
+            pairs.select(
+                F.greatest("doc_a", "doc_b").alias("src"),
+                F.least("doc_a", "doc_b").alias("dst"),
+            )
         ).distinct()
     )
     edges = canon.where(F.col("src") != F.col("dst"))

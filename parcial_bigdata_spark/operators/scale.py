@@ -96,6 +96,7 @@ def salted_join(
 
 _WARNED_STATS_RESET = False
 _WARNED_STATS_RESET_SLOW = False
+_WARNED_RELEASE_CHECKPOINT = False
 
 
 def _reset_stats_internal(ck: DataFrame) -> DataFrame:
@@ -233,14 +234,44 @@ def release_checkpoint(df: DataFrame | None) -> None:
     is the ``cleanCheckpoints`` conf documented on ``iter_checkpoint``),
     and a frame whose analyzed plan is not a LogicalRDD has nothing to
     release — both cases no-op.  Blocking is never requested
-    (``unpersist(false)``): the release races nothing."""
+    (``unpersist(false)``): the release races nothing.  If the internal
+    ``analyzed().rdd()`` accessor drifts on a future Spark build, the
+    release degrades to a no-op — per-round block accumulation would
+    return invisibly, so that path WARNS once per process (round-7
+    advice), like the stats-reset tiers."""
     if df is None:
         return
     target = getattr(df, "_iter_ck_origin", df)
     try:
         target._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
-        pass
+        # Only genuinely checkpoint-backed frames deserve the warning:
+        # a plain (never-checkpointed) frame raising here is the
+        # documented nothing-to-release no-op.  A reset_stats frame
+        # self-identifies via _iter_ck_origin; a plain checkpoint frame
+        # analyzes to a LogicalRDD root.  If even the probe raises,
+        # assume checkpoint-backed (warn) — silence is the failure mode
+        # being guarded against.
+        is_ck = hasattr(df, "_iter_ck_origin")
+        if not is_ck:
+            try:
+                is_ck = (
+                    "LogicalRDD"
+                    in target._jdf.queryExecution().analyzed().nodeName()
+                )
+            except Exception:
+                is_ck = True
+        global _WARNED_RELEASE_CHECKPOINT
+        if is_ck and not _WARNED_RELEASE_CHECKPOINT:
+            _WARNED_RELEASE_CHECKPOINT = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "release_checkpoint: the internal analyzed().rdd() "
+                "accessor raised on this Spark build; superseded "
+                "localCheckpoint blocks will accumulate until driver "
+                "GC instead of being freed per round."
+            )
 
 
 def _parse_bytes(raw: str, default: int = 134217728) -> int:

@@ -801,3 +801,35 @@ def test_jaccard_pairs_includes_empty_documents(spark):
     )
     pairs = dedup.jaccard_pairs(docs, threshold=0.8).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_local_contract_cross_partition_and_cap(spark, monkeypatch):
+    """The partition-local contraction pass (round-7 verdict item 5) is
+    a pure accelerator: labels must be identical whether a component
+    lies inside one partition, spans many, or the per-task vertex cap
+    forces most edges to pass through untracked."""
+    # one 400-vertex monotone chain scattered over 8 partitions + a
+    # clique + self-pair — repartition destroys id locality on purpose
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)] + [(900, 901), (901, 902), (950, 950)],
+        "doc_a long, doc_b long",
+    ).repartition(8)
+    expected = {i: 0 for i in range(401)} | {900: 900, 901: 900, 902: 900, 950: 950}
+    out = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert out == expected
+    # cap of 4 tracked vertices per task: nearly everything passes
+    # through and the star rounds must finish the job unaided
+    monkeypatch.setattr(dedup, "_LOCAL_CONTRACT_MAX_VERTICES", 4)
+    capped = {r.doc_id: r.comp for r in dedup.duplicate_components(pairs).collect()}
+    assert capped == expected
+
+
+def test_local_contract_output_is_canonical_star_forest(spark):
+    """Direct contract-pass contract: star edges oriented (bigger →
+    smaller local min), self-pairs forwarded verbatim, tracked vertex
+    set preserved (roots appear as dst, non-roots as src)."""
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 1), (9, 7), (4, 4)], "src long, dst long"
+    ).coalesce(1)
+    rows = {(r.src, r.dst) for r in dedup._local_contract(edges).collect()}
+    assert rows == {(5, 1), (3, 1), (9, 7), (4, 4)}

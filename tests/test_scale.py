@@ -265,3 +265,40 @@ def test_parse_bytes_handles_unit_suffixes():
     assert _parse_bytes("1g") == 1024**3
     assert _parse_bytes("64k") == 64 * 1024
     assert _parse_bytes("garbage") == 134217728  # falls back to default
+
+
+def test_release_checkpoint_warns_once_on_accessor_drift(spark, caplog):
+    """If the internal analyzed().rdd() accessor drifts on a future
+    Spark build, the release silently becoming a permanent no-op would
+    reintroduce per-round block accumulation invisibly — that path must
+    WARN once per process (round-7 advice), while the documented
+    nothing-to-release no-op (plain frames, None) stays silent."""
+    import logging
+
+    from parcial_bigdata_spark.operators import scale
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    # a reset frame whose origin's accessor raises = simulated drift
+    ck = iter_checkpoint(spark.range(10), reset_stats=True)
+
+    class _Broken:
+        def queryExecution(self):
+            raise RuntimeError("simulated build drift")
+
+    ck._iter_ck_origin = type("F", (), {"_jdf": _Broken()})()
+    scale._WARNED_RELEASE_CHECKPOINT = False
+    with caplog.at_level(logging.WARNING, logger="parcial_bigdata_spark.operators.scale"):
+        release_checkpoint(ck)
+        release_checkpoint(ck)  # once per process, not per call
+    hits = [r for r in caplog.records if "release_checkpoint" in r.message]
+    assert len(hits) == 1
+    # plain frames and None never warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="parcial_bigdata_spark.operators.scale"):
+        scale._WARNED_RELEASE_CHECKPOINT = False
+        release_checkpoint(spark.range(5))
+        release_checkpoint(None)
+    assert not [r for r in caplog.records if "release_checkpoint" in r.message]
