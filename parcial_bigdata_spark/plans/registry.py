@@ -529,6 +529,12 @@ def q_image_decode(spark, sf_dir):
     return mm_ops.image_decode_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_video_decode(spark, sf_dir):
+    # REAL-path container walk (RIFF chunk tree / ISO-BMFF boxes) over
+    # genuine AVI/MP4 files synthesized from doc_id
+    return mm_ops.video_decode_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_frame_sample(spark, sf_dir):
     media = mm_ops.as_media(_t(spark, sf_dir, "documents"), "doc_id", "text", "source")
     return mm_ops.frame_sample(media, every_n_bytes=64)
@@ -846,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans_train": q_kmeans_train,
     "multimodal_media_summary": q_media_summary,
     "multimodal_image_decode": q_image_decode,
+    "multimodal_video_decode": q_video_decode,
     "multimodal_frame_sample": q_frame_sample,
     "sample_leakage_safe_split": q_leakage_safe_split,
     "streaming_sessionize": q_streaming_sessionize,
@@ -2299,6 +2306,31 @@ ORACLES: dict[str, str] = {
                    CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24
                         ELSE 8 END AS bd,
                    CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS ch
+            FROM documents
+        ) GROUP BY fmt ORDER BY format
+    """,
+    "multimodal_video_decode": """
+        -- The Spark side synthesizes GENUINE avi/mp4 container bytes from
+        -- doc_id and walks them with the REAL stdlib chunk/box parsers
+        -- (RIFF tree to avih; ISO-BMFF boxes to mvhd); the oracle
+        -- replicates the construction arithmetic.  MP4 geometry/frames
+        -- are NULL by contract (mvhd carries time, not track pixels).
+        -- Container sizes fixed by construction: avi 88 B, mp4 132 B.
+        SELECT fmt AS format, count(*) AS n_media,
+               CAST(sum(frames) AS BIGINT) AS sum_frames,
+               CAST(sum(dur_ms) AS DOUBLE) AS sum_duration_ms,
+               CAST(sum(w) AS BIGINT) AS sum_width,
+               CAST(sum(h) AS BIGINT) AS sum_height,
+               CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+        FROM (
+            SELECT CASE doc_id % 2 WHEN 0 THEN 'avi' ELSE 'mp4' END AS fmt,
+                   CASE doc_id % 2 WHEN 0 THEN 10 + doc_id % 240 END AS frames,
+                   CASE doc_id % 2
+                        WHEN 0 THEN 40.0 * (10 + doc_id % 240)
+                        ELSE CAST(100 + doc_id % 900 AS DOUBLE) END AS dur_ms,
+                   CASE doc_id % 2 WHEN 0 THEN 32 + doc_id % 32 END AS w,
+                   CASE doc_id % 2 WHEN 0 THEN 24 + doc_id % 24 END AS h,
+                   CASE doc_id % 2 WHEN 0 THEN 88 ELSE 132 END AS nbytes
             FROM documents
         ) GROUP BY fmt ORDER BY format
     """,

@@ -522,3 +522,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
         for r in merged.itertuples()
     }
     assert got == expected
+
+
+@given(payload=st.binary(min_size=0, max_size=128))
+@settings(**_SETTINGS)
+def test_media_header_decoders_total_on_arbitrary_bytes(payload):
+    """The stdlib-struct container parsers are TOTAL functions of the
+    payload: arbitrary (including adversarial) bytes must produce either
+    a well-typed metadata dict or None — never an exception, which would
+    kill a whole Arrow batch over one corrupt blob.  Pure-Python
+    property (no Spark session): the decoders run row-side inside
+    mapInPandas, so this is exactly their exposure."""
+    from parcial_bigdata_spark.operators import multimodal as mm
+
+    fmt = mm._sniff_one(payload)
+    assert fmt in (None, "wav", "png", "bmp", "gif", "avi", "mp4")
+    if fmt is not None:
+        meta = mm._DECODERS[fmt](payload)
+        if meta is not None:
+            assert meta["width"] is None or meta["width"] >= 0
+            assert meta["channels"] is None or meta["channels"] >= 1
+            assert meta["bit_depth"] is None or meta["bit_depth"] >= 1
+
+
+@given(payload=st.binary(min_size=0, max_size=64), fmt_seed=st.integers(0, 5))
+@settings(**_SETTINGS)
+def test_media_header_decoders_total_on_magic_prefixed_bytes(payload, fmt_seed):
+    """Same totality property with the format magic FORCED onto random
+    tails — the adversarial region is after the magic, and pure-random
+    payloads almost never reach it."""
+    from parcial_bigdata_spark.operators import multimodal as mm
+
+    magic = [
+        b"\x89PNG\r\n\x1a\n",
+        b"BM",
+        b"GIF89a",
+        b"RIFF\x10\x00\x00\x00WAVE",
+        b"RIFF\x10\x00\x00\x00AVI ",
+        b"\x00\x00\x00\x10ftyp",
+    ][fmt_seed]
+    content = magic + payload
+    fmt = mm._sniff_one(content)
+    if fmt is not None:
+        meta = mm._DECODERS[fmt](content)
+        if meta is not None:
+            assert meta["channels"] is None or meta["channels"] >= 1
+            assert meta["bit_depth"] is None or meta["bit_depth"] >= 1
