@@ -49,6 +49,83 @@ def dedup_exact_survivors(documents: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
+    """C4-style PARAGRAPH-level exact dedup: split every document into
+    fixed-width word windows ("paragraphs"), keep each distinct
+    paragraph's FIRST corpus occurrence (ordered by doc_id, then
+    position), drop every later copy, and reassemble the surviving text
+    per document — the boilerplate-removal pass real training pipelines
+    run before document-level dedup (headers, footers, license blocks
+    repeat across documents that are otherwise unique).
+
+    First-occurrence-wins is computed with groupBy(min), NOT a window
+    over the paragraph text: web-scale corpora have paragraphs repeated
+    10^7+ times (cookie banners), and a window partition over one of
+    those is an unsplittable hot task, while the groupBy partial-
+    aggregates map-side — the shuffle carries at most one (para,
+    min_ord) row per distinct paragraph per input partition, so
+    boilerplate compresses BEFORE the wire.  The occurrence order key
+    packs (doc_id, position) into one long — exact while documents
+    stay under 100k paragraphs each (a 2M-word document; the widest
+    real docs are ~100× smaller) — and the winners join back on that
+    UNIQUE 8-byte key, so the second shuffle is skew-free by
+    construction and never ships paragraph text on the build side.
+
+    Output: one row per document with paragraph accounting and the
+    cleaned text (empty string when every paragraph was seen earlier —
+    the fully-boilerplate case)."""
+    words = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(words) / F.lit(para_words)).cast("int")
+    paras = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * para_words + 1, para_words)
+                ),
+            )
+        ).alias("idx", "para"),
+    )
+    ord_key = (F.col("doc_id") * 100_000 + F.col("idx")).alias("ord")
+    tagged = paras.select("doc_id", "idx", "para", ord_key)
+    winners = tagged.groupBy("para").agg(F.min("ord").alias("first_ord"))
+    return (
+        tagged.join(
+            winners.select("first_ord"),
+            F.col("ord") == F.col("first_ord"),
+            "left",
+        )
+        .select(
+            "doc_id", "idx", "para",
+            F.col("first_ord").isNotNull().alias("kept"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+            F.coalesce(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept"),
+                                    F.struct(F.col("idx"), F.col("para")),
+                                )
+                            )
+                        ),
+                        lambda s: s.para,
+                    ),
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _BUCKET_BASE = 1.25  # must stay ≥ 1/(1-length_slack) for lossless ±1 blocking
 
 # Bitmask fast-path width: dictionaries up to 64×this many words encode as

@@ -365,6 +365,10 @@ def q_dedup_survivors(spark, sf_dir):
     return dedup_ops.dedup_exact_survivors(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    return dedup_ops.paragraph_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -842,6 +846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_quota_by_source": q_quota_sample,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -2138,6 +2143,34 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": f"""
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
+    """,
+    "dedup_paragraphs": """
+        -- C4-style paragraph-level exact dedup: fixed 20-word windows,
+        -- first corpus occurrence wins (ordered by doc_id, position),
+        -- surviving text reassembled in position order per document.
+        WITH paras AS (
+            SELECT doc_id, idx,
+                   array_to_string(ws[(idx*20+1):(idx*20+20)], ' ') AS para,
+                   doc_id * 100000 + idx AS ord
+            FROM (
+                SELECT doc_id, ws,
+                       unnest(generate_series(
+                           0,
+                           CAST(ceil(len(ws)/20.0) AS BIGINT) - 1)) AS idx
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents)
+            )
+        ), firsts AS (
+            SELECT para, min(ord) AS first_ord FROM paras GROUP BY para
+        )
+        SELECT p.doc_id, count(*) AS n_paras,
+               CAST(sum(CASE WHEN p.ord <> f.first_ord THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               coalesce(string_agg(
+                   CASE WHEN p.ord = f.first_ord THEN p.para END,
+                   ' ' ORDER BY p.idx), '') AS clean_text
+        FROM paras p JOIN firsts f USING (para)
+        GROUP BY p.doc_id ORDER BY p.doc_id
     """,
     "dedup_exact": """
         SELECT keep_doc_id, n_copies FROM (

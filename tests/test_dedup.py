@@ -833,3 +833,30 @@ def test_local_contract_output_is_canonical_star_forest(spark):
     ).coalesce(1)
     rows = {(r.src, r.dst) for r in dedup._local_contract(edges).collect()}
     assert rows == {(5, 1), (3, 1), (9, 7), (4, 4)}
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Paragraph-level exact dedup: fixed word windows, first corpus
+    occurrence (by doc_id, then position) survives, later copies drop,
+    text reassembles in position order; a fully-boilerplate document
+    comes back as an empty string, and a paragraph repeated INSIDE one
+    document keeps only its first position."""
+    boiler = "terms of service"
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),            # paras: boiler, abc
+        (2, f"{boiler} delta epsilon zeta"),          # boiler drops
+        (3, boiler),                                  # fully boilerplate
+        (4, f"unique one two {boiler} unique one two"),  # internal repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(docs, para_words=3).collect()}
+    assert (out[1].n_paras, out[1].n_dropped) == (2, 0)
+    assert out[1].clean_text == f"{boiler} alpha beta gamma"
+    assert (out[2].n_paras, out[2].n_dropped) == (2, 1)
+    assert out[2].clean_text == "delta epsilon zeta"
+    assert (out[3].n_paras, out[3].n_dropped) == (1, 1)
+    assert out[3].clean_text == ""
+    # doc 4: paras = [unique one two, <boiler>, unique one two]
+    # (3-word windows) — the 3rd window repeats the 1st inside the doc
+    assert (out[4].n_paras, out[4].n_dropped) == (3, 2)
+    assert out[4].clean_text == "unique one two"
