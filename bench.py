@@ -313,6 +313,10 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
             "edges": n_real, "labeled_vertices": n_comp_rows, "sec": el,
             "star_rounds": stats["star_rounds"],
             "tail_edges": stats["tail_edges"],
+            # contraction engagement: out/in → 1 means the pass
+            # degraded to pass-through (layout regression flag)
+            "contract_in": stats.get("contract_edges_in"),
+            "contract_out": stats.get("contract_edges_out"),
         }
     detail["cc"]["exponent"] = _fit_exponent(cc_sizes, cc_secs)
     detail["cc"]["exponent_tail"] = _tail_exponent(cc_sizes, cc_secs)

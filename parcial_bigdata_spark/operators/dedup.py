@@ -63,17 +63,29 @@ def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
     10^7+ times (cookie banners), and a window partition over one of
     those is an unsplittable hot task, while the groupBy partial-
     aggregates map-side — the shuffle carries at most one (para,
-    min_ord) row per distinct paragraph per input partition, so
-    boilerplate compresses BEFORE the wire.  The occurrence order key
-    packs (doc_id, position) into one long — exact while documents
-    stay under 100k paragraphs each (a 2M-word document; the widest
-    real docs are ~100× smaller) — and the winners join back on that
-    UNIQUE 8-byte key, so the second shuffle is skew-free by
-    construction and never ships paragraph text on the build side.
+    first-occurrence) row per distinct paragraph per input partition,
+    so boilerplate compresses BEFORE the wire.  The occurrence order is
+    a min() over struct(doc_id, idx) — lexicographic struct ordering,
+    the repo's standard argmin shape — so it is collision-free for ANY
+    document size (round-8 review: a packed doc_id*K+idx long key
+    silently corrupts dedup decisions once a document exceeds K
+    paragraphs).  Winners join back on the UNIQUE (doc_id, idx) pair,
+    so the second shuffle is skew-free by construction and never ships
+    paragraph text on the build side.
+
+    The paragraph frame feeds both the winners aggregate and the join
+    probe, and their different shuffle keys prevent exchange reuse —
+    so the split+explode would evaluate twice.  When the input scan is
+    estimably small it is persisted instead (same adaptive gate shape
+    as the decontamination Bloom); at cluster scale, where caching the
+    exploded corpus is cost, the narrow re-scan is the right price and
+    unknown/remote sizes keep it.
 
     Output: one row per document with paragraph accounting and the
     cleaned text (empty string when every paragraph was seen earlier —
     the fully-boilerplate case)."""
+    from parcial_bigdata_spark.operators.scale import local_scan_bytes
+
     words = F.split(F.col("text"), " ")
     n_paras = F.ceil(F.size(words) / F.lit(para_words)).cast("int")
     paras = documents.select(
@@ -87,18 +99,24 @@ def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
             )
         ).alias("idx", "para"),
     )
-    ord_key = (F.col("doc_id") * 100_000 + F.col("idx")).alias("ord")
-    tagged = paras.select("doc_id", "idx", "para", ord_key)
-    winners = tagged.groupBy("para").agg(F.min("ord").alias("first_ord"))
+    scan_bytes = local_scan_bytes(documents)
+    if scan_bytes is not None and scan_bytes < 256 * 1024 * 1024:
+        paras = paras.persist()
+    winners = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
     return (
-        tagged.join(
-            winners.select("first_ord"),
-            F.col("ord") == F.col("first_ord"),
+        paras.join(
+            winners.select(
+                F.col("first.doc_id").alias("w_doc"),
+                F.col("first.idx").alias("w_idx"),
+            ),
+            (F.col("doc_id") == F.col("w_doc")) & (F.col("idx") == F.col("w_idx")),
             "left",
         )
         .select(
             "doc_id", "idx", "para",
-            F.col("first_ord").isNotNull().alias("kept"),
+            F.col("w_doc").isNotNull().alias("kept"),
         )
         .groupBy("doc_id")
         .agg(
@@ -448,7 +466,7 @@ def _tail_components(edges: DataFrame) -> DataFrame:
 _LOCAL_CONTRACT_MAX_VERTICES = 4_000_000
 
 
-def _local_contract(edges: DataFrame) -> DataFrame:
+def _local_contract(edges: DataFrame, counters=None) -> DataFrame:
     """Partition-LOCAL union-find contraction: one narrow mapInPandas
     pass (no shuffle) that replaces each partition's edge set with the
     star forest of the components those edges form inside the
@@ -475,8 +493,17 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     both preserved globally.  Self-pairs (src == dst) forward
     unchanged: the caller's self-id handling depends on seeing them.
     Input must already be canonically oriented (src ≥ dst); star edges
-    come out oriented because the local root is the local min."""
+    come out oriented because the local root is the local min.
+
+    ``counters`` (optional pair of Spark accumulators) receives the
+    consumed/emitted edge-row counts so callers can observe how much
+    the pass actually ate — a layout change that degrades it to a
+    pass-through is otherwise invisible except as wall-time noise
+    (round-8 review).  Accumulator readings are approximate under task
+    retries/speculation: observability only, never a correctness
+    input."""
     id_type = edges.schema["src"].dataType.simpleString()
+    acc_in, acc_out = counters if counters is not None else (None, None)
 
     def contract(batches):
         import pandas as pd
@@ -491,6 +518,8 @@ def _local_contract(edges: DataFrame) -> DataFrame:
 
         capped = False
         for b in batches:
+            if acc_in is not None:
+                acc_in.add(len(b))
             through_s, through_d = [], []
             for s, d in zip(b["src"], b["dst"]):
                 if s == d or (
@@ -512,6 +541,8 @@ def _local_contract(edges: DataFrame) -> DataFrame:
             if through_s:
                 # flush pass-through rows per batch so they never
                 # accumulate task memory across a partition
+                if acc_out is not None:
+                    acc_out.add(len(through_s))
                 yield pd.DataFrame({"src": through_s, "dst": through_d})
         if parent:
             src, dst = [], []
@@ -520,6 +551,8 @@ def _local_contract(edges: DataFrame) -> DataFrame:
                 if r != v:
                     src.append(v)
                     dst.append(r)
+            if acc_out is not None:
+                acc_out.add(len(src))
             yield pd.DataFrame({"src": src, "dst": dst})
 
     return edges.mapInPandas(contract, f"src {id_type}, dst {id_type}")
@@ -532,7 +565,12 @@ def _local_contract(edges: DataFrame) -> DataFrame:
 # truncates rounds at small scales, so round counts differ across probe
 # sizes); normalizing by rounds isolates the per-edge axis, which is
 # the one that must stay ~linear at 100 TB.
-_LAST_CC_STATS: dict = {"star_rounds": 0, "tail_edges": 0}
+_LAST_CC_STATS: dict = {
+    "star_rounds": 0,
+    "tail_edges": 0,
+    "contract_edges_in": 0,
+    "contract_edges_out": 0,
+}
 
 
 def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
@@ -626,13 +664,24 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     # SHRINKS the distinct's shuffle input (duplicate pairs union into
     # the same forest; a partition's edges leave as ≤ one star edge
     # per tracked vertex).
+    sc = pairs.sparkSession.sparkContext
+    contract_in, contract_out = sc.accumulator(0), sc.accumulator(0)
     canon = iter_checkpoint(
         _local_contract(
             pairs.select(
                 F.greatest("doc_a", "doc_b").alias("src"),
                 F.least("doc_a", "doc_b").alias("dst"),
-            )
+            ),
+            counters=(contract_in, contract_out),
         ).distinct()
+    )
+    # iter_checkpoint is eager, so the contraction counters are final
+    # here; record what the pass ate (bench's graph probes surface it —
+    # a layout regression that degrades contraction to pass-through is
+    # visible as out/in → 1 instead of wall-time noise)
+    _LAST_CC_STATS.update(
+        contract_edges_in=int(contract_in.value),
+        contract_edges_out=int(contract_out.value),
     )
     edges = canon.where(F.col("src") != F.col("dst"))
     self_ids = canon.where(F.col("src") == F.col("dst")).select(

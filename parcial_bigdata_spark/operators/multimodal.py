@@ -104,6 +104,11 @@ def _decode_wav(content: bytes) -> dict | None:
         # RuntimeError from _Chunk.skip (found by fuzzing) — ANY parse
         # failure must fall through, never kill the batch
         return None
+    # a mangled fmt chunk can declare a sample rate / channel count past
+    # DECODED_SCHEMA's int32 columns — corrupt, not decodable (the Arrow
+    # cast would otherwise kill the whole batch; round-8 review)
+    if not (0 < ch <= 0x7FFFFFFF and 0 <= sr <= 0x7FFFFFFF):
+        return None
     return {
         "width": 0,
         "height": 0,
@@ -133,7 +138,11 @@ def _decode_png(content: bytes) -> dict | None:
     w, h = struct.unpack(">II", content[16:24])
     bit_depth, color_type = content[24], content[25]
     channels = _PNG_CHANNELS.get(color_type)
-    if channels is None or w == 0 or h == 0:
+    # u32 fields above int32 range are corrupt for this schema: passing
+    # them through would fail the Arrow cast into DECODED_SCHEMA's int
+    # columns and kill the WHOLE batch (round-8 review, reproduced) —
+    # route to the corrupt path instead
+    if channels is None or not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
         return None
     return {
         "width": w, "height": h,
@@ -210,7 +219,9 @@ def _decode_avi(content: bytes) -> dict | None:
                     "<I", content[body_lo + 16 : body_lo + 20]
                 )
                 w, h = struct.unpack("<II", content[body_lo + 32 : body_lo + 40])
-                if w == 0 or h == 0:
+                # u32 geometry past int32 is corrupt for this schema —
+                # the Arrow cast would kill the batch (round-8 review)
+                if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
                     return None
                 return {
                     "width": w, "height": h,
@@ -269,6 +280,14 @@ def _decode_mp4(content: bytes) -> dict | None:
     return None
 
 
+# Published DIB header sizes (CORE, INFO, V2-V5): the BMP magic is only
+# two ASCII bytes, so the sniff additionally requires one of these at
+# the declared header-size offset — without it, any text starting "BM…"
+# would be "recognized" and real-mode-corruption-ValueError'd instead of
+# taking the unsupported-media path (round-8 review).
+_BMP_DIB_SIZES = (12, 16, 40, 52, 56, 64, 108, 124)
+
+
 def _sniff_one(content: bytes | None) -> str | None:
     """Container sniff for a single payload (the per-row twin of the
     column-level ``sniff_format``): which REAL header decoder applies."""
@@ -281,7 +300,11 @@ def _sniff_one(content: bytes | None) -> str | None:
             return "avi"
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
-    if content[:2] == b"BM" and len(content) >= 18:
+    if (
+        content[:2] == b"BM"
+        and len(content) >= 18
+        and int.from_bytes(content[14:18], "little") in _BMP_DIB_SIZES
+    ):
         return "bmp"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"

@@ -860,3 +860,29 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     # (3-word windows) — the 3rd window repeats the 1st inside the doc
     assert (out[4].n_paras, out[4].n_dropped) == (3, 2)
     assert out[4].clean_text == "unique one two"
+
+
+def test_local_contract_observability_counters(spark):
+    """duplicate_components must record how much the partition-local
+    contraction pass consumed and emitted (round-8 review: without a
+    signal, a layout regression degrading the pass to a pass-through is
+    invisible).  On an id-contiguous chain the pass must genuinely
+    contract (out < in)."""
+    # 50 5-cliques (10 edges → 4 star edges each when co-located) plus a
+    # chain; a tree's edge count is ~|V|-1 both before and after (the
+    # pass cuts its DIAMETER, not its count), so the cliques carry the
+    # out < in signal
+    cliques = [
+        (c * 5 + i, c * 5 + j)
+        for c in range(50)
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ]
+    chain = [(1000 + i, 1001 + i) for i in range(100)]
+    pairs = spark.createDataFrame(
+        cliques + chain, "doc_a long, doc_b long"
+    ).coalesce(2)
+    dedup.duplicate_components(pairs).count()
+    stats = dict(dedup._LAST_CC_STATS)
+    assert stats["contract_edges_in"] == len(cliques) + len(chain)
+    assert 0 < stats["contract_edges_out"] < stats["contract_edges_in"]

@@ -362,7 +362,7 @@ def test_decode_media_corrupt_image_fuzz(spark):
         (2, _make_png(8, 8, color_type=5), "t"),              # invalid color type
         (3, _make_png(0, 8), "t"),                            # zero width
         (4, _make_bmp(8, 8)[:20], "t"),                       # truncated DIB
-        (5, b"BM" + b"\x00" * 16 + b"\x07\x00\x00\x00", "t"), # unknown DIB size
+        (5, _make_bmp(8, 8)[:26] + b"\x00\x00\x18\x00", "t"),  # planes=0
         (6, _make_gif(0, 0), "t"),                            # zero canvas
         (7, b"GIF89a\x01", "t"),                              # truncated descriptor
     ]
@@ -517,3 +517,49 @@ def test_synth_video_corpus_real_roundtrip(spark, documents):
             assert r.media_type == "mp4" and r.byte_len == 132
             assert r.duration_ms == float(100 + doc_id % 900)
             assert r.width is None and r.n_frames is None
+
+
+def test_sniff_does_not_misroute_bm_prefixed_text(spark):
+    """The BMP magic is two ASCII bytes; payloads that merely start with
+    'BM' (round-8 review: 'BMW engine specs…') must take the
+    unsupported-media path (NotImplementedError), not be classified as
+    recognized-but-corrupt (ValueError) — the sniff requires a published
+    DIB header size at the declared offset."""
+    text = b"BMW engine specs: inline-six, 3.0 litres, twin turbo"
+    assert mm._sniff_one(text) is None
+    media = spark.createDataFrame(
+        [(1, text, "text/plain", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    with pytest.raises(Exception, match="PIL|ffmpeg|use_fake_decode"):
+        mm.decode_media(media, use_fake_decode=False).collect()
+    # a genuine but corrupt BMP (valid DIB size, zero planes) still
+    # takes the corruption path
+    assert mm._sniff_one(_make_bmp(8, 8)) == "bmp"
+
+
+def test_decode_media_overwide_headers_fall_through(spark):
+    """Header-declared dimensions past int32 must route to the corrupt
+    path, not crash the Arrow cast into DECODED_SCHEMA's int columns and
+    kill the batch (round-8 review, reproduced live)."""
+    import struct
+
+    over = 2**31 + 5
+    rows = [
+        (1, _make_png(over, 8), "image/png", "s"),
+        (2, _make_avi(over, 8, 10), "video/avi", "s"),
+        # WAV whose fmt chunk declares a >int32 sample rate
+        (3, b"RIFF$\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00\x01\x00"
+            + struct.pack("<I", over) + b"\x00" * 8 + b"data\x00\x00\x00\x00",
+         "audio/wav", "s"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, media_type string, source string"
+    )
+    decoded = {r.media_id: r for r in mm.decode_media(media).collect()}
+    for i in (1, 2, 3):
+        assert decoded[i].sample_rate is None and decoded[i].width > 0, i
+    with pytest.raises(Exception, match="unparseable (png|avi|wav)"):
+        mm.decode_media(
+            media.where("media_id = 1"), use_fake_decode=False
+        ).collect()
