@@ -362,3 +362,63 @@ def word_pair_counts(documents: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def word_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document word-distribution Shannon entropy — the classic
+    perplexity-proxy quality signal (gibberish and keyword-stuffed spam
+    sit at the extremes; natural prose clusters mid-range).
+
+    Computed ROW-LOCALLY with higher-order functions over the sorted
+    word array — run-length boundaries give the per-word counts without
+    an explode + two-shuffle groupBy, so the plan stays a straight scan
+    (the module contract: shuffle-free until the final small
+    aggregate; here there is no aggregate at all).  The DuckDB oracle
+    computes the same quantity relationally (unnest + group) — same
+    math, independent formulation.
+
+    Each stage is materialized as its own projection column: a lambda
+    that referenced ``array_sort(split(...))`` directly would re-split
+    and re-sort the document on EVERY element access inside the HOF
+    (no common-subexpression elimination across lambda invocations —
+    measured 87 s vs 2 s on 5k docs), while a column reference is one
+    evaluation per row."""
+    staged = documents.select(
+        "doc_id", F.array_sort(F.split(F.col("text"), " ")).alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("n"))
+    staged = staged.select(
+        "doc_id",
+        "n",
+        F.filter(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: (i == 0)
+            | (
+                F.element_at(F.col("ws"), i + 1)
+                != F.element_at(F.col("ws"), i)
+            ),
+        ).alias("starts"),
+    )
+    ends = F.concat(
+        F.slice(F.col("starts"), 2, F.size("starts") - 1),
+        F.array(F.col("n")),
+    )
+    staged = staged.select(
+        "doc_id",
+        "n",
+        F.size("starts").alias("n_unique"),
+        F.zip_with(F.col("starts"), ends, lambda s, e: e - s).alias("counts"),
+    )
+    p = lambda c: c.cast("double") / F.col("n")  # noqa: E731
+    # + 0.0 collapses IEEE -0.0 (single-distinct-word docs negate an
+    # exact 0.0 sum) to plain 0.0 — repr-level parity with the oracle
+    entropy = -F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log2(p(c)),
+    ) + F.lit(0.0)
+    return staged.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        "n_unique",
+        F.round(entropy, 4).alias("entropy"),
+    ).orderBy("doc_id")

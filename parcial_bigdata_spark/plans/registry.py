@@ -369,6 +369,10 @@ def q_dedup_paragraphs(spark, sf_dir):
     return dedup_ops.paragraph_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_word_entropy(spark, sf_dir):
+    return text_ops.word_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -847,6 +851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_survivors": q_dedup_survivors,
     "dedup_paragraphs": q_dedup_paragraphs,
+    "text_word_entropy": q_word_entropy,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -2143,6 +2148,24 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": f"""
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
+    """,
+    "text_word_entropy": """
+        -- per-doc Shannon entropy of the word distribution; the engine
+        -- computes it row-locally over run-lengths of the sorted word
+        -- array, the oracle relationally — same math, independent
+        -- formulation.  + 0.0 collapses IEEE -0.0 (single-word docs).
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_unique,
+               round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
+                   AS entropy
+        FROM (
+            SELECT doc_id, w, count(*) AS c,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS n
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ) GROUP BY doc_id ORDER BY doc_id
     """,
     "dedup_paragraphs": """
         -- C4-style paragraph-level exact dedup: fixed 20-word windows,

@@ -169,3 +169,25 @@ def test_vocabulary_excludes_empty_token(spark):
     words_out = {r.word for r in text.vocabulary_stats(docs).collect()}
     assert "" not in words_out
     assert {"alpha", "beta"} <= words_out
+
+
+def test_word_entropy_row_local_semantics(spark):
+    """Shannon entropy over the per-doc word distribution, computed
+    row-locally from run-lengths of the sorted array: hand-checked
+    values, single-word and single-distinct-word edge cases (the
+    latter must render 0.0, not IEEE -0.0)."""
+    import math
+
+    from parcial_bigdata_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.word_entropy(df).collect()}
+    expected = -(2 * (2 / 5) * math.log2(2 / 5) + (1 / 5) * math.log2(1 / 5))
+    assert (out[1].n_words, out[1].n_unique) == (5, 3)
+    assert out[1].entropy == round(expected, 4)
+    assert (out[2].n_words, out[2].n_unique) == (4, 1)
+    assert repr(out[2].entropy) == "0.0"  # not -0.0
+    assert (out[3].n_words, out[3].n_unique, out[3].entropy) == (1, 1, 0.0)
