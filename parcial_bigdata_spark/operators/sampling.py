@@ -307,3 +307,42 @@ def leakage_safe_split(
         )
         .orderBy("split")
     )
+
+
+def shuffle_shards(
+    documents: DataFrame, n_shards: int = 8, seed: str = "seed0"
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the training-order op:
+    every epoch's data loader wants the corpus in a reproducible
+    pseudorandom order, materialized as N shard files read in parallel.
+
+    Order key = md5(seed:doc_id) — engine-portable (md5 is md5
+    everywhere; hash()/rand(seed) differ per engine), uniform, and
+    reseedable per epoch.  Shard = 16-bit md5 prefix mod N (row-local),
+    position = row_number within the shard ordered by the key — so
+    there is NO global sort: the one exchange hash-partitions by shard
+    and each shard sorts independently.  At cluster scale the shard
+    count IS the sort parallelism — pick n_shards ≥ executor slots
+    (real pipelines use 1024+ shards of a few hundred MB each); the
+    projection carries only ids + keys, so document payloads never
+    ride this shuffle (writers join the plan back on doc_id).
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("doc_id").cast("string"))
+    )
+    keyed = documents.select(
+        "doc_id",
+        key.alias("k"),
+        (F.conv(F.substring(key, 1, 4), 16, 10).cast("int") % n_shards).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("k").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.select(
+            "doc_id", "shard", F.row_number().over(w).alias("pos")
+        )
+        .orderBy("shard", "pos")
+    )

@@ -373,6 +373,10 @@ def q_word_entropy(spark, sf_dir):
     return text_ops.word_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_shuffle_shards(spark, sf_dir):
+    return sample_ops.shuffle_shards(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -852,6 +856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_survivors": q_dedup_survivors,
     "dedup_paragraphs": q_dedup_paragraphs,
     "text_word_entropy": q_word_entropy,
+    "sample_shuffle_shards": q_shuffle_shards,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -2148,6 +2153,22 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": f"""
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
+    """,
+    "sample_shuffle_shards": """
+        -- deterministic training-order shuffle: md5(seed:doc_id) order
+        -- key, 16-bit-prefix shard assignment, position within shard —
+        -- no global sort on either engine.
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                   AS pos
+        FROM (
+            SELECT doc_id,
+                   md5('seed0:' || CAST(doc_id AS VARCHAR)) AS k,
+                   CAST(('0x' || substr(
+                        md5('seed0:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INT) % 8 AS shard
+            FROM documents
+        ) ORDER BY shard, pos
     """,
     "text_word_entropy": """
         -- per-doc Shannon entropy of the word distribution; the engine

@@ -207,3 +207,23 @@ def test_quota_sample_plan_prunes_map_side(spark):
     assert sorted(per_src["src0"]) == [1, 2, 3]
     assert sorted(per_src["src1"]) == [1, 2, 3, 4, 5]
     assert sorted(per_src["src2"]) == [1, 2]
+
+
+def test_shuffle_shards_contract(spark, documents):
+    """Deterministic training-order shuffle: every doc exactly once,
+    contiguous 1..k positions per shard, fully reproducible, and a
+    different seed yields a different order (that's the point of
+    reseeding per epoch)."""
+    from parcial_bigdata_spark.operators import sampling as S
+
+    a = S.shuffle_shards(documents, n_shards=2, seed="e0").collect()
+    b = S.shuffle_shards(documents, n_shards=2, seed="e0").collect()
+    assert a == b
+    assert sorted(r.doc_id for r in a) == [1, 2, 3, 4, 5]
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert poss == list(range(1, len(poss) + 1)), shard
+    c = S.shuffle_shards(documents, n_shards=2, seed="e1").collect()
+    assert [(r.doc_id) for r in c] != [(r.doc_id) for r in a]
