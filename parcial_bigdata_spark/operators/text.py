@@ -422,3 +422,52 @@ def word_entropy(documents: DataFrame) -> DataFrame:
         "n_unique",
         F.round(entropy, 4).alias("entropy"),
     ).orderBy("doc_id")
+
+
+def quality_gate_summary(
+    documents: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_entropy: float = 3.5,
+) -> DataFrame:
+    """End-to-end C4-style keep/drop gate: compose the pipeline's
+    per-document signals — exact-duplicate losers, length bounds,
+    low-entropy (repetitive/spam) text — into one decision per document
+    with a REASON, and roll the decisions up per source.  This is the
+    accounting a corpus-curation run ships: how much each source lost,
+    and to which filter.
+
+    Reason precedence mirrors real pipelines (cheapest-first ordering
+    is an execution detail; the REPORTED reason is the most damning):
+    exact_dup > length > low_entropy > kept.  The duplicate-keeper
+    aggregate is the map-side-combining groupBy(min) shape (identical
+    texts collapse before the wire); every other signal is row-local."""
+    ent = word_entropy(documents).select("doc_id", "n_words", "entropy")
+    keepers = documents.groupBy("text").agg(F.min("doc_id").alias("keeper_id"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper_id"), "exact_dup")
+        .when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            "length",
+        )
+        .when(F.col("entropy") < min_entropy, "low_entropy")
+        .otherwise("kept")
+    )
+    flag = lambda r: F.sum(  # noqa: E731
+        F.when(F.col("reason") == r, 1).otherwise(0)
+    )
+    return (
+        documents.select("doc_id", "source", "text")
+        .join(keepers, "text")
+        .join(ent, "doc_id")
+        .select("source", reason.alias("reason"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            flag("kept").alias("n_kept"),
+            flag("exact_dup").alias("n_exact_dup"),
+            flag("length").alias("n_length"),
+            flag("low_entropy").alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -377,6 +377,10 @@ def q_shuffle_shards(spark, sf_dir):
     return sample_ops.shuffle_shards(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_gate(spark, sf_dir):
+    return text_ops.quality_gate_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -857,6 +861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "text_word_entropy": q_word_entropy,
     "sample_shuffle_shards": q_shuffle_shards,
+    "pipeline_quality_gate": q_quality_gate,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -2153,6 +2158,40 @@ ORACLES: dict[str, str] = {
     "text_fingerprints": f"""
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
+    """,
+    "pipeline_quality_gate": """
+        -- end-to-end C4-style keep/drop accounting per source: exact-dup
+        -- losers, length bounds, low word-entropy; reason precedence
+        -- exact_dup > length > low_entropy > kept.
+        WITH ent AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                   round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
+                       AS entropy
+            FROM (
+                SELECT doc_id, w, count(*) AS c,
+                       sum(count(*)) OVER (PARTITION BY doc_id) AS n
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w
+            ) GROUP BY doc_id
+        ), keepers AS (
+            SELECT text, min(doc_id) AS keeper_id FROM documents GROUP BY text
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+               CAST(sum(CASE WHEN reason = 'length' THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+               CAST(sum(CASE WHEN reason = 'low_entropy' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+        FROM (
+            SELECT d.source,
+                   CASE WHEN d.doc_id <> k.keeper_id THEN 'exact_dup'
+                        WHEN e.n_words < 20 OR e.n_words > 100000 THEN 'length'
+                        WHEN e.entropy < 3.5 THEN 'low_entropy'
+                        ELSE 'kept' END AS reason
+            FROM documents d
+            JOIN keepers k USING (text)
+            JOIN ent e USING (doc_id)
+        ) GROUP BY source ORDER BY source
     """,
     "sample_shuffle_shards": """
         -- deterministic training-order shuffle: md5(seed:doc_id) order

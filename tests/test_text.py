@@ -191,3 +191,25 @@ def test_word_entropy_row_local_semantics(spark):
     assert (out[2].n_words, out[2].n_unique) == (4, 1)
     assert repr(out[2].entropy) == "0.0"  # not -0.0
     assert (out[3].n_words, out[3].n_unique, out[3].entropy) == (1, 1, 0.0)
+
+
+def test_quality_gate_summary_reasons_and_precedence(spark):
+    """Composed keep/drop gate: planted exact-dup, too-short, and
+    low-entropy docs each land under their reason; precedence is
+    exact_dup > length > low_entropy (a short duplicate reports
+    exact_dup, a short low-entropy doc reports length)."""
+    from parcial_bigdata_spark.operators import text as T
+
+    prose = " ".join(f"w{i}" for i in range(30))  # 30 unique words
+    rows = [
+        (1, prose, "s1"),
+        (2, prose, "s1"),                      # exact dup of 1 (also short-ish)
+        (3, "tiny doc here", "s1"),            # length (3 words < 20)
+        (4, " ".join(["spam"] * 40), "s2"),    # 40 words, entropy 0
+        (5, " ".join(f"u{i}" for i in range(25)), "s2"),  # kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in T.quality_gate_summary(docs).collect()}
+    assert (out["s1"].n_docs, out["s1"].n_kept) == (3, 1)
+    assert (out["s1"].n_exact_dup, out["s1"].n_length) == (1, 1)
+    assert (out["s2"].n_kept, out["s2"].n_low_entropy) == (1, 1)
