@@ -259,16 +259,15 @@ def _decode_mp4(content: bytes) -> dict | None:
         for ctype, c_lo, c_hi in boxes(body_lo, body_hi):
             if ctype != b"mvhd" or c_hi - c_lo < 1:
                 continue
+            # the c_hi - c_lo bounds prove every slice below is full
+            # length, so the unpacks cannot raise
             version = content[c_lo]
-            try:
-                if version == 0 and c_hi - c_lo >= 20:
-                    ts, dur = struct.unpack(">II", content[c_lo + 12 : c_lo + 20])
-                elif version == 1 and c_hi - c_lo >= 32:
-                    (ts,) = struct.unpack(">I", content[c_lo + 20 : c_lo + 24])
-                    (dur,) = struct.unpack(">Q", content[c_lo + 24 : c_lo + 32])
-                else:
-                    return None
-            except struct.error:
+            if version == 0 and c_hi - c_lo >= 20:
+                ts, dur = struct.unpack(">II", content[c_lo + 12 : c_lo + 20])
+            elif version == 1 and c_hi - c_lo >= 32:
+                (ts,) = struct.unpack(">I", content[c_lo + 20 : c_lo + 24])
+                (dur,) = struct.unpack(">Q", content[c_lo + 24 : c_lo + 32])
+            else:
                 return None
             if ts == 0:
                 return None
@@ -432,6 +431,11 @@ def _le_bytes(col, n_bytes: int):
     )
 
 
+def _zero_bytes(n: int):
+    """n zero bytes as a binary literal."""
+    return F.unhex(F.lit("00" * n))
+
+
 def synth_image_corpus(documents: DataFrame) -> DataFrame:
     """Deterministic REAL image containers built from the documents
     table with pure built-in byte expressions (no UDF): ``doc_id``
@@ -449,16 +453,16 @@ def synth_image_corpus(documents: DataFrame) -> DataFrame:
         F.unhex(F.lit("0000000D49484452")),     # IHDR length 13 + tag
         _be_bytes(w, 4), _be_bytes(h, 4),
         F.unhex(F.lit("0806000000")),           # depth 8, RGBA, + flags
-        F.unhex(F.lit("00000000")),             # CRC (header-parse only)
+        _zero_bytes(4),                         # CRC (header-parse only)
     )
     bmp = F.concat(
         F.unhex(F.lit("424D")),                              # 'BM'
         _le_bytes(F.lit(54) + w * h * 3, 4),                 # file size
-        F.unhex(F.lit("00000000")), _le_bytes(F.lit(54), 4), # rsvd, offset
+        _zero_bytes(4), _le_bytes(F.lit(54), 4),             # rsvd, offset
         _le_bytes(F.lit(40), 4),                             # DIB size
         _le_bytes(w, 4), _le_bytes(h, 4),
         _le_bytes(F.lit(1), 2), _le_bytes(F.lit(24), 2),     # planes, bpp
-        F.unhex(F.lit("00" * 24)),                           # rest of DIB
+        _zero_bytes(24),                                     # rest of DIB
     )
     gif = F.concat(
         F.unhex(F.lit("474946383961")),          # 'GIF89a'
@@ -493,7 +497,6 @@ def synth_video_corpus(documents: DataFrame) -> DataFrame:
     w = (F.lit(32) + F.col("doc_id") % 32).cast("bigint")
     h = (F.lit(24) + F.col("doc_id") % 24).cast("bigint")
     dur = (F.lit(100) + F.col("doc_id") % 900).cast("bigint")
-    zeros = lambda n: F.unhex(F.lit("00" * n))  # noqa: E731
     avi = F.concat(
         F.unhex(F.lit("52494646")), _le_bytes(F.lit(80), 4),   # RIFF, size
         F.unhex(F.lit("41564920")),                            # 'AVI '
@@ -501,19 +504,19 @@ def synth_video_corpus(documents: DataFrame) -> DataFrame:
         F.unhex(F.lit("6864726C")),                            # 'hdrl'
         F.unhex(F.lit("61766968")), _le_bytes(F.lit(56), 4),   # 'avih', size
         _le_bytes(F.lit(40_000), 4),                           # µs per frame
-        zeros(12),                                             # bps/pad/flags
-        _le_bytes(frames, 4), zeros(4),                        # frames, init
-        _le_bytes(F.lit(1), 4), zeros(4),                      # streams, buf
-        _le_bytes(w, 4), _le_bytes(h, 4), zeros(16),
+        _zero_bytes(12),                                             # bps/pad/flags
+        _le_bytes(frames, 4), _zero_bytes(4),                        # frames, init
+        _le_bytes(F.lit(1), 4), _zero_bytes(4),                      # streams, buf
+        _le_bytes(w, 4), _le_bytes(h, 4), _zero_bytes(16),
     )
     mp4 = F.concat(
         _be_bytes(F.lit(16), 4), F.unhex(F.lit("66747970")),   # size, 'ftyp'
-        F.unhex(F.lit("69736F6D")), zeros(4),                  # 'isom', minor
+        F.unhex(F.lit("69736F6D")), _zero_bytes(4),                  # 'isom', minor
         _be_bytes(F.lit(116), 4), F.unhex(F.lit("6D6F6F76")),  # size, 'moov'
         _be_bytes(F.lit(108), 4), F.unhex(F.lit("6D766864")),  # size, 'mvhd'
-        zeros(12),                                             # ver/flags/times
+        _zero_bytes(12),                                             # ver/flags/times
         _be_bytes(F.lit(1000), 4), _be_bytes(dur, 4),          # timescale, dur
-        zeros(80),                                             # rate..next_track
+        _zero_bytes(80),                                             # rate..next_track
     )
     fmt = F.when(F.col("doc_id") % 2 == 0, F.lit("avi")).otherwise(F.lit("mp4"))
     return documents.select(

@@ -977,6 +977,24 @@ QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
 # DuckDB oracle SQL (ANSI) — same aliases, same rounding
 # --------------------------------------------------------------------------
 
+# Shared per-doc word-entropy CTE body (round-8 simplify pass: the same
+# computation backs both the text_word_entropy oracle and the
+# pipeline_quality_gate oracle — one definition, no drift).  + 0.0
+# collapses IEEE -0.0 from single-distinct-word docs.
+_ENTROPY_CTE_SQL = """
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_unique,
+               round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
+                   AS entropy
+        FROM (
+            SELECT doc_id, w, count(*) AS c,
+                   sum(count(*)) OVER (PARTITION BY doc_id) AS n
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ) GROUP BY doc_id
+"""
+
 ORACLES: dict[str, str] = {
     "interval_query": f"""
         SELECT ts, CAST(value AS DOUBLE) AS value
@@ -2159,21 +2177,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
     """,
-    "pipeline_quality_gate": """
+    "pipeline_quality_gate": f"""
         -- end-to-end C4-style keep/drop accounting per source: exact-dup
         -- losers, length bounds, low word-entropy; reason precedence
         -- exact_dup > length > low_entropy > kept.
-        WITH ent AS (
-            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-                   round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
-                       AS entropy
-            FROM (
-                SELECT doc_id, w, count(*) AS c,
-                       sum(count(*)) OVER (PARTITION BY doc_id) AS n
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                      FROM documents)
-                GROUP BY doc_id, w
-            ) GROUP BY doc_id
+        WITH ent AS ({_ENTROPY_CTE_SQL}
         ), keepers AS (
             SELECT text, min(doc_id) AS keeper_id FROM documents GROUP BY text
         )
@@ -2209,23 +2217,13 @@ ORACLES: dict[str, str] = {
             FROM documents
         ) ORDER BY shard, pos
     """,
-    "text_word_entropy": """
+    "text_word_entropy": f"""
         -- per-doc Shannon entropy of the word distribution; the engine
         -- computes it row-locally over run-lengths of the sorted word
         -- array, the oracle relationally — same math, independent
-        -- formulation.  + 0.0 collapses IEEE -0.0 (single-word docs).
-        SELECT doc_id,
-               CAST(sum(c) AS BIGINT) AS n_words,
-               count(*) AS n_unique,
-               round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
-                   AS entropy
-        FROM (
-            SELECT doc_id, w, count(*) AS c,
-                   sum(count(*)) OVER (PARTITION BY doc_id) AS n
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM documents)
-            GROUP BY doc_id, w
-        ) GROUP BY doc_id ORDER BY doc_id
+        -- formulation.
+        SELECT doc_id, n_words, n_unique, entropy
+        FROM ({_ENTROPY_CTE_SQL}) ORDER BY doc_id
     """,
     "dedup_paragraphs": """
         -- C4-style paragraph-level exact dedup: fixed 20-word windows,
