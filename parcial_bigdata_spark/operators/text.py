@@ -471,3 +471,98 @@ def quality_gate_summary(
         )
         .orderBy("source")
     )
+
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: learn the top-``n_merges``
+    byte-pair merges from the corpus, exactly the greedy algorithm
+    (Sennrich et al. 2016) every real tokenizer pipeline runs before
+    training starts.
+
+    Scale shape: the corpus-sized work happens ONCE (explode words →
+    word-frequency vocabulary, one shuffle); every merge round then
+    runs on the VOCABULARY (Zipf: ≪ corpus — ~100M rows even at
+    100 TB), so a round is one small groupBy job plus a 1-row driver
+    fetch for the winning pair (the same bounded-scalar pattern as the
+    k-means centroid loop).  The vocabulary frame is persisted once
+    and reused across all rounds.
+
+    Segmentations are encoded as DOUBLE-space-joined symbol strings
+    with double-space sentinels (``'  a  b  '``): applying a merge is
+    then a literal ``replace(seg, ' A  B ', ' AB ')`` — the pattern's
+    single-space flanks leave each neighbour's separator intact, so
+    one left-to-right replace-all IS greedy non-overlapping BPE merge
+    application, with identical semantics in Spark and DuckDB (the
+    oracle unrolls the same stages in SQL; no regex, no lookarounds —
+    RE2 engines lack them).
+
+    Ties break deterministically: highest pair count, then
+    lexicographic (left, right) — pinned by min over
+    struct(-count, left, right).
+
+    Output: one row per learned merge (rank, pair_left, pair_right,
+    merged, pair_count)."""
+    spark = documents.sparkSession
+    vocab = (
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            "wc",
+            F.concat(
+                F.lit("  "),
+                F.array_join(F.split("word", ""), "  "),
+                F.lit("  "),
+            ).alias("seg"),
+        )
+        .persist()
+    )
+    try:
+        merges = []
+        for rank in range(1, n_merges + 1):
+            toks = F.filter(F.split("seg", "  "), lambda x: x != "")
+            # sequence(0, n-1) is always ascending (n ≥ 1); dropping the
+            # 0 yields [1, n-1] and an EMPTY list for single-symbol
+            # words — sequence(1, n-1) would DESCEND [1, 0] when n = 1
+            # and element_at(toks, 2) would throw under ANSI
+            idxs = F.filter(
+                F.sequence(F.lit(0), F.size(toks) - 1), lambda i: i >= 1
+            )
+            pairs = vocab.select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        idxs,
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("l"),
+                            F.element_at(toks, i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            win = (
+                pairs.groupBy("p.l", "p.r")
+                .agg(F.sum("wc").alias("cnt"))
+                .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), "l", "r")).alias("w"))
+                .select("w.l", "w.r", (-F.col("w.neg")).alias("cnt"))
+                .first()
+            )
+            if win is None or win.l is None:
+                break  # vocabulary exhausted (every word one symbol)
+            merges.append((rank, win.l, win.r, win.l + win.r, int(win.cnt)))
+            vocab = vocab.select(
+                "wc",
+                F.replace(
+                    "seg",
+                    F.lit(f" {win.l}  {win.r} "),
+                    F.lit(f" {win.l}{win.r} "),
+                ).alias("seg"),
+            )
+        return spark.createDataFrame(
+            merges,
+            "rank int, pair_left string, pair_right string, "
+            "merged string, pair_count long",
+        ).orderBy("rank")
+    finally:
+        vocab.unpersist()

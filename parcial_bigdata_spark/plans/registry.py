@@ -381,6 +381,10 @@ def q_quality_gate(spark, sf_dir):
     return text_ops.quality_gate_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_merges(spark, sf_dir):
+    return text_ops.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -862,6 +866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_word_entropy": q_word_entropy,
     "sample_shuffle_shards": q_shuffle_shards,
     "pipeline_quality_gate": q_quality_gate,
+    "text_bpe_merges": q_bpe_merges,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -994,6 +999,60 @@ _ENTROPY_CTE_SQL = """
             GROUP BY doc_id, w
         ) GROUP BY doc_id
 """
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of ``text.bpe_train_merges``: the same
+    double-space segmentation encoding and literal-replace greedy merge
+    application, one CTE trio (pair counts → winner → applied vocab)
+    per merge rank.  Generated, so the stage count always matches the
+    registry query's n_merges.  Every CTE is MATERIALIZED: DuckDB
+    inlines plain CTEs, and v{k} referencing v{k-1} from two consumers
+    would blow the inlined plan up exponentially in the merge count
+    (the un-materialized form hung at n=8)."""
+    ctes = ["""v0 AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS wc,
+                   '  ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substring(word, i, 1)), '  ')
+                   || '  ' AS seg
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' GROUP BY word
+        )"""]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+            SELECT t[i] AS pair_left, t[i+1] AS pair_right,
+                   CAST(sum(wc) AS BIGINT) AS cnt
+            FROM (
+                SELECT wc, t, unnest(range(1, len(t))) AS i
+                FROM (SELECT wc,
+                             list_filter(string_split(seg, '  '),
+                                         x -> x <> '') AS t
+                      FROM v{k-1})
+            ) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""w{k} AS MATERIALIZED (
+            SELECT pair_left, pair_right, cnt FROM p{k}
+            ORDER BY cnt DESC, pair_left, pair_right LIMIT 1
+        )""")
+        ctes.append(f"""v{k} AS MATERIALIZED (
+            SELECT wc, replace(seg,
+                (SELECT ' ' || pair_left || '  ' || pair_right || ' '
+                 FROM w{k}),
+                (SELECT ' ' || pair_left || pair_right || ' '
+                 FROM w{k})) AS seg
+            FROM v{k-1}
+        )""")
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {k} AS rank, pair_left, pair_right, "
+        f"pair_left || pair_right AS merged, cnt AS pair_count FROM w{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n        ".join(ctes)
+        + "\n        SELECT * FROM (" + finals + ") ORDER BY rank"
+    )
+
 
 ORACLES: dict[str, str] = {
     "interval_query": f"""
@@ -2177,6 +2236,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
     """,
+    "text_bpe_merges": _bpe_oracle_sql(8),
     "pipeline_quality_gate": f"""
         -- end-to-end C4-style keep/drop accounting per source: exact-dup
         -- losers, length bounds, low word-entropy; reason precedence

@@ -213,3 +213,27 @@ def test_quality_gate_summary_reasons_and_precedence(spark):
     assert (out["s1"].n_docs, out["s1"].n_kept) == (3, 1)
     assert (out["s1"].n_exact_dup, out["s1"].n_length) == (1, 1)
     assert (out["s2"].n_kept, out["s2"].n_low_entropy) == (1, 1)
+
+
+def test_bpe_train_merges_golden_and_edges(spark):
+    """Greedy BPE training on a hand-computable corpus: merge order,
+    weighted pair counts (each occurrence × word frequency), greedy
+    left-to-right non-overlap ('aaa' yields ONE 'aa'), learned merges
+    feeding later ranks, single-char words ignored, and early stop when
+    the vocabulary is fully merged."""
+    from parcial_bigdata_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab x")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in T.bpe_train_merges(docs, n_merges=3).collect()]
+    assert out == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+    # early stop: rank 3 collapses every multi-char word to one symbol
+    # ('aaab', 'ab'; 'x' never had a pair) — asking for 10 returns only
+    # the 3 learnable merges
+    more = T.bpe_train_merges(docs, n_merges=10).collect()
+    assert [r.rank for r in more] == [1, 2, 3]
