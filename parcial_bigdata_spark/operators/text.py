@@ -566,3 +566,55 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         ).orderBy("rank")
     finally:
         vocab.unpersist()
+
+
+def bpe_encode_token_counts(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 8,
+) -> DataFrame:
+    """Apply learned BPE merges corpus-wide and report the token
+    accounting per source — the other half of the tokenizer story
+    (``bpe_train_merges`` learns; this encodes).  Trains first when no
+    merge list is passed.
+
+    Encoding is ROW-LOCAL: each word becomes its double-space
+    segmentation string and the merge ranks apply as a chain of
+    literal replaces (greedy left-to-right — the same encoding trick
+    as training), then per-doc token counts fold over the word array
+    with higher-order functions.  No shuffle until the tiny per-source
+    aggregate, so encoding streams at scan speed over any corpus —
+    exactly how a real tokenization pass must behave at 100 TB."""
+    if merges is None:
+        merges = [
+            (r.pair_left, r.pair_right)
+            for r in bpe_train_merges(documents, n_merges=n_merges).collect()
+        ]
+
+    def word_tokens(word):
+        seg = F.concat(
+            F.lit("  "), F.array_join(F.split(word, ""), "  "), F.lit("  ")
+        )
+        for left, right in merges:
+            seg = F.replace(
+                seg, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        return F.size(F.filter(F.split(seg, "  "), lambda x: x != ""))
+
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    per_doc = documents.select(
+        "source",
+        F.size(ws).alias("ws_tokens"),
+        F.aggregate(
+            F.transform(ws, word_tokens), F.lit(0), lambda acc, t: acc + t
+        ).alias("bpe_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )

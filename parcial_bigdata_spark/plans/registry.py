@@ -385,6 +385,13 @@ def q_bpe_merges(spark, sf_dir):
     return text_ops.bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    # trains the 8 merges, then applies them row-locally corpus-wide
+    return text_ops.bpe_encode_token_counts(
+        _t(spark, sf_dir, "documents"), n_merges=8
+    )
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -867,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shuffle_shards": q_shuffle_shards,
     "pipeline_quality_gate": q_quality_gate,
     "text_bpe_merges": q_bpe_merges,
+    "text_bpe_encode": q_bpe_encode,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
@@ -1000,7 +1008,7 @@ _ENTROPY_CTE_SQL = """
         ) GROUP BY doc_id
 """
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_ctes_sql(n_merges: int) -> str:
     """Unrolled DuckDB twin of ``text.bpe_train_merges``: the same
     double-space segmentation encoding and literal-replace greedy merge
     application, one CTE trio (pair counts → winner → applied vocab)
@@ -1043,14 +1051,54 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                  FROM w{k})) AS seg
             FROM v{k-1}
         )""")
+    return "WITH " + ",\n        ".join(ctes)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Merge listing: rank / pair / merged token / support count."""
     finals = "\n            UNION ALL ".join(
         f"SELECT {k} AS rank, pair_left, pair_right, "
         f"pair_left || pair_right AS merged, cnt AS pair_count FROM w{k}"
         for k in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",\n        ".join(ctes)
+        _bpe_ctes_sql(n_merges)
         + "\n        SELECT * FROM (" + finals + ") ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Corpus-wide ENCODE twin: apply the learned merges to every word
+    of every document (the same nested-replace greedy application the
+    engine runs row-locally) and report per-source token accounting."""
+    seg0 = (
+        "'  ' || array_to_string(list_transform("
+        "range(1, length(word) + 1), i -> substring(word, i, 1)), '  ') "
+        "|| '  '"
+    )
+    seg = seg0
+    for k in range(1, n_merges + 1):
+        seg = (
+            f"replace({seg},\n                 "
+            f"(SELECT ' ' || pair_left || '  ' || pair_right || ' ' FROM w{k}),\n                 "
+            f"(SELECT ' ' || pair_left || pair_right || ' ' FROM w{k}))"
+        )
+    tokens = f"len(list_filter(string_split({seg}, '  '), x -> x <> ''))"
+    return (
+        _bpe_ctes_sql(n_merges)
+        + f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS ws_tokens,
+               CAST(sum(nt) AS BIGINT) AS bpe_tokens
+        FROM (
+            SELECT doc_id, source, count(*) AS nw,
+                   CAST(sum({tokens}) AS BIGINT) AS nt
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY doc_id, source
+        ) GROUP BY source ORDER BY source"""
     )
 
 
@@ -2237,6 +2285,7 @@ ORACLES: dict[str, str] = {
         FROM documents ORDER BY doc_id
     """,
     "text_bpe_merges": _bpe_oracle_sql(8),
+    "text_bpe_encode": _bpe_encode_oracle_sql(8),
     "pipeline_quality_gate": f"""
         -- end-to-end C4-style keep/drop accounting per source: exact-dup
         -- losers, length bounds, low word-entropy; reason precedence

@@ -237,3 +237,25 @@ def test_bpe_train_merges_golden_and_edges(spark):
     # the 3 learnable merges
     more = T.bpe_train_merges(docs, n_merges=10).collect()
     assert [r.rank for r in more] == [1, 2, 3]
+
+
+def test_bpe_encode_token_counts_applies_merges(spark):
+    """Encoding applies the learned merges greedily per word: fully
+    merged words count 1 token; with only a partial merge list the
+    counts reflect the intermediate segmentation."""
+    from parcial_bigdata_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab x", "s1"), (2, "aaab", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in T.bpe_encode_token_counts(docs).collect()}
+    assert (out["s1"].ws_tokens, out["s1"].bpe_tokens) == (4, 4)
+    assert (out["s2"].ws_tokens, out["s2"].bpe_tokens) == (1, 1)
+    partial = {
+        r.source: r
+        for r in T.bpe_encode_token_counts(docs, merges=[("a", "a")]).collect()
+    }
+    # aaab -> [aa, a, b] (greedy non-overlap), ab -> [a, b], x -> [x]
+    assert partial["s1"].bpe_tokens == 3 + 3 + 2 + 1
+    assert partial["s2"].bpe_tokens == 3
