@@ -618,3 +618,75 @@ def bpe_encode_token_counts(
         )
         .orderBy("source")
     )
+
+
+# Fixed query for the BM25 registry entry — terms present in the driver
+# corpus so the ranked result is non-trivial at every SF.
+BM25_QUERY_TERMS = ["spark", "window", "join", "stream"]
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Term-based ranked retrieval: BM25 score of every document against
+    a small query-term set, top-N by score.  The lexical complement of
+    the embedding kNN family (`similarity.py`) — together they cover both
+    halves of a hybrid search stack.
+
+    Plan shape: because the query is a SMALL LITERAL term set, per-term
+    term frequencies are computed ROW-LOCALLY (one `size(filter(words))`
+    per term — codegen'd, no explode, no per-term shuffle).  Corpus
+    statistics (N, avgdl, per-term document frequencies) come from ONE
+    single-row aggregate that broadcasts back over the scoring scan, and
+    the top-N is a TakeOrdered, not a global sort.  Two scans of the
+    corpus total, zero wide shuffles — at 100 TB the stats pass would be
+    computed once and reused across queries, which this shape makes
+    trivial (pass the stats row in as a literal).
+
+    BM25 idf is the Robertson-Sparck Jones form with the +1 shift
+    (always positive): ln((N - df + 0.5)/(df + 0.5) + 1).
+    """
+    terms = list(query_terms if query_terms is not None else BM25_QUERY_TERMS)
+    w = words(normalized(F.col("text")))
+    def _tf(term: str) -> Column:
+        # NB: a 2-arg lambda would be called as (element, index) by
+        # F.filter — bind the term via closure, not a default arg.
+        return F.size(F.filter(w, lambda t: t == F.lit(term)))
+
+    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)]
+    per_doc = documents.select("doc_id", F.size(w).alias("dl"), *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # Expression association mirrors the SQL oracle exactly so both
+    # engines produce bit-identical doubles before the round(4).
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_d = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - df_d + F.lit(0.5))
+            / (df_d + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        contrib = idf * (tf * (F.lit(k1) + F.lit(1.0))) / denom
+        score = contrib if score is None else score + contrib
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("bm25_score"))
+        .where(F.col("bm25_score") > 0)
+        .orderBy(F.col("bm25_score").desc(), "doc_id")
+        .limit(top_n)
+    )

@@ -392,6 +392,10 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    return text_ops.bm25_search(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -907,6 +911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_ivf": q_knn_ivf,
     "knn_cosine_lsh": q_knn_lsh,
     "embedding_norm_stats": q_embedding_norms,
+    "text_bm25_search": q_bm25_search,
 }
 
 
@@ -1052,6 +1057,47 @@ def _bpe_ctes_sql(n_merges: int) -> str:
             FROM v{k-1}
         )""")
     return "WITH " + ",\n        ".join(ctes)
+
+
+def _bm25_oracle_sql(
+    terms: list[str], k1: float = 1.2, b: float = 0.75, top_n: int = 20
+) -> str:
+    """BM25 oracle mirroring text_ops.bm25_search's expression tree
+    exactly (same operand association → bit-identical doubles before the
+    round(4); 1.2 + 1.0 folds to the same double 2.2 in both engines)."""
+    tf_defs = ",\n                   ".join(
+        f"len(list_filter(string_split({_NORM_SQL}, ' '), "
+        f"x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * (1.0 - {b}"
+        f" + {b} * CAST(dl AS DOUBLE) / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH per_doc AS (
+            SELECT doc_id,
+                   len(string_split({_NORM_SQL}, ' ')) AS dl,
+                   {tf_defs}
+            FROM documents
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_defs}
+            FROM per_doc
+        )
+        SELECT * FROM (
+            SELECT doc_id, round({contribs}, 4) AS bm25_score
+            FROM per_doc, stats
+        ) WHERE bm25_score > 0
+        ORDER BY bm25_score DESC, doc_id LIMIT {top_n}
+    """
 
 
 def _bpe_oracle_sql(n_merges: int) -> str:
@@ -2286,6 +2332,7 @@ ORACLES: dict[str, str] = {
     """,
     "text_bpe_merges": _bpe_oracle_sql(8),
     "text_bpe_encode": _bpe_encode_oracle_sql(8),
+    "text_bm25_search": _bm25_oracle_sql(text_ops.BM25_QUERY_TERMS),
     "pipeline_quality_gate": f"""
         -- end-to-end C4-style keep/drop accounting per source: exact-dup
         -- losers, length bounds, low word-entropy; reason precedence

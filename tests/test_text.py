@@ -259,3 +259,31 @@ def test_bpe_encode_token_counts_applies_merges(spark):
     # aaab -> [aa, a, b] (greedy non-overlap), ab -> [a, b], x -> [x]
     assert partial["s1"].bpe_tokens == 3 + 3 + 2 + 1
     assert partial["s2"].bpe_tokens == 3
+
+
+def test_bm25_search_golden(spark):
+    """Hand-checkable BM25: scores follow the RSJ+1 idf formula, docs
+    with no query term are excluded, ranking is (score desc, doc_id)."""
+    import math
+
+    from parcial_bigdata_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog x", "en", "s1"),
+            (2, "cat y y y", "en", "s1"),
+            (3, "z z", "en", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = T.bm25_search(docs, query_terms=["cat", "dog"]).collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+
+    def contrib(tf, df, dl, n=3, avgdl=10 / 3, k1=1.2, b=0.75):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp1 = round(contrib(2, 2, 4) + contrib(1, 1, 4), 4)
+    exp2 = round(contrib(1, 2, 4) + contrib(0, 1, 4), 4)
+    assert abs(rows[0].bm25_score - exp1) < 1e-9
+    assert abs(rows[1].bm25_score - exp2) < 1e-9
