@@ -26,6 +26,7 @@ from parcial_bigdata_spark.operators import (
     profiling as prof_ops,
     interval as interval_ops,
     joins as join_ops,
+    merge as merge_ops,
     multimodal as mm_ops,
     sampling as sample_ops,
     setops as set_ops,
@@ -33,6 +34,7 @@ from parcial_bigdata_spark.operators import (
     text as text_ops,
     windows as win_ops,
 )
+from parcial_bigdata_spark.functions.money import money_sum
 from parcial_bigdata_spark.session import tune_runtime
 
 INTERVAL_START = "2024-01-05 00:00:00"
@@ -259,6 +261,34 @@ def q_profile_orders(spark, sf_dir):
 
 def q_skew_lineitem_suppkey(spark, sf_dir):
     return prof_ops.skew_profile(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
+
+
+def q_merge_upsert(spark, sf_dir):
+    # CDC-apply over a simulated base snapshot (keys ≢0 mod 4) with an
+    # even-key change batch: matched keys update price/status, even keys
+    # missing from base insert, updated prices over the threshold delete
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 4 != 0)
+    updates = (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    merged = merge_ops.merge_upsert(
+        base,
+        updates,
+        "o_orderkey",
+        update_cols=["o_totalprice", "o_orderstatus"],
+        delete_when=lambda u: u["o_totalprice"] > 400000.0,
+    )
+    return (
+        merged.groupBy("__merge_action", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("__merge_action", "o_orderstatus")
+    )
 
 
 def q_snapshot_diff(spark, sf_dir):
@@ -912,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_lsh": q_knn_lsh,
     "embedding_norm_stats": q_embedding_norms,
     "text_bm25_search": q_bm25_search,
+    "merge_upsert_orders": q_merge_upsert,
 }
 
 
@@ -2205,6 +2236,34 @@ ORACLES: dict[str, str] = {
         )
         SELECT change_type, count(*) AS n_rows
         FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    "merge_upsert_orders": """
+        WITH base AS (
+            SELECT * FROM orders WHERE o_orderkey % 4 <> 0
+        ), upd AS (
+            SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+                   o_totalprice + 100.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), merged AS (
+            SELECT CASE
+                       WHEN b.o_orderkey IS NULL THEN 'inserted'
+                       WHEN u.o_orderkey IS NULL THEN 'kept'
+                       ELSE 'updated' END AS action,
+                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                        ELSE b.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                        ELSE b.o_totalprice END AS o_totalprice,
+                   (b.o_orderkey IS NOT NULL AND u.o_orderkey IS NOT NULL
+                    AND u.o_totalprice > 400000.0) AS del
+            FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        )
+        SELECT action AS "__merge_action", o_orderstatus,
+               count(*) AS n_rows,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_price
+        FROM merged WHERE NOT del
+        GROUP BY action, o_orderstatus ORDER BY action, o_orderstatus
     """,
     "events_funnel_steps": """
         WITH s0 AS (
