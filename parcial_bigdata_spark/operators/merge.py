@@ -20,9 +20,10 @@ semantics here are what that machinery wraps.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,4 +100,71 @@ def merge_upsert(
     return (
         joined.where(~F.col("__delete"))
         .select(*out_cols, action.alias("__merge_action"))
+    )
+
+
+def scd2_history(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from a change
+    event stream: one row per (key, attribute-state) VERSION with
+    ``valid_from`` / ``valid_to`` validity bounds, a 1-based
+    ``version`` counter, and an ``is_current`` flag on the open row.
+
+    The third table-maintenance primitive alongside ``snapshot_diff``
+    (detect) and ``merge_upsert`` (apply): where MERGE keeps only the
+    latest state, SCD-2 keeps every state with the interval it was
+    true for — the dimension-table shape every warehouse load needs
+    and the reference's append-only MySQL sink
+    (`/root/reference/lambda/subirDB.py:116`) approximates by never
+    deleting.
+
+    Semantics:
+    - events are ordered per key by (``ts_col``, *attr_cols) — the
+      attribute tiebreak makes simultaneous events deterministic
+      (each becomes its own zero-duration version)
+    - consecutive events with identical attributes (null-safe
+      comparison) collapse into the earlier version — re-stating the
+      same state is not a change
+    - ``valid_to`` is the NEXT version's ``valid_from``
+      (half-open intervals, NULL = still current)
+
+    Plan shape: ONE shuffle on the key.  Both window passes (change
+    detection, then validity/versioning over the filtered survivors)
+    share the same partitioning and ordering, so Catalyst plans a
+    single exchange + sort and the filter between them preserves both.
+    At 100 TB the key is the dimension's natural key — high
+    cardinality, no hot partitions — and nothing rides the shuffle
+    except the key, timestamp, and tracked attributes.
+    """
+    if not attr_cols:
+        raise ValueError("scd2_history: empty attr_cols")
+    missing = {key, ts_col, *attr_cols} - set(events.columns)
+    if missing:
+        raise ValueError(f"scd2_history: events missing columns: {sorted(missing)}")
+
+    w = Window.partitionBy(key).orderBy(ts_col, *attr_cols)
+    # lag over a literal distinguishes "first row of the key" from
+    # "previous attributes were all NULL" — eqNullSafe(NULL, NULL) is
+    # true, so an all-null first version would otherwise be dropped
+    is_first = F.lag(F.lit(1)).over(w).isNull()
+    unchanged = functools.reduce(
+        Column.__and__,
+        [F.col(c).eqNullSafe(F.lag(c).over(w)) for c in attr_cols],
+    )
+    changes = (
+        events.select(key, ts_col, *attr_cols)
+        .withColumn("__keep", is_first | ~unchanged)
+        .where(F.col("__keep"))
+    )
+    return changes.select(
+        key,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
     )

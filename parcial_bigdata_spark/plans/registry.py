@@ -23,6 +23,7 @@ from parcial_bigdata_spark.operators import (
     aggregations as agg_ops,
     analytics as ana_ops,
     dedup as dedup_ops,
+    graph as graph_ops,
     profiling as prof_ops,
     interval as interval_ops,
     joins as join_ops,
@@ -289,6 +290,41 @@ def q_merge_upsert(spark, sf_dir):
         )
         .orderBy("__merge_action", "o_orderstatus")
     )
+
+
+def q_pagerank(spark, sf_dir):
+    # part↔supplier sourcing graph from lineitem (both directions, so
+    # rank circulates); report the supplier side — "which suppliers sit
+    # at the center of the sourcing network"
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = F.concat(F.lit("p"), F.col("l_partkey")).alias("src")
+    s = F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst")
+    edges = li.select(p, s).unionByName(
+        li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+    )
+    pr = graph_ops.pagerank(edges, iterations=4)
+    return (
+        pr.where(F.col("node").startswith("s"))
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+def q_scd2_history(spark, sf_dir):
+    # SCD Type-2 dimension build: each customer's order stream is the
+    # change feed, (status, priority) the tracked attributes; sampled
+    # key slice keeps the certified result set compact
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    hist = merge_ops.scd2_history(
+        orders.select("o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority"),
+        "o_custkey",
+        "o_orderdate",
+        ["o_orderstatus", "o_orderpriority"],
+    )
+    return hist.orderBy("o_custkey", "version")
 
 
 def q_snapshot_diff(spark, sf_dir):
@@ -943,6 +979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": q_embedding_norms,
     "text_bm25_search": q_bm25_search,
     "merge_upsert_orders": q_merge_upsert,
+    "scd2_customer_history": q_scd2_history,
+    "pagerank_suppliers": q_pagerank,
 }
 
 
@@ -1043,6 +1081,53 @@ _ENTROPY_CTE_SQL = """
             GROUP BY doc_id, w
         ) GROUP BY doc_id
 """
+
+def _pagerank_oracle_sql(iterations: int) -> str:
+    """Unrolled DuckDB twin of ``graph.pagerank`` over the
+    part↔supplier sourcing graph: one CTE per power-iteration round,
+    same association everywhere — the teleport constant is written as
+    ``(1.0 - 0.85)`` because that is the double the operator computes
+    driver-side (a ``0.15`` literal is 1 ulp away)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        rounds.append(
+            f""", r{i} AS (
+            SELECT nodes.node,
+                   (1.0 - 0.85) / (SELECT n FROM nn)
+                   + 0.85 * coalesce(s.in_sum, 0.0) AS rank
+            FROM nodes LEFT JOIN (
+                SELECT e.dst AS node,
+                       sum({prev}.rank / deg.out_deg) AS in_sum
+                FROM e JOIN deg USING (src)
+                       JOIN {prev} ON {prev}.node = e.src
+                GROUP BY e.dst
+            ) s USING (node)
+        )"""
+        )
+        prev = f"r{i}"
+    return f"""
+        WITH e AS (
+            SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                   's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem
+            UNION
+            SELECT 's' || CAST(l_suppkey AS VARCHAR),
+                   'p' || CAST(l_partkey AS VARCHAR)
+            FROM lineitem
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), deg AS (
+            SELECT src, count(*) AS out_deg FROM e GROUP BY src
+        ), r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ){"".join(rounds)}
+        SELECT node, round(rank, 6) AS rank FROM {prev}
+        WHERE node LIKE 's%' ORDER BY node
+    """
+
 
 def _bpe_ctes_sql(n_merges: int) -> str:
     """Unrolled DuckDB twin of ``text.bpe_train_merges``: the same
@@ -2265,6 +2350,34 @@ ORACLES: dict[str, str] = {
         FROM merged WHERE NOT del
         GROUP BY action, o_orderstatus ORDER BY action, o_orderstatus
     """,
+    "scd2_customer_history": """
+        WITH ev AS (
+            SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+                   o_orderstatus, o_orderpriority
+            FROM orders WHERE o_custkey % 10 = 0
+        ), flagged AS (
+            SELECT *,
+                   (lag(1) OVER w IS NULL) AS is_first,
+                   (o_orderstatus IS NOT DISTINCT FROM lag(o_orderstatus) OVER w
+                    AND o_orderpriority IS NOT DISTINCT FROM
+                        lag(o_orderpriority) OVER w) AS unchanged
+            FROM ev
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY ts, o_orderstatus, o_orderpriority)
+        ), changes AS (
+            SELECT o_custkey, ts, o_orderstatus, o_orderpriority
+            FROM flagged WHERE is_first OR NOT unchanged
+        )
+        SELECT o_custkey, o_orderstatus, o_orderpriority,
+               ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               row_number() OVER w2 AS version,
+               (lead(ts) OVER w2 IS NULL) AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY o_custkey
+                      ORDER BY ts, o_orderstatus, o_orderpriority)
+        ORDER BY o_custkey, version
+    """,
     "events_funnel_steps": """
         WITH s0 AS (
             SELECT user_id, min(ts) AS t FROM events
@@ -2389,6 +2502,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
         FROM documents ORDER BY doc_id
     """,
+    "pagerank_suppliers": _pagerank_oracle_sql(4),
     "text_bpe_merges": _bpe_oracle_sql(8),
     "text_bpe_encode": _bpe_encode_oracle_sql(8),
     "text_bm25_search": _bm25_oracle_sql(text_ops.BM25_QUERY_TERMS),

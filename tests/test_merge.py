@@ -75,3 +75,78 @@ def test_merge_validates_schemas(spark):
         merge_upsert(base, base.select("k", "status"), "k")
     with pytest.raises(ValueError, match="update_cols"):
         merge_upsert(base, base, "k", update_cols=["nope"])
+
+
+# --- scd2_history ---------------------------------------------------
+
+from parcial_bigdata_spark.operators.merge import scd2_history  # noqa: E402
+
+
+def test_scd2_versions_and_validity(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "new"),
+            (1, "2024-01-02 00:00:00", "new"),      # re-stated: collapses
+            (1, "2024-01-03 00:00:00", "shipped"),
+            (2, "2024-01-05 00:00:00", "new"),
+        ],
+        "k long, ts string, status string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {
+        (r.k, r.version): r
+        for r in scd2_history(ev, "k", "ts", ["status"]).collect()
+    }
+    assert set(rows) == {(1, 1), (1, 2), (2, 1)}
+    v1, v2 = rows[(1, 1)], rows[(1, 2)]
+    assert v1.status == "new" and str(v1.valid_from).startswith("2024-01-01")
+    # valid_to is the NEXT version's valid_from — the Jan-2 restatement
+    # collapsed into v1, so v1 stays valid until the Jan-3 change
+    assert str(v1.valid_to).startswith("2024-01-03") and v1.is_current is False
+    assert v2.status == "shipped" and v2.valid_to is None and v2.is_current
+    assert rows[(2, 1)].is_current
+
+
+def test_scd2_simultaneous_events_are_deterministic_versions(spark):
+    # two different states at the same timestamp: attribute tiebreak
+    # orders them; the earlier becomes a zero-duration version
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 00:00:00", "b")],
+        "k long, ts string, status string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sorted(
+        scd2_history(ev, "k", "ts", ["status"]).collect(), key=lambda r: r.version
+    )
+    assert [r.status for r in rows] == ["a", "b"]
+    assert rows[0].valid_to == rows[1].valid_from and rows[1].is_current
+
+
+def test_scd2_all_null_first_version_survives(spark):
+    # eqNullSafe(NULL, lag=NULL) is true — the explicit first-row flag
+    # must keep an all-null opening version
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", None), (1, "2024-01-02 00:00:00", "x")],
+        "k long, ts string, status string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sorted(
+        scd2_history(ev, "k", "ts", ["status"]).collect(), key=lambda r: r.version
+    )
+    assert len(rows) == 2 and rows[0].status is None and rows[1].status == "x"
+
+
+def test_scd2_validates_inputs(spark):
+    ev = _base(spark)
+    with pytest.raises(ValueError, match="empty attr_cols"):
+        scd2_history(ev, "k", "price", [])
+    with pytest.raises(ValueError, match="missing columns"):
+        scd2_history(ev, "k", "price", ["nope"])
+
+
+def test_scd2_single_shuffle(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a")], "k long, ts string, status string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = (
+        scd2_history(ev, "k", "ts", ["status"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
