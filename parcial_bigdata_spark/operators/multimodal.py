@@ -195,6 +195,57 @@ def _decode_gif(content: bytes) -> dict | None:
     return {"width": w, "height": h, "channels": 3, "bit_depth": bit_depth}
 
 
+# JPEG frame-header (SOFn) marker values: C0-CF minus DHT (C4), JPG
+# extension (C8), and DAC (CC), per ITU T.81 table B.1.
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _decode_jpeg(content: bytes) -> dict | None:
+    """REAL JPEG header decode via a stdlib ``struct`` marker walk
+    (ITU T.81 §B): skip segments from SOI to the first SOFn frame
+    header, then read sample precision, geometry, and component count
+    from it.  Returns None for payloads that carry the JPEG magic but
+    whose marker stream is corrupt, ends, or reaches scan data (SOS)
+    or EOI before any frame header."""
+    import struct
+
+    if len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2  # standalone markers carry no length field
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: no header
+            return None
+        (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if marker in _JPEG_SOF:
+            # 2 len + 1 precision + 2 height + 2 width + 1 n_components
+            if seg_len < 8:
+                return None
+            precision = content[i + 4]
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            ncomp = content[i + 9]
+            if w == 0 or h == 0 or ncomp == 0:
+                return None
+            return {
+                "width": w, "height": h,
+                "channels": ncomp, "bit_depth": precision,
+            }
+        i += 2 + seg_len
+    return None
+
+
 def _decode_avi(content: bytes) -> dict | None:
     """REAL AVI (RIFF) header decode via stdlib ``struct``: walks the
     RIFF chunk tree (LIST chunks recurse into their children) to the
@@ -307,6 +358,8 @@ def _sniff_one(content: bytes | None) -> str | None:
         return "bmp"
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if content[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if len(content) >= 12 and content[4:8] == b"ftyp":
         return "mp4"
     return None
@@ -317,6 +370,7 @@ _DECODERS = {
     "png": _decode_png,
     "bmp": _decode_bmp,
     "gif": _decode_gif,
+    "jpeg": _decode_jpeg,
     "avi": _decode_avi,
     "mp4": _decode_mp4,
 }
@@ -328,10 +382,11 @@ def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
 
     Container headers decode FOR REAL on both paths, zero dependencies:
     WAV (stdlib ``wave`` — channels, sample rate, frames, sample width,
-    duration), PNG/BMP/GIF (stdlib ``struct`` — width, height, channels,
-    bit depth), AVI (RIFF walk — geometry, frame count, duration), and
-    MP4 (box walk — movie duration).  Payloads outside those containers
-    need PIL/ffmpeg (absent here):
+    duration), PNG/BMP/GIF/JPEG (stdlib ``struct`` — width, height,
+    channels, bit depth; JPEG via a T.81 marker walk to SOFn), AVI
+    (RIFF walk — geometry, frame count, duration), and MP4 (box walk —
+    movie duration).  Payloads outside those containers need
+    PIL/ffmpeg (absent here):
 
     - fake mode (default): the clearly-marked deterministic fake stands
       in; recognized-but-corrupt containers also fall through to it
@@ -367,7 +422,7 @@ def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                             "but its header does not decode"
                         )
                     raise NotImplementedError(
-                        "real decode for media outside wav/png/bmp/gif/"
+                        "real decode for media outside wav/png/bmp/gif/jpeg/"
                         "avi/mp4 requires PIL/ffmpeg; pass use_fake_decode=True"
                     )
                 else:
@@ -439,13 +494,15 @@ def _zero_bytes(n: int):
 def synth_image_corpus(documents: DataFrame) -> DataFrame:
     """Deterministic REAL image containers built from the documents
     table with pure built-in byte expressions (no UDF): ``doc_id``
-    picks the format round-robin (png/bmp/gif) and the pixel geometry
-    (width = 16 + doc_id % 64, height = 16 + doc_id*7 % 48).  The
-    payloads are genuine container headers — PNG magic + IHDR, BMP
-    file + BITMAPINFOHEADER, GIF89a logical screen descriptor — so
-    ``decode_media``'s REAL path parses them with the same stdlib
-    struct code an actual image corpus hits.  Fixed container sizes
-    (png 33 B, bmp 54 B, gif 13 B) make byte accounting oracle-exact."""
+    picks the format round-robin (png/bmp/gif/jpeg) and the pixel
+    geometry (width = 16 + doc_id % 64, height = 16 + doc_id*7 % 48).
+    The payloads are genuine container headers — PNG magic + IHDR, BMP
+    file + BITMAPINFOHEADER, GIF89a logical screen descriptor, JPEG
+    SOI + APP0(JFIF) + SOF0 (so the decoder's marker walk actually
+    walks) — and ``decode_media``'s REAL path parses them with the
+    same stdlib struct code an actual image corpus hits.  Fixed
+    container sizes (png 33 B, bmp 54 B, gif 13 B, jpeg 39 B) make
+    byte accounting oracle-exact."""
     w = (F.lit(16) + F.col("doc_id") % 64).cast("bigint")
     h = (F.lit(16) + (F.col("doc_id") * 7) % 48).cast("bigint")
     png = F.concat(
@@ -469,12 +526,23 @@ def synth_image_corpus(documents: DataFrame) -> DataFrame:
         _le_bytes(w, 2), _le_bytes(h, 2),
         F.unhex(F.lit("700000")),                # packed: no GCT, res 8; bg, aspect
     )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")),                  # SOI
+        # APP0/JFIF (len 16): the walk must SKIP a segment to reach SOF
+        F.unhex(F.lit("FFE000104A4649460001010000010001 0000".replace(" ", ""))),
+        F.unhex(F.lit("FFC0001108")),            # SOF0, len 17, precision 8
+        _be_bytes(h, 2), _be_bytes(w, 2),        # T.81: HEIGHT before width
+        F.unhex(F.lit("03011100021101031101")),  # 3 components (YCbCr)
+    )
     fmt = F.element_at(
-        F.array(F.lit("png"), F.lit("bmp"), F.lit("gif")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+        F.array(F.lit("png"), F.lit("bmp"), F.lit("gif"), F.lit("jpeg")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
     )
     content = (
-        F.when(fmt == "png", png).when(fmt == "bmp", bmp).otherwise(gif)
+        F.when(fmt == "png", png)
+        .when(fmt == "bmp", bmp)
+        .when(fmt == "gif", gif)
+        .otherwise(jpeg)
     )
     return documents.select(
         F.col("doc_id").cast("long").alias("media_id"),

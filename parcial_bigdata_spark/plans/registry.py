@@ -2728,27 +2728,27 @@ ORACLES: dict[str, str] = {
         FROM documents GROUP BY source ORDER BY source
     """,
     "multimodal_image_decode": """
-        -- The Spark side synthesizes GENUINE png/bmp/gif container bytes
-        -- from doc_id and decodes them with the REAL stdlib-struct header
-        -- parsers (no fakes on that path); the oracle replicates the
-        -- construction arithmetic, pinning every decoded width/height/
-        -- bit-depth/channel/byte value end-to-end.  Container sizes are
-        -- fixed by construction: png 33 B, bmp 54 B, gif 13 B.
+        -- The Spark side synthesizes GENUINE png/bmp/gif/jpeg container
+        -- bytes from doc_id and decodes them with the REAL stdlib-struct
+        -- header parsers (no fakes on that path); the oracle replicates
+        -- the construction arithmetic, pinning every decoded width/
+        -- height/bit-depth/channel/byte value end-to-end.  Container
+        -- sizes fixed by construction: png 33 B, bmp 54 B, gif 13 B,
+        -- jpeg 39 B (SOI + APP0/JFIF + SOF0).
         SELECT fmt AS format, count(*) AS n_images,
                CAST(sum(w) AS BIGINT) AS sum_width,
                CAST(sum(h) AS BIGINT) AS sum_height,
                CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
                min(bd) AS bit_depth, min(ch) AS channels
         FROM (
-            SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                        ELSE 'gif' END AS fmt,
+            SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
                    16 + doc_id % 64 AS w,
                    16 + (doc_id * 7) % 48 AS h,
-                   CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54
-                        ELSE 13 END AS nbytes,
-                   CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 24
-                        ELSE 8 END AS bd,
-                   CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS ch
+                   CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 54
+                        WHEN 2 THEN 13 ELSE 39 END AS nbytes,
+                   CASE doc_id % 4 WHEN 1 THEN 24 ELSE 8 END AS bd,
+                   CASE doc_id % 4 WHEN 0 THEN 4 ELSE 3 END AS ch
             FROM documents
         ) GROUP BY fmt ORDER BY format
     """,

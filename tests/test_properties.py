@@ -536,7 +536,7 @@ def test_media_header_decoders_total_on_arbitrary_bytes(payload):
     from parcial_bigdata_spark.operators import multimodal as mm
 
     fmt = mm._sniff_one(payload)
-    assert fmt in (None, "wav", "png", "bmp", "gif", "avi", "mp4")
+    assert fmt in (None, "wav", "png", "bmp", "gif", "jpeg", "avi", "mp4")
     if fmt is not None:
         meta = mm._DECODERS[fmt](payload)
         if meta is not None:
@@ -545,7 +545,7 @@ def test_media_header_decoders_total_on_arbitrary_bytes(payload):
             assert meta["bit_depth"] is None or meta["bit_depth"] >= 1
 
 
-@given(payload=st.binary(min_size=0, max_size=64), fmt_seed=st.integers(0, 5))
+@given(payload=st.binary(min_size=0, max_size=64), fmt_seed=st.integers(0, 6))
 @settings(**_SETTINGS)
 def test_media_header_decoders_total_on_magic_prefixed_bytes(payload, fmt_seed):
     """Same totality property with the format magic FORCED onto random
@@ -560,6 +560,7 @@ def test_media_header_decoders_total_on_magic_prefixed_bytes(payload, fmt_seed):
         b"RIFF\x10\x00\x00\x00WAVE",
         b"RIFF\x10\x00\x00\x00AVI ",
         b"\x00\x00\x00\x10ftyp",
+        b"\xff\xd8\xff",
     ][fmt_seed]
     content = magic + payload
     fmt = mm._sniff_one(content)

@@ -317,6 +317,23 @@ def _make_gif(w: int, h: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\x70\x00\x00"
 
 
+def _make_jpeg(
+    w: int, h: int, n_comp: int = 3, precision: int = 8, sof: int = 0xC0
+) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof_seg = (
+        bytes([0xFF, sof])
+        + struct.pack(">H", 8 + 3 * n_comp)
+        + bytes([precision])
+        + struct.pack(">HH", h, w)  # T.81: height first
+        + bytes([n_comp])
+        + bytes(3 * n_comp)
+    )
+    return b"\xff\xd8" + app0 + sof_seg
+
+
 def test_decode_media_image_real_codec_golden(spark):
     """PNG/BMP/GIF headers decode FOR REAL (stdlib struct — round-7
     verdict item 3, mirroring the WAV pattern): width, height, channel
@@ -328,6 +345,10 @@ def test_decode_media_image_real_codec_golden(spark):
         (3, _make_bmp(1024, 768), "image/bmp", "s"),
         (4, _make_bmp(33, -44, bpp=8), "image/bmp", "s"),  # top-down rows
         (5, _make_gif(320, 200), "image/gif", "s"),
+        (6, _make_jpeg(1920, 1080), "image/jpeg", "s"),
+        # progressive (SOF2), grayscale, 12-bit: the marker walk must
+        # accept any SOFn and read precision/components from it
+        (7, _make_jpeg(99, 44, n_comp=1, precision=12, sof=0xC2), "image/jpeg", "s"),
     ]
     media = spark.createDataFrame(
         rows, "media_id long, content binary, media_type string, source string"
@@ -347,6 +368,10 @@ def test_decode_media_image_real_codec_golden(spark):
         assert (out[4].channels, out[4].bit_depth) == (1, 8)  # indexed
         assert (out[5].width, out[5].height) == (320, 200)
         assert (out[5].channels, out[5].bit_depth) == (3, 8)
+        assert (out[6].width, out[6].height) == (1920, 1080)
+        assert (out[6].channels, out[6].bit_depth) == (3, 8)  # YCbCr
+        assert (out[7].width, out[7].height) == (99, 44)
+        assert (out[7].channels, out[7].bit_depth) == (1, 12)  # gray 12-bit
         # image rows carry no audio metadata
         assert out[1].sample_rate is None and out[1].duration_ms is None
         assert out[1].byte_len == len(rows[0][1])
@@ -365,6 +390,10 @@ def test_decode_media_corrupt_image_fuzz(spark):
         (5, _make_bmp(8, 8)[:26] + b"\x00\x00\x18\x00", "t"),  # planes=0
         (6, _make_gif(0, 0), "t"),                            # zero canvas
         (7, b"GIF89a\x01", "t"),                              # truncated descriptor
+        (8, b"\xff\xd8\xff\xd9", "t"),                        # EOI before any SOF
+        (9, _make_jpeg(0, 8), "t"),                           # zero width
+        (10, _make_jpeg(8, 8)[:24], "t"),                     # truncated SOF
+        (11, b"\xff\xd8\xff\xda\x00\x04\x00\x00", "t"),       # SOS before SOF
     ]
     bad = spark.createDataFrame(
         [(i, c, "image/x", s) for i, c, s in corrupt],
@@ -375,7 +404,7 @@ def test_decode_media_corrupt_image_fuzz(spark):
         assert decoded[i].sample_rate is None and decoded[i].width > 0, i
     for i, _, _ in corrupt:
         one = bad.where(f"media_id = {i}")
-        with pytest.raises(Exception, match="unparseable (png|bmp|gif)"):
+        with pytest.raises(Exception, match="unparseable (png|bmp|gif|jpeg)"):
             mm.decode_media(one, use_fake_decode=False).collect()
 
 
@@ -400,11 +429,11 @@ def test_synth_image_corpus_real_roundtrip(spark, documents):
             mm.synth_image_corpus(documents), use_fake_decode=False
         ).collect()
     }
-    sizes = {"png": 33, "bmp": 54, "gif": 13}
-    meta = {"png": (4, 8), "bmp": (3, 24), "gif": (3, 8)}
+    sizes = {"png": 33, "bmp": 54, "gif": 13, "jpeg": 39}
+    meta = {"png": (4, 8), "bmp": (3, 24), "gif": (3, 8), "jpeg": (3, 8)}
     for doc_id in (1, 2, 3, 4, 5):
         r = decoded[doc_id]
-        fmt = ["png", "bmp", "gif"][doc_id % 3]
+        fmt = ["png", "bmp", "gif", "jpeg"][doc_id % 4]
         assert r.media_type == fmt
         assert (r.width, r.height) == (16 + doc_id % 64, 16 + doc_id * 7 % 48)
         assert (r.channels, r.bit_depth) == meta[fmt]
