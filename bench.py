@@ -277,10 +277,11 @@ def _tail_exponent(sizes, secs):
 
 def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
     from parcial_bigdata_spark.operators import dedup as D
+    from parcial_bigdata_spark.operators import graph as G
     from parcial_bigdata_spark.operators import sampling as S
 
     timings: dict[str, float] = {}
-    detail: dict = {"cc": {}, "leakage_split": {}}
+    detail: dict = {"cc": {}, "leakage_split": {}, "pagerank": {}}
 
     # Session warm-up (JIT, codegen, Arrow Python workers — otherwise
     # the x1 point absorbs the cold start and inverts the fit) happens
@@ -344,6 +345,30 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
         }
     detail["leakage_split"]["exponent"] = _fit_exponent(sp_sizes, sp_secs)
     detail["leakage_split"]["exponent_tail"] = _tail_exponent(sp_sizes, sp_secs)
+
+    # PageRank: fixed 3 power iterations over the same synthetic edge
+    # sets as the CC probe — per-iteration work is strictly ∝ edges
+    # (one ranks-onto-edges join + one in-sum groupBy + one vertex-set
+    # left join), so unlike CC there is no round-count axis to divide
+    # out; the raw exponent IS the per-edge signal.
+    pr_secs, pr_sizes = [], []
+    for s in _GRAPH_SCALES:
+        edges = _cc_edges(spark, _CC_BASE_EDGES * s).persist()
+        n_real = edges.count()
+        t0 = time.perf_counter()
+        n_nodes = G.pagerank(
+            edges, src="doc_a", dst="doc_b", iterations=3
+        ).count()
+        el = round(time.perf_counter() - t0, 3)
+        edges.unpersist()
+        timings[f"pagerank_scale_x{s}"] = el
+        pr_secs.append(el)
+        pr_sizes.append(n_real)
+        detail["pagerank"][f"x{s}"] = {
+            "edges": n_real, "nodes": n_nodes, "sec": el,
+        }
+    detail["pagerank"]["exponent"] = _fit_exponent(pr_sizes, pr_secs)
+    detail["pagerank"]["exponent_tail"] = _tail_exponent(pr_sizes, pr_secs)
     return timings, detail
 
 
