@@ -292,6 +292,10 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_ewma_smooth(spark, sf_dir):
+    return win_ops.ewma_smooth(_t(spark, sf_dir, "events")).orderBy("event_id")
+
+
 def q_pagerank(spark, sf_dir):
     # part↔supplier sourcing graph from lineitem (both directions, so
     # rank circulates); report the supplier side — "which suppliers sit
@@ -981,6 +985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_orders": q_merge_upsert,
     "scd2_customer_history": q_scd2_history,
     "pagerank_suppliers": q_pagerank,
+    "window_ewma_smooth": q_ewma_smooth,
 }
 
 
@@ -1081,6 +1086,34 @@ _ENTROPY_CTE_SQL = """
             GROUP BY doc_id, w
         ) GROUP BY doc_id
 """
+
+def _ewma_oracle_sql(alpha: float = 0.3, k: int = 8) -> str:
+    """Generated twin of ``windows.ewma_smooth``: the same truncated
+    FIR tap chain in exact DECIMAL arithmetic — value recovered at
+    DECIMAL(18,2), weights as the identical terminating-decimal
+    literals the operator computes, round(6) in decimal space, double
+    only at the output edge (the ``money_sum`` oracle pattern)."""
+    from decimal import Decimal
+
+    a = Decimal(repr(alpha))
+    one_minus = Decimal(1) - a
+    terms = []
+    for j in range(k):
+        weight = a * one_minus**j
+        # j = 0 still coalesces: a NULL value must contribute 0 to the
+        # smoothed series exactly as a missing lag does (operator parity)
+        lagged = "v" if j == 0 else f"lag(v, {j}) OVER w"
+        terms.append(f"coalesce({lagged}, CAST(0 AS DECIMAL(18,2))) * {weight}")
+    chain = "\n                 + ".join(terms)
+    return f"""
+        SELECT event_id, user_id, ts, value,
+               CAST(round({chain}, 6) AS DOUBLE) AS ewma,
+               CAST(round(v - ({chain}), 6) AS DOUBLE) AS deviation
+        FROM (SELECT *, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """
+
 
 def _pagerank_oracle_sql(iterations: int) -> str:
     """Unrolled DuckDB twin of ``graph.pagerank`` over the
@@ -2503,6 +2536,7 @@ ORACLES: dict[str, str] = {
         FROM documents ORDER BY doc_id
     """,
     "pagerank_suppliers": _pagerank_oracle_sql(4),
+    "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
     "text_bpe_merges": _bpe_oracle_sql(8),
     "text_bpe_encode": _bpe_encode_oracle_sql(8),
     "text_bm25_search": _bm25_oracle_sql(text_ops.BM25_QUERY_TERMS),

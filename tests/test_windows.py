@@ -171,3 +171,59 @@ def test_revenue_share_window_is_post_aggregation(spark):
         "o_orderkey long, o_custkey long, o_orderstatus string, "
         "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
     assert _window_sits_above_aggregate(revenue_share_by_priority(df))
+
+
+# ------------------------------------------------------------- ewma
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 0, m), u, "t", v, "{}")
+         for i, (m, u, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+
+
+def test_ewma_hand_computed(spark):
+    # alpha=0.5, k=2: weights 0.5, 0.25 — truncated, no renormalization
+    out = {
+        r.event_id: r
+        for r in win.ewma_smooth(
+            _ev(spark, [(0, 7, 10.0), (1, 7, 20.0), (2, 7, 40.0)]),
+            alpha=0.5, k=2,
+        ).collect()
+    }
+    assert out[0].ewma == pytest.approx(5.0)           # 0.5·10 (no lag)
+    assert out[1].ewma == pytest.approx(12.5)          # 0.5·20 + 0.25·10
+    assert out[2].ewma == pytest.approx(25.0)          # 0.5·40 + 0.25·20
+    assert out[2].deviation == pytest.approx(15.0)     # 40 − 25
+
+
+def test_ewma_per_user_isolation_and_null_value(spark):
+    # users never see each other's history; NULL value contributes 0
+    out = {
+        r.event_id: r
+        for r in win.ewma_smooth(
+            _ev(spark, [(0, 1, 8.0), (1, 2, 100.0), (2, 1, None)]),
+            alpha=0.5, k=2,
+        ).collect()
+    }
+    assert out[1].ewma == pytest.approx(50.0)          # user 2 sees only itself
+    assert out[2].ewma == pytest.approx(2.0)           # 0.5·0 + 0.25·8
+    assert out[2].deviation is None                    # NULL value − ewma
+
+
+def test_ewma_single_window_pass(spark):
+    plan = (
+        win.ewma_smooth(_ev(spark, [(0, 1, 1.0)]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_ewma_validates_inputs(spark):
+    df = _ev(spark, [(0, 1, 1.0)])
+    with pytest.raises(ValueError, match="alpha"):
+        win.ewma_smooth(df, alpha=1.0)
+    with pytest.raises(ValueError, match="k must"):
+        win.ewma_smooth(df, k=0)
