@@ -21,6 +21,150 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edge set as (u, v) with u < v; self-loops and
+    null endpoints dropped.  Input direction and duplicates are
+    irrelevant to triangle structure."""
+    missing = {src, dst} - set(edges.columns)
+    if missing:
+        raise ValueError(f"triangles: edges missing columns: {sorted(missing)}")
+    s, d = F.col(src), F.col(dst)
+    return (
+        edges.where(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .distinct()
+    )
+
+
+def _triangles(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(ed, deg, oriented, corners) of the undirected graph; the first
+    three are ``iter_checkpoint``-materialized (each is reused 2-3
+    times downstream — without the lineage cut the co-purchase edge
+    build replans once per reuse and the physical tree explodes).
+
+    Degree-ordered orientation (the standard distributed triangle plan,
+    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): each edge points from its lower endpoint to
+    its higher endpoint under the total order (degree, node).  Every
+    node's out-degree is then O(√m), so the wedge self-join — the only
+    quadratic step — is bounded by Σ C(out-deg, 2) = O(m^1.5) total and
+    never explodes on a hub node.  The wedge→edge existence probe is a
+    plain shuffle hash join on the (x, y) pair key.  Each triangle is
+    enumerated exactly once as a→x, a→y, x→y with π(a) < π(x) < π(y).
+    """
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    ed = iter_checkpoint(_canonical_undirected(edges, src, dst))
+    deg = iter_checkpoint(
+        ed.select(F.col("u").alias("node"))
+        .unionByName(ed.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    with_deg = ed.join(
+        deg.select(F.col("node").alias("u"), F.col("__deg").alias("__du")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("__deg").alias("__dv")), "v")
+    ku = F.struct(F.col("__du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("__dv").alias("d"), F.col("v").alias("n"))
+    u_first = ku < kv
+    oriented = iter_checkpoint(
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_first, kv).otherwise(ku).alias("__kb"),
+        )
+    )
+    wedges = (
+        oriented.select("a", F.col("b").alias("x"), F.col("__kb").alias("__kx"))
+        .join(
+            oriented.select(
+                "a", F.col("b").alias("y"), F.col("__kb").alias("__ky")
+            ),
+            "a",
+        )
+        .where(F.col("__kx") < F.col("__ky"))
+        .select("a", "x", "y")
+    )
+    corners = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select("a", "x", "y")
+    return ed, deg, oriented, corners
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Single-row global triangle census of an undirected graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    n_wedges = Σ C(deg, 2) (length-2 paths) and clustering is the
+    global clustering coefficient 3·T / wedges.
+
+    All three inputs to the final row are single-row aggregates, so the
+    closing cross joins move one row each — no driver action anywhere.
+    The returned frame is eagerly materialized (it is one row) and the
+    intermediate edge/degree/orientation blocks are released.
+    """
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    ed, deg, oriented, corners = _triangles(edges, src, dst)
+    edge_count = ed.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("__deg * (__deg - 1) DIV 2")).alias("n_wedges"),
+    )
+    tri_count = corners.agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = iter_checkpoint(
+        node_stats.crossJoin(F.broadcast(edge_count))
+        .crossJoin(F.broadcast(tri_count))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")).alias(
+                "clustering"
+            ),
+        )
+    )
+    for frame in (ed, deg, oriented):
+        release_checkpoint(frame)
+    return out
+
+
+def node_triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles) — per-node triangle participation (each
+    triangle credits all three corners).  Nodes in no triangle are
+    absent; callers left-join against their vertex set if they need
+    zeros.  The corner explode is row-local; the closing groupBy is a
+    map-side-combining count on the node key.  The returned frame
+    (≤ |V| rows — node + count only) is eagerly materialized and the
+    intermediate blocks released."""
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    ed, deg, oriented, corners = _triangles(edges, src, dst)
+    out = iter_checkpoint(
+        corners.select(
+            F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    for frame in (ed, deg, oriented):
+        release_checkpoint(frame)
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

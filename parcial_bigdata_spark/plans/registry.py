@@ -317,6 +317,31 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def _copurchase_edges(spark, sf_dir):
+    # co-purchase graph: two parts are linked when some order contains
+    # both.  Pair generation is keyed by order (TPC-H orders hold ≤7
+    # lines), so the per-key fanout is constant — scale-safe even
+    # though the resulting graph is dense.
+    op = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    return a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst")
+
+
+def q_triangle_stats(spark, sf_dir):
+    return graph_ops.triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+def q_triangle_nodes(spark, sf_dir):
+    # top 10 parts by triangle participation — the densest neighborhoods
+    # of the co-purchase graph; (count desc, node asc) is a total order
+    return (
+        graph_ops.node_triangle_counts(_copurchase_edges(spark, sf_dir))
+        .orderBy(F.col("n_triangles").desc(), F.col("node"))
+        .limit(10)
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     # SCD Type-2 dimension build: each customer's order stream is the
     # change feed, (status, priority) the tracked attributes; sampled
@@ -391,6 +416,22 @@ def q_streaming_hourly_rollup(spark, sf_dir):
 
     tune_runtime(spark)
     return hourly_rollup_available_now(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def q_streaming_click_attribution(spark, sf_dir):
+    """Third real-streaming oracle query: a watermarked STREAM-STREAM
+    interval self-join (purchase ← clicks within 1 day) under
+    AvailableNow must emit exactly the batch interval join."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import (
+        click_attribution_available_now,
+    )
+
+    tune_runtime(spark)
+    return click_attribution_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
 
 
 def q_all_party_keys(spark, sf_dir):
@@ -986,6 +1027,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_customer_history": q_scd2_history,
     "pagerank_suppliers": q_pagerank,
     "window_ewma_smooth": q_ewma_smooth,
+    "graph_triangle_stats": q_triangle_stats,
+    "graph_triangle_nodes": q_triangle_nodes,
+    "streaming_click_attribution": q_streaming_click_attribution,
 }
 
 
@@ -2276,6 +2320,22 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    # the stream-stream interval join emits every match on a bounded
+    # replay — the oracle is the plain batch interval join.  The self
+    # join goes through a CTE so the module-level "FROM events"
+    # microsecond-cast rewrite applies exactly once (a bare aliased
+    # self-join would collide with the rewrite's own table alias).
+    "streaming_click_attribution": """
+        WITH ev AS (SELECT * FROM events)
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM ev p JOIN ev c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
+        ORDER BY purchase_id, click_id
+    """,
     "setop_status_bag_overlap": """
         WITH b1 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1995),
              b2 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1996),
@@ -2537,6 +2597,43 @@ ORACLES: dict[str, str] = {
     """,
     "pagerank_suppliers": _pagerank_oracle_sql(4),
     "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
+    "graph_triangle_stats": """
+        -- global triangle census of the part co-purchase graph; the
+        -- Spark side enumerates via degree-ordered orientation, the
+        -- oracle via the id-ordered 3-way join — same triangle set
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        d AS (SELECT node, count(*) AS deg
+              FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node),
+        tri AS (SELECT count(*) AS t FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT (SELECT count(*) FROM d) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                   AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               3.0 * (SELECT t FROM tri)
+                   / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                   AS clustering
+    """,
+    "graph_triangle_nodes": """
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        tri AS (SELECT e1.u AS a, e1.v AS x, e2.v AS y FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT node, count(*) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri)
+        GROUP BY node
+        ORDER BY n_triangles DESC, node
+        LIMIT 10
+    """,
     "text_bpe_merges": _bpe_oracle_sql(8),
     "text_bpe_encode": _bpe_encode_oracle_sql(8),
     "text_bm25_search": _bm25_oracle_sql(text_ops.BM25_QUERY_TERMS),

@@ -105,18 +105,24 @@ def streaming_sessionize(
     )
 
 
-def _run_available_now(spark, events_parquet: str, transform, name: str) -> DataFrame:
+def _run_available_now(
+    spark, events_parquet: str, transform, name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Run ``transform(stream)`` as a REAL structured-streaming query
     (file-stream source over the events parquet, Trigger.AvailableNow,
-    complete-mode memory sink) and return the final table — proof that
-    a streaming twin converges to the batch answer on a bounded input,
+    memory sink) and return the final table — proof that a streaming
+    twin converges to the batch answer on a bounded input,
     hash-checkable against the batch operator's SQL oracle.
 
-    Complete mode emits every window at termination regardless of the
-    watermark, so on a finite replay the result is exactly the batch
-    group-by.  The memory sink is the test/driver harness sink; a
-    production deployment writes the same query to Kafka/Delta with the
-    same AvailableNow cadence (checkpointed, restart-safe)."""
+    Complete mode (aggregations) emits every window at termination
+    regardless of the watermark, so on a finite replay the result is
+    exactly the batch group-by.  Stream-stream JOINS support append
+    only — inner join matches are emitted as found, so on a bounded
+    replay the appended table is exactly the batch join.  The memory
+    sink is the test/driver harness sink; a production deployment
+    writes the same query to Kafka/Delta with the same AvailableNow
+    cadence (checkpointed, restart-safe)."""
     import os
     import tempfile
 
@@ -140,13 +146,80 @@ def _run_available_now(spark, events_parquet: str, transform, name: str) -> Data
             transform(stream)
             .writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_click_attribution(
+    events: DataFrame, lookback: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (last-mile attribution):
+    each purchase joins every click by the same user in the
+    ``lookback`` window ending at the purchase.  Both sides carry an
+    event-time watermark and the join condition bounds click age
+    relative to purchase time, so Spark derives a state-retention bound
+    for each side — click state is evicted once the purchase-side
+    watermark passes click_ts + lookback, purchase state once the
+    click-side watermark passes purchase_ts.  State is O(lookback
+    window of traffic), not O(stream history) — the property that lets
+    the join run forever.  Inner stream-stream joins are append-mode:
+    matches emit as soon as both rows exist, never retracted.
+
+    Self-join shape: both sides are event-type slices of ONE source
+    stream (the supported stream-stream self-join pattern) — no second
+    scan of the source.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = click_user
+                AND click_ts BETWEEN purchase_ts - INTERVAL {lookback}
+                                 AND purchase_ts"""
+        ),
+        "inner",
+    ).select(
+        "user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts",
+    )
+
+
+def click_attribution_available_now(
+    spark, events_parquet: str, lookback: str = "1 day"
+) -> DataFrame:
+    """streaming_click_attribution under AvailableNow (append-mode
+    memory sink): on a bounded replay every match is emitted, so the
+    result is exactly the batch interval join — its SQL oracle."""
+    return _run_available_now(
+        spark,
+        events_parquet,
+        lambda st: streaming_click_attribution(st, lookback=lookback),
+        "stream_click_attribution_result",
+        output_mode="append",
+    ).orderBy("purchase_id", "click_id")
 
 
 def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:

@@ -52,3 +52,69 @@ def test_pagerank_validates_inputs(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError, match="missing columns"):
         pagerank(e, src="nope")
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+from parcial_bigdata_spark.operators.graph import (  # noqa: E402
+    node_triangle_counts,
+    triangle_stats,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_triangle_stats_hand_computed(spark):
+    # K4 minus one edge (a-b, a-c, a-d, b-c, b-d): 2 triangles
+    # degrees: a=3 b=3 c=2 d=2 → wedges = 3+3+1+1 = 8; clustering = 6/8
+    e = _edges(
+        spark, [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    )
+    row = triangle_stats(e).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4, 5, 8, 2,
+    )
+    assert row.clustering == 3.0 * 2 / 8
+
+
+def test_triangle_counts_per_node(spark):
+    # triangles abc and abd share edge a-b: a,b in 2 each; c,d in 1
+    e = _edges(
+        spark, [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")]
+    )
+    counts = {r.node: r.n_triangles for r in node_triangle_counts(e).collect()}
+    assert counts == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_input_noise_ignored(spark):
+    # duplicates, reversed direction, self-loops, and nulls change nothing
+    e = _edges(
+        spark,
+        [
+            ("a", "b"), ("b", "a"), ("a", "b"),
+            ("b", "c"), ("c", "a"),
+            ("a", "a"), (None, "b"), ("c", None),
+        ],
+    )
+    row = triangle_stats(e).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (3, 3, 1)
+
+
+def test_triangle_free_graph(spark):
+    # a path has wedges but no triangles; clustering is exactly 0
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    row = triangle_stats(e).collect()[0]
+    assert row.n_triangles == 0 and row.clustering == 0.0
+    assert node_triangle_counts(e).count() == 0
+
+
+def test_triangle_validates_columns(spark):
+    import pytest as _pt
+
+    e = _edges(spark, [("a", "b")])
+    with _pt.raises(ValueError, match="missing columns"):
+        triangle_stats(e, src="nope")

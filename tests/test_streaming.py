@@ -461,3 +461,50 @@ def test_bounded_backlog_drain_matches_single_batch(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "silver_bounded")).count() == bounded.count()
+
+
+def test_stream_stream_click_attribution_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval self-join: a purchase picks up
+    exactly the same-user clicks in the lookback window (boundary
+    inclusive on both ends), never clicks after it, never other users'.
+    Append-mode emission on a bounded replay equals the batch join."""
+    d = tmp_path / "attrib"
+    d.mkdir()
+    base = dt.datetime(2025, 1, 1, 10, 0, 0)
+
+    def iso(minute):
+        return (base + dt.timedelta(minutes=minute)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    _write_events_json(
+        d / "ev.json",
+        [
+            {"event_id": 1, "user_id": 1, "ts": iso(0), "event_type": "click", "value": 0.0},
+            # exactly lookback (60 min) before the purchase — inclusive
+            {"event_id": 2, "user_id": 1, "ts": iso(30), "event_type": "click", "value": 0.0},
+            {"event_id": 3, "user_id": 1, "ts": iso(90), "event_type": "purchase", "value": 9.0},
+            # click AFTER the purchase — excluded
+            {"event_id": 4, "user_id": 1, "ts": iso(91), "event_type": "click", "value": 0.0},
+            # same window, different user — excluded
+            {"event_id": 5, "user_id": 2, "ts": iso(80), "event_type": "click", "value": 0.0},
+            # click at purchase instant — inclusive
+            {"event_id": 6, "user_id": 2, "ts": iso(95), "event_type": "click", "value": 0.0},
+            {"event_id": 7, "user_id": 2, "ts": iso(95), "event_type": "purchase", "value": 7.0},
+        ],
+    )
+    out = sw.streaming_click_attribution(
+        _stream_events(spark, d), lookback="60 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from attrib").collect()
+    }
+    assert got == {(3, 2), (7, 5), (7, 6)}
