@@ -356,3 +356,108 @@ def read_pruned(
     partition column is resolved against directory metadata — pruned
     partitions are never listed, opened, or read."""
     return spark.read.parquet(path).where(F.col(partition_col) == F.lit(value))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering: multi-dimensional data layout
+# ---------------------------------------------------------------------------
+
+def zorder_expr_sql(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave (Morton) expression for two non-negative integer
+    columns, as a SQL string valid in BOTH Spark SQL and DuckDB (the
+    oracle shares this builder, so engine and oracle cannot drift):
+    z = Σ_i  bit_i(x)·4^i + 2·bit_i(y)·4^i.  Only +, & and * appear —
+    ``(x & 2^i) · 2^i`` lands bit i of x on bit 2i, ``(y & 2^i) ·
+    2^(i+1)`` lands bit i of y on bit 2i+1 — exact bigint arithmetic in
+    both dialects (no division, no dialect-specific operator); the
+    disjoint-bit sum equals the OR.
+
+    Only the low ``bits`` bits of each input participate: callers pick
+    ``bits`` to cover the key range (16 bits = 65536 distinct cells per
+    dimension — plenty for file-level clustering; equal-cell rows
+    simply co-locate).
+    """
+    if bits < 1 or bits > 31:
+        raise ValueError("zorder: bits must be in [1, 31]")
+    # inputs go through BIGINT up front: bit 15 of x lands on bit 30 —
+    # already past INT32 — and both dialects would otherwise evaluate
+    # (or overflow-check) the * in 32-bit when the column is an INT
+    xb, yb = f"CAST({x} AS BIGINT)", f"CAST({y} AS BIGINT)"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xb} & {1 << i}) * {1 << i})")
+        terms.append(f"(({yb} & {1 << i}) * {1 << (i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "__zkey"
+) -> DataFrame:
+    """Adds a Morton z-key column interleaving two integer dimensions.
+    Stays entirely inside whole-stage codegen (pure integer expression,
+    no UDF)."""
+    if len(cols) != 2:
+        raise ValueError("zorder_key: exactly 2 cluster columns supported")
+    missing = set(cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"zorder_key: missing columns: {sorted(missing)}")
+    return df.withColumn(out_col, F.expr(zorder_expr_sql(cols[0], cols[1], bits)))
+
+
+def write_zorder_clustered(
+    df: DataFrame, cols: list[str], path: str,
+    target_files: int = 32, bits: int = 16,
+) -> None:
+    """Writes ``df`` z-order-clustered on two dimensions: range
+    partition by z-key (each output file owns a contiguous z-range ≈ a
+    square tile of the 2-D key space), sort by z-key within files so
+    row-group stats are tight too.  A filter on EITHER dimension then
+    prunes most files from parquet min/max footer stats alone — the
+    property a 100 TB table needs when queries filter on more than one
+    column (a linear sort gives pruning on its leading column only).
+    """
+    z = zorder_key(df, cols, bits)
+    (
+        z.repartitionByRange(target_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_pruning_stats(
+    df: DataFrame, cols: list[str], bits: int = 16, bucket_bits: int = 6
+) -> DataFrame:
+    """Per-z-bucket census over 2^bucket_bits contiguous ranges of the
+    OCCUPIED z-space: (bucket, n_rows, min/max of each dimension).  The
+    tightness of both dimensions' min/max spans inside every bucket IS
+    the z-order pruning property, made measurable as a query result.
+
+    Buckets are relative to max(z)+1 — not absolute 2·bits-wide z-space
+    — so small key domains (which occupy only the low z bits) still
+    spread across all buckets; the bound travels as a broadcast
+    single-row aggregate and the bucket index is exact integer
+    arithmetic (z·n DIV bound), never a double divide."""
+    if not 0 < bucket_bits <= 2 * bits:
+        raise ValueError("zorder_pruning_stats: bucket_bits out of range")
+    z = zorder_key(df, cols, bits)
+    zmax = z.agg((F.max("__zkey") + 1).alias("__zbound"))
+    n_buckets = 1 << bucket_bits
+    c0, c1 = cols
+    return (
+        z.crossJoin(F.broadcast(zmax))
+        .groupBy(
+            F.expr(f"CAST(__zkey * {n_buckets} DIV __zbound AS BIGINT)").alias(
+                "z_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(c0).alias(f"min_{c0}"),
+            F.max(c0).alias(f"max_{c0}"),
+            F.min(c1).alias(f"min_{c1}"),
+            F.max(c1).alias(f"max_{c1}"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -26,6 +26,7 @@ from parcial_bigdata_spark.operators import (
     graph as graph_ops,
     profiling as prof_ops,
     interval as interval_ops,
+    scale as scale_ops,
     joins as join_ops,
     merge as merge_ops,
     multimodal as mm_ops,
@@ -339,6 +340,18 @@ def q_triangle_nodes(spark, sf_dir):
         graph_ops.node_triangle_counts(_copurchase_edges(spark, sf_dir))
         .orderBy(F.col("n_triangles").desc(), F.col("node"))
         .limit(10)
+    )
+
+
+def q_zorder_census(spark, sf_dir):
+    # z-order layout census over (l_partkey, l_suppkey): per-z-bucket
+    # min/max spans of BOTH dimensions — the measurable form of the
+    # multi-column pruning property (see scale.write_zorder_clustered
+    # for the layout writer itself; tests/test_scale.py measures real
+    # parquet-footer span shrinkage vs a linear sort)
+    return scale_ops.zorder_pruning_stats(
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
     )
 
 
@@ -1030,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangle_stats": q_triangle_stats,
     "graph_triangle_nodes": q_triangle_nodes,
     "streaming_click_attribution": q_streaming_click_attribution,
+    "scale_zorder_census": q_zorder_census,
 }
 
 
@@ -1156,6 +1170,30 @@ def _ewma_oracle_sql(alpha: float = 0.3, k: int = 8) -> str:
         FROM (SELECT *, CAST(value AS DECIMAL(18,2)) AS v FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
+    """
+
+
+def _zorder_census_oracle_sql(bits: int = 16, bucket_bits: int = 6) -> str:
+    """Twin of ``scale.zorder_pruning_stats`` over lineitem: the Morton
+    interleave expression comes from the SAME builder
+    (``scale.zorder_expr_sql`` is dialect-portable by construction), so
+    engine and oracle cannot drift.  DuckDB ``//`` and Spark ``DIV``
+    are both exact integer floor for the non-negative z."""
+    from parcial_bigdata_spark.operators.scale import zorder_expr_sql
+
+    z = zorder_expr_sql("l_partkey", "l_suppkey", bits)
+    n_buckets = 1 << bucket_bits
+    return f"""
+        WITH zt AS (SELECT l_partkey, l_suppkey, {z} AS z FROM lineitem),
+        m AS (SELECT max(z) + 1 AS zbound FROM zt)
+        SELECT CAST(z * {n_buckets} // zbound AS BIGINT) AS z_bucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS min_l_partkey,
+               max(l_partkey) AS max_l_partkey,
+               min(l_suppkey) AS min_l_suppkey,
+               max(l_suppkey) AS max_l_suppkey
+        FROM zt, m
+        GROUP BY 1 ORDER BY 1
     """
 
 
@@ -2597,6 +2635,7 @@ ORACLES: dict[str, str] = {
     """,
     "pagerank_suppliers": _pagerank_oracle_sql(4),
     "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
+    "scale_zorder_census": _zorder_census_oracle_sql(),
     "graph_triangle_stats": """
         -- global triangle census of the part co-purchase graph; the
         -- Spark side enumerates via degree-ordered orientation, the
