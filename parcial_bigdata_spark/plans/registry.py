@@ -26,6 +26,7 @@ from parcial_bigdata_spark.operators import (
     graph as graph_ops,
     profiling as prof_ops,
     interval as interval_ops,
+    linkage as linkage_ops,
     scale as scale_ops,
     joins as join_ops,
     merge as merge_ops,
@@ -341,6 +342,25 @@ def q_triangle_nodes(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), F.col("node"))
         .limit(10)
     )
+
+
+def q_fuzzy_part_names(spark, sf_dir):
+    # record linkage: every third part's name is deterministically
+    # corrupted (3rd character dropped) and linked back to the clean
+    # name vocabulary at edit distance <= 2 — the blocked fuzzy join's
+    # output is EXACTLY the lev<=k pair set, so a plain SQL
+    # levenshtein join is the oracle
+    part = _t(spark, sf_dir, "part")
+    dirty = part.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.expr(
+            "concat(substring(p_name, 1, 2), substring(p_name, 4))"
+        ).alias("dirty_name"),
+    )
+    clean = part.select(F.col("p_name").alias("clean_name"))
+    return linkage_ops.fuzzy_join(
+        dirty, clean, "dirty_name", "clean_name", left_id="dirty_id", max_dist=2
+    ).orderBy("dirty_id", "clean_name")
 
 
 def q_zorder_census(spark, sf_dir):
@@ -1044,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangle_nodes": q_triangle_nodes,
     "streaming_click_attribution": q_streaming_click_attribution,
     "scale_zorder_census": q_zorder_census,
+    "fuzzy_match_part_names": q_fuzzy_part_names,
 }
 
 
@@ -2636,6 +2657,22 @@ ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_oracle_sql(4),
     "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
     "scale_zorder_census": _zorder_census_oracle_sql(),
+    # the blocked fuzzy join is lossless, so the oracle is the naive
+    # levenshtein join over the same deterministic corruption
+    "fuzzy_match_part_names": """
+        WITH dirty AS (
+            SELECT p_partkey AS dirty_id,
+                   substr(p_name, 1, 2) || substr(p_name, 4) AS dirty_name
+            FROM part WHERE p_partkey % 3 = 0
+        ),
+        clean AS (SELECT DISTINCT p_name AS clean_name FROM part)
+        SELECT dirty_id, dirty_name, clean_name,
+               levenshtein(dirty_name, clean_name) AS edit_dist
+        FROM dirty JOIN clean
+          ON abs(length(dirty_name) - length(clean_name)) <= 2
+         AND levenshtein(dirty_name, clean_name) <= 2
+        ORDER BY dirty_id, clean_name
+    """,
     "graph_triangle_stats": """
         -- global triangle census of the part co-purchase graph; the
         -- Spark side enumerates via degree-ordered orientation, the

@@ -1,0 +1,86 @@
+"""fuzzy_join semantics: exact lev<=k pair set (blocking is lossless),
+pinned against a brute-force Python oracle on adversarial strings —
+tiny strings below the gram bound, repeated-gram multisets, multi-match
+fan-out, and the exact distance boundary."""
+
+import pytest
+
+from parcial_bigdata_spark.operators.linkage import fuzzy_join
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _brute(lefts, rights, k):
+    return {
+        (i, ls, rs, _lev(ls, rs))
+        for i, ls in lefts
+        for rs in set(rights)
+        if _lev(ls, rs) <= k
+    }
+
+
+LEFTS = [
+    (1, "red widget"), (2, "rd widget"), (3, "blue bolt"), (4, "blu belt"),
+    (5, "a"), (6, "ab"), (7, ""), (8, "abc"), (9, "aaaa"), (10, "aaab"),
+    (11, "small ring"), (12, "smal rings"), (13, "xyzzy"),
+]
+RIGHTS = [
+    "red widget", "blue bolt", "small ring", "aaaa", "ab", "abcde", "hot gear",
+]
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_fuzzy_join_matches_brute_force(spark, k):
+    left = spark.createDataFrame(LEFTS, "rec_id int, name string")
+    right = spark.createDataFrame([(r,) for r in RIGHTS], "clean string")
+    got = {
+        (r.rec_id, r.name, r.clean, r.edit_dist)
+        for r in fuzzy_join(
+            left, right, "name", "clean", left_id="rec_id", max_dist=k
+        ).collect()
+    }
+    assert got == _brute(LEFTS, RIGHTS, k)
+
+
+def test_fuzzy_join_null_and_duplicate_rights(spark):
+    left = spark.createDataFrame(
+        [(1, "red widget"), (2, None)], "rec_id int, name string"
+    )
+    right = spark.createDataFrame(
+        [("red widget",), ("red widget",), (None,)], "clean string"
+    )
+    rows = fuzzy_join(
+        left, right, "name", "clean", left_id="rec_id", max_dist=1
+    ).collect()
+    # right dedup: exactly one match row; nulls never match
+    assert [(r.rec_id, r.edit_dist) for r in rows] == [(1, 0)]
+
+
+def test_fuzzy_join_without_left_id(spark):
+    left = spark.createDataFrame([("rd widget",)], "name string")
+    right = spark.createDataFrame([("red widget",)], "clean string")
+    rows = fuzzy_join(left, right, "name", "clean", max_dist=2).collect()
+    assert [(r.name, r.clean, r.edit_dist) for r in rows] == [
+        ("rd widget", "red widget", 1)
+    ]
+
+
+def test_fuzzy_join_validates_inputs(spark):
+    left = spark.createDataFrame([("a",)], "name string")
+    right = spark.createDataFrame([("b",)], "clean string")
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(left, right, "name", "clean", max_dist=0)
+    with pytest.raises(ValueError, match="left is missing"):
+        fuzzy_join(left, right, "nope", "clean")
+    with pytest.raises(ValueError, match="right is missing"):
+        fuzzy_join(left, right, "name", "nope")
