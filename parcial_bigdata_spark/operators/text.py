@@ -690,3 +690,89 @@ def bm25_search(
         .orderBy(F.col("bm25_score").desc(), "doc_id")
         .limit(top_n)
     )
+
+
+LM_SENTINEL = "<s>"  # cannot collide: normalized text is [a-z0-9 ] only
+
+
+def lm_perplexity(documents: DataFrame, k_smooth: float = 0.5) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram language
+    model trained on the corpus itself — the CCNet/FineWeb-style LM
+    quality signal (documents whose token stream surprises the corpus
+    LM are boilerplate, gibberish, or off-distribution).
+
+    Model: every token stream is prefixed with the sentence-start
+    sentinel ``<s>`` and EVERY real token scores through the one bigram
+    rule P(w|prev) = (B(prev,w)+k) / (U(prev)+k·V), where U counts the
+    sentinel-prefixed stream (so U(<s>) = |docs|) and V is the vocab
+    size including the sentinel.  All counts are exact corpus counts
+    and k, numerators, denominators are exactly representable doubles,
+    so the oracle reproduces every quotient bit-for-bit; only log/exp
+    libm variance (≤1 ulp/token) separates the engines — absorbed by
+    the output rounding.
+
+    Plan shape (the sentinel unifies first-token scoring into the
+    bigram path — no separate unigram join, no union): bigrams come
+    from the index-explode pattern (row-local, no window shuffle —
+    same as ``word_pair_counts``); U and B are two map-side-combining
+    groupBys; scoring is ONE shuffle join of the doc pair stream
+    against the U-enriched bigram table; V rides a broadcast
+    single-row frame.  7 hash exchanges total — at the registry's
+    blanket ceiling, each one irreducible (two count tables, their
+    key-alignment join, the scoring join, the per-doc collapse).
+    """
+    k = float(k_smooth)
+    if not k > 0.0:
+        raise ValueError("lm_perplexity: k_smooth must be positive")
+    w = F.concat(
+        F.array(F.lit(LM_SENTINEL)), words(normalized(F.col("text")))
+    )
+    docs = documents.select("doc_id", w.alias("w"))
+
+    # corpus unigram counts over the sentinel-prefixed stream
+    uni = (
+        docs.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__u"))
+    )
+    vocab = F.broadcast(uni.agg(F.count(F.lit(1)).cast("double").alias("__v")))
+
+    # doc-tagged bigram stream (row-local index explode; |w| >= 2 always
+    # because of the sentinel)
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("w") - 2)).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        F.get("w", F.col("i")).alias("prev"),
+        F.get("w", F.col("i") + 1).alias("tok"),
+    )
+    bi = (
+        pairs.groupBy("prev", "tok")
+        .agg(F.count(F.lit(1)).alias("__b"))
+        .join(
+            uni.select(F.col("tok").alias("prev"), F.col("__u").alias("__up")),
+            "prev",
+        )
+    )
+    per_doc = (
+        pairs.join(bi, ["prev", "tok"])
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("__b") + k) / (F.col("__up") + k * F.col("__v"))
+                )
+            ).alias("__nll"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__nll").alias("__s"), F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("__s") / F.col("n_tokens"), 4).alias("avg_nll"),
+        F.round(F.exp(F.col("__s") / F.col("n_tokens")), 2).alias("perplexity"),
+    )

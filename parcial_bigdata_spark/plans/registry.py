@@ -344,6 +344,12 @@ def q_triangle_nodes(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    return text_ops.lm_perplexity(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def q_fuzzy_part_names(spark, sf_dir):
     # record linkage: every third part's name is deterministically
     # corrupted (3rd character dropped) and linked back to the clean
@@ -1065,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_click_attribution": q_streaming_click_attribution,
     "scale_zorder_census": q_zorder_census,
     "fuzzy_match_part_names": q_fuzzy_part_names,
+    "text_lm_perplexity": q_lm_perplexity,
 }
 
 
@@ -2657,6 +2664,37 @@ ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_oracle_sql(4),
     "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
     "scale_zorder_census": _zorder_census_oracle_sql(),
+    # add-k bigram LM: every quotient is bit-identical across engines
+    # (exact integer counts, k=0.5 and k·V exactly representable);
+    # round(4)/round(2) absorb libm log/exp ulp variance and
+    # summation-order drift, same contract as text_word_entropy
+    "text_lm_perplexity": f"""
+        WITH d AS (SELECT doc_id,
+                          list_prepend('<s>', string_split({_NORM_SQL}, ' ')) AS ws
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS tok,
+                       generate_subscripts(ws, 1) AS i FROM d),
+        uni AS (SELECT tok, count(*) AS u FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        seq AS (SELECT doc_id, tok,
+                       lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM tok),
+        dp AS (SELECT doc_id, prev, tok FROM seq WHERE prev IS NOT NULL),
+        bi AS (SELECT prev, tok, count(*) AS b FROM dp GROUP BY 1, 2),
+        per AS (
+            SELECT dp.doc_id,
+                   sum(-ln((bi.b + 0.5) / (up.u + 0.5 * tot.v))) AS s,
+                   count(*) AS n_tokens
+            FROM dp
+            JOIN bi USING (prev, tok)
+            JOIN uni up ON up.tok = dp.prev, tot
+            GROUP BY dp.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(s / n_tokens, 4) AS avg_nll,
+               round(exp(s / n_tokens), 2) AS perplexity
+        FROM per ORDER BY doc_id
+    """,
     # the blocked fuzzy join is lossless, so the oracle is the naive
     # levenshtein join over the same deterministic corruption
     "fuzzy_match_part_names": """

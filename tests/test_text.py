@@ -287,3 +287,53 @@ def test_bm25_search_golden(spark):
     exp2 = round(contrib(1, 2, 4) + contrib(0, 1, 4), 4)
     assert abs(rows[0].bm25_score - exp1) < 1e-9
     assert abs(rows[1].bm25_score - exp2) < 1e-9
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Two-doc corpus, hand-computed add-0.5 sentinel bigram LM.
+
+    streams: d1 = [<s> a b a], d2 = [<s> b b]
+    unigrams (sentinel incl.): <s>=2, a=2, b=3 → V=3, k·V=1.5
+    bigrams: (<s>,a)=1, (a,b)=1, (b,a)=1, (<s>,b)=1, (b,b)=1
+    d1: -ln(1.5/3.5) - ln(1.5/3.5) - ln(1.5/4.5)   (n=3)
+    d2: -ln(1.5/3.5) - ln(1.5/4.5)                  (n=2)
+    """
+    import math
+
+    from parcial_bigdata_spark.operators.text import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    d1 = -(math.log(1.5 / 3.5) + math.log(1.5 / 3.5) + math.log(1.5 / 4.5))
+    d2 = -(math.log(1.5 / 3.5) + math.log(1.5 / 4.5))
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    assert got[1].avg_nll == round(d1 / 3, 4)
+    assert got[2].avg_nll == round(d2 / 2, 4)
+    assert got[1].perplexity == round(math.exp(d1 / 3), 2)
+
+
+def test_lm_perplexity_single_token_doc(spark):
+    """A 1-token doc scores one (<s>, w) bigram: n_tokens=1."""
+    import math
+
+    from parcial_bigdata_spark.operators.text import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x x")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    # streams [<s> x], [<s> x x]: uni <s>=2 x=3, V=2; B(<s>,x)=2
+    assert got[1].n_tokens == 1
+    assert got[1].avg_nll == round(-math.log(2.5 / 3.0), 4)
+
+
+def test_lm_perplexity_validates(spark):
+    import pytest as _pt
+
+    from parcial_bigdata_spark.operators.text import lm_perplexity
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with _pt.raises(ValueError, match="k_smooth"):
+        lm_perplexity(docs, k_smooth=0.0)
