@@ -117,3 +117,62 @@ def retention_cohorts(events: DataFrame, cohort_type: str = "signup") -> DataFra
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame, lookback: str = "1 day"
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each purchase
+    splits its value across the same-user clicks in the ``lookback``
+    window ending at the purchase — 100% to a lone touch, 50/50 for
+    two, else 40% first / 40% last / 20% shared equally by the middle
+    touches.  The standard marketing-attribution model, expressed as
+    one interval join (shuffle on user_id, range predicate applied in
+    the join) plus one window keyed by purchase — no event-stream
+    self-join ever materializes beyond the matched pairs.
+
+    Touch order is (click_ts, click_id) — a total order, so ranks and
+    credits are deterministic.  Credit is rounded at the output edge
+    (both engines compute value·weight from identical doubles).
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = click_user
+                AND click_ts BETWEEN purchase_ts - INTERVAL {lookback}
+                                 AND purchase_ts"""
+        ),
+        "inner",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    wn = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "user_id", "purchase_id", "purchase_value", "click_id", "click_ts",
+        F.row_number().over(w).alias("touch_rank"),
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+    )
+    n = F.col("n_touches")
+    r = F.col("touch_rank")
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when((r == 1) | (r == n), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return ranked.select(
+        "user_id", "purchase_id", "click_id", "touch_rank", "n_touches",
+        F.round(F.col("purchase_value") * weight, 4).alias("credit"),
+    )

@@ -344,6 +344,12 @@ def q_triangle_nodes(spark, sf_dir):
     )
 
 
+def q_multi_touch_attribution(spark, sf_dir):
+    return ana_ops.multi_touch_attribution(
+        _t(spark, sf_dir, "events")
+    ).orderBy("purchase_id", "touch_rank")
+
+
 def q_lm_perplexity(spark, sf_dir):
     return text_ops.lm_perplexity(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
@@ -1072,6 +1078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scale_zorder_census": q_zorder_census,
     "fuzzy_match_part_names": q_fuzzy_part_names,
     "text_lm_perplexity": q_lm_perplexity,
+    "events_multi_touch_attribution": q_multi_touch_attribution,
 }
 
 
@@ -2664,6 +2671,35 @@ ORACLES: dict[str, str] = {
     "pagerank_suppliers": _pagerank_oracle_sql(4),
     "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
     "scale_zorder_census": _zorder_census_oracle_sql(),
+    # U-shaped attribution: CASE weight literals are decimals in DuckDB
+    # but convert to the identical nearest doubles; round(4) at the
+    # edge on both sides
+    "events_multi_touch_attribution": """
+        WITH ev AS (SELECT * FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM ev WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS click_user, event_id AS click_id,
+                     ts AS click_ts
+              FROM ev WHERE event_type = 'click'),
+        pr AS (
+            SELECT p.user_id, purchase_id, purchase_value, click_id,
+                   row_number() OVER (PARTITION BY purchase_id
+                                      ORDER BY click_ts, click_id)
+                       AS touch_rank,
+                   count(*) OVER (PARTITION BY purchase_id) AS n_touches
+            FROM p JOIN c ON p.user_id = c.click_user
+             AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 DAY
+                                AND p.purchase_ts
+        )
+        SELECT user_id, purchase_id, click_id, touch_rank, n_touches,
+               round(purchase_value * CASE
+                   WHEN n_touches = 1 THEN 1.0
+                   WHEN n_touches = 2 THEN 0.5
+                   WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+                   ELSE 0.2 / (n_touches - 2) END, 4) AS credit
+        FROM pr ORDER BY purchase_id, touch_rank
+    """,
     # add-k bigram LM: every quotient is bit-identical across engines
     # (exact integer counts, k=0.5 and k·V exactly representable);
     # round(4)/round(2) absorb libm log/exp ulp variance and

@@ -107,3 +107,44 @@ def test_funnel_hostile_step_names(spark):
     rows = analytics.funnel_steps(events, steps).collect()
     assert [r.step for r in rows] == list(steps)
     assert [r.n_users for r in rows] == [1, 1]
+
+
+def test_multi_touch_attribution_weight_model(spark):
+    """U-shaped weights: 1 touch -> 1.0; 2 -> .5/.5; 4 -> .4/.1/.1/.4.
+    Clicks outside the lookback or after the purchase get nothing."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        multi_touch_attribution,
+    )
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, mins, etype, value=0.0):
+        return (eid, base + dt.timedelta(minutes=mins), uid, etype, value)
+
+    rows = [
+        # user 1: four clicks then a 100.0 purchase
+        ev(1, 1, 0, "click"), ev(2, 1, 10, "click"),
+        ev(3, 1, 20, "click"), ev(4, 1, 30, "click"),
+        ev(5, 1, 60, "purchase", 100.0),
+        # user 2: two clicks, 10.0 purchase
+        ev(6, 2, 0, "click"), ev(7, 2, 5, "click"),
+        ev(8, 2, 30, "purchase", 10.0),
+        # user 3: one click in-window, one after the purchase
+        ev(9, 3, 0, "click"), ev(11, 3, 40, "click"),
+        ev(10, 3, 30, "purchase", 8.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        (r.purchase_id, r.click_id): (r.touch_rank, r.n_touches, r.credit)
+        for r in multi_touch_attribution(events, lookback="1 day").collect()
+    }
+    assert got == {
+        (5, 1): (1, 4, 40.0), (5, 2): (2, 4, 10.0),
+        (5, 3): (3, 4, 10.0), (5, 4): (4, 4, 40.0),
+        (8, 6): (1, 2, 5.0), (8, 7): (2, 2, 5.0),
+        (10, 9): (1, 1, 8.0),
+    }
