@@ -168,3 +168,86 @@ def scd2_history(
         F.row_number().over(w).alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def maintain_grouped_agg(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (the classic
+    delta-maintenance rewrite): update a grouped (n_rows, sum) table
+    from a signed change batch WITHOUT re-scanning the base fact table.
+
+    ``base_agg`` carries (keys..., n_rows, total) — the materialized
+    state; ``changes`` carries raw rows with ``op_col`` = +1 (insert)
+    or -1 (delete).  The delta aggregates first (map-side combine, one
+    shuffle of |change groups| rows), then a full-outer join on the
+    group key merges it in; groups whose maintained count reaches 0
+    drop out.  Cost is O(|changes| + |touched groups|) — never
+    O(|base table|), which is the entire point at 100 TB: a day's CDC
+    feed maintains a year's aggregate.
+
+    Sums accumulate in DECIMAL(18,4) (the ``money_sum`` contract):
+    retraction arithmetic on doubles drifts with partial-sum order,
+    decimal addition/subtraction is exact and order-free, so the
+    maintained total is BIT-IDENTICAL to recomputing the aggregate
+    from scratch — pinned by the registry oracle, which recomputes.
+    Rounding to the output scale happens here, at the read edge.
+    """
+    if op_col not in changes.columns:
+        raise ValueError(f"maintain_grouped_agg: changes missing {op_col!r}")
+    missing = set(keys) - set(base_agg.columns)
+    if missing:
+        raise ValueError(f"maintain_grouped_agg: base_agg missing {sorted(missing)}")
+    op = F.col(op_col)
+    delta = (
+        changes.withColumn(
+            # inverted test so a NULL op lands in the bad branch too
+            "__bad", F.when(op.isin(1, -1), F.lit(0)).otherwise(F.lit(1))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.sum(op).alias("__dn"),
+            F.sum(op * F.col(value_col).cast("decimal(18,4)")).alias("__dsum"),
+            F.sum("__bad").alias("__nbad"),
+        )
+    )
+    merged = (
+        base_agg.select(
+            *keys,
+            F.col("n_rows").alias("__bn"),
+            F.col("total").cast("decimal(18,4)").alias("__bsum"),
+        )
+        .join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce("__bn", F.lit(0)) + F.coalesce("__dn", F.lit(0))).alias(
+                "n_rows"
+            ),
+            (
+                F.coalesce(F.col("__bsum"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("__dsum"), F.lit(0).cast("decimal(18,4)"))
+            ).alias("__sum"),
+            F.coalesce("__nbad", F.lit(0)).alias("__nbad"),
+        )
+    )
+    # invalid ops surface as an error, not silent corruption — checked
+    # per-group inside the same pass (no extra action)
+    guarded = merged.withColumn(
+        "__sum",
+        F.when(
+            F.col("__nbad") > 0,
+            F.raise_error(F.lit("maintain_grouped_agg: op must be +1 or -1")),
+        ).otherwise(F.col("__sum")),
+    )
+    return (
+        guarded.where(F.col("n_rows") > 0)
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("__sum"), 2).cast("double").alias("total"),
+        )
+    )

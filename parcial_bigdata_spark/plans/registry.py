@@ -344,6 +344,36 @@ def q_triangle_nodes(spark, sf_dir):
     )
 
 
+def q_incremental_agg(spark, sf_dir):
+    # incremental view maintenance: the materialized per-status census
+    # of pre-1997 orders is maintained by a signed change batch (all
+    # 1997+ orders inserted, every 50th pre-1997 key deleted) WITHOUT
+    # rescanning the base — the oracle recomputes from scratch and the
+    # decimal accumulation contract makes the two bit-identical
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("date")
+    base = (
+        orders.where(F.col("o_orderdate") < cutoff)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("total"),
+        )
+    )
+    inserts = orders.where(F.col("o_orderdate") >= cutoff).withColumn(
+        "op", F.lit(1)
+    )
+    deletes = orders.where(
+        (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 50 == 0)
+    ).withColumn("op", F.lit(-1))
+    return merge_ops.maintain_grouped_agg(
+        base,
+        inserts.unionByName(deletes),
+        ["o_orderstatus"],
+        "o_totalprice",
+    ).orderBy("o_orderstatus")
+
+
 def q_multi_touch_attribution(spark, sf_dir):
     return ana_ops.multi_touch_attribution(
         _t(spark, sf_dir, "events")
@@ -475,6 +505,22 @@ def q_streaming_click_attribution(spark, sf_dir):
 
     tune_runtime(spark)
     return click_attribution_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def q_streaming_dedup_census(spark, sf_dir):
+    """Fourth real-streaming oracle query: row-level exactly-once dedup
+    (dropDuplicatesWithinWatermark) over a 3x duplicate-delivery replay
+    must reproduce the plain batch census of the original table."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import (
+        dedup_events_available_now,
+    )
+
+    tune_runtime(spark)
+    return dedup_events_available_now(
         spark, os.path.join(sf_dir, "events.parquet")
     )
 
@@ -1079,6 +1125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match_part_names": q_fuzzy_part_names,
     "text_lm_perplexity": q_lm_perplexity,
     "events_multi_touch_attribution": q_multi_touch_attribution,
+    "streaming_dedup_census": q_streaming_dedup_census,
+    "incremental_agg_orders": q_incremental_agg,
 }
 
 
@@ -2392,6 +2440,23 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # incremental maintenance must equal the from-scratch recompute of
+    # the post-change table: pre-1997 minus every-50th-key, plus 1997+
+    "incremental_agg_orders": """
+        SELECT o_orderstatus, count(*) AS n_rows,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-01-01' OR o_orderkey % 50 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    # row-level streaming dedup over a 3x-duplicated replay collapses
+    # to the plain batch census of the original table
+    "streaming_dedup_census": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     # the stream-stream interval join emits every match on a bounded
     # replay — the oracle is the plain batch interval join.  The self

@@ -222,6 +222,73 @@ def click_attribution_available_now(
     ).orderBy("purchase_id", "click_id")
 
 
+def streaming_dedup_events(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once ingest dedup: ``dropDuplicatesWithinWatermark`` on
+    the event key — duplicate deliveries (at-least-once sources, replay
+    storms) collapse to one row as long as they arrive within the
+    watermark of the first copy.  Unlike a plain ``dropDuplicates`` on
+    a stream, the state store holds only keys younger than the
+    watermark — O(watermark window of traffic), not O(stream history),
+    which is what lets the dedup run forever.  The duplicate-delivery
+    upgrade path for ST3's file-level idempotent append, at ROW
+    granularity.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def dedup_events_available_now(
+    spark, events_parquet: str, copies: int = 3
+) -> DataFrame:
+    """streaming_dedup_events under AvailableNow, fed a duplicate-heavy
+    replay (the parquet unioned ``copies`` times — every event delivered
+    ``copies`` times).  The deduped per-type census must equal the
+    plain batch census of the ORIGINAL table — its SQL oracle.
+
+    Aggregating after the dedup (counts per event_type) keeps the
+    memory-sink result stable regardless of which physical copy
+    survived; complete mode emits the final census at termination."""
+    import os
+    import tempfile
+
+    schema = spark.read.parquet(events_parquet).schema
+    reader = spark.readStream.schema(schema)
+    glob = None
+    src_dir = events_parquet
+    if not os.path.isdir(events_parquet):
+        glob = os.path.basename(events_parquet)
+        src_dir = os.path.dirname(events_parquet)
+
+    def one_copy():
+        r = spark.readStream.schema(schema)
+        if glob:
+            r = r.option("pathGlobFilter", glob)
+        return r.parquet(src_dir)
+
+    stream = one_copy()
+    for _ in range(copies - 1):
+        stream = stream.unionByName(one_copy())
+    deduped = streaming_dedup_events(stream)
+    census = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    with tempfile.TemporaryDirectory(prefix="stream-ckpt-") as ckpt:
+        q = (
+            census.writeStream.format("memory")
+            .queryName("stream_dedup_census_result")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stream_dedup_census_result").orderBy("event_type")
+
+
 def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
     """streaming_hourly_rollup under AvailableNow — shares the batch
     rollup's SQL oracle (see _run_available_now)."""

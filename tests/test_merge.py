@@ -150,3 +150,56 @@ def test_scd2_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+def test_maintain_grouped_agg_insert_delete_dropout(spark):
+    from parcial_bigdata_spark.operators.merge import maintain_grouped_agg
+
+    base = spark.createDataFrame(
+        [("A", 2, 30.0), ("B", 1, 5.5)], "k string, n_rows long, total double"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("A", 10.25, 1),   # insert into existing group
+            ("B", 5.5, -1),    # delete the only B row -> group drops out
+            ("C", 7.0, 1),     # brand-new group
+        ],
+        "k string, v double, op int",
+    )
+    got = {
+        r.k: (r.n_rows, r.total)
+        for r in maintain_grouped_agg(base, changes, ["k"], "v").collect()
+    }
+    assert got == {"A": (3, 40.25), "C": (1, 7.0)}
+
+
+def test_maintain_grouped_agg_untouched_groups_pass_through(spark):
+    from parcial_bigdata_spark.operators.merge import maintain_grouped_agg
+
+    base = spark.createDataFrame(
+        [("A", 4, 100.0)], "k string, n_rows long, total double"
+    )
+    changes = spark.createDataFrame([], "k string, v double, op int")
+    rows = maintain_grouped_agg(base, changes, ["k"], "v").collect()
+    assert [(r.k, r.n_rows, r.total) for r in rows] == [("A", 4, 100.0)]
+
+
+def test_maintain_grouped_agg_rejects_bad_op(spark):
+    import pytest as _pt
+
+    from parcial_bigdata_spark.operators.merge import maintain_grouped_agg
+
+    base = spark.createDataFrame(
+        [("A", 1, 1.0)], "k string, n_rows long, total double"
+    )
+    changes = spark.createDataFrame(
+        [("A", 1.0, 2)], "k string, v double, op int"
+    )
+    with _pt.raises(Exception, match="op must be"):
+        maintain_grouped_agg(base, changes, ["k"], "v").collect()
+    with _pt.raises(ValueError, match="missing 'op'"):
+        maintain_grouped_agg(base, changes.drop("op"), ["k"], "v")

@@ -508,3 +508,22 @@ def test_stream_stream_click_attribution_interval_join(spark, tmp_path):
         for r in spark.sql("select * from attrib").collect()
     }
     assert got == {(3, 2), (7, 5), (7, 6)}
+
+
+def test_streaming_dedup_collapses_duplicate_delivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a 3x duplicate-delivery replay
+    yields the census of the ORIGINAL rows — row-level exactly-once."""
+    src = str(tmp_path / "events_pq")
+    spark.createDataFrame(
+        [
+            (1, dt.datetime(2025, 1, 1, 10, 0), 1, "click", 2.0),
+            (2, dt.datetime(2025, 1, 1, 10, 5), 1, "click", 3.0),
+            (3, dt.datetime(2025, 1, 1, 10, 6), 2, "purchase", 7.5),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.parquet(src)
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in sw.dedup_events_available_now(spark, src, copies=3).collect()
+    }
+    assert got == {"click": (2, 5.0), "purchase": (1, 7.5)}
