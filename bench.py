@@ -418,6 +418,34 @@ def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# Round-8 additions, timed at the bench SF in the probe session (real
+# sf data, unlike the synthetic skew/scale probes) — NOT in the
+# headline total, which stays a fixed set for cross-round comparison.
+_NEW_OPS_R8 = [
+    "graph_triangle_stats",
+    "fuzzy_match_part_names",
+    "text_lm_perplexity",
+    "scale_zorder_census",
+    "events_multi_touch_attribution",
+]
+
+
+def _run_new_ops(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in _NEW_OPS_R8:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # construction timed too: the triangle family eagerly
+            # materializes its checkpointed intermediates at plan time
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[f"newop_{name}"] = round(best, 3)
+    return timings
+
+
 # Fixed, never-edited scan-agg query used as the ambient-noise sentinel.
 _SENTINEL = "q6_revenue_forecast"
 
@@ -485,6 +513,9 @@ def main() -> None:
     # to inflate whatever runs next (a calibration run read the 10k-doc
     # dedup point at 4.2 s post-CC vs 1.5 s standalone).
     probe_timings: dict[str, float] = {}
+    # new-ops first: they read real sf data and should not sit behind
+    # the GC pressure the synthetic skew/CC probes leave behind
+    probe_timings.update(_run_new_ops(probe_spark, sf_dir))
     skew_timings, skew_detail = _run_skew_stress(probe_spark)
     probe_timings.update(skew_timings)
     dedup_timings, dedup_detail = _run_dedup_scale(probe_spark)
