@@ -76,10 +76,12 @@ def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
     The paragraph frame feeds both the winners aggregate and the join
     probe, and their different shuffle keys prevent exchange reuse —
     so the split+explode would evaluate twice.  When the input scan is
-    estimably small it is persisted instead (same adaptive gate shape
-    as the decontamination Bloom); at cluster scale, where caching the
-    exploded corpus is cost, the narrow re-scan is the right price and
-    unknown/remote sizes keep it.
+    estimably small it is eagerly checkpointed instead (same adaptive
+    gate shape as the decontamination Bloom; ``iter_checkpoint`` so the
+    blocks are reclaimed with the result frame, not pinned for the
+    session); at cluster scale, where materializing the exploded corpus
+    is cost, the narrow re-scan is the right price and unknown/remote
+    sizes keep it.
 
     Output: one row per document with paragraph accounting and the
     cleaned text (empty string when every paragraph was seen earlier —
@@ -101,7 +103,15 @@ def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
     )
     scan_bytes = local_scan_bytes(documents)
     if scan_bytes is not None and scan_bytes < 256 * 1024 * 1024:
-        paras = paras.persist()
+        # iter_checkpoint, NOT persist(): a bare persist here has no
+        # unpersist path (the result is returned lazily), so every call
+        # would pin cached blocks until session end (round-8 advice).
+        # localCheckpoint blocks are reclaimed by the ContextCleaner
+        # once the returned frame is dropped, bounding the cache to the
+        # result's lifetime instead of the session's.
+        from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+        paras = iter_checkpoint(paras)
     winners = paras.groupBy("para").agg(
         F.min(F.struct("doc_id", "idx")).alias("first")
     )

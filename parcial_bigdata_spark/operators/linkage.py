@@ -69,7 +69,17 @@ def fuzzy_join(
     blocked as described in the module docstring so no all-pairs join
     ever forms.  Returns left_id (if given), left_col, right_col,
     edit_dist.  Null strings never match (no identity under edit
-    distance).  ``right`` is deduplicated on ``right_col``.
+    distance).
+
+    SET semantics on BOTH sides: ``right`` is deduplicated on
+    ``right_col`` and ``left`` on its key columns, so each distinct
+    (left keys, right string) pair appears exactly once.  Without the
+    up-front dedupe the two blocking paths would disagree on duplicate
+    left rows — the gram path's candidate groupBy collapses them while
+    the tiny path emits one pair per input row (round-8 advice).
+    Callers who need per-row multiplicity should pass a unique
+    ``left_id`` (the dedupe is then a no-op on content and the output
+    is per-row).
     """
     if max_dist < 1:
         raise ValueError("fuzzy_join: max_dist must be >= 1")
@@ -84,6 +94,7 @@ def fuzzy_join(
     L = (
         left.select(*lkeys)
         .where(F.col(left_col).isNotNull())
+        .distinct()
         .withColumn("__llen", F.length(left_col))
     )
     R = (

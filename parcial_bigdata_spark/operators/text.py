@@ -503,7 +503,12 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     Output: one row per learned merge (rank, pair_left, pair_right,
     merged, pair_count)."""
     spark = documents.sparkSession
-    vocab = (
+    # The persisted BASE frame keeps its own name: the loop rebinds
+    # `vocab` to derived (non-persisted) frames, so `finally:
+    # vocab.unpersist()` would be a cache-manager no-op and the base
+    # vocabulary would pin executor memory for the rest of the session
+    # (round-8 advice).
+    base = (
         documents.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
@@ -518,6 +523,7 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         )
         .persist()
     )
+    vocab = base
     try:
         merges = []
         for rank in range(1, n_merges + 1):
@@ -565,7 +571,7 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
             "merged string, pair_count long",
         ).orderBy("rank")
     finally:
-        vocab.unpersist()
+        base.unpersist()
 
 
 def bpe_encode_token_counts(

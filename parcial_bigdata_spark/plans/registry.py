@@ -1131,78 +1131,79 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 8)
+# Driver-window rotation (round 9)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
-# of it).  Round 7 led with the LLM-pipeline families (dedup/text/sampling/
-# multimodal — all green in CORRECTNESS_r07); per the round-7 verdict
-# (item 2), round 8 rotates the RELATIONAL CORE back in: the full 22-query
-# TPC-H block and the window family (both last driver-certified r6), the
-# risk-bearing join shapes (as-of tolerance, interval-overlap self-join,
-# range bands, EXISTS subquery), and the longest-unseen aggregation picks
-# (rollup/cube/pivot/grouping-sets/percentiles — driver r2-r4).  The
-# multimodal pair stays in-window because the image decode gained a REAL
-# PNG/BMP/GIF header path this round (verdict item 3), joined by the new
-# real-path-only multimodal_image_decode.  Reference-parity core + one
-# real structured-streaming run stay in-window every round.
+# of it).  Round 8 certified the relational core 50/50; per the round-8
+# verdict (item 1), round 9 leads with every query that has NEVER appeared
+# in a driver window: the 21 oracle-checked round-8 additions (BPE
+# train/encode, BM25, MERGE, SCD-2, PageRank, triangles, fuzzy join, LM
+# perplexity, multi-touch, z-order census, streaming dedup census,
+# incremental agg, EWMA, paragraph dedup, word entropy, shuffle shards,
+# quality gate, video decode, click attribution) plus the 3 rows-only
+# approximate dedup queries and their two oracle-checked recall-audit
+# twins.  The remaining 19 slots go to the stalest certifications
+# (r3-r6: kNN variants, histogram/revenue-share/stats/approx aggregation
+# forms, streaming_sessionize, plain join family).  Reference-parity core
+# + one real structured-streaming run stay in-window every round.
 #
-# Out-of-window this round (all green in r7's driver gate or its judge
-# spot-sweep): the dedup/text/sampling/setops families, plain as-of +
-# broadcast/semi/anti joins (their shapes are also covered by the TPC-H
-# block), kNN variants, and the remaining aggregation forms.
+# Out-of-window this round (all driver-green in r8): the TPC-H block,
+# the window family, the risk-bearing join shapes, grouping-sets/rollup/
+# cube/pivot/percentiles, and the multimodal image pair.
 #
-# r9 rotation note: after this window certifies, the longest-unseen
-# blocks become the setops + profiling/CDC block (r7), the remaining
-# aggregation forms (distinct/top/approx/stats/unpivot/approx-pct/
-# correlation/histogram/revenue-share — r2-r4 + local sweeps), the kNN
-# IVF/LSH variants + streaming_sessionize (r6), and the plain join
-# family.  Keep parity core + one real streaming run, as always.
+# r10 rotation note: after this window certifies, the longest-unseen
+# blocks become the setops + profiling/CDC + retention/skew block (r7)
+# and the dedup/text/sampling families (r7); the r8-certified relational
+# core can rest one more round.  Keep parity core + one real streaming
+# run, as always.  PARITY.md §"Certification ledger" tracks per-query
+# last-green rounds.
 # --------------------------------------------------------------------------
 
-_R8_WINDOW = [
+_R9_WINDOW = [
     # reference parity — every round
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # full TPC-H block (last driver-certified r6)
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue", "q6_revenue_forecast",
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation",
-    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-    "q13_order_distribution", "q14_promo_share", "q15_top_suppliers",
-    "q16_supplier_variety", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_brand_bands", "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_wealthy_inactive",
-    # window family (last driver-certified r6)
-    "window_value_delta", "window_topk_per_user", "window_running_total",
-    "window_rank_bands", "window_daily_delta", "window_time_range_avg",
-    "window_sliding_counts", "sessionize_events", "hourly_rollup",
-    "gapfill_daily_series", "agg_user_value_trend", "agg_user_value_trend_pandas",
-    # risk-bearing join shapes (tolerance/overlap/range/EXISTS — r6)
-    "asof_purchase_signup_tolerance", "session_overlap_pairs",
-    "range_value_bands", "subquery_big_spenders",
-    # longest-unseen aggregation picks (driver r2-r4)
-    "grouping_sets_revenue", "rollup_order_totals", "cube_lineitem_counts",
-    "pivot_priority_counts", "percentile_value_by_type",
-    # multimodal: REAL PNG/BMP/GIF header decode landed this round
-    "multimodal_media_summary", "multimodal_image_decode",
+    # never driver-certified: the 21 oracle-checked round-8 additions
+    "text_bpe_merges", "text_bpe_encode", "text_bm25_search",
+    "merge_upsert_orders", "scd2_customer_history", "pagerank_suppliers",
+    "window_ewma_smooth", "dedup_paragraphs", "text_word_entropy",
+    "sample_shuffle_shards", "pipeline_quality_gate", "multimodal_video_decode",
+    "graph_triangle_stats", "graph_triangle_nodes", "fuzzy_match_part_names",
+    "text_lm_perplexity", "events_multi_touch_attribution", "scale_zorder_census",
+    "streaming_dedup_census", "incremental_agg_orders",
+    "streaming_click_attribution",
+    # never driver-certified: rows-only approximate dedup + audit twins
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "dedup_minhash_lsh_check", "dedup_simhash_check",
+    # stalest certifications — r3
+    "embedding_norm_stats", "knn_cosine_ivf", "knn_cosine_lsh",
+    # r4
+    "price_histogram", "revenue_share_by_priority", "streaming_sessionize",
+    # r5
+    "approx_distinct_parts", "approx_percentile_value_by_type",
+    "distinct_customers_per_status", "knn_cosine_arrow",
+    "stats_price_by_status", "top_orders_by_price", "unpivot_status_metrics",
+    # r6
+    "anti_join_idle_customers", "asof_purchase_signup", "correlation_stats",
+    "events_funnel_steps", "join_revenue_by_brand", "semi_join_big_orders",
 ]
 
-_R8_SET = set(_R8_WINDOW)
+_R9_SET = set(_R9_WINDOW)
 # import-time invariants raise explicitly, NOT assert (round-7 advice:
 # asserts are stripped under python -O, and a duplicate window entry
 # would then silently shrink the certified first-50 window)
-if len(_R8_WINDOW) != 50 or len(_R8_SET) != 50:
+if len(_R9_WINDOW) != 50 or len(_R9_SET) != 50:
     raise RuntimeError(
         f"driver window must be exactly 50 unique queries, got "
-        f"{len(_R8_WINDOW)} entries / {len(_R8_SET)} unique"
+        f"{len(_R9_WINDOW)} entries / {len(_R9_SET)} unique"
     )
-_missing = [name for name in _R8_WINDOW if name not in QUERIES]
+_missing = [name for name in _R9_WINDOW if name not in QUERIES]
 if _missing:
     raise RuntimeError(f"driver window names not in QUERIES: {_missing}")
-QUERIES = {name: QUERIES[name] for name in _R8_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in _R8_SET
+QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in _R9_SET
 }
 
 
@@ -2904,10 +2905,14 @@ ORACLES: dict[str, str] = {
         -- C4-style paragraph-level exact dedup: fixed 20-word windows,
         -- first corpus occurrence wins (ordered by doc_id, position),
         -- surviving text reassembled in position order per document.
+        -- First occurrence is an argmin over the (doc_id, idx) TUPLE —
+        -- mirroring the operator's struct-min exactly; a packed
+        -- doc_id*K+idx long key would silently diverge once a document
+        -- exceeds K paragraphs or the product overflows (round-8
+        -- advice).
         WITH paras AS (
             SELECT doc_id, idx,
-                   array_to_string(ws[(idx*20+1):(idx*20+20)], ' ') AS para,
-                   doc_id * 100000 + idx AS ord
+                   array_to_string(ws[(idx*20+1):(idx*20+20)], ' ') AS para
             FROM (
                 SELECT doc_id, ws,
                        unnest(generate_series(
@@ -2917,13 +2922,16 @@ ORACLES: dict[str, str] = {
                       FROM documents)
             )
         ), firsts AS (
-            SELECT para, min(ord) AS first_ord FROM paras GROUP BY para
+            SELECT para, min(ROW(doc_id, idx)) AS first_occ
+            FROM paras GROUP BY para
         )
         SELECT p.doc_id, count(*) AS n_paras,
-               CAST(sum(CASE WHEN p.ord <> f.first_ord THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN ROW(p.doc_id, p.idx) <> f.first_occ
+                             THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_dropped,
                coalesce(string_agg(
-                   CASE WHEN p.ord = f.first_ord THEN p.para END,
+                   CASE WHEN ROW(p.doc_id, p.idx) = f.first_occ
+                        THEN p.para END,
                    ' ' ORDER BY p.idx), '') AS clean_text
         FROM paras p JOIN firsts f USING (para)
         GROUP BY p.doc_id ORDER BY p.doc_id

@@ -66,6 +66,28 @@ def test_fuzzy_join_null_and_duplicate_rights(spark):
     assert [(r.rec_id, r.edit_dist) for r in rows] == [(1, 0)]
 
 
+def test_fuzzy_join_duplicate_left_rows_set_semantics(spark):
+    # Duplicate (rec_id, name) left rows collapse to ONE output pair on
+    # BOTH blocking paths (round-8 advice: the gram path's candidate
+    # groupBy collapsed duplicates while the tiny path emitted one pair
+    # per input row).  "ab" (len 2 < q*(k+1)=4) exercises the tiny
+    # path; "red widget" the gram path.
+    left = spark.createDataFrame(
+        [(1, "ab"), (1, "ab"), (2, "red widget"), (2, "red widget")],
+        "rec_id int, name string",
+    )
+    right = spark.createDataFrame(
+        [("ab",), ("red widget",)], "clean string"
+    )
+    rows = fuzzy_join(
+        left, right, "name", "clean", left_id="rec_id", max_dist=1
+    ).collect()
+    assert sorted((r.rec_id, r.name, r.clean, r.edit_dist) for r in rows) == [
+        (1, "ab", "ab", 0),
+        (2, "red widget", "red widget", 0),
+    ]
+
+
 def test_fuzzy_join_without_left_id(spark):
     left = spark.createDataFrame([("rd widget",)], "name string")
     right = spark.createDataFrame([("red widget",)], "clean string")
