@@ -418,15 +418,95 @@ def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- Triangle-family scale exponent (round-8 verdict item 4) -------------
+# The CC/PageRank probes run on the clique+chain fixture whose max degree
+# is 5 — no test of the degree-ordered orientation's O(√m) out-degree
+# bound, which only bites on SKEWED graphs.  This probe generates a
+# deterministic power-law multigraph (endpoint v = floor(N·u³) for a
+# per-edge xxhash64 uniform u → density p(v) ∝ v^(-2/3): the head nodes
+# are true hubs with degrees in the 10³-10⁴ range at ×16) and times the
+# full triangle census at ×1/×4/×16 edges.  Theory bound is O(m^1.5)
+# worst case; the orientation should hold the fixture well under that —
+# a tail exponent drifting above ~1.5 is the regression flag.
+
+_TRI_SCALES = (1, 4, 16)
+# Base sizing deliberately large (×16 → 6.4M raw edges): a first
+# calibration at 100k base read tail exponent 0.29 — pure fixed-job
+# overhead, no per-edge signal.
+_TRI_BASE_EDGES = 400_000
+
+
+def _powerlaw_edges(spark, n_edges):
+    """Deterministic power-law edge list: p(node v) ∝ v^(-2/3) via the
+    inverse-CDF map v = floor(N·u³).  Self-loops and duplicate edges are
+    left in — the operator's canonicalize+distinct stage is part of the
+    timed pipeline, exactly as a real near-dup edge dump would arrive."""
+    from pyspark.sql import functions as F
+
+    n_nodes = max(n_edges // 8, 16)
+
+    def node(salt):
+        u = (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(salt)), F.lit(1_000_003))
+            .cast("double")
+            / 1_000_003.0
+        )
+        return F.floor(F.lit(float(n_nodes)) * F.pow(u, F.lit(3.0))).cast(
+            "long"
+        )
+
+    return spark.range(n_edges).select(
+        node("a").alias("src"), node("b").alias("dst")
+    )
+
+
+def _run_triangle_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import graph as G
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _TRI_SCALES:
+        edges = _powerlaw_edges(spark, _TRI_BASE_EDGES * s).persist()
+        n_raw = edges.count()  # materialize input outside the timing
+        best, row = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = G.triangle_stats(edges, src="src", dst="dst").collect()[0]
+            best = min(best, time.perf_counter() - t0)
+        el = round(best, 3)
+        edges.unpersist()
+        timings[f"triangle_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(row.n_edges)  # distinct undirected edges = work axis
+        detail[f"x{s}"] = {
+            "raw_edges": n_raw,
+            "edges": row.n_edges,
+            "nodes": row.n_nodes,
+            "triangles": row.n_triangles,
+            "sec": el,
+        }
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # Round-8 additions, timed at the bench SF in the probe session (real
 # sf data, unlike the synthetic skew/scale probes) — NOT in the
 # headline total, which stays a fixed set for cross-round comparison.
+# Extended per round-8 verdict item 3 with the heavy new ops so r10 can
+# detect regressions against BENCH_r09's first recorded timings.
 _NEW_OPS_R8 = [
     "graph_triangle_stats",
     "fuzzy_match_part_names",
     "text_lm_perplexity",
     "scale_zorder_census",
     "events_multi_touch_attribution",
+    "pagerank_suppliers",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "dedup_paragraphs",
+    "scd2_customer_history",
 ]
 
 
@@ -520,6 +600,8 @@ def main() -> None:
     probe_timings.update(skew_timings)
     dedup_timings, dedup_detail = _run_dedup_scale(probe_spark)
     probe_timings.update(dedup_timings)
+    tri_timings, tri_detail = _run_triangle_scale(probe_spark)
+    probe_timings.update(tri_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
     probe_timings.update(graph_timings)
 
@@ -540,6 +622,7 @@ def main() -> None:
                 "skew_lsh": skew_detail,
                 "graph_scale": graph_detail,
                 "dedup_scale": dedup_detail,
+                "triangle_scale": tri_detail,
                 "noise_sentinel": sentinel,
             }
         )

@@ -574,53 +574,109 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
         base.unpersist()
 
 
+# Merges applied per projection stage in the encode chain: 16 nested
+# literal replaces keep each stage's expression tree small, and stages
+# are separated by iter_checkpoint so a 32k-merge production table is
+# 2k bounded projections over the VOCABULARY (not the corpus), never
+# one enormous expression (round-8 verdict item 2).
+BPE_ENCODE_CHUNK = 16
+
+
 def bpe_encode_token_counts(
     documents: DataFrame,
     merges: list[tuple[str, str]] | None = None,
     n_merges: int = 8,
+    chunk: int = BPE_ENCODE_CHUNK,
 ) -> DataFrame:
     """Apply learned BPE merges corpus-wide and report the token
     accounting per source — the other half of the tokenizer story
     (``bpe_train_merges`` learns; this encodes).  Trains first when no
     merge list is passed.
 
-    Encoding is ROW-LOCAL: each word becomes its double-space
-    segmentation string and the merge ranks apply as a chain of
-    literal replaces (greedy left-to-right — the same encoding trick
-    as training), then per-doc token counts fold over the word array
-    with higher-order functions.  No shuffle until the tiny per-source
-    aggregate, so encoding streams at scan speed over any corpus —
-    exactly how a real tokenization pass must behave at 100 TB."""
+    Scale shape — VOCABULARY encode, not per-occurrence encode:
+
+    1. one corpus scan partial-aggregates word occurrences to
+       (source, word, count) rows — map-side combine collapses the
+       Zipf head before the wire, exactly like the training pass;
+    2. the DISTINCT word vocabulary is encoded ONCE: each word becomes
+       its double-space segmentation string and the merge ranks apply
+       as a chain of literal replaces (greedy left-to-right — merge
+       application semantics identical to training), ``chunk`` merges
+       per projection with an ``iter_checkpoint`` lineage cut between
+       chunks, so a production-size merge table (32k ranks) is many
+       SMALL projections over the vocabulary instead of one enormous
+       expression over every word occurrence;
+    3. per-word token counts join back on the unique ``word`` key and
+       weight by occurrence count — Zipf does the rest: a 100 TB
+       corpus has a ~100M-row vocabulary, so the encode work is ~1e-6
+       of the naive per-occurrence cost, and the join probe side is
+       the already-aggregated (source, word) frame, never raw text.
+
+    A word occurring once per source costs the same as before; a word
+    occurring 10^9 times (stopwords at corpus scale) is encoded once."""
     if merges is None:
         merges = [
             (r.pair_left, r.pair_right)
             for r in bpe_train_merges(documents, n_merges=n_merges).collect()
         ]
+    if chunk < 1:
+        raise ValueError("bpe_encode_token_counts: chunk must be >= 1")
 
-    def word_tokens(word):
-        seg = F.concat(
-            F.lit("  "), F.array_join(F.split(word, ""), "  "), F.lit("  ")
-        )
-        for left, right in merges:
+    occurrences = documents.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    word_counts = occurrences.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("wcnt")
+    )
+
+    vocab = word_counts.select("word").distinct().select(
+        "word",
+        F.concat(
+            F.lit("  "), F.array_join(F.split("word", ""), "  "), F.lit("  ")
+        ).alias("seg"),
+    )
+    applied = 0
+    while applied < len(merges):
+        seg = F.col("seg")
+        for left, right in merges[applied : applied + chunk]:
             seg = F.replace(
                 seg, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
             )
-        return F.size(F.filter(F.split(seg, "  "), lambda x: x != ""))
+        vocab = vocab.select("word", seg.alias("seg"))
+        applied = min(applied + chunk, len(merges))
+        if applied < len(merges):
+            # lineage cut between chunks: the vocabulary is small
+            # relative to the corpus, and without the cut a long merge
+            # table nests thousands of projections into one plan
+            from parcial_bigdata_spark.operators.scale import iter_checkpoint
 
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
-    per_doc = documents.select(
-        "source",
-        F.size(ws).alias("ws_tokens"),
-        F.aggregate(
-            F.transform(ws, word_tokens), F.lit(0), lambda acc, t: acc + t
-        ).alias("bpe_tokens"),
+            vocab = iter_checkpoint(vocab)
+    word_tokens = vocab.select(
+        "word",
+        F.size(F.filter(F.split("seg", "  "), lambda x: x != "")).alias(
+            "w_tokens"
+        ),
     )
-    return (
-        per_doc.groupBy("source")
+
+    per_source = (
+        word_counts.join(word_tokens, "word")
+        .groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("ws_tokens").alias("ws_tokens"),
-            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("wcnt").alias("ws_tokens"),
+            F.sum(F.col("wcnt") * F.col("w_tokens")).alias("bpe_tokens"),
+        )
+    )
+    # n_docs counts EVERY document (empty-text docs contribute zero
+    # tokens but still count), so it comes off the document frame
+    return (
+        documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("ws_tokens", F.lit(0)).cast("long").alias("ws_tokens"),
+            F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens"),
         )
         .orderBy("source")
     )

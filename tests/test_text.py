@@ -261,6 +261,76 @@ def test_bpe_encode_token_counts_applies_merges(spark):
     assert partial["s2"].bpe_tokens == 3
 
 
+def test_bpe_encode_production_size_merge_table(spark):
+    """Vocabulary-level encode at production merge-table size: 64
+    merges span 4 chunked projections (chunk=16, iter_checkpoint cuts
+    between them), and the result matches a Python greedy-merge
+    reference word-for-word.  Pins both the chunking machinery and the
+    distinct-word + join-back accounting (round-8 verdict item 2)."""
+    from parcial_bigdata_spark.operators import text as T
+
+    def ref_encode(word, merges):
+        syms = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    toks = ["a", "b", "aa", "bb", "ab", "ba", "aab", "bba"]
+    merges = [(l, r) for l in toks for r in toks]  # 64 entries
+    assert len(merges) == 64
+
+    words = [
+        "aaabbbab", "abababab", "bbaa", "aabbaabb", "a", "b",
+        "babababa", "aaaa", "bbbb", "abba", "baab", "aabbab",
+    ]
+    docs = [
+        (1, " ".join(words[:6]), "s1"),
+        (2, " ".join(words[6:]), "s2"),
+        (3, " ".join(words), "s1"),
+        (4, "", "s3"),  # empty text: counts as a doc, zero tokens
+    ]
+    out = {
+        r.source: r
+        for r in T.bpe_encode_token_counts(
+            spark.createDataFrame(
+                docs, "doc_id long, text string, source string"
+            ),
+            merges=merges,
+            chunk=16,
+        ).collect()
+    }
+
+    def ref_counts(texts):
+        ws = bpe = 0
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    ws += 1
+                    bpe += len(ref_encode(w, merges))
+        return ws, bpe
+
+    assert (out["s1"].n_docs, out["s2"].n_docs, out["s3"].n_docs) == (2, 1, 1)
+    assert (out["s1"].ws_tokens, out["s1"].bpe_tokens) == ref_counts(
+        [docs[0][1], docs[2][1]]
+    )
+    assert (out["s2"].ws_tokens, out["s2"].bpe_tokens) == ref_counts(
+        [docs[1][1]]
+    )
+    assert (out["s3"].ws_tokens, out["s3"].bpe_tokens) == (0, 0)
+
+
 def test_bm25_search_golden(spark):
     """Hand-checkable BM25: scores follow the RSJ+1 idf formula, docs
     with no query term are excluded, ranking is (score desc, doc_id)."""
