@@ -762,6 +762,13 @@ def q_image_decode(spark, sf_dir):
     return mm_ops.image_decode_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_bmp_pixel_decode(spark, sf_dir):
+    # REAL pixel-PAYLOAD decode (stdlib struct + numpy, stride-aware)
+    # over genuine uncompressed 24-bit BMPs synthesized with full pixel
+    # arrays from doc_id — the one payload codec that needs no PIL
+    return mm_ops.bmp_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_video_decode(spark, sf_dir):
     # REAL-path container walk (RIFF chunk tree / ISO-BMFF boxes) over
     # genuine AVI/MP4 files synthesized from doc_id
@@ -1091,6 +1098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans_train": q_kmeans_train,
     "multimodal_media_summary": q_media_summary,
     "multimodal_image_decode": q_image_decode,
+    "multimodal_bmp_pixel_decode": q_bmp_pixel_decode,
     "multimodal_video_decode": q_video_decode,
     "multimodal_frame_sample": q_frame_sample,
     "sample_leakage_safe_split": q_leakage_safe_split,
@@ -1174,9 +1182,11 @@ _R9_WINDOW = [
     "text_lm_perplexity", "events_multi_touch_attribution", "scale_zorder_census",
     "streaming_dedup_census", "incremental_agg_orders",
     "streaming_click_attribution",
-    # never driver-certified: rows-only approximate dedup + audit twins
+    # never driver-certified: rows-only approximate dedup + audit twin
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "dedup_minhash_lsh_check", "dedup_simhash_check",
+    "dedup_minhash_lsh_check",
+    # new this round: REAL BMP pixel-payload decode
+    "multimodal_bmp_pixel_decode",
     # stalest certifications — r3
     "embedding_norm_stats", "knn_cosine_ivf", "knn_cosine_lsh",
     # r4
@@ -3105,6 +3115,36 @@ ORACLES: dict[str, str] = {
                    CASE doc_id % 4 WHEN 0 THEN 4 ELSE 3 END AS ch
             FROM documents
         ) GROUP BY fmt ORDER BY format
+    """,
+    "multimodal_bmp_pixel_decode": """
+        -- The Spark side synthesizes GENUINE uncompressed 24-bit BMPs —
+        -- headers AND pixel arrays, stride-padded — from doc_id and
+        -- decodes the pixel payloads with the REAL stdlib-struct+numpy
+        -- path (no PIL anywhere); the oracle replicates the
+        -- construction's closed-form pixel byte (doc_id+3x+5y+11c)%256
+        -- per BGR channel, pinning every channel sum and byte extremum
+        -- of every image end-to-end.
+        WITH geo AS (
+            SELECT doc_id, 4 + doc_id % 12 AS w, 4 + (doc_id * 7) % 8 AS h
+            FROM documents
+        ), px AS (
+            SELECT g.doc_id, g.w, g.h,
+                   (g.doc_id + 3*xs.x + 5*ys.y) % 256 AS b,
+                   (g.doc_id + 3*xs.x + 5*ys.y + 11) % 256 AS gg,
+                   (g.doc_id + 3*xs.x + 5*ys.y + 22) % 256 AS r
+            FROM geo g,
+                 unnest(generate_series(0, g.w - 1)) xs(x),
+                 unnest(generate_series(0, g.h - 1)) ys(y)
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               count(*) AS n_pixels,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(gg) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
+               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
+        FROM px GROUP BY doc_id ORDER BY media_id
     """,
     "multimodal_video_decode": """
         -- The Spark side synthesizes GENUINE avi/mp4 container bytes from

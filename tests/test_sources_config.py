@@ -567,6 +567,92 @@ def test_sniff_does_not_misroute_bm_prefixed_text(spark):
     assert mm._sniff_one(_make_bmp(8, 8)) == "bmp"
 
 
+def _make_bmp_with_pixels(w: int, h: int, px) -> bytes:
+    """Full uncompressed 24-bit BMP: header + stride-padded pixel rows.
+    ``px(x, y, c)`` gives the byte for channel c (0=B,1=G,2=R) of the
+    pixel at file-order row y, column x."""
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h):
+        row = bytes(px(x, y, c) for x in range(w) for c in range(3))
+        body += row + b"\x00" * (stride - w * 3)
+    return _make_bmp(w, h) + body
+
+
+def test_decode_pixels_bmp_real_golden(spark):
+    """Uncompressed 24-bit BMP PIXEL PAYLOADS decode for real — stdlib
+    struct + numpy, no PIL (round-8 verdict item 5): channel sums and
+    byte extrema must come from the actual pixel bytes, stride padding
+    excluded, on BOTH the fake and real paths."""
+    # 5x3: stride 16 > 15 — one pad byte per row that must NOT leak
+    # into the statistics
+    golden = _make_bmp_with_pixels(5, 3, lambda x, y, c: (7 + 3 * x + 5 * y + 11 * c) % 256)
+    exp = [(7 + 3 * x + 5 * y + 11 * c) % 256 for x in range(5) for y in range(3) for c in range(3)]
+    media = spark.createDataFrame(
+        [(1, golden, "image/bmp", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    for fake in (True, False):
+        row = mm.decode_pixels(media, use_fake_decode=fake).collect()[0]
+        assert (row.width, row.height, row.n_pixels) == (5, 3, 15)
+        assert row.sum_b == sum(v for i, v in enumerate(exp) if i % 3 == 0)
+        assert row.sum_g == sum(v for i, v in enumerate(exp) if i % 3 == 1)
+        assert row.sum_r == sum(v for i, v in enumerate(exp) if i % 3 == 2)
+        assert (row.min_byte, row.max_byte) == (min(exp), max(exp))
+
+
+def test_decode_pixels_corrupt_and_unsupported(spark):
+    """Real path: truncated pixel arrays are ValueError (corruption),
+    non-24-bpp is NotImplementedError (needs PIL) — never confused;
+    fake path falls through to the deterministic fake for both."""
+    full = _make_bmp_with_pixels(4, 2, lambda x, y, c: 0)
+    cases = [
+        (1, full[:-3], "truncated BMP pixel array"),
+        (2, _make_bmp(4, 2, bpp=8), "8-bpp BMP pixel decode requires PIL"),
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 40, "requires PIL"),
+    ]
+    for mid, blob, msg in cases:
+        one = spark.createDataFrame(
+            [(mid, blob, "image/x", "s")],
+            "media_id long, content binary, media_type string, source string",
+        )
+        with pytest.raises(Exception, match=msg):
+            mm.decode_pixels(one, use_fake_decode=False).collect()
+        fallback = mm.decode_pixels(one, use_fake_decode=True).collect()[0]
+        assert fallback.width > 0 and fallback.max_byte == 255
+    # top-down storage (negative height): same bytes, same stats
+    topdown = bytearray(_make_bmp_with_pixels(4, 2, lambda x, y, c: x + y + c))
+    import struct as _s
+    topdown[22:26] = _s.pack("<i", -2)
+    up = mm.decode_pixels(
+        spark.createDataFrame(
+            [(9, bytes(topdown), "image/bmp", "s")],
+            "media_id long, content binary, media_type string, source string",
+        ),
+        use_fake_decode=False,
+    ).collect()[0]
+    assert (up.height, up.n_pixels) == (2, 8)
+
+
+def test_bmp_pixel_summary_matches_synth_arithmetic(spark, documents):
+    """End-to-end: the synthesized corpus's decoded stats equal the
+    closed-form construction arithmetic (the DuckDB oracle's formula),
+    computed here in Python."""
+    out = mm.bmp_pixel_summary(documents.limit(20)).collect()
+    for row in out:
+        d = row.media_id
+        w, h = 4 + d % 12, 4 + (d * 7) % 8
+        vals = [
+            (d + 3 * x + 5 * y + 11 * c) % 256
+            for x in range(w) for y in range(h) for c in range(3)
+        ]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert row.sum_b == sum(v for i, v in enumerate(vals) if i % 3 == 0)
+        assert row.sum_g == sum(v for i, v in enumerate(vals) if i % 3 == 1)
+        assert row.sum_r == sum(v for i, v in enumerate(vals) if i % 3 == 2)
+        assert (row.min_byte, row.max_byte) == (min(vals), max(vals))
+
+
 def test_decode_media_overwide_headers_fall_through(spark):
     """Header-declared dimensions past int32 must route to the corrupt
     path, not crash the Arrow cast into DECODED_SCHEMA's int columns and
