@@ -769,6 +769,12 @@ def q_bmp_pixel_decode(spark, sf_dir):
     return mm_ops.bmp_pixel_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_wav_sample_decode(spark, sf_dir):
+    # REAL sample-PAYLOAD decode (stdlib wave + numpy) over genuine
+    # PCM16 WAV clips synthesized with full frame blocks from doc_id
+    return mm_ops.wav_sample_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_video_decode(spark, sf_dir):
     # REAL-path container walk (RIFF chunk tree / ISO-BMFF boxes) over
     # genuine AVI/MP4 files synthesized from doc_id
@@ -1099,6 +1105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_summary": q_media_summary,
     "multimodal_image_decode": q_image_decode,
     "multimodal_bmp_pixel_decode": q_bmp_pixel_decode,
+    "multimodal_wav_sample_decode": q_wav_sample_decode,
     "multimodal_video_decode": q_video_decode,
     "multimodal_frame_sample": q_frame_sample,
     "sample_leakage_safe_split": q_leakage_safe_split,
@@ -3145,6 +3152,32 @@ ORACLES: dict[str, str] = {
                CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
                CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
         FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+    "multimodal_wav_sample_decode": """
+        -- The Spark side synthesizes GENUINE PCM16 WAV clips — headers
+        -- AND frame blocks — from doc_id and decodes the sample payloads
+        -- with the REAL stdlib-wave+numpy path (no ffmpeg); the oracle
+        -- replicates the construction's closed-form two's-complement
+        -- sample (doc_id*13 + 7i) % 65536, pinning every amplitude
+        -- sum/square/extremum of every clip end-to-end.
+        WITH geo AS (
+            SELECT doc_id, 64 + doc_id % 128 AS n FROM documents
+        ), samp AS (
+            SELECT g.doc_id, g.n,
+                   CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS s
+            FROM (
+                SELECT g.doc_id, g.n,
+                       (g.doc_id * 13 + 7 * i.i) % 65536 AS m
+                FROM geo g, unnest(generate_series(0, g.n - 1)) i(i)
+            ) g
+        )
+        SELECT doc_id AS media_id, 1 AS channels, 8000 AS sample_rate,
+               count(*) AS n_samples,
+               CAST(sum(s) AS BIGINT) AS sum_amp,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(min(s) AS INT) AS min_amp,
+               CAST(max(s) AS INT) AS max_amp
+        FROM samp GROUP BY doc_id ORDER BY media_id
     """,
     "multimodal_video_decode": """
         -- The Spark side synthesizes GENUINE avi/mp4 container bytes from

@@ -634,6 +634,85 @@ def test_decode_pixels_corrupt_and_unsupported(spark):
     assert (up.height, up.n_pixels) == (2, 8)
 
 
+def test_decode_samples_wav_real_golden(spark):
+    """PCM16 WAV SAMPLE PAYLOADS decode for real — stdlib wave + numpy,
+    no ffmpeg (round-8 verdict item 5, audio half): amplitude sums,
+    squares, and extrema must come from the actual frame bytes on BOTH
+    the fake and real paths."""
+    import struct
+
+    vals = [0, 1, -1, 32767, -32768, 1234, -4321]
+    blob = _make_wav(1, 8000, 0)  # header shell, then rewrite frames
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", v) for v in vals))
+    blob = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, blob, "audio/wav", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    for fake in (True, False):
+        row = mm.decode_samples(media, use_fake_decode=fake).collect()[0]
+        assert (row.channels, row.sample_rate) == (1, 8000)
+        assert row.n_samples == len(vals)
+        assert row.sum_amp == sum(vals)
+        assert row.sum_sq == sum(v * v for v in vals)
+        assert (row.min_amp, row.max_amp) == (min(vals), max(vals))
+
+
+def test_decode_samples_corrupt_and_unsupported(spark):
+    """Real path: 8-bit WAV is NotImplementedError (needs ffmpeg),
+    non-WAV is NotImplementedError, truncated WAV container is
+    ValueError; fake path falls through for all of them."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit: unsupported stdlib-side
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x02\x03")
+    eight_bit = buf.getvalue()
+    cases = [
+        (1, eight_bit, "8-bit WAV sample decode requires ffmpeg"),
+        (2, _make_wav(1, 8000, 10)[:30], "does not parse"),
+        (3, b"\x89PNG\r\n\x1a\n" + b"\x00" * 20, "requires\\s+ffmpeg"),
+    ]
+    for mid, blob, msg in cases:
+        one = spark.createDataFrame(
+            [(mid, blob, "audio/x", "s")],
+            "media_id long, content binary, media_type string, source string",
+        )
+        with pytest.raises(Exception, match=msg):
+            mm.decode_samples(one, use_fake_decode=False).collect()
+        fallback = mm.decode_samples(one, use_fake_decode=True).collect()[0]
+        assert fallback.channels == 1 and fallback.max_amp == 1
+
+
+def test_wav_sample_summary_matches_synth_arithmetic(spark, documents):
+    """End-to-end: the synthesized WAV corpus's decoded stats equal the
+    closed-form construction arithmetic (the DuckDB oracle's formula)."""
+    out = mm.wav_sample_summary(documents.limit(20)).collect()
+    for row in out:
+        d = row.media_id
+        n = 64 + d % 128
+        vals = [
+            m - 65536 if m >= 32768 else m
+            for m in ((d * 13 + 7 * i) % 65536 for i in range(n))
+        ]
+        assert (row.channels, row.sample_rate, row.n_samples) == (1, 8000, n)
+        assert row.sum_amp == sum(vals)
+        assert row.sum_sq == sum(v * v for v in vals)
+        assert (row.min_amp, row.max_amp) == (min(vals), max(vals))
+
+
 def test_bmp_pixel_summary_matches_synth_arithmetic(spark, documents):
     """End-to-end: the synthesized corpus's decoded stats equal the
     closed-form construction arithmetic (the DuckDB oracle's formula),
