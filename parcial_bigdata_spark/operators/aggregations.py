@@ -339,6 +339,44 @@ def price_histogram(orders: DataFrame, bin_width: float = 25_000.0) -> DataFrame
     )
 
 
+def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of order totals — the
+    complement of ``price_histogram``'s fixed-width form: every bucket
+    holds ~count/n rows, so the histogram resolves the dense region of
+    a skewed distribution instead of burying it in one fat bin.
+
+    Scale shape: ONE exact percentile aggregate produces the n-1
+    cutpoints (a single tiny row broadcast back over the scan), then
+    bucket assignment is a row-local fold over the cutpoint array and
+    the histogram itself one partial-aggregated groupBy — never a
+    global sort, never ntile over the raw facts (an ntile window would
+    funnel the whole table through one partition).  At 100 TB the
+    exact percentile becomes ``percentile_approx`` (mergeable sketch,
+    same plan shape); the exact form is kept here because the oracle
+    pins it bit-for-bit."""
+    price = F.col("o_totalprice").cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = orders.agg(
+        F.percentile(price, F.array(*[F.lit(q) for q in qs])).alias("cuts")
+    )
+    bucket = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(price > c, 1).otherwise(0),
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def revenue_share_by_priority(orders: DataFrame) -> DataFrame:
     """Ratio-to-report: each priority's share of total revenue via a
     window sum over the AGGREGATED frame (|priorities| rows — the

@@ -309,6 +309,57 @@ def leakage_safe_split(
     )
 
 
+def pps_systematic_sample(
+    documents: DataFrame, k_per_source: int = 25
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) systematic
+    sample: exactly ``k_per_source`` picks per source, where a
+    document's selection probability is proportional to its length —
+    the corpus-curation draw that samples BYTES uniformly rather than
+    documents uniformly (a 100-char doc and a 10k-char doc are not the
+    same amount of training signal).
+
+    Classic systematic PPS: lay the documents on a line in a
+    deterministic pseudorandom order (md5 of doc_id), each occupying a
+    segment of width = its weight, and pick the k boundary-crossing
+    segments at every W/k stride.  The boundary test is INTEGER-EXACT
+    — ``(cum·k) div W`` transitions, no float priorities — so the
+    DuckDB oracle matches bit-for-bit (a float formulation like
+    Efraimidis-Spirakis u^(1/w) keys would hinge on cross-engine pow()
+    ulps).  A document wider than the stride yields multiple picks
+    (n_picks > 1) — the correct PPS semantics for dominant items.
+
+    One source-keyed shuffle: the running-sum window and the per-source
+    total share the exchange; document payloads never ride it."""
+    w = F.greatest(F.col("n_chars").cast("bigint"), F.lit(1))
+    order = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    keyed = documents.select("doc_id", "source", w.alias("w")).select(
+        "doc_id",
+        "source",
+        "w",
+        F.sum("w").over(order).alias("cum"),
+        F.sum("w").over(Window.partitionBy("source")).alias("total_w"),
+    )
+    # DIV, not `/`: float division then truncation could misplace an
+    # exactly-divisible boundary; integer DIV keeps the claim exact
+    k = int(k_per_source)
+    hi = F.expr(f"(cum * {k}) DIV total_w")
+    lo = F.expr(f"((cum - w) * {k}) DIV total_w")
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            "w",
+            (hi - lo).alias("n_picks"),
+            lo.alias("first_pick"),
+        )
+        .where(F.col("n_picks") > 0)
+        .orderBy("source", "first_pick")
+    )
+
+
 def shuffle_shards(
     documents: DataFrame, n_shards: int = 8, seed: str = "seed0"
 ) -> DataFrame:

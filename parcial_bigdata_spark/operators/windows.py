@@ -106,6 +106,47 @@ def daily_delta(events: DataFrame) -> DataFrame:
     ).orderBy("d")
 
 
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of ``value`` (the TWAP shape —
+    TimescaleDB's ``time_weight``): each observation holds until the
+    next one, so its weight is the micros until the user's next event
+    (left-constant interpolation; the final observation spans nothing
+    and is excluded).  Users whose events all share one timestamp have
+    zero span and drop out.
+
+    One user-keyed shuffle: the lead() window and the closing groupBy
+    share the ``user_id`` exchange.  The numerator Σ value·Δt is EXACT
+    — DECIMAL(18,2) value times bigint micros — with doubles entering
+    only at the final division, so the DuckDB oracle is bit-identical
+    (the ``money_sum`` pattern)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros(F.col("ts"))
+    per = events.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        dt.alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("span_us"),
+            F.sum(F.col("v") * F.col("dt")).alias("vdt"),
+        )
+        .where(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            F.round(
+                F.col("vdt").cast("double") / F.col("span_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def user_value_trend(events: DataFrame) -> DataFrame:
     """Per-user linear trend (OLS slope of value over time) with the
     built-in regr_slope aggregate — one partial+final pass, no UDF."""

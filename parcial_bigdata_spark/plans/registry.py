@@ -465,6 +465,25 @@ def q_price_histogram(spark, sf_dir):
     return agg_ops.price_histogram(_t(spark, sf_dir, "orders"))
 
 
+def q_equidepth_histogram(spark, sf_dir):
+    # quantile-bucketed histogram: one exact-percentile cutpoint row
+    # broadcast over the scan, row-local bucket fold, one groupBy —
+    # never ntile over the raw facts
+    return agg_ops.equidepth_histogram(_t(spark, sf_dir, "orders"))
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    # per-user TWAP: left-constant interpolation, exact decimal·micros
+    # numerator, one user-keyed shuffle shared by window + groupBy
+    return win_ops.time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+def q_pps_sample(spark, sf_dir):
+    # deterministic PPS systematic sample: integer-exact stride
+    # boundaries over an md5-ordered weight line, one source shuffle
+    return sample_ops.pps_systematic_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_word_pairs(spark, sf_dir):
     return text_ops.word_pair_counts(_t(spark, sf_dir, "documents"))
 
@@ -1111,6 +1130,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_leakage_safe_split": q_leakage_safe_split,
     "streaming_sessionize": q_streaming_sessionize,
     "price_histogram": q_price_histogram,
+    "equidepth_price_histogram": q_equidepth_histogram,
+    "events_time_weighted_avg": q_time_weighted_avg,
+    "sample_pps_systematic": q_pps_sample,
     "text_word_pairs": q_word_pairs,
     "revenue_share_by_priority": q_revenue_share,
     "dedup_component_survivors": q_component_survivors,
@@ -2421,6 +2443,75 @@ ORACLES: dict[str, str] = {
                round(min(o_totalprice), 2) AS min_price,
                round(max(o_totalprice), 2) AS max_price
         FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "equidepth_price_histogram": """
+        -- Same cutpoints (exact interpolated percentiles — Spark
+        -- percentile() and DuckDB quantile_cont agree bit-for-bit on
+        -- doubles, the percentile_value_by_type precedent), same
+        -- strictly-greater bucket fold.
+        WITH cuts AS (
+            SELECT ["""
+    + ", ".join(
+        f"quantile_cont(CAST(o_totalprice AS DOUBLE), {i / 10})"
+        for i in range(1, 10)
+    )
+    + """] AS cs
+            FROM orders
+        ), b AS (
+            SELECT o_totalprice,
+                   ("""
+    + " + ".join(
+        f"CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, 10)
+    )
+    + """) AS bucket
+            FROM orders, cuts
+        )
+        SELECT bucket, count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "events_time_weighted_avg": """
+        -- left-constant TWAP: exact DECIMAL(18,2)·micros numerator,
+        -- doubles only at the final division (money_sum pattern)
+        WITH s AS (
+            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) - epoch_us(ts) AS dt
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_intervals,
+               CAST(sum(dt) AS BIGINT) AS span_us,
+               round(CAST(sum(v * dt) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE), 6) AS twap
+        FROM s WHERE dt IS NOT NULL
+        GROUP BY user_id HAVING sum(dt) > 0
+        ORDER BY user_id
+    """,
+    "sample_pps_systematic": """
+        -- systematic PPS over the md5-ordered weight line; the stride
+        -- boundary test is integer DIV — bit-exact across engines
+        WITH keyed AS (
+            SELECT doc_id, source, greatest(n_chars, 1) AS w,
+                   sum(greatest(n_chars, 1)) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum,
+                   sum(greatest(n_chars, 1)) OVER (
+                       PARTITION BY source
+                   ) AS total_w
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+               CAST((cum * 25) // total_w - ((cum - w) * 25) // total_w
+                    AS BIGINT) AS n_picks,
+               CAST(((cum - w) * 25) // total_w AS BIGINT) AS first_pick
+        FROM keyed
+        WHERE (cum * 25) // total_w - ((cum - w) * 25) // total_w > 0
+        ORDER BY source, first_pick
     """,
     "text_word_pairs": f"""
         WITH t AS (

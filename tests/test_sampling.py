@@ -188,6 +188,49 @@ def test_price_histogram_buckets(spark):
     }
 
 
+def test_equidepth_histogram_balances_buckets(spark):
+    """Quantile-bucketed histogram: 100 distinct uniform prices → 10
+    buckets of exactly 10 orders each, with contiguous non-overlapping
+    [min, max] ranges."""
+    from parcial_bigdata_spark.operators.aggregations import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1, "O", float(1000 + i * 10), None, "x") for i in range(100)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = equidepth_histogram(df).collect()
+    assert [r.bucket for r in rows] == list(range(10))
+    assert all(r.n_orders == 10 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_price < b.min_price
+
+
+def test_pps_systematic_sample_exact_k_and_weighting(spark):
+    """PPS invariants: per-source picks total exactly k; a document
+    dominating the weight mass collects multiple picks; output is a
+    pure function of (doc_id, source, n_chars) — re-evaluation with
+    shuffled input order is identical."""
+    rows = [(i, "t", "en", "s1", 100) for i in range(50)]
+    rows += [(100, "t", "en", "s2", 100_000)]  # dominant: ~24 of 25 picks
+    rows += [(101 + i, "t", "en", "s2", 100) for i in range(30)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = sampling.pps_systematic_sample(docs, k_per_source=25).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += r.n_picks
+    assert by_src == {"s1": 25, "s2": 25}
+    dom = [r for r in out if r.doc_id == 100]
+    assert dom and dom[0].n_picks >= 20
+    again = sampling.pps_systematic_sample(
+        docs.orderBy(F.rand(7)), k_per_source=25
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
 def test_quota_sample_plan_prunes_map_side(spark):
     """The literal max-quota pre-filter must restore WindowGroupLimit —
     without it the rank bound lives behind the quota join and the window

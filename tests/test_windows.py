@@ -183,6 +183,41 @@ def _ev(spark, rows):
         "value double, props string")
 
 
+def test_time_weighted_avg_hand_computed(events):
+    """Left-constant TWAP: user 1 holds 10 for 5 min, 30 for 5 min,
+    20 for 40 min → (10·5 + 30·5 + 20·40) / 50 = 20.0; the final event
+    spans nothing; single-event user 2 has zero span and drops out."""
+    rows = {r.user_id: r for r in win.time_weighted_avg(events).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r.n_intervals == 3
+    assert r.span_us == 50 * 60 * 1_000_000
+    assert r.twap == pytest.approx((10 * 5 + 30 * 5 + 20 * 40) / 50)
+
+
+def test_time_weighted_avg_zero_span_and_ties(spark):
+    """All-simultaneous events: dt = 0 everywhere → user excluded (no
+    division by zero); a tie mid-stream contributes zero weight but
+    does not break the chain."""
+    import datetime as dtm
+
+    base = dtm.datetime(2025, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, 7, base, "t", 100.0),
+            (2, 7, base, "t", 200.0),           # same instant
+            (3, 8, base, "t", 5.0),
+            (4, 8, base, "t", 999.0),            # tie: weight 0
+            (5, 8, base + dtm.timedelta(seconds=10), "t", 1.0),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    rows = {r.user_id: r for r in win.time_weighted_avg(df).collect()}
+    assert set(rows) == {8}
+    # user 8: event 3 holds 0s (tie), event 4 holds 10s → twap = 999
+    assert rows[8].twap == pytest.approx(999.0)
+
+
 def test_ewma_hand_computed(spark):
     # alpha=0.5, k=2: weights 0.5, 0.25 — truncated, no renormalization
     out = {
