@@ -408,6 +408,144 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     )
 
 
+def jaccard_pairs_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.8,
+    length_slack: float = 0.2,
+) -> DataFrame:
+    """INCREMENTAL near-dup: which documents of an arriving batch are
+    near-duplicates of the existing corpus (or of an earlier batch
+    member)?  The daily-crawl dedup shape: at 100 TB the base corpus
+    dwarfs every increment, and re-running the full self-join
+    (``jaccard_pairs`` over base ∪ new) would redo base×base work that
+    is already settled — this operator's candidate join PROBES with the
+    new batch only, so candidate volume scales with |new|·density, not
+    |base|².
+
+    Semantics (= the DuckDB oracle): one row per (new doc, partner)
+    pair with same-language word-set Jaccard ≥ ``threshold`` within the
+    ``length_slack`` length band, where the partner is any base doc or
+    an EARLIER (lower doc_id) new doc — so batch-internal duplicates
+    are caught exactly like ``paragraph_dedup``'s first-occurrence-wins
+    and a batch member never pairs with a later one twice.
+
+    Blocking reuses ``jaccard_pairs``'s lossless toolkit (log length
+    buckets ±1, size-ratio prune, Bayardo prefix filter on the shared
+    rarest-first token order) on the asymmetric join: the probe side
+    explodes only the new batch's prefixes.  The Zipf-head token
+    list comes from the BASE corpus — at scale it is precomputed once
+    per corpus snapshot, and head drift only moves tokens between
+    prefix positions (losslessness never depends on the head being
+    current, only on both sides sorting by the SAME order, which they
+    do).  The mask fast path is deliberately absent: incremental runs
+    assume a corpus too big for a 512-word dictionary."""
+    import math
+
+    max_slack = 1 - 1 / _BUCKET_BASE
+    if length_slack > max_slack and not math.isclose(length_slack, max_slack):
+        raise ValueError(
+            f"length_slack={length_slack} exceeds the lossless blocking bound "
+            f"{max_slack:.4f} for bucket base {_BUCKET_BASE}"
+        )
+    tagged = _word_sets(base).withColumn("is_new", F.lit(False)).unionByName(
+        _word_sets(new).withColumn("is_new", F.lit(True))
+    )
+    freq = (
+        _word_sets(base)
+        .select(F.explode("wset").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .take(PREFIX_COMMONS)
+    )
+    commons_asc = [r.w for r in reversed(freq)]
+    cmap = F.create_map(
+        *[x for i, w in enumerate(commons_asc) for x in (F.lit(w), F.lit(i + 1))]
+    )
+    keyed = F.array_sort(
+        F.transform(
+            "wset",
+            lambda w: F.struct(
+                F.coalesce(F.element_at(cmap, w), F.lit(0)).alias("p"),
+                F.xxhash64(w).alias("h"),
+                w.alias("w"),
+            ),
+        )
+    )
+    plen = (
+        F.col("wsize") - F.ceil(F.lit(float(threshold)) * F.col("wsize")) + F.lit(1)
+    ).cast("int")
+    feat = tagged.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "bucket",
+        "wsize",
+        "wset",
+        "is_new",
+        F.transform(F.slice(keyed, F.lit(1), plen), lambda s: s["h"]).alias(
+            "prefix"
+        ),
+    )
+    slim = ["doc_id", "lang", "n_chars", "bucket", "wsize"]
+    probe = (
+        feat.where("is_new")
+        .select(*slim, F.explode("prefix").alias("ptok"))
+        .alias("a")
+    )
+    build = (
+        feat.select(
+            *slim,
+            "is_new",
+            "prefix",
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("jbucket"),
+        )
+        .select(*slim, "is_new", "jbucket", F.explode("prefix").alias("ptok"))
+        .alias("b")
+    )
+    eligible = (~F.col("b.is_new")) | (F.col("b.doc_id") < F.col("a.doc_id"))
+    cand = (
+        probe.join(
+            build,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.jbucket"))
+            & (F.col("a.ptok") == F.col("b.ptok"))
+            & eligible
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= length_slack
+                * F.greatest(F.col("a.n_chars"), F.col("b.n_chars"))
+            )
+            & (F.col("a.wsize") >= threshold * F.col("b.wsize"))
+            & (F.col("b.wsize") >= threshold * F.col("a.wsize")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("dup_of"),
+            F.col("b.is_new").alias("dup_in_batch"),
+        )
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    payload = feat.select("doc_id", "wset")
+    inter = F.size(F.array_intersect(F.col("pa.wset"), F.col("pb.wset")))
+    union = F.size(F.array_union(F.col("pa.wset"), F.col("pb.wset")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(payload.alias("pa"), F.col("new_doc") == F.col("pa.doc_id"))
+        .join(payload.alias("pb"), F.col("dup_of") == F.col("pb.doc_id"))
+        .select(
+            "new_doc",
+            "dup_of",
+            "dup_in_batch",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # Contracted graphs at or below this many (directed) edge rows route to
 # the single-task Arrow union-find tail solver instead of further star
 # rounds.  Chosen by measurement (round-7 sweep over 200k/500k/1M on the

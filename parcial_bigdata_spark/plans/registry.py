@@ -621,6 +621,18 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    # daily-crawl incremental dedup: every fifth document arrives as
+    # the "new batch", the rest is the settled base corpus; the probe
+    # side of the candidate join is the batch only
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.jaccard_pairs_incremental(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        threshold=0.6,
+    ).orderBy("new_doc", "dup_of")
+
+
 def q_dedup_minhash(spark, sf_dir):
     return dedup_ops.minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -1114,6 +1126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merges": q_bpe_merges,
     "text_bpe_encode": q_bpe_encode,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_incremental_jaccard": q_dedup_incremental,
     "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_embedding_dups,
     "dedup_cross_split_contamination": q_contamination,
@@ -3074,6 +3087,30 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+    """,
+    "dedup_incremental_jaccard": f"""
+        -- incremental dedup: the blocked asymmetric join is lossless,
+        -- so the naive new-batch x (base + earlier batch) join is the
+        -- oracle (same shape as dedup_ngram_jaccard's)
+        WITH ws AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset,
+                   doc_id % 5 = 0 AS is_new
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS new_doc, b.doc_id AS dup_of,
+                   b.is_new AS dup_in_batch,
+                   round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.wset, b.wset))), 4)
+                       AS jaccard
+            FROM ws a JOIN ws b
+              ON a.is_new AND (NOT b.is_new OR b.doc_id < a.doc_id)
+             AND a.lang = b.lang
+             AND abs(a.n_chars - b.n_chars)
+                 <= 0.2 * greatest(a.n_chars, b.n_chars)
+        )
+        SELECT new_doc, dup_of, dup_in_batch, jaccard FROM pairs
+        WHERE jaccard >= 0.6 ORDER BY new_doc, dup_of
     """,
     "sample_leakage_safe_split": f"""
         WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (

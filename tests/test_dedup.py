@@ -296,6 +296,53 @@ def test_jaccard_prefix_filter_lossless_large_vocab(spark, monkeypatch):
     assert expected  # the generator must actually produce near-dup pairs
 
 
+def test_jaccard_incremental_consistent_with_full_self_join(spark):
+    """Incremental dedup must be the full self-join's answer restricted
+    to pairs touching the new batch, with batch-internal pairs oriented
+    later→earlier: derived here from jaccard_pairs on the union and
+    compared exactly (both blocked paths are lossless, so they must
+    agree pair-for-pair)."""
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"tok{i:04d}" for i in range(400)]
+    docs = []
+    shared: list[str] = []
+    # clusters of 6 so each near-dup cluster holds TWO new-batch docs
+    # (doc_id % 5 == 0) — batch-internal pairs must be exercised
+    for i in range(42):
+        if i % 6 == 0:
+            shared = rng.sample(vocab, 30)
+        words = list(shared)
+        for _ in range(i % 6):
+            words[rng.randrange(len(words))] = vocab[rng.randrange(len(vocab))]
+        text = " ".join(words)
+        docs.append((i, text, "en", "web", len(text)))
+    documents = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    is_new = lambda d: d % 5 == 0
+    base = documents.where("doc_id % 5 != 0")
+    new = documents.where("doc_id % 5 = 0")
+    full = dedup.jaccard_pairs(documents, threshold=0.6).collect()
+    expected = set()
+    for r in full:
+        a, b = r.doc_a, r.doc_b  # a < b
+        if is_new(b):
+            expected.add((b, a, is_new(a), r.jaccard))
+        elif is_new(a):
+            expected.add((a, b, False, r.jaccard))
+    got = {
+        (r.new_doc, r.dup_of, r.dup_in_batch, r.jaccard)
+        for r in dedup.jaccard_pairs_incremental(
+            base, new, threshold=0.6
+        ).collect()
+    }
+    assert got == expected
+    assert any(t[2] for t in expected)      # batch-internal dups exercised
+    assert any(not t[2] for t in expected)  # base dups exercised
+
+
 def test_embedding_lsh_recall_and_precision(spark):
     """LSH-blocked embedding dedup vs exhaustive ground truth: exact
     verification makes precision 1.0; multi-table OR-construction must
