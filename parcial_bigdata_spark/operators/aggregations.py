@@ -377,6 +377,45 @@ def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     )
 
 
+def price_boxplot(orders: DataFrame) -> DataFrame:
+    """Per-status boxplot profile of order totals: exact quartiles,
+    IQR, and Tukey-fence outlier counts (beyond q1−1.5·IQR /
+    q3+1.5·IQR) — the five-number summary every data-quality dashboard
+    draws.
+
+    Two scans, no window over raw facts: the exact-percentile groupBy
+    yields one tiny row per status, which broadcasts back over the scan
+    for the fence counts.  Fence arithmetic runs on the identical
+    doubles both engines interpolate, so the oracle pins the outlier
+    counts exactly (percentile_value_by_type precedent)."""
+    price = F.col("o_totalprice").cast("double")
+    pct = orders.groupBy("o_orderstatus").agg(
+        F.percentile(price, F.lit(0.25)).alias("q1"),
+        F.percentile(price, F.lit(0.5)).alias("median"),
+        F.percentile(price, F.lit(0.75)).alias("q3"),
+    )
+    lo_fence = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi_fence = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        orders.join(F.broadcast(pct), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("q1"), 4).alias("q1"),
+            F.round(F.min("median"), 4).alias("median"),
+            F.round(F.min("q3"), 4).alias("q3"),
+            F.round(F.min(F.col("q3") - F.col("q1")), 4).alias("iqr"),
+            F.sum(F.when(price < lo_fence, 1).otherwise(0)).alias(
+                "n_low_outliers"
+            ),
+            F.sum(F.when(price > hi_fence, 1).otherwise(0)).alias(
+                "n_high_outliers"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def revenue_share_by_priority(orders: DataFrame) -> DataFrame:
     """Ratio-to-report: each priority's share of total revenue via a
     window sum over the AGGREGATED frame (|priorities| rows — the

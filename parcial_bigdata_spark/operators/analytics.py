@@ -176,3 +176,66 @@ def multi_touch_attribution(
         "user_id", "purchase_id", "click_id", "touch_rank", "n_touches",
         F.round(F.col("purchase_value") * weight, 4).alias("credit"),
     )
+
+
+def time_decay_attribution(
+    events: DataFrame, lookback_days: int = 7, half_life_days: int = 1
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the recency-weighted
+    companion of the U-shaped model: each purchase splits its value
+    over the same-user clicks in the lookback window with weight
+    halving per ``half_life_days`` of age, so yesterday's click earns
+    twice the credit of the day before's.
+
+    Numeric design: the raw weight is 2^(−⌊age_days/half_life⌋) — an
+    EXACT power of two, so the per-purchase weight sum is exact in
+    binary floating point REGARDLESS of summation order (every term is
+    a multiple of the smallest one and the total stays far under 2^53
+    ulps).  A continuous exp(−λ·Δt) decay would make the denominator
+    depend on each engine's reduction order and libm exp ulps; the
+    day-bucketed form keeps the oracle bit-identical while preserving
+    the model's shape.  Same plan as ``multi_touch_attribution``: one
+    user-keyed interval join, one purchase-keyed window, credits
+    rounded at the output edge."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = click_user
+                AND click_ts BETWEEN purchase_ts - INTERVAL {lookback_days} DAYS
+                                 AND purchase_ts"""
+        ),
+        "inner",
+    )
+    from pyspark.sql.window import Window
+
+    day_us = 86_400_000_000
+    age_buckets = F.expr(
+        f"(unix_micros(purchase_ts) - unix_micros(click_ts)) "
+        f"DIV {day_us * half_life_days}"
+    )
+    h = F.pow(F.lit(2.0), -age_buckets.cast("double"))
+    wn = Window.partitionBy("purchase_id")
+    weighted = pairs.select(
+        "user_id", "purchase_id", "purchase_value", "click_id", "click_ts",
+        h.alias("h"),
+    )
+    return weighted.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.col("h").alias("decay_weight"),
+        F.round(
+            F.col("purchase_value") * F.col("h") / F.sum("h").over(wn), 4
+        ).alias("credit"),
+    )

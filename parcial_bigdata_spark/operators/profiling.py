@@ -138,3 +138,67 @@ def snapshot_diff(
         .agg(F.count("*").alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+def orphan_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    child_name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit for one FK edge: how many child rows
+    reference a parent key that does not exist (orphans), how many
+    distinct orphan keys, plus the total/null accounting a data-quality
+    gate needs before promoting a snapshot.
+
+    One left-anti-shaped aggregate: the child's key-distinct frame
+    (usually tiny relative to the fact table after the map-side
+    combine) left-joins the parent's key set; orphan rows then weight
+    back by their reference counts — so the parent join never sees the
+    fact-table row volume, only distinct keys.  NULL FKs are counted
+    separately (a null reference is a modeling decision, not an orphan)."""
+    name = child_name or "child"
+    refs = child.groupBy(F.col(fk).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    keys = parent.select(F.col(pk).alias("k")).distinct().withColumn(
+        "present", F.lit(True)
+    )
+    joined = refs.join(keys, "k", "left")
+    return joined.agg(
+        F.lit(name).alias("child_table"),
+        F.lit(fk).alias("fk_column"),
+        F.sum("n_refs").alias("n_child_rows"),
+        F.sum(F.when(F.col("k").isNull(), F.col("n_refs")).otherwise(0)).alias(
+            "n_null_fk"
+        ),
+        F.sum(
+            F.when(
+                F.col("present").isNull() & F.col("k").isNotNull(),
+                F.col("n_refs"),
+            ).otherwise(0)
+        ).alias("n_orphan_rows"),
+        F.sum(
+            F.when(
+                F.col("present").isNull() & F.col("k").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_orphan_keys"),
+    )
+
+
+def integrity_audit(tables: dict[str, DataFrame], edges: list[tuple[str, str, str, str]]) -> DataFrame:
+    """Whole-schema referential-integrity report: one ``orphan_audit``
+    row per declared FK edge (child_table, fk, parent_table, pk),
+    unioned.  Each edge is an independent distinct-key join — the plan
+    fans out in parallel, and no edge ever shuffles fact-table
+    payloads.  The TPC-H edge list is the registry's test harness; a
+    real deployment passes its own catalog."""
+    parts = [
+        orphan_audit(tables[c], tables[p], fk, pk, child_name=c)
+        for c, fk, p, pk in edges
+    ]
+    out = parts[0]
+    for frame in parts[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("child_table", "fk_column")

@@ -258,6 +258,26 @@ def q_retention_cohorts(spark, sf_dir):
     return ana_ops.retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+# FK edges of the TPC-H-ish star schema: (child, fk, parent, pk).
+_FK_EDGES = [
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_integrity_audit(spark, sf_dir):
+    # whole-schema referential-integrity gate: every FK edge audited
+    # via distinct-key joins — fact payloads never shuffle
+    names = {t for c, _, p, _ in _FK_EDGES for t in (c, p)}
+    tables = {t: _t(spark, sf_dir, t) for t in names}
+    return prof_ops.integrity_audit(tables, _FK_EDGES)
+
+
 def q_profile_orders(spark, sf_dir):
     return prof_ops.profile_table(_t(spark, sf_dir, "orders"))
 
@@ -380,6 +400,14 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_time_decay_attribution(spark, sf_dir):
+    # recency-weighted attribution twin: power-of-two day-bucket decay
+    # keeps the per-purchase weight sum order-insensitive and exact
+    return ana_ops.time_decay_attribution(
+        _t(spark, sf_dir, "events")
+    ).orderBy("purchase_id", "click_id")
+
+
 def q_lm_perplexity(spark, sf_dir):
     return text_ops.lm_perplexity(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
@@ -463,6 +491,12 @@ def q_revenue_share(spark, sf_dir):
 
 def q_price_histogram(spark, sf_dir):
     return agg_ops.price_histogram(_t(spark, sf_dir, "orders"))
+
+
+def q_price_boxplot(spark, sf_dir):
+    # five-number summary + Tukey-fence outlier counts per status; the
+    # percentile row broadcasts back over the scan
+    return agg_ops.price_boxplot(_t(spark, sf_dir, "orders"))
 
 
 def q_equidepth_histogram(spark, sf_dir):
@@ -1109,6 +1143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setop_status_bag_overlap": q_status_bag_overlap,
     "events_retention_cohorts": q_retention_cohorts,
     "profile_orders_table": q_profile_orders,
+    "integrity_fk_audit": q_integrity_audit,
     "skew_lineitem_suppkey": q_skew_lineitem_suppkey,
     "text_quality_metrics": q_text_quality,
     "text_token_counts": q_token_counts,
@@ -1144,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize": q_streaming_sessionize,
     "price_histogram": q_price_histogram,
     "equidepth_price_histogram": q_equidepth_histogram,
+    "stats_price_boxplot": q_price_boxplot,
     "events_time_weighted_avg": q_time_weighted_avg,
     "sample_pps_systematic": q_pps_sample,
     "text_word_pairs": q_word_pairs,
@@ -1175,6 +1211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match_part_names": q_fuzzy_part_names,
     "text_lm_perplexity": q_lm_perplexity,
     "events_multi_touch_attribution": q_multi_touch_attribution,
+    "events_time_decay_attribution": q_time_decay_attribution,
     "streaming_dedup_census": q_streaming_dedup_census,
     "incremental_agg_orders": q_incremental_agg,
 }
@@ -2485,6 +2522,26 @@ ORACLES: dict[str, str] = {
                round(max(o_totalprice), 2) AS max_price
         FROM b GROUP BY bucket ORDER BY bucket
     """,
+    "stats_price_boxplot": """
+        WITH pct AS (
+            SELECT o_orderstatus,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med,
+                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o.o_orderstatus, count(*) AS n_orders,
+               round(min(q1), 4) AS q1, round(min(med), 4) AS median,
+               round(min(q3), 4) AS q3, round(min(q3 - q1), 4) AS iqr,
+               CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE)
+                                  < q1 - 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+               CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE)
+                                  > q3 + 1.5 * (q3 - q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+        FROM orders o JOIN pct USING (o_orderstatus)
+        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
     "events_time_weighted_avg": """
         -- left-constant TWAP: exact DECIMAL(18,2)·micros numerator,
         -- doubles only at the final division (money_sum pattern)
@@ -2614,6 +2671,37 @@ ORACLES: dict[str, str] = {
                COALESCE(n_surplus_y1, 0) AS n_surplus_y1
         FROM c FULL OUTER JOIN s USING (o_orderstatus)
         ORDER BY o_orderstatus
+    """,
+    "integrity_fk_audit": """
+        -- per-FK-edge orphan accounting; on a consistent TPC-H corpus
+        -- every orphan count is zero and the totals pin the audit's
+        -- reference arithmetic
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"""SELECT '{c}' AS child_table, '{fk}' AS fk_column,
+               count(*) AS n_child_rows,
+               CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_fk,
+               CAST(sum(CASE WHEN {fk} IS NOT NULL AND {pk_ref} IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+               CAST(count(DISTINCT CASE WHEN {fk} IS NOT NULL
+                                         AND {pk_ref} IS NULL
+                                        THEN {fk} END)
+                    AS BIGINT) AS n_orphan_keys
+        FROM {c} LEFT JOIN {p} ON {c}.{fk} = {p}.{pk}"""
+        for c, fk, p, pk in [
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ]
+        for pk_ref in [f"{p}.{pk}"]
+    )
+    + """
+        ORDER BY child_table, fk_column
     """,
     "profile_orders_table": """
         SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
@@ -2886,6 +2974,31 @@ ORACLES: dict[str, str] = {
                    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
                    ELSE 0.2 / (n_touches - 2) END, 4) AS credit
         FROM pr ORDER BY purchase_id, touch_rank
+    """,
+    "events_time_decay_attribution": """
+        -- decay weight 2^(-age_days) is an exact power of two, so the
+        -- per-purchase weight sum is order-insensitive and the credit
+        -- quotient bit-identical across engines
+        WITH ev AS (SELECT * FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM ev WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS click_user, event_id AS click_id,
+                     ts AS click_ts
+              FROM ev WHERE event_type = 'click'),
+        pr AS (
+            SELECT p.user_id, purchase_id, purchase_value, click_id,
+                   pow(2.0, -CAST((epoch_us(p.purchase_ts)
+                                   - epoch_us(c.click_ts))
+                                  // 86400000000 AS DOUBLE)) AS h
+            FROM p JOIN c ON p.user_id = c.click_user
+             AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 7 DAY
+                                AND p.purchase_ts
+        )
+        SELECT user_id, purchase_id, click_id, h AS decay_weight,
+               round(purchase_value * h
+                     / sum(h) OVER (PARTITION BY purchase_id), 4) AS credit
+        FROM pr ORDER BY purchase_id, click_id
     """,
     # add-k bigram LM: every quotient is bit-identical across engines
     # (exact integer counts, k=0.5 and k·V exactly representable);

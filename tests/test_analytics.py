@@ -148,3 +148,45 @@ def test_multi_touch_attribution_weight_model(spark):
         (8, 6): (1, 2, 5.0), (8, 7): (2, 2, 5.0),
         (10, 9): (1, 1, 8.0),
     }
+
+
+def test_time_decay_attribution_halving_weights(spark):
+    """Day-bucketed power-of-two decay: clicks 0, 1, and 2 whole days
+    before the purchase weight 1, 1/2, 1/4 → credits 4/7, 2/7, 1/7 of
+    the value; clicks outside the 7-day lookback get nothing."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        time_decay_attribution,
+    )
+
+    base = dt.datetime(2025, 1, 10, 12, 0, 0)
+
+    def ev(eid, uid, days_before, etype, value=0.0):
+        return (
+            eid,
+            base - dt.timedelta(days=days_before),
+            uid,
+            etype,
+            value,
+        )
+
+    rows = [
+        ev(1, 1, 0, "purchase", 70.0),
+        ev(2, 1, 0, "click"),       # same instant: bucket 0, weight 1
+        ev(3, 1, 1, "click"),       # 1 day: weight 1/2
+        ev(4, 1, 2, "click"),       # 2 days: weight 1/4
+        ev(5, 1, 9, "click"),       # outside the 7-day lookback
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.click_id: (r.decay_weight, r.credit)
+        for r in time_decay_attribution(events).collect()
+    }
+    assert got == {
+        2: (1.0, 40.0),     # 70 * 4/7
+        3: (0.5, 20.0),     # 70 * 2/7
+        4: (0.25, 10.0),    # 70 * 1/7
+    }

@@ -132,3 +132,37 @@ def test_profile_table_rejects_empty_column_list(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError, match="empty column list"):
         profiling.profile_table(df, columns=[])
+
+
+def test_orphan_audit_counts_orphans_and_nulls(spark):
+    """Orphans, null FKs, and clean references classified separately;
+    orphan keys counted distinct while orphan rows count references."""
+    from parcial_bigdata_spark.operators.profiling import orphan_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 99), (5, 98), (6, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = orphan_audit(child, parent, "fk", "pk", child_name="t").collect()[0]
+    assert row.child_table == "t" and row.fk_column == "fk"
+    assert row.n_child_rows == 6
+    assert row.n_null_fk == 1
+    assert row.n_orphan_rows == 3      # two 99s + one 98
+    assert row.n_orphan_keys == 2      # {99, 98}
+
+
+def test_integrity_audit_one_row_per_edge(spark):
+    from parcial_bigdata_spark.operators.profiling import integrity_audit
+
+    a = spark.createDataFrame([(1, 5)], "id long, fk long")
+    b = spark.createDataFrame([(5,), (6,)], "pk long")
+    out = integrity_audit(
+        {"a": a, "b": b},
+        [("a", "fk", "b", "pk"), ("b", "pk", "a", "id")],
+    ).collect()
+    assert [(r.child_table, r.fk_column) for r in out] == [
+        ("a", "fk"), ("b", "pk")
+    ]
+    assert out[0].n_orphan_rows == 0
+    assert out[1].n_orphan_rows == 2   # pks 5,6 vs ids {1}

@@ -270,3 +270,25 @@ def test_shuffle_shards_contract(spark, documents):
         assert poss == list(range(1, len(poss) + 1)), shard
     c = S.shuffle_shards(documents, n_shards=2, seed="e1").collect()
     assert [(r.doc_id) for r in c] != [(r.doc_id) for r in a]
+
+
+def test_price_boxplot_quartiles_and_fences(spark):
+    """Golden boxplot: 0..100 step 10 plus one far outlier — exact
+    interpolated quartiles and Tukey-fence counts."""
+    from parcial_bigdata_spark.operators.aggregations import price_boxplot
+
+    vals = [float(v) for v in range(0, 101, 10)] + [1000.0]
+    df = spark.createDataFrame(
+        [(i, 1, "O", v, None, "x") for i, v in enumerate(vals)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    row = price_boxplot(df).collect()[0]
+    # 12 values: percentile_cont(0.25) at index 2.75 -> 27.5, etc.
+    assert row.n_orders == 12
+    assert row.q1 == 27.5
+    assert row.median == 55.0
+    assert row.q3 == 82.5
+    assert row.iqr == 55.0
+    assert row.n_low_outliers == 0          # fence at -55
+    assert row.n_high_outliers == 1         # 1000 > 165
