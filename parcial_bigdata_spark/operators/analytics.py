@@ -178,6 +178,42 @@ def multi_touch_attribution(
     )
 
 
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every (event_type → next event_type) edge observed within a user's
+    timeline, the transition count and row-normalized probability —
+    the clickstream "what happens after X" report, and the input to
+    next-action models.
+
+    One user-keyed window (lead over the user's total event order) and
+    one tiny groupBy on the |types|² edge space; the probability is a
+    ratio-to-report window over the AGGREGATED frame, so the second
+    window touches |types|² rows, never the raw stream.  Counts are
+    exact integers; the probability quotient of identical integers is
+    bit-identical across engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(row_total),
+            6,
+        ).alias("probability"),
+    ).orderBy("from_type", "to_type")
+
+
 def time_decay_attribution(
     events: DataFrame, lookback_days: int = 7, half_life_days: int = 1
 ) -> DataFrame:

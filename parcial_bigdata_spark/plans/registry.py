@@ -400,6 +400,11 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_transition_matrix(spark, sf_dir):
+    # first-order Markov transitions over each user's event timeline
+    return ana_ops.event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
 def q_time_decay_attribution(spark, sf_dir):
     # recency-weighted attribution twin: power-of-two day-bucket decay
     # keeps the per-purchase weight sum order-insensitive and exact
@@ -1212,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_perplexity": q_lm_perplexity,
     "events_multi_touch_attribution": q_multi_touch_attribution,
     "events_time_decay_attribution": q_time_decay_attribution,
+    "events_transition_matrix": q_transition_matrix,
     "streaming_dedup_census": q_streaming_dedup_census,
     "incremental_agg_orders": q_incremental_agg,
 }
@@ -2974,6 +2980,24 @@ ORACLES: dict[str, str] = {
                    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
                    ELSE 0.2 / (n_touches - 2) END, 4) AS credit
         FROM pr ORDER BY purchase_id, touch_rank
+    """,
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), counted AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               round(CAST(n_transitions AS DOUBLE)
+                     / sum(n_transitions) OVER (PARTITION BY from_type),
+                     6) AS probability
+        FROM counted ORDER BY from_type, to_type
     """,
     "events_time_decay_attribution": """
         -- decay weight 2^(-age_days) is an exact power of two, so the

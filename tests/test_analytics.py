@@ -190,3 +190,29 @@ def test_time_decay_attribution_halving_weights(spark):
         3: (0.5, 20.0),     # 70 * 2/7
         4: (0.25, 10.0),    # 70 * 1/7
     }
+
+
+def test_event_transition_matrix_counts_and_probs(spark):
+    """Per-user timelines: u1 a→b→a, u2 a→b. Edges: a→b ×2, b→a ×1;
+    P(b|a)=1.0, P(a|b)=1.0 — and cross-user boundaries never pair."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+
+    def ev(eid, uid, mins, etype):
+        return (eid, base + dt.timedelta(minutes=mins), uid, etype, 0.0)
+
+    events = spark.createDataFrame(
+        [ev(1, 1, 0, "a"), ev(2, 1, 1, "b"), ev(3, 1, 2, "a"),
+         ev(4, 2, 0, "a"), ev(5, 2, 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.probability)
+        for r in event_transition_matrix(events).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
