@@ -461,3 +461,66 @@ def zorder_pruning_stats(
         )
         .orderBy("z_bucket")
     )
+
+
+def _list_data_files(spark, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``path``, via the Hadoop
+    FileSystem API — the same listing Spark's own InMemoryFileIndex
+    does, so it works on any configured filesystem (local, HDFS, object
+    stores), not just local disk."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue  # _SUCCESS, checksums, hidden markers
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def compaction_plan(spark, path: str, target_bytes: int = 128 * 1024 * 1024):
+    """Small-file audit for a parquet table (the OPTIMIZE decision
+    input): file count, byte totals, how many files sit under half the
+    target size, and the output file count a compaction would produce.
+    Returns a dict — driver-side metadata only, no data scan.
+
+    Small files are THE silent killer of 100 TB scans: every file costs
+    a footer read + task schedule, and a table written by a 2000-task
+    job per hour for a year holds 17M files.  The audit reads only the
+    filesystem listing, so it is safe to run on every pipeline tick."""
+    files = _list_data_files(spark, path)
+    sizes = [s for _, s in files]
+    total = sum(sizes)
+    small = sum(1 for s in sizes if s < target_bytes // 2)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "avg_bytes": total // max(len(sizes), 1),
+        "n_small_files": small,
+        "target_files": max(1, -(-total // target_bytes)),
+    }
+
+
+def compact_files(
+    spark, path: str, out_path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Rewrite a fragmented parquet table into ~``target_bytes`` files
+    (Delta/Iceberg OPTIMIZE, expressed with the public API): one
+    balanced round-robin repartition to the audited target file count,
+    then an atomic-per-directory overwrite of ``out_path``.  Returns
+    the before/after audit.  Row content is preserved exactly (pinned
+    by tests); ordering within files is not — callers needing clustered
+    layout compose with ``write_zorder_clustered`` instead, which is
+    compaction + clustering in one pass."""
+    before = compaction_plan(spark, path, target_bytes)
+    n_out = before["target_files"]
+    spark.read.parquet(path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    after = compaction_plan(spark, out_path, target_bytes)
+    return {"before": before, "after": after}

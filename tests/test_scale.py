@@ -389,3 +389,31 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # z-order: BOTH dimensions' spans shrink to tile-sized fractions
     assert span_fraction("zord", "x") < 0.5
     assert span_fraction("zord", "y") < 0.5
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE semantics: a deliberately fragmented table (40 files)
+    compacts to the audited target count with identical content."""
+    from parcial_bigdata_spark.operators.scale import (
+        compact_files,
+        compaction_plan,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(20_000).selectExpr("id", "id % 97 AS k", "repeat('x', 50) AS pad")
+    df.repartition(40).write.parquet(src)
+
+    plan = compaction_plan(spark, src, target_bytes=1 << 20)
+    assert plan["n_files"] == 40
+    assert plan["n_small_files"] == 40          # all tiny vs 1 MiB target
+    assert plan["target_files"] < 40
+
+    result = compact_files(spark, src, dst, target_bytes=1 << 20)
+    assert result["after"]["n_files"] == result["before"]["target_files"]
+    assert result["after"]["total_bytes"] > 0
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 20_000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
