@@ -106,6 +106,40 @@ def daily_delta(events: DataFrame) -> DataFrame:
     ).orderBy("d")
 
 
+def user_bookends(events: DataFrame) -> DataFrame:
+    """Per-user FIRST and LAST event (type + value) with event count —
+    the first_value/last_value window shape, computed as struct argmin/
+    argmax in ONE map-side-combining groupBy instead of a window: a
+    window over (user, full history) funnels each user's whole timeline
+    through one task, while min/max(struct(ts, event_id, payload))
+    partial-aggregates to two structs per user per input partition
+    before the shuffle — the only form that survives a power-user at
+    100 TB.  (ts, event_id) is a total order, so both ends are
+    deterministic."""
+    first = F.min(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("f")
+    last = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("l")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), first, last)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("f.event_type").alias("first_type"),
+            F.col("f.value").alias("first_value"),
+            F.col("l.event_type").alias("last_type"),
+            F.col("l.value").alias("last_value"),
+            (
+                F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("f.ts"))
+            ).alias("span_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def time_weighted_avg(events: DataFrame) -> DataFrame:
     """Per-user TIME-WEIGHTED average of ``value`` (the TWAP shape —
     TimescaleDB's ``time_weight``): each observation holds until the

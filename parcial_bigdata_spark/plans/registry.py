@@ -511,6 +511,12 @@ def q_equidepth_histogram(spark, sf_dir):
     return agg_ops.equidepth_histogram(_t(spark, sf_dir, "orders"))
 
 
+def q_user_bookends(spark, sf_dir):
+    # first_value/last_value as struct argmin/argmax — one map-side-
+    # combining groupBy, never a per-user window over the raw stream
+    return win_ops.user_bookends(_t(spark, sf_dir, "events"))
+
+
 def q_time_weighted_avg(spark, sf_dir):
     # per-user TWAP: left-constant interpolation, exact decimal·micros
     # numerator, one user-keyed shuffle shared by window + groupBy
@@ -1186,6 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equidepth_price_histogram": q_equidepth_histogram,
     "stats_price_boxplot": q_price_boxplot,
     "events_time_weighted_avg": q_time_weighted_avg,
+    "agg_user_bookends": q_user_bookends,
     "sample_pps_systematic": q_pps_sample,
     "text_word_pairs": q_word_pairs,
     "revenue_share_by_priority": q_revenue_share,
@@ -2547,6 +2554,30 @@ ORACLES: dict[str, str] = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
         FROM orders o JOIN pct USING (o_orderstatus)
         GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    "agg_user_bookends": """
+        -- struct argmin/argmax on the (ts, event_id) total order; both
+        -- engines compare the struct lexicographically, so the bookend
+        -- payloads are pinned exactly
+        SELECT user_id, count(*) AS n_events,
+               (min(struct_pack(ts := ts, eid := event_id,
+                                et := event_type, val := value))).et
+                   AS first_type,
+               CAST((min(struct_pack(ts := ts, eid := event_id,
+                                     et := event_type, val := value))).val
+                    AS DOUBLE) AS first_value,
+               (max(struct_pack(ts := ts, eid := event_id,
+                                et := event_type, val := value))).et
+                   AS last_type,
+               CAST((max(struct_pack(ts := ts, eid := event_id,
+                                     et := event_type, val := value))).val
+                    AS DOUBLE) AS last_value,
+               epoch_us((max(struct_pack(ts := ts, eid := event_id,
+                                         et := event_type, val := value))).ts)
+               - epoch_us((min(struct_pack(ts := ts, eid := event_id,
+                                           et := event_type, val := value))).ts)
+                   AS span_us
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
     "events_time_weighted_avg": """
         -- left-constant TWAP: exact DECIMAL(18,2)·micros numerator,

@@ -262,3 +262,15 @@ def test_ewma_validates_inputs(spark):
         win.ewma_smooth(df, alpha=1.0)
     with pytest.raises(ValueError, match="k must"):
         win.ewma_smooth(df, k=0)
+
+
+def test_user_bookends_argmin_struct(events):
+    """First/last by the (ts, event_id) total order: user 1 spans
+    events 1→4 (50 min), user 2 is a single-event degenerate span."""
+    rows = {r.user_id: r for r in win.user_bookends(events).collect()}
+    u1, u2 = rows[1], rows[2]
+    assert (u1.n_events, u1.first_type, u1.first_value) == (4, "click", 10.0)
+    assert (u1.last_type, u1.last_value) == ("click", 5.0)
+    assert u1.span_us == 50 * 60 * 1_000_000
+    assert (u2.n_events, u2.span_us) == (1, 0)
+    assert (u2.first_type, u2.last_type) == ("signup", "signup")
