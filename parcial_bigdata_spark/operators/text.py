@@ -9,7 +9,7 @@ through 100 TB of text at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -333,6 +333,52 @@ def vocabulary_stats(documents: DataFrame, top_n: int = 100) -> DataFrame:
         )
         .orderBy(F.col("doc_freq").desc(), "word")
         .limit(top_n)
+    )
+
+
+def top_tfidf_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by TF·IDF
+    (idf = ln(N/df)) — the classic summarize-what-this-doc-is-about op
+    and the lexical feature vector for routing/clustering.
+
+    Plan: one explode+groupBy builds the (doc, word, tf) table; the
+    word document-frequency table derives from IT (already distinct on
+    (doc, word) — no second corpus scan); the corpus doc count enters
+    as a broadcast single-row aggregate; the per-doc top-k is a
+    row_number window that WindowGroupLimit prunes to per-partition
+    top-k before the exchange.  Ranking ties break by word, so the
+    selection is deterministic; scores round at the output edge."""
+    w = words(normalized(F.col("text")))
+    tf = (
+        documents.select("doc_id", F.explode(w).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = documents.agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    score = F.col("tf") * F.log(
+        F.col("n_corpus_docs").cast("double") / F.col("doc_freq")
+    )
+    scored = (
+        tf.join(df_counts, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "word", "tf", "doc_freq", score.alias("s"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("word").asc()
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(win).alias("rank"),
+            "word",
+            "tf",
+            "doc_freq",
+            F.round("s", 4).alias("tfidf"),
+        )
+        .where(F.col("rank") <= k)
+        .orderBy("doc_id", "rank")
     )
 
 

@@ -413,6 +413,12 @@ def q_time_decay_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "click_id")
 
 
+def q_top_tfidf(spark, sf_dir):
+    # per-doc keyword extraction: top-5 TF-IDF terms, deterministic
+    # (score desc, word asc) ranking, WindowGroupLimit-pruned top-k
+    return text_ops.top_tfidf_terms(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_perplexity(spark, sf_dir):
     return text_ops.lm_perplexity(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
@@ -1212,6 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_cosine_lsh": q_knn_lsh,
     "embedding_norm_stats": q_embedding_norms,
     "text_bm25_search": q_bm25_search,
+    "text_top_tfidf_terms": q_top_tfidf,
     "merge_upsert_orders": q_merge_upsert,
     "scd2_customer_history": q_scd2_history,
     "pagerank_suppliers": q_pagerank,
@@ -2243,6 +2250,31 @@ ORACLES: dict[str, str] = {
                CAST(sum(CASE WHEN distinct_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_repetitive
         FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    "text_top_tfidf_terms": f"""
+        WITH tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+                FROM documents
+            ) WHERE word <> ''
+            GROUP BY doc_id, word
+        ), df AS (
+            SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
+        ), tot AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.word, tf.tf, df.doc_freq,
+                   tf.tf * ln(CAST(tot.n AS DOUBLE) / df.doc_freq) AS s
+            FROM tf JOIN df USING (word), tot
+        )
+        SELECT doc_id, rank, word, tf, doc_freq, round(s, 4) AS tfidf
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, word ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+        ORDER BY doc_id, rank
     """,
     "text_vocabulary": f"""
         WITH dw0 AS (

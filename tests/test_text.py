@@ -407,3 +407,38 @@ def test_lm_perplexity_validates(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     with _pt.raises(ValueError, match="k_smooth"):
         lm_perplexity(docs, k_smooth=0.0)
+
+
+def test_top_tfidf_terms_golden(spark):
+    """Hand-checkable TF-IDF: 'cat' appears in 1 of 3 docs (idf=ln 3),
+    'the' in all (idf=0 → never a keyword); ties break by word."""
+    import math
+
+    from parcial_bigdata_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat cat sat", "s"),
+            (2, "the dog sat sat", "s"),
+            (3, "the bird", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {}
+    for r in T.top_tfidf_terms(docs, k=2).collect():
+        out.setdefault(r.doc_id, []).append((r.rank, r.word, r.tf, r.tfidf))
+    ln3 = math.log(3.0)
+    ln15 = math.log(1.5)
+    assert out[1] == [
+        (1, "cat", 2, round(2 * ln3, 4)),
+        (2, "sat", 1, round(ln15, 4)),
+    ]
+    # dog: 1·ln3 ≈ 1.0986 beats sat: 2·ln1.5 ≈ 0.8109
+    assert out[2] == [
+        (1, "dog", 1, round(ln3, 4)),
+        (2, "sat", 2, round(2 * ln15, 4)),
+    ]
+    assert out[3] == [
+        (1, "bird", 1, round(ln3, 4)),
+        (2, "the", 1, 0.0),
+    ]
