@@ -119,6 +119,74 @@ def retention_cohorts(events: DataFrame, cohort_type: str = "signup") -> DataFra
     )
 
 
+def cohort_revenue(events: DataFrame, cohort_type: str = "signup") -> DataFrame:
+    """Weekly cohort REVENUE triangle — the LTV companion of
+    ``retention_cohorts``: purchase value summed per (cohort week,
+    weeks-since-entry), the matrix whose row-cumsum is lifetime value
+    by cohort age.
+
+    Same three-linear-shuffle shape as the retention triangle (first
+    purchase... first cohort event per user, one |users| join, one
+    final groupBy); revenue sums in exact DECIMAL so the triangle is
+    bit-identical across engines."""
+    week = F.date_trunc("week", F.col("ts"))
+    cohort = (
+        events.where(F.col("event_type") == cohort_type)
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        week.alias("week"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        purchases.join(cohort, "user_id")
+        .where(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").cast("double").alias("revenue"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
+    """Per-customer repeat-order cadence: gaps in days between
+    consecutive orders (by order date, order-key tiebreak) reduced to
+    count/min/avg/max — the reorder-rate input of any retention model.
+
+    One customer-keyed shuffle shared by the lag window and the
+    closing groupBy; gaps are exact datediff integers, so the average
+    (an integer quotient of identical ints) matches bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w)
+        ).alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def multi_touch_attribution(
     events: DataFrame, lookback: str = "1 day"
 ) -> DataFrame:

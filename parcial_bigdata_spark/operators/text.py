@@ -410,6 +410,92 @@ def word_pair_counts(documents: DataFrame, top_n: int = 50) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    documents: DataFrame, min_count: int = 5, top_n: int = 50
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs ranked by frequency with
+    their pointwise mutual information — PMI separates real phrases
+    ("new york") from chance co-occurrence of frequent words ("of the"),
+    the classic phrase-vocabulary builder for tokenizers and query
+    expansion.
+
+    Two map-side-combining count tables (bigrams; unigrams) from one
+    logical corpus scan each, joined on the tiny surviving-pair frame
+    after the ``min_count`` floor; corpus totals ride in as a broadcast
+    single-row aggregate.  Ranking is by EXACT integer count (then
+    pair), never by the float PMI — so the selected row set is
+    bit-deterministic across engines and the PMI is a reported value,
+    rounded at the edge."""
+    w = words(normalized(F.col("text")))
+    toks = documents.select(w.alias("w")).where(F.size("w") >= 1)
+    bigrams = (
+        toks.where(F.size("w") >= 2)
+        .select("w", F.explode(F.sequence(F.lit(0), F.size("w") - 2)).alias("i"))
+        .select(
+            F.get("w", F.col("i")).alias("w1"),
+            F.get("w", F.col("i") + 1).alias("w2"),
+        )
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    unigrams = (
+        toks.select(F.explode("w").alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    totals = (
+        toks.select(
+            F.sum(F.size(F.filter("w", lambda x: x != ""))).alias("n_uni")
+        )
+        .crossJoin(
+            toks.where(F.size("w") >= 2).select(
+                F.sum(F.size("w") - 1).alias("n_bi")
+            )
+        )
+    )
+    # PMI = ln( P(xy) / (P(x)·P(y)) ) with P from exact counts
+    pmi = F.log(
+        F.col("n_pair").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("n_w1").cast("double")
+            * F.col("n_w2").cast("double")
+        )
+    )
+    # unigrams are NOT force-broadcast: at corpus scale the vocabulary
+    # is the big side and the floored pair table the small one — AQE
+    # picks the broadcast side from runtime sizes
+    return (
+        bigrams.join(
+            unigrams.withColumnRenamed("word", "w1").withColumnRenamed(
+                "n_word", "n_w1"
+            ),
+            "w1",
+        )
+        .join(
+            unigrams.withColumnRenamed("word", "w2").withColumnRenamed(
+                "n_word", "n_w2"
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("pair"),
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
 def word_entropy(documents: DataFrame) -> DataFrame:
     """Per-document word-distribution Shannon entropy — the classic
     perplexity-proxy quality signal (gibberish and keyword-stuffed spam

@@ -400,6 +400,20 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_cohort_revenue(spark, sf_dir):
+    return ana_ops.cohort_revenue(_t(spark, sf_dir, "events"))
+
+
+def q_repeat_intervals(spark, sf_dir):
+    return ana_ops.repeat_purchase_intervals(_t(spark, sf_dir, "orders"))
+
+
+def q_pmi_collocations(spark, sf_dir):
+    # count-ranked collocations with PMI as the reported value: the
+    # selected row set is exact-integer deterministic
+    return text_ops.pmi_collocations(_t(spark, sf_dir, "documents"))
+
+
 def q_transition_matrix(spark, sf_dir):
     # first-order Markov transitions over each user's event timeline
     return ana_ops.event_transition_matrix(_t(spark, sf_dir, "events"))
@@ -1232,6 +1246,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_multi_touch_attribution": q_multi_touch_attribution,
     "events_time_decay_attribution": q_time_decay_attribution,
     "events_transition_matrix": q_transition_matrix,
+    "events_cohort_revenue": q_cohort_revenue,
+    "orders_repeat_intervals": q_repeat_intervals,
+    "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
     "incremental_agg_orders": q_incremental_agg,
 }
@@ -2922,6 +2939,70 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "events_cohort_revenue": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), purchases AS (
+            SELECT user_id, date_trunc('week', ts) AS week,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+                   AS week_offset,
+               count(DISTINCT user_id) AS n_buyers,
+               count(*) AS n_purchases,
+               CAST(sum(v) AS DOUBLE) AS revenue
+        FROM purchases p JOIN cohort c USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "orders_repeat_intervals": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey, count(*) AS n_gaps,
+               CAST(min(gap_days) AS INT) AS min_gap_days,
+               round(avg(gap_days), 4) AS avg_gap_days,
+               CAST(max(gap_days) AS INT) AS max_gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    "text_pmi_collocations": f"""
+        WITH toks AS (
+            SELECT string_split({_NORM_SQL}, ' ') AS w FROM documents
+        ), bi AS (
+            SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS n_pair
+            FROM (SELECT w, unnest(range(1, len(w))) AS i
+                  FROM toks WHERE len(w) >= 2)
+            WHERE w[i] <> '' AND w[i+1] <> ''
+            GROUP BY w1, w2 HAVING count(*) >= 5
+        ), uni AS (
+            SELECT word, count(*) AS n_word
+            FROM (SELECT unnest(w) AS word FROM toks)
+            WHERE word <> '' GROUP BY word
+        ), tot AS (
+            SELECT (SELECT count(*) FROM (SELECT unnest(w) AS word FROM toks)
+                    WHERE word <> '') AS n_uni,
+                   (SELECT CAST(sum(len(w) - 1) AS BIGINT) FROM toks
+                    WHERE len(w) >= 2) AS n_bi
+        )
+        SELECT w1 || ' ' || w2 AS pair, n_pair,
+               u1.n_word AS n_w1, u2.n_word AS n_w2,
+               round(ln(CAST(n_pair AS DOUBLE) * n_uni * n_uni
+                        / (CAST(n_bi AS DOUBLE) * u1.n_word * u2.n_word)),
+                     4) AS pmi
+        FROM bi JOIN uni u1 ON bi.w1 = u1.word
+                JOIN uni u2 ON bi.w2 = u2.word, tot
+        ORDER BY n_pair DESC, pair ASC LIMIT 50
     """,
     "window_sliding_counts": """
         WITH ex AS (

@@ -216,3 +216,64 @@ def test_event_transition_matrix_counts_and_probs(spark):
         for r in event_transition_matrix(events).collect()
     }
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_cohort_revenue_triangle(spark):
+    """Signup week anchors the cohort; purchase revenue lands in the
+    week-offset cell; pre-cohort purchases are excluded."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import cohort_revenue
+
+    w0 = dt.datetime(2025, 1, 6)  # a Monday
+
+    def ev(eid, uid, day, etype, value=0.0):
+        return (eid, w0 + dt.timedelta(days=day), uid, etype, value)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 0, "signup"),
+            ev(2, 1, 1, "purchase", 10.0),
+            ev(3, 1, 8, "purchase", 20.0),   # week offset 1
+            ev(4, 2, 7, "signup"),
+            ev(5, 2, 9, "purchase", 5.0),
+            ev(6, 3, -3, "purchase", 99.0),  # never signs up: excluded
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_buyers, r.n_purchases, r.revenue)
+        for r in cohort_revenue(events).collect()
+    }
+    w1 = w0 + dt.timedelta(days=7)
+    assert got == {
+        (w0, 0): (1, 1, 10.0),
+        (w0, 1): (1, 1, 20.0),
+        (w1, 0): (1, 1, 5.0),
+    }
+
+
+def test_repeat_purchase_intervals_gaps(spark):
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        repeat_purchase_intervals,
+    )
+
+    d0 = dt.datetime(2025, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 7, "O", 1.0, d0, "x"),
+            (2, 7, "O", 1.0, d0 + dt.timedelta(days=3), "x"),
+            (3, 7, "O", 1.0, d0 + dt.timedelta(days=10), "x"),
+            (4, 8, "O", 1.0, d0, "x"),  # single order: no gaps row
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r.o_custkey: r for r in repeat_purchase_intervals(orders).collect()}
+    assert set(rows) == {7}
+    r = rows[7]
+    assert (r.n_gaps, r.min_gap_days, r.avg_gap_days, r.max_gap_days) == (
+        2, 3, 5.0, 7,
+    )

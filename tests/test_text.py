@@ -442,3 +442,24 @@ def test_top_tfidf_terms_golden(spark):
         (1, "bird", 1, round(ln3, 4)),
         (2, "the", 1, 0.0),
     ]
+
+
+def test_pmi_collocations_separates_phrases_from_chance(spark):
+    """'new york' (always together) outranks 'of the' in PMI even when
+    'of the' is more frequent; ranking stays by exact count."""
+    import math
+
+    from parcial_bigdata_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "of the new york of the city", "s") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.pair: r for r in T.pmi_collocations(docs, min_count=5).collect()}
+    # counts: 'of the' 12, 'the new' 6, 'new york' 6, 'york of' 6, 'the city' 6
+    assert rows["of the"].n_pair == 12
+    assert rows["new york"].n_pair == 6
+    # exact PMI: P(new york)=6/36, P(new)=P(york)=6/42 each
+    exp = math.log((6 / 36) / ((6 / 42) * (6 / 42)))
+    assert rows["new york"].pmi == round(exp, 4)
+    assert rows["new york"].pmi > rows["of the"].pmi
