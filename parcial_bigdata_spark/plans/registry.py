@@ -564,6 +564,19 @@ def q_streaming_sessionize(spark, sf_dir):
     return sessionize_available_now(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_streaming_tier_rollup(spark, sf_dir):
+    """A REAL stream-static enrichment run: file stream broadcast-joins
+    a static user-tier dimension, then rolls up watermarked hourly
+    windows per tier — the remaining core streaming join shape; the
+    bounded replay hash-matches the plain batch join+rollup oracle."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import tier_rollup_available_now
+
+    tune_runtime(spark)
+    return tier_rollup_available_now(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_streaming_hourly_rollup(spark, sf_dir):
     """A REAL structured-streaming run (file stream → watermarked window
     → AvailableNow → memory sink), hash-checked against the same SQL
@@ -1146,6 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_steps": q_funnel_steps,
     # a REAL structured-streaming run keeps a driver row every round
     "streaming_hourly_rollup": q_streaming_hourly_rollup,
+    "streaming_tier_rollup": q_streaming_tier_rollup,
     "grouping_sets_revenue": q_grouping_sets,
     "correlation_stats": q_correlation,
     # ---- first-50 cut ----
@@ -2703,6 +2717,15 @@ ORACLES: dict[str, str] = {
     # bounded replay — same oracle as hourly_rollup by construction
     "streaming_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "streaming_tier_rollup": """
+        -- batch twin of the stream-static enrichment: the static tier
+        -- dimension is a pure function of user_id, so the broadcast
+        -- join folds into a projection here
+        SELECT date_trunc('hour', ts) AS window_start,
+               CAST(user_id % 3 AS INT) AS tier,
                count(*) AS n_events, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,

@@ -311,3 +311,55 @@ def sessionize_available_now(
         lambda st: streaming_sessionize(st, gap=gap),
         "stream_sessionize_result",
     ).orderBy("user_id", "session_start")
+
+
+def streaming_tier_rollup(
+    events: DataFrame, tiers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + windowed rollup — the remaining
+    core streaming join shape (stream-stream and stateful ops live
+    elsewhere in this module): each micro-batch joins against a static
+    dimension (broadcast — the dimension is planned once, never
+    state-tracked), then aggregates into watermarked tumbling windows
+    per enrichment key.  The production form of "enrich the click
+    stream with the user/account table, then roll up by segment"."""
+    enriched = events.join(F.broadcast(tiers), "user_id")
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tier",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def user_tiers_static(spark, events_parquet: str) -> DataFrame:
+    """Deterministic static dimension for the tier rollup: every user
+    observed in the events table, tier = user_id % 3 — stands in for
+    the account table a production stream would broadcast."""
+    return (
+        spark.read.parquet(events_parquet)
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.pmod(F.col("user_id"), F.lit(3)).cast("int"))
+    )
+
+
+def tier_rollup_available_now(spark, events_parquet: str) -> DataFrame:
+    """streaming_tier_rollup under AvailableNow: a REAL stream-static
+    join run whose finite replay converges to the batch join+rollup —
+    hash-checked against the plain-SQL oracle."""
+    tiers = user_tiers_static(spark, events_parquet)
+    return _run_available_now(
+        spark,
+        events_parquet,
+        lambda st: streaming_tier_rollup(st, tiers),
+        "stream_tier_rollup_result",
+    ).orderBy("window_start", "tier")

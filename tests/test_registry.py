@@ -132,3 +132,46 @@ def test_rows_only_queries_are_deterministic(spark, name):
     second = rows(spark.newSession())
     assert first == second
     assert len(first) > 0  # vacuous determinism proves nothing
+
+
+def test_sql_text_surface_matches_dataframe_api(spark):
+    """The engine's queries are equally expressible through the
+    spark.sql text surface over registered views — pinned on TPC-H Q1:
+    the SQL text result equals the DataFrame-API registry query row for
+    row (same Catalyst plan space, one more public API covered)."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        _pytest.skip("driver testdata not present")
+    from parcial_bigdata_spark.catalog import register_views
+    from parcial_bigdata_spark.plans.registry import QUERIES
+
+    register_views(spark, sf_dir, ("lineitem",))
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP)
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    df_rows = QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]

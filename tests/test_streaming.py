@@ -527,3 +527,42 @@ def test_streaming_dedup_collapses_duplicate_delivery(spark, tmp_path):
         for r in sw.dedup_events_available_now(spark, src, copies=3).collect()
     }
     assert got == {"click": (2, 5.0), "purchase": (1, 7.5)}
+
+
+def test_stream_static_tier_rollup_matches_batch(spark):
+    """Stream-static enrichment: the AvailableNow run (file stream
+    broadcast-joining the static tier dimension) equals the batch
+    join+rollup exactly on a bounded replay."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(path):
+        _pytest.skip("driver testdata not present")
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.catalog import load_table
+    from parcial_bigdata_spark.streaming.windows import (
+        tier_rollup_available_now,
+        user_tiers_static,
+    )
+
+    events = load_table(spark, os.path.dirname(path), "events")
+    tiers = user_tiers_static(spark, path)
+    batch = (
+        events.join(F.broadcast(tiers), "user_id")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "tier"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    batch_rows = {tuple(r) for r in batch.collect()}
+    stream_rows = {
+        tuple(r) for r in tier_rollup_available_now(spark, path).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows  # non-degenerate fixture
