@@ -491,6 +491,59 @@ def _run_triangle_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- Incremental-dedup scale probe (round 9) -----------------------------
+# jaccard_pairs_incremental's claim is that candidate work scales with
+# the NEW batch, not the settled base — probe it: a FIXED 400-doc batch
+# (one doc per near-dup cluster) against a base growing ×1/×4/×16.  The
+# base-side word_sets scan is inherently linear, so the expected shape
+# is mild sublinear growth (scan-bound), nothing like the quadratic a
+# symmetric self-join over base ∪ new would show.
+
+_INCR_SCALES = (1, 4, 16)
+_INCR_BASE_CLUSTERS = 2_000  # ×5 docs per cluster
+_INCR_NEW_DOCS = 400
+
+
+def _run_incr_dedup_scale(spark) -> tuple[dict[str, float], dict]:
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators import dedup as D
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _INCR_SCALES:
+        corpus = _split_corpus(spark, _INCR_BASE_CLUSTERS * s)
+        # new batch: the id%5==0 doc of the FIRST 400 clusters (fixed
+        # size at every scale); base: every other doc
+        is_new = (F.col("doc_id") % 5 == 0) & (
+            F.col("doc_id") < _INCR_NEW_DOCS * 5
+        )
+        base = corpus.where(~is_new).persist()
+        new = corpus.where(is_new).persist()
+        n_base, n_new = base.count(), new.count()
+        best, n_pairs = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pairs = D.jaccard_pairs_incremental(
+                base, new, threshold=0.6
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        el = round(best, 3)
+        base.unpersist()
+        new.unpersist()
+        timings[f"incr_dedup_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(n_base)
+        detail[f"x{s}"] = {
+            "base_docs": n_base, "new_docs": n_new,
+            "pairs": n_pairs, "sec": el,
+        }
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # Round-8 additions, timed at the bench SF in the probe session (real
 # sf data, unlike the synthetic skew/scale probes) — NOT in the
 # headline total, which stays a fixed set for cross-round comparison.
@@ -602,6 +655,8 @@ def main() -> None:
     probe_timings.update(dedup_timings)
     tri_timings, tri_detail = _run_triangle_scale(probe_spark)
     probe_timings.update(tri_timings)
+    incr_timings, incr_detail = _run_incr_dedup_scale(probe_spark)
+    probe_timings.update(incr_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
     probe_timings.update(graph_timings)
 
@@ -623,6 +678,7 @@ def main() -> None:
                 "graph_scale": graph_detail,
                 "dedup_scale": dedup_detail,
                 "triangle_scale": tri_detail,
+                "incr_dedup_scale": incr_detail,
                 "noise_sentinel": sentinel,
             }
         )

@@ -54,12 +54,20 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
     # budgets live in test_plan_census for the headline set; this
     # coarse ceiling catches a catastrophic plan regression (e.g. a
     # broadcast join degrading into a shuffle cascade) anywhere in the
-    # registry.
+    # registry.  Queries that legitimately UNION many independent
+    # bounded sub-plans carry their own ceilings here (and tight ones
+    # in test_plan_census) — their exchange count sums across edges by
+    # construction, not by regression.
     import re
 
+    overrides = {
+        # 7 FK edges x (distinct-key agg + join), 7 one-row audit aggs
+        "integrity_fk_audit": (14, 7),
+    }
+    hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 7, name
-    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 3, name
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= hash_max, name
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= single_max, name
     n = df.count()
     assert n >= 0
 
