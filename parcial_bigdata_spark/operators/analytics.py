@@ -343,3 +343,77 @@ def time_decay_attribution(
             F.col("purchase_value") * F.col("h") / F.sum("h").over(wn), 4
         ).alias("credit"),
     )
+
+
+def copurchase_rules(
+    lineitem: DataFrame, min_support: int = 5, top_n: int = 50
+) -> DataFrame:
+    """Market-basket association mining over order line items: part
+    pairs that co-occur in ≥ ``min_support`` orders, with the classic
+    rule statistics — support count, per-part basket counts, confidence
+    P(b|a), and lift.
+
+    Scale shape: the pair generator is a SELF-JOIN ON THE BASKET KEY
+    (l_orderkey) — bounded blow-up because basket size is bounded
+    (TPC-H orders hold ≤7 lines; a retail basket tens), so the join
+    output is Σ C(|basket|, 2), linear in orders, never |parts|².
+    Distinct-part-per-basket dedup happens BEFORE the join (a part
+    twice in one order must not self-pair).  Per-part basket counts
+    join back on the tiny surviving-pair frame; the order total rides
+    a broadcast 1-row aggregate.  Ranking is by exact support count
+    (then pair), never the float lift; confidence and lift are
+    reported values, quotients of identical exact ints."""
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    part_counts = baskets.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    n_orders = baskets.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= min_support)
+    )
+    conf = F.col("n_together").cast("double") / F.col("n_a")
+    lift = (
+        F.col("n_together").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        pairs.join(
+            part_counts.select(
+                F.col("pk").alias("part_a"), F.col("n_baskets").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.select(
+                F.col("pk").alias("part_b"), F.col("n_baskets").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_a",
+            "n_b",
+            F.round(conf, 6).alias("confidence_a_to_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("n_together").desc(), "part_a", "part_b")
+        .limit(top_n)
+    )

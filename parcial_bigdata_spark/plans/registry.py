@@ -400,6 +400,14 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_copurchase_rules(spark, sf_dir):
+    # market-basket mining: basket-key self-join (bounded blow-up),
+    # exact-count ranking, confidence/lift as reported quotients.
+    # min_support=2: TPC-H part choice is near-uniform, so higher
+    # floors leave an empty result at test SFs
+    return ana_ops.copurchase_rules(_t(spark, sf_dir, "lineitem"), min_support=2)
+
+
 def q_cohort_revenue(spark, sf_dir):
     return ana_ops.cohort_revenue(_t(spark, sf_dir, "events"))
 
@@ -1261,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_time_decay_attribution": q_time_decay_attribution,
     "events_transition_matrix": q_transition_matrix,
     "events_cohort_revenue": q_cohort_revenue,
+    "parts_copurchase_rules": q_copurchase_rules,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
@@ -2962,6 +2971,31 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "parts_copurchase_rules": """
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+            FROM lineitem
+        ), pc AS (
+            SELECT pk, count(*) AS n_baskets FROM baskets GROUP BY pk
+        ), tot AS (
+            SELECT count(DISTINCT okey) AS n_orders FROM baskets
+        ), pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_together
+            FROM baskets a JOIN baskets b
+              ON a.okey = b.okey AND a.pk < b.pk
+            GROUP BY part_a, part_b HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, n_together,
+               ca.n_baskets AS n_a, cb.n_baskets AS n_b,
+               round(CAST(n_together AS DOUBLE) / ca.n_baskets, 6)
+                   AS confidence_a_to_b,
+               round(CAST(n_together AS DOUBLE) * tot.n_orders
+                     / (CAST(ca.n_baskets AS DOUBLE) * cb.n_baskets), 6)
+                   AS lift
+        FROM pairs JOIN pc ca ON pairs.part_a = ca.pk
+                   JOIN pc cb ON pairs.part_b = cb.pk, tot
+        ORDER BY n_together DESC, part_a, part_b LIMIT 50
     """,
     "events_cohort_revenue": """
         WITH cohort AS (

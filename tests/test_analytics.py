@@ -277,3 +277,31 @@ def test_repeat_purchase_intervals_gaps(spark):
     assert (r.n_gaps, r.min_gap_days, r.avg_gap_days, r.max_gap_days) == (
         2, 3, 5.0, 7,
     )
+
+
+def test_copurchase_rules_counts_and_lift(spark):
+    """Baskets {1,2,3}x4, {1,2}x2: pair (1,2) in 6 baskets, (1,3)/(2,3)
+    in 4; duplicate lines in one order must not double-count."""
+    rows = []
+    okey = 0
+    for _ in range(4):
+        okey += 1
+        rows += [(okey, p) for p in (1, 2, 3)]
+    for _ in range(2):
+        okey += 1
+        rows += [(okey, 1), (okey, 2), (okey, 2)]  # dup line: still 1 basket
+    lineitem = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from parcial_bigdata_spark.operators.analytics import copurchase_rules
+
+    out = {
+        (r.part_a, r.part_b): r
+        for r in copurchase_rules(lineitem, min_support=4).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    r12 = out[(1, 2)]
+    assert (r12.n_together, r12.n_a, r12.n_b) == (6, 6, 6)
+    assert r12.confidence_a_to_b == 1.0
+    assert r12.lift == 1.0  # 6*6/(6*6)
+    r13 = out[(1, 3)]
+    assert (r13.n_together, r13.n_a, r13.n_b) == (4, 6, 4)
+    assert r13.lift == round(4 * 6 / (6 * 4), 6)  # = 1.0
