@@ -233,3 +233,59 @@ def start_silver_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_merge_stream(
+    spark: SparkSession,
+    updates_dir: str,
+    snapshot_path: str,
+    key: str,
+    checkpoint_dir: str,
+    update_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming CDC *apply*: a file stream of update batches MERGEs
+    into a keyed parquet snapshot via foreachBatch — the upsert
+    companion of the append-only silver loader (ST3's exactly-once
+    ledger handles appends; this handles keyed mutation).
+
+    Each micro-batch runs ``operators.merge.merge_upsert`` (one
+    presence-flagged full-outer key join — the Delta MERGE shape)
+    against the current snapshot and publishes the result through a
+    staging directory so the snapshot read and its replacement never
+    target the same path in one job.  The checkpoint makes replays
+    no-ops: a restarted query skips already-committed batches, so the
+    snapshot converges exactly once per update file.
+
+    Honest scale note: the two-step publish is atomic per DIRECTORY
+    (the second write is an O(batch result) rewrite), which is the
+    plain-parquet ceiling — a production deployment points the same
+    foreachBatch at a table format with transactional MERGE (Delta/
+    Iceberg) and keeps this exact batch function."""
+    from parcial_bigdata_spark.operators.merge import merge_upsert
+
+    schema = spark.read.parquet(snapshot_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(updates_dir)
+    staging = snapshot_path.rstrip("/") + "__staging"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        base = spark.read.parquet(snapshot_path)
+        merged = merge_upsert(
+            base, batch_df, key, update_cols=update_cols
+        ).drop("__merge_action")
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(
+            snapshot_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

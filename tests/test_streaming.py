@@ -566,3 +566,60 @@ def test_stream_static_tier_rollup_matches_batch(spark):
     }
     assert stream_rows == batch_rows
     assert stream_rows  # non-degenerate fixture
+
+
+def test_merge_stream_applies_updates_exactly_once(spark, tmp_path):
+    """Streaming CDC apply: a file stream of update batches MERGEs into
+    a keyed snapshot via foreachBatch; the checkpoint makes a re-run of
+    the same query a no-op (exactly-once convergence)."""
+    from parcial_bigdata_spark.streaming.pipeline import start_merge_stream
+
+    snap = str(tmp_path / "snapshot")
+    upd = tmp_path / "updates"
+    upd.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, amount double",
+    ).write.parquet(snap)
+    def write_update(name, rows):
+        # single parquet FILES at the stream root: FileStreamSource
+        # lists top-level files, not Spark-written part directories
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ks, names, amounts = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(ks, pa.int64()),
+                    "name": pa.array(names, pa.string()),
+                    "amount": pa.array(amounts, pa.float64()),
+                }
+            ),
+            str(upd / name),
+        )
+
+    write_update("batch1.parquet", [(2, "b2", 25.0), (4, "d", 40.0)])
+
+    def run():
+        q = start_merge_stream(
+            spark, str(upd), snap, key="k", checkpoint_dir=ckpt
+        )
+        q.awaitTermination()
+
+    run()
+    expected = {
+        (1, "a", 10.0), (2, "b2", 25.0), (3, "c", 30.0), (4, "d", 40.0)
+    }
+    got = {tuple(r) for r in spark.read.parquet(snap).collect()}
+    assert got == expected
+    # replay with the same checkpoint: no new files -> snapshot unchanged
+    run()
+    assert {tuple(r) for r in spark.read.parquet(snap).collect()} == expected
+    # a second update file arrives: only IT is applied on the next run
+    write_update("batch2.parquet", [(1, "a9", 99.0)])
+    run()
+    expected2 = (expected - {(1, "a", 10.0)}) | {(1, "a9", 99.0)}
+    assert {tuple(r) for r in spark.read.parquet(snap).collect()} == expected2
