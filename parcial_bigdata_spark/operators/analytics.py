@@ -417,3 +417,107 @@ def copurchase_rules(
         .orderBy(F.col("n_together").desc(), "part_a", "part_b")
         .limit(top_n)
     )
+
+
+def value_outliers_exact(events: DataFrame, z_threshold: int = 3) -> DataFrame:
+    """Per-user z-score outlier count with an EXACT decision rule: an
+    event is an outlier when |value − mean| > z·stddev_samp of that
+    user's values.  Naively this compares floats whose last-ulp
+    differences vary by engine and summation order; here the predicate
+    is algebraically cleared of divisions and square roots —
+
+        (n·v − S)² · (n−1)  >  z² · n · (n·Q − S²)
+
+    with S = Σv and Q = Σv² carried as exact decimals of the cents
+    grid — so the outlier SELECTION is bit-deterministic across
+    engines.  Two passes: one map-side-combining moment aggregate per
+    user, broadcast-joined back over the scan for the per-event test.
+
+    Scale note: the exact-decimal squares bound the usable value/count
+    range (≈1e9 cents × 1e9 rows before decimal(38) saturates); at
+    100 TB the same two-pass shape runs on double moments with a
+    tolerance band around the threshold — this exact form exists so
+    the oracle can pin the cross-engine contract."""
+    v = F.col("value").cast("decimal(18,2)")
+    moments = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    s = F.col("s").cast("decimal(38,2)")
+    q = F.col("q").cast("decimal(38,4)")
+    lhs = (n * v - s)
+    # decimal multiplication precision clamps at 38: keep each factor's
+    # scale minimal before squaring (values are cents-grid, so scale 2
+    # suffices; the comparison is exact while magnitudes stay < 1e17)
+    outlier = (lhs * lhs * (n - 1)) > (
+        F.lit(z_threshold * z_threshold) * n * (n * q - s * s)
+    )
+    return (
+        events.join(moments, "user_id")
+        .where(F.col("n") >= 3)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum(outlier.cast("long")).alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def revenue_gini_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) of customer spend per
+    nation — the inequality measure a marketplace-health dashboard
+    tracks.  Gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over each nation's
+    customers with spend x sorted ascending (rank ties broken by
+    custkey — a total order, so ranks are deterministic).
+
+    One fact aggregate (customer spend), one broadcast dim join, one
+    nation-keyed window for the ranks, one closing groupBy sharing the
+    nation key.  Every term is exact (bigint rank × decimal spend);
+    the division to a double happens once at the output edge."""
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    # nation broadcasts (25 rows); customer does NOT — it scales with
+    # the data, so spend⋈customer is a plain key join AQE can size
+    keyed = spend.join(
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        ).select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("n_name").alias("nation"),
+        ),
+        "o_custkey",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy("x", "o_custkey")
+    ranked = keyed.select(
+        "nation", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("x").cast("double").alias("total_revenue"),
+            (
+                (
+                    F.lit(2) * F.sum(F.col("i") * F.col("x"))
+                    - (F.count(F.lit(1)) + 1) * F.sum("x")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.sum("x")).cast("double")
+            ).alias("gini_raw"),
+        )
+        .select(
+            "nation",
+            "n_customers",
+            F.round("total_revenue", 2).alias("total_revenue"),
+            F.round("gini_raw", 6).alias("gini"),
+        )
+        .orderBy("nation")
+    )

@@ -400,6 +400,20 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_value_outliers(spark, sf_dir):
+    # z-score outlier counts with the division/sqrt-cleared exact
+    # decision rule — selection bit-deterministic across engines
+    return ana_ops.value_outliers_exact(_t(spark, sf_dir, "events"))
+
+
+def q_revenue_gini(spark, sf_dir):
+    return ana_ops.revenue_gini_by_nation(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def q_copurchase_rules(spark, sf_dir):
     # market-basket mining: basket-key self-join (bounded blow-up),
     # exact-count ranking, confidence/lift as reported quotients.
@@ -1270,6 +1284,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_transition_matrix": q_transition_matrix,
     "events_cohort_revenue": q_cohort_revenue,
     "parts_copurchase_rules": q_copurchase_rules,
+    "events_value_outliers": q_value_outliers,
+    "revenue_gini_by_nation": q_revenue_gini,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
@@ -2971,6 +2987,52 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "events_value_outliers": """
+        -- the same division/sqrt-cleared exact predicate:
+        -- (n·v − S)²·(n−1) > 9·n·(n·Q − S²) over exact decimals
+        WITH m AS (
+            SELECT user_id, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS s,
+                   sum(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS q
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN
+                   (CAST(n AS DECIMAL(38,0)) * CAST(value AS DECIMAL(18,2))
+                    - CAST(s AS DECIMAL(38,2)))
+                   * (CAST(n AS DECIMAL(38,0)) * CAST(value AS DECIMAL(18,2))
+                      - CAST(s AS DECIMAL(38,2)))
+                   * (CAST(n AS DECIMAL(38,0)) - 1)
+                   > 9 * CAST(n AS DECIMAL(38,0))
+                       * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,4))
+                          - CAST(s AS DECIMAL(38,2)) * CAST(s AS DECIMAL(38,2)))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events JOIN m USING (user_id)
+        WHERE n >= 3
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "revenue_gini_by_nation": """
+        WITH spend AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY o_custkey
+        ), keyed AS (
+            SELECT n_name AS nation, x, s.o_custkey
+            FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+                         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ), ranked AS (
+            SELECT nation, x,
+                   row_number() OVER (
+                       PARTITION BY nation ORDER BY x, o_custkey
+                   ) AS i
+            FROM keyed
+        )
+        SELECT nation, count(*) AS n_customers,
+               round(CAST(sum(x) AS DOUBLE), 2) AS total_revenue,
+               round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                     / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+        FROM ranked GROUP BY nation ORDER BY nation
     """,
     "parts_copurchase_rules": """
         WITH baskets AS (

@@ -305,3 +305,65 @@ def test_copurchase_rules_counts_and_lift(spark):
     r13 = out[(1, 3)]
     assert (r13.n_together, r13.n_a, r13.n_b) == (4, 6, 4)
     assert r13.lift == round(4 * 6 / (6 * 4), 6)  # = 1.0
+
+
+def test_value_outliers_exact_rule(spark):
+    """u1: values 10,10,10,100 — z(100) = (100-32.5)/45 = 1.5: NOT an
+    outlier at z=3 but IS at z=1; u2 has n<3 and drops out."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import value_outliers_exact
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "t", v)
+        for i, v in enumerate([10.0, 10.0, 10.0, 100.0])
+    ] + [(10, base, 2, "t", 5.0), (11, base, 2, "t", 6.0)]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out3 = {r.user_id: r for r in value_outliers_exact(events).collect()}
+    assert set(out3) == {1}
+    assert (out3[1].n_events, out3[1].n_outliers) == (4, 0)
+    out1 = {
+        r.user_id: r
+        for r in value_outliers_exact(events, z_threshold=1).collect()
+    }
+    assert out1[1].n_outliers == 1  # only the 100.0
+
+
+def test_revenue_gini_extremes(spark):
+    """Equal spend -> gini (n-1 correction form) = (n-1)/(2n)... no:
+    with the standard formula equal x gives gini = (n-1)/n - ... pin by
+    direct formula instead; one-customer nation -> gini 0."""
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 100.0, None, "x"), (2, 2, "O", 100.0, None, "x"),
+         (3, 3, "O", 100.0, None, "x"), (4, 4, "O", 300.0, None, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1)], "c_custkey long, c_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(0, "EQUAL"), (1, "SOLO")], "n_nationkey int, n_name string"
+    )
+    from parcial_bigdata_spark.operators.analytics import revenue_gini_by_nation
+
+    out = {r.nation: r for r in
+           revenue_gini_by_nation(orders, customer, nation).collect()}
+    # EQUAL: x=(100,100,100), ranks 1..3: (2*600 - 4*300)/(3*300) = 0
+    assert out["EQUAL"].gini == 0.0
+    assert out["EQUAL"].n_customers == 3
+    # SOLO: single customer: (2*300 - 2*300)/300 = 0
+    assert out["SOLO"].gini == 0.0
+    # skewed: move all spend to one of three
+    orders2 = spark.createDataFrame(
+        [(1, 1, "O", 0.01, None, "x"), (2, 2, "O", 0.01, None, "x"),
+         (3, 3, "O", 300.0, None, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {r.nation: r.gini for r in revenue_gini_by_nation(
+        orders2, customer, nation).collect()}
+    assert got["EQUAL"] > 0.66  # near-total concentration
