@@ -63,6 +63,10 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
     overrides = {
         # 7 FK edges x (distinct-key agg + join), 7 one-row audit aggs
         "integrity_fk_audit": (14, 7),
+        # basket distinct + self-join sides + pair/part-count aggs +
+        # two stat join-backs — independent bounded stages, and AQE
+        # dedupes the canonically-equal basket exchanges at runtime
+        "parts_copurchase_rules": (8, 3),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()
