@@ -39,3 +39,27 @@ def money_sum(col: Column | str, scale: int = 2, cast: str = "decimal(18,4)") ->
     engine rounding of binary doubles near decimal halves diverges."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c.cast(cast)), scale).cast("double")
+
+
+def ratio_round(col: Column, digits: int) -> Column:
+    """Engine-consistent rounding for RATIO outputs (p/q of exact
+    operands): ``floor(x·10^k + 0.5) / 10^k`` evaluated entirely in
+    IEEE doubles, so Spark and DuckDB — given the identical quotient
+    double — produce the identical rounded double.
+
+    Plain ``round(double, k)`` is NOT engine-consistent at exact
+    decimal halves: Spark half-ups the double's shortest decimal repr
+    while DuckDB rounds the binary value — and quotients of small
+    exact operands DO land on halves (observed live: a 2-decimal value
+    divided by a power-of-two weight sum produced 1.34875, rounding to
+    1.3488 vs 1.3487 across engines at sf0.1).  The floor form rounds
+    halves toward +inf on BOTH engines — the tie direction matters
+    less than its consistency.  Oracle twin: ``ratio_round_sql``."""
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def ratio_round_sql(expr: str, digits: int) -> str:
+    """The DuckDB-side twin of ``ratio_round`` — identical double ops."""
+    scale = f"1e{digits}"
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"

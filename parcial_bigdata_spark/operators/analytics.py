@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parcial_bigdata_spark.functions.money import ratio_round
+
 
 def funnel_steps(
     events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
@@ -180,7 +182,7 @@ def repeat_purchase_intervals(orders: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
             F.min("gap_days").alias("min_gap_days"),
-            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            ratio_round(F.avg("gap_days"), 4).alias("avg_gap_days"),
             F.max("gap_days").alias("max_gap_days"),
         )
         .orderBy("o_custkey")
@@ -242,7 +244,7 @@ def multi_touch_attribution(
     )
     return ranked.select(
         "user_id", "purchase_id", "click_id", "touch_rank", "n_touches",
-        F.round(F.col("purchase_value") * weight, 4).alias("credit"),
+        ratio_round(F.col("purchase_value") * weight, 4).alias("credit"),
     )
 
 
@@ -274,7 +276,7 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
         "from_type",
         "to_type",
         "n_transitions",
-        F.round(
+        ratio_round(
             F.col("n_transitions")
             / F.sum("n_transitions").over(row_total),
             6,
@@ -339,7 +341,7 @@ def time_decay_attribution(
         "purchase_id",
         "click_id",
         F.col("h").alias("decay_weight"),
-        F.round(
+        ratio_round(
             F.col("purchase_value") * F.col("h") / F.sum("h").over(wn), 4
         ).alias("credit"),
     )
@@ -411,8 +413,8 @@ def copurchase_rules(
             "n_together",
             "n_a",
             "n_b",
-            F.round(conf, 6).alias("confidence_a_to_b"),
-            F.round(lift, 6).alias("lift"),
+            ratio_round(conf, 6).alias("confidence_a_to_b"),
+            ratio_round(lift, 6).alias("lift"),
         )
         .orderBy(F.col("n_together").desc(), "part_a", "part_b")
         .limit(top_n)
@@ -517,7 +519,7 @@ def revenue_gini_by_nation(
             "nation",
             "n_customers",
             F.round("total_revenue", 2).alias("total_revenue"),
-            F.round("gini_raw", 6).alias("gini"),
+            ratio_round(F.col("gini_raw"), 6).alias("gini"),
         )
         .orderBy("nation")
     )

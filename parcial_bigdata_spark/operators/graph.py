@@ -267,3 +267,83 @@ def pagerank(
     for frame in (ed, nodes, deg):
         release_checkpoint(frame)
     return ranks.select("node", "rank")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-CORE of an undirected graph: the (unique) maximal subgraph
+    in which every node has internal degree ≥ k, computed by iterative
+    peeling — drop every node below degree k, recompute degrees inside
+    the survivors, repeat to fixpoint.  Returns (node, internal_degree)
+    for the core members.  The community-detection / spam-filtering
+    primitive: near-dup boilerplate rings and link farms concentrate in
+    high-k cores.
+
+    The fixpoint is unique and ORDER-INDEPENDENT (peeling is a monotone
+    operator), so the result is exact and engine-portable — the DuckDB
+    oracle unrolls ``max_rounds`` peel rounds (extra rounds past
+    convergence are no-ops by monotonicity, so the unroll depth only
+    needs to be ≥ the true peel depth).  The operator RAISES if the
+    peel has not converged after ``max_rounds`` — a silent truncation
+    would diverge from the fixpoint semantics (and the oracle) without
+    a trace.
+
+    Per round: one semi-join of the edge list against the surviving
+    node set per endpoint + one map-side-combining degree groupBy —
+    all linear, AQE-splittable; the surviving-node frame is lineage-cut
+    per round (``iter_checkpoint``) like the CC star rounds.  Rounds
+    are bounded by the graph's degeneracy ordering depth, O(log n) on
+    the clique-heavy graphs near-dup pipelines produce."""
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    und = iter_checkpoint(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .where(F.col(src) != F.col(dst))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+            .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .where(F.col(src) != F.col(dst))
+        )
+        .distinct()
+    )
+    live = und
+    prev_nodes = None
+    for _ in range(max_rounds):
+        deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("internal_degree"))
+        members = deg.where(F.col("internal_degree") >= k)
+        n_members = members.count()  # bounded scalar: convergence probe
+        if prev_nodes is not None and n_members == prev_nodes:
+            return members.select(
+                F.col("s").alias("node"), "internal_degree"
+            ).orderBy("node")
+        prev_nodes = n_members
+        keep = members.select("s")
+        nxt = iter_checkpoint(
+            live.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "t"), "t", "left_semi")
+        )
+        release_checkpoint(live if live is not und else None)
+        live = nxt
+    # one final degree pass: if it equals the last member set we
+    # converged exactly at the round budget, else refuse to truncate
+    deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("internal_degree"))
+    members = deg.where(F.col("internal_degree") >= k)
+    if members.count() == prev_nodes:
+        return members.select(
+            F.col("s").alias("node"), "internal_degree"
+        ).orderBy("node")
+    raise RuntimeError(
+        f"kcore: peel did not converge within {max_rounds} rounds; "
+        "raise max_rounds (the oracle unroll depth must match)"
+    )

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from parcial_bigdata_spark.functions.money import ratio_round
+
 
 def _user_ts_window() -> Window:
     return Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -172,7 +174,7 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
             "user_id",
             "n_intervals",
             "span_us",
-            F.round(
+            ratio_round(
                 F.col("vdt").cast("double") / F.col("span_us").cast("double"),
                 6,
             ).alias("twap"),

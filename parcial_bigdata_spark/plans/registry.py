@@ -400,6 +400,15 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_kcore(spark, sf_dir):
+    # 3-core of the near-dup graph: iterative peel to the unique
+    # fixpoint; the oracle unrolls the same peel (extra rounds past
+    # convergence are no-ops by monotonicity)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_ops.jaccard_pairs(docs, threshold=0.6)
+    return graph_ops.kcore(pairs, k=3, src="doc_a", dst="doc_b")
+
+
 def q_value_outliers(spark, sf_dir):
     # z-score outlier counts with the division/sqrt-cleared exact
     # decision rule — selection bit-deterministic across engines
@@ -1286,6 +1295,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_copurchase_rules": q_copurchase_rules,
     "events_value_outliers": q_value_outliers,
     "revenue_gini_by_nation": q_revenue_gini,
+    "graph_kcore": q_kcore,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
@@ -2679,8 +2689,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT user_id, count(*) AS n_intervals,
                CAST(sum(dt) AS BIGINT) AS span_us,
-               round(CAST(sum(v * dt) AS DOUBLE)
-                     / CAST(sum(dt) AS DOUBLE), 6) AS twap
+               floor(CAST(sum(v * dt) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
         FROM s WHERE dt IS NOT NULL
         GROUP BY user_id HAVING sum(dt) > 0
         ORDER BY user_id
@@ -2988,6 +2998,30 @@ ORACLES: dict[str, str] = {
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
     """,
+    "graph_kcore": """
+        -- unrolled k-core peel (k=3, 8 rounds): the fixpoint is unique
+        -- and peeling is monotone, so rounds past convergence are
+        -- no-ops — the unroll depth only needs to be >= the true peel
+        -- depth (the operator RAISES if it exceeds its own budget)
+        WITH """ + _WS_PAIRS_SQL.replace(
+        "ws AS (", "ws AS MATERIALIZED (", 1
+    ).replace("pairs AS (", "pairs AS MATERIALIZED (", 1) + """,
+        e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+        """ + ",\n        ".join(
+        # MATERIALIZED: every e_i is referenced twice (its m_i and the
+        # next e), so default CTE inlining would expand 2^rounds scans
+        # of the base table (observed: fd exhaustion at 8 rounds)
+        f"""m{i} AS MATERIALIZED (SELECT s FROM e{i} GROUP BY s
+                                  HAVING count(*) >= 3),
+        e{i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e{i} e
+                     JOIN m{i} a ON e.s = a.s
+                     JOIN m{i} b ON e.t = b.s)"""
+        for i in range(8)
+    ) + """
+        SELECT s AS node, count(*) AS internal_degree
+        FROM e8 GROUP BY s HAVING count(*) >= 3 ORDER BY node
+    """,
     "events_value_outliers": """
         -- the same division/sqrt-cleared exact predicate:
         -- (n·v − S)²·(n−1) > 9·n·(n·Q − S²) over exact decimals
@@ -3030,8 +3064,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT nation, count(*) AS n_customers,
                round(CAST(sum(x) AS DOUBLE), 2) AS total_revenue,
-               round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
-                     / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+               floor(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                     / CAST(count(*) * sum(x) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS gini
         FROM ranked GROUP BY nation ORDER BY nation
     """,
     "parts_copurchase_rules": """
@@ -3050,11 +3085,11 @@ ORACLES: dict[str, str] = {
         )
         SELECT part_a, part_b, n_together,
                ca.n_baskets AS n_a, cb.n_baskets AS n_b,
-               round(CAST(n_together AS DOUBLE) / ca.n_baskets, 6)
-                   AS confidence_a_to_b,
-               round(CAST(n_together AS DOUBLE) * tot.n_orders
-                     / (CAST(ca.n_baskets AS DOUBLE) * cb.n_baskets), 6)
-                   AS lift
+               floor(CAST(n_together AS DOUBLE) / ca.n_baskets
+                     * 1e6 + 0.5) / 1e6 AS confidence_a_to_b,
+               floor(CAST(n_together AS DOUBLE) * tot.n_orders
+                     / (CAST(ca.n_baskets AS DOUBLE) * cb.n_baskets)
+                     * 1e6 + 0.5) / 1e6 AS lift
         FROM pairs JOIN pc ca ON pairs.part_a = ca.pk
                    JOIN pc cb ON pairs.part_b = cb.pk, tot
         ORDER BY n_together DESC, part_a, part_b LIMIT 50
@@ -3090,7 +3125,7 @@ ORACLES: dict[str, str] = {
         )
         SELECT o_custkey, count(*) AS n_gaps,
                CAST(min(gap_days) AS INT) AS min_gap_days,
-               round(avg(gap_days), 4) AS avg_gap_days,
+               floor(avg(gap_days) * 1e4 + 0.5) / 1e4 AS avg_gap_days,
                CAST(max(gap_days) AS INT) AS max_gap_days
         FROM gaps WHERE gap_days IS NOT NULL
         GROUP BY o_custkey ORDER BY o_custkey
@@ -3237,11 +3272,12 @@ ORACLES: dict[str, str] = {
                                 AND p.purchase_ts
         )
         SELECT user_id, purchase_id, click_id, touch_rank, n_touches,
-               round(purchase_value * CASE
+               floor(purchase_value * CASE
                    WHEN n_touches = 1 THEN 1.0
                    WHEN n_touches = 2 THEN 0.5
                    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
-                   ELSE 0.2 / (n_touches - 2) END, 4) AS credit
+                   ELSE 0.2 / (n_touches - 2) END * 1e4 + 0.5) / 1e4
+                   AS credit
         FROM pr ORDER BY purchase_id, touch_rank
     """,
     "events_transition_matrix": """
@@ -3257,9 +3293,9 @@ ORACLES: dict[str, str] = {
             GROUP BY from_type, to_type
         )
         SELECT from_type, to_type, n_transitions,
-               round(CAST(n_transitions AS DOUBLE)
-                     / sum(n_transitions) OVER (PARTITION BY from_type),
-                     6) AS probability
+               floor(CAST(n_transitions AS DOUBLE)
+                     / sum(n_transitions) OVER (PARTITION BY from_type)
+                     * 1e6 + 0.5) / 1e6 AS probability
         FROM counted ORDER BY from_type, to_type
     """,
     "events_time_decay_attribution": """
@@ -3283,8 +3319,9 @@ ORACLES: dict[str, str] = {
                                 AND p.purchase_ts
         )
         SELECT user_id, purchase_id, click_id, h AS decay_weight,
-               round(purchase_value * h
-                     / sum(h) OVER (PARTITION BY purchase_id), 4) AS credit
+               floor(purchase_value * h
+                     / sum(h) OVER (PARTITION BY purchase_id)
+                     * 1e4 + 0.5) / 1e4 AS credit
         FROM pr ORDER BY purchase_id, click_id
     """,
     # add-k bigram LM: every quotient is bit-identical across engines

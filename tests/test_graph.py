@@ -118,3 +118,62 @@ def test_triangle_validates_columns(spark):
     e = _edges(spark, [("a", "b")])
     with _pt.raises(ValueError, match="missing columns"):
         triangle_stats(e, src="nope")
+
+
+def test_kcore_matches_python_peel(spark):
+    """k-core fixpoint vs a Python reference peel on a graph with real
+    peel depth: a 5-clique (3-core), a triangle hung off it (peels at
+    k=3), and a chain (never in any 2+-core)."""
+    edges = []
+    # 5-clique over 0..4
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((i, j))
+    # triangle 4-10-11 (10 and 11 have degree 2 -> peel at k=3; their
+    # removal must NOT dislodge clique member 4)
+    edges += [(4, 10), (4, 11), (10, 11)]
+    # chain 20-21-22-23
+    edges += [(20, 21), (21, 22), (22, 23)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def ref_kcore(es, k):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(ns) for n, ns in adj.items()}
+
+    from parcial_bigdata_spark.operators.graph import kcore
+
+    for k in (2, 3, 4):
+        got = {r.node: r.internal_degree for r in kcore(df, k=k).collect()}
+        assert got == ref_kcore(edges, k), f"k={k}"
+    # k=5: empty core (the clique has internal degree 4)
+    assert kcore(df, k=5).count() == 0
+
+
+def test_kcore_refuses_truncation(spark):
+    """A long chain peels one node per end per round at k=2? No — a
+    chain has no 2-core at all, but peeling it takes length/2 rounds;
+    with max_rounds too small the operator must RAISE, never return a
+    truncated (non-fixpoint) set."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    from parcial_bigdata_spark.operators.graph import kcore
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, k=2, max_rounds=3)
+    # with budget it converges to the empty 2-core
+    assert kcore(df, k=2, max_rounds=20).count() == 0
