@@ -560,6 +560,17 @@ _NEW_OPS_R8 = [
     "text_bpe_encode",
     "dedup_paragraphs",
     "scd2_customer_history",
+    # round-9 additions (first timings -> BENCH_r09; r10 diffs these)
+    "dedup_incremental_jaccard",
+    "graph_kcore",
+    "text_top_tfidf_terms",
+    "text_pmi_collocations",
+    "multimodal_bmp_pixel_decode",
+    "multimodal_wav_sample_decode",
+    "events_time_weighted_avg",
+    "parts_copurchase_rules",
+    "integrity_fk_audit",
+    "events_value_outliers",
 ]
 
 

@@ -523,3 +523,40 @@ def revenue_gini_by_nation(
         )
         .orderBy("nation")
     )
+
+
+def daily_user_accumulation(events: DataFrame) -> DataFrame:
+    """Daily active / new / cumulative user counts — the DAU & growth
+    curve.  A naive running COUNT(DISTINCT) over an expanding window
+    re-scans history per day; the scalable form is first-seen
+    decomposition: one min-aggregate per user gives each user's first
+    day, daily actives are a (day, user) distinct count, and the
+    cumulative curve is a running sum over the |days|-row aggregated
+    frame — the unkeyed window touches days, never events.  All counts
+    exact integers."""
+    from pyspark.sql.window import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    actives = (
+        events.select(day.alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    news = (
+        events.groupBy("user_id")
+        .agg(F.min(day).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        actives.join(news, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .orderBy("day")
+    )

@@ -400,6 +400,12 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_daily_users(spark, sf_dir):
+    # DAU/new/cumulative via first-seen decomposition — the running
+    # distinct that never rescans history
+    return ana_ops.daily_user_accumulation(_t(spark, sf_dir, "events"))
+
+
 def q_kcore(spark, sf_dir):
     # 3-core of the near-dup graph: iterative peel to the unique
     # fixpoint; the oracle unrolls the same peel (extra rounds past
@@ -1296,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_outliers": q_value_outliers,
     "revenue_gini_by_nation": q_revenue_gini,
     "graph_kcore": q_kcore,
+    "events_daily_users": q_daily_users,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
@@ -2997,6 +3004,26 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "events_daily_users": """
+        WITH actives AS (
+            SELECT day, count(*) AS n_active FROM (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events
+            ) GROUP BY day
+        ), news AS (
+            SELECT day, count(*) AS n_new FROM (
+                SELECT user_id, min(date_trunc('day', ts)) AS day
+                FROM events GROUP BY user_id
+            ) GROUP BY day
+        )
+        SELECT a.day, n_active,
+               coalesce(n_new, 0) AS n_new,
+               CAST(sum(coalesce(n_new, 0)) OVER (
+                   ORDER BY a.day ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_users
+        FROM actives a LEFT JOIN news USING (day)
+        ORDER BY a.day
     """,
     "graph_kcore": """
         -- unrolled k-core peel (k=3, 8 rounds): the fixpoint is unique

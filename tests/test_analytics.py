@@ -367,3 +367,25 @@ def test_revenue_gini_extremes(spark):
     got = {r.nation: r.gini for r in revenue_gini_by_nation(
         orders2, customer, nation).collect()}
     assert got["EQUAL"] > 0.66  # near-total concentration
+
+
+def test_daily_user_accumulation_first_seen(spark):
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        daily_user_accumulation,
+    )
+
+    d0 = dt.datetime(2025, 1, 1)
+
+    def ev(eid, uid, day):
+        return (eid, d0 + dt.timedelta(days=day), uid, "t", 0.0)
+
+    events = spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 2, 0), ev(3, 1, 1),       # day1: u1 returns
+         ev(4, 3, 2), ev(5, 1, 2), ev(6, 2, 2)],      # day2: u3 new
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    rows = [(r.n_active, r.n_new, r.cum_users)
+            for r in daily_user_accumulation(events).collect()]
+    assert rows == [(2, 2, 2), (1, 0, 2), (3, 1, 3)]
