@@ -333,7 +333,10 @@ def kcore(
             live.join(keep, "s", "left_semi")
             .join(keep.withColumnRenamed("s", "t"), "t", "left_semi")
         )
-        release_checkpoint(live if live is not und else None)
+        # nxt is eagerly materialized, so the superseded round's blocks
+        # (including the initial edge frame) are safe to free — the CC
+        # star-loop convention
+        release_checkpoint(live)
         live = nxt
     # one final degree pass: if it equals the last member set we
     # converged exactly at the round budget, else refuse to truncate
