@@ -13,8 +13,14 @@ boundaries (observed at sf0.1: 2183640.6550).
 for output.  The matching oracle-SQL pattern is
 ``CAST(round(sum(CAST(<expr> AS DECIMAL(18,4))), 2) AS DOUBLE)``.
 
-Averages stay double: division by a count yields non-terminating
-decimal expansions, so exact-half collisions effectively cannot occur.
+Averages over LARGE irregular denominators stay double: their decimal
+expansions rarely terminate, so exact-half collisions are effectively
+impossible.  But ratios with SMALL or dyadic denominators (weights
+that are powers of two, counts like 8 or 3200) DO land on exact
+halves — observed live at sf0.1: a 2-decimal value divided by a
+power-of-two weight sum produced exactly 1.34875 and the engines
+rounded it apart.  Every rational-quotient output therefore rounds
+through ``ratio_round`` (below), never bare ``round(double, k)``.
 
 Why not scaled-long (cents) accumulation, which is faster locally?
 It overflows: a 6-decimal-scaled term tops out near 1e11, so ~1e8 rows
