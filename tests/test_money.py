@@ -57,3 +57,39 @@ def test_money_sum_matches_python_decimal_reference(spark):
         assert got == ref, (got, ref)
 
     check()
+
+
+def test_ratio_round_agrees_with_duckdb_on_exact_half(spark):
+    """The live sf0.1 divergence case: 10.79 · (1/8) = 1.34875 exactly.
+    Bare round(double, 4) gives 1.3488 on Spark (shortest-repr HALF_UP)
+    and 1.3487 on DuckDB (binary value below the half); ratio_round's
+    floor form must produce the IDENTICAL double on both engines."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.functions.money import (
+        ratio_round,
+        ratio_round_sql,
+    )
+
+    spark_val = (
+        spark.range(1)
+        .select(ratio_round(F.lit(10.79) * F.lit(0.125), 4).alias("r"))
+        .collect()[0]
+        .r
+    )
+    duck_val = duckdb.sql(
+        f"SELECT {ratio_round_sql('10.79 * 0.125', 4)}"
+    ).fetchone()[0]
+    assert spark_val == duck_val
+    # and the bare-round divergence that motivated the helper is real:
+    bare_spark = (
+        spark.range(1)
+        .select(F.round(F.lit(10.79) * F.lit(0.125), 4).alias("r"))
+        .collect()[0]
+        .r
+    )
+    bare_duck = duckdb.sql("SELECT round(10.79 * 0.125, 4)").fetchone()[0]
+    assert bare_spark != bare_duck  # if this ever passes equal, the
+    # engines changed rounding semantics — revisit ratio_round's need
