@@ -511,3 +511,31 @@ def approx_percentile_value_by_type_checked(
         (F.abs(F.col("_a50") - F.col("p50_value")) <= tol).cast("int").alias("p50_ok"),
         (F.abs(F.col("_a90") - F.col("p90_value")) <= tol).cast("int").alias("p90_ok"),
     ).orderBy("event_type")
+
+
+def supplier_return_report(lineitem: DataFrame) -> DataFrame:
+    """Per-supplier quality report: returned-line share (l_returnflag =
+    'R') and the exact-decimal value of returned merchandise — the
+    operational diagnostic behind TPC-H Q10's blame query, exposed as a
+    standalone scan-and-aggregate per supplier.
+
+    One map-side-combining groupBy on l_suppkey; the return share
+    rounds through ``ratio_round`` (quotients of small exact ints land
+    on decimal halves) and the returned value through ``money_sum``."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    returned = F.col("l_returnflag") == "R"
+    return (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(returned.cast("long")).alias("n_returned"),
+            ratio_round(
+                F.sum(returned.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("return_share"),
+            money_sum(
+                F.when(returned, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+            ).alias("returned_value"),
+        )
+        .orderBy("l_suppkey")
+    )

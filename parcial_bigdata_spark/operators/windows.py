@@ -417,3 +417,37 @@ def ewma_smooth(
         F.round(ewma, 6).cast("double").alias("ewma"),
         F.round(v - ewma, 6).cast("double").alias("deviation"),
     )
+
+
+def user_drawdown(events: DataFrame) -> DataFrame:
+    """Per-user maximum drawdown of the value series: the largest drop
+    from a running peak to a later observation — the risk statistic
+    every financial/metrics dashboard tracks.  Exact throughout: value
+    rides as DECIMAL(18,2), the running peak is a max window (no
+    floats), and the drawdown subtraction stays decimal until the
+    output cast.
+
+    One user-keyed shuffle shared by the running-max window and the
+    closing groupBy (the TWAP plan shape)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    per = events.select(
+        "user_id",
+        v.alias("v"),
+        F.max(v).over(w).alias("peak"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("peak").cast("double").alias("peak_value"),
+            F.max(F.col("peak") - F.col("v")).cast("double").alias(
+                "max_drawdown"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -400,6 +400,15 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_user_drawdown(spark, sf_dir):
+    # running-peak drawdown, exact decimal throughout
+    return win_ops.user_drawdown(_t(spark, sf_dir, "events"))
+
+
+def q_supplier_returns(spark, sf_dir):
+    return agg_ops.supplier_return_report(_t(spark, sf_dir, "lineitem"))
+
+
 def q_daily_users(spark, sf_dir):
     # DAU/new/cumulative via first-seen decomposition — the running
     # distinct that never rescans history
@@ -1303,6 +1312,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_gini_by_nation": q_revenue_gini,
     "graph_kcore": q_kcore,
     "events_daily_users": q_daily_users,
+    "window_user_drawdown": q_user_drawdown,
+    "supplier_return_report": q_supplier_returns,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
@@ -3004,6 +3015,33 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "window_user_drawdown": """
+        WITH per AS (
+            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                   max(CAST(value AS DECIMAL(18,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS peak
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               CAST(max(peak) AS DOUBLE) AS peak_value,
+               CAST(max(peak - v) AS DOUBLE) AS max_drawdown
+        FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    "supplier_return_report": """
+        SELECT l_suppkey, count(*) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+               floor(CAST(sum(CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS return_share,
+               CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R'
+                                        THEN l_extendedprice ELSE 0 END
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS returned_value
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
     """,
     "events_daily_users": """
         WITH actives AS (

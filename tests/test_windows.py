@@ -274,3 +274,11 @@ def test_user_bookends_argmin_struct(events):
     assert u1.span_us == 50 * 60 * 1_000_000
     assert (u2.n_events, u2.span_us) == (1, 0)
     assert (u2.first_type, u2.last_type) == ("signup", "signup")
+
+
+def test_user_drawdown_running_peak(events):
+    """user 1 values 10,30,20,5 → peaks 10,30,30,30 → max drawdown 25;
+    single-event user 2 has drawdown 0."""
+    rows = {r.user_id: r for r in win.user_drawdown(events).collect()}
+    assert (rows[1].peak_value, rows[1].max_drawdown) == (30.0, 25.0)
+    assert (rows[2].peak_value, rows[2].max_drawdown) == (1.0, 0.0)
