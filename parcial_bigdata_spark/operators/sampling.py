@@ -397,3 +397,33 @@ def shuffle_shards(
         )
         .orderBy("shard", "pos")
     )
+
+
+def token_length_histogram(documents: DataFrame) -> DataFrame:
+    """Per-source sequence-length profile in power-of-two buckets — the
+    planning input for context-window packing (which budget wastes the
+    least padding) and the first chart of any corpus report.
+
+    Entirely row-local until one tiny groupBy: bucket = floor(log2(
+    tokens)) computed as the integer bit length (no float log — exact
+    at every boundary: 512 tokens lands in [512,1024), not in a
+    float-fuzzed neighbor), then counts and token totals partial-
+    aggregate map-side."""
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    # integer log2 via bit-shift loop unrolled as a CASE over the
+    # meaningful range: documents beyond 2^20 tokens bucket together
+    bucket = F.when(toks <= 0, F.lit(-1))
+    for b in range(20):
+        bucket = bucket.when(toks < F.lit(2 ** (b + 1)), F.lit(b))
+    bucket = bucket.otherwise(F.lit(20))
+    return (
+        documents.select("source", toks.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -400,6 +400,11 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_token_length_hist(spark, sf_dir):
+    # power-of-two sequence-length buckets via exact integer boundaries
+    return sample_ops.token_length_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_user_drawdown(spark, sf_dir):
     # running-peak drawdown, exact decimal throughout
     return win_ops.user_drawdown(_t(spark, sf_dir, "events"))
@@ -1313,6 +1318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_kcore": q_kcore,
     "events_daily_users": q_daily_users,
     "window_user_drawdown": q_user_drawdown,
+    "sample_token_length_hist": q_token_length_hist,
     "supplier_return_report": q_supplier_returns,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
@@ -3015,6 +3021,42 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "sample_token_length_hist": """
+        WITH t AS (
+            SELECT source,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN n_tokens <= 0 THEN -1
+                    WHEN n_tokens < 2 THEN 0
+                    WHEN n_tokens < 4 THEN 1
+                    WHEN n_tokens < 8 THEN 2
+                    WHEN n_tokens < 16 THEN 3
+                    WHEN n_tokens < 32 THEN 4
+                    WHEN n_tokens < 64 THEN 5
+                    WHEN n_tokens < 128 THEN 6
+                    WHEN n_tokens < 256 THEN 7
+                    WHEN n_tokens < 512 THEN 8
+                    WHEN n_tokens < 1024 THEN 9
+                    WHEN n_tokens < 2048 THEN 10
+                    WHEN n_tokens < 4096 THEN 11
+                    WHEN n_tokens < 8192 THEN 12
+                    WHEN n_tokens < 16384 THEN 13
+                    WHEN n_tokens < 32768 THEN 14
+                    WHEN n_tokens < 65536 THEN 15
+                    WHEN n_tokens < 131072 THEN 16
+                    WHEN n_tokens < 262144 THEN 17
+                    WHEN n_tokens < 524288 THEN 18
+                    WHEN n_tokens < 1048576 THEN 19
+                    ELSE 20 END AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM t GROUP BY source, bucket ORDER BY source, bucket
     """,
     "window_user_drawdown": """
         WITH per AS (

@@ -292,3 +292,25 @@ def test_price_boxplot_quartiles_and_fences(spark):
     assert row.iqr == 55.0
     assert row.n_low_outliers == 0          # fence at -55
     assert row.n_high_outliers == 1         # 1000 > 165
+
+
+def test_token_length_histogram_exact_boundaries(spark):
+    """Power-of-two boundaries are exact: 1 token → bucket 0, 2 → 1,
+    1023 → 9, 1024 → 10; empty text → bucket -1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "t", "en", "s", 1),
+            (2, "t t", "en", "s", 3),
+            (3, " ".join(["t"] * 1023), "en", "s", 1),
+            (4, " ".join(["t"] * 1024), "en", "s", 1),
+            (5, "", "en", "s", 0),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r.bucket: (r.n_docs, r.min_tokens, r.max_tokens)
+           for r in sampling.token_length_histogram(docs).collect()}
+    assert out[-1] == (1, 0, 0)
+    assert out[0] == (1, 1, 1)
+    assert out[1] == (1, 2, 2)
+    assert out[9] == (1, 1023, 1023)
+    assert out[10] == (1, 1024, 1024)
