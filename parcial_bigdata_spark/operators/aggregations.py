@@ -539,3 +539,30 @@ def supplier_return_report(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+def monthly_revenue_yoy(orders: DataFrame) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year deltas —
+    the seasonality report.  Revenue sums via ``money_sum`` (exact
+    decimal, order-independent); the lag windows run over the
+    |months|-row aggregated frame (tiny by construction), never the
+    fact scan, and the deltas of exact 2-decimal doubles need no
+    further rounding."""
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum("o_totalprice").alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue", 1).over(w), 2).alias(
+            "mom_delta"
+        ),
+        F.round(F.col("revenue") - F.lag("revenue", 12).over(w), 2).alias(
+            "yoy_delta"
+        ),
+    ).orderBy("month")

@@ -400,6 +400,11 @@ def q_multi_touch_attribution(spark, sf_dir):
     ).orderBy("purchase_id", "touch_rank")
 
 
+def q_monthly_yoy(spark, sf_dir):
+    # seasonality report: lag windows over the |months|-row aggregate
+    return agg_ops.monthly_revenue_yoy(_t(spark, sf_dir, "orders"))
+
+
 def q_token_length_hist(spark, sf_dir):
     # power-of-two sequence-length buckets via exact integer boundaries
     return sample_ops.token_length_histogram(_t(spark, sf_dir, "documents"))
@@ -1319,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily_users": q_daily_users,
     "window_user_drawdown": q_user_drawdown,
     "sample_token_length_hist": q_token_length_hist,
+    "orders_monthly_yoy": q_monthly_yoy,
     "supplier_return_report": q_supplier_returns,
     "orders_repeat_intervals": q_repeat_intervals,
     "text_pmi_collocations": q_pmi_collocations,
@@ -3021,6 +3027,21 @@ ORACLES: dict[str, str] = {
         FROM activity a JOIN cohort c USING (user_id)
         WHERE week >= cohort_week
         GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "orders_monthly_yoy": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders, revenue,
+               round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2)
+                   AS mom_delta,
+               round(revenue - lag(revenue, 12) OVER (ORDER BY month), 2)
+                   AS yoy_delta
+        FROM monthly ORDER BY month
     """,
     "sample_token_length_hist": """
         WITH t AS (
