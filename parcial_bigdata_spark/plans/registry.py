@@ -678,6 +678,19 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_streaming_cdc_apply(spark, sf_dir):
+    """Fifth real-streaming oracle query: a checkpointed foreachBatch
+    CDC MERGE stream (3 disjoint-key update files, one MERGE per
+    micro-batch under AvailableNow) must converge the keyed snapshot to
+    the batch full-outer MERGE of base and updates."""
+    import os
+
+    from parcial_bigdata_spark.streaming.pipeline import cdc_apply_available_now
+
+    tune_runtime(spark)
+    return cdc_apply_available_now(spark, os.path.join(sf_dir, "orders.parquet"))
+
+
 def q_all_party_keys(spark, sf_dir):
     return set_ops.all_party_keys(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
@@ -1330,85 +1343,102 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pmi_collocations": q_pmi_collocations,
     "streaming_dedup_census": q_streaming_dedup_census,
     "incremental_agg_orders": q_incremental_agg,
+    "streaming_cdc_apply": q_streaming_cdc_apply,
+}
+
+# Round each oracle-checked query was added to the registry, ONLY for
+# queries that have never yet held a driver-window slot (the staleness
+# pytest needs an age origin for them; certified queries date from
+# their CORRECTNESS_r*.json rows instead).  Remove an entry once its
+# query is driver-certified.
+INTRODUCED_ROUND = {
+    "streaming_cdc_apply": 10,
 }
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 9)
+# Driver-window rotation (round 10)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
-# of it).  Round 8 certified the relational core 50/50; per the round-8
-# verdict (item 1), round 9 leads with every query that has NEVER appeared
-# in a driver window: the 21 oracle-checked round-8 additions (BPE
-# train/encode, BM25, MERGE, SCD-2, PageRank, triangles, fuzzy join, LM
-# perplexity, multi-touch, z-order census, streaming dedup census,
-# incremental agg, EWMA, paragraph dedup, word entropy, shuffle shards,
-# quality gate, video decode, click attribution) plus the 3 rows-only
-# approximate dedup queries and their two oracle-checked recall-audit
-# twins.  The remaining 19 slots go to the stalest certifications
-# (r3-r6: kNN variants, histogram/revenue-share/stats/approx aggregation
-# forms, streaming_sessionize, plain join family).  Reference-parity core
-# + one real structured-streaming run stay in-window every round.
+# of it).  Per the round-9 verdict (item 1), round 10 leads with the 24
+# round-9 operators that have NEVER appeared in a driver window (k-core,
+# incremental dedup, basket rules, Gini, z-score outliers, TF-IDF, PMI,
+# WAV sample decode, transition matrix, time-decay attribution, cohort
+# revenue, daily users, TWAP, bookends, drawdown, MoM/YoY, repeat
+# intervals, supplier returns, FK audit, boxplot, equidepth histogram,
+# PPS sample, token-length histogram, tier rollup) plus the NEW
+# streaming_cdc_apply (verdict item 6).  The remaining slots re-certify
+# the stalest families per the PARITY.md ledger: the r7-certified setops
+# block (verdict item 1 names it explicitly) and sixteen more r7-stale
+# entries (retention/profile/skew, the text quality/token/lang/vocab
+# block, the exact-dedup family, stratified/chunk/quota sampling, the
+# dedup audit twins).  Reference-parity core + one real
+# structured-streaming run stay in-window every round.
 #
-# Out-of-window this round (all driver-green in r8): the TPC-H block,
-# the window family, the risk-bearing join shapes, grouping-sets/rollup/
-# cube/pivot/percentiles, and the multimodal image pair.
+# Out-of-window this round (all driver-green in r8/r9): the TPC-H block,
+# the window family, the join shapes, grouping-sets/rollup/cube/pivot/
+# percentiles, multimodal image pair, kNN family, BPE/BM25, MERGE/SCD-2.
 #
-# r10 rotation note: after this window certifies, the longest-unseen
-# blocks become the setops + profiling/CDC + retention/skew block (r7)
-# and the dedup/text/sampling families (r7); the r8-certified relational
-# core can rest one more round.  Keep parity core + one real streaming
-# run, as always.  PARITY.md §"Certification ledger" tracks per-query
-# last-green rounds.
+# r11 rotation note: after this window certifies, the longest-unseen
+# block is the REMAINING r7 set (dedup_embedding_cosine,
+# dedup_cross_split_contamination, dedup_ngram_decontaminate,
+# knn_cosine_brute_force, embedding_kmeans_train, multimodal_frame_sample,
+# sample_leakage_safe_split, text_word_pairs, dedup_component_survivors,
+# snapshot_diff_orders, text fingerprint/top-words/pass-rates/gopher/
+# repetition/PII, sample split/pack/epoch/temperature) — at age 4 they
+# MUST take r11 slots (tests/test_staleness.py enforces the budget);
+# then the r8 TPC-H + window families.  Keep parity core + one real
+# streaming run, as always.
 # --------------------------------------------------------------------------
 
-_R9_WINDOW = [
+DRIVER_WINDOW = [
     # reference parity — every round
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # never driver-certified: the 21 oracle-checked round-8 additions
-    "text_bpe_merges", "text_bpe_encode", "text_bm25_search",
-    "merge_upsert_orders", "scd2_customer_history", "pagerank_suppliers",
-    "window_ewma_smooth", "dedup_paragraphs", "text_word_entropy",
-    "sample_shuffle_shards", "pipeline_quality_gate", "multimodal_video_decode",
-    "graph_triangle_stats", "graph_triangle_nodes", "fuzzy_match_part_names",
-    "text_lm_perplexity", "events_multi_touch_attribution", "scale_zorder_census",
-    "streaming_dedup_census", "incremental_agg_orders",
-    "streaming_click_attribution",
-    # never driver-certified: rows-only approximate dedup + audit twin
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "dedup_minhash_lsh_check",
-    # new this round: REAL BMP pixel-payload decode
-    "multimodal_bmp_pixel_decode",
-    # stalest certifications — r3
-    "embedding_norm_stats", "knn_cosine_ivf", "knn_cosine_lsh",
-    # r4
-    "price_histogram", "revenue_share_by_priority", "streaming_sessionize",
-    # r5
-    "approx_distinct_parts", "approx_percentile_value_by_type",
-    "distinct_customers_per_status", "knn_cosine_arrow",
-    "stats_price_by_status", "top_orders_by_price", "unpivot_status_metrics",
-    # r6
-    "anti_join_idle_customers", "asof_purchase_signup", "correlation_stats",
-    "events_funnel_steps", "join_revenue_by_brand", "semi_join_big_orders",
+    # never driver-certified: the 24 oracle-checked round-9 additions
+    "graph_kcore", "dedup_incremental_jaccard", "parts_copurchase_rules",
+    "events_value_outliers", "revenue_gini_by_nation", "text_top_tfidf_terms",
+    "text_pmi_collocations", "multimodal_wav_sample_decode",
+    "events_transition_matrix", "events_time_decay_attribution",
+    "events_cohort_revenue", "events_daily_users", "events_time_weighted_avg",
+    "agg_user_bookends", "window_user_drawdown", "orders_monthly_yoy",
+    "orders_repeat_intervals", "supplier_return_report", "integrity_fk_audit",
+    "stats_price_boxplot", "equidepth_price_histogram", "sample_pps_systematic",
+    "sample_token_length_hist", "streaming_tier_rollup",
+    # new this round: a REAL streaming CDC MERGE run (r9 verdict item 6)
+    "streaming_cdc_apply",
+    # stalest certifications — r7 setops block (r9 verdict item 1)
+    "setop_repeat_customers", "setop_churned_customers",
+    "setop_all_party_keys", "setop_status_bag_overlap",
+    # r7: retention / profiling / skew
+    "events_retention_cohorts", "profile_orders_table", "skew_lineitem_suppkey",
+    # r7: text quality block
+    "text_quality_metrics", "text_token_counts", "text_language_id",
+    "text_vocabulary",
+    # r7: exact-dedup family + approximate-dedup audit twins
+    "dedup_exact", "dedup_exact_survivors", "dedup_ngram_jaccard",
+    "dedup_components", "dedup_simhash_check", "dedup_embedding_lsh_check",
+    # r7: sampling family
+    "sample_stratified_exact", "sample_chunk_documents",
+    "sample_quota_by_source",
 ]
 
-_R9_SET = set(_R9_WINDOW)
+_WINDOW_SET = set(DRIVER_WINDOW)
 # import-time invariants raise explicitly, NOT assert (round-7 advice:
 # asserts are stripped under python -O, and a duplicate window entry
 # would then silently shrink the certified first-50 window)
-if len(_R9_WINDOW) != 50 or len(_R9_SET) != 50:
+if len(DRIVER_WINDOW) != 50 or len(_WINDOW_SET) != 50:
     raise RuntimeError(
         f"driver window must be exactly 50 unique queries, got "
-        f"{len(_R9_WINDOW)} entries / {len(_R9_SET)} unique"
+        f"{len(DRIVER_WINDOW)} entries / {len(_WINDOW_SET)} unique"
     )
-_missing = [name for name in _R9_WINDOW if name not in QUERIES]
+_missing = [name for name in DRIVER_WINDOW if name not in QUERIES]
 if _missing:
     raise RuntimeError(f"driver window names not in QUERIES: {_missing}")
-QUERIES = {name: QUERIES[name] for name in _R9_WINDOW} | {
-    name: fn for name, fn in QUERIES.items() if name not in _R9_SET
+QUERIES = {name: QUERIES[name] for name in DRIVER_WINDOW} | {
+    name: fn for name, fn in QUERIES.items() if name not in _WINDOW_SET
 }
 
 
@@ -2826,6 +2856,30 @@ ORACLES: dict[str, str] = {
          AND p.event_type = 'purchase' AND c.event_type = 'click'
          AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
         ORDER BY purchase_id, click_id
+    """,
+    # the streaming CDC MERGE converges to the batch full-outer merge:
+    # update row wins on key match, inserted otherwise, base kept
+    # elsewhere — update files partition keys disjointly, so batch
+    # grouping cannot change the fixpoint
+    "streaming_cdc_apply": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 4 <> 0
+        ), upd AS (
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   round(CAST(o_totalprice AS DOUBLE) * 2, 2) AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN u.o_orderstatus ELSE b.o_orderstatus
+               END AS o_orderstatus,
+               CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN u.o_totalprice ELSE b.o_totalprice
+               END AS o_totalprice
+        FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+        ORDER BY o_orderkey
     """,
     "setop_status_bag_overlap": """
         WITH b1 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1995),

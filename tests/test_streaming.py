@@ -623,3 +623,38 @@ def test_merge_stream_applies_updates_exactly_once(spark, tmp_path):
     run()
     expected2 = (expected - {(1, "a", 10.0)}) | {(1, "a9", 99.0)}
     assert {tuple(r) for r in spark.read.parquet(snap).collect()} == expected2
+
+
+def test_cdc_apply_available_now_matches_batch_merge(spark):
+    """The registry's real streaming CDC run converges to the one-shot
+    batch merge_upsert of the same base/updates derivation (and the
+    result survives its temp workspace: localCheckpoint materialized)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.merge import merge_upsert
+    from parcial_bigdata_spark.streaming.pipeline import cdc_apply_available_now
+
+    path = os.path.join("/root/testdata/sf0.001", "orders.parquet")
+    got = cdc_apply_available_now(spark, path)
+
+    orders = spark.read.parquet(path).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    base = orders.where(F.pmod("o_orderkey", F.lit(4)) != 0)
+    upd = orders.where(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+    )
+    want = merge_upsert(base, upd, "o_orderkey").drop("__merge_action")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    # sanity: the fixture exercises all three MERGE actions
+    stats = want.join(upd.select("o_orderkey"), "o_orderkey", "left_semi")
+    assert stats.count() > 0
+    assert got.count() > upd.count()  # kept rows present too
