@@ -544,6 +544,83 @@ def _run_incr_dedup_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- k-core peel scale exponent (round-9 verdict item 5) ------------------
+# kcore is iterative with a count() convergence probe per round; the other
+# graph probes never exercise its peel loop past one round (cliques peel
+# nothing).  Fixture: half 5-cliques (degree 4 — the k=2 core, survives
+# every round) + half parallel 12-edge paths — a DEEP-PEEL onion: k=2
+# removes only the two path endpoints per round, so every arm takes ~6
+# rounds to dissolve regardless of scale.  Peel depth is FIXED by arm
+# length while edge volume grows ×1/×4/×16, so like PageRank the raw
+# exponent is the per-edge signal; measured peel-round counts ride along
+# (graph._LAST_KCORE_STATS) to prove the depth really was exercised and
+# constant.  max_rounds=16 headroom: the operator RAISES on
+# non-convergence rather than truncating.
+
+_KCORE_SCALES = (1, 4, 16)
+_KCORE_BASE_EDGES = 200_000
+_KCORE_ARM_EDGES = 12
+
+
+def _kcore_graph(spark, n_edges):
+    from pyspark.sql import functions as F
+
+    n_cliques = (n_edges // 2) // 10
+    cliques = (
+        spark.range(n_cliques)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  flatten(transform(sequence(0, 3), i ->"
+                    "    transform(sequence(i + 1, 4), j -> array(i, j)))),"
+                    "  p -> named_struct("
+                    "    'src', id * 5 + p[0], 'dst', id * 5 + p[1]))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    n_path_edges = n_edges - n_cliques * 10
+    off = n_cliques * 5
+    arm = _KCORE_ARM_EDGES
+    paths = spark.range(n_path_edges).select(
+        (F.lit(off) + F.col("id") + F.floor(F.col("id") / arm)).alias("src"),
+        (F.lit(off) + F.col("id") + F.floor(F.col("id") / arm) + 1).alias("dst"),
+    )
+    return cliques.unionByName(paths)
+
+
+def _run_kcore_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import graph as G
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _KCORE_SCALES:
+        edges = _kcore_graph(spark, _KCORE_BASE_EDGES * s).persist()
+        n_edges = edges.count()  # materialize input outside the timing
+        # single shot per size, like the CC probe: the ~8 fixed peel
+        # rounds dominate and are stable run-to-run
+        t0 = time.perf_counter()
+        n_core = G.kcore(edges, k=2, max_rounds=16).count()
+        el = round(time.perf_counter() - t0, 3)
+        rounds = G._LAST_KCORE_STATS.get("peel_rounds")
+        edges.unpersist()
+        timings[f"kcore_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(n_edges)
+        detail[f"x{s}"] = {
+            "edges": n_edges,
+            "core_nodes": n_core,
+            "peel_rounds": rounds,
+            "sec": el,
+        }
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # Round-8 additions, timed at the bench SF in the probe session (real
 # sf data, unlike the synthetic skew/scale probes) — NOT in the
 # headline total, which stays a fixed set for cross-round comparison.
@@ -571,6 +648,14 @@ _NEW_OPS_R8 = [
     "parts_copurchase_rules",
     "integrity_fk_audit",
     "events_value_outliers",
+    # round-9 verdict item 7: the training-pipeline planner inputs get
+    # standing timing history
+    "sample_pps_systematic",
+    "sample_token_length_hist",
+    # round-10 additions: the distributed-rank Gini rewrite and the
+    # streaming CDC MERGE apply (first timings -> BENCH_r10)
+    "revenue_gini_by_nation",
+    "streaming_cdc_apply",
 ]
 
 
@@ -668,6 +753,8 @@ def main() -> None:
     probe_timings.update(tri_timings)
     incr_timings, incr_detail = _run_incr_dedup_scale(probe_spark)
     probe_timings.update(incr_timings)
+    kcore_timings, kcore_detail = _run_kcore_scale(probe_spark)
+    probe_timings.update(kcore_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
     probe_timings.update(graph_timings)
 
@@ -677,23 +764,29 @@ def main() -> None:
         "end_sec": sentinel_end,
         "ratio": round(sentinel_end / max(sentinel_start, 1e-9), 3),
     }
+    detail_record = {
+        "record": "bench_detail",
+        "sf": sf,
+        "probe_queries": probe_timings,
+        "skew_lsh": skew_detail,
+        "graph_scale": graph_detail,
+        "dedup_scale": dedup_detail,
+        "triangle_scale": tri_detail,
+        "incr_dedup_scale": incr_detail,
+        "kcore_scale": kcore_detail,
+        "noise_sentinel": sentinel,
+    }
+    # Persist the detail record IN-REPO (round-9 verdict item 2): the
+    # driver captures only the last 2000 chars of stdout, so the detail
+    # line's probe/newop first-timings survived in NO artifact in r9.
+    # Overwritten per run, committed per round — probe history now has
+    # a durable home regardless of stdout truncation.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail_record, indent=1) + "\n")
     # Detail record first (unbounded size — probe history lives here),
     # compact headline LAST (the driver's 2000-char stdout tail capture
     # must always contain a complete parseable headline line).
-    print(
-        json.dumps(
-            {
-                "record": "bench_detail",
-                "probe_queries": probe_timings,
-                "skew_lsh": skew_detail,
-                "graph_scale": graph_detail,
-                "dedup_scale": dedup_detail,
-                "triangle_scale": tri_detail,
-                "incr_dedup_scale": incr_detail,
-                "noise_sentinel": sentinel,
-            }
-        )
-    )
+    print(json.dumps(detail_record))
     print(headline_json(total, timings, sf, sentinel))
 
 

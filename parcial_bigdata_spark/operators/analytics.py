@@ -10,7 +10,7 @@ of a general engine expects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from parcial_bigdata_spark.functions.money import ratio_round
@@ -484,16 +484,11 @@ def revenue_gini_by_nation(
     the nation key.  Every term is exact (bigint rank × decimal spend);
     the division to a double happens once at the output edge.
 
-    The rank decomposes over (nation, bucket): approximate per-nation
-    spend percentiles (a map-side-combining sketch pass; cutpoint
-    accuracy only affects BALANCE, never rank values) split each nation
-    into ≤``n_buckets`` monotone spend ranges — equal spends always
-    share a bucket, so the (x, custkey) total order never straddles a
-    boundary out of order.  Bucket offsets come from a tiny
-    |nations|·|buckets| count frame (windowed there, not on facts), and
-    the intra-bucket row_number sorts only ~|nation|/n_buckets rows per
-    task — parallelism |nations|·n_buckets, largest sort task shrunk by
-    n_buckets, at any skew."""
+    The rank is ``scale.distributed_rank`` — percentile-bucketed
+    (nation, bucket) decomposition: parallelism |nations|·n_buckets,
+    largest sort task shrunk by n_buckets at any skew, exact ranks
+    regardless of cutpoint accuracy (mechanics + proof sketch in the
+    helper's docstring and DESIGN.md "Distributed exact rank")."""
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
@@ -509,47 +504,11 @@ def revenue_gini_by_nation(
         ),
         "o_custkey",
     )
-    from pyspark.sql.window import Window
+    from parcial_bigdata_spark.operators.scale import distributed_rank
 
-    n_buckets = 32
-    cuts = keyed.groupBy("nation").agg(
-        F.percentile_approx(
-            F.col("x").cast("double"),
-            [i / n_buckets for i in range(1, n_buckets)],
-            10_000,
-        ).alias("cuts")
-    )
-    # bucket = #cutpoints strictly below x: monotone in x, and every
-    # tie-group of x lands whole in one bucket (custkey tiebreak stays
-    # intra-bucket) — so bucket order + intra-bucket order = total order
-    bucketed = keyed.join(F.broadcast(cuts), "nation").withColumn(
-        "bucket",
-        F.aggregate(
-            "cuts",
-            F.lit(0),
-            lambda acc, c: acc
-            + F.when(F.col("x").cast("double") > c, 1).otherwise(0),
-        ),
-    )
-    counts = bucketed.groupBy("nation", "bucket").agg(
-        F.count(F.lit(1)).alias("n_in_bucket")
-    )
-    w_off = (
-        Window.partitionBy("nation")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "nation",
-        "bucket",
-        F.coalesce(F.sum("n_in_bucket").over(w_off), F.lit(0)).alias("offset"),
-    )
-    w_local = Window.partitionBy("nation", "bucket").orderBy("x", "o_custkey")
-    ranked = bucketed.join(F.broadcast(offsets), ["nation", "bucket"]).select(
-        "nation",
-        "x",
-        (F.col("offset") + F.row_number().over(w_local)).cast("long").alias("i"),
-    )
+    ranked = distributed_rank(
+        keyed, "x", "o_custkey", part_cols=["nation"], out_col="i"
+    ).select("nation", "x", "i")
     return (
         ranked.groupBy("nation")
         .agg(
@@ -571,6 +530,79 @@ def revenue_gini_by_nation(
         )
         .orderBy("nation")
     )
+
+
+def rfm_customer_segments(orders: DataFrame) -> DataFrame:
+    """RFM segmentation — the classic customer-value census: per
+    customer, Recency (last order date), Frequency (order count),
+    Monetary (lifetime spend), each scored into exact rank quintiles
+    1-5 (5 = most recent / most frequent / highest spend), concatenated
+    into the familiar three-digit segment label.
+
+    Quintiles are RANK-based (score = 1 + ⌊5·(rank−1)/n⌋ with a custkey
+    tiebreak), not value-percentile-based — rank quintiles are exactly
+    reproducible cross-engine where value cutpoints tie-break
+    ambiguously on duplicate metric values.  Every rank is
+    ``scale.distributed_rank`` (percentile-bucketed decomposition — no
+    single-task sort of the whole customer spine at any skew), run on
+    the AGGREGATED per-customer frame and joined back on the customer
+    key, so the three rank passes share narrow inputs.  The customer
+    count broadcasts as a single-row stats frame."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    m = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order_date"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_spend"),
+        )
+        # dates rank via their day ordinal (monotone; the sketch pass
+        # needs a numeric), the output keeps the date itself
+        .withColumn(
+            "last_days", F.datediff("last_order_date", F.lit("1970-01-01"))
+        )
+    )
+
+    def rank_of(col: str, out: str) -> DataFrame:
+        return distributed_rank(
+            m.select("o_custkey", col), col, "o_custkey", out_col=out
+        ).select("o_custkey", out)
+
+    n_frame = m.agg(F.count(F.lit(1)).alias("__n_cust"))
+    scored = (
+        m.join(rank_of("last_days", "__rr"), "o_custkey")
+        .join(rank_of("n_orders", "__fr"), "o_custkey")
+        .join(rank_of("total_spend", "__mr"), "o_custkey")
+        .crossJoin(F.broadcast(n_frame))
+    )
+
+    def quintile(rank_col: str) -> Column:
+        return (
+            F.lit(1)
+            + F.floor(
+                F.lit(5) * (F.col(rank_col) - 1) / F.col("__n_cust")
+            )
+        ).cast("int")
+
+    r, f_, mo = quintile("__rr"), quintile("__fr"), quintile("__mr")
+    return scored.select(
+        "o_custkey",
+        "last_order_date",
+        "n_orders",
+        "total_spend",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        mo.alias("m_score"),
+        F.concat(
+            r.cast("string"), f_.cast("string"), mo.cast("string")
+        ).alias("rfm_segment"),
+    ).orderBy("o_custkey")
 
 
 def daily_user_accumulation(events: DataFrame) -> DataFrame:

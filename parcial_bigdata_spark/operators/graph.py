@@ -306,6 +306,8 @@ def kcore(
         release_checkpoint,
     )
 
+    global _LAST_KCORE_STATS
+
     und = iter_checkpoint(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
@@ -319,11 +321,12 @@ def kcore(
     )
     live = und
     prev_nodes = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("internal_degree"))
         members = deg.where(F.col("internal_degree") >= k)
         n_members = members.count()  # bounded scalar: convergence probe
         if prev_nodes is not None and n_members == prev_nodes:
+            _LAST_KCORE_STATS = {"peel_rounds": rnd, "core_nodes": n_members}
             return members.select(
                 F.col("s").alias("node"), "internal_degree"
             ).orderBy("node")
@@ -343,6 +346,10 @@ def kcore(
     deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("internal_degree"))
     members = deg.where(F.col("internal_degree") >= k)
     if members.count() == prev_nodes:
+        _LAST_KCORE_STATS = {
+            "peel_rounds": max_rounds,
+            "core_nodes": prev_nodes,
+        }
         return members.select(
             F.col("s").alias("node"), "internal_degree"
         ).orderBy("node")
@@ -350,3 +357,10 @@ def kcore(
         f"kcore: peel did not converge within {max_rounds} rounds; "
         "raise max_rounds (the oracle unroll depth must match)"
     )
+
+
+# Diagnostics from the most recent kcore() run on this driver — the
+# scale probe reads measured peel-round counts the same way the CC
+# probe reads _LAST_CC_STATS (wall-time conflates per-edge cost with
+# round count; rounds are bounded by peel depth, not a scaling axis).
+_LAST_KCORE_STATS: dict = {}

@@ -99,6 +99,90 @@ _WARNED_STATS_RESET_SLOW = False
 _WARNED_RELEASE_CHECKPOINT = False
 
 
+def distributed_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    part_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Exact ascending dense row rank (1-based ``row_number`` order) of
+    ``(value_col, tiebreak_col)`` within each ``part_cols`` group,
+    WITHOUT a group-partitioned window — the skew-proof rank primitive
+    (round-9 verdict item 4 generalized out of the Gini operator).
+
+    A plain ``row_number() OVER (PARTITION BY g ORDER BY v)`` caps
+    parallelism at |groups| and sorts a mega-group's rows in ONE task.
+    This decomposes the rank over (group, bucket):
+
+    1. approximate per-group percentiles of ``value_col`` (a map-side-
+       combining sketch pass) give ≤``n_buckets`` monotone cutpoints —
+       accuracy only affects BALANCE, never rank values, because
+    2. bucket = #cutpoints strictly below v is monotone in v and keeps
+       every tie-group whole (the tiebreak stays intra-bucket), so
+       bucket order + intra-bucket (v, tiebreak) order = total order;
+    3. bucket offsets are a prefix sum over the tiny
+       |groups|·|buckets| count frame; the intra-bucket ``row_number``
+       sorts ~|group|/n_buckets rows per task.
+
+    ``value_col`` must cast to double for the sketch (the RANK itself
+    compares the original column, so decimal exactness is preserved);
+    ``tiebreak_col`` must make (value, tiebreak) a total order within
+    each group.  Returns ``df`` plus ``out_col`` (long, 1-based).  The
+    textual plan repeats the input subtree across the cuts/counts/rank
+    branches; the subtrees are canonically identical, so AQE's stage
+    cache reuses their shuffle stages at runtime (DESIGN.md
+    "Distributed exact rank")."""
+    from pyspark.sql.window import Window
+
+    part_cols = list(part_cols or [])
+    v_dbl = F.col(value_col).cast("double")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    if part_cols:
+        cuts = df.groupBy(*part_cols).agg(
+            F.percentile_approx(v_dbl, fracs, 10_000).alias("__cuts")
+        )
+        bucketed = df.join(F.broadcast(cuts), part_cols)
+    else:
+        cuts = df.agg(
+            F.percentile_approx(v_dbl, fracs, 10_000).alias("__cuts")
+        )
+        bucketed = df.crossJoin(F.broadcast(cuts))  # single-row stats frame
+    bucketed = bucketed.withColumn(
+        "__bucket",
+        F.aggregate(
+            "__cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(v_dbl > c, 1).otherwise(0),
+        ),
+    )
+    counts = bucketed.groupBy(*part_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__bucket",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_local = Window.partitionBy(*part_cols, "__bucket").orderBy(
+        value_col, tiebreak_col
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), part_cols + ["__bucket"])
+        .withColumn(
+            out_col,
+            (F.col("__offset") + F.row_number().over(w_local)).cast("long"),
+        )
+        .drop("__cuts", "__bucket", "__offset")
+    )
+
+
 def _reset_stats_internal(ck: DataFrame) -> DataFrame:
     """Fast tier of the stats reset: rewrap the checkpointed RDD via the
     JVM-side ``internalCreateDataFrame`` constructor (stable across the
