@@ -947,6 +947,14 @@ def q_bmp_pixel_decode(spark, sf_dir):
     return mm_ops.bmp_pixel_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_png_pixel_decode(spark, sf_dir):
+    # REAL compressed-container pixel decode (stdlib zlib inflate with
+    # adler32 verification + genuine None/Sub/Up scanline unfilter)
+    # over valid 8-bit RGB PNGs synthesized with stored-deflate IDAT
+    # streams from doc_id — the first payload codec past raw BMP/WAV
+    return mm_ops.png_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_wav_sample_decode(spark, sf_dir):
     # REAL sample-PAYLOAD decode (stdlib wave + numpy) over genuine
     # PCM16 WAV clips synthesized with full frame blocks from doc_id
@@ -1286,6 +1294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_summary": q_media_summary,
     "multimodal_image_decode": q_image_decode,
     "multimodal_bmp_pixel_decode": q_bmp_pixel_decode,
+    "multimodal_png_pixel_decode": q_png_pixel_decode,
     "multimodal_wav_sample_decode": q_wav_sample_decode,
     "multimodal_video_decode": q_video_decode,
     "multimodal_frame_sample": q_frame_sample,
@@ -1353,6 +1362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # query is driver-certified.
 INTRODUCED_ROUND = {
     "streaming_cdc_apply": 10,
+    "multimodal_png_pixel_decode": 10,
 }
 
 
@@ -3886,6 +3896,37 @@ ORACLES: dict[str, str] = {
                    (g.doc_id + 3*xs.x + 5*ys.y) % 256 AS b,
                    (g.doc_id + 3*xs.x + 5*ys.y + 11) % 256 AS gg,
                    (g.doc_id + 3*xs.x + 5*ys.y + 22) % 256 AS r
+            FROM geo g,
+                 unnest(generate_series(0, g.w - 1)) xs(x),
+                 unnest(generate_series(0, g.h - 1)) ys(y)
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               count(*) AS n_pixels,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(gg) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
+               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
+        FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+    "multimodal_png_pixel_decode": """
+        -- The Spark side synthesizes GENUINE 8-bit RGB PNGs — magic,
+        -- IHDR, a VALID zlib IDAT (stored-mode deflate, HOF-computed
+        -- adler32) with real None/Sub/Up scanline filters — and decodes
+        -- them with the REAL stdlib zlib+numpy path (inflate verifies
+        -- the checksum, the unfilter reconstructs raw bytes); the
+        -- oracle replicates the construction's closed-form RAW pixel
+        -- byte (doc_id + 7j + 13y) % 256 with j = 3x + channel,
+        -- pinning every channel sum and byte extremum end-to-end.
+        WITH geo AS (
+            SELECT doc_id, 4 + doc_id % 12 AS w, 4 + (doc_id * 7) % 8 AS h
+            FROM documents
+        ), px AS (
+            SELECT g.doc_id, g.w, g.h,
+                   (g.doc_id + 21*xs.x + 13*ys.y) % 256 AS r,
+                   (g.doc_id + 21*xs.x + 13*ys.y + 7) % 256 AS gg,
+                   (g.doc_id + 21*xs.x + 13*ys.y + 14) % 256 AS b
             FROM geo g,
                  unnest(generate_series(0, g.w - 1)) xs(x),
                  unnest(generate_series(0, g.h - 1)) ys(y)
