@@ -1222,6 +1222,63 @@ def ngram_contamination(
     )
 
 
+def dup_ngram_coverage(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document internal-duplication rate: the fraction of each
+    document's DISTINCT word ``n``-grams that also occur in at least
+    one OTHER document — the RefinedWeb/Gopher "duplicate n-gram
+    coverage" signal a pre-training pipeline thresholds on before the
+    expensive near-dup pass (boilerplate, mirrored pages, and template
+    farms light up here even when full-document similarity stays low).
+
+    Plan: the shared hashed-gram stream (``_doc_gram_stream`` — index-
+    explode, hash-per-output-row) deduped per (doc, gram), ONE gram-
+    keyed map-side-combining count gives each gram's document
+    frequency, a semi-join keeps grams seen in ≥2 docs, and a doc-keyed
+    count closes.  Per-doc gram totals ride the row-local array form
+    (no exchange on that branch) — the same shape as the
+    decontamination screen, corpus-internal instead of train/eval.
+    Docs under ``n`` words have no n-grams and are excluded.
+
+    Output: (doc_id, n_ngrams, n_shared, dup_frac) per doc with ≥1
+    gram, ordered by doc_id."""
+    deduped = _doc_gram_stream(documents, n).dropDuplicates(
+        ["doc_id", "gram"]
+    )
+    shared_grams = (
+        deduped.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    shared = (
+        deduped.join(shared_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    wh = _word_hashes(documents)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("wh") - n),
+            lambda i: F.xxhash64(*[F.get("wh", i + j) for j in range(n)]),
+        )
+    )
+    totals = wh.where(F.size("wh") >= n).select(
+        "doc_id", F.size(gram_arr).alias("n_ngrams")
+    )
+    return (
+        totals.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_shared") / F.col("n_ngrams"), 4)
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _doc_gram_stream(documents: DataFrame, n: int) -> DataFrame:
     """(doc_id, gram-hash) rows of word n-grams, PRE-dedup (one row per
     gram occurrence); docs below ``n`` words contribute nothing (exact

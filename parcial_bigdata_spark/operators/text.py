@@ -159,6 +159,48 @@ def top_words_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def zipf_fit(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Zipf rank-frequency fit per language: least-squares slope of
+    ln(count) on ln(rank) over each language's top-``k`` words — the
+    corpus-health diagnostic (natural language tracks slope ≈ −1;
+    boilerplate-heavy or synthetic text bends the curve, so a drifting
+    slope flags a poisoned crawl slice before any model sees it).
+
+    One exploded word count (map-side partials — the only
+    high-cardinality shuffle), then a per-lang top-k row_number (ties
+    broken by word for a deterministic rank; WindowGroupLimit pushes
+    the k-filter map-side) and a per-lang closing aggregate of the
+    regression moments over ≤k rows.  Slope =
+    (Σxy − n·x̄·ȳ) / (Σx² − n·x̄²), x = ln rank, y = ln count, rounded
+    at the output edge on both engines."""
+    from pyspark.sql import Window
+
+    w = documents.select(
+        "lang",
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    counts = w.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word").asc())
+    )
+    top = counts.withColumn("r", rnk).where(F.col("r") <= k)
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    cnt = F.count(F.lit(1))
+    slope = (F.sum(x * y) - cnt * F.avg(x) * F.avg(y)) / (
+        F.sum(x * x) - cnt * F.avg(x) * F.avg(x)
+    )
+    return (
+        top.groupBy("lang")
+        .agg(
+            cnt.alias("n_terms"),
+            F.round(slope, 4).alias("zipf_slope"),
+            F.max("n").cast("long").alias("top_freq"),
+        )
+        .orderBy("lang")
+    )
+
+
 def gopher_quality_flags(
     documents: DataFrame,
     min_words: int = 50,

@@ -678,6 +678,25 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_rfm_segments(spark, sf_dir):
+    # rank-quintile RFM via three skew-proof distributed ranks over the
+    # per-customer aggregate, joined back on the customer key
+    return ana_ops.rfm_customer_segments(_t(spark, sf_dir, "orders"))
+
+
+def q_dup_ngram_coverage(spark, sf_dir):
+    # corpus-internal duplicate-5-gram coverage per doc: hashed-gram
+    # stream -> per-gram doc frequency -> semi-join -> doc counts;
+    # totals ride the row-local array form
+    return dedup_ops.dup_ngram_coverage(_t(spark, sf_dir, "documents"))
+
+
+def q_zipf_fit(spark, sf_dir):
+    # per-lang Zipf slope over the top-100 words: one word-count
+    # shuffle, map-side top-k window, <=100-row closing regression
+    return text_ops.zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 def q_streaming_cdc_apply(spark, sf_dir):
     """Fifth real-streaming oracle query: a checkpointed foreachBatch
     CDC MERGE stream (3 disjoint-key update files, one MERGE per
@@ -1353,6 +1372,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_census": q_streaming_dedup_census,
     "incremental_agg_orders": q_incremental_agg,
     "streaming_cdc_apply": q_streaming_cdc_apply,
+    "customers_rfm_segments": q_rfm_segments,
+    "dedup_ngram_coverage": q_dup_ngram_coverage,
+    "text_zipf_fit": q_zipf_fit,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1363,6 +1385,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 INTRODUCED_ROUND = {
     "streaming_cdc_apply": 10,
     "multimodal_png_pixel_decode": 10,
+    "customers_rfm_segments": 10,
+    "dedup_ngram_coverage": 10,
+    "text_zipf_fit": 10,
 }
 
 
@@ -2890,6 +2915,86 @@ ORACLES: dict[str, str] = {
                END AS o_totalprice
         FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         ORDER BY o_orderkey
+    """,
+    # rank-based quintiles (custkey tiebreak) are exactly reproducible
+    # cross-engine where value-percentile cutpoints tie-break
+    # ambiguously; the oracle's plain windows ARE the semantics the
+    # distributed rank must reproduce
+    "customers_rfm_segments": """
+        WITH m AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order_date,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY last_order_date, o_custkey)
+                       AS rr,
+                   row_number() OVER (ORDER BY n_orders, o_custkey) AS fr,
+                   row_number() OVER (ORDER BY total_spend, o_custkey) AS mr,
+                   count(*) OVER () AS nc
+            FROM m
+        )
+        SELECT o_custkey, last_order_date, n_orders, total_spend,
+               CAST(1 + (5 * (rr - 1)) // nc AS INT) AS r_score,
+               CAST(1 + (5 * (fr - 1)) // nc AS INT) AS f_score,
+               CAST(1 + (5 * (mr - 1)) // nc AS INT) AS m_score,
+               CAST(1 + (5 * (rr - 1)) // nc AS VARCHAR)
+                   || CAST(1 + (5 * (fr - 1)) // nc AS VARCHAR)
+                   || CAST(1 + (5 * (mr - 1)) // nc AS VARCHAR)
+                   AS rfm_segment
+        FROM r ORDER BY o_custkey
+    """,
+    # corpus-internal duplicate-5-gram coverage: same gram construction
+    # as the decontamination oracle, document frequency >= 2 instead of
+    # train membership
+    "dedup_ngram_coverage": f"""
+        WITH norm AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) >= 5
+                        THEN list_distinct(list_transform(range(1, len(w) - 4 + 1),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                        ELSE CAST([] AS VARCHAR[]) END AS g
+            FROM norm
+        ), eg AS (
+            SELECT doc_id, unnest(g) AS gram FROM grams
+        ), shared_g AS (
+            SELECT gram FROM eg GROUP BY gram HAVING count(*) >= 2
+        ), hits AS (
+            SELECT e.doc_id, count(*) AS n_shared
+            FROM eg e JOIN shared_g USING (gram) GROUP BY e.doc_id
+        )
+        SELECT g.doc_id, len(g.g) AS n_ngrams,
+               COALESCE(h.n_shared, 0) AS n_shared,
+               round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(g.g), 4)
+                   AS dup_frac
+        FROM grams g LEFT JOIN hits h USING (doc_id)
+        WHERE len(g.g) > 0 ORDER BY g.doc_id
+    """,
+    "text_zipf_fit": f"""
+        WITH wds AS (
+            SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
+            FROM documents
+        ), wc AS (
+            SELECT lang, word, count(*) AS n
+            FROM wds WHERE word <> '' GROUP BY lang, word
+        ), top AS (
+            SELECT lang, word, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, word) AS r
+            FROM wc QUALIFY r <= 100
+        )
+        SELECT lang, count(*) AS n_terms,
+               round((sum(ln(r) * ln(n)) - count(*) * avg(ln(r)) * avg(ln(n)))
+                   / (sum(ln(r) * ln(r)) - count(*) * avg(ln(r)) * avg(ln(r))),
+                   4) AS zipf_slope,
+               CAST(max(n) AS BIGINT) AS top_freq
+        FROM top GROUP BY lang ORDER BY lang
     """,
     "setop_status_bag_overlap": """
         WITH b1 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1995),

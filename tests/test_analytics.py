@@ -389,3 +389,36 @@ def test_daily_user_accumulation_first_seen(spark):
     rows = [(r.n_active, r.n_new, r.cum_users)
             for r in daily_user_accumulation(events).collect()]
     assert rows == [(2, 2, 2), (1, 0, 2), (3, 1, 3)]
+
+
+def test_rfm_quintiles_exact(spark):
+    """10 customers, one order each with strictly increasing date /
+    spend and custkey-aligned order: every metric's rank equals the
+    custkey order, so quintiles split 2-2-2-2-2 and the segment label
+    repeats the quintile digit three times."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        rfm_customer_segments,
+    )
+
+    rows = [
+        (k * 10 + 1, k, "O", 100.0 + 10 * k,
+         dt.date(2024, 1, 1) + dt.timedelta(days=k), "p")
+        for k in range(1, 11)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    got = rfm_customer_segments(orders).collect()
+    assert [r.o_custkey for r in got] == list(range(1, 11))
+    for i, r in enumerate(got):
+        q = 1 + (5 * i) // 10
+        # frequency is CONSTANT (1 order each): the rank falls back to
+        # the custkey tiebreak, so f quintiles take the same
+        # 2-per-bucket split — the tie semantics the SQL oracle pins
+        assert (r.r_score, r.f_score, r.m_score) == (q, q, q)
+        assert r.rfm_segment == f"{q}{q}{q}"
+        assert r.n_orders == 1 and r.total_spend == 100.0 + 10 * (i + 1)

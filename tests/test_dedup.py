@@ -933,3 +933,31 @@ def test_local_contract_observability_counters(spark):
     stats = dict(dedup._LAST_CC_STATS)
     assert stats["contract_edges_in"] == len(cliques) + len(chain)
     assert 0 < stats["contract_edges_out"] < stats["contract_edges_in"]
+
+
+def test_dup_ngram_coverage_hand_corpus(spark):
+    """Three docs: A and B share one exact 5-word run; C is unique.
+    Coverage counts DISTINCT 5-grams present in >= 2 docs, per doc."""
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta eta"),          # 3 grams, 1 shared
+            (2, "theta iota " + shared),        # 3 grams, 1 shared
+            (3, "one two three four five six"), # 2 grams, 0 shared
+            (4, "too short"),                   # < 5 words: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.dup_ngram_coverage(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert (rows[1].n_ngrams, rows[1].n_shared) == (3, 1)
+    assert (rows[2].n_ngrams, rows[2].n_shared) == (3, 1)
+    assert (rows[3].n_ngrams, rows[3].n_shared) == (2, 0)
+    assert rows[1].dup_frac == round(1 / 3, 4)
+    # a gram repeated WITHIN one doc only is not shared
+    solo = spark.createDataFrame(
+        [(1, shared + " " + shared), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    srows = {r.doc_id: r for r in dedup.dup_ngram_coverage(solo).collect()}
+    assert srows[1].n_shared == 0

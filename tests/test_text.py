@@ -463,3 +463,32 @@ def test_pmi_collocations_separates_phrases_from_chance(spark):
     exp = math.log((6 / 36) / ((6 / 42) * (6 / 42)))
     assert rows["new york"].pmi == round(exp, 4)
     assert rows["new york"].pmi > rows["of the"].pmi
+
+
+def test_zipf_fit_exact_slope(spark):
+    """Hand corpus with known counts: 'a' x8, 'b' x4, 'c' x2, 'd' x1 in
+    one language — the slope of ln(count) on ln(rank) is computable
+    exactly in Python and must match to the rounding edge."""
+    import math
+
+    body = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame(
+        [(1, body, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    row = text.zipf_fit(docs).collect()[0]
+    assert (row.lang, row.n_terms, row.top_freq) == ("en", 4, 8)
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (8, 4, 2, 1)]
+    mx, my = sum(xs) / 4, sum(ys) / 4
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert row.zipf_slope == round(slope, 4)
+    # rank ties break by word: equal counts still rank deterministically
+    tie = spark.createDataFrame(
+        [(1, "x y x y z", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    t = text.zipf_fit(tie).collect()[0]
+    assert t.n_terms == 3 and t.top_freq == 2
