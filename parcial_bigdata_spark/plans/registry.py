@@ -678,6 +678,23 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_streaming_cdc_apply_bucketed(spark, sf_dir):
+    """Sixth real-streaming oracle query: the PARTITION-PRUNED CDC
+    MERGE stream (bucket-partitioned snapshot, per-batch rewrites
+    bounded to touched bucket directories) must converge to the same
+    batch full-outer MERGE as the full-rewrite form."""
+    import os
+
+    from parcial_bigdata_spark.streaming.pipeline import (
+        cdc_apply_bucketed_available_now,
+    )
+
+    tune_runtime(spark)
+    return cdc_apply_bucketed_available_now(
+        spark, os.path.join(sf_dir, "orders.parquet")
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     # rank-quintile RFM via three skew-proof distributed ranks over the
     # per-customer aggregate, joined back on the customer key
@@ -1375,6 +1392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_rfm_segments": q_rfm_segments,
     "dedup_ngram_coverage": q_dup_ngram_coverage,
     "text_zipf_fit": q_zipf_fit,
+    "streaming_cdc_apply_bucketed": q_streaming_cdc_apply_bucketed,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1388,6 +1406,7 @@ INTRODUCED_ROUND = {
     "customers_rfm_segments": 10,
     "dedup_ngram_coverage": 10,
     "text_zipf_fit": 10,
+    "streaming_cdc_apply_bucketed": 10,
 }
 
 
@@ -4121,6 +4140,11 @@ ORACLES: dict[str, str] = {
 # at sf0.01/sf0.1), so it shares the same oracle instead of a weaker
 # rows-only check.
 ORACLES["knn_cosine_arrow"] = ORACLES["knn_cosine_brute_force"]
+
+# The bucket-partitioned CDC apply converges to the SAME fixpoint as the
+# full-rewrite form (identical base/update derivation; bucketing only
+# changes which files each batch rewrites), so it shares the oracle.
+ORACLES["streaming_cdc_apply_bucketed"] = ORACLES["streaming_cdc_apply"]
 
 # IVF is deterministic given the cluster column, and its probe ranking
 # orders by csim ROUNDED to 6 (cluster-id tie-break), so the whole query

@@ -291,6 +291,98 @@ def start_merge_stream(
     )
 
 
+def init_bucketed_snapshot(
+    df: DataFrame, snapshot_dir: str, key: str, n_buckets: int = 32
+) -> None:
+    """Materialize a keyed snapshot as a parquet table PARTITIONED BY a
+    key-hash bucket — the layout ``start_merge_stream_bucketed`` prunes
+    on.  Bucket = pmod(xxhash64(key), n_buckets): pure function of the
+    key, so every future update row lands in a statically known
+    partition directory."""
+    df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+    ).write.partitionBy("__bucket").parquet(snapshot_dir)
+
+
+def start_merge_stream_bucketed(
+    spark: SparkSession,
+    updates_dir: str,
+    snapshot_dir: str,
+    key: str,
+    checkpoint_dir: str,
+    n_buckets: int = 32,
+    update_cols: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming CDC apply with PARTITION-PRUNED rewrites — the
+    production answer to ``start_merge_stream``'s plain-parquet ceiling
+    (its docstring's honest note: every batch rewrites the full
+    snapshot).  The snapshot lives partitioned by a key-hash bucket
+    (``init_bucketed_snapshot``); each micro-batch:
+
+    1. computes the batch's TOUCHED buckets (a ≤``n_buckets``-row
+       distinct — bounded scalar collect, never O(batch));
+    2. reads ONLY those partitions of the snapshot (the bucket filter
+       is a partition-pruning predicate — the scan never lists, let
+       alone reads, untouched directories);
+    3. MERGEs the batch into that slice (same one-join
+       ``merge_upsert``; the bucket column rides the join — it is a
+       pure function of the key, so matched rows agree on it and
+       inserts derive it from their own key);
+    4. publishes through a staging directory, then DYNAMIC partition
+       overwrite replaces exactly the touched bucket directories —
+       untouched buckets are never rewritten (pinned by
+       tests/test_streaming.py, which asserts their files' mtimes).
+
+    Per-batch I/O is O(touched buckets) ≈ O(|batch| · snapshot/bucket),
+    not O(snapshot) — the same dynamic-file-pruning shape Delta/Iceberg
+    MERGE implements with finer (file-level) granularity.  Exactly-once
+    per update file via the checkpoint, as in the unbucketed form."""
+    from parcial_bigdata_spark.operators.merge import merge_upsert
+
+    schema = (
+        spark.read.parquet(snapshot_dir).drop("__bucket").schema
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(updates_dir)
+    staging = snapshot_dir.rstrip("/") + "__staging"
+    bucket_of = lambda col: F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))  # noqa: E731
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.withColumn("__bucket", bucket_of(key))
+        touched = [
+            r["__bucket"]
+            for r in batch.select("__bucket").distinct().collect()
+        ]  # bounded: <= n_buckets rows by construction
+        base = spark.read.parquet(snapshot_dir).where(
+            F.col("__bucket").isin(touched)
+        )
+        merged = merge_upsert(
+            base, batch, key, update_cols=update_cols
+        ).drop("__merge_action")
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+            staging
+        )
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(snapshot_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def cdc_apply_available_now(spark: SparkSession, orders_parquet: str) -> DataFrame:
     """A REAL streaming CDC-apply run for the registry (round-9 verdict
     item 6): derive a deterministic base snapshot + three CDC update
@@ -350,6 +442,54 @@ def cdc_apply_available_now(spark: SparkSession, orders_parquet: str) -> DataFra
         # materialize off the temp dir before it disappears
         return (
             spark.read.parquet(snap)
+            .localCheckpoint(eager=True)
+            .orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def cdc_apply_bucketed_available_now(
+    spark: SparkSession, orders_parquet: str
+) -> DataFrame:
+    """``cdc_apply_available_now``'s partition-pruned twin: identical
+    base/update derivation and identical converged state (it SHARES the
+    unbucketed query's SQL oracle semantics), but the snapshot lives
+    bucket-partitioned and each micro-batch rewrites only the bucket
+    directories its keys touch (``start_merge_stream_bucketed``)."""
+    import os
+    import shutil
+    import tempfile
+
+    orders = spark.read.parquet(orders_parquet).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    base = orders.where(F.pmod("o_orderkey", F.lit(4)) != 0)
+    upd = orders.where(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc-bucketed-")
+    try:
+        snap = os.path.join(root, "snapshot")
+        upd_dir = os.path.join(root, "updates")
+        ckpt = os.path.join(root, "ckpt")
+        init_bucketed_snapshot(base, snap, "o_orderkey", n_buckets=16)
+        for i in range(3):
+            upd.where(
+                F.floor(F.pmod("o_orderkey", F.lit(9)) / 3) == i
+            ).coalesce(1).write.mode("append").parquet(upd_dir)
+        q = start_merge_stream_bucketed(
+            spark, upd_dir, snap, "o_orderkey", ckpt,
+            n_buckets=16, max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(snap)
+            .drop("__bucket")
             .localCheckpoint(eager=True)
             .orderBy("o_orderkey")
         )

@@ -658,3 +658,87 @@ def test_cdc_apply_available_now_matches_batch_merge(spark):
     stats = want.join(upd.select("o_orderkey"), "o_orderkey", "left_semi")
     assert stats.count() > 0
     assert got.count() > upd.count()  # kept rows present too
+
+
+def test_bucketed_merge_stream_prunes_untouched_partitions(spark, tmp_path):
+    """Partition-pruned CDC apply: the converged state equals the plain
+    batch merge AND bucket directories no batch key hashes into are
+    NEVER rewritten (their data files keep their mtimes) — the claim
+    that per-batch I/O is O(touched buckets), not O(snapshot)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.merge import merge_upsert
+    from parcial_bigdata_spark.streaming.pipeline import (
+        init_bucketed_snapshot,
+        start_merge_stream_bucketed,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    upd_dir = tmp_path / "updates"
+    upd_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    n_buckets = 8
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("amount"),
+    )
+    init_bucketed_snapshot(base, snap, "k", n_buckets=n_buckets)
+
+    # one update file: 3 keys -> at most 3 touched buckets
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    upd_keys = [5, 17, 300]  # two updates-in-place + one insert
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(upd_keys, pa.int64()),
+                "amount": pa.array([999.0, 998.0, 997.0], pa.float64()),
+            }
+        ),
+        str(upd_dir / "batch1.parquet"),
+    )
+
+    def data_file_mtimes():
+        out = {}
+        for root, _dirs, files in os.walk(snap):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = data_file_mtimes()
+    touched_buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(k,) for k in upd_keys], "k long")
+        .select(F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    }
+    q = start_merge_stream_bucketed(
+        spark, str(upd_dir), snap, "k", ckpt, n_buckets=n_buckets
+    )
+    q.awaitTermination()
+    after = data_file_mtimes()
+
+    untouched = [
+        p for p in before
+        if not any(f"__bucket={b}" in p for b in touched_buckets)
+    ]
+    assert untouched, "fixture must leave some buckets untouched"
+    for p in untouched:
+        assert p in after and after[p] == before[p], (
+            f"untouched bucket file rewritten: {p}"
+        )
+
+    upd = spark.createDataFrame(
+        list(zip(upd_keys, [999.0, 998.0, 997.0])), "k long, amount double"
+    )
+    want = merge_upsert(base, upd, "k").drop("__merge_action")
+    got = spark.read.parquet(snap).drop("__bucket")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
