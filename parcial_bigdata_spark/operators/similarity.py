@@ -293,6 +293,106 @@ def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def scalar_quantization_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar-quantization audit — the memory-shrink
+    path an ANN index takes at scale (float32 → uint8 is 4× smaller
+    resident state; IVF/LSH probes then rerank the shortlist in full
+    precision).  Affine codebook per vector: scale = (max−min)/255,
+    code cᵢ = ⌊(vᵢ−min)/scale + 0.5⌋, reconstruction rᵢ = min + cᵢ·scale;
+    the audit reports RMSE and max abs reconstruction error.
+
+    Everything is a row-local double fold (one scan, zero exchanges
+    before the output sort).  ⌊x+0.5⌋ instead of round(): banker's vs
+    half-away rounding differs across engines, floor does not — the
+    codes, and therefore every statistic, are bit-identical to the SQL
+    oracle.  A constant vector (scale 0) quantizes losslessly."""
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_min("v").alias("vmin"),
+        ((F.array_max("v") - F.array_min("v")) / 255).alias("scale"),
+    )
+    recon = lambda x: F.col("vmin") + (  # noqa: E731
+        F.floor((x - F.col("vmin")) / F.col("scale") + F.lit(0.5))
+        * F.col("scale")
+    )
+    errs = F.when(
+        F.col("scale") > 0,
+        F.transform("v", lambda x: F.abs(x - recon(x))),
+    ).otherwise(F.transform("v", lambda x: F.lit(0.0)))
+    sq_sum = F.aggregate(
+        "errs", F.lit(0.0), lambda acc, e: acc + e * e
+    )
+    return (
+        base.withColumn("errs", errs)
+        .select(
+            "vec_id",
+            "label",
+            F.size("v").alias("n_dims"),
+            F.round("scale", 6).alias("scale"),
+            F.round(F.sqrt(sq_sum / F.size("v")), 6).alias("rmse"),
+            F.round(F.array_max("errs"), 6).alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def label_centroid_dispersion(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid dispersion — the cluster-quality readout for
+    an IVF index or a labeled near-dup space: tight labels rerank well
+    from small probe lists, diffuse ones need more probes.
+
+    The centroid is an elementwise mean: posexplode → ONE map-side-
+    combining (label, pos) average over a |labels|·dim frame, folded
+    back into an index-sorted array and BROADCAST to the vectors (the
+    centroid table is tiny by construction); each vector's L2 distance
+    to its centroid is then a sequential zip_with fold, and a closing
+    label groupBy yields count/avg/max.  No vector-cardinality join —
+    the only fact-side exchanges are the centroid average and the final
+    per-label aggregate."""
+    pos = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "centroid",
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        embeddings.join(F.broadcast(cent), "label")
+        .select("label", dist.alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+        .orderBy("label")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype("float64").tolist()

@@ -159,6 +159,47 @@ def top_words_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def sentence_stats(documents: DataFrame) -> DataFrame:
+    """Per-document sentence segmentation profile — the
+    context-window-chunking planner input (chunkers split on sentence
+    boundaries; the planner needs the length distribution first).
+    Sentences are maximal runs between ``[.!?]+`` terminator runs,
+    trimmed, empties dropped; words are non-empty space tokens.
+
+    Entirely row-local (split / transform / filter / fold HOFs — zero
+    exchanges before the output sort).  Docs with no non-empty sentence
+    are excluded.  Output: n_sentences, n_words, avg/max words per
+    sentence."""
+    sentences = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    per = documents.select("doc_id", sentences.alias("ss")).where(
+        F.size("ss") > 0
+    )
+    wcs = F.transform(
+        "ss",
+        lambda s: F.size(F.filter(F.split(s, " "), lambda w: w != "")),
+    )
+    return (
+        per.withColumn("wcs", wcs)
+        .select(
+            "doc_id",
+            F.size("ss").alias("n_sentences"),
+            F.aggregate("wcs", F.lit(0), lambda a, x: a + x).alias("n_words"),
+            F.round(
+                F.aggregate("wcs", F.lit(0), lambda a, x: a + x).cast("double")
+                / F.size("ss"),
+                4,
+            ).alias("avg_sentence_words"),
+            F.array_max("wcs").alias("max_sentence_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def zipf_fit(documents: DataFrame, k: int = 100) -> DataFrame:
     """Zipf rank-frequency fit per language: least-squares slope of
     ln(count) on ln(rank) over each language's top-``k`` words — the

@@ -678,6 +678,23 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_scalar_quantization(spark, sf_dir):
+    # row-local int8 affine quantization audit: floor(+0.5) codes are
+    # bit-identical cross-engine; zero exchanges before the output sort
+    return sim_ops.scalar_quantization_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_centroid_dispersion(spark, sf_dir):
+    # per-label elementwise-mean centroid (one |labels|*dim shuffle,
+    # broadcast back) + sequential zip_with distance folds
+    return sim_ops.label_centroid_dispersion(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sentence_stats(spark, sf_dir):
+    # row-local sentence segmentation profile (chunking-planner input)
+    return text_ops.sentence_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_streaming_cdc_apply_bucketed(spark, sf_dir):
     """Sixth real-streaming oracle query: the PARTITION-PRUNED CDC
     MERGE stream (bucket-partitioned snapshot, per-batch rewrites
@@ -1393,6 +1410,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_coverage": q_dup_ngram_coverage,
     "text_zipf_fit": q_zipf_fit,
     "streaming_cdc_apply_bucketed": q_streaming_cdc_apply_bucketed,
+    "embedding_scalar_quantization": q_scalar_quantization,
+    "embedding_centroid_dispersion": q_centroid_dispersion,
+    "text_sentence_stats": q_sentence_stats,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1407,6 +1427,9 @@ INTRODUCED_ROUND = {
     "dedup_ngram_coverage": 10,
     "text_zipf_fit": 10,
     "streaming_cdc_apply_bucketed": 10,
+    "embedding_scalar_quantization": 10,
+    "embedding_centroid_dispersion": 10,
+    "text_sentence_stats": 10,
 }
 
 
@@ -2994,6 +3017,75 @@ ORACLES: dict[str, str] = {
                    AS dup_frac
         FROM grams g LEFT JOIN hits h USING (doc_id)
         WHERE len(g.g) > 0 ORDER BY g.doc_id
+    """,
+    # affine int8 quantization: every step is elementwise double math
+    # in list order on both engines, so codes and stats are
+    # bit-identical (floor(+0.5), never round() — half-even vs
+    # half-away differs across engines)
+    "embedding_scalar_quantization": """
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, label, v,
+                   list_aggregate(v, 'min') AS vmin,
+                   (list_aggregate(v, 'max') - list_aggregate(v, 'min'))
+                       / 255 AS scale
+            FROM v
+        ), e AS (
+            SELECT vec_id, label, v, scale,
+                   CASE WHEN scale > 0 THEN
+                       list_transform(v, x -> abs(x - (vmin +
+                           floor((x - vmin) / scale + 0.5) * scale)))
+                   ELSE list_transform(v, x -> 0.0) END AS errs
+            FROM s
+        )
+        SELECT vec_id, label, len(v) AS n_dims, round(scale, 6) AS scale,
+               round(sqrt(list_aggregate(list_transform(errs, x -> x * x),
+                                         'sum') / len(v)), 6) AS rmse,
+               round(list_aggregate(errs, 'max'), 6) AS max_err
+        FROM e ORDER BY vec_id
+    """,
+    "embedding_centroid_dispersion": """
+        WITH x AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), pos AS (
+            SELECT vec_id, label, t.i, v[t.i] AS val
+            FROM x, unnest(range(1, len(v) + 1)) AS t(i)
+        ), cent AS (
+            SELECT label, i, avg(val) AS c FROM pos GROUP BY label, i
+        ), d AS (
+            SELECT p.vec_id, p.label,
+                   sqrt(sum((p.val - c.c) * (p.val - c.c))) AS dist
+            FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+            GROUP BY p.vec_id, p.label
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(dist), 6) AS avg_dist,
+               round(max(dist), 6) AS max_dist
+        FROM d GROUP BY label ORDER BY label
+    """,
+    "text_sentence_stats": """
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(list_transform(
+                       string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                       x -> x <> '') AS ss
+            FROM documents
+        ), w AS (
+            SELECT doc_id, ss,
+                   list_transform(ss, x ->
+                       len(list_filter(string_split(x, ' '),
+                           t -> t <> ''))) AS wcs
+            FROM s WHERE len(ss) > 0
+        )
+        SELECT doc_id, len(ss) AS n_sentences,
+               CAST(list_aggregate(wcs, 'sum') AS BIGINT) AS n_words,
+               round(CAST(list_aggregate(wcs, 'sum') AS DOUBLE) / len(ss), 4)
+                   AS avg_sentence_words,
+               CAST(list_aggregate(wcs, 'max') AS INT) AS max_sentence_words
+        FROM w ORDER BY doc_id
     """,
     "text_zipf_fit": f"""
         WITH wds AS (

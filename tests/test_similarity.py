@@ -142,3 +142,53 @@ def test_ivf_runs_on_trained_assignment(interleaved_embeddings):
     ).collect()
     # nprobe=1 on a perfect clustering: exactly the cluster-mates of vec 0
     assert {r.vec_id for r in out} == {4, 8, 12}
+
+
+def test_scalar_quantization_stats_golden(spark):
+    from parcial_bigdata_spark.operators.similarity import (
+        scalar_quantization_stats,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5], 0),        # scale 1/255, exact endpoints
+            (2, [2.0, 2.0, 2.0], 0),        # constant: lossless, scale 0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r.vec_id: r for r in scalar_quantization_stats(vecs).collect()}
+    scale = 1.0 / 255
+    # v=0.0 -> code 0 exact; v=1.0 -> code 255 exact; v=0.5 -> code 128
+    exp_err = abs(0.5 - round(0.5 / scale + 0.5 - 0.5) * scale)
+    import math
+
+    exp_err = abs(0.5 - math.floor(0.5 / scale + 0.5) * scale)
+    assert rows[1].n_dims == 3
+    assert rows[1].scale == round(scale, 6)
+    assert rows[1].max_err == round(exp_err, 6)
+    assert rows[1].rmse == round(math.sqrt(exp_err**2 / 3), 6)
+    assert (rows[2].scale, rows[2].rmse, rows[2].max_err) == (0.0, 0.0, 0.0)
+
+
+def test_label_centroid_dispersion_golden(spark):
+    from parcial_bigdata_spark.operators.similarity import (
+        label_centroid_dispersion,
+    )
+
+    # label 0: two vectors symmetric about (0.5, 0.5): each at distance
+    # sqrt(0.5); label 1: a single vector sits ON its centroid
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [1.0, 1.0], 0),
+            (3, [4.0, 4.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    import math
+
+    rows = {r.label: r for r in label_centroid_dispersion(vecs).collect()}
+    d = math.sqrt(0.5)
+    assert rows[0].n_vecs == 2
+    assert rows[0].avg_dist == round(d, 6) and rows[0].max_dist == round(d, 6)
+    assert (rows[1].n_vecs, rows[1].avg_dist, rows[1].max_dist) == (1, 0.0, 0.0)

@@ -492,3 +492,20 @@ def test_zipf_fit_exact_slope(spark):
     )
     t = text.zipf_fit(tie).collect()[0]
     assert t.n_terms == 3 and t.top_freq == 2
+
+
+def test_sentence_stats_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "One two three. Four five! Six?? "),  # 3 sentences: 3/2/1
+            (2, "no terminator at all"),              # 1 sentence of 4
+            (3, "...!!!"),                            # only terminators: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.sentence_stats(docs).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1.n_sentences, r1.n_words, r1.max_sentence_words) == (3, 6, 3)
+    assert r1.avg_sentence_words == 2.0
+    assert (rows[2].n_sentences, rows[2].n_words) == (1, 4)
