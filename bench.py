@@ -652,10 +652,19 @@ _NEW_OPS_R8 = [
     # standing timing history
     "sample_pps_systematic",
     "sample_token_length_hist",
-    # round-10 additions: the distributed-rank Gini rewrite and the
-    # streaming CDC MERGE apply (first timings -> BENCH_r10)
+    # round-10 additions: the distributed-rank Gini rewrite, both CDC
+    # MERGE apply forms, and the round-10 operator batch (first
+    # timings -> BENCH_r10 / BENCH_DETAIL.json)
     "revenue_gini_by_nation",
     "streaming_cdc_apply",
+    "streaming_cdc_apply_bucketed",
+    "customers_rfm_segments",
+    "dedup_ngram_coverage",
+    "text_zipf_fit",
+    "text_sentence_stats",
+    "multimodal_png_pixel_decode",
+    "embedding_scalar_quantization",
+    "embedding_centroid_dispersion",
 ]
 
 

@@ -67,6 +67,16 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # two stat join-backs — independent bounded stages, and AQE
         # dedupes the canonically-equal basket exchanges at runtime
         "parts_copurchase_rules": (8, 3),
+        # scale.distributed_rank repeats its input subtree across the
+        # cuts/counts/rank branches (canonically identical — AQE stage
+        # cache reuses the shuffles at runtime); the payoff is ZERO
+        # single-partition exchanges on fact-sized frames and no
+        # mega-group single-task sort (r9 verdict item 4)
+        "revenue_gini_by_nation": (10, 0),
+        # three distributed ranks over the per-customer aggregate; the
+        # single-partition exchanges are the ranks' <=32-row offset
+        # frames and the 1-row customer count — never fact-sized
+        "customers_rfm_segments": (20, 10),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()
