@@ -41,6 +41,9 @@ SHOWCASE = [
     ("dedup_incremental_jaccard", "asymmetric incremental near-dup: the candidate join PROBES with the new batch only (base x base work never re-done); blocking stays lossless on the asymmetric join"),
     ("events_time_weighted_avg", "TWAP: lead window and closing groupBy share ONE user_id exchange; exact decimal-times-micros numerator, doubles only at the final division"),
     ("multimodal_bmp_pixel_decode", "real pixel-payload decode: built-in byte synthesis feeds ONE ArrowEvalPython stage (stdlib struct + numpy inside), zero shuffles before the ordered output"),
+    ("revenue_gini_by_nation", "distributed exact rank (r10): percentile-bucketed (nation, bucket) decomposition - every Sort partition-local, ZERO single-partition exchanges; branch-duplicated subtrees are canonically identical (AQE stage-cache reuse)"),
+    ("multimodal_png_pixel_decode", "real COMPRESSED-payload decode: expression-built valid zlib IDAT (HOF adler32) feeds ONE ArrowEvalPython stage (stdlib zlib inflate + numpy unfilter inside), zero shuffles before the ordered output"),
+    ("dedup_ngram_coverage", "duplicate-n-gram coverage: ONE gram-keyed doc-frequency exchange + semi-join; per-doc totals ride the row-local array branch"),
 ]
 
 
