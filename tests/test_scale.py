@@ -417,3 +417,37 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == 20_000
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_distributed_rank_matches_window_rank(spark):
+    """The percentile-bucketed rank must equal a plain partitioned
+    row_number on (value, tiebreak) — exactly, under heavy ties (value
+    cardinality 97 over 5000 rows) and under the degenerate all-equal
+    column (one bucket carries everything; still exact, just
+    unbalanced)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).alias("v"),
+        F.col("id").alias("tb"),
+    )
+    got = distributed_rank(df, "v", "tb", part_cols=["g"], out_col="rk")
+    want = df.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "tb")),
+    )
+    assert {tuple(r) for r in got.select("g", "v", "tb", "rk").collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+    const = spark.range(100).select(
+        F.lit(1).alias("v"), F.col("id").alias("tb")
+    )
+    got2 = distributed_rank(const, "v", "tb", out_col="rk")
+    assert [
+        (r.tb, r.rk) for r in got2.orderBy("tb").collect()
+    ] == [(i, i + 1) for i in range(100)]
