@@ -377,6 +377,79 @@ def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
     )
 
 
+def trimmed_price_means(orders: DataFrame, trim_pct: int = 5) -> DataFrame:
+    """Robust per-status price means: two-sided RANK-trimmed mean (drop
+    the lowest/highest k = ⌊n·pct/100⌋ rows) and winsorized mean (clamp
+    them to the surviving boundary values) — the outlier-robust KPI pair.
+
+    Trimming by RANK, not by value percentile, on purpose: rank
+    boundaries are exact integers, so row selection is bit-deterministic
+    cross-engine, where interpolated value cutpoints can wobble by one
+    ulp and flip a boundary row in and out (cutoffs at a data value are
+    the common case at round percentiles).  Ranks come from
+    ``scale.distributed_rank`` (statuses are few — the mega-group
+    single-task sort this avoids is exactly the skew case), sums stay
+    exact decimal, doubles appear once at the output division."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    v = F.col("o_totalprice").cast("decimal(18,2)")
+    ranked = distributed_rank(
+        orders.select("o_orderstatus", "o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        "o_orderkey",
+        part_cols=["o_orderstatus"],
+        out_col="rk",
+    ).select("o_orderstatus", v.alias("v"), "rk")
+    counts = ranked.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    k = F.floor(F.col("n") * trim_pct / 100).cast("long")
+    tagged = ranked.join(F.broadcast(counts), "o_orderstatus").select(
+        "o_orderstatus",
+        "v",
+        "rk",
+        "n",
+        k.alias("k"),
+    )
+    inside = (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k"))
+    lo = F.max(F.when(F.col("rk") == F.col("k") + 1, F.col("v")))
+    hi = F.max(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("v")))
+    return (
+        tagged.groupBy("o_orderstatus")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max("k").alias("n_trimmed_each_side"),
+            F.sum(F.when(inside, F.col("v"))).alias("s_in"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "n_trimmed_each_side",
+            F.round(
+                (F.col("s_in") / (F.col("n_orders") - 2 * F.col("n_trimmed_each_side")))
+                .cast("double"),
+                4,
+            ).alias("trimmed_mean"),
+            F.round(
+                (
+                    (
+                        F.col("s_in")
+                        + F.col("n_trimmed_each_side") * F.col("lo")
+                        + F.col("n_trimmed_each_side") * F.col("hi")
+                    )
+                    / F.col("n_orders")
+                ).cast("double"),
+                4,
+            ).alias("winsorized_mean"),
+            F.col("lo").cast("double").alias("lo_clamp"),
+            F.col("hi").cast("double").alias("hi_clamp"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def price_boxplot(orders: DataFrame) -> DataFrame:
     """Per-status boxplot profile of order totals: exact quartiles,
     IQR, and Tukey-fence outlier counts (beyond q1−1.5·IQR /

@@ -605,6 +605,47 @@ def rfm_customer_segments(orders: DataFrame) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+def quantile_normalize_values(events: DataFrame) -> DataFrame:
+    """Empirical-CDF quantile normalization of event values per event
+    type — the feature-engineering transform that maps a heavy-tailed
+    metric onto [0, 1] before modeling: qnorm = (rank−1)/(n−1) with the
+    rank taken within the event's type (event_id tiebreak, so ties are
+    deterministic and the mapping is a pure function of the data).
+
+    The rank is ``scale.distributed_rank`` — event types are FEW and
+    huge, the exact skew case a type-partitioned window serializes;
+    per-type counts broadcast as a tiny frame.  A single-member type
+    maps to 0.0 (the n=1 guard both engines share)."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    ranked = distributed_rank(
+        events.select(
+            "event_id", "event_type", F.col("value").cast("double").alias("value")
+        ),
+        "value",
+        "event_id",
+        part_cols=["event_type"],
+        out_col="__rk",
+    )
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                F.when(
+                    F.col("__n") > 1,
+                    (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("qnorm"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def daily_user_accumulation(events: DataFrame) -> DataFrame:
     """Daily active / new / cumulative user counts — the DAU & growth
     curve.  A naive running COUNT(DISTINCT) over an expanding window

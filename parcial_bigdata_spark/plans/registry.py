@@ -678,6 +678,18 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_trimmed_means(spark, sf_dir):
+    # rank-trimmed + winsorized per-status means: integer rank bounds
+    # (bit-deterministic cross-engine), exact-decimal sums, skew-proof
+    # distributed rank over the few-statuses partition
+    return agg_ops.trimmed_price_means(_t(spark, sf_dir, "orders"))
+
+
+def q_quantile_normalize(spark, sf_dir):
+    # empirical-CDF normalization per event type via distributed_rank
+    return ana_ops.quantile_normalize_values(_t(spark, sf_dir, "events"))
+
+
 def q_scalar_quantization(spark, sf_dir):
     # row-local int8 affine quantization audit: floor(+0.5) codes are
     # bit-identical cross-engine; zero exchanges before the output sort
@@ -1413,6 +1425,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_scalar_quantization": q_scalar_quantization,
     "embedding_centroid_dispersion": q_centroid_dispersion,
     "text_sentence_stats": q_sentence_stats,
+    "stats_price_trimmed_means": q_trimmed_means,
+    "events_quantile_normalize": q_quantile_normalize,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1430,6 +1444,8 @@ INTRODUCED_ROUND = {
     "embedding_scalar_quantization": 10,
     "embedding_centroid_dispersion": 10,
     "text_sentence_stats": 10,
+    "stats_price_trimmed_means": 10,
+    "events_quantile_normalize": 10,
 }
 
 
@@ -3017,6 +3033,54 @@ ORACLES: dict[str, str] = {
                    AS dup_frac
         FROM grams g LEFT JOIN hits h USING (doc_id)
         WHERE len(g.g) > 0 ORDER BY g.doc_id
+    """,
+    # rank-trimmed robust means: integer rank bounds make row selection
+    # bit-deterministic (value-percentile cutpoints can wobble one ulp
+    # and flip a boundary row); sums exact decimal, double at the edge
+    "stats_price_trimmed_means": """
+        WITH r AS (
+            SELECT o_orderstatus,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey) AS rk,
+                   count(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM orders
+        ), t AS (
+            SELECT o_orderstatus, v, rk, n,
+                   CAST(floor(n * 5 / 100) AS BIGINT) AS k
+            FROM r
+        ), g AS (
+            SELECT o_orderstatus,
+                   max(n) AS n_orders,
+                   max(k) AS n_trimmed_each_side,
+                   sum(CASE WHEN rk > k AND rk <= n - k THEN v END) AS s_in,
+                   max(CASE WHEN rk = k + 1 THEN v END) AS lo,
+                   max(CASE WHEN rk = n - k THEN v END) AS hi
+            FROM t GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, n_orders, n_trimmed_each_side,
+               round(CAST(s_in / (n_orders - 2 * n_trimmed_each_side)
+                          AS DOUBLE), 4) AS trimmed_mean,
+               round(CAST((s_in + n_trimmed_each_side * lo
+                           + n_trimmed_each_side * hi) / n_orders
+                          AS DOUBLE), 4) AS winsorized_mean,
+               CAST(lo AS DOUBLE) AS lo_clamp,
+               CAST(hi AS DOUBLE) AS hi_clamp
+        FROM g ORDER BY o_orderstatus
+    """,
+    "events_quantile_normalize": """
+        WITH r AS (
+            SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_id, event_type, value,
+               round(CASE WHEN n > 1
+                          THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
+                          ELSE 0.0 END, 6) AS qnorm
+        FROM r ORDER BY event_id
     """,
     # affine int8 quantization: every step is elementwise double math
     # in list order on both engines, so codes and stats are

@@ -422,3 +422,29 @@ def test_rfm_quintiles_exact(spark):
         assert (r.r_score, r.f_score, r.m_score) == (q, q, q)
         assert r.rfm_segment == f"{q}{q}{q}"
         assert r.n_orders == 1 and r.total_spend == 100.0 + 10 * (i + 1)
+
+
+def test_quantile_normalize_values_golden(spark):
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators.analytics import (
+        quantile_normalize_values,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, t0, 1, "a", 10.0),
+            (2, t0, 1, "a", 30.0),
+            (3, t0, 1, "a", 20.0),
+            (4, t0, 1, "a", 30.0),  # tie with event 2: event_id breaks it
+            (5, t0, 1, "b", 7.0),   # singleton type -> 0.0
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r.event_id: r.qnorm for r in quantile_normalize_values(events).collect()}
+    assert got[1] == 0.0
+    assert got[3] == round(1 / 3, 6)
+    assert got[2] == round(2 / 3, 6)  # first of the tied pair by event_id
+    assert got[4] == 1.0
+    assert got[5] == 0.0

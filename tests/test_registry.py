@@ -77,6 +77,7 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # single-partition exchanges are the ranks' <=32-row offset
         # frames and the 1-row customer count — never fact-sized
         "customers_rfm_segments": (20, 10),
+        "stats_price_trimmed_means": (10, 0),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()

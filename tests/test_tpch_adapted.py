@@ -119,3 +119,25 @@ def test_dominant_part_suppliers_threshold_and_nation(spark):
         part, supplier, nation, lineitem, nation_name="N_A"
     ).collect()
     assert [r.s_name for r in same] == ["s1"]
+
+
+def test_trimmed_price_means_exact(spark):
+    """20 rows, one status, one extreme outlier each side: k=1 drops
+    exactly the min and max for the trimmed mean; the winsorized mean
+    clamps them to the rank-2 / rank-19 values."""
+    from parcial_bigdata_spark.operators.aggregations import (
+        trimmed_price_means,
+    )
+
+    vals = [1000.0 * i for i in range(1, 19)] + [0.01, 1e6]  # 20 rows
+    orders = spark.createDataFrame(
+        [(i, "O", v) for i, v in enumerate(vals)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    row = trimmed_price_means(orders).collect()[0]
+    s = sorted(vals)
+    inner = s[1:-1]
+    assert (row.n_orders, row.n_trimmed_each_side) == (20, 1)
+    assert row.trimmed_mean == round(sum(inner) / 18, 4)
+    assert row.winsorized_mean == round((sum(inner) + s[1] + s[-2]) / 20, 4)
+    assert (row.lo_clamp, row.hi_clamp) == (s[1], s[-2])
