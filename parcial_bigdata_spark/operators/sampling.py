@@ -309,6 +309,70 @@ def leakage_safe_split(
     )
 
 
+def negative_sample_pairs(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every document with ``k`` pseudo-random OTHER documents via modular
+    offsets on the md5-shuffled rank line — offset_j =
+    max(1, ⌊n·j/(k+1)⌋), partner rank = ((r−1+offset_j) mod n)+1.
+
+    Why this construction over rejection sampling: it is a pure
+    function of the corpus (reproducible epochs, engine-portable — the
+    repo's md5 convention), every doc gets EXACTLY k negatives, no
+    self-pairs (offsets land in [1, n−1] for n ≥ 2), and every doc
+    appears as a negative exactly k times — the balanced-coverage
+    property random draws only approach in expectation.
+
+    The rank line is ``scale.distributed_rank`` over a 60-bit numeric
+    projection of the md5 (15 hex chars — the sketch pass needs a
+    numeric; doc_id tie-break covers the astronomically unlikely prefix
+    collision), so there is no single-task global sort; the partner
+    lookup is ONE slim rank-equi self-join.  Corpora with n < 2 emit
+    nothing (a self-pair is never a valid negative)."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    h15 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = distributed_rank(
+        documents.select("doc_id", h15.alias("h")),
+        "h",
+        "doc_id",
+        out_col="r",
+    ).select("doc_id", "r")
+    n_frame = ranked.agg(F.count(F.lit(1)).alias("n"))
+    offs = F.explode(
+        F.array(*[F.lit(j) for j in range(1, k + 1)])
+    ).alias("neg_idx")
+    probes = (
+        ranked.crossJoin(F.broadcast(n_frame))
+        .where(F.col("n") >= 2)
+        .select("doc_id", "r", "n", offs)
+        .withColumn(
+            "pr",
+            (
+                (
+                    F.col("r")
+                    - 1
+                    + F.greatest(
+                        F.lit(1),
+                        F.floor(F.col("n") * F.col("neg_idx") / (k + 1)),
+                    )
+                )
+                % F.col("n")
+            )
+            + 1,
+        )
+    )
+    partners = ranked.select(
+        F.col("r").alias("pr"), F.col("doc_id").alias("neg_doc_id")
+    )
+    return (
+        probes.join(partners, "pr")
+        .select("doc_id", "neg_idx", "neg_doc_id")
+        .orderBy("doc_id", "neg_idx")
+    )
+
+
 def pps_systematic_sample(
     documents: DataFrame, k_per_source: int = 25
 ) -> DataFrame:

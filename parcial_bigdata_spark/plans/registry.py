@@ -678,6 +678,13 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_negative_samples(spark, sf_dir):
+    # deterministic contrastive negatives: md5-shuffled rank line +
+    # modular offsets; exactly k negatives per doc, k appearances as a
+    # negative, no self-pairs, one slim rank-equi self-join
+    return sample_ops.negative_sample_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_trimmed_means(spark, sf_dir):
     # rank-trimmed + winsorized per-status means: integer rank bounds
     # (bit-deterministic cross-engine), exact-decimal sums, skew-proof
@@ -1427,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_sentence_stats": q_sentence_stats,
     "stats_price_trimmed_means": q_trimmed_means,
     "events_quantile_normalize": q_quantile_normalize,
+    "sample_negative_pairs": q_negative_samples,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1446,6 +1454,7 @@ INTRODUCED_ROUND = {
     "text_sentence_stats": 10,
     "stats_price_trimmed_means": 10,
     "events_quantile_normalize": 10,
+    "sample_negative_pairs": 10,
 }
 
 
@@ -3033,6 +3042,28 @@ ORACLES: dict[str, str] = {
                    AS dup_frac
         FROM grams g LEFT JOIN hits h USING (doc_id)
         WHERE len(g.g) > 0 ORDER BY g.doc_id
+    """,
+    # deterministic contrastive negatives: the md5 rank line is shared
+    # with the sampling family's convention; rank ordering uses the
+    # 15-hex numeric projection + doc_id tiebreak on BOTH engines
+    "sample_negative_pairs": """
+        WITH ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS
+                                VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS r,
+                   count(*) OVER () AS n
+            FROM documents
+        ), probes AS (
+            SELECT a.doc_id, j.j AS neg_idx,
+                   ((a.r - 1 + greatest(1, (a.n * j.j) // 4)) % a.n) + 1
+                       AS pr
+            FROM ranked a, (SELECT unnest([1, 2, 3]) AS j) j
+            WHERE a.n >= 2
+        )
+        SELECT p.doc_id, p.neg_idx, b.doc_id AS neg_doc_id
+        FROM probes p JOIN ranked b ON b.r = p.pr
+        ORDER BY p.doc_id, p.neg_idx
     """,
     # rank-trimmed robust means: integer rank bounds make row selection
     # bit-deterministic (value-percentile cutpoints can wobble one ulp

@@ -78,6 +78,10 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # frames and the 1-row customer count — never fact-sized
         "customers_rfm_segments": (20, 10),
         "stats_price_trimmed_means": (10, 0),
+        # one global distributed rank: the single-partition exchanges
+        # are its branch-duplicated <=32-row offset frames plus the
+        # 1-row corpus count — never fact-sized
+        "sample_negative_pairs": (5, 9),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -314,3 +314,29 @@ def test_token_length_histogram_exact_boundaries(spark):
     assert out[1] == (1, 2, 2)
     assert out[9] == (1, 1023, 1023)
     assert out[10] == (1, 1024, 1024)
+
+
+def test_negative_sample_pairs_properties(spark):
+    """Structural guarantees: exactly k negatives per doc, every doc
+    appears as a negative exactly k times, never a self-pair, and the
+    assignment is a pure function of the corpus (two runs identical)."""
+    from collections import Counter
+
+    from parcial_bigdata_spark.operators.sampling import (
+        negative_sample_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(41)], "doc_id long"
+    )
+    rows = negative_sample_pairs(docs, k=3).collect()
+    assert len(rows) == 41 * 3
+    per_doc = Counter(r.doc_id for r in rows)
+    as_neg = Counter(r.neg_doc_id for r in rows)
+    assert set(per_doc.values()) == {3} and set(as_neg.values()) == {3}
+    assert all(r.doc_id != r.neg_doc_id for r in rows)
+    again = negative_sample_pairs(docs, k=3).collect()
+    assert {tuple(r) for r in rows} == {tuple(r) for r in again}
+    # a single doc has no valid negative: empty output, not a self-pair
+    one = spark.createDataFrame([(7,)], "doc_id long")
+    assert negative_sample_pairs(one).count() == 0
