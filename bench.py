@@ -621,6 +621,76 @@ def _run_kcore_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- distributed_rank scale probe (round 10) ------------------------------
+# The round-10 headline plan change (Gini / RFM / trimmed means /
+# quantile normalize) rests on scale.distributed_rank's claim: exact
+# ranks with NO single-task mega-group sort.  Probe it on the worst
+# case — ONE group (every row in the same partition key) — at ×1/×4/×16
+# rows, against the plain unpartitioned row_number window at ×1/×4 (the
+# thing it replaces; its cost is a one-task global sort, so its curve is
+# the overhead being bought off).  Values are xxhash-derived with heavy
+# ties (cardinality n/50) — the tie-handling path stays hot.
+
+_RANK_SCALES = (1, 4, 16)
+_RANK_BASE_ROWS = 1_000_000
+
+
+def _rank_rows(spark, n):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.lit("g").alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(max(n // 50, 1))).alias("v"),
+        F.col("id").alias("tb"),
+    )
+
+
+def _run_rank_scale(spark) -> tuple[dict[str, float], dict]:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    timings: dict[str, float] = {}
+    detail: dict = {"distributed": {}, "window": {}}
+    # warm both plan shapes (percentile sketch + bucket windows vs the
+    # plain window) so the x1 point doesn't absorb codegen cold start —
+    # a first calibration read x1 at 2x the x4 time from exactly that
+    warm = _rank_rows(spark, 10_000)
+    distributed_rank(warm, "v", "tb", part_cols=["g"], out_col="rk").count()
+    warm.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("g").orderBy("v", "tb"))
+    ).count()
+    secs, sizes = [], []
+    for s in _RANK_SCALES:
+        rows = _rank_rows(spark, _RANK_BASE_ROWS * s).persist()
+        n = rows.count()
+        t0 = time.perf_counter()
+        distributed_rank(
+            rows, "v", "tb", part_cols=["g"], out_col="rk"
+        ).write.mode("overwrite").format("noop").save()
+        el = round(time.perf_counter() - t0, 3)
+        timings[f"rank_scale_x{s}"] = el
+        detail["distributed"][f"x{s}"] = {"rows": n, "sec": el}
+        secs.append(el)
+        sizes.append(n)
+        if s <= 4:  # the single-task window baseline, for the ratio
+            t0 = time.perf_counter()
+            rows.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("g").orderBy("v", "tb")
+                ),
+            ).write.mode("overwrite").format("noop").save()
+            wel = round(time.perf_counter() - t0, 3)
+            timings[f"rank_window_x{s}"] = wel
+            detail["window"][f"x{s}"] = {"rows": n, "sec": wel}
+        rows.unpersist()
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # Round-8 additions, timed at the bench SF in the probe session (real
 # sf data, unlike the synthetic skew/scale probes) — NOT in the
 # headline total, which stays a fixed set for cross-round comparison.
@@ -665,6 +735,9 @@ _NEW_OPS_R8 = [
     "multimodal_png_pixel_decode",
     "embedding_scalar_quantization",
     "embedding_centroid_dispersion",
+    "stats_price_trimmed_means",
+    "events_quantile_normalize",
+    "sample_negative_pairs",
 ]
 
 
@@ -764,6 +837,8 @@ def main() -> None:
     probe_timings.update(incr_timings)
     kcore_timings, kcore_detail = _run_kcore_scale(probe_spark)
     probe_timings.update(kcore_timings)
+    rank_timings, rank_detail = _run_rank_scale(probe_spark)
+    probe_timings.update(rank_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
     probe_timings.update(graph_timings)
 
@@ -783,6 +858,7 @@ def main() -> None:
         "triangle_scale": tri_detail,
         "incr_dedup_scale": incr_detail,
         "kcore_scale": kcore_detail,
+        "rank_scale": rank_detail,
         "noise_sentinel": sentinel,
     }
     # Persist the detail record IN-REPO (round-9 verdict item 2): the
