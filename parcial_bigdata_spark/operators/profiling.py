@@ -50,6 +50,76 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ).orderBy("col_name")
 
 
+ORDERS_EXPECTATIONS: list[tuple[str, str]] = [
+    # (rule_id, SQL boolean over an orders row — TRUE means the row
+    # PASSES; NULL input means the rule that mentions it fails, which
+    # the explicit IS-NOT-NULL terms make unambiguous)
+    ("totalprice_positive", "o_totalprice IS NOT NULL AND o_totalprice > 0"),
+    (
+        "orderdate_in_range",
+        "o_orderdate IS NOT NULL AND o_orderdate >= DATE '1992-01-01' "
+        "AND o_orderdate < DATE '1999-01-01'",
+    ),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("custkey_present", "o_custkey IS NOT NULL"),
+    ("priority_prefixed", "o_orderpriority LIKE '_-%'"),
+]
+
+
+def validate_expectations(
+    df: DataFrame, rules: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """Data-contract gate (the Great-Expectations / dbt-test shape): a
+    declarative rule set evaluated in ONE single-scan stacked aggregate
+    — per rule, row counts, violation counts, and a pass flag.  The
+    checks a pipeline runs on every landed batch before promoting it.
+
+    Every rule is a row-level boolean SQL expression compiled into a
+    conditional count, so adding a rule never adds a scan and the plan
+    stays a single map-side-combining aggregate (the ``profile_table``
+    shape).  NULL handling is explicit per rule — a NULL predicate
+    input counts as a violation only when the rule says so, which keeps
+    the semantics engine-portable.  Default rule set: the orders
+    contract (``ORDERS_EXPECTATIONS``)."""
+    rules = list(ORDERS_EXPECTATIONS if rules is None else rules)
+    if not rules:
+        raise ValueError("validate_expectations: empty rule set")
+    total = F.count(F.lit(1))
+    aggs = []
+    for rule_id, predicate in rules:
+        ok = F.expr(predicate)
+        aggs.append(
+            F.sum(
+                F.when(~F.coalesce(ok, F.lit(False)), 1).otherwise(0)
+            ).alias(f"__viol_{rule_id}")
+        )
+    wide = df.agg(total.alias("__n"), *aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rule_id).alias("rule_id"),
+                    F.lit(predicate).alias("rule"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__viol_{rule_id}").alias("n_violations"),
+                )
+                for rule_id, predicate in rules
+            ]
+        )
+    ).alias("r")
+    return (
+        wide.select(rows)
+        .select(
+            "r.rule_id",
+            "r.rule",
+            "r.n_rows",
+            "r.n_violations",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("rule_id")
+    )
+
+
 def skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """Top-N hottest keys with their share of the table and skew ratio
     vs the mean key frequency — the pre-join diagnostic that decides

@@ -678,6 +678,12 @@ def q_streaming_dedup_census(spark, sf_dir):
     )
 
 
+def q_validate_expectations(spark, sf_dir):
+    # declarative data-contract gate: every rule a conditional count in
+    # ONE single-scan stacked aggregate (adding a rule adds no scan)
+    return prof_ops.validate_expectations(_t(spark, sf_dir, "orders"))
+
+
 def q_negative_samples(spark, sf_dir):
     # deterministic contrastive negatives: md5-shuffled rank line +
     # modular offsets; exactly k negatives per doc, k appearances as a
@@ -1435,6 +1441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_price_trimmed_means": q_trimmed_means,
     "events_quantile_normalize": q_quantile_normalize,
     "sample_negative_pairs": q_negative_samples,
+    "integrity_expectations": q_validate_expectations,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1455,6 +1462,7 @@ INTRODUCED_ROUND = {
     "stats_price_trimmed_means": 10,
     "events_quantile_normalize": 10,
     "sample_negative_pairs": 10,
+    "integrity_expectations": 10,
 }
 
 
@@ -4332,6 +4340,34 @@ ORACLES["knn_cosine_arrow"] = ORACLES["knn_cosine_brute_force"]
 # full-rewrite form (identical base/update derivation; bucketing only
 # changes which files each batch rewrites), so it shares the oracle.
 ORACLES["streaming_cdc_apply_bucketed"] = ORACLES["streaming_cdc_apply"]
+
+
+def _expectations_oracle() -> str:
+    """Generated from profiling.ORDERS_EXPECTATIONS — one source of
+    truth for rule ids and predicate strings, so a rule edit can never
+    drift between the Spark gate and its oracle.  Each rule's violation
+    count re-evaluates the SAME SQL predicate under the same explicit
+    NULL rule (NOT coalesce(pred, FALSE))."""
+    from parcial_bigdata_spark.operators.profiling import ORDERS_EXPECTATIONS
+
+    parts = []
+    for rid, pred in ORDERS_EXPECTATIONS:
+        esc = pred.replace("'", "''")
+        parts.append(
+            f"SELECT '{rid}' AS rule_id, '{esc}' AS rule, "
+            f"(SELECT count(*) FROM orders) AS n_rows, "
+            f"(SELECT count(*) FROM orders "
+            f" WHERE NOT coalesce(({pred}), FALSE)) AS n_violations"
+        )
+    body = " UNION ALL ".join(parts)
+    return (
+        "SELECT rule_id, rule, n_rows, n_violations, "
+        "n_violations = 0 AS passed "
+        f"FROM ({body}) ORDER BY rule_id"
+    )
+
+
+ORACLES["integrity_expectations"] = _expectations_oracle()
 
 # IVF is deterministic given the cluster column, and its probe ranking
 # orders by csim ROUNDED to 6 (cluster-id tie-break), so the whole query

@@ -166,3 +166,41 @@ def test_integrity_audit_one_row_per_edge(spark):
     ]
     assert out[0].n_orphan_rows == 0
     assert out[1].n_orphan_rows == 2   # pks 5,6 vs ids {1}
+
+
+def test_validate_expectations_counts_and_null_rule(spark):
+    """Each rule's violation count is exact; a NULL predicate input is
+    a violation (NOT coalesce(pred, FALSE)); the whole gate is ONE scan
+    (a single stacked aggregate — no per-rule exchange)."""
+    import datetime as dt
+    import re
+
+    from parcial_bigdata_spark.operators.profiling import (
+        validate_expectations,
+    )
+
+    rows = [
+        (1, 1, "O", 100.0, dt.date(1995, 1, 1), "1-URGENT"),
+        (2, 2, "X", -5.0, dt.date(2005, 1, 1), "oops"),     # 4 violations
+        (3, None, "F", None, None, "2-HIGH"),               # nulls violate
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    out = validate_expectations(orders)
+    got = {r.rule_id: (r.n_rows, r.n_violations, r.passed) for r in out.collect()}
+    assert got == {
+        "totalprice_positive": (3, 2, False),
+        "orderdate_in_range": (3, 2, False),
+        "status_in_domain": (3, 1, False),
+        "custkey_present": (3, 1, False),
+        "priority_prefixed": (3, 1, False),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        validate_expectations(orders, rules=[])
