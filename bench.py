@@ -738,6 +738,7 @@ _NEW_OPS_R8 = [
     "stats_price_trimmed_means",
     "events_quantile_normalize",
     "sample_negative_pairs",
+    "integrity_expectations",
 ]
 
 
