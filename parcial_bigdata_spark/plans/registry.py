@@ -1490,16 +1490,21 @@ INTRODUCED_ROUND = {
 # the window family, the join shapes, grouping-sets/rollup/cube/pivot/
 # percentiles, multimodal image pair, kNN family, BPE/BM25, MERGE/SCD-2.
 #
-# r11 rotation note: after this window certifies, the longest-unseen
-# block is the REMAINING r7 set (dedup_embedding_cosine,
-# dedup_cross_split_contamination, dedup_ngram_decontaminate,
-# knn_cosine_brute_force, embedding_kmeans_train, multimodal_frame_sample,
+# r11 rotation note: the r11 window is nearly forced by the budget —
+# (a) the REMAINING r7 set hits age 4 and MUST take slots
+# (dedup_embedding_cosine, dedup_cross_split_contamination,
+# dedup_ngram_decontaminate, knn_cosine_brute_force,
+# embedding_kmeans_train, multimodal_frame_sample,
 # sample_leakage_safe_split, text_word_pairs, dedup_component_survivors,
 # snapshot_diff_orders, text fingerprint/top-words/pass-rates/gopher/
-# repetition/PII, sample split/pack/epoch/temperature) — at age 4 they
-# MUST take r11 slots (tests/test_staleness.py enforces the budget);
-# then the r8 TPC-H + window families.  Keep parity core + one real
-# streaming run, as always.
+# repetition/PII, sample split/pack/epoch/temperature — 20 queries);
+# (b) every round-10-introduced query (INTRODUCED_ROUND below — the
+# bucketed CDC run, PNG pixel decode, RFM, gram coverage, Zipf,
+# sentence stats, quantization, dispersion, trimmed means, quantile
+# normalize, negative pairs, expectations gate — 12 queries) must take
+# its first slot (tests/test_staleness.py enforces both).  With parity
+# core (4) + the every-round real streaming run (1) that fills 37 of
+# 50; the rest go to the then-stalest r8 TPC-H/window entries.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
