@@ -739,6 +739,11 @@ _NEW_OPS_R8 = [
     "events_quantile_normalize",
     "sample_negative_pairs",
     "integrity_expectations",
+    "events_sliding_distinct_users",
+    "events_mad_outliers",
+    "window_rolling_median",
+    "text_source_drift",
+    "graph_bfs_distances",
 ]
 
 

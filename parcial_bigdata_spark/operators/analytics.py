@@ -681,3 +681,136 @@ def daily_user_accumulation(events: DataFrame) -> DataFrame:
         .withColumn("cum_users", F.sum("n_new").over(w))
         .orderBy("day")
     )
+
+
+def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Rolling ``window_days``-day distinct-user count per calendar day
+    and event type — the per-surface WAU curve
+    (`events_sliding_distinct_users`).
+
+    A windowed COUNT(DISTINCT) cannot run as a running aggregate
+    (distinct is not subtractable), and re-scanning the trailing week
+    per day reads the stream |days| times.  The scalable form inverts
+    containment: each distinct (type, day, user) triple CONTRIBUTES to
+    the w target days [day, day+w), materialized as a row-local
+    ``sequence`` explode — shuffle volume is w·|type-user-days|,
+    independent of per-day event volume, and history is never
+    rescanned.  Days inside the global observed span with no window
+    activity for a type still appear (count 0) via the |types|·|days|
+    grid built from the 1-row global bounds aggregate and the distinct
+    type list; target days past the span are clipped so every reported
+    day aggregates a fully-defined trailing window."""
+    day = F.date_trunc("day", F.col("ts"))
+    pairs = events.select(
+        "event_type", day.alias("day"), "user_id"
+    ).distinct()
+    bounds = pairs.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = (
+        pairs.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + interval {window_days - 1} days,"
+                    " interval 1 day)"
+                )
+            ).alias("day"),
+            "user_id",
+            "hi",
+        )
+        .where(F.col("day") <= F.col("hi"))
+    )
+    counts = contrib.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").alias("active_users_w")
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.expr("sequence(lo, hi, interval 1 day)")
+                    ).alias("day")
+                )
+            )
+        )
+    )
+    return (
+        grid.join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("active_users_w", F.lit(0)).alias("active_users_w"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-event-type robust outlier profile via the median absolute
+    deviation — the MAD rule (|v − median| > k·MAD) is the robust
+    sibling of the z-score gate in :func:`value_outliers_exact`; unlike
+    moments, its cut survives the heavy tails it is screening.
+
+    Cross-engine exactness: both medians are RANK-SELECTED (the value
+    at row_number floor((n+1)/2) under a (value, event_id) total
+    order) — the lower-middle ELEMENT, never an interpolated average —
+    so every reported statistic is an input value or one IEEE
+    subtraction of two, and the outlier predicate (one multiply, one
+    compare) is bit-deterministic across engines.
+
+    Scale: event types are FEW and huge — the exact skew case a
+    type-partitioned window serializes — so both rank passes run on
+    :func:`~parcial_bigdata_spark.operators.scale.distributed_rank`;
+    the median/MAD per-type frames broadcast back over the scan.  The
+    two ≤|types|-row selection frames are EAGERLY local-checkpointed
+    (the triangle-family precedent): nesting the second rank pass over
+    the first's join lineage would otherwise compound the rank's
+    branch-duplicated subtrees ~5× through the textual plan."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    vals = events.select(
+        "event_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    counts = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    mid = F.floor((F.col("__n") + 1) / 2).cast("long")
+
+    ranked = distributed_rank(
+        vals, "v", "event_id", part_cols=["event_type"], out_col="__rk"
+    )
+    med = (
+        ranked.join(F.broadcast(counts), "event_type")
+        .where(F.col("__rk") == mid)
+        .select("event_type", F.col("v").alias("__med"))
+        .localCheckpoint()
+    )
+    devs = vals.join(F.broadcast(med), "event_type").withColumn(
+        "__dev", F.abs(F.col("v") - F.col("__med"))
+    )
+    ranked_dev = distributed_rank(
+        devs.select("event_id", "event_type", "__dev"),
+        "__dev",
+        "event_id",
+        part_cols=["event_type"],
+        out_col="__rk",
+    )
+    mad = (
+        ranked_dev.join(F.broadcast(counts), "event_type")
+        .where(F.col("__rk") == mid)
+        .select("event_type", F.col("__dev").alias("__mad"))
+        .localCheckpoint()
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("__med").alias("median_value"),
+            F.max("__mad").alias("mad"),
+            F.sum(
+                (F.col("__dev") > F.lit(float(k)) * F.col("__mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -364,3 +364,76 @@ def kcore(
 # probe reads _LAST_CC_STATS (wall-time conflates per-edge cost with
 # round count; rounds are bounded by peel depth, not a scaling axis).
 _LAST_KCORE_STATS: dict = {}
+
+
+def bfs_hop_histogram(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Single-source BFS hop-distance histogram over an undirected
+    graph (`graph_bfs_distances`): per-hop reachable-node counts from
+    a DETERMINISTIC source (the smallest node id), plus an ``hop = -1``
+    row counting nodes not reached within ``max_hops`` — the
+    reachability/diameter probe of the graph family (CC answers "same
+    component?", this answers "how far?").
+
+    Frontier expansion is layered Pregel style: the round-h frontier
+    joins the symmetrized edge list, anti-joins everything already
+    labeled, and becomes round h+1 — each node's hop is therefore the
+    BFS minimum, unique and engine-portable (the oracle's bounded
+    recursive CTE takes min(hop) over the same walk).  The per-round
+    convergence probe is a bounded-scalar count, the kcore convention;
+    frontiers are lineage-cut per round and superseded checkpoints
+    released.  Stopping at ``max_hops`` is part of the CONTRACT (the
+    unreached row makes the truncation visible), not a silent budget.
+
+    Scale: each round shuffles |frontier ⋈ edges| rows on the node
+    key — Σ over rounds touches each edge twice, O(E) total like CC's
+    star rounds; no path enumeration ever materializes."""
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    und = _canonical_undirected(edges, src, dst)
+    e = iter_checkpoint(
+        und.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+            und.select(F.col("v").alias("s"), F.col("u").alias("t"))
+        )
+    )
+    nodes = e.select(F.col("s").alias("node")).distinct()
+    seed = (
+        nodes.agg(F.min("node").alias("node"))
+        .where(F.col("node").isNotNull())
+        .select("node", F.lit(0).alias("hop"))
+    )
+    dist = iter_checkpoint(seed)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        new = iter_checkpoint(
+            reached.join(dist, "node", "left_anti").select(
+                "node", F.lit(h).alias("hop")
+            )
+        )
+        if new.count() == 0:  # bounded scalar: convergence probe
+            release_checkpoint(new)
+            break
+        nxt = iter_checkpoint(dist.unionByName(new))
+        release_checkpoint(dist)
+        if frontier is not dist:
+            release_checkpoint(frontier)
+        dist, frontier = nxt, new
+    hops = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
+    unreached = (
+        nodes.join(dist, "node", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit(-1).alias("hop"), "n_nodes")
+    )
+    return hops.unionByName(unreached).orderBy("hop")

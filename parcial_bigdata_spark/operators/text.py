@@ -1053,3 +1053,63 @@ def lm_perplexity(documents: DataFrame, k_smooth: float = 0.5) -> DataFrame:
         F.round(F.col("__s") / F.col("n_tokens"), 4).alias("avg_nll"),
         F.round(F.exp(F.col("__s") / F.col("n_tokens")), 2).alias("perplexity"),
     )
+
+
+def source_drift_chisq(
+    documents: DataFrame, min_count: int = 20, threshold: int = 20
+) -> DataFrame:
+    """Per-word chi-square vocabulary drift between two corpus halves
+    (`text_source_drift`) — the distribution-shift monitor a training
+    pipeline runs when a new crawl lands: which words' rates moved
+    enough between the reference corpus and the new batch to flag?
+
+    The halves are the short source names (``length(source) == 4``,
+    src0-src9) vs the rest — a stand-in for old-crawl/new-crawl.  For
+    each word with total count ≥ ``min_count``, the 2×2 contingency
+    chi-square (word-present vs absent × corpus) is
+
+        X² = N·(o1·n2 − o2·n1)² / ((o1+o2)·(N−o1−o2)·n1·n2)
+
+    DRIFT SELECTION IS INTEGER-EXACT: the predicate X² > threshold is
+    cross-multiplied into pure integer arithmetic carried as
+    decimal(38,0) (HUGEINT on the oracle side) — the reported double
+    X² is one exact-integer-to-double division rounded at the edge,
+    never part of the decision.  Magnitudes: N·diff² stays < 1e34 for
+    corpora to ~5e7 tokens with 1e5-count words — inside both engines'
+    38-digit integer range.
+
+    Scale: one map-side-combining word-count shuffle; the 1-row totals
+    frame broadcasts back over the |vocab| counts."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    toks = documents.select(
+        (F.length("source") == 4).cast("int").alias("__a"),
+        F.explode(words("text")).alias("word"),
+    ).where(F.col("word") != "")
+    counts = toks.groupBy("word").agg(
+        F.sum("__a").alias("o1"),
+        F.sum(1 - F.col("__a")).alias("o2"),
+    )
+    totals = counts.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    o1, o2, n1, n2 = dec("o1"), dec("o2"), dec("n1"), dec("n2")
+    big_n = n1 + n2
+    diff = o1 * n2 - o2 * n1
+    num = big_n * diff * diff
+    den = (o1 + o2) * (big_n - o1 - o2) * n1 * n2
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .where((F.col("o1") + F.col("o2")) >= min_count)
+        .select(
+            "word",
+            F.col("o1").alias("n_ref"),
+            F.col("o2").alias("n_other"),
+            ratio_round(
+                num.cast("double") / den.cast("double"), 6
+            ).alias("chisq"),
+            (num > F.lit(threshold) * den).cast("int").alias("drifted"),
+        )
+        .orderBy("word")
+    )

@@ -451,3 +451,43 @@ def user_drawdown(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def rolling_median(events: DataFrame, frame: int = 7) -> DataFrame:
+    """Exact rolling median of ``value`` over the trailing ``frame``
+    rows per user (`window_rolling_median`) — the robust smoother for
+    a spiky per-user metric, where the rolling MEAN chases every
+    outlier the median ignores.
+
+    ``frame`` must be ODD and rows are emitted only once the frame is
+    FULL (row_number ≥ frame): an odd, full frame makes the median the
+    exact middle ELEMENT of the sorted window — never an interpolated
+    average of two — so the output is always one of the input doubles
+    and bit-identical across engines (DuckDB's ``quantile_cont`` hits
+    the same element exactly at h = (n−1)/2 integral).
+
+    Scale: one shuffle on the high-cardinality user key shared by both
+    window specs; the per-row sorted-frame work is O(frame·log frame)
+    on a constant-size array (``collect_list`` over a bounded ROWS
+    frame, sorted row-locally), never a per-partition re-sort."""
+    if frame % 2 == 0:
+        raise ValueError(f"frame must be odd for an exact median, got {frame}")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-(frame - 1), 0)
+    mid = (frame + 1) // 2
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "rolling_median",
+            F.element_at(F.array_sort(F.collect_list("value").over(wf)), mid),
+        )
+        .where(F.col("__rn") >= frame)
+        .drop("__rn")
+        .orderBy("user_id", "ts", "event_id")
+    )

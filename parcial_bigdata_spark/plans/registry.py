@@ -1246,6 +1246,36 @@ def q_gapfill(spark, sf_dir):
     return win_ops.gapfill_daily_series(_t(spark, sf_dir, "events"))
 
 
+def q_sliding_distinct_users(spark, sf_dir):
+    # rolling 7-day distinct users: contribution-explode inversion —
+    # shuffle volume is 7·|user-days|, history never rescanned
+    return ana_ops.sliding_distinct_users(_t(spark, sf_dir, "events"))
+
+
+def q_mad_outliers(spark, sf_dir):
+    # rank-selected median + MAD per event type (distributed_rank both
+    # passes); lower-middle ELEMENT medians keep the cut bit-exact
+    return ana_ops.mad_outliers(_t(spark, sf_dir, "events"))
+
+
+def q_rolling_median(spark, sf_dir):
+    # exact trailing-7-row median per user: odd full frame → the middle
+    # element, never an interpolated average
+    return win_ops.rolling_median(_t(spark, sf_dir, "events"))
+
+
+def q_source_drift(spark, sf_dir):
+    # chi-square vocabulary drift between corpus halves; drift selection
+    # cross-multiplied into decimal(38,0) integers — bit-exact
+    return text_ops.source_drift_chisq(_t(spark, sf_dir, "documents"))
+
+
+def q_bfs_distances(spark, sf_dir):
+    # single-source BFS hop histogram over the co-purchase graph from
+    # the smallest part id; layered frontier expansion, O(E) total
+    return graph_ops.bfs_hop_histogram(_copurchase_edges(spark, sf_dir))
+
+
 # Dict order matters: the correctness driver checks the FIRST 50 entries.
 # Round-6 rotation (per the round-5 verdict item 1): the reference-parity
 # core keeps its row every round; the full 22-query TPC-H block and the
@@ -1442,6 +1472,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantile_normalize": q_quantile_normalize,
     "sample_negative_pairs": q_negative_samples,
     "integrity_expectations": q_validate_expectations,
+    "events_sliding_distinct_users": q_sliding_distinct_users,
+    "events_mad_outliers": q_mad_outliers,
+    "window_rolling_median": q_rolling_median,
+    "text_source_drift": q_source_drift,
+    "graph_bfs_distances": q_bfs_distances,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1463,6 +1498,11 @@ INTRODUCED_ROUND = {
     "events_quantile_normalize": 10,
     "sample_negative_pairs": 10,
     "integrity_expectations": 10,
+    "events_sliding_distinct_users": 10,
+    "events_mad_outliers": 10,
+    "window_rolling_median": 10,
+    "text_source_drift": 10,
+    "graph_bfs_distances": 10,
 }
 
 
@@ -4601,6 +4641,170 @@ ORACLES["dedup_embedding_lsh_check"] = f"""
            (SELECT count(*) FROM truth) AS n_truth_pairs,
            CAST((SELECT count(*) FROM truth) >= 5 AS INT) AS truth_sufficient,
            1 AS recall_ok
+"""
+
+# rolling 7-day distinct users: the oracle mirrors the contribution-
+# explode inversion (each (day, user) pair covers the 7 target days)
+# rather than a per-day correlated rescan — same counts, same clipping
+ORACLES["events_sliding_distinct_users"] = """
+    WITH pairs AS (
+        SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+        FROM events
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM pairs),
+    -- MATERIALIZED: duckdb 1.0's binder hits an internal error when a
+    -- downstream CTE filters on an unnest-projected alias inline
+    contrib AS MATERIALIZED (
+        SELECT p.event_type,
+               unnest(generate_series(
+                   p.day, p.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day,
+               p.user_id, b.hi
+        FROM pairs p, b
+    ),
+    counts AS (
+        SELECT event_type, day, count(DISTINCT user_id) AS active_users_w
+        FROM contrib WHERE day <= hi GROUP BY 1, 2
+    ),
+    grid AS MATERIALIZED (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b) d
+    )
+    SELECT g.event_type, g.day,
+           coalesce(c.active_users_w, 0) AS active_users_w
+    FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.day = c.day
+    ORDER BY g.event_type, g.day
+"""
+
+# rank-selected median + MAD: both medians are the value at
+# row_number floor((n+1)/2) under the (value, event_id) total order —
+# the lower-middle ELEMENT, so the k·MAD cut is bit-exact cross-engine
+ORACLES["events_mad_outliers"] = """
+    WITH v AS (
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    c AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    r AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rk
+        FROM v
+    ),
+    med AS (
+        SELECT r.event_type, r.v AS med
+        FROM r JOIN c USING (event_type) WHERE r.rk = (c.n + 1) // 2
+    ),
+    d AS (
+        SELECT v.event_id, v.event_type, abs(v.v - m.med) AS dev, m.med
+        FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rk
+        FROM d
+    ),
+    mad AS (
+        SELECT r2.event_type, r2.dev AS mad
+        FROM r2 JOIN c USING (event_type) WHERE r2.rk = (c.n + 1) // 2
+    )
+    SELECT d.event_type, count(*) AS n_events,
+           max(d.med) AS median_value, max(mad.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+# exact trailing-7-row median: odd full frames make median() hit the
+# middle element exactly (h = (n-1)/2 integral — no interpolation)
+ORACLES["window_rolling_median"] = """
+    WITH r AS (
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               median(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS rolling_median
+        FROM events
+    )
+    SELECT user_id, event_id, ts, value, rolling_median
+    FROM r WHERE rn >= 7
+    ORDER BY user_id, ts, event_id
+"""
+
+# chi-square vocabulary drift: the drifted flag is cross-multiplied
+# integer arithmetic (HUGEINT here, decimal(38,0) on the Spark side);
+# the reported X² is one exact-integer division rounded at the edge
+ORACLES["text_source_drift"] = """
+    WITH toks AS (
+        SELECT a, word FROM (
+            SELECT CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS a,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) WHERE word <> ''
+    ),
+    counts AS (
+        SELECT word, CAST(sum(a) AS BIGINT) AS o1,
+               CAST(sum(1 - a) AS BIGINT) AS o2
+        FROM toks GROUP BY word
+    ),
+    tot AS (
+        SELECT CAST(sum(o1) AS BIGINT) AS n1, CAST(sum(o2) AS BIGINT) AS n2
+        FROM counts
+    ),
+    x AS (
+        SELECT word, o1, o2,
+               CAST(n1 AS HUGEINT) + n2 AS nn,
+               CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS diff,
+               CAST(n1 AS HUGEINT) AS n1h, CAST(n2 AS HUGEINT) AS n2h
+        FROM counts, tot
+        WHERE o1 + o2 >= 20
+    ),
+    y AS (
+        SELECT word, o1, o2,
+               nn * diff * diff AS num,
+               (CAST(o1 AS HUGEINT) + o2) * (nn - o1 - o2) * n1h * n2h AS den
+        FROM x
+    )
+    SELECT word, o1 AS n_ref, o2 AS n_other,
+           floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS chisq,
+           CAST(num > 20 * den AS INT) AS drifted
+    FROM y ORDER BY word
+"""
+
+# single-source BFS: the oracle's bounded recursive walk produces every
+# (node, hop ≤ max) pair the layered expansion can reach; min(hop) per
+# node is the BFS distance — identical to the frontier labeling
+ORACLES["graph_bfs_distances"] = """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    seed AS (SELECT min(u) AS s FROM e),
+    walk(node, hop) AS (
+        SELECT s, 0 FROM seed WHERE s IS NOT NULL
+        UNION
+        SELECT e.v, walk.hop + 1
+        FROM walk JOIN e ON e.u = walk.node
+        WHERE walk.hop < 6
+    ),
+    d AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node),
+    hops AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM d GROUP BY hop),
+    unreached AS (
+        SELECT -1 AS hop,
+               CAST((SELECT count(DISTINCT u) FROM e)
+                    - (SELECT count(*) FROM d) AS BIGINT) AS n_nodes
+    )
+    SELECT hop, n_nodes FROM hops
+    UNION ALL SELECT hop, n_nodes FROM unreached
+    ORDER BY hop
 """
 
 # The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the

@@ -448,3 +448,59 @@ def test_quantile_normalize_values_golden(spark):
     assert got[2] == round(2 / 3, 6)  # first of the tied pair by event_id
     assert got[4] == 1.0
     assert got[5] == 0.0
+
+
+def test_sliding_distinct_users_window_and_zero_fill(spark):
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    ev = _ev(spark, [
+        (d(1), 1, "a"), (d(3), 2, "a"), (d(10), 1, "a"),
+        (d(5), 3, "b"),  # single event; grid must zero-fill days 1-4
+    ])
+    out = {
+        (r.event_type, r.day.day): r.active_users_w
+        for r in analytics.sliding_distinct_users(ev).collect()
+    }
+    # type a: day1 window holds u1 alone; u1's day-1 activity covers
+    # days 1-7, u2's day-3 covers 3-9, u1's day-10 covers 10 (clipped)
+    assert [out[("a", i)] for i in range(1, 11)] == [
+        1, 1, 2, 2, 2, 2, 2, 1, 1, 1,
+    ]
+    # type b: zero-filled over the GLOBAL span, active only days 5-10
+    assert [out[("b", i)] for i in range(1, 11)] == [
+        0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+    ]
+    # full |types| x |days| grid, nothing beyond the span
+    assert len(out) == 20
+
+
+def test_mad_outliers_rank_selected_medians(spark):
+    rows = [(dt.datetime(2024, 1, 1, 0, i), 1, "a") for i in range(7)]
+    ev = spark.createDataFrame(
+        [
+            (i, ts, uid, et, v, "{}")
+            for (i, ((ts, uid, et), v)) in enumerate(
+                zip(rows, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 100.0])
+            )
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    [r] = analytics.mad_outliers(ev).collect()
+    # median = 4th smallest = 4; devs sorted [0,1,1,2,2,3,96] -> MAD = 2;
+    # outliers where dev > 3*2: only the 100.0 spike
+    assert (r.n_events, r.median_value, r.mad, r.n_outliers) == (7, 4.0, 2.0, 1)
+
+
+def test_mad_outliers_even_count_lower_middle(spark):
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1, 0, i), 1, "a", v, "{}")
+            for i, v in enumerate([1.0, 2.0, 3.0, 1000.0])
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    [r] = analytics.mad_outliers(ev).collect()
+    # lower-middle rank floor((4+1)/2)=2: median = 2; devs sorted
+    # [0,1,1,998] -> MAD = 1; outliers where dev > 3: the 1000.0 row
+    assert (r.n_events, r.median_value, r.mad, r.n_outliers) == (4, 2.0, 1.0, 1)

@@ -177,3 +177,37 @@ def test_kcore_refuses_truncation(spark):
         kcore(df, k=2, max_rounds=3)
     # with budget it converges to the empty 2-core
     assert kcore(df, k=2, max_rounds=20).count() == 0
+
+
+def test_bfs_hop_histogram_path_plus_island(spark):
+    from parcial_bigdata_spark.operators.graph import bfs_hop_histogram
+
+    # path 1-2-3-4-5 from source min(node)=1, plus the unreachable
+    # island {6,7}
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "src long, dst long"
+    )
+    out = {r.hop: r.n_nodes for r in bfs_hop_histogram(e).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1, -1: 2}
+
+
+def test_bfs_hop_histogram_truncates_visibly_at_max_hops(spark):
+    from parcial_bigdata_spark.operators.graph import bfs_hop_histogram
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7)], "src long, dst long"
+    )
+    out = {r.hop: r.n_nodes for r in bfs_hop_histogram(e, max_hops=2).collect()}
+    # nodes 4 and 5 lie past the budget and join the island in the
+    # unreached row — truncation is visible, never silent
+    assert out == {0: 1, 1: 1, 2: 1, -1: 4}
+
+
+def test_bfs_hop_histogram_direction_and_duplicates_ignored(spark):
+    from parcial_bigdata_spark.operators.graph import bfs_hop_histogram
+
+    e = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (3, 2), (3, 3)], "src long, dst long"
+    )
+    out = {r.hop: r.n_nodes for r in bfs_hop_histogram(e).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, -1: 0}

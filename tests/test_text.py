@@ -509,3 +509,38 @@ def test_sentence_stats_golden(spark):
     assert (r1.n_sentences, r1.n_words, r1.max_sentence_words) == (3, 6, 3)
     assert r1.avg_sentence_words == 2.0
     assert (rows[2].n_sentences, rows[2].n_words) == (1, 4)
+
+
+def test_source_drift_chisq_exact_flags(spark):
+    from parcial_bigdata_spark.operators.text import source_drift_chisq
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a b c", "en", "srcA", 13),   # length-4 source: ref
+            (2, "b b b b b a c", "en", "srcBB", 13),  # length-5: other
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r.word: r
+        for r in source_drift_chisq(docs, min_count=1, threshold=4).collect()
+    }
+    # word a: o1=5, o2=1, n1=n2=7, N=14; diff = 5*7-1*7 = 28;
+    # X² = 14*784 / (6*8*49) = 10976/2352 = 4.666667 > 4 -> drifted
+    assert (rows["a"].n_ref, rows["a"].n_other) == (5, 1)
+    assert rows["a"].drifted == 1 and rows["b"].drifted == 1
+    assert rows["a"].chisq == 4.666667  # ratio_round is deterministic
+    # balanced word: zero signal
+    assert rows["c"].drifted == 0 and rows["c"].chisq == 0.0
+
+
+def test_source_drift_min_count_gate(spark):
+    from parcial_bigdata_spark.operators.text import source_drift_chisq
+
+    docs = spark.createDataFrame(
+        [(1, "rare common common", "en", "srcA", 18),
+         (2, "common common", "en", "srcBB", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    words = [r.word for r in source_drift_chisq(docs, min_count=2).collect()]
+    assert words == ["common"]

@@ -282,3 +282,27 @@ def test_user_drawdown_running_peak(events):
     rows = {r.user_id: r for r in win.user_drawdown(events).collect()}
     assert (rows[1].peak_value, rows[1].max_drawdown) == (30.0, 25.0)
     assert (rows[2].peak_value, rows[2].max_drawdown) == (1.0, 0.0)
+
+
+def test_rolling_median_exact_middle_element(spark):
+    vals = [5.0, 1.0, 9.0, 2.0, 8.0, 3.0, 7.0, 4.0, 6.0]
+    df = spark.createDataFrame(
+        [(i, 1, _ts(i), "x", v) for i, v in enumerate(vals)],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    rows = win.rolling_median(df).collect()
+    # emitted only once the 7-row frame is full: 3 of 9 rows; the
+    # median is the 4th smallest of the trailing 7, not the row value
+    assert [r.value for r in rows] == [7.0, 4.0, 6.0]
+    assert [r.rolling_median for r in rows] == [5.0, 4.0, 6.0]
+
+
+def test_rolling_median_rejects_even_frame(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), "x", 1.0)],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    with pytest.raises(ValueError, match="odd"):
+        win.rolling_median(df, frame=6)
