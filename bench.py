@@ -744,6 +744,9 @@ _NEW_OPS_R8 = [
     "window_rolling_median",
     "text_source_drift",
     "graph_bfs_distances",
+    "events_hourly_ohlc",
+    "sample_temporal_split",
+    "sample_group_kfold",
 ]
 
 

@@ -639,3 +639,43 @@ def monthly_revenue_yoy(orders: DataFrame) -> DataFrame:
             "yoy_delta"
         ),
     ).orderBy("month")
+
+
+def hourly_ohlc(events: DataFrame) -> DataFrame:
+    """Per-(event_type, hour) OHLC bars (`events_hourly_ohlc`) — the
+    time-bucket downsample every monitoring / market stack runs (the
+    TimescaleDB ``time_bucket`` + first/last shape): open and close are
+    the values at the bucket's (ts, event_id) bookends, high/low the
+    extrema, volume the exact-decimal value sum.
+
+    One map-side-combining groupBy — open/close are struct argmin /
+    argmax over the (ts, event_id, value) total order, NEVER a window
+    over the raw stream (a bucket-partitioned window would re-shuffle
+    the same key and serialize hot buckets).  High/low return input
+    doubles unchanged; volume sums on the cents grid
+    (decimal(18,2), the engine-wide money convention) so the total is
+    order-insensitive and engine-exact."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    bookend = F.struct(
+        F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    return (
+        events.select(
+            "event_type",
+            hour.alias("hour"),
+            "value",
+            F.col("value").cast("decimal(18,2)").alias("__v2"),
+            bookend.alias("__bk"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("__bk").getField("v").alias("open"),
+            F.max("__bk").getField("v").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            # exact-decimal sum; double only at the output edge
+            F.sum("__v2").cast("double").alias("volume"),
+        )
+        .orderBy("event_type", "hour")
+    )

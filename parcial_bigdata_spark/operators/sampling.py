@@ -491,3 +491,67 @@ def token_length_histogram(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+def temporal_split(
+    events: DataFrame,
+    train_end: str = "2024-01-20",
+    embargo_days: int = 2,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with an embargo gap
+    (`sample_temporal_split`) — the forecasting/financial-ML eval
+    protocol: train strictly before ``train_end``, test only after an
+    ``embargo_days`` quarantine, so serially-correlated rows adjacent
+    to the boundary can't leak target information across it.  The
+    embargoed rows are REPORTED as their own split — dropped data is
+    visible accounting, never silent.
+
+    Row-local split assignment (zero-shuffle at any scale) + one tiny
+    (split × type) summary aggregate; day arithmetic stays on
+    date_trunc'd timestamps so both engines bucket identically."""
+    if embargo_days < 0:
+        raise ValueError("temporal_split: embargo_days must be >= 0")
+    cut = F.to_timestamp(F.lit(train_end))
+    test_start = cut + F.expr(f"interval {embargo_days} days")
+    split = (
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") < test_start, "embargo")
+        .otherwise("test")
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    return (
+        events.select(split.alias("split"), "event_type", "user_id", day.alias("day"))
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+def group_kfold(events: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic GROUP-aware k-fold assignment over users
+    (`sample_group_kfold`) — cross-validation folds where no user's
+    rows straddle folds (per-entity leakage control, sklearn's
+    GroupKFold with a portable hash instead of stateful chunking).
+
+    fold(user) = md5(user_id) 16-bit prefix mod k — row-local, pure
+    function of the id (stable under reruns, re-partitioning, and data
+    arrival order), engine-portable (md5 is md5 everywhere; hash()/
+    rand(seed) are not).  Zero-shuffle assignment + one tiny per-fold
+    summary; the distinct-user count per fold is the balance audit."""
+    if k < 2:
+        raise ValueError("group_kfold: k must be >= 2")
+    fold = (_md5_bucket("user_id", 2**16) % k).alias("fold")
+    return (
+        events.select(fold, "user_id", "event_id")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("fold")
+    )

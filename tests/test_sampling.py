@@ -340,3 +340,89 @@ def test_negative_sample_pairs_properties(spark):
     # a single doc has no valid negative: empty output, not a self-pair
     one = spark.createDataFrame([(7,)], "doc_id long")
     assert negative_sample_pairs(one).count() == 0
+
+
+def test_temporal_split_embargo_visible(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 10), 1, "click", 1.0, "{}"),   # train
+        (2, dt.datetime(2024, 1, 19, 23), 2, "click", 1.0, "{}"),  # train
+        (3, dt.datetime(2024, 1, 20), 1, "click", 1.0, "{}"),   # embargo
+        (4, dt.datetime(2024, 1, 21, 23), 3, "click", 1.0, "{}"),  # embargo
+        (5, dt.datetime(2024, 1, 22), 1, "click", 1.0, "{}"),   # test
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.split: (r.n_events, r.n_users)
+        for r in sampling.temporal_split(ev).collect()
+    }
+    # the embargoed stratum is REPORTED, not silently dropped
+    assert out == {"train": (2, 2), "embargo": (2, 2), "test": (1, 1)}
+
+
+def test_temporal_split_rejects_negative_embargo(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="embargo"):
+        sampling.temporal_split(spark.range(1), embargo_days=-1)
+
+
+def test_group_kfold_partitions_users_exactly(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1), i % 40, "click", 1.0, "{}")
+            for i in range(200)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = sampling.group_kfold(ev, k=4).collect()
+    # every fold in range, counts partition the corpus exactly: a user
+    # lands in ONE fold, so fold user counts sum to the 40 users and
+    # event counts to the 200 events
+    assert all(0 <= r.fold < 4 for r in rows)
+    assert sum(r.n_users for r in rows) == 40
+    assert sum(r.n_events for r in rows) == 200
+    # deterministic: pure function of the ids
+    assert rows == sampling.group_kfold(ev, k=4).collect()
+
+
+def test_group_kfold_rejects_k_below_two(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        sampling.group_kfold(spark.range(1), k=1)
+
+
+def test_hourly_ohlc_bookends_and_volume(spark):
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators import aggregations
+
+    h = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        # one hour, ts order: open 5.0 (first), close 9.0 (last)
+        (1, h.replace(minute=0), 1, "a", 5.0, "{}"),
+        (2, h.replace(minute=30), 1, "a", 1.0, "{}"),
+        (3, h.replace(minute=59), 1, "a", 9.0, "{}"),
+        # same-ts tie broken by event_id: open eid 4, close eid 5
+        (4, h.replace(hour=11), 1, "a", 7.0, "{}"),
+        (5, h.replace(hour=11), 1, "a", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.hour.hour: r for r in aggregations.hourly_ohlc(ev).collect()}
+    b10, b11 = out[10], out[11]
+    assert (b10.open, b10.close, b10.high, b10.low) == (5.0, 9.0, 9.0, 1.0)
+    assert (b10.volume, b10.n_events) == (15.0, 3)
+    assert (b11.open, b11.close) == (7.0, 3.0)
