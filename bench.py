@@ -621,6 +621,60 @@ def _run_kcore_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- BFS scale probe (round 10) -------------------------------------------
+# bfs_hop_histogram is layered frontier expansion; rounds are bounded by
+# graph diameter, so the scaling axis is per-edge frontier work.  The
+# probe graph is a two-level hub fan-out (node 0 → 1000 hubs → leaves):
+# diameter 2 at every size, with the ENTIRE leaf set arriving as one
+# hop-2 wavefront — the distinct + anti-join machinery processes O(E)
+# rows in a single round, the worst-case frontier shape.
+
+_BFS_SCALES = (1, 4, 16)
+_BFS_BASE_EDGES = 400_000
+_BFS_HUBS = 1_000
+
+
+def _bfs_graph(spark, n_edges):
+    from pyspark.sql import functions as F
+
+    hubs = spark.range(_BFS_HUBS).select(
+        F.lit(0).alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    n_leaves = n_edges - _BFS_HUBS
+    leaves = spark.range(n_leaves).select(
+        (F.col("id") % _BFS_HUBS + 1).alias("src"),
+        (F.col("id") + _BFS_HUBS + 1).alias("dst"),
+    )
+    return hubs.unionByName(leaves)
+
+
+def _run_bfs_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import graph as G
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _BFS_SCALES:
+        edges = _bfs_graph(spark, _BFS_BASE_EDGES * s).persist()
+        n_edges = edges.count()  # materialize input outside the timing
+        t0 = time.perf_counter()
+        rows = {
+            r["hop"]: r["n_nodes"]
+            for r in G.bfs_hop_histogram(edges, max_hops=4).collect()
+        }
+        el = round(time.perf_counter() - t0, 3)
+        edges.unpersist()
+        if rows.get(0) != 1 or rows.get(2) != n_edges - _BFS_HUBS or rows.get(-1):
+            raise RuntimeError(f"bfs probe integrity failed at x{s}: {rows}")
+        timings[f"bfs_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(n_edges)
+        detail[f"x{s}"] = {"edges": n_edges, "hop2_nodes": rows[2], "sec": el}
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # ---- distributed_rank scale probe (round 10) ------------------------------
 # The round-10 headline plan change (Gini / RFM / trimmed means /
 # quantile normalize) rests on scale.distributed_rank's claim: exact
@@ -747,6 +801,7 @@ _NEW_OPS_R8 = [
     "events_hourly_ohlc",
     "sample_temporal_split",
     "sample_group_kfold",
+    "text_heavy_hitters",
 ]
 
 
@@ -846,6 +901,8 @@ def main() -> None:
     probe_timings.update(incr_timings)
     kcore_timings, kcore_detail = _run_kcore_scale(probe_spark)
     probe_timings.update(kcore_timings)
+    bfs_timings, bfs_detail = _run_bfs_scale(probe_spark)
+    probe_timings.update(bfs_timings)
     rank_timings, rank_detail = _run_rank_scale(probe_spark)
     probe_timings.update(rank_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
@@ -867,6 +924,7 @@ def main() -> None:
         "triangle_scale": tri_detail,
         "incr_dedup_scale": incr_detail,
         "kcore_scale": kcore_detail,
+        "bfs_scale": bfs_detail,
         "rank_scale": rank_detail,
         "noise_sentinel": sentinel,
     }

@@ -1113,3 +1113,57 @@ def source_drift_chisq(
         )
         .orderBy("word")
     )
+
+
+def heavy_hitters(documents: DataFrame, min_count: int = 500) -> DataFrame:
+    """EXACT corpus-wide heavy hitters (`text_heavy_hitters`): every
+    word with total count ≥ ``min_count``, via the two-pass candidate
+    prune — the distributed frequent-items protocol for vocabularies
+    too large to shuffle whole.
+
+    Pass 1 (Arrow-vectorized ``mapInPandas``, pandas ``value_counts``
+    per batch): a batch of b rows emits words with local count ≥
+    min_count·b/N.  WEIGHTED PIGEONHOLE makes the prune LOSSLESS for
+    ANY batching: if Σ_b count_b ≥ min_count with all count_b <
+    min_count·b_rows/N, then min_count ≤ Σ count_b < min_count·Σb/N =
+    min_count — contradiction; so every true heavy hitter survives
+    pass 1 regardless of how Arrow slices the stream.  Pass 2 exactly
+    recounts ONLY the candidates (broadcast semi-join), so the shuffle
+    and reduce-side state are bounded by the candidate set, not the
+    vocabulary.  The candidate SET varies with batching; the OUTPUT is
+    a pure function of the corpus (exact recount + exact threshold).
+
+    Scale note, stated honestly: Spark's hash aggregate already does
+    map-side partial counting with spill, so a plain groupBy survives
+    big vocabularies too — what the prune buys at 100 TB is the wire
+    (shuffle rows ≈ |candidates| · partitions, not |vocab| ·
+    partitions) and bounded reducer hash state.  The 1-row corpus
+    total is a bounded-scalar collect by contract."""
+    import pandas as pd
+
+    toks = documents.select(F.explode(words("text")).alias("word")).where(
+        F.col("word") != ""
+    )
+    n_total = toks.count()  # bounded scalar: one long
+    if n_total == 0:
+        return toks.groupBy("word").agg(
+            F.count(F.lit(1)).alias("n_occurrences")
+        )
+    frac = float(min_count) / float(n_total)
+
+    def _candidates(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf["word"].value_counts()
+            thr = max(frac * len(pdf), 1.0)
+            yield pd.DataFrame({"word": vc[vc >= thr].index})
+
+    cands = toks.mapInPandas(_candidates, "word string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy("word")
+    )

@@ -1292,6 +1292,12 @@ def q_group_kfold(spark, sf_dir):
     return sample_ops.group_kfold(_t(spark, sf_dir, "events"))
 
 
+def q_heavy_hitters(spark, sf_dir):
+    # exact two-pass heavy hitters: lossless Arrow candidate prune
+    # (weighted pigeonhole), exact recount of candidates only
+    return text_ops.heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
 # Dict order matters: the correctness driver checks the FIRST 50 entries.
 # Round-6 rotation (per the round-5 verdict item 1): the reference-parity
 # core keeps its row every round; the full 22-query TPC-H block and the
@@ -1496,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_ohlc": q_hourly_ohlc,
     "sample_temporal_split": q_temporal_split,
     "sample_group_kfold": q_group_kfold,
+    "text_heavy_hitters": q_heavy_hitters,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1525,6 +1532,7 @@ INTRODUCED_ROUND = {
     "events_hourly_ohlc": 10,
     "sample_temporal_split": 10,
     "sample_group_kfold": 10,
+    "text_heavy_hitters": 10,
 }
 
 
@@ -4859,6 +4867,17 @@ ORACLES["sample_temporal_split"] = """
         FROM events
     )
     GROUP BY split, event_type ORDER BY split, event_type
+"""
+
+# exact heavy hitters: the oracle is the definition; the Spark side's
+# candidate prune is lossless by weighted pigeonhole, so both produce
+# exactly the words with corpus count >= 500
+ORACLES["text_heavy_hitters"] = """
+    SELECT word, count(*) AS n_occurrences
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word HAVING count(*) >= 500
+    ORDER BY word
 """
 
 ORACLES["sample_group_kfold"] = """

@@ -544,3 +544,36 @@ def test_source_drift_min_count_gate(spark):
     )
     words = [r.word for r in source_drift_chisq(docs, min_count=2).collect()]
     assert words == ["common"]
+
+
+def test_heavy_hitters_exact_under_tiny_arrow_batches(spark):
+    from parcial_bigdata_spark.operators.text import heavy_hitters
+
+    texts = ["a a a a a"] * 6 + ["b b b b b"] * 2 + ["c c c c c"] * 4
+    docs = spark.createDataFrame(
+        [(i, t, "en", "srcA", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # tiny Arrow batches make the pass-1 prune REAL (per-batch threshold
+    # min_count*b/N > 1); weighted pigeonhole must still keep every true
+    # heavy hitter in the candidate set
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        out = {r.word: r.n_occurrences for r in heavy_hitters(docs, 20).collect()}
+        assert out == {"a": 30, "c": 20}  # boundary word included, b=10 out
+        out = {r.word: r.n_occurrences for r in heavy_hitters(docs, 30).collect()}
+        assert out == {"a": 30}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_heavy_hitters_empty_corpus(spark):
+    from parcial_bigdata_spark.operators.text import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "srcA", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = heavy_hitters(docs, 5)
+    assert out.columns == ["word", "n_occurrences"]
+    assert out.count() == 0
