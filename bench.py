@@ -802,6 +802,9 @@ _NEW_OPS_R8 = [
     "sample_temporal_split",
     "sample_group_kfold",
     "text_heavy_hitters",
+    "events_activity_streaks",
+    "parts_abc_classes",
+    "integrity_functional_deps",
 ]
 
 

@@ -679,3 +679,52 @@ def hourly_ohlc(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def abc_revenue_classes(lineitem: DataFrame) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue contribution
+    (`parts_abc_classes`): rank parts by revenue, classify the heads
+    that carry ≤80% of cumulative revenue as A, ≤95% as B, the tail as
+    C — the inventory-analysis classic.
+
+    Exactness: revenue moves to the INTEGER 1e-4 grid immediately
+    (price×(1−disc) is exact at scale 4; ×10⁴ → long), so cumulative
+    sums and the 80/95 cut-offs are pure integer arithmetic —
+    cum·5 ≤ tot·4 and cum·20 ≤ tot·19 — never a float share.  Ordering
+    ties break on part key.
+
+    Scale: revenue aggregates per part FIRST (map-side combining on
+    the part key), so the unkeyed cumulative window runs over the
+    |parts|-row dimension-sized aggregate — the documented
+    post-aggregation unkeyed-window pattern — never over line items."""
+    rev_units = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        * 10000
+    ).cast("long")
+    parts = lineitem.groupBy("l_partkey").agg(
+        F.sum(rev_units).alias("units")
+    )
+    w = Window.orderBy(F.col("units").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy(F.col("units").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum, tot = F.sum("units").over(w), F.sum("units").over(wt)
+    cls = (
+        F.when(cum * 5 <= tot * 4, "A")
+        .when(cum * 20 <= tot * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        parts.select("l_partkey", "units", cls.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("units").cast("double") / F.lit(10000.0)).alias(
+                "class_revenue"
+            ),
+        )
+        .orderBy("abc_class")
+    )

@@ -814,3 +814,43 @@ def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the gaps-and-islands
+    pattern (`events_activity_streaks`): longest run of consecutive
+    active days, streak count, and total active days per user.
+
+    The island key is the classic rn-difference: within a user, rank
+    the distinct active days; day_index − rank is CONSTANT exactly
+    while days are consecutive, so it labels each streak without any
+    self-join or iterative pass.  Day arithmetic runs on integer day
+    indexes (datediff from a fixed epoch) — no interval arithmetic to
+    diverge between engines.
+
+    Scale: the user-keyed window and both groupBys hash on keys with
+    user_id as prefix; the stream is pre-collapsed to distinct
+    (user, day) pairs first, so every later stage touches at most
+    |users|·|days| rows regardless of per-day event volume."""
+    from pyspark.sql.window import Window
+
+    day_idx = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("date")
+    )
+    pairs = events.select("user_id", day_idx.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = pairs.withColumn(
+        "anchor", F.col("d") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )

@@ -272,3 +272,67 @@ def integrity_audit(tables: dict[str, DataFrame], edges: list[tuple[str, str, st
     for frame in parts[1:]:
         out = out.unionByName(frame)
     return out.orderBy("child_table", "fk_column")
+
+
+# Declared functional dependencies to audit on lineitem: the composite
+# PK must hold; the two single-column candidates are EXPECTED to fail
+# (TPC-H parts ship from many suppliers, orders mix return flags) —
+# the audit's value is the measured branching, not a green wall.
+LINEITEM_FDS: list[tuple[str, tuple[str, ...], tuple[str, ...]]] = [
+    (
+        "pk_order_line",
+        ("l_orderkey", "l_linenumber"),
+        ("l_partkey", "l_suppkey", "l_quantity"),
+    ),
+    ("part_to_supplier", ("l_partkey",), ("l_suppkey",)),
+    ("order_to_returnflag", ("l_orderkey",), ("l_returnflag",)),
+]
+
+
+def functional_dependencies(
+    df: DataFrame,
+    deps: list[tuple[str, tuple[str, ...], tuple[str, ...]]] | None = None,
+) -> DataFrame:
+    """Functional-dependency / key-uniqueness audit
+    (`integrity_functional_deps`): for each declared determinant →
+    dependent pair, count determinant values that map to MORE than one
+    distinct dependent tuple — the grouping-level data-quality check
+    the row-level expectations gate cannot express (a duplicate key is
+    invisible to any single-row predicate).
+
+    Per dependency: one map-side-combining groupBy on the determinant
+    with a distinct-count of the dependent struct — violations =
+    determinants with branching > 1, and max_branching quantifies HOW
+    broken a failed dependency is.  Each dependency is one linear
+    shuffle on its own key; results union into one report frame."""
+    deps = list(LINEITEM_FDS if deps is None else deps)
+    if not deps:
+        raise ValueError("functional_dependencies: empty dependency list")
+    frames = []
+    for dep_id, det, dependents in deps:
+        missing = (set(det) | set(dependents)) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"functional_dependencies: {dep_id} references missing "
+                f"columns {sorted(missing)}"
+            )
+        per_key = df.groupBy(*det).agg(
+            F.countDistinct(F.struct(*dependents)).alias("__branching")
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(dep_id).alias("dep_id"),
+                F.lit(" + ".join(det)).alias("determinant"),
+                F.lit(" + ".join(dependents)).alias("dependent"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum((F.col("__branching") > 1).cast("long")).alias(
+                    "n_violating_keys"
+                ),
+                F.max("__branching").alias("max_branching"),
+                (F.max("__branching") == 1).cast("int").alias("holds"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("dep_id")

@@ -1292,6 +1292,25 @@ def q_group_kfold(spark, sf_dir):
     return sample_ops.group_kfold(_t(spark, sf_dir, "events"))
 
 
+def q_abc_classes(spark, sf_dir):
+    # Pareto/ABC revenue classification: integer 1e-4-grid revenue,
+    # exact cross-multiplied 80/95 cutoffs, cumulative window over the
+    # per-part aggregate only
+    return agg_ops.abc_revenue_classes(_t(spark, sf_dir, "lineitem"))
+
+
+def q_functional_deps(spark, sf_dir):
+    # FD / key-uniqueness audit: grouping-level quality checks the
+    # row-level expectations gate cannot express
+    return prof_ops.functional_dependencies(_t(spark, sf_dir, "lineitem"))
+
+
+def q_activity_streaks(spark, sf_dir):
+    # gaps-and-islands: rn-difference island key, integer day indexes,
+    # stream pre-collapsed to distinct (user, day) pairs
+    return ana_ops.activity_streaks(_t(spark, sf_dir, "events"))
+
+
 def q_heavy_hitters(spark, sf_dir):
     # exact two-pass heavy hitters: lossless Arrow candidate prune
     # (weighted pigeonhole), exact recount of candidates only
@@ -1503,6 +1522,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temporal_split": q_temporal_split,
     "sample_group_kfold": q_group_kfold,
     "text_heavy_hitters": q_heavy_hitters,
+    "events_activity_streaks": q_activity_streaks,
+    "parts_abc_classes": q_abc_classes,
+    "integrity_functional_deps": q_functional_deps,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1533,6 +1555,9 @@ INTRODUCED_ROUND = {
     "sample_temporal_split": 10,
     "sample_group_kfold": 10,
     "text_heavy_hitters": 10,
+    "events_activity_streaks": 10,
+    "parts_abc_classes": 10,
+    "integrity_functional_deps": 10,
 }
 
 
@@ -4867,6 +4892,93 @@ ORACLES["sample_temporal_split"] = """
         FROM events
     )
     GROUP BY split, event_type ORDER BY split, event_type
+"""
+
+# ABC/Pareto: revenue on the integer 1e-4 grid end-to-end; the 80/95
+# class cut-offs are exact integer cross-multiplications, never shares
+ORACLES["parts_abc_classes"] = """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS units
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, units,
+               sum(units) OVER (ORDER BY units DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+               sum(units) OVER () AS tot
+        FROM pr
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(units) AS DOUBLE) / 10000.0 AS class_revenue
+    FROM (
+        SELECT units,
+               CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    GROUP BY abc_class ORDER BY abc_class
+"""
+
+# FD audit: one grouped distinct-count per declared dependency; the two
+# single-column dependencies are EXPECTED to fail — branching quantified
+ORACLES["integrity_functional_deps"] = """
+    SELECT * FROM (
+        SELECT 'order_to_returnflag' AS dep_id,
+               'l_orderkey' AS determinant,
+               'l_returnflag' AS dependent,
+               count(*) AS n_keys,
+               CAST(sum(CASE WHEN b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_keys,
+               max(b) AS max_branching,
+               CAST(max(b) = 1 AS INT) AS holds
+        FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS b
+              FROM lineitem GROUP BY 1)
+        UNION ALL
+        SELECT 'part_to_supplier', 'l_partkey', 'l_suppkey',
+               count(*),
+               CAST(sum(CASE WHEN b > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               max(b), CAST(max(b) = 1 AS INT)
+        FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS b
+              FROM lineitem GROUP BY 1)
+        UNION ALL
+        SELECT 'pk_order_line',
+               'l_orderkey + l_linenumber',
+               'l_partkey + l_suppkey + l_quantity',
+               count(*),
+               CAST(sum(CASE WHEN b > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               max(b), CAST(max(b) = 1 AS INT)
+        FROM (SELECT l_orderkey, l_linenumber,
+                     count(DISTINCT (l_partkey, l_suppkey, l_quantity)) AS b
+              FROM lineitem GROUP BY 1, 2)
+    ) ORDER BY dep_id
+"""
+
+# gaps-and-islands: day_index - row_number is constant exactly along a
+# run of consecutive days — the island key needs no self-join
+ORACLES["events_activity_streaks"] = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01',
+                        date_trunc('day', ts)) AS d
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS anchor
+        FROM pairs
+    ),
+    streaks AS (
+        SELECT user_id, anchor, count(*) AS len
+        FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks, max(len) AS longest_streak
+    FROM streaks GROUP BY user_id ORDER BY user_id
 """
 
 # exact heavy hitters: the oracle is the definition; the Spark side's

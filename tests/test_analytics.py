@@ -504,3 +504,19 @@ def test_mad_outliers_even_count_lower_middle(spark):
     # lower-middle rank floor((4+1)/2)=2: median = 2; devs sorted
     # [0,1,1,998] -> MAD = 1; outliers where dev > 3: the 1000.0 row
     assert (r.n_events, r.median_value, r.mad, r.n_outliers) == (4, 2.0, 1.0, 1)
+
+
+def test_activity_streaks_gaps_and_islands(spark):
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    ev = _ev(spark, [
+        # user 1: days 1,2,3 then 5,6 -> streaks 3 and 2
+        (d(1), 1, "a"), (d(2), 1, "a"), (d(3), 1, "a"),
+        (d(5), 1, "a"), (d(6), 1, "a"),
+        # duplicate activity inside a day must not split or extend a run
+        (d(2), 1, "b"),
+        # user 2: a single day
+        (d(9), 2, "a"),
+    ])
+    out = {r.user_id: r for r in analytics.activity_streaks(ev).collect()}
+    assert (out[1].n_active_days, out[1].n_streaks, out[1].longest_streak) == (5, 2, 3)
+    assert (out[2].n_active_days, out[2].n_streaks, out[2].longest_streak) == (1, 1, 1)

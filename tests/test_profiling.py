@@ -204,3 +204,36 @@ def test_validate_expectations_counts_and_null_rule(spark):
 
     with pytest.raises(ValueError):
         validate_expectations(orders, rules=[])
+
+
+def test_functional_dependencies_holds_and_branching(spark):
+    from parcial_bigdata_spark.operators.profiling import (
+        functional_dependencies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 10), (2, "b", 20), (2, "c", 20), (3, "d", 30)],
+        "k long, dep1 string, dep2 long",
+    )
+    deps = [
+        ("k_to_dep1", ("k",), ("dep1",)),   # k=2 maps to {b, c}: violated
+        ("k_to_dep2", ("k",), ("dep2",)),   # holds (duplicates collapse)
+    ]
+    out = {r.dep_id: r for r in functional_dependencies(df, deps).collect()}
+    v = out["k_to_dep1"]
+    assert (v.n_keys, v.n_violating_keys, v.max_branching, v.holds) == (3, 1, 2, 0)
+    h = out["k_to_dep2"]
+    assert (h.n_keys, h.n_violating_keys, h.max_branching, h.holds) == (3, 0, 1, 1)
+
+
+def test_functional_dependencies_rejects_missing_columns(spark):
+    import pytest
+
+    from parcial_bigdata_spark.operators.profiling import (
+        functional_dependencies,
+    )
+
+    with pytest.raises(ValueError, match="missing"):
+        functional_dependencies(
+            spark.range(1), [("bad", ("nope",), ("id",))]
+        )

@@ -426,3 +426,26 @@ def test_hourly_ohlc_bookends_and_volume(spark):
     assert (b10.open, b10.close, b10.high, b10.low) == (5.0, 9.0, 9.0, 1.0)
     assert (b10.volume, b10.n_events) == (15.0, 3)
     assert (b11.open, b11.close) == (7.0, 3.0)
+
+
+def test_abc_classes_exact_cutoffs(spark):
+    from parcial_bigdata_spark.operators import aggregations
+
+    # revenues 80, 15, 5 (discount 0): cumulative shares 0.80, 0.95, 1.0
+    # -> boundary parts classify A and B via the exact integer cutoffs
+    rows = [
+        (1, 101, 1, 1, 1.0, 80.0, 0.0, 0.0, "N", "O", None),
+        (2, 102, 1, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", None),
+        (3, 103, 1, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", None),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    out = {r.abc_class: r for r in aggregations.abc_revenue_classes(li).collect()}
+    assert (out["A"].n_parts, out["A"].class_revenue) == (1, 80.0)
+    assert (out["B"].n_parts, out["B"].class_revenue) == (1, 15.0)
+    assert (out["C"].n_parts, out["C"].class_revenue) == (1, 5.0)
