@@ -805,6 +805,7 @@ _NEW_OPS_R8 = [
     "events_activity_streaks",
     "parts_abc_classes",
     "integrity_functional_deps",
+    "streaming_hourly_ohlc",
 ]
 
 

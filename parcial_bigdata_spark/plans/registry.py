@@ -1292,6 +1292,18 @@ def q_group_kfold(spark, sf_dir):
     return sample_ops.group_kfold(_t(spark, sf_dir, "events"))
 
 
+def q_streaming_ohlc(spark, sf_dir):
+    """Eighth real-streaming oracle query: watermarked tumbling OHLC
+    bars (struct-bookend argmin/argmax state) under AvailableNow must
+    reproduce the batch hourly_ohlc exactly — they share one oracle."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import ohlc_available_now
+
+    tune_runtime(spark)
+    return ohlc_available_now(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def q_abc_classes(spark, sf_dir):
     # Pareto/ABC revenue classification: integer 1e-4-grid revenue,
     # exact cross-multiplied 80/95 cutoffs, cumulative window over the
@@ -1525,6 +1537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_activity_streaks": q_activity_streaks,
     "parts_abc_classes": q_abc_classes,
     "integrity_functional_deps": q_functional_deps,
+    "streaming_hourly_ohlc": q_streaming_ohlc,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1558,6 +1571,7 @@ INTRODUCED_ROUND = {
     "events_activity_streaks": 10,
     "parts_abc_classes": 10,
     "integrity_functional_deps": 10,
+    "streaming_hourly_ohlc": 10,
 }
 
 
@@ -4893,6 +4907,10 @@ ORACLES["sample_temporal_split"] = """
     )
     GROUP BY split, event_type ORDER BY split, event_type
 """
+
+# the streaming OHLC twin converges to the batch bars exactly on a
+# bounded replay — one oracle serves both
+ORACLES["streaming_hourly_ohlc"] = ORACLES["events_hourly_ohlc"]
 
 # ABC/Pareto: revenue on the integer 1e-4 grid end-to-end; the 80/95
 # class cut-offs are exact integer cross-multiplications, never shares

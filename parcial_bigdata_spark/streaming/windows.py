@@ -297,6 +297,53 @@ def hourly_rollup_available_now(spark, events_parquet: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def streaming_hourly_ohlc(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``aggregations.hourly_ohlc``: watermarked
+    tumbling 1-hour OHLC bars per event type.  The open/close bookends
+    are the SAME struct argmin/argmax aggregates as the batch form —
+    min/max are mergeable, so the state store holds one fixed-width
+    struct pair per open window and late rows inside the watermark
+    still update their bar; the 1-hour tumbling window start equals
+    the batch side's date_trunc('hour'), so the queries share one
+    oracle."""
+    bookend = F.struct(
+        F.col("ts"), F.col("event_id").alias("eid"), F.col("value").alias("v")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(bookend).getField("v").alias("open"),
+            F.max(bookend).getField("v").alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("hour"),
+            "n_events",
+            "open",
+            "close",
+            "high",
+            "low",
+            "volume",
+        )
+    )
+
+
+def ohlc_available_now(spark, events_parquet: str) -> DataFrame:
+    """streaming_hourly_ohlc under AvailableNow (complete-mode memory
+    sink): on a bounded replay every bar emits at termination, so the
+    table is exactly the batch OHLC — its SQL oracle."""
+    return _run_available_now(
+        spark, events_parquet, streaming_hourly_ohlc, "stream_ohlc_result"
+    ).orderBy("event_type", "hour")
+
+
 def sessionize_available_now(
     spark, events_parquet: str, gap: str = "30 minutes"
 ) -> DataFrame:

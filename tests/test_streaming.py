@@ -742,3 +742,24 @@ def test_bucketed_merge_stream_prunes_untouched_partitions(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_streaming_ohlc_converges_to_batch_bars(spark):
+    """The AvailableNow streaming OHLC (struct-bookend argmin/argmax
+    state) over the events fixture equals the batch hourly_ohlc
+    exactly — mergeable bookends make the bars replay-invariant."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(path):
+        _pytest.skip("driver testdata not present")
+    from parcial_bigdata_spark.catalog import load_table
+    from parcial_bigdata_spark.operators.aggregations import hourly_ohlc
+    from parcial_bigdata_spark.streaming.windows import ohlc_available_now
+
+    batch = hourly_ohlc(load_table(spark, os.path.dirname(path), "events"))
+    batch_rows = {tuple(r) for r in batch.collect()}
+    stream_rows = {tuple(r) for r in ohlc_available_now(spark, path).collect()}
+    assert stream_rows == batch_rows
