@@ -806,6 +806,7 @@ _NEW_OPS_R8 = [
     "parts_abc_classes",
     "integrity_functional_deps",
     "streaming_hourly_ohlc",
+    "embedding_dim_stats",
 ]
 
 

@@ -445,3 +445,54 @@ def knn_lsh(embeddings: DataFrame, query_ids: list[int], k: int = 10, n_planes: 
         .select("query_id", "rnk", "vec_id", "sim")
         .orderBy("query_id", "rnk")
     )
+
+
+def dimension_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension moment profile of the embedding space
+    (`embedding_dim_stats`) — the whitening / feature-scaling input
+    (per-dim mean and variance) plus collapse diagnostics (a dimension
+    whose variance ≈ 0 carries no information; wildly uneven variances
+    say the space needs whitening before an L2 index).
+
+    ORDER-INSENSITIVE moments: double summation is not associative, so
+    a plain avg() over a shuffled corpus can wobble ulps between runs
+    and engines; here each value and its square are first rounded onto
+    the fixed 1e-18 decimal grid (exact for most float32 inputs, a
+    half-ulp perturbation far below the output's round-6 for the
+    rest), summed EXACTLY as decimals in any order, and the mean /
+    population variance come out of the two exact sums with a fixed
+    IEEE op sequence — mean = S/n, var = Q/n − (S/n)² — shared with
+    the oracle.
+
+    Scale: posexplode is row-local; ONE map-side-combining groupBy on
+    the |dims|-ary dimension key carries the whole profile."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    pos = embeddings.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    s = F.col("val").cast("decimal(38,18)")
+    q = (F.col("val") * F.col("val")).cast("decimal(38,18)")
+    agg = pos.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(s).alias("__s"),
+        F.sum(q).alias("__q"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    n = F.col("n_values").cast("double")
+    s_d = F.col("__s").cast("double")
+    q_d = F.col("__q").cast("double")
+    mean = s_d / n
+    var = q_d / n - (s_d / n) * (s_d / n)
+    return agg.select(
+        "dim",
+        "n_values",
+        ratio_round(mean, 6).alias("mean_val"),
+        ratio_round(var, 6).alias("var_val"),
+        "min_val",
+        "max_val",
+    ).orderBy("dim")

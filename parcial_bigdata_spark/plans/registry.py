@@ -1292,6 +1292,12 @@ def q_group_kfold(spark, sf_dir):
     return sample_ops.group_kfold(_t(spark, sf_dir, "events"))
 
 
+def q_dim_stats(spark, sf_dir):
+    # per-dimension whitening profile: exact-decimal moment sums (order-
+    # insensitive), fixed IEEE op sequence shared with the oracle
+    return sim_ops.dimension_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_streaming_ohlc(spark, sf_dir):
     """Eighth real-streaming oracle query: watermarked tumbling OHLC
     bars (struct-bookend argmin/argmax state) under AvailableNow must
@@ -1538,6 +1544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_abc_classes": q_abc_classes,
     "integrity_functional_deps": q_functional_deps,
     "streaming_hourly_ohlc": q_streaming_ohlc,
+    "embedding_dim_stats": q_dim_stats,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1572,6 +1579,7 @@ INTRODUCED_ROUND = {
     "parts_abc_classes": 10,
     "integrity_functional_deps": 10,
     "streaming_hourly_ohlc": 10,
+    "embedding_dim_stats": 10,
 }
 
 
@@ -4911,6 +4919,33 @@ ORACLES["sample_temporal_split"] = """
 # the streaming OHLC twin converges to the batch bars exactly on a
 # bounded replay — one oracle serves both
 ORACLES["streaming_hourly_ohlc"] = ORACLES["events_hourly_ohlc"]
+
+# per-dimension moments: values round onto the 1e-18 decimal grid first
+# (exact decimal sums are order-insensitive), then mean/var come out of
+# the two exact sums with the identical IEEE op sequence
+ORACLES["embedding_dim_stats"] = """
+    WITH pos AS (
+        SELECT t.i AS dim, CAST(v[t.i] AS DOUBLE) AS val
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT dim, count(*) AS n_values,
+               sum(CAST(val AS DECIMAL(38,18))) AS s,
+               sum(CAST(val * val AS DECIMAL(38,18))) AS q,
+               min(val) AS min_val, max(val) AS max_val
+        FROM pos GROUP BY dim
+    )
+    SELECT dim, n_values,
+           floor((CAST(s AS DOUBLE) / n_values) * 1e6 + 0.5) / 1e6
+               AS mean_val,
+           floor((CAST(q AS DOUBLE) / n_values
+                  - (CAST(s AS DOUBLE) / n_values)
+                    * (CAST(s AS DOUBLE) / n_values)) * 1e6 + 0.5) / 1e6
+               AS var_val,
+           min_val, max_val
+    FROM agg ORDER BY dim
+"""
 
 # ABC/Pareto: revenue on the integer 1e-4 grid end-to-end; the 80/95
 # class cut-offs are exact integer cross-multiplications, never shares

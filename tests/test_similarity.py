@@ -192,3 +192,19 @@ def test_label_centroid_dispersion_golden(spark):
     assert rows[0].n_vecs == 2
     assert rows[0].avg_dist == round(d, 6) and rows[0].max_dist == round(d, 6)
     assert (rows[1].n_vecs, rows[1].avg_dist, rows[1].max_dist) == (1, 0.0, 0.0)
+
+
+def test_dimension_stats_exact_moments(spark):
+    from parcial_bigdata_spark.operators.similarity import dimension_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 10.0], 0), (2, [2.0, 10.0], 0), (3, [3.0, 10.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.dim: r for r in dimension_stats(emb).collect()}
+    d1, d2 = out[1], out[2]
+    # dim 1: mean 2, population var ((1+4+9)/3 - 4) = 2/3 -> 0.666667
+    assert (d1.n_values, d1.mean_val, d1.min_val, d1.max_val) == (3, 2.0, 1.0, 3.0)
+    assert d1.var_val == 0.666667
+    # constant dimension: zero variance (the collapse diagnostic)
+    assert (d2.mean_val, d2.var_val) == (10.0, 0.0)
