@@ -807,6 +807,8 @@ _NEW_OPS_R8 = [
     "integrity_functional_deps",
     "streaming_hourly_ohlc",
     "embedding_dim_stats",
+    "multimodal_wav_frame_features",
+    "events_user_entropy",
 ]
 
 

@@ -854,3 +854,41 @@ def activity_streaks(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def user_behavior_entropy(events: DataFrame) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix
+    (`events_user_entropy`) — the behavioral-diversity score: 0 for a
+    single-action user, ln(k) for a uniform k-way mix; the feature
+    that separates bots (degenerate mixes) from organic users.
+
+    Determinism with logs: H = ln(n) − (Σ c·ln c)/n where every c is an
+    exact count, and the Σ folds SEQUENTIALLY over the per-user count
+    array sorted by event type — a fixed evaluation order both engines
+    share, so the only cross-engine surface is ln itself (agreeing far
+    below the round-4 output edge, the word-entropy precedent).
+
+    Scale: one (user, type) count groupBy, one user-keyed collect of a
+    ≤|event types| array, row-local fold — never a per-event log."""
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.array_sort(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("__cs"),
+    )
+    sum_clnc = F.aggregate(
+        "__cs",
+        F.lit(0.0),
+        lambda acc, s: acc + s["c"].cast("double") * F.log(s["c"].cast("double")),
+    )
+    n = F.col("n_events").cast("double")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(F.log(n) - sum_clnc / n, 4).alias("entropy"),
+    ).orderBy("user_id")

@@ -1292,6 +1292,19 @@ def q_group_kfold(spark, sf_dir):
     return sample_ops.group_kfold(_t(spark, sf_dir, "events"))
 
 
+def q_wav_frame_features(spark, sf_dir):
+    # frame-level audio features (energy, zero crossings) over REAL
+    # PCM16 decode — integer-exact, every frame pinned by the synth
+    # closed form
+    return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
+
+
+def q_user_entropy(spark, sf_dir):
+    # behavioral-diversity entropy per user: sequential fold over the
+    # type-sorted count array (fixed evaluation order on both engines)
+    return ana_ops.user_behavior_entropy(_t(spark, sf_dir, "events"))
+
+
 def q_dim_stats(spark, sf_dir):
     # per-dimension whitening profile: exact-decimal moment sums (order-
     # insensitive), fixed IEEE op sequence shared with the oracle
@@ -1545,6 +1558,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "integrity_functional_deps": q_functional_deps,
     "streaming_hourly_ohlc": q_streaming_ohlc,
     "embedding_dim_stats": q_dim_stats,
+    "multimodal_wav_frame_features": q_wav_frame_features,
+    "events_user_entropy": q_user_entropy,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1580,6 +1595,8 @@ INTRODUCED_ROUND = {
     "integrity_functional_deps": 10,
     "streaming_hourly_ohlc": 10,
     "embedding_dim_stats": 10,
+    "multimodal_wav_frame_features": 10,
+    "events_user_entropy": 10,
 }
 
 
@@ -1607,21 +1624,23 @@ INTRODUCED_ROUND = {
 # the window family, the join shapes, grouping-sets/rollup/cube/pivot/
 # percentiles, multimodal image pair, kNN family, BPE/BM25, MERGE/SCD-2.
 #
-# r11 rotation note: the r11 window is nearly forced by the budget —
-# (a) the REMAINING r7 set hits age 4 and MUST take slots
+# r11 rotation note (budget math, enforced by tests/test_staleness.py):
+# (a) the REMAINING r7 set hits age 4 and MUST take r11 slots
 # (dedup_embedding_cosine, dedup_cross_split_contamination,
 # dedup_ngram_decontaminate, knn_cosine_brute_force,
 # embedding_kmeans_train, multimodal_frame_sample,
 # sample_leakage_safe_split, text_word_pairs, dedup_component_survivors,
 # snapshot_diff_orders, text fingerprint/top-words/pass-rates/gopher/
 # repetition/PII, sample split/pack/epoch/temperature — 20 queries);
-# (b) every round-10-introduced query (INTRODUCED_ROUND below — the
-# bucketed CDC run, PNG pixel decode, RFM, gram coverage, Zipf,
-# sentence stats, quantization, dispersion, trimmed means, quantile
-# normalize, negative pairs, expectations gate — 12 queries) must take
-# its first slot (tests/test_staleness.py enforces both).  With parity
-# core (4) + the every-round real streaming run (1) that fills 37 of
-# 50; the rest go to the then-stalest r8 TPC-H/window entries.
+# (b) the 26 round-10-introduced queries (INTRODUCED_ROUND below) age
+# out at r13, so they do NOT all fit in r11 — with parity core (4) +
+# the every-round real streaming run (1) + the forced r7 set (20),
+# 25 slots remain: spend them burning down the introduction backlog
+# (prioritize the real-run streaming entries — bucketed CDC, streaming
+# OHLC — and the distributed_rank consumers), and push the remainder
+# plus the stalest r8 TPC-H/window entries to r12/r13.  The r8 block
+# (last slotted r8) itself ages out at r12, so r12 is effectively the
+# TPC-H/window re-certification round.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -4919,6 +4938,65 @@ ORACLES["sample_temporal_split"] = """
 # the streaming OHLC twin converges to the batch bars exactly on a
 # bounded replay — one oracle serves both
 ORACLES["streaming_hourly_ohlc"] = ORACLES["events_hourly_ohlc"]
+
+# frame-level audio features: the synthesized sample at index i is the
+# int16 two's-complement of (doc_id*13 + i*7) % 65536, so every frame's
+# energy / zero-crossing count recomputes from pure arithmetic — the
+# Spark side must produce them through a GENUINE wave-module decode
+ORACLES["multimodal_wav_frame_features"] = """
+    WITH params AS (
+        SELECT doc_id AS media_id, 64 + doc_id % 128 AS n FROM documents
+    ),
+    frames AS (
+        SELECT media_id, unnest(range(0, n // 32)) AS frame_idx FROM params
+    ),
+    samp AS (
+        SELECT media_id, frame_idx,
+               unnest(range(frame_idx * 32, frame_idx * 32 + 32)) AS i
+        FROM frames
+    ),
+    vals AS (
+        SELECT media_id, frame_idx, i,
+               CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS v,
+               CASE WHEN m2 >= 32768 THEN m2 - 65536 ELSE m2 END AS v_next
+        FROM (
+            SELECT media_id, frame_idx, i,
+                   (media_id * 13 + i * 7) % 65536 AS m,
+                   (media_id * 13 + (i + 1) * 7) % 65536 AS m2
+            FROM samp
+        )
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           32 AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN (i % 32) < 31 AND v * v_next < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+    FROM vals
+    GROUP BY media_id, frame_idx
+    ORDER BY media_id, frame_idx
+"""
+
+# behavioral entropy: H = ln(n) - (sum c*ln c)/n folded SEQUENTIALLY
+# over the type-sorted count list — the same fixed evaluation order as
+# the Spark aggregate()
+ORACLES["events_user_entropy"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+               count(*) AS n_types,
+               list(CAST(c AS DOUBLE) ORDER BY event_type) AS cs
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(ln(CAST(n_events AS DOUBLE))
+                 - list_sum(list_transform(cs, x -> x * ln(x)))
+                   / CAST(n_events AS DOUBLE), 4) AS entropy
+    FROM u ORDER BY user_id
+"""
 
 # per-dimension moments: values round onto the 1e-18 decimal grid first
 # (exact decimal sums are order-insensitive), then mean/var come out of

@@ -520,3 +520,19 @@ def test_activity_streaks_gaps_and_islands(spark):
     out = {r.user_id: r for r in analytics.activity_streaks(ev).collect()}
     assert (out[1].n_active_days, out[1].n_streaks, out[1].longest_streak) == (5, 2, 3)
     assert (out[2].n_active_days, out[2].n_streaks, out[2].longest_streak) == (1, 1, 1)
+
+
+def test_user_behavior_entropy_golden(spark):
+    import math
+
+    d = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    ev = _ev(spark, [
+        # user 1: uniform 2-way mix of 4 events -> ln(2)
+        (d(1), 1, "a"), (d(2), 1, "a"), (d(3), 1, "b"), (d(4), 1, "b"),
+        # user 2: degenerate single-type -> 0
+        (d(1), 2, "a"), (d(2), 2, "a"),
+    ])
+    out = {r.user_id: r for r in analytics.user_behavior_entropy(ev).collect()}
+    assert (out[1].n_events, out[1].n_types) == (4, 2)
+    assert out[1].entropy == round(math.log(2), 4)
+    assert (out[2].n_types, out[2].entropy) == (1, 0.0)

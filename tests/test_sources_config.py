@@ -880,3 +880,39 @@ def test_decode_media_overwide_headers_fall_through(spark):
         mm.decode_media(
             media.where("media_id = 1"), use_fake_decode=False
         ).collect()
+
+
+def test_wav_frame_features_match_synth_arithmetic(spark, documents):
+    """Frame-level features must equal the synthesis closed form
+    recomputed in Python — through a GENUINE wave-module decode."""
+    from parcial_bigdata_spark.operators.multimodal import wav_frame_features
+
+    rows = wav_frame_features(documents).collect()
+    doc_ids = [r.doc_id for r in documents.select("doc_id").collect()]
+    expected = {}
+    for d in doc_ids:
+        n = 64 + d % 128
+        vals = [
+            m - 65536 if (m := (d * 13 + i * 7) % 65536) >= 32768 else m
+            for i in range(n)
+        ]
+        for f in range(n // 32):
+            fr = vals[f * 32 : (f + 1) * 32]
+            zc = sum(1 for a, b in zip(fr, fr[1:]) if a * b < 0)
+            expected[(d, f)] = (
+                sum(fr), sum(v * v for v in fr), zc,
+            )
+    assert len(rows) == len(expected)
+    for r in rows:
+        exp = expected[(r.media_id, r.frame_idx)]
+        assert (r.sum_amp, r.sum_sq, r.n_zero_cross) == exp
+        assert r.n_samples == 32
+
+
+def test_wav_frame_features_rejects_tiny_frame(spark, documents):
+    import pytest as _pytest
+
+    from parcial_bigdata_spark.operators.multimodal import wav_frame_features
+
+    with _pytest.raises(ValueError, match="frame"):
+        wav_frame_features(documents, frame=1)
