@@ -569,3 +569,77 @@ def test_media_header_decoders_total_on_magic_prefixed_bytes(payload, fmt_seed):
         if meta is not None:
             assert meta["channels"] is None or meta["channels"] >= 1
             assert meta["bit_depth"] is None or meta["bit_depth"] >= 1
+
+
+@given(docs=doc_corpus(), min_count=st.integers(min_value=1, max_value=12))
+@settings(**_SETTINGS)
+def test_heavy_hitters_equals_naive_filter(spark, docs, min_count):
+    """The two-pass candidate prune must be LOSSLESS for any corpus and
+    threshold (weighted pigeonhole), under forced tiny Arrow batches."""
+    from collections import Counter
+
+    from parcial_bigdata_spark.operators.text import heavy_hitters
+
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        got = {
+            (r.word, r.n_occurrences)
+            for r in heavy_hitters(df, min_count).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    truth = Counter(w for _, text, *_ in docs for w in text.split(" ") if w)
+    expected = {(w, c) for w, c in truth.items() if c >= min_count}
+    assert got == expected
+
+
+@st.composite
+def user_day_sets(draw):
+    n_users = draw(st.integers(min_value=1, max_value=4))
+    out = []
+    eid = 0
+    for u in range(n_users):
+        days = draw(
+            st.sets(st.integers(min_value=1, max_value=20), min_size=1, max_size=12)
+        )
+        for d in days:
+            # duplicate some days to prove intra-day multiplicity is inert
+            for _ in range(draw(st.integers(min_value=1, max_value=2))):
+                out.append((eid, dt.datetime(2024, 1, d), u, "a", 0.0, "{}"))
+                eid += 1
+    return out
+
+
+@given(rows=user_day_sets())
+@settings(**_SETTINGS)
+def test_activity_streaks_match_python_reference(spark, rows):
+    from parcial_bigdata_spark.operators import analytics
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r.user_id: (r.n_active_days, r.n_streaks, r.longest_streak)
+        for r in analytics.activity_streaks(df).collect()
+    }
+    by_user: dict[int, set[int]] = {}
+    for _, ts, u, *_ in rows:
+        by_user.setdefault(u, set()).add(ts.day)
+    expected = {}
+    for u, days in by_user.items():
+        ds = sorted(days)
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        expected[u] = (len(ds), len(runs), max(runs))
+    assert got == expected
