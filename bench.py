@@ -809,6 +809,7 @@ _NEW_OPS_R8 = [
     "embedding_dim_stats",
     "multimodal_wav_frame_features",
     "events_user_entropy",
+    "multimodal_bmp_resize",
 ]
 
 

@@ -1245,3 +1245,73 @@ def wav_frame_features(documents: DataFrame, frame: int = 32) -> DataFrame:
     return corpus.mapInPandas(batches, FRAME_FEATURE_SCHEMA).orderBy(
         "media_id", "frame_idx"
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, in_width int, in_height int, out_width int, "
+    "out_height int, sum_b long, sum_g long, sum_r long, "
+    "min_byte int, max_byte int"
+)
+
+
+def bmp_resized_summary(documents: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image RESIZE over genuine BMP pixel arrays
+    (`multimodal_bmp_resize`): nearest-neighbor downsample by
+    ``factor`` (keep every factor-th row and column of the decoded
+    grid — the thumbnail/preview path of an image pipeline), then
+    per-channel sums and byte extrema of the RESIZED image.
+
+    The clips synthesize via :func:`synth_bmp_pixel_corpus`, whose
+    pixel byte at (x, y, c) is the closed form
+    ``(doc_id + 3x + 5y + 11c) % 256`` — so the oracle recomputes every
+    post-resize statistic from arithmetic over the sampled (even-x,
+    even-y) grid, pinning the decode → stride-unpack → subsample chain
+    end-to-end.  Row order is file order and all statistics are
+    orientation-free, so bottom-up storage is irrelevant.
+
+    Scale: one mapInPandas stage (stdlib struct + numpy slicing —
+    ``grid[::f, ::f]`` is a view, no copy), zero shuffles before the
+    ordered output."""
+    if factor < 1:
+        raise ValueError("bmp_resized_summary: factor must be >= 1")
+    corpus = synth_bmp_pixel_corpus(documents)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        rows_out = []
+        for pdf in it:
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content)
+                (offset,) = struct.unpack("<I", blob[10:14])
+                w, h = struct.unpack("<ii", blob[18:26])
+                stride = (w * 3 + 3) & ~3
+                grid = (
+                    np.frombuffer(
+                        blob, dtype=np.uint8, count=stride * h, offset=offset
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)
+                )
+                small = grid[::factor, ::factor, :].astype(np.int64)
+                rows_out.append(
+                    (
+                        int(mid), w, h, small.shape[1], small.shape[0],
+                        int(small[:, :, 0].sum()), int(small[:, :, 1].sum()),
+                        int(small[:, :, 2].sum()),
+                        int(small.min()), int(small.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows_out,
+                columns=[
+                    "media_id", "in_width", "in_height", "out_width",
+                    "out_height", "sum_b", "sum_g", "sum_r",
+                    "min_byte", "max_byte",
+                ],
+            )
+            rows_out = []
+
+    return corpus.mapInPandas(batches, RESIZE_SCHEMA).orderBy("media_id")

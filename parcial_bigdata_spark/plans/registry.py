@@ -1299,6 +1299,12 @@ def q_wav_frame_features(spark, sf_dir):
     return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
 
 
+def q_bmp_resize(spark, sf_dir):
+    # REAL nearest-neighbor resize over genuine BMP pixel arrays;
+    # post-resize channel stats pinned by the synthesis closed form
+    return mm_ops.bmp_resized_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_user_entropy(spark, sf_dir):
     # behavioral-diversity entropy per user: sequential fold over the
     # type-sorted count array (fixed evaluation order on both engines)
@@ -1560,6 +1566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_stats": q_dim_stats,
     "multimodal_wav_frame_features": q_wav_frame_features,
     "events_user_entropy": q_user_entropy,
+    "multimodal_bmp_resize": q_bmp_resize,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1597,6 +1604,7 @@ INTRODUCED_ROUND = {
     "embedding_dim_stats": 10,
     "multimodal_wav_frame_features": 10,
     "events_user_entropy": 10,
+    "multimodal_bmp_resize": 10,
 }
 
 
@@ -4975,6 +4983,41 @@ ORACLES["multimodal_wav_frame_features"] = """
     FROM vals
     GROUP BY media_id, frame_idx
     ORDER BY media_id, frame_idx
+"""
+
+# real BMP resize: the pixel byte at (x, y, c) is
+# (doc_id + 3x + 5y + 11c) % 256, so every post-resize statistic
+# recomputes from arithmetic over the sampled even-x/even-y grid
+ORACLES["multimodal_bmp_resize"] = """
+    WITH p AS (
+        SELECT doc_id AS media_id, 4 + doc_id % 12 AS w,
+               4 + (doc_id * 7) % 8 AS h
+        FROM documents
+    ),
+    xs AS MATERIALIZED (
+        SELECT media_id, w, h, unnest(range(0, w, 2)) AS x FROM p
+    ),
+    g AS MATERIALIZED (
+        SELECT media_id, w, h, x, unnest(range(0, h, 2)) AS y FROM xs
+    ),
+    v AS (
+        SELECT media_id, w, h,
+               (media_id + 3 * x + 5 * y) % 256 AS b,
+               (media_id + 3 * x + 5 * y + 11) % 256 AS gg,
+               (media_id + 3 * x + 5 * y + 22) % 256 AS r
+        FROM g
+    )
+    SELECT media_id,
+           CAST(max(w) AS INT) AS in_width,
+           CAST(max(h) AS INT) AS in_height,
+           CAST((max(w) + 1) // 2 AS INT) AS out_width,
+           CAST((max(h) + 1) // 2 AS INT) AS out_height,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(gg) AS BIGINT) AS sum_g,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
+           CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
+    FROM v GROUP BY media_id ORDER BY media_id
 """
 
 # behavioral entropy: H = ln(n) - (sum c*ln c)/n folded SEQUENTIALLY

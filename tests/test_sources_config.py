@@ -916,3 +916,39 @@ def test_wav_frame_features_rejects_tiny_frame(spark, documents):
 
     with _pytest.raises(ValueError, match="frame"):
         wav_frame_features(documents, frame=1)
+
+
+def test_bmp_resize_matches_synth_arithmetic(spark, documents):
+    """Post-resize channel sums must equal the closed form over the
+    even-x/even-y sampled grid — through a genuine BMP decode."""
+    from parcial_bigdata_spark.operators.multimodal import bmp_resized_summary
+
+    rows = {r.media_id: r for r in bmp_resized_summary(documents).collect()}
+    for d in (r.doc_id for r in documents.select("doc_id").collect()):
+        w, h = 4 + d % 12, 4 + (d * 7) % 8
+        grid = [
+            (d + 3 * x + 5 * y) % 256
+            for y in range(0, h, 2)
+            for x in range(0, w, 2)
+        ]
+        r = rows[d]
+        assert (r.in_width, r.in_height) == (w, h)
+        assert (r.out_width, r.out_height) == ((w + 1) // 2, (h + 1) // 2)
+        assert r.sum_b == sum(grid)
+        assert r.sum_g == sum((v + 11) % 256 for v in grid)
+        assert r.sum_r == sum((v + 22) % 256 for v in grid)
+
+
+def test_bmp_resize_factor_one_is_identity_scale(spark, documents):
+    from parcial_bigdata_spark.operators.multimodal import (
+        bmp_pixel_summary,
+        bmp_resized_summary,
+    )
+
+    full = {r.media_id: r for r in bmp_pixel_summary(documents).collect()}
+    same = {r.media_id: r for r in bmp_resized_summary(documents, 1).collect()}
+    for mid, r in same.items():
+        assert (r.out_width, r.out_height) == (r.in_width, r.in_height)
+        assert r.sum_b + r.sum_g + r.sum_r == (
+            full[mid].sum_b + full[mid].sum_g + full[mid].sum_r
+        )
