@@ -700,6 +700,11 @@ def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
     grid built from the 1-row global bounds aggregate and the distinct
     type list; target days past the span are clipped so every reported
     day aggregates a fully-defined trailing window."""
+    if not isinstance(window_days, int) or window_days < 1:
+        raise ValueError(
+            f"sliding_distinct_users: window_days must be a positive "
+            f"int, got {window_days!r}"
+        )
     day = F.date_trunc("day", F.col("ts"))
     pairs = events.select(
         "event_type", day.alias("day"), "user_id"

@@ -536,3 +536,10 @@ def test_user_behavior_entropy_golden(spark):
     assert (out[1].n_events, out[1].n_types) == (4, 2)
     assert out[1].entropy == round(math.log(2), 4)
     assert (out[2].n_types, out[2].entropy) == (1, 0.0)
+
+
+def test_sliding_distinct_users_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_days"):
+        analytics.sliding_distinct_users(spark.range(1), window_days=0)
