@@ -810,6 +810,7 @@ _NEW_OPS_R8 = [
     "multimodal_wav_frame_features",
     "events_user_entropy",
     "multimodal_bmp_resize",
+    "streaming_running_zscore",
 ]
 
 

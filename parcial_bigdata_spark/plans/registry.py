@@ -1299,6 +1299,24 @@ def q_wav_frame_features(spark, sf_dir):
     return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
 
 
+def q_streaming_zscore(spark, sf_dir):
+    """Ninth real-streaming oracle query — and the second CUSTOM
+    STATEFUL operator (applyInPandasWithState) with a hard oracle:
+    per-event prefix z-score anomaly flags; the exact-integer decision
+    rule makes the stateful emission hash-match the batch prefix-window
+    SQL on a bounded replay."""
+    import os
+
+    from parcial_bigdata_spark.streaming.stateful import (
+        running_zscore_available_now,
+    )
+
+    tune_runtime(spark)
+    return running_zscore_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_bmp_resize(spark, sf_dir):
     # REAL nearest-neighbor resize over genuine BMP pixel arrays;
     # post-resize channel stats pinned by the synthesis closed form
@@ -1567,6 +1585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_wav_frame_features": q_wav_frame_features,
     "events_user_entropy": q_user_entropy,
     "multimodal_bmp_resize": q_bmp_resize,
+    "streaming_running_zscore": q_streaming_zscore,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1605,6 +1624,7 @@ INTRODUCED_ROUND = {
     "multimodal_wav_frame_features": 10,
     "events_user_entropy": 10,
     "multimodal_bmp_resize": 10,
+    "streaming_running_zscore": 10,
 }
 
 
@@ -4983,6 +5003,36 @@ ORACLES["multimodal_wav_frame_features"] = """
     FROM vals
     GROUP BY media_id, frame_idx
     ORDER BY media_id, frame_idx
+"""
+
+# stateful streaming prefix z-score: the oracle is the batch window
+# formulation — strictly-earlier moments per (ts, event_id) order,
+# same exact-integer predicate (HUGEINT here, python ints in the state
+# transition), so the stateful emission hash-matches on bounded replay
+ORACLES["streaming_running_zscore"] = """
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events
+    ),
+    p AS (
+        SELECT user_id, event_id, v,
+               count(*) OVER w AS n,
+               CAST(coalesce(sum(v) OVER w, 0) AS BIGINT) AS s,
+               CAST(coalesce(sum(v * v) OVER w, 0) AS BIGINT) AS q
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_prior,
+           CAST(n >= 3 AS INT) AS scored,
+           CAST(CASE WHEN n >= 3 AND
+                (CAST(n AS HUGEINT) * v - s) * (CAST(n AS HUGEINT) * v - s)
+                    * (n - 1)
+                > 9 * CAST(n AS HUGEINT)
+                    * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+                THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM p ORDER BY user_id, event_id
 """
 
 # real BMP resize: the pixel byte at (x, y, c) is

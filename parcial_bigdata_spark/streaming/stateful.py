@@ -14,6 +14,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
@@ -54,3 +55,107 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, n_prior long, scored int, is_outlier int"
+)
+ZSCORE_STATE_SCHEMA = "n long, s long, q long"
+_Z2 = 9  # z = 3, squared — matches the batch outlier gate
+
+
+def _update_running_zscore(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event PREFIX z-score against the user's history so far —
+    the real-time anomaly gate.  The decision predicate is the same
+    division/sqrt-cleared EXACT integer rule as the batch
+    ``value_outliers_exact``:
+
+        (n·v − S)² · (n−1)  >  z² · n · (n·Q − S²)
+
+    over cents-grid ints, with (n, S, Q) the moments of STRICTLY
+    EARLIER events (an event never scores against itself; n ≥ 3
+    required).  State is three int64 counters per user — fixed width,
+    no row buffering.  Prefix arrays vectorize via numpy cumsum; the
+    comparison itself runs in Python ints because its terms reach
+    ~1e22 (exactness demands arbitrary precision — numpy int64 would
+    silently wrap), a per-event cost only the emitted decision pays."""
+    import numpy as np
+
+    (user_id,) = key
+    n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["v_cents"].to_numpy(dtype=np.int64)
+        cs = np.concatenate(([0], np.cumsum(v)[:-1]))
+        cq = np.concatenate(([0], np.cumsum(v * v)[:-1]))
+        ns = n0 + np.arange(len(v), dtype=np.int64)
+        ss = s0 + cs
+        qs = q0 + cq
+        flags = []
+        for n_i, s_i, q_i, v_i in zip(
+            ns.tolist(), ss.tolist(), qs.tolist(), v.tolist()
+        ):
+            if n_i < 3:
+                flags.append(0)
+                continue
+            lhs = (n_i * v_i - s_i) ** 2 * (n_i - 1)
+            rhs = _Z2 * n_i * (n_i * q_i - s_i * s_i)
+            flags.append(1 if lhs > rhs else 0)
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "n_prior": ns,
+                "scored": (ns >= 3).astype("int32"),
+                "is_outlier": pd.array(flags, dtype="int32"),
+            }
+        )
+        if len(v):
+            n0 = int(ns[-1]) + 1
+            s0 = int(ss[-1]) + int(v[-1])
+            q0 = int(qs[-1]) + int(v[-1]) * int(v[-1])
+    state.update((n0, s0, q0))
+
+
+def streaming_running_zscore(events: DataFrame) -> DataFrame:
+    """Stateful streaming anomaly detector: per-event prefix z-score
+    flags via ``applyInPandasWithState``.  The cents column is computed
+    by SPARK expressions before the Python stage (the engine-proven
+    double→decimal(18,2) cast), so the Python transition never
+    re-derives rounding.  On an event-time-ordered bounded replay (one
+    AvailableNow batch per user) the emitted rows equal the batch
+    window formulation exactly — the SQL oracle."""
+    with_cents = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v_cents"),
+    )
+    return with_cents.groupBy("user_id").applyInPandasWithState(
+        _update_running_zscore,
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_zscore_available_now(spark, events_parquet: str) -> DataFrame:
+    """streaming_running_zscore under AvailableNow (append-mode memory
+    sink): the bounded single-batch replay sorts each user's events by
+    (ts, event_id) inside the state transition, so the emitted
+    per-event decisions equal the batch prefix-window formulation —
+    its SQL oracle."""
+    from parcial_bigdata_spark.streaming.windows import _run_available_now
+
+    return _run_available_now(
+        spark,
+        events_parquet,
+        streaming_running_zscore,
+        "stream_running_zscore_result",
+        output_mode="append",
+    ).orderBy("user_id", "event_id")

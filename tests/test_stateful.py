@@ -60,3 +60,45 @@ def test_streaming_user_totals_accumulate(spark, tmp_path):
     assert b1[1].n_events == 3 and b1[1].total_value == 42.0 and b1[1].max_value == 30.0
     # update mode: untouched user 2 emits nothing in batch 1
     assert 2 not in b1
+
+
+def test_running_zscore_prefix_rule_golden(spark, tmp_path):
+    """Hand-checked prefix decisions through the REAL streaming path:
+    events score only against strictly-earlier history (n >= 3), and a
+    zero-variance history flags any deviating value."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.streaming.stateful import (
+        running_zscore_available_now,
+    )
+
+    rows = [
+        # user 1: three identical values then a spike — zero-variance
+        # history, the spike must flag
+        (1, dt.datetime(2024, 1, 1, 0), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 1), 1, "a", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 2), 1, "a", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 3), 1, "a", 100.0, "{}"),
+        # user 2: mild continuation — scored but not flagged
+        (5, dt.datetime(2024, 1, 1, 0), 2, "a", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 1), 2, "a", 2.0, "{}"),
+        (7, dt.datetime(2024, 1, 1, 2), 2, "a", 3.0, "{}"),
+        (8, dt.datetime(2024, 1, 1, 3), 2, "a", 2.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    out = {
+        r.event_id: (r.n_prior, r.scored, r.is_outlier)
+        for r in running_zscore_available_now(spark, path).collect()
+    }
+    assert len(out) == 8
+    # first three events of each user have insufficient history
+    for eid in (1, 2, 3, 5, 6, 7):
+        assert out[eid][1] == 0 and out[eid][2] == 0
+    assert out[4] == (3, 1, 1)   # spike against zero-variance history
+    assert out[8] == (3, 1, 0)   # 2.5 after [1,2,3]: inside 3 sigma
