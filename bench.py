@@ -811,6 +811,8 @@ _NEW_OPS_R8 = [
     "events_user_entropy",
     "multimodal_bmp_resize",
     "streaming_running_zscore",
+    "embedding_pair_cosine_hist",
+    "sample_undersample_balance",
 ]
 
 

@@ -555,3 +555,38 @@ def group_kfold(events: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+def undersample_balance(documents: DataFrame) -> DataFrame:
+    """Class-balancing UNDERSAMPLER summary (`sample_undersample_balance`):
+    cap every language at the size of the SMALLEST language class,
+    drawing deterministically by md5 order — the classifier-training
+    rebalance that throws away majority-class excess instead of
+    duplicating minority rows (its oversampling sibling is
+    ``epoch_repeat``).
+
+    The per-class keep list is the md5-ranked prefix (stable under
+    reruns and arrival order, WindowGroupLimit prunes the rank
+    map-side); the min-class size is a 1-row broadcast aggregate.
+    Output is the per-class accounting: kept counts are exactly equal
+    across classes by construction."""
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    floor_n = counts.agg(F.min("__n").alias("__m"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = documents.select(
+        "lang", "n_chars", F.row_number().over(w).alias("__rn")
+    ).crossJoin(F.broadcast(floor_n))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__rn") <= F.col("__m")).cast("long")).alias("n_kept"),
+            F.sum((F.col("__rn") > F.col("__m")).cast("long")).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("__rn") <= F.col("__m"), F.col("n_chars"))
+            ).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )

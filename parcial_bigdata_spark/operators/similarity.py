@@ -496,3 +496,73 @@ def dimension_stats(embeddings: DataFrame) -> DataFrame:
         "min_val",
         "max_val",
     ).orderBy("dim")
+
+
+def pair_cosine_histogram(embeddings: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Corpus isotropy diagnostic (`embedding_pair_cosine_hist`): the
+    cosine distribution over a DETERMINISTIC random pairing of the
+    corpus — anisotropic embedding spaces (everything similar to
+    everything, the known transformer pathology) show the histogram
+    mass piled far from 0, which breaks cosine-threshold dedup and
+    IVF recall assumptions alike.
+
+    The pairing is the md5 rank line (the `sample_negative_pairs`
+    convention): rank r ≤ ⌊n/2⌋ pairs with rank r + ⌊n/2⌋ — every
+    vector in at most one pair, a pure function of the corpus (an odd
+    trailing vector is dropped, visible as 2·n_pairs vs corpus size).
+    Ranks come from the skew-proof ``distributed_rank``; cosines round
+    at 6 digits (the embedding-oracle convention) BEFORE bucketing, so
+    bucket assignment is deterministic cross-engine.
+
+    Scale: two slim rank-equi joins carry ids only; payloads join back
+    once per side; the histogram is a ≤n_buckets-row aggregate."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    hashed = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    ranked = distributed_rank(hashed, "__h", "vec_id", out_col="__r")
+    half = ranked.agg((F.count(F.lit(1)) / 2).cast("long").alias("__half"))
+    a = ranked.crossJoin(F.broadcast(half)).where(F.col("__r") <= F.col("__half"))
+    b = ranked.crossJoin(F.broadcast(half)).where(
+        (F.col("__r") > F.col("__half")) & (F.col("__r") <= 2 * F.col("__half"))
+    )
+    pairs = a.select(
+        F.col("__r").alias("__k"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    ).join(
+        b.select(
+            (F.col("__r") - F.col("__half")).alias("__k"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+        ),
+        "__k",
+    )
+    cos = F.round(
+        cosine(
+            F.transform("emb_a", lambda x: x.cast("double")),
+            F.transform("emb_b", lambda x: x.cast("double")),
+        ),
+        6,
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor((cos + 1) * n_buckets / 2).cast("int"), F.lit(0)
+        ),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        pairs.select(bucket.alias("bucket"), cos.alias("__c"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("__c").alias("min_cos"),
+            F.max("__c").alias("max_cos"),
+        )
+        .orderBy("bucket")
+    )

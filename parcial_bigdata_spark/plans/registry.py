@@ -1299,6 +1299,17 @@ def q_wav_frame_features(spark, sf_dir):
     return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
 
 
+def q_pair_cosine_hist(spark, sf_dir):
+    # isotropy diagnostic: cosine histogram over the deterministic md5
+    # rank-line pairing; round-6 before bucketing pins the buckets
+    return sim_ops.pair_cosine_histogram(_t(spark, sf_dir, "embeddings"))
+
+
+def q_undersample_balance(spark, sf_dir):
+    # class-balancing undersampler accounting: min-class cap, md5 draw
+    return sample_ops.undersample_balance(_t(spark, sf_dir, "documents"))
+
+
 def q_streaming_zscore(spark, sf_dir):
     """Ninth real-streaming oracle query — and the second CUSTOM
     STATEFUL operator (applyInPandasWithState) with a hard oracle:
@@ -1586,6 +1597,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_entropy": q_user_entropy,
     "multimodal_bmp_resize": q_bmp_resize,
     "streaming_running_zscore": q_streaming_zscore,
+    "embedding_pair_cosine_hist": q_pair_cosine_hist,
+    "sample_undersample_balance": q_undersample_balance,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1625,6 +1638,8 @@ INTRODUCED_ROUND = {
     "events_user_entropy": 10,
     "multimodal_bmp_resize": 10,
     "streaming_running_zscore": 10,
+    "embedding_pair_cosine_hist": 10,
+    "sample_undersample_balance": 10,
 }
 
 
@@ -5003,6 +5018,55 @@ ORACLES["multimodal_wav_frame_features"] = """
     FROM vals
     GROUP BY media_id, frame_idx
     ORDER BY media_id, frame_idx
+"""
+
+# isotropy histogram: the md5 rank-line pairing is a pure function of
+# the corpus; cosines round at 6 BEFORE bucketing so the bucket edges
+# are deterministic cross-engine
+ORACLES["embedding_pair_cosine_hist"] = """
+    WITH ranked AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS
+                            VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS r,
+               count(*) OVER () // 2 AS half
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS c
+        FROM ranked a JOIN ranked b
+          ON b.r = a.r + a.half AND a.r <= a.half
+    )
+    SELECT bucket, count(*) AS n_pairs,
+           min(c) AS min_cos, max(c) AS max_cos
+    FROM (
+        SELECT c, CAST(least(greatest(floor((c + 1) * 5), 0), 9) AS INT)
+                   AS bucket
+        FROM pairs
+    )
+    GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLES["sample_undersample_balance"] = """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS m FROM counts),
+    ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn <= m.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rn > m.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN rn <= m.m THEN n_chars END) AS BIGINT)
+               AS kept_chars
+    FROM ranked, m GROUP BY lang ORDER BY lang
 """
 
 # stateful streaming prefix z-score: the oracle is the batch window

@@ -449,3 +449,19 @@ def test_abc_classes_exact_cutoffs(spark):
     assert (out["A"].n_parts, out["A"].class_revenue) == (1, 80.0)
     assert (out["B"].n_parts, out["B"].class_revenue) == (1, 15.0)
     assert (out["C"].n_parts, out["C"].class_revenue) == (1, 5.0)
+
+
+def test_undersample_balance_caps_at_min_class(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "w", 10), (2, "b", "en", "w", 20), (3, "c", "en", "w", 30),
+         (4, "d", "es", "w", 40),
+         (5, "e", "fr", "w", 50), (6, "f", "fr", "w", 60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.lang: r for r in sampling.undersample_balance(docs).collect()}
+    # min class (es) has 1 doc -> every language keeps exactly 1
+    assert all(r.n_kept == 1 for r in out.values())
+    assert (out["en"].n_docs, out["en"].n_dropped) == (3, 2)
+    assert (out["es"].n_docs, out["es"].n_dropped) == (1, 0)
+    # kept_chars is the chars of the md5-chosen survivor, not a mean
+    assert out["es"].kept_chars == 40

@@ -208,3 +208,31 @@ def test_dimension_stats_exact_moments(spark):
     assert d1.var_val == 0.666667
     # constant dimension: zero variance (the collapse diagnostic)
     assert (d2.mean_val, d2.var_val) == (10.0, 0.0)
+
+
+def test_pair_cosine_histogram_identical_vectors(spark):
+    from parcial_bigdata_spark.operators.similarity import (
+        pair_cosine_histogram,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], 0) for i in range(7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = pair_cosine_histogram(emb).collect()
+    # identical vectors: every pair lands in the top bucket at cos 1.0;
+    # odd corpus -> the trailing vector is dropped (3 pairs of 7)
+    assert [(r.bucket, r.n_pairs, r.min_cos, r.max_cos) for r in rows] == [
+        (9, 3, 1.0, 1.0)
+    ]
+
+
+def test_pair_cosine_histogram_buckets_partition_pairs(spark, embeddings):
+    from parcial_bigdata_spark.operators.similarity import (
+        pair_cosine_histogram,
+    )
+
+    n = embeddings.count()
+    rows = pair_cosine_histogram(embeddings).collect()
+    assert sum(r.n_pairs for r in rows) == n // 2
+    assert all(0 <= r.bucket <= 9 and r.min_cos <= r.max_cos for r in rows)
