@@ -813,6 +813,8 @@ _NEW_OPS_R8 = [
     "streaming_running_zscore",
     "embedding_pair_cosine_hist",
     "sample_undersample_balance",
+    "text_length_ks_drift",
+    "graph_degree_hist",
 ]
 
 

@@ -437,3 +437,38 @@ def bfs_hop_histogram(
         .select(F.lit(-1).alias("hop"), "n_nodes")
     )
     return hops.unionByName(unreached).orderBy("hop")
+
+
+def degree_histogram(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Power-of-two degree histogram of an undirected graph
+    (`graph_degree_hist`) — the power-law / hub-structure readout that
+    decides whether the triangle orientation and LSH bucket caps have
+    heavy-tailed hubs to defend against.
+
+    Integer-exact end-to-end: degrees are exact counts over the
+    canonical undirected edge set, buckets are floor(log2(degree))
+    computed by BIT LENGTH arithmetic (no float log), and the summary
+    is a ≤64-row aggregate.  Two linear shuffles (degree groupBy,
+    bucket groupBy)."""
+    und = _canonical_undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # floor(log2(d)) without libm: d in [2^k, 2^(k+1)) writes with
+    # exactly k+1 binary digits, so the bucket is len(bin(d)) - 1
+    bucket = (F.length(F.conv(F.col("degree"), 10, 2)) - 1).cast("int")
+    return (
+        deg.select("degree", bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )

@@ -1167,3 +1167,59 @@ def heavy_hitters(documents: DataFrame, min_count: int = 500) -> DataFrame:
         .where(F.col("n_occurrences") >= min_count)
         .orderBy("word")
     )
+
+
+def length_ks_drift(documents: DataFrame) -> DataFrame:
+    """Kolmogorov–Smirnov drift of the DOCUMENT-LENGTH distribution
+    between the corpus halves (`text_length_ks_drift`) — the companion
+    of the chi-square WORD drift: a new crawl whose documents got
+    systematically shorter shifts the length CDF long before any
+    single word flags.
+
+    EXACT KS: with n_a/n_b corpus sizes and cum_a/cum_b the cumulative
+    counts at each observed length, D = max |cum_a/n_a − cum_b/n_b| is
+    ranked by the INTEGER |cum_a·n_b − cum_b·n_a| (the common n_a·n_b
+    denominator is constant) — so the argmax length and the decision
+    are bit-deterministic; the reported D is one exact-integer
+    division at the edge.  Ties on the KS value break on the smaller
+    length.
+
+    Scale: one (length, half) count groupBy; the cumulative window
+    runs over the |distinct lengths|-row aggregate (the documented
+    post-aggregation unkeyed-window pattern)."""
+    from pyspark.sql.window import Window
+
+    half = (F.length("source") == 4).cast("int")
+    counts = documents.select(
+        F.col("n_chars").alias("len"), half.alias("__a")
+    ).groupBy("len").agg(
+        F.sum("__a").alias("ca"),
+        F.sum(1 - F.col("__a")).alias("cb"),
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "len",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wt).alias("n_a"),
+        F.sum("cb").over(wt).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    ranked = cum.select(
+        "len", "n_a", "n_b", gap.alias("__gap")
+    ).orderBy(F.col("__gap").desc(), F.col("len").asc()).limit(1)
+    return ranked.select(
+        F.col("len").alias("ks_at_length"),
+        "n_a",
+        "n_b",
+        (
+            F.col("__gap").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ).alias("ks_statistic"),
+    )

@@ -1299,6 +1299,18 @@ def q_wav_frame_features(spark, sf_dir):
     return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
 
 
+def q_length_ks_drift(spark, sf_dir):
+    # exact KS drift of the length CDF between corpus halves; argmax
+    # ranked by the integer cross-multiplied gap
+    return text_ops.length_ks_drift(_t(spark, sf_dir, "documents"))
+
+
+def q_degree_hist(spark, sf_dir):
+    # power-of-two degree histogram of the co-purchase graph; buckets
+    # by binary digit count, no float log
+    return graph_ops.degree_histogram(_copurchase_edges(spark, sf_dir))
+
+
 def q_pair_cosine_hist(spark, sf_dir):
     # isotropy diagnostic: cosine histogram over the deterministic md5
     # rank-line pairing; round-6 before bucketing pins the buckets
@@ -1599,6 +1611,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_running_zscore": q_streaming_zscore,
     "embedding_pair_cosine_hist": q_pair_cosine_hist,
     "sample_undersample_balance": q_undersample_balance,
+    "text_length_ks_drift": q_length_ks_drift,
+    "graph_degree_hist": q_degree_hist,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1640,6 +1654,8 @@ INTRODUCED_ROUND = {
     "streaming_running_zscore": 10,
     "embedding_pair_cosine_hist": 10,
     "sample_undersample_balance": 10,
+    "text_length_ks_drift": 10,
+    "graph_degree_hist": 10,
 }
 
 
@@ -5018,6 +5034,55 @@ ORACLES["multimodal_wav_frame_features"] = """
     FROM vals
     GROUP BY media_id, frame_idx
     ORDER BY media_id, frame_idx
+"""
+
+# exact KS: the argmax ranks by |cum_a*n_b - cum_b*n_a| (constant
+# denominator dropped) — integer-deterministic; D divides at the edge
+ORACLES["text_length_ks_drift"] = """
+    WITH counts AS (
+        SELECT n_chars AS len,
+               CAST(sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS cb
+        FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT len,
+               sum(ca) OVER (ORDER BY len
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_a,
+               sum(cb) OVER (ORDER BY len
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_b,
+               sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        FROM counts
+    ),
+    g AS (
+        SELECT len, n_a, n_b,
+               abs(CAST(cum_a AS HUGEINT) * n_b
+                   - CAST(cum_b AS HUGEINT) * n_a) AS gap
+        FROM cum
+    )
+    SELECT len AS ks_at_length, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(gap AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+               AS ks_statistic
+    FROM g ORDER BY gap DESC, len ASC LIMIT 1
+"""
+
+ORACLES["graph_degree_hist"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    d AS (SELECT node, count(*) AS degree
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          GROUP BY node)
+    SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_nodes,
+           min(degree) AS min_degree, max(degree) AS max_degree
+    FROM d GROUP BY 1 ORDER BY 1
 """
 
 # isotropy histogram: the md5 rank-line pairing is a pure function of

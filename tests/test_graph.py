@@ -211,3 +211,18 @@ def test_bfs_hop_histogram_direction_and_duplicates_ignored(spark):
     )
     out = {r.hop: r.n_nodes for r in bfs_hop_histogram(e).collect()}
     assert out == {0: 1, 1: 1, 2: 1, -1: 0}
+
+
+def test_degree_histogram_log2_buckets(spark):
+    from parcial_bigdata_spark.operators.graph import degree_histogram
+
+    # star: hub degree 5 (bucket 2), five leaves degree 1 (bucket 0);
+    # duplicate + reversed edges collapse
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 0), (0, 1)],
+        "src long, dst long",
+    )
+    out = {r.log2_bucket: r for r in degree_histogram(e).collect()}
+    assert (out[0].n_nodes, out[0].min_degree, out[0].max_degree) == (5, 1, 1)
+    assert (out[2].n_nodes, out[2].min_degree, out[2].max_degree) == (1, 5, 5)
+    assert set(out) == {0, 2}

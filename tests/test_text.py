@@ -577,3 +577,21 @@ def test_heavy_hitters_empty_corpus(spark):
     out = heavy_hitters(docs, 5)
     assert out.columns == ["word", "n_occurrences"]
     assert out.count() == 0
+
+
+def test_length_ks_drift_exact_argmax(spark):
+    from parcial_bigdata_spark.operators.text import length_ks_drift
+
+    # half A (srcA, len 4): lengths 1,2,3 ; half B: lengths 3,4,5
+    # CDF gaps x n_a*n_b=9: len1 |3-0|=3, len2 |6-0|=6, len3 |9-3|=6,
+    # len4 |9-6|=3, len5 0 -> argmax ties at 6, smaller length wins
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "srcA", 1), (2, "x", "en", "srcA", 2),
+         (3, "x", "en", "srcA", 3),
+         (4, "x", "en", "srcBB", 3), (5, "x", "en", "srcBB", 4),
+         (6, "x", "en", "srcBB", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    [r] = length_ks_drift(docs).collect()
+    assert (r.ks_at_length, r.n_a, r.n_b) == (2, 3, 3)
+    assert r.ks_statistic == 6 / 9
