@@ -82,6 +82,12 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # are its branch-duplicated <=32-row offset frames plus the
         # 1-row corpus count — never fact-sized
         "sample_negative_pairs": (5, 9),
+        # two global rank lines (a/b sides of the md5 pairing) — same
+        # offset-frame singles as the negative sampler
+        "embedding_pair_cosine_hist": (9, 12),
+        # union-of-endpoints degree agg carries the edge-build subtree
+        # twice (canonically identical — AQE stage-cache reuse)
+        "graph_degree_hist": (8, 0),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()
