@@ -815,6 +815,9 @@ _NEW_OPS_R8 = [
     "sample_undersample_balance",
     "text_length_ks_drift",
     "graph_degree_hist",
+    "text_vocab_growth",
+    "events_interarrival_hist",
+    "nation_supplier_hhi",
 ]
 
 

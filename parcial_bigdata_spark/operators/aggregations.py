@@ -728,3 +728,50 @@ def abc_revenue_classes(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+def nation_supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation
+    (`nation_supplier_hhi`): HHI = Σ share_i² of each supplier's
+    revenue share within its nation — the market-concentration /
+    single-source-risk readout (1/HHI is the effective supplier
+    count).
+
+    Exact: revenue rides the integer 1e-4 grid per supplier; the HHI
+    numerator Σ rev_i² and denominator (Σ rev_i)² are exact decimals,
+    and the reported double is ONE division of the two exact values —
+    the identical op sequence on both engines.  Suppliers aggregate
+    map-side on the supplier key; the |nations|-level rollup touches
+    |suppliers| rows; the dimension tables broadcast."""
+    rev_units = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        * 10000
+    ).cast("long")
+    per_supp = (
+        lineitem.select("l_suppkey", rev_units.alias("u"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("u").cast("decimal(38,0)").alias("rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        per_supp.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("rev") * F.col("rev")).alias("__num"),
+            F.sum("rev").alias("__tot"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            (
+                F.col("__num").cast("double")
+                / (F.col("__tot").cast("double") * F.col("__tot").cast("double"))
+            ).alias("hhi"),
+        )
+        .orderBy("n_name")
+    )

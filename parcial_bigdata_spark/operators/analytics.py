@@ -897,3 +897,34 @@ def user_behavior_entropy(events: DataFrame) -> DataFrame:
         "n_types",
         F.round(F.log(n) - sum_clnc / n, 4).alias("entropy"),
     ).orderBy("user_id")
+
+
+def interarrival_histogram(events: DataFrame) -> DataFrame:
+    """Power-of-two inter-arrival-time histogram per event type
+    (`events_interarrival_hist`) — the latency/cadence distribution a
+    monitoring stack reads before setting session gaps and watermark
+    delays.  Gaps are exact integer seconds from microsecond
+    arithmetic; buckets are the binary digit count of (gap_s + 1) — no
+    float log — so the histogram is bit-deterministic.
+
+    One user-keyed lag window (gaps are per USER within type, never
+    across users) + one small bucket aggregate."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = events.select(
+        "event_type",
+        ((us - F.lag(us, 1).over(w)) / 1_000_000).cast("long").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    bucket = (F.length(F.conv(F.col("gap_s") + 1, 10, 2)) - 1).cast("int")
+    return (
+        gaps.select("event_type", bucket.alias("log2_bucket"), "gap_s")
+        .groupBy("event_type", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type", "log2_bucket")
+    )

@@ -1223,3 +1223,69 @@ def length_ks_drift(documents: DataFrame) -> DataFrame:
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ).alias("ks_statistic"),
     )
+
+
+def vocab_growth_curve(documents: DataFrame, n_slices: int = 10) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (`text_vocab_growth`): distinct
+    vocabulary size as a function of corpus size, sampled at
+    ``n_slices`` deciles of a DETERMINISTIC md5 document ordering — the
+    corpus-health diagnostic that says whether more crawl keeps buying
+    new vocabulary (healthy sublinear growth) or the corpus has
+    degenerated into repetition (flat curve).
+
+    Exact and engine-portable: the document line is the md5 rank (the
+    sampling-family convention, via the skew-proof ``distributed_rank``);
+    a word's first appearance at doc rank m lands it in slice
+    ceil(S·m/n) — pure integer arithmetic — so new-word counts per
+    slice and their running sum are exact; token counts follow the
+    same slice rule.  One min-rank aggregate per word (map-side
+    combining), one |slices|-row cumulative window."""
+    from pyspark.sql.window import Window
+
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    hashed = documents.select(
+        "doc_id",
+        "text",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    ranked = distributed_rank(hashed, "__h", "doc_id", out_col="__r")
+    n_docs = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    with_slice = ranked.crossJoin(F.broadcast(n_docs)).select(
+        "text",
+        F.floor(
+            (F.lit(n_slices) * F.col("__r") + F.col("__n") - 1) / F.col("__n")
+        )
+        .cast("int")
+        .alias("slice"),
+    )
+    words_first = (
+        with_slice.select("slice", F.explode(words("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.min("slice").alias("first_slice"))
+        .groupBy("first_slice")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    tokens = with_slice.select(
+        "slice",
+        F.size(F.filter(words("text"), lambda w: w != "")).alias("__t"),
+    ).groupBy("slice").agg(F.sum("__t").alias("slice_tokens"))
+    w = Window.orderBy("slice").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens.join(
+            words_first.withColumnRenamed("first_slice", "slice"),
+            "slice",
+            "left",
+        )
+        .select(
+            "slice",
+            "slice_tokens",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .withColumn("cum_tokens", F.sum("slice_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("new_words").over(w))
+        .orderBy("slice")
+    )

@@ -1299,6 +1299,28 @@ def q_wav_frame_features(spark, sf_dir):
     return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab_growth(spark, sf_dir):
+    # Heaps'-law curve: md5 doc line, integer slice arithmetic, one
+    # min-slice aggregate per word
+    return text_ops.vocab_growth_curve(_t(spark, sf_dir, "documents"))
+
+
+def q_interarrival_hist(spark, sf_dir):
+    # power-of-two inter-arrival histogram per type: integer-second
+    # gaps, binary-digit buckets — the watermark/session-gap input
+    return ana_ops.interarrival_histogram(_t(spark, sf_dir, "events"))
+
+
+def q_supplier_hhi(spark, sf_dir):
+    # Herfindahl supplier concentration per nation: exact decimal
+    # sums of squared integer-grid revenue, one division at the edge
+    return agg_ops.nation_supplier_hhi(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def q_length_ks_drift(spark, sf_dir):
     # exact KS drift of the length CDF between corpus halves; argmax
     # ranked by the integer cross-multiplied gap
@@ -1613,6 +1635,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_undersample_balance": q_undersample_balance,
     "text_length_ks_drift": q_length_ks_drift,
     "graph_degree_hist": q_degree_hist,
+    "text_vocab_growth": q_vocab_growth,
+    "events_interarrival_hist": q_interarrival_hist,
+    "nation_supplier_hhi": q_supplier_hhi,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1656,6 +1681,9 @@ INTRODUCED_ROUND = {
     "sample_undersample_balance": 10,
     "text_length_ks_drift": 10,
     "graph_degree_hist": 10,
+    "text_vocab_growth": 10,
+    "events_interarrival_hist": 10,
+    "nation_supplier_hhi": 10,
 }
 
 
@@ -5034,6 +5062,81 @@ ORACLES["multimodal_wav_frame_features"] = """
     FROM vals
     GROUP BY media_id, frame_idx
     ORDER BY media_id, frame_idx
+"""
+
+# Heaps curve: slice = ceil(S*rank/n) in integer arithmetic; a word's
+# first slice is a min-aggregate — every count exact
+ORACLES["text_vocab_growth"] = """
+    WITH ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS
+                            VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS r,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    sliced AS (
+        SELECT text, CAST((10 * r + n - 1) // n AS INT) AS slice
+        FROM ranked
+    ),
+    wf AS (
+        SELECT word, min(slice) AS first_slice
+        FROM (SELECT slice, unnest(string_split(text, ' ')) AS word
+              FROM sliced)
+        WHERE word <> '' GROUP BY word
+    ),
+    nw AS (SELECT first_slice AS slice, count(*) AS new_words
+           FROM wf GROUP BY 1),
+    tok AS (
+        SELECT slice,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        w -> w <> ''))) AS BIGINT)
+                   AS slice_tokens
+        FROM sliced GROUP BY slice
+    )
+    SELECT t.slice, t.slice_tokens,
+           coalesce(nw.new_words, 0) AS new_words,
+           CAST(sum(t.slice_tokens) OVER (ORDER BY t.slice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY t.slice
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM tok t LEFT JOIN nw ON t.slice = nw.slice
+    ORDER BY t.slice
+"""
+
+ORACLES["events_interarrival_hist"] = """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id)) // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_s + 1)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_gaps,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["nation_supplier_hhi"] = """
+    WITH per AS (
+        SELECT s_nationkey,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                    AS HUGEINT) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY l_suppkey, s_nationkey
+    )
+    SELECT n_name, count(*) AS n_suppliers,
+           CAST(sum(rev * rev) AS DOUBLE)
+               / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+               AS hhi
+    FROM per JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
 """
 
 # exact KS: the argmax ranks by |cum_a*n_b - cum_b*n_a| (constant

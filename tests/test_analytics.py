@@ -543,3 +543,17 @@ def test_sliding_distinct_users_rejects_bad_window(spark):
 
     with _pytest.raises(ValueError, match="window_days"):
         analytics.sliding_distinct_users(spark.range(1), window_days=0)
+
+
+def test_interarrival_histogram_buckets(spark):
+    ev = _ev(spark, [
+        (dt.datetime(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (dt.datetime(2024, 1, 1, 0, 0, 1), 1, "a"),   # gap 1 -> bucket 1
+        (dt.datetime(2024, 1, 1, 0, 0, 8), 1, "a"),   # gap 7 -> bucket 3
+        (dt.datetime(2024, 1, 1, 0, 0, 8), 2, "a"),   # other user: no gap
+    ])
+    out = {
+        (r.event_type, r.log2_bucket): (r.n_gaps, r.min_gap_s, r.max_gap_s)
+        for r in analytics.interarrival_histogram(ev).collect()
+    }
+    assert out == {("a", 1): (1, 1, 1), ("a", 3): (1, 7, 7)}

@@ -465,3 +465,40 @@ def test_undersample_balance_caps_at_min_class(spark):
     assert (out["es"].n_docs, out["es"].n_dropped) == (1, 0)
     # kept_chars is the chars of the md5-chosen survivor, not a mean
     assert out["es"].kept_chars == 40
+
+
+def test_nation_supplier_hhi_monopoly_and_duopoly(spark):
+    import datetime as dt
+
+    from parcial_bigdata_spark.operators import aggregations
+
+    li = spark.createDataFrame(
+        [
+            # nation A: one supplier -> HHI 1.0
+            (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1)),
+            # nation B: two equal suppliers -> HHI 0.5
+            (2, 2, 20, 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1)),
+            (3, 3, 21, 1, 1.0, 50.0, 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(10, "s10", 0, 0.0), (20, "s20", 1, 0.0), (21, "s21", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nat = spark.createDataFrame(
+        [(0, "AAA", 0), (1, "BBB", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    out = {
+        r.n_name: r
+        for r in aggregations.nation_supplier_hhi(li, supp, nat).collect()
+    }
+    assert (out["AAA"].n_suppliers, out["AAA"].hhi) == (1, 1.0)
+    assert (out["BBB"].n_suppliers, out["BBB"].hhi) == (2, 0.5)

@@ -595,3 +595,31 @@ def test_length_ks_drift_exact_argmax(spark):
     [r] = length_ks_drift(docs).collect()
     assert (r.ks_at_length, r.n_a, r.n_b) == (2, 3, 3)
     assert r.ks_statistic == 6 / 9
+
+
+def test_vocab_growth_curve_exact_counts(spark):
+    from parcial_bigdata_spark.operators.text import vocab_growth_curve
+
+    # 2 docs, 2 slices: whichever doc the md5 line puts first, the
+    # shared word counts as NEW only in its first slice
+    docs = spark.createDataFrame(
+        [(1, "alpha shared", "en", "srcA", 12),
+         (2, "beta shared gamma", "en", "srcA", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = vocab_growth_curve(docs, n_slices=2).collect()
+    assert [r.slice for r in rows] == [1, 2]
+    assert sum(r.new_words for r in rows) == 4  # alpha, beta, gamma, shared
+    assert rows[-1].cum_vocab == 4
+    assert rows[-1].cum_tokens == 5
+    # growth is monotone and the later slice repeats 'shared' for free
+    assert rows[0].new_words >= 2
+
+
+def test_vocab_growth_monotone_on_fixture(documents):
+    from parcial_bigdata_spark.operators.text import vocab_growth_curve
+
+    rows = vocab_growth_curve(documents).collect()
+    cums = [r.cum_vocab for r in rows]
+    assert cums == sorted(cums)
+    assert rows[-1].cum_vocab >= rows[0].new_words
