@@ -818,6 +818,7 @@ _NEW_OPS_R8 = [
     "text_vocab_growth",
     "events_interarrival_hist",
     "nation_supplier_hhi",
+    "source_csv_roundtrip",
 ]
 
 

@@ -1299,6 +1299,19 @@ def q_wav_frame_features(spark, sf_dir):
     return mm_ops.wav_frame_features(_t(spark, sf_dir, "documents"))
 
 
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV sink → permissive scan round trip (S-family extension): the
+    accounting must equal pure arithmetic on the events table plus the
+    literal injected bad-line count — a parsing regression (delimiter,
+    type coercion, corrupt routing) breaks the hash."""
+    import tempfile
+
+    from parcial_bigdata_spark.sources.csvio import csv_roundtrip_accounting
+
+    out = tempfile.mkdtemp(prefix="csv-roundtrip-")
+    return csv_roundtrip_accounting(spark, _t(spark, sf_dir, "events"), out)
+
+
 def q_vocab_growth(spark, sf_dir):
     # Heaps'-law curve: md5 doc line, integer slice arithmetic, one
     # min-slice aggregate per word
@@ -1638,6 +1651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_growth": q_vocab_growth,
     "events_interarrival_hist": q_interarrival_hist,
     "nation_supplier_hhi": q_supplier_hhi,
+    "source_csv_roundtrip": q_csv_roundtrip,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1684,6 +1698,7 @@ INTRODUCED_ROUND = {
     "text_vocab_growth": 10,
     "events_interarrival_hist": 10,
     "nation_supplier_hhi": 10,
+    "source_csv_roundtrip": 10,
 }
 
 
@@ -5062,6 +5077,18 @@ ORACLES["multimodal_wav_frame_features"] = """
     FROM vals
     GROUP BY media_id, frame_idx
     ORDER BY media_id, frame_idx
+"""
+
+# CSV round trip: the oracle is arithmetic on the source table plus
+# the literal injected bad-line count — independent of the CSV path
+ORACLES["source_csv_roundtrip"] = """
+    SELECT count(*) + 3 AS n_rows,
+           count(*) AS n_valid,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+           count(DISTINCT event_type) AS n_types
+    FROM events
 """
 
 # Heaps curve: slice = ceil(S*rank/n) in integer arithmetic; a word's

@@ -952,3 +952,54 @@ def test_bmp_resize_factor_one_is_identity_scale(spark, documents):
         assert r.sum_b + r.sum_g + r.sum_r == (
             full[mid].sum_b + full[mid].sum_g + full[mid].sum_r
         )
+
+
+def test_csv_roundtrip_permissive_accounting(spark, tmp_path):
+    from parcial_bigdata_spark.sources.csvio import csv_roundtrip_accounting
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click"), (2, 20, "view")],
+        "event_id long, user_id long, event_type string",
+    )
+    [r] = csv_roundtrip_accounting(spark, ev, str(tmp_path / "csv")).collect()
+    assert (r.n_rows, r.n_valid, r.n_corrupt) == (5, 2, 3)
+    assert (r.sum_event_id, r.sum_user_id, r.n_types) == (3, 30, 2)
+
+
+def test_csv_corrupt_detection_requires_column_reference(spark, tmp_path):
+    """Pin the pruning gotcha: the row whose ONLY bad column is
+    user_id counts as corrupt exactly because the accounting touches
+    user_id; an accounting that drops the column would let it pass
+    (observed live while building the operator)."""
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.sources.csvio import (
+        CSV_SCHEMA,
+        write_events_csv,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10, "click")], "event_id long, user_id long, event_type string"
+    )
+    out = str(tmp_path / "csv")
+    write_events_csv(spark, ev, out)
+    raw = (
+        spark.read.schema(CSV_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    # reference only the (never-failing) string column beside the
+    # corrupt marker — Spark rejects corrupt-column-only queries
+    pruned = raw.agg(
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n"),
+        F.countDistinct("event_type").alias("t"),
+    ).collect()[0].n
+    full = raw.agg(
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n"),
+        F.sum("event_id").alias("a"),
+        F.sum("user_id").alias("b"),
+    ).collect()[0].n
+    # without referencing the long columns only the all-text rows fail;
+    # with them referenced, every injected bad line is corrupt
+    assert pruned < full == 3
