@@ -1734,7 +1734,7 @@ INTRODUCED_ROUND = {
 # sample_leakage_safe_split, text_word_pairs, dedup_component_survivors,
 # snapshot_diff_orders, text fingerprint/top-words/pass-rates/gopher/
 # repetition/PII, sample split/pack/epoch/temperature — 20 queries);
-# (b) the 35 round-10-introduced queries (INTRODUCED_ROUND below) age
+# (b) the 39 round-10-introduced queries (INTRODUCED_ROUND below) age
 # out at r13, so they do NOT all fit in r11 — with parity core (4) +
 # the every-round real streaming run (1) + the forced r7 set (20),
 # 25 slots remain: spend them burning down the introduction backlog
