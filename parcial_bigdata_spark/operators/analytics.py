@@ -769,11 +769,16 @@ def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
     type-partitioned window serializes — so both rank passes run on
     :func:`~parcial_bigdata_spark.operators.scale.distributed_rank`;
     the median/MAD per-type frames broadcast back over the scan.  The
-    two ≤|types|-row selection frames are EAGERLY local-checkpointed
-    (the triangle-family precedent): nesting the second rank pass over
+    two ≤|types|-row selection frames are EAGERLY checkpointed via
+    ``scale.iter_checkpoint`` (reliable ``.checkpoint()`` on a cluster
+    posture, localCheckpoint in local mode): nesting the second rank
+    pass over
     the first's join lineage would otherwise compound the rank's
     branch-duplicated subtrees ~5× through the textual plan."""
-    from parcial_bigdata_spark.operators.scale import distributed_rank
+    from parcial_bigdata_spark.operators.scale import (
+        distributed_rank,
+        iter_checkpoint,
+    )
 
     vals = events.select(
         "event_id", "event_type", F.col("value").cast("double").alias("v")
@@ -788,8 +793,8 @@ def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
         ranked.join(F.broadcast(counts), "event_type")
         .where(F.col("__rk") == mid)
         .select("event_type", F.col("v").alias("__med"))
-        .localCheckpoint()
     )
+    med = iter_checkpoint(med)
     devs = vals.join(F.broadcast(med), "event_type").withColumn(
         "__dev", F.abs(F.col("v") - F.col("__med"))
     )
@@ -804,8 +809,8 @@ def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
         ranked_dev.join(F.broadcast(counts), "event_type")
         .where(F.col("__rk") == mid)
         .select("event_type", F.col("__dev").alias("__mad"))
-        .localCheckpoint()
     )
+    mad = iter_checkpoint(mad)
     return (
         devs.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

@@ -430,6 +430,11 @@ def bfs_hop_histogram(
         if frontier is not dist:
             release_checkpoint(frontier)
         dist, frontier = nxt, new
+    # the last non-empty frontier's rows already live inside the
+    # materialized dist union — release its superseded blocks whether
+    # the loop broke on convergence or exhausted max_hops
+    if frontier is not dist:
+        release_checkpoint(frontier)
     hops = dist.groupBy("hop").agg(F.count(F.lit(1)).alias("n_nodes"))
     unreached = (
         nodes.join(dist, "node", "left_anti")

@@ -1149,15 +1149,18 @@ def heavy_hitters(documents: DataFrame, min_count: int = 500) -> DataFrame:
         return toks.groupBy("word").agg(
             F.count(F.lit(1)).alias("n_occurrences")
         )
-    frac = float(min_count) / float(n_total)
-
     def _candidates(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             vc = pdf["word"].value_counts()
-            thr = max(frac * len(pdf), 1.0)
-            yield pd.DataFrame({"word": vc[vc >= thr].index})
+            # EXACT rational bound count_b >= min_count*b/N, compared as
+            # integers (count_b*N >= min_count*b) — the float form
+            # `frac*b` can round UP past the true bound (observed:
+            # 5/147*147 = 5.000000000000001) and prune a boundary word,
+            # voiding the pigeonhole guarantee
+            keep = vc[vc * n_total >= min_count * len(pdf)]
+            yield pd.DataFrame({"word": keep.index})
 
     cands = toks.mapInPandas(_candidates, "word string").distinct()
     return (

@@ -1304,11 +1304,14 @@ def q_csv_roundtrip(spark, sf_dir):
     accounting must equal pure arithmetic on the events table plus the
     literal injected bad-line count — a parsing regression (delimiter,
     type coercion, corrupt routing) breaks the hash."""
+    import os
     import tempfile
 
     from parcial_bigdata_spark.sources.csvio import csv_roundtrip_accounting
 
-    out = tempfile.mkdtemp(prefix="csv-roundtrip-")
+    # FIXED path, mode=overwrite inside: repeated certification runs
+    # rewrite one bounded export instead of accumulating /tmp copies
+    out = os.path.join(tempfile.gettempdir(), "spark-graft-csv-roundtrip")
     return csv_roundtrip_accounting(spark, _t(spark, sf_dir, "events"), out)
 
 

@@ -77,46 +77,47 @@ def _update_running_zscore(
     over cents-grid ints, with (n, S, Q) the moments of STRICTLY
     EARLIER events (an event never scores against itself; n ≥ 3
     required).  State is three int64 counters per user — fixed width,
-    no row buffering.  Prefix arrays vectorize via numpy cumsum; the
-    comparison itself runs in Python ints because its terms reach
-    ~1e22 (exactness demands arbitrary precision — numpy int64 would
-    silently wrap), a per-event cost only the emitted decision pays."""
-    import numpy as np
-
+    no row buffering ACROSS batches; within a batch the group's Arrow
+    chunks are concatenated and sorted ONCE (Spark delivers a large
+    group as multiple chunks in no guaranteed relative order, so
+    per-chunk sorting would break the strictly-earlier contract for
+    users wider than one chunk).  The whole transition runs in PYTHON
+    INTS: the predicate terms reach ~1e22 and even the Q accumulation
+    can exceed int64 over a long-lived high-value user — numpy would
+    silently wrap exactly where exactness is the contract.  The state
+    STORE is still int64 by schema: a user whose lifetime Σv² passes
+    2^63 (≈9M events at $10k values) fails the state write LOUDLY
+    (Arrow cast error), never silently."""
     (user_id,) = key
-    n0, s0, q0 = state.get if state.exists else (0, 0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        v = pdf["v_cents"].to_numpy(dtype=np.int64)
-        cs = np.concatenate(([0], np.cumsum(v)[:-1]))
-        cq = np.concatenate(([0], np.cumsum(v * v)[:-1]))
-        ns = n0 + np.arange(len(v), dtype=np.int64)
-        ss = s0 + cs
-        qs = q0 + cq
-        flags = []
-        for n_i, s_i, q_i, v_i in zip(
-            ns.tolist(), ss.tolist(), qs.tolist(), v.tolist()
-        ):
-            if n_i < 3:
-                flags.append(0)
-                continue
-            lhs = (n_i * v_i - s_i) ** 2 * (n_i - 1)
-            rhs = _Z2 * n_i * (n_i * q_i - s_i * s_i)
+    n, s, q = (
+        tuple(int(x) for x in state.get) if state.exists else (0, 0, 0)
+    )
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    priors, flags = [], []
+    for v in (int(x) for x in pdf["v_cents"]):
+        priors.append(n)
+        if n < 3:
+            flags.append(0)
+        else:
+            lhs = (n * v - s) ** 2 * (n - 1)
+            rhs = _Z2 * n * (n * q - s * s)
             flags.append(1 if lhs > rhs else 0)
-        yield pd.DataFrame(
-            {
-                "user_id": user_id,
-                "event_id": pdf["event_id"].to_numpy(),
-                "n_prior": ns,
-                "scored": (ns >= 3).astype("int32"),
-                "is_outlier": pd.array(flags, dtype="int32"),
-            }
-        )
-        if len(v):
-            n0 = int(ns[-1]) + 1
-            s0 = int(ss[-1]) + int(v[-1])
-            q0 = int(qs[-1]) + int(v[-1]) * int(v[-1])
-    state.update((n0, s0, q0))
+        n += 1
+        s += v
+        q += v * v
+    state.update((n, s, q))
+    yield pd.DataFrame(
+        {
+            "user_id": user_id,
+            "event_id": pdf["event_id"].to_numpy(),
+            "n_prior": pd.array(priors, dtype="int64"),
+            "scored": pd.array(
+                [1 if p >= 3 else 0 for p in priors], dtype="int32"
+            ),
+            "is_outlier": pd.array(flags, dtype="int32"),
+        }
+    )
 
 
 def streaming_running_zscore(events: DataFrame) -> DataFrame:

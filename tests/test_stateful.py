@@ -102,3 +102,43 @@ def test_running_zscore_prefix_rule_golden(spark, tmp_path):
         assert out[eid][1] == 0 and out[eid][2] == 0
     assert out[4] == (3, 1, 1)   # spike against zero-variance history
     assert out[8] == (3, 1, 0)   # 2.5 after [1,2,3]: inside 3 sigma
+
+
+def test_running_zscore_survives_multi_chunk_groups(spark, tmp_path):
+    """Regression (round-10 review): per-chunk sorting broke the
+    strictly-earlier prefix for users wider than one Arrow chunk; the
+    transition now concatenates the group's chunks and sorts once.
+    Forcing 10-row chunks over a 60-event user must still match the
+    batch prefix rule exactly."""
+    import datetime as dt
+
+    from parcial_bigdata_spark.streaming.stateful import (
+        running_zscore_available_now,
+    )
+
+    # one user, 60 events: constant value except a spike at the end
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "a",
+         5.0 if i < 59 else 500.0, "{}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        out = {
+            r.event_id: (r.n_prior, r.is_outlier)
+            for r in running_zscore_available_now(spark, path).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert len(out) == 60
+    # prefix order intact: n_prior is exactly the event index
+    assert all(out[i][0] == i for i in range(60))
+    # zero-variance history flags only the final spike
+    assert [i for i in range(60) if out[i][1] == 1] == [59]

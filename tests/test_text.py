@@ -623,3 +623,22 @@ def test_vocab_growth_monotone_on_fixture(documents):
     cums = [r.cum_vocab for r in rows]
     assert cums == sorted(cums)
     assert rows[-1].cum_vocab >= rows[0].new_words
+
+
+def test_heavy_hitters_exact_boundary_no_float_roundup(spark):
+    """Regression (round-10 review): the pass-1 threshold compared as
+    `frac*b` in floats, and 5/147*147 rounds UP to 5.000000000000001 —
+    a word with exactly min_count occurrences in a single batch was
+    pruned.  The integer cross-multiplied bound must keep it."""
+    from parcial_bigdata_spark.operators.text import heavy_hitters
+
+    # corpus of exactly 147 tokens, one word exactly 5 times
+    texts = ["boundary " * 5 + "filler " * 20, "filler " * 50, "filler " * 72]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), "en", "srcA", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n_total = sum(len(t.split()) for t in texts)
+    assert n_total == 147
+    out = {r.word: r.n_occurrences for r in heavy_hitters(docs, 5).collect()}
+    assert out == {"boundary": 5, "filler": 142}
