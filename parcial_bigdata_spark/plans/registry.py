@@ -1309,9 +1309,16 @@ def q_csv_roundtrip(spark, sf_dir):
 
     from parcial_bigdata_spark.sources.csvio import csv_roundtrip_accounting
 
-    # FIXED path, mode=overwrite inside: repeated certification runs
-    # rewrite one bounded export instead of accumulating /tmp copies
-    out = os.path.join(tempfile.gettempdir(), "spark-graft-csv-roundtrip")
+    # per-RUN path keyed by the Spark application id (round-11 advice:
+    # a fixed world-shared name races concurrent driver/test runs —
+    # one overwrites the directory mid-scan of the other — and fails
+    # outright if another uid owns it); same app → one bounded export
+    # rewritten in place, so repeat certification runs still don't
+    # accumulate /tmp copies
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark-graft-csv-roundtrip-{spark.sparkContext.applicationId}",
+    )
     return csv_roundtrip_accounting(spark, _t(spark, sf_dir, "events"), out)
 
 
@@ -1706,46 +1713,44 @@ INTRODUCED_ROUND = {
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 10)
+# Driver-window rotation (round 11)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
-# of it).  Per the round-9 verdict (item 1), round 10 leads with the 24
-# round-9 operators that have NEVER appeared in a driver window (k-core,
-# incremental dedup, basket rules, Gini, z-score outliers, TF-IDF, PMI,
-# WAV sample decode, transition matrix, time-decay attribution, cohort
-# revenue, daily users, TWAP, bookends, drawdown, MoM/YoY, repeat
-# intervals, supplier returns, FK audit, boxplot, equidepth histogram,
-# PPS sample, token-length histogram, tier rollup) plus the NEW
-# streaming_cdc_apply (verdict item 6).  The remaining slots re-certify
-# the stalest families per the PARITY.md ledger: the r7-certified setops
-# block (verdict item 1 names it explicitly) and sixteen more r7-stale
-# entries (retention/profile/skew, the text quality/token/lang/vocab
-# block, the exact-dedup family, stratified/chunk/quota sampling, the
-# dedup audit twins).  Reference-parity core + one real
-# structured-streaming run stay in-window every round.
+# of it).
 #
-# Out-of-window this round (all driver-green in r8/r9): the TPC-H block,
-# the window family, the join shapes, grouping-sets/rollup/cube/pivot/
-# percentiles, multimodal image pair, kNN family, BPE/BM25, MERGE/SCD-2.
+# Budget math (round-10 verdict item 1 — the round-9 4-round budget became
+# JOINTLY UNSATISFIABLE once the registry crossed 180 rotating queries):
+# with 5 standing slots (parity core 4 + one real streaming run), each
+# round rotates 45 queries.  A B-round staleness budget is feasible only
+# while |rotating registry| <= 45*B.  At 198 total / 193 rotating, B=4
+# gives capacity 180 < 193 — infeasible regardless of window choice — so
+# the ledger rule is now a FIVE-round budget (capacity 225), enforced
+# with the capacity check in tests/test_staleness.py so growth past ~215
+# rotating queries fails loudly instead of silently wedging the rotation.
 #
-# r11 rotation note (budget math, enforced by tests/test_staleness.py):
-# (a) the REMAINING r7 set hits age 4 and MUST take r11 slots
-# (dedup_embedding_cosine, dedup_cross_split_contamination,
-# dedup_ngram_decontaminate, knn_cosine_brute_force,
-# embedding_kmeans_train, multimodal_frame_sample,
-# sample_leakage_safe_split, text_word_pairs, dedup_component_survivors,
-# snapshot_diff_orders, text fingerprint/top-words/pass-rates/gopher/
-# repetition/PII, sample split/pack/epoch/temperature — 20 queries);
-# (b) the 39 round-10-introduced queries (INTRODUCED_ROUND below) age
-# out at r13, so they do NOT all fit in r11 — with parity core (4) +
-# the every-round real streaming run (1) + the forced r7 set (20),
-# 25 slots remain: spend them burning down the introduction backlog
-# (prioritize the real-run streaming entries — bucketed CDC, streaming
-# OHLC — and the distributed_rank consumers), and push the remainder
-# plus the stalest r8 TPC-H/window entries to r12/r13.  The r8 block
-# (last slotted r8) itself ages out at r12, so r12 is effectively the
-# TPC-H/window re-certification round.
+# Round-11 window: the 20 r7-certified queries hit age 4 (due r12 under
+# the 5-round budget; slotted now per the round-10 verdict) + 25 of the
+# 38 never-driver-certified round-10 additions, prioritized per the
+# verdict: the real-run streaming entries (bucketed CDC, streaming OHLC,
+# stateful z-score), the distributed_rank consumers (RFM, MAD outliers,
+# trimmed means, quantile normalize), the everyday-monitoring ops
+# (rolling median, BFS, degree hist), the embedding-diagnostics quartet,
+# and every query touched by a round-11 advice fix (ABC classes, heavy
+# hitters, CSV roundtrip, vocab growth) so the fixes land driver-checked.
+#
+# Forward plan (the two-round arithmetic the round-10 verdict item 2
+# demands, enforced by tests/test_staleness.py::test_r12_plan_is_feasible):
+#   r12 = 5 standing + the 13 round-10 leftovers (_R12_PLAN below; due
+#         r13 by the introduced+3 never-certified rule) + 32 of the r8
+#         TPC-H/window block (due r13).
+#   r13 = 5 standing + the 13 r8 remainder + 32 of the r9 block (due r14).
+#   r14 = 5 standing + the 13 r9 remainder + 32 of the r10-certified
+#         block (due r15).
+#   r15 = 5 standing + the 13 r10-certified remainder + 32 slots of
+#         headroom (r11-certified re-entries / new-query burn-down).
+# Steady state: a 13-query carry ripples forward; headroom for new
+# queries is ~32 per 5-round cycle (capacity 225 - demand 193).
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -1753,32 +1758,47 @@ DRIVER_WINDOW = [
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # never driver-certified: the 24 oracle-checked round-9 additions
-    "graph_kcore", "dedup_incremental_jaccard", "parts_copurchase_rules",
-    "events_value_outliers", "revenue_gini_by_nation", "text_top_tfidf_terms",
-    "text_pmi_collocations", "multimodal_wav_sample_decode",
-    "events_transition_matrix", "events_time_decay_attribution",
-    "events_cohort_revenue", "events_daily_users", "events_time_weighted_avg",
-    "agg_user_bookends", "window_user_drawdown", "orders_monthly_yoy",
-    "orders_repeat_intervals", "supplier_return_report", "integrity_fk_audit",
-    "stats_price_boxplot", "equidepth_price_histogram", "sample_pps_systematic",
-    "sample_token_length_hist", "streaming_tier_rollup",
-    # new this round: a REAL streaming CDC MERGE run (r9 verdict item 6)
-    "streaming_cdc_apply",
-    # stalest certifications — r7 setops block (r9 verdict item 1)
-    "setop_repeat_customers", "setop_churned_customers",
-    "setop_all_party_keys", "setop_status_bag_overlap",
-    # r7: retention / profiling / skew
-    "events_retention_cohorts", "profile_orders_table", "skew_lineitem_suppkey",
-    # r7: text quality block
-    "text_quality_metrics", "text_token_counts", "text_language_id",
-    "text_vocabulary",
-    # r7: exact-dedup family + approximate-dedup audit twins
-    "dedup_exact", "dedup_exact_survivors", "dedup_ngram_jaccard",
-    "dedup_components", "dedup_simhash_check", "dedup_embedding_lsh_check",
-    # r7: sampling family
-    "sample_stratified_exact", "sample_chunk_documents",
-    "sample_quota_by_source",
+    # forced: the 20 r7-certified queries at age 4
+    "dedup_embedding_cosine", "dedup_cross_split_contamination",
+    "dedup_ngram_decontaminate", "dedup_component_survivors",
+    "knn_cosine_brute_force", "embedding_kmeans_train",
+    "multimodal_frame_sample", "sample_leakage_safe_split",
+    "sample_split_assign", "sample_pack_sequences", "sample_epoch_repeat",
+    "sample_temperature_mix", "snapshot_diff_orders", "text_word_pairs",
+    "text_fingerprints", "text_top_words_per_lang", "text_quality_pass_rates",
+    "text_gopher_flags", "text_repetition_ratios", "text_pii_redaction",
+    # r10 backlog, tranche 1 of 2: real streaming runs first
+    "streaming_cdc_apply_bucketed", "streaming_hourly_ohlc",
+    "streaming_running_zscore",
+    # distributed_rank consumers
+    "customers_rfm_segments", "events_mad_outliers",
+    "stats_price_trimmed_means", "events_quantile_normalize",
+    # everyday monitoring ops (verdict item 4)
+    "window_rolling_median", "graph_bfs_distances", "graph_degree_hist",
+    # embedding diagnostics quartet (verdict item 4)
+    "embedding_dim_stats", "embedding_scalar_quantization",
+    "embedding_centroid_dispersion", "embedding_pair_cosine_hist",
+    # queries touched by round-11 advice fixes — certify the fixed plans
+    "parts_abc_classes", "text_heavy_hitters", "source_csv_roundtrip",
+    "text_vocab_growth",
+    # remaining tranche-1 picks: text drift/fit block + OHLC/HHI/PNG
+    "text_zipf_fit", "text_length_ks_drift", "text_source_drift",
+    "text_sentence_stats", "nation_supplier_hhi", "events_hourly_ohlc",
+    "multimodal_png_pixel_decode",
+]
+
+# r10 backlog, tranche 2 — MUST hold r12 slots (introduced r10, due r13
+# by the introduced+3 rule, and r13 is already committed to the r8
+# remainder + r9 block).  tests/test_staleness.py checks this plan's
+# arithmetic now so the r12 rotation is a paste, not a re-derivation.
+_R12_PLAN_NEVER_CERTIFIED = [
+    "dedup_ngram_coverage", "events_activity_streaks",
+    "events_interarrival_hist", "events_sliding_distinct_users",
+    "events_user_entropy", "integrity_expectations",
+    "integrity_functional_deps", "multimodal_bmp_resize",
+    "multimodal_wav_frame_features", "sample_group_kfold",
+    "sample_negative_pairs", "sample_temporal_split",
+    "sample_undersample_balance",
 ]
 
 _WINDOW_SET = set(DRIVER_WINDOW)

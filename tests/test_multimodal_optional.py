@@ -1,0 +1,138 @@
+"""Optional PIL/PyAV codec tier (round-11 verdict item 7).
+
+The stdlib decoders are the guaranteed tier; PIL / PyAV are probed at
+first use and widen what real mode (``use_fake_decode=False``) can
+decode.  These tests exercise BOTH postures: on a machine without the
+libraries (this container) the probes return None and the guards raise
+exactly as before; on a machine WITH them, the PIL tier decodes what
+the stdlib tier declines and its statistics match an independent
+numpy reduction.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+from parcial_bigdata_spark.operators import multimodal as mm
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+_HAS_AV = importlib.util.find_spec("av") is not None
+
+# a payload no stdlib sniffer recognizes
+_EXOTIC = b"\x00\x01exotic-codec-payload" * 4
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: guard tier not active")
+class TestGuardTierWithoutPIL:
+    def test_probe_returns_none(self):
+        assert mm._optional_pil() is None
+
+    def test_pixel_helper_returns_none(self):
+        assert mm._pil_decode_pixels(_EXOTIC) is None
+
+    def test_media_helper_returns_none(self):
+        assert mm._pil_decode_media(_EXOTIC) is None
+
+    def test_real_pixel_decode_raises_for_unsupported(self, spark):
+        media = mm.as_media(
+            spark.createDataFrame(
+                [(1, bytearray(_EXOTIC), "s")], "doc_id long, text binary, source string"
+            ),
+            "doc_id",
+            "text",
+            "source",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|PIL"):
+            mm.decode_pixels(media, use_fake_decode=False).collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="optional PIL tier not installed")
+class TestPILTier:
+    def _png_bytes(self, mode: str, size=(5, 4)) -> bytes:
+        import io
+
+        from PIL import Image
+
+        im = Image.new(mode, size)
+        px = im.load()
+        for x in range(size[0]):
+            for y in range(size[1]):
+                v = (x * 7 + y * 13) % 256
+                px[x, y] = v if mode in ("L", "P") else (v, 255 - v, x)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def test_pil_pixels_match_numpy(self):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        blob = self._png_bytes("L")  # grayscale: stdlib tier declines it
+        stats = mm._pil_decode_pixels(blob)
+        arr = np.asarray(
+            Image.open(io.BytesIO(blob)).convert("RGB"), dtype=np.uint8
+        )
+        chans = arr.reshape(-1, 3).astype(np.int64)
+        assert stats == {
+            "width": arr.shape[1],
+            "height": arr.shape[0],
+            "n_pixels": arr.shape[0] * arr.shape[1],
+            "sum_b": int(chans[:, 2].sum()),
+            "sum_g": int(chans[:, 1].sum()),
+            "sum_r": int(chans[:, 0].sum()),
+            "min_byte": int(arr.min()),
+            "max_byte": int(arr.max()),
+        }
+
+    def test_real_mode_decodes_grayscale_png(self, spark):
+        blob = self._png_bytes("L")
+        media = mm.as_media(
+            spark.createDataFrame(
+                [(1, bytearray(blob), "s")],
+                "doc_id long, text binary, source string",
+            ),
+            "doc_id",
+            "text",
+            "source",
+        )
+        [row] = mm.decode_pixels(media, use_fake_decode=False).collect()
+        assert (row.width, row.height) == (5, 4)
+
+    def test_media_metadata_channels(self):
+        assert mm._pil_decode_media(self._png_bytes("L"))["channels"] == 1
+        assert mm._pil_decode_media(self._png_bytes("RGB"))["channels"] == 3
+
+
+@pytest.mark.skipif(_HAS_AV, reason="PyAV installed: guard tier not active")
+def test_frame_sample_real_mode_guard_without_av(spark):
+    media = mm.as_media(
+        spark.createDataFrame(
+            [(1, bytearray(_EXOTIC), "s")], "doc_id long, text binary, source string"
+        ),
+        "doc_id",
+        "text",
+        "source",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PyAV|ffmpeg"):
+        mm.frame_sample(media, use_fake_decode=False).collect()
+
+
+def test_fake_tier_unchanged(spark):
+    """The guaranteed tier is identical with or without the optional
+    libraries: fake mode never consults the probes."""
+    media = mm.as_media(
+        spark.createDataFrame(
+            [(1, bytearray(_EXOTIC), "s")], "doc_id long, text binary, source string"
+        ),
+        "doc_id",
+        "text",
+        "source",
+    )
+    [row] = mm.decode_media(media, use_fake_decode=True).collect()
+    assert row.byte_len == len(_EXOTIC)
+    frames = mm.frame_sample(media, every_n_bytes=16).collect()
+    assert len(frames) == (len(_EXOTIC) + 15) // 16
