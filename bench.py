@@ -934,6 +934,13 @@ def main() -> None:
     detail_record = {
         "record": "bench_detail",
         "sf": sf,
+        # headline per-query timings ALSO live here (round-10 verdict
+        # item 5: the quiet bench-of-record's per-query numbers were
+        # prose-only in BASELINE.md — forensics like the
+        # session_overlap_pairs +30% question need machine-readable
+        # history regardless of the driver's stdout tail capture)
+        "headline_total": total,
+        "headline_queries": timings,
         "probe_queries": probe_timings,
         "skew_lsh": skew_detail,
         "graph_scale": graph_detail,

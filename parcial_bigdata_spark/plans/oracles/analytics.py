@@ -1,0 +1,547 @@
+"""DuckDB oracle SQL (ANSI) — analytics family.
+
+Split out of plans/registry.py (round-10 verdict item 8) so a family
+edit no longer touches a 5.5k-line file; aggregated back into the
+single ORACLES dict by plans/oracles/__init__.  Same aliases, same
+rounding as the Spark twins in the registry.
+"""
+
+ORACLES: dict[str, str] = {
+    "revenue_share_by_priority": """
+        WITH per AS (
+            SELECT o_orderpriority,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, revenue,
+               round(revenue / sum(revenue) OVER (), 6) AS share
+        FROM per ORDER BY o_orderpriority
+    """,
+    "events_time_weighted_avg": """
+        -- left-constant TWAP: exact DECIMAL(18,2)·micros numerator,
+        -- doubles only at the final division (money_sum pattern)
+        WITH s AS (
+            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) - epoch_us(ts) AS dt
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_intervals,
+               CAST(sum(dt) AS BIGINT) AS span_us,
+               floor(CAST(sum(v * dt) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
+        FROM s WHERE dt IS NOT NULL
+        GROUP BY user_id HAVING sum(dt) > 0
+        ORDER BY user_id
+    """,
+    # rank-based quintiles (custkey tiebreak) are exactly reproducible
+    # cross-engine where value-percentile cutpoints tie-break
+    # ambiguously; the oracle's plain windows ARE the semantics the
+    # distributed rank must reproduce
+    "customers_rfm_segments": """
+        WITH m AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order_date,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ), r AS (
+            SELECT *,
+                   row_number() OVER (ORDER BY last_order_date, o_custkey)
+                       AS rr,
+                   row_number() OVER (ORDER BY n_orders, o_custkey) AS fr,
+                   row_number() OVER (ORDER BY total_spend, o_custkey) AS mr,
+                   count(*) OVER () AS nc
+            FROM m
+        )
+        SELECT o_custkey, last_order_date, n_orders, total_spend,
+               CAST(1 + (5 * (rr - 1)) // nc AS INT) AS r_score,
+               CAST(1 + (5 * (fr - 1)) // nc AS INT) AS f_score,
+               CAST(1 + (5 * (mr - 1)) // nc AS INT) AS m_score,
+               CAST(1 + (5 * (rr - 1)) // nc AS VARCHAR)
+                   || CAST(1 + (5 * (fr - 1)) // nc AS VARCHAR)
+                   || CAST(1 + (5 * (mr - 1)) // nc AS VARCHAR)
+                   AS rfm_segment
+        FROM r ORDER BY o_custkey
+    """,
+    "events_quantile_normalize": """
+        WITH r AS (
+            SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        )
+        SELECT event_id, event_type, value,
+               round(CASE WHEN n > 1
+                          THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
+                          ELSE 0.0 END, 6) AS qnorm
+        FROM r ORDER BY event_id
+    """,
+    "events_funnel_steps": """
+        WITH s0 AS (
+            SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s1 AS (
+            SELECT events.user_id, min(events.ts) AS t
+            FROM events JOIN s0 ON events.user_id = s0.user_id
+            WHERE events.event_type = 'click' AND events.ts > s0.t
+            GROUP BY events.user_id
+        ), s2 AS (
+            SELECT events.user_id, min(events.ts) AS t
+            FROM events JOIN s1 ON events.user_id = s1.user_id
+            WHERE events.event_type = 'purchase' AND events.ts > s1.t
+            GROUP BY events.user_id
+        )
+        SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+        UNION ALL SELECT 1, 'click', count(*) FROM s1
+        UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+        ORDER BY step_idx
+    """,
+    "events_retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+               count(*) AS n_users
+        FROM activity a JOIN cohort c USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "orders_monthly_yoy": """
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders, revenue,
+               round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2)
+                   AS mom_delta,
+               round(revenue - lag(revenue, 12) OVER (ORDER BY month), 2)
+                   AS yoy_delta
+        FROM monthly ORDER BY month
+    """,
+    "supplier_return_report": """
+        SELECT l_suppkey, count(*) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+               floor(CAST(sum(CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1e6 + 0.5) / 1e6 AS return_share,
+               CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R'
+                                        THEN l_extendedprice ELSE 0 END
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS returned_value
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+    """,
+    "events_daily_users": """
+        WITH actives AS (
+            SELECT day, count(*) AS n_active FROM (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events
+            ) GROUP BY day
+        ), news AS (
+            SELECT day, count(*) AS n_new FROM (
+                SELECT user_id, min(date_trunc('day', ts)) AS day
+                FROM events GROUP BY user_id
+            ) GROUP BY day
+        )
+        SELECT a.day, n_active,
+               coalesce(n_new, 0) AS n_new,
+               CAST(sum(coalesce(n_new, 0)) OVER (
+                   ORDER BY a.day ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_users
+        FROM actives a LEFT JOIN news USING (day)
+        ORDER BY a.day
+    """,
+    "events_value_outliers": """
+        -- the same division/sqrt-cleared exact predicate:
+        -- (n·v − S)²·(n−1) > 9·n·(n·Q − S²) over exact decimals
+        WITH m AS (
+            SELECT user_id, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS s,
+                   sum(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2))) AS q
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN
+                   (CAST(n AS DECIMAL(38,0)) * CAST(value AS DECIMAL(18,2))
+                    - CAST(s AS DECIMAL(38,2)))
+                   * (CAST(n AS DECIMAL(38,0)) * CAST(value AS DECIMAL(18,2))
+                      - CAST(s AS DECIMAL(38,2)))
+                   * (CAST(n AS DECIMAL(38,0)) - 1)
+                   > 9 * CAST(n AS DECIMAL(38,0))
+                       * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,4))
+                          - CAST(s AS DECIMAL(38,2)) * CAST(s AS DECIMAL(38,2)))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events JOIN m USING (user_id)
+        WHERE n >= 3
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "revenue_gini_by_nation": """
+        WITH spend AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY o_custkey
+        ), keyed AS (
+            SELECT n_name AS nation, x, s.o_custkey
+            FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+                         JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ), ranked AS (
+            SELECT nation, x,
+                   row_number() OVER (
+                       PARTITION BY nation ORDER BY x, o_custkey
+                   ) AS i
+            FROM keyed
+        )
+        SELECT nation, count(*) AS n_customers,
+               round(CAST(sum(x) AS DOUBLE), 2) AS total_revenue,
+               floor(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+                     / CAST(count(*) * sum(x) AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS gini
+        FROM ranked GROUP BY nation ORDER BY nation
+    """,
+    "parts_copurchase_rules": """
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+            FROM lineitem
+        ), pc AS (
+            SELECT pk, count(*) AS n_baskets FROM baskets GROUP BY pk
+        ), tot AS (
+            SELECT count(DISTINCT okey) AS n_orders FROM baskets
+        ), pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_together
+            FROM baskets a JOIN baskets b
+              ON a.okey = b.okey AND a.pk < b.pk
+            GROUP BY part_a, part_b HAVING count(*) >= 2
+        )
+        SELECT part_a, part_b, n_together,
+               ca.n_baskets AS n_a, cb.n_baskets AS n_b,
+               floor(CAST(n_together AS DOUBLE) / ca.n_baskets
+                     * 1e6 + 0.5) / 1e6 AS confidence_a_to_b,
+               floor(CAST(n_together AS DOUBLE) * tot.n_orders
+                     / (CAST(ca.n_baskets AS DOUBLE) * cb.n_baskets)
+                     * 1e6 + 0.5) / 1e6 AS lift
+        FROM pairs JOIN pc ca ON pairs.part_a = ca.pk
+                   JOIN pc cb ON pairs.part_b = cb.pk, tot
+        ORDER BY n_together DESC, part_a, part_b LIMIT 50
+    """,
+    "events_cohort_revenue": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), purchases AS (
+            SELECT user_id, date_trunc('week', ts) AS week,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+                   AS week_offset,
+               count(DISTINCT user_id) AS n_buyers,
+               count(*) AS n_purchases,
+               CAST(sum(v) AS DOUBLE) AS revenue
+        FROM purchases p JOIN cohort c USING (user_id)
+        WHERE week >= cohort_week
+        GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+    """,
+    "orders_repeat_intervals": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+            FROM orders
+        )
+        SELECT o_custkey, count(*) AS n_gaps,
+               CAST(min(gap_days) AS INT) AS min_gap_days,
+               floor(avg(gap_days) * 1e4 + 0.5) / 1e4 AS avg_gap_days,
+               CAST(max(gap_days) AS INT) AS max_gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    # U-shaped attribution: CASE weight literals are decimals in DuckDB
+    # but convert to the identical nearest doubles; round(4) at the
+    # edge on both sides
+    "events_multi_touch_attribution": """
+        WITH ev AS (SELECT * FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM ev WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS click_user, event_id AS click_id,
+                     ts AS click_ts
+              FROM ev WHERE event_type = 'click'),
+        pr AS (
+            SELECT p.user_id, purchase_id, purchase_value, click_id,
+                   row_number() OVER (PARTITION BY purchase_id
+                                      ORDER BY click_ts, click_id)
+                       AS touch_rank,
+                   count(*) OVER (PARTITION BY purchase_id) AS n_touches
+            FROM p JOIN c ON p.user_id = c.click_user
+             AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 DAY
+                                AND p.purchase_ts
+        )
+        SELECT user_id, purchase_id, click_id, touch_rank, n_touches,
+               floor(purchase_value * CASE
+                   WHEN n_touches = 1 THEN 1.0
+                   WHEN n_touches = 2 THEN 0.5
+                   WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+                   ELSE 0.2 / (n_touches - 2) END * 1e4 + 0.5) / 1e4
+                   AS credit
+        FROM pr ORDER BY purchase_id, touch_rank
+    """,
+    "events_transition_matrix": """
+        WITH pairs AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), counted AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM pairs WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n_transitions,
+               floor(CAST(n_transitions AS DOUBLE)
+                     / sum(n_transitions) OVER (PARTITION BY from_type)
+                     * 1e6 + 0.5) / 1e6 AS probability
+        FROM counted ORDER BY from_type, to_type
+    """,
+    "events_time_decay_attribution": """
+        -- decay weight 2^(-age_days) is an exact power of two, so the
+        -- per-purchase weight sum is order-insensitive and the credit
+        -- quotient bit-identical across engines
+        WITH ev AS (SELECT * FROM events),
+        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM ev WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS click_user, event_id AS click_id,
+                     ts AS click_ts
+              FROM ev WHERE event_type = 'click'),
+        pr AS (
+            SELECT p.user_id, purchase_id, purchase_value, click_id,
+                   pow(2.0, -CAST((epoch_us(p.purchase_ts)
+                                   - epoch_us(c.click_ts))
+                                  // 86400000000 AS DOUBLE)) AS h
+            FROM p JOIN c ON p.user_id = c.click_user
+             AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 7 DAY
+                                AND p.purchase_ts
+        )
+        SELECT user_id, purchase_id, click_id, h AS decay_weight,
+               floor(purchase_value * h
+                     / sum(h) OVER (PARTITION BY purchase_id)
+                     * 1e4 + 0.5) / 1e4 AS credit
+        FROM pr ORDER BY purchase_id, click_id
+    """,
+}
+
+# rolling 7-day distinct users: the oracle mirrors the contribution-
+# explode inversion (each (day, user) pair covers the 7 target days)
+# rather than a per-day correlated rescan — same counts, same clipping
+ORACLES["events_sliding_distinct_users"] = """
+    WITH pairs AS (
+        SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+        FROM events
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM pairs),
+    -- MATERIALIZED: duckdb 1.0's binder hits an internal error when a
+    -- downstream CTE filters on an unnest-projected alias inline
+    contrib AS MATERIALIZED (
+        SELECT p.event_type,
+               unnest(generate_series(
+                   p.day, p.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day,
+               p.user_id, b.hi
+        FROM pairs p, b
+    ),
+    counts AS (
+        SELECT event_type, day, count(DISTINCT user_id) AS active_users_w
+        FROM contrib WHERE day <= hi GROUP BY 1, 2
+    ),
+    grid AS MATERIALIZED (
+        SELECT t.event_type, d.day
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b) d
+    )
+    SELECT g.event_type, g.day,
+           coalesce(c.active_users_w, 0) AS active_users_w
+    FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.day = c.day
+    ORDER BY g.event_type, g.day
+"""
+
+# rank-selected median + MAD: both medians are the value at
+# row_number floor((n+1)/2) under the (value, event_id) total order —
+# the lower-middle ELEMENT, so the k·MAD cut is bit-exact cross-engine
+ORACLES["events_mad_outliers"] = """
+    WITH v AS (
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
+    ),
+    c AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    r AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY v, event_id) AS rk
+        FROM v
+    ),
+    med AS (
+        SELECT r.event_type, r.v AS med
+        FROM r JOIN c USING (event_type) WHERE r.rk = (c.n + 1) // 2
+    ),
+    d AS (
+        SELECT v.event_id, v.event_type, abs(v.v - m.med) AS dev, m.med
+        FROM v JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rk
+        FROM d
+    ),
+    mad AS (
+        SELECT r2.event_type, r2.dev AS mad
+        FROM r2 JOIN c USING (event_type) WHERE r2.rk = (c.n + 1) // 2
+    )
+    SELECT d.event_type, count(*) AS n_events,
+           max(d.med) AS median_value, max(mad.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+# OHLC bars: struct argmin/argmax over the (ts, event_id) total order
+# pins the open/close payloads exactly; volume sums on the cents grid
+ORACLES["events_hourly_ohlc"] = """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           CAST((min(struct_pack(ts := ts, eid := event_id,
+                                 v := value))).v AS DOUBLE) AS open,
+           CAST((max(struct_pack(ts := ts, eid := event_id,
+                                 v := value))).v AS DOUBLE) AS close,
+           max(value) AS high, min(value) AS low,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, hour
+"""
+
+ORACLES["events_interarrival_hist"] = """
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id)) // 1000000 AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_s + 1)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_gaps,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["nation_supplier_hhi"] = """
+    WITH per AS (
+        SELECT s_nationkey,
+               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                    AS HUGEINT) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY l_suppkey, s_nationkey
+    )
+    SELECT n_name, count(*) AS n_suppliers,
+           CAST(sum(rev * rev) AS DOUBLE)
+               / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+               AS hhi
+    FROM per JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+"""
+
+# behavioral entropy: H = ln(n) - (sum c*ln c)/n folded SEQUENTIALLY
+# over the type-sorted count list — the same fixed evaluation order as
+# the Spark aggregate()
+ORACLES["events_user_entropy"] = """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+               count(*) AS n_types,
+               list(CAST(c AS DOUBLE) ORDER BY event_type) AS cs
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round(ln(CAST(n_events AS DOUBLE))
+                 - list_sum(list_transform(cs, x -> x * ln(x)))
+                   / CAST(n_events AS DOUBLE), 4) AS entropy
+    FROM u ORDER BY user_id
+"""
+
+# ABC/Pareto: revenue on the integer 1e-4 grid end-to-end; the 80/95
+# class cut-offs are exact integer cross-multiplications, never shares
+ORACLES["parts_abc_classes"] = """
+    WITH pr AS (
+        SELECT l_partkey,
+               sum(CAST(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS units
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, units,
+               sum(units) OVER (ORDER BY units DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+               sum(units) OVER () AS tot
+        FROM pr
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(units) AS DOUBLE) / 10000.0 AS class_revenue
+    FROM (
+        SELECT units,
+               CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    GROUP BY abc_class ORDER BY abc_class
+"""
+
+# gaps-and-islands: day_index - row_number is constant exactly along a
+# run of consecutive days — the island key needs no self-join
+ORACLES["events_activity_streaks"] = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '2024-01-01',
+                        date_trunc('day', ts)) AS d
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS anchor
+        FROM pairs
+    ),
+    streaks AS (
+        SELECT user_id, anchor, count(*) AS len
+        FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks, max(len) AS longest_streak
+    FROM streaks GROUP BY user_id ORDER BY user_id
+"""

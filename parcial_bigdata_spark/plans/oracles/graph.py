@@ -1,0 +1,120 @@
+"""DuckDB oracle SQL (ANSI) — graph family.
+
+Split out of plans/registry.py (round-10 verdict item 8) so a family
+edit no longer touches a 5.5k-line file; aggregated back into the
+single ORACLES dict by plans/oracles/__init__.  Same aliases, same
+rounding as the Spark twins in the registry.
+"""
+
+from parcial_bigdata_spark.plans.oracles._shared import (
+    _WS_PAIRS_SQL,
+    _pagerank_oracle_sql,
+)
+
+ORACLES: dict[str, str] = {
+    "graph_kcore": """
+        -- unrolled k-core peel (k=3, 8 rounds): the fixpoint is unique
+        -- and peeling is monotone, so rounds past convergence are
+        -- no-ops — the unroll depth only needs to be >= the true peel
+        -- depth (the operator RAISES if it exceeds its own budget)
+        WITH """ + _WS_PAIRS_SQL.replace(
+        "ws AS (", "ws AS MATERIALIZED (", 1
+    ).replace("pairs AS (", "pairs AS MATERIALIZED (", 1) + """,
+        e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
+               UNION ALL SELECT doc_b, doc_a FROM pairs),
+        """ + ",\n        ".join(
+        # MATERIALIZED: every e_i is referenced twice (its m_i and the
+        # next e), so default CTE inlining would expand 2^rounds scans
+        # of the base table (observed: fd exhaustion at 8 rounds)
+        f"""m{i} AS MATERIALIZED (SELECT s FROM e{i} GROUP BY s
+                                  HAVING count(*) >= 3),
+        e{i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e{i} e
+                     JOIN m{i} a ON e.s = a.s
+                     JOIN m{i} b ON e.t = b.s)"""
+        for i in range(8)
+    ) + """
+        SELECT s AS node, count(*) AS internal_degree
+        FROM e8 GROUP BY s HAVING count(*) >= 3 ORDER BY node
+    """,
+    "pagerank_suppliers": _pagerank_oracle_sql(4),
+    "graph_triangle_stats": """
+        -- global triangle census of the part co-purchase graph; the
+        -- Spark side enumerates via degree-ordered orientation, the
+        -- oracle via the id-ordered 3-way join — same triangle set
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        d AS (SELECT node, count(*) AS deg
+              FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node),
+        tri AS (SELECT count(*) AS t FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT (SELECT count(*) FROM d) AS n_nodes,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                   AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               3.0 * (SELECT t FROM tri)
+                   / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+                   AS clustering
+    """,
+    "graph_triangle_nodes": """
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        tri AS (SELECT e1.u AS a, e1.v AS x, e2.v AS y FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        SELECT node, count(*) AS n_triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri)
+        GROUP BY node
+        ORDER BY n_triangles DESC, node
+        LIMIT 10
+    """,
+}
+
+# single-source BFS: the oracle's bounded recursive walk produces every
+# (node, hop ≤ max) pair the layered expansion can reach; min(hop) per
+# node is the BFS distance — identical to the frontier labeling
+ORACLES["graph_bfs_distances"] = """
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    seed AS (SELECT min(u) AS s FROM e),
+    walk(node, hop) AS (
+        SELECT s, 0 FROM seed WHERE s IS NOT NULL
+        UNION
+        SELECT e.v, walk.hop + 1
+        FROM walk JOIN e ON e.u = walk.node
+        WHERE walk.hop < 6
+    ),
+    d AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node),
+    hops AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM d GROUP BY hop),
+    unreached AS (
+        SELECT -1 AS hop,
+               CAST((SELECT count(DISTINCT u) FROM e)
+                    - (SELECT count(*) FROM d) AS BIGINT) AS n_nodes
+    )
+    SELECT hop, n_nodes FROM hops
+    UNION ALL SELECT hop, n_nodes FROM unreached
+    ORDER BY hop
+"""
+
+ORACLES["graph_degree_hist"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    d AS (SELECT node, count(*) AS degree
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          GROUP BY node)
+    SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_bucket,
+           count(*) AS n_nodes,
+           min(degree) AS min_degree, max(degree) AS max_degree
+    FROM d GROUP BY 1 ORDER BY 1
+"""

@@ -40,36 +40,14 @@ from parcial_bigdata_spark.operators import (
 from parcial_bigdata_spark.functions.money import money_sum
 from parcial_bigdata_spark.session import tune_runtime
 
-INTERVAL_START = "2024-01-05 00:00:00"
-INTERVAL_END = "2024-01-20 00:00:00"
-KNN_QUERY_IDS = [0, 1, 2, 3, 4]
-
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
-_EN_STOP = "('the','a','of','and','is')"
-
-# SQL-literal spelling of KNN_QUERY_IDS for the kNN oracles — derived,
-# never hand-synced
-_KNN_IDS_SQL = "({})".format(", ".join(str(i) for i in KNN_QUERY_IDS))
-
-# The normative near-dup pair definition (jaccard >= 0.6 within the 20%
-# length band, same language) as a shared CTE body — the ONE source of
-# truth for every connected-components-family oracle here AND for the
-# external checker's bounded union-find oracle
-# (tools/check_correctness.py imports it); a threshold or blocking-band
-# tweak lands everywhere at once instead of drifting across copies.
-_WS_PAIRS_SQL = f"""ws AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM ws a JOIN ws b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-            WHERE round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                      / len(list_distinct(list_concat(a.wset, b.wset))), 4) >= 0.6
-        )"""
-
+from parcial_bigdata_spark.plans.oracles import ORACLES  # noqa: E402,F401
+from parcial_bigdata_spark.plans.oracles._shared import (  # noqa: E402,F401
+    INTERVAL_END,
+    INTERVAL_START,
+    KNN_QUERY_IDS,
+    _ASOF_TOLERANCE_S,
+    _WS_PAIRS_SQL,
+)
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune_runtime(spark)
@@ -191,7 +169,6 @@ def q_asof_join(spark, sf_dir):
     ).orderBy("event_id")
 
 
-_ASOF_TOLERANCE_S = 7 * 86400  # 7 days
 
 
 def q_asof_join_tolerance(spark, sf_dir):
@@ -1818,3705 +1795,9 @@ QUERIES = {name: QUERIES[name] for name in DRIVER_WINDOW} | {
 }
 
 
+
 # --------------------------------------------------------------------------
-# DuckDB oracle SQL (ANSI) — same aliases, same rounding
+# DuckDB oracle SQL (ANSI) — same aliases, same rounding — lives in the
+# per-family modules under plans/oracles/ (round-10 verdict item 8) and
+# is imported above so `registry.ORACLES` stays the public surface.
 # --------------------------------------------------------------------------
-
-# Shared per-doc word-entropy CTE body (round-8 simplify pass: the same
-# computation backs both the text_word_entropy oracle and the
-# pipeline_quality_gate oracle — one definition, no drift).  + 0.0
-# collapses IEEE -0.0 from single-distinct-word docs.
-_ENTROPY_CTE_SQL = """
-        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-               count(*) AS n_unique,
-               round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)) + 0.0, 4)
-                   AS entropy
-        FROM (
-            SELECT doc_id, w, count(*) AS c,
-                   sum(count(*)) OVER (PARTITION BY doc_id) AS n
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM documents)
-            GROUP BY doc_id, w
-        ) GROUP BY doc_id
-"""
-
-def _ewma_oracle_sql(alpha: float = 0.3, k: int = 8) -> str:
-    """Generated twin of ``windows.ewma_smooth``: the same truncated
-    FIR tap chain in exact DECIMAL arithmetic — value recovered at
-    DECIMAL(18,2), weights as the identical terminating-decimal
-    literals the operator computes, round(6) in decimal space, double
-    only at the output edge (the ``money_sum`` oracle pattern)."""
-    from decimal import Decimal
-
-    a = Decimal(repr(alpha))
-    one_minus = Decimal(1) - a
-    terms = []
-    for j in range(k):
-        weight = a * one_minus**j
-        # j = 0 still coalesces: a NULL value must contribute 0 to the
-        # smoothed series exactly as a missing lag does (operator parity)
-        lagged = "v" if j == 0 else f"lag(v, {j}) OVER w"
-        terms.append(f"coalesce({lagged}, CAST(0 AS DECIMAL(18,2))) * {weight}")
-    chain = "\n                 + ".join(terms)
-    return f"""
-        SELECT event_id, user_id, ts, value,
-               CAST(round({chain}, 6) AS DOUBLE) AS ewma,
-               CAST(round(v - ({chain}), 6) AS DOUBLE) AS deviation
-        FROM (SELECT *, CAST(value AS DECIMAL(18,2)) AS v FROM events)
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ORDER BY event_id
-    """
-
-
-def _zorder_census_oracle_sql(bits: int = 16, bucket_bits: int = 6) -> str:
-    """Twin of ``scale.zorder_pruning_stats`` over lineitem: the Morton
-    interleave expression comes from the SAME builder
-    (``scale.zorder_expr_sql`` is dialect-portable by construction), so
-    engine and oracle cannot drift.  DuckDB ``//`` and Spark ``DIV``
-    are both exact integer floor for the non-negative z."""
-    from parcial_bigdata_spark.operators.scale import zorder_expr_sql
-
-    z = zorder_expr_sql("l_partkey", "l_suppkey", bits)
-    n_buckets = 1 << bucket_bits
-    return f"""
-        WITH zt AS (SELECT l_partkey, l_suppkey, {z} AS z FROM lineitem),
-        m AS (SELECT max(z) + 1 AS zbound FROM zt)
-        SELECT CAST(z * {n_buckets} // zbound AS BIGINT) AS z_bucket,
-               count(*) AS n_rows,
-               min(l_partkey) AS min_l_partkey,
-               max(l_partkey) AS max_l_partkey,
-               min(l_suppkey) AS min_l_suppkey,
-               max(l_suppkey) AS max_l_suppkey
-        FROM zt, m
-        GROUP BY 1 ORDER BY 1
-    """
-
-
-def _pagerank_oracle_sql(iterations: int) -> str:
-    """Unrolled DuckDB twin of ``graph.pagerank`` over the
-    part↔supplier sourcing graph: one CTE per power-iteration round,
-    same association everywhere — the teleport constant is written as
-    ``(1.0 - 0.85)`` because that is the double the operator computes
-    driver-side (a ``0.15`` literal is 1 ulp away)."""
-    rounds = []
-    prev = "r0"
-    for i in range(1, iterations + 1):
-        rounds.append(
-            f""", r{i} AS (
-            SELECT nodes.node,
-                   (1.0 - 0.85) / (SELECT n FROM nn)
-                   + 0.85 * coalesce(s.in_sum, 0.0) AS rank
-            FROM nodes LEFT JOIN (
-                SELECT e.dst AS node,
-                       sum({prev}.rank / deg.out_deg) AS in_sum
-                FROM e JOIN deg USING (src)
-                       JOIN {prev} ON {prev}.node = e.src
-                GROUP BY e.dst
-            ) s USING (node)
-        )"""
-        )
-        prev = f"r{i}"
-    return f"""
-        WITH e AS (
-            SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
-                   's' || CAST(l_suppkey AS VARCHAR) AS dst
-            FROM lineitem
-            UNION
-            SELECT 's' || CAST(l_suppkey AS VARCHAR),
-                   'p' || CAST(l_partkey AS VARCHAR)
-            FROM lineitem
-        ), nodes AS (
-            SELECT src AS node FROM e UNION SELECT dst FROM e
-        ), nn AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
-        ), deg AS (
-            SELECT src, count(*) AS out_deg FROM e GROUP BY src
-        ), r0 AS (
-            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
-        ){"".join(rounds)}
-        SELECT node, round(rank, 6) AS rank FROM {prev}
-        WHERE node LIKE 's%' ORDER BY node
-    """
-
-
-def _bpe_ctes_sql(n_merges: int) -> str:
-    """Unrolled DuckDB twin of ``text.bpe_train_merges``: the same
-    double-space segmentation encoding and literal-replace greedy merge
-    application, one CTE trio (pair counts → winner → applied vocab)
-    per merge rank.  Generated, so the stage count always matches the
-    registry query's n_merges.  Every CTE is MATERIALIZED: DuckDB
-    inlines plain CTEs, and v{k} referencing v{k-1} from two consumers
-    would blow the inlined plan up exponentially in the merge count
-    (the un-materialized form hung at n=8)."""
-    ctes = ["""v0 AS MATERIALIZED (
-            SELECT CAST(count(*) AS BIGINT) AS wc,
-                   '  ' || array_to_string(
-                       list_transform(range(1, length(word) + 1),
-                                      i -> substring(word, i, 1)), '  ')
-                   || '  ' AS seg
-            FROM (SELECT unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            WHERE word <> '' GROUP BY word
-        )"""]
-    for k in range(1, n_merges + 1):
-        ctes.append(f"""p{k} AS MATERIALIZED (
-            SELECT t[i] AS pair_left, t[i+1] AS pair_right,
-                   CAST(sum(wc) AS BIGINT) AS cnt
-            FROM (
-                SELECT wc, t, unnest(range(1, len(t))) AS i
-                FROM (SELECT wc,
-                             list_filter(string_split(seg, '  '),
-                                         x -> x <> '') AS t
-                      FROM v{k-1})
-            ) GROUP BY 1, 2
-        )""")
-        ctes.append(f"""w{k} AS MATERIALIZED (
-            SELECT pair_left, pair_right, cnt FROM p{k}
-            ORDER BY cnt DESC, pair_left, pair_right LIMIT 1
-        )""")
-        ctes.append(f"""v{k} AS MATERIALIZED (
-            SELECT wc, replace(seg,
-                (SELECT ' ' || pair_left || '  ' || pair_right || ' '
-                 FROM w{k}),
-                (SELECT ' ' || pair_left || pair_right || ' '
-                 FROM w{k})) AS seg
-            FROM v{k-1}
-        )""")
-    return "WITH " + ",\n        ".join(ctes)
-
-
-def _bm25_oracle_sql(
-    terms: list[str], k1: float = 1.2, b: float = 0.75, top_n: int = 20
-) -> str:
-    """BM25 oracle mirroring text_ops.bm25_search's expression tree
-    exactly (same operand association → bit-identical doubles before the
-    round(4); 1.2 + 1.0 folds to the same double 2.2 in both engines)."""
-    tf_defs = ",\n                   ".join(
-        f"len(list_filter(string_split({_NORM_SQL}, ' '), "
-        f"x -> x = '{t}')) AS tf_{i}"
-        for i, t in enumerate(terms)
-    )
-    df_defs = ", ".join(
-        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(terms))
-    )
-    contribs = " + ".join(
-        f"ln((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
-        f" / (CAST(df_{i} AS DOUBLE) + 0.5) + 1.0)"
-        f" * (CAST(tf_{i} AS DOUBLE) * ({k1} + 1.0))"
-        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * (1.0 - {b}"
-        f" + {b} * CAST(dl AS DOUBLE) / avgdl))"
-        for i in range(len(terms))
-    )
-    return f"""
-        WITH per_doc AS (
-            SELECT doc_id,
-                   len(string_split({_NORM_SQL}, ' ')) AS dl,
-                   {tf_defs}
-            FROM documents
-        ), stats AS (
-            SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_defs}
-            FROM per_doc
-        )
-        SELECT * FROM (
-            SELECT doc_id, round({contribs}, 4) AS bm25_score
-            FROM per_doc, stats
-        ) WHERE bm25_score > 0
-        ORDER BY bm25_score DESC, doc_id LIMIT {top_n}
-    """
-
-
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Merge listing: rank / pair / merged token / support count."""
-    finals = "\n            UNION ALL ".join(
-        f"SELECT {k} AS rank, pair_left, pair_right, "
-        f"pair_left || pair_right AS merged, cnt AS pair_count FROM w{k}"
-        for k in range(1, n_merges + 1)
-    )
-    return (
-        _bpe_ctes_sql(n_merges)
-        + "\n        SELECT * FROM (" + finals + ") ORDER BY rank"
-    )
-
-
-def _bpe_encode_oracle_sql(n_merges: int) -> str:
-    """Corpus-wide ENCODE twin: apply the learned merges to every word
-    of every document (the same nested-replace greedy application the
-    engine runs row-locally) and report per-source token accounting."""
-    seg0 = (
-        "'  ' || array_to_string(list_transform("
-        "range(1, length(word) + 1), i -> substring(word, i, 1)), '  ') "
-        "|| '  '"
-    )
-    seg = seg0
-    for k in range(1, n_merges + 1):
-        seg = (
-            f"replace({seg},\n                 "
-            f"(SELECT ' ' || pair_left || '  ' || pair_right || ' ' FROM w{k}),\n                 "
-            f"(SELECT ' ' || pair_left || pair_right || ' ' FROM w{k}))"
-        )
-    tokens = f"len(list_filter(string_split({seg}, '  '), x -> x <> ''))"
-    return (
-        _bpe_ctes_sql(n_merges)
-        + f"""
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(nw) AS BIGINT) AS ws_tokens,
-               CAST(sum(nt) AS BIGINT) AS bpe_tokens
-        FROM (
-            SELECT doc_id, source, count(*) AS nw,
-                   CAST(sum({tokens}) AS BIGINT) AS nt
-            FROM (SELECT doc_id, source,
-                         unnest(string_split(text, ' ')) AS word
-                  FROM documents)
-            WHERE word <> ''
-            GROUP BY doc_id, source
-        ) GROUP BY source ORDER BY source"""
-    )
-
-
-ORACLES: dict[str, str] = {
-    "interval_query": f"""
-        SELECT ts, CAST(value AS DOUBLE) AS value
-        FROM events
-        WHERE ts >= TIMESTAMP '{INTERVAL_START}' AND ts <= TIMESTAMP '{INTERVAL_END}'
-        ORDER BY ts
-    """,
-    "interval_count": f"""
-        SELECT count(*) AS cnt FROM events
-        WHERE ts >= TIMESTAMP '{INTERVAL_START}' AND ts <= TIMESTAMP '{INTERVAL_END}'
-    """,
-    "ingest_accounting": """
-        SELECT source, count(*) AS rows_inserted,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM documents GROUP BY source ORDER BY source
-    """,
-    "json_props_agg": """
-        SELECT event_type, count(*) AS n_events, count(k) AS n_valid,
-               CAST(sum(k) AS BIGINT) AS sum_k
-        FROM (
-            SELECT event_type,
-                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-            FROM events
-        ) GROUP BY event_type ORDER BY event_type
-    """,
-    "q1_pricing_summary": """
-        SELECT l_returnflag, l_linestatus,
-               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-               round(avg(l_quantity), 2) AS avg_qty,
-               round(avg(l_extendedprice), 2) AS avg_price,
-               round(avg(l_discount), 4) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus
-    """,
-    "q6_revenue_forecast": """
-        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-          AND l_discount BETWEEN 0.03 AND 0.07
-          AND l_quantity < 24
-    """,
-    "distinct_customers_per_status": """
-        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
-               count(*) AS n_orders
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    "rollup_order_totals": """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price,
-               count(*) AS n_orders
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-    "cube_lineitem_counts": """
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-    "top_orders_by_price": """
-        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-    "stats_price_by_status": """
-        SELECT o_orderstatus, count(*) AS n_orders,
-               round(avg(o_totalprice), 2) AS avg_price,
-               round(stddev_samp(o_totalprice), 2) AS sd_price,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price,
-               CAST(round(CAST(quantile_cont(o_totalprice, 0.5)
-                               AS DECIMAL(18,3)), 2) AS DOUBLE) AS median_price
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    "pivot_priority_counts": """
-        SELECT o_orderstatus,
-               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
-               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
-               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
-               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
-               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    "grouping_sets_revenue": """
-        SELECT l_returnflag, l_linestatus,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-               count(*) AS n_rows
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-    "text_top_words_per_lang": f"""
-        WITH words AS (
-            SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
-            FROM documents
-        ), c AS (
-            SELECT lang, word, count(*) AS n FROM words
-            WHERE word <> '' GROUP BY lang, word
-        )
-        SELECT lang, rnk, word, n FROM (
-            SELECT lang, word, n,
-                   row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rnk
-            FROM c
-        ) WHERE rnk <= 5 ORDER BY lang, rnk
-    """,
-    "range_value_bands": """
-        SELECT COALESCE(band, 'unbanded') AS band,
-               count(*) AS n_events, round(sum(value), 2) AS total_value
-        FROM events
-        LEFT JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
-                          (150.0, 1000.0, 'high')) AS bands(lo, hi, band)
-          ON value >= lo AND value < hi
-        GROUP BY 1 ORDER BY 1
-    """,
-    "subquery_big_spenders": """
-        SELECT c_custkey, c_name FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-          AND NOT EXISTS (
-            SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 50000
-          )
-        ORDER BY c_custkey
-    """,
-    "q4_order_priority": """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders o
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1996-07-01'
-          AND EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
-          )
-        GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    "q10_returned_items": """
-        SELECT c_custkey, c_name,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1996-04-01'
-          AND l_returnflag = 'R'
-        GROUP BY c_custkey, c_name
-        ORDER BY revenue DESC, c_custkey ASC
-        LIMIT 20
-    """,
-    "q14_promo_share": """
-        SELECT round(
-                 100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1996-02-01'
-    """,
-    "q18_large_orders": """
-        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-               round(total_qty, 2) AS total_qty
-        FROM orders
-        JOIN (
-            SELECT l_orderkey, sum(l_quantity) AS total_qty
-            FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
-        ) big ON o_orderkey = big.l_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_totalprice DESC, o_orderkey ASC
-        LIMIT 50
-    """,
-    "q19_brand_bands": """
-        SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-               count(*) AS n_items
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
-               AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
-               AND l_quantity BETWEEN 20 AND 30)
-    """,
-    "q15_top_suppliers": """
-        WITH per_supp AS (
-            SELECT l_suppkey,
-                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1996-04-01'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, total_revenue
-        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
-        ORDER BY s_suppkey
-    """,
-    "q22_wealthy_inactive": """
-        SELECT c_nationkey, count(*) AS n_customers,
-               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
-                   AS total_acctbal
-        FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (
-            SELECT 1 FROM orders o
-            WHERE o.o_custkey = c.c_custkey
-              AND o.o_orderdate >= TIMESTAMP '1999-01-01'
-          )
-        GROUP BY c_nationkey ORDER BY c_nationkey
-    """,
-    "q7_nation_volume": """
-        SELECT supp_nation, cust_nation, l_year,
-               CAST(round(sum(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        FROM (
-            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-                   year(l_shipdate) AS l_year,
-                   l_extendedprice * (1 - l_discount) AS volume
-            FROM lineitem
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation sn ON s_nationkey = sn.n_nationkey
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation cn ON c_nationkey = cn.n_nationkey
-            WHERE sn.n_name IN ('NATION_3', 'NATION_8')
-              AND cn.n_name IN ('NATION_3', 'NATION_8')
-              AND sn.n_name <> cn.n_name
-              AND l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1998-01-01'
-        )
-        GROUP BY supp_nation, cust_nation, l_year
-        ORDER BY supp_nation, cust_nation, l_year
-    """,
-    "q8_market_share": """
-        SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-                     / sum(volume), 6) AS mkt_share
-        FROM (
-            SELECT year(o_orderdate) AS o_year,
-                   l_extendedprice * (1 - l_discount) AS volume,
-                   sn.n_name AS supp_nation
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation sn ON s_nationkey = sn.n_nationkey
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation cn ON c_nationkey = cn.n_nationkey
-            JOIN region ON cn.n_regionkey = r_regionkey
-            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
-              AND o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1998-01-01'
-        )
-        GROUP BY o_year ORDER BY o_year
-    """,
-    "q2_min_cost_supplier": """
-        WITH psupp AS (
-            SELECT l_partkey, l_suppkey,
-                   CAST(round(CAST(sum(l_extendedprice) / sum(l_quantity)
-                                   AS DECIMAL(18,6)), 4) AS DOUBLE) AS unit_cost
-            FROM lineitem GROUP BY 1, 2
-        ), rsupp AS (
-            SELECT s_suppkey, s_name, s_acctbal, n_name
-            FROM supplier
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            WHERE r_name = 'EUROPE'
-        ), priced AS (
-            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost,
-                   min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
-            FROM psupp
-            JOIN part ON l_partkey = p_partkey
-            JOIN rsupp ON l_suppkey = s_suppkey
-            WHERE p_size = 5 AND p_type LIKE '%PROMO%'
-        )
-        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
-        FROM priced WHERE unit_cost = min_cost
-        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        LIMIT 100
-    """,
-    "q12_priority_lines": """
-        SELECT l_linestatus,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-        GROUP BY l_linestatus ORDER BY l_linestatus
-    """,
-    "q20_dominant_suppliers": """
-        WITH lf AS (
-            SELECT l_partkey, l_suppkey, l_quantity
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE p_name LIKE 'small%'
-              AND l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-        ), ps AS (
-            SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
-            FROM lf GROUP BY 1, 2
-        ), dom AS (
-            SELECT DISTINCT l_suppkey FROM (
-                SELECT l_suppkey, qty,
-                       sum(qty) OVER (PARTITION BY l_partkey) AS part_total
-                FROM ps
-            ) WHERE qty > 0.5 * part_total
-        )
-        SELECT s_name, s_acctbal FROM supplier
-        WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
-        ORDER BY s_name
-    """,
-    "q9_profit_by_nation": """
-        SELECT nation, o_year,
-               CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE)
-                   AS sum_profit
-        FROM (
-            SELECT n_name AS nation, year(o_orderdate) AS o_year,
-                   l_extendedprice * (1 - l_discount)
-                     - 0.6 * p_retailprice * l_quantity AS amount
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation ON s_nationkey = n_nationkey
-            JOIN orders ON l_orderkey = o_orderkey
-            WHERE p_name LIKE '%red%'
-        )
-        GROUP BY nation, o_year
-        ORDER BY nation ASC, o_year DESC
-    """,
-    "q13_order_distribution": """
-        SELECT c_count, count(*) AS custdist
-        FROM (
-            SELECT c_custkey, count(o_orderkey) AS c_count
-            FROM customer
-            LEFT OUTER JOIN orders
-              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-            GROUP BY c_custkey
-        )
-        GROUP BY c_count
-        ORDER BY custdist DESC, c_count DESC
-    """,
-    "q11_important_parts": """
-        WITH per_part AS (
-            SELECT l_partkey,
-                   sum(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(18,4))) AS pv_dec
-            FROM lineitem GROUP BY l_partkey
-        ), t AS (
-            SELECT CAST(sum(pv_dec) AS DOUBLE) / count(*) * 1.2 AS threshold
-            FROM per_part
-        )
-        SELECT l_partkey, CAST(round(pv_dec, 2) AS DOUBLE) AS part_value
-        FROM per_part, t
-        WHERE CAST(pv_dec AS DOUBLE) > threshold
-        ORDER BY part_value DESC, l_partkey ASC
-    """,
-    "q16_supplier_variety": """
-        SELECT p_brand, p_type, p_size,
-               count(DISTINCT l_suppkey) AS supplier_cnt
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
-          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40)
-        GROUP BY p_brand, p_type, p_size
-        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
-    """,
-    "q17_small_qty_revenue": """
-        SELECT CAST(round(CAST(sum(l_extendedprice) / 7.0 AS DECIMAL(18,4)), 2)
-                    AS DOUBLE) AS avg_yearly
-        FROM lineitem l
-        JOIN part ON l.l_partkey = p_partkey
-        WHERE p_brand = 'Brand#23'
-          AND l.l_quantity < (
-            SELECT 0.5 * avg(l2.l_quantity)
-            FROM lineitem l2
-            JOIN part p2 ON l2.l_partkey = p2.p_partkey
-            WHERE p2.p_brand = 'Brand#23' AND l2.l_partkey = l.l_partkey
-          )
-    """,
-    "sample_split_assign": """
-        SELECT split, lang, count(*) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM (
-            SELECT CASE WHEN b < 80 THEN 'train'
-                        WHEN b < 90 THEN 'val'
-                        ELSE 'test' END AS split,
-                   lang, n_chars
-            FROM (
-                SELECT lang, n_chars,
-                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-                            AS INT) % 100 AS b
-                FROM documents
-            )
-        )
-        GROUP BY split, lang ORDER BY split, lang
-    """,
-    "sample_stratified_exact": """
-        SELECT doc_id, lang, rn
-        FROM (
-            SELECT doc_id, lang,
-                   row_number() OVER (
-                     PARTITION BY lang
-                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                   ) AS rn
-            FROM documents
-        )
-        WHERE rn <= 20
-        ORDER BY lang, rn
-    """,
-    "sample_chunk_documents": f"""
-        WITH t AS (
-            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
-        ), s AS (
-            SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS chunk_start
-            FROM t
-        )
-        SELECT doc_id,
-               chunk_start // 24 AS chunk_id,
-               chunk_start,
-               least(32, len(w) - chunk_start) AS chunk_tokens,
-               array_to_string(w[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
-        FROM s ORDER BY doc_id, chunk_id
-    """,
-    "sample_pack_sequences": """
-        WITH toks AS (
-            SELECT doc_id, lang,
-                   len(string_split(text, ' ')) AS n_tokens
-            FROM documents
-        ), binned AS (
-            SELECT doc_id, lang, n_tokens,
-                   CAST(FLOOR(COALESCE(sum(n_tokens) OVER (
-                       PARTITION BY lang ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) / 2048.0) AS BIGINT) AS bin
-            FROM toks
-        )
-        SELECT lang, bin, count(*) AS n_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        FROM binned GROUP BY lang, bin ORDER BY lang, bin
-    """,
-    "sample_quota_by_source": """
-        WITH q(source, quota) AS (
-            VALUES ('src0', 30), ('src1', 10), ('src2', 5), ('src3', 0)
-        ), ranked AS (
-            SELECT doc_id, source,
-                   row_number() OVER (
-                     PARTITION BY source
-                     ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                   ) AS rn
-            FROM documents
-        )
-        SELECT doc_id, ranked.source, rn
-        FROM ranked LEFT JOIN q ON ranked.source = q.source
-        WHERE rn <= COALESCE(quota, 8)
-        ORDER BY ranked.source, rn
-    """,
-    "sample_epoch_repeat": """
-        WITH e(source, n_epochs) AS (
-            VALUES ('src0', 3), ('src1', 2), ('src2', 0)
-        ), rep AS (
-            SELECT doc_id, d.source,
-                   unnest(generate_series(1, COALESCE(e.n_epochs, 1))) AS epoch
-            FROM documents d LEFT JOIN e ON d.source = e.source
-            WHERE COALESCE(e.n_epochs, 1) >= 1
-        )
-        SELECT source, count(*) AS n_rows,
-               count(DISTINCT doc_id) AS n_docs,
-               max(epoch) AS max_epoch
-        FROM rep GROUP BY source ORDER BY source
-    """,
-    "sample_temperature_mix": """
-        WITH counts AS (
-            SELECT source, count(*) AS n_docs FROM documents GROUP BY source
-        ), weighted AS (
-            SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.5) AS w
-            FROM counts
-        ), totals AS (
-            SELECT sum(w) AS tw, sum(n_docs) AS tn FROM weighted
-        )
-        SELECT source, n_docs,
-               round(n_docs / tn, 4) AS raw_share,
-               round(w / tw, 4) AS tempered_share,
-               CAST(floor(1000.0 * w / tw) AS BIGINT) AS target_docs,
-               round(CAST(floor(1000.0 * w / tw) AS DOUBLE) / n_docs, 2)
-                   AS repeat_factor
-        FROM weighted, totals ORDER BY source
-    """,
-    "unpivot_status_metrics": """
-        WITH a AS (
-            SELECT o_orderstatus,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS sum_price,
-                   CAST(round(CAST(avg(o_totalprice) AS DECIMAL(18,4)), 2)
-                        AS DOUBLE) AS avg_price,
-                   CAST(count(*) AS DOUBLE) AS n_orders
-            FROM orders GROUP BY o_orderstatus
-        )
-        SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM a
-        UNION ALL
-        SELECT o_orderstatus, 'avg_price', avg_price FROM a
-        UNION ALL
-        SELECT o_orderstatus, 'n_orders', n_orders FROM a
-        ORDER BY o_orderstatus, metric
-    """,
-    "q21_waiting_suppliers": """
-        SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (
-            SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          )
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name ASC
-        LIMIT 20
-    """,
-    "window_rank_bands": """
-        SELECT o_orderstatus, o_orderkey, o_totalprice, price_quartile,
-               pct_rank, cume
-        FROM (
-            SELECT o_orderstatus, o_orderkey, o_totalprice,
-                   ntile(4) OVER w AS price_quartile,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume,
-                   row_number() OVER w AS rn
-            FROM orders
-            WINDOW w AS (PARTITION BY o_orderstatus
-                         ORDER BY o_totalprice DESC, o_orderkey ASC)
-        )
-        WHERE rn <= 3
-        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
-    """,
-    "percentile_value_by_type": """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 4) AS p50_value,
-               round(quantile_cont(value, 0.9), 4) AS p90_value,
-               count(*) AS n_events
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    "correlation_stats": """
-        SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-               round(stddev_samp(l_extendedprice), 2) AS stddev_price,
-               count(*) AS n_rows
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-    "gapfill_daily_series": """
-        WITH obs AS (
-            SELECT user_id, CAST(ts AS DATE) AS day,
-                   round(max(value), 2) AS max_value
-            FROM events
-            WHERE event_type = 'purchase' AND value > 120 AND user_id < 40
-            GROUP BY 1, 2
-        ), span AS (
-            SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
-            FROM events
-        ), days AS (
-            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
-                       AS day
-            FROM span
-        ), grid AS (
-            SELECT u.user_id, d.day
-            FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN days d
-        )
-        SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
-               last_value(o.max_value IGNORE NULLS) OVER (
-                   PARTITION BY g.user_id ORDER BY g.day ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS filled_value,
-               o.max_value IS NOT NULL AS observed
-        FROM grid g
-        LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
-        ORDER BY g.user_id, g.day
-    """,
-    "agg_user_value_trend": """
-        SELECT user_id, count(*) AS n_events,
-               round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
-                   AS slope_per_day
-        FROM events GROUP BY user_id ORDER BY user_id
-    """,
-    "agg_user_value_trend_pandas": """
-        SELECT user_id, count(*) AS n_events,
-               round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4)
-                   AS slope_per_day
-        FROM events GROUP BY user_id ORDER BY user_id
-    """,
-    "text_quality_pass_rates": """
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-               round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
-                   / count(*), 4) AS pass_rate
-        FROM (
-            SELECT lang,
-                   n_chars >= 120 AND
-                   CAST(length(text) AS DOUBLE)
-                       / len(string_split(text, ' ')) <= 12.0 AS passes
-            FROM documents
-        ) GROUP BY lang ORDER BY lang
-    """,
-    "text_gopher_flags": """
-        WITH m AS (
-            SELECT source,
-                   len(string_split(text, ' ')) AS nw,
-                   CAST(list_sum(list_transform(string_split(text, ' '),
-                        x -> length(x))) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS mean_wl,
-                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS symbol_ratio,
-                   CAST(len(list_filter(string_split(text, ' '),
-                        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS alpha_frac,
-                   len(list_filter(string_split(text, ' '),
-                        x -> x IN ('the','a','of','and','is'))) AS stop_hits
-            FROM documents
-        ), flags AS (
-            SELECT source,
-                   CASE WHEN nw BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS fail_word_count,
-                   CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 0 ELSE 1 END AS fail_word_len,
-                   CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END AS fail_symbol_ratio,
-                   CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END AS fail_alpha_frac,
-                   CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS fail_stopwords
-            FROM m
-        )
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(fail_word_count) AS BIGINT) AS fail_word_count,
-               CAST(sum(fail_word_len) AS BIGINT) AS fail_word_len,
-               CAST(sum(fail_symbol_ratio) AS BIGINT) AS fail_symbol_ratio,
-               CAST(sum(fail_alpha_frac) AS BIGINT) AS fail_alpha_frac,
-               CAST(sum(fail_stopwords) AS BIGINT) AS fail_stopwords,
-               CAST(sum(CASE WHEN fail_word_count + fail_word_len + fail_symbol_ratio
-                          + fail_alpha_frac + fail_stopwords = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_pass
-        FROM flags GROUP BY source ORDER BY source
-    """,
-    "text_repetition_ratios": """
-        WITH d AS (
-            SELECT lang, string_split(text, ' ') AS w FROM documents
-        ), g AS (
-            SELECT lang, w,
-                   list_transform(range(len(w)-1),
-                        i -> w[i+1] || ' ' || w[i+2]) AS bg,
-                   list_transform(range(len(w)-2),
-                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS tg
-            FROM d
-        ), per_doc AS (
-            SELECT lang,
-                   CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
-                   CASE WHEN len(bg) = 0 THEN 0.0 ELSE
-                        1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-                   END AS dup_bigram_frac,
-                   CASE WHEN len(tg) = 0 THEN 0.0 ELSE
-                        1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
-                   END AS dup_trigram_frac
-            FROM g
-        )
-        SELECT lang, count(*) AS n_docs,
-               round(avg(distinct_ratio), 4) AS avg_distinct_ratio,
-               round(avg(dup_bigram_frac), 4) AS avg_dup_bigram_frac,
-               round(avg(dup_trigram_frac), 4) AS avg_dup_trigram_frac,
-               CAST(sum(CASE WHEN distinct_ratio < 0.3 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_repetitive
-        FROM per_doc GROUP BY lang ORDER BY lang
-    """,
-    "text_top_tfidf_terms": f"""
-        WITH tf AS (
-            SELECT doc_id, word, count(*) AS tf
-            FROM (
-                SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
-                FROM documents
-            ) WHERE word <> ''
-            GROUP BY doc_id, word
-        ), df AS (
-            SELECT word, count(*) AS doc_freq FROM tf GROUP BY word
-        ), tot AS (SELECT count(*) AS n FROM documents),
-        scored AS (
-            SELECT tf.doc_id, tf.word, tf.tf, df.doc_freq,
-                   tf.tf * ln(CAST(tot.n AS DOUBLE) / df.doc_freq) AS s
-            FROM tf JOIN df USING (word), tot
-        )
-        SELECT doc_id, rank, word, tf, doc_freq, round(s, 4) AS tfidf
-        FROM (
-            SELECT *, row_number() OVER (
-                       PARTITION BY doc_id ORDER BY s DESC, word ASC
-                   ) AS rank
-            FROM scored
-        ) WHERE rank <= 5
-        ORDER BY doc_id, rank
-    """,
-    "text_vocabulary": f"""
-        WITH dw0 AS (
-            SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL}, ' '))) AS word
-            FROM documents
-        ), dw AS (SELECT * FROM dw0 WHERE word <> ''),
-        tot AS (SELECT count(*) AS n FROM documents)
-        SELECT word, count(*) AS doc_freq,
-               round(ln(CAST(tot.n AS DOUBLE) / count(*)), 4) AS idf
-        FROM dw, tot GROUP BY word, tot.n
-        ORDER BY doc_freq DESC, word LIMIT 100
-    """,
-    "text_pii_redaction": """
-        WITH per_doc AS (
-            SELECT source,
-                   len(regexp_extract_all(text,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-                   len(regexp_extract_all(text,
-                        '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
-                   len(regexp_extract_all(text,
-                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
-                   CASE WHEN regexp_replace(regexp_replace(regexp_replace(text,
-                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                            '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
-                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')
-                        != text THEN 1 ELSE 0 END AS doc_redacted
-            FROM documents
-        )
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(n_email) AS BIGINT) AS n_email,
-               CAST(sum(n_phone) AS BIGINT) AS n_phone,
-               CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
-               CAST(sum(doc_redacted) AS BIGINT) AS n_docs_redacted
-        FROM per_doc GROUP BY source ORDER BY source
-    """,
-    "window_daily_delta": """
-        WITH daily AS (
-            SELECT date_trunc('day', ts) AS d, round(avg(value), 4) AS avg_value
-            FROM events GROUP BY 1
-        )
-        SELECT d, avg_value,
-               round(avg_value - lag(avg_value) OVER (ORDER BY d ASC), 4) AS delta
-        FROM daily ORDER BY d
-    """,
-    "embedding_norm_stats": """
-        SELECT label, count(*) AS n_vecs,
-               round(avg(nrm), 4) AS avg_norm,
-               round(min(nrm), 4) AS min_norm,
-               round(max(nrm), 4) AS max_norm
-        FROM (
-            SELECT label,
-                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> x * x))) AS nrm
-            FROM embeddings
-        ) GROUP BY label ORDER BY label
-    """,
-    "join_revenue_by_brand": """
-        SELECT p_brand,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
-               count(*) AS n_items
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand ORDER BY p_brand
-    """,
-    "q3_shipping_priority": """
-        SELECT o_orderkey, o_orderdate, o_orderpriority,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-        GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
-    """,
-    "q5_region_revenue": """
-        SELECT n_name,
-               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE s_nationkey = c_nationkey
-        GROUP BY n_name ORDER BY revenue DESC, n_name ASC
-    """,
-    "semi_join_big_orders": """
-        SELECT o_orderstatus, count(*) AS n_orders
-        FROM orders
-        WHERE EXISTS (
-            SELECT 1 FROM lineitem
-            WHERE l_orderkey = o_orderkey AND l_quantity > 45
-        )
-        GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    "anti_join_idle_customers": """
-        SELECT c_custkey, c_name, c_nationkey
-        FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        ORDER BY c_custkey
-    """,
-    "asof_purchase_signup": """
-        SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts
-        FROM (
-            SELECT event_id, user_id, ts, value FROM events
-            WHERE event_type = 'purchase'
-        ) p
-        ASOF LEFT JOIN (
-            SELECT user_id, ts, ts AS signup_ts FROM events
-            WHERE event_type = 'signup'
-        ) s ON p.user_id = s.user_id AND p.ts >= s.ts
-        ORDER BY p.event_id
-    """,
-    # DuckDB has no ASOF tolerance; the gate is applied on top of the
-    # native ASOF match — identical to merge_asof because the asof match
-    # IS the closest candidate, so failing the window means no match.
-    "asof_purchase_signup_tolerance": f"""
-        SELECT event_id, user_id, ts, value,
-               CASE WHEN epoch_us(ts) - epoch_us(signup_ts)
-                         <= {_ASOF_TOLERANCE_S} * 1000000::BIGINT
-                    THEN signup_ts END AS signup_ts
-        FROM (
-            SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts
-            FROM (
-                SELECT event_id, user_id, ts, value FROM events
-                WHERE event_type = 'purchase'
-            ) p
-            ASOF LEFT JOIN (
-                SELECT user_id, ts, ts AS signup_ts FROM events
-                WHERE event_type = 'signup'
-            ) s ON p.user_id = s.user_id AND p.ts >= s.ts
-        ) ORDER BY event_id
-    """,
-    "window_value_delta": """
-        SELECT event_id, user_id, ts,
-               round(value - lag(value) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
-        FROM events ORDER BY event_id
-    """,
-    "window_topk_per_user": """
-        SELECT user_id, rnk, event_id, value FROM (
-            SELECT user_id, event_id, value,
-                   row_number() OVER
-                       (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
-            FROM events
-        ) WHERE rnk <= 3 ORDER BY user_id, rnk
-    """,
-    "window_running_total": """
-        SELECT event_id, user_id, ts,
-               round(sum(value) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                   AS running_value
-        FROM events ORDER BY event_id
-    """,
-    "sessionize_events": """
-        WITH g AS (
-            SELECT user_id, event_id, ts, value,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)
-                            > 1800000000
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events
-        ), s AS (
-            SELECT *, CAST(sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                       AS session_seq
-            FROM g
-        )
-        SELECT user_id, session_seq, count(*) AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end,
-               round(sum(value), 2) AS session_value
-        FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
-    """,
-    "hourly_rollup": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n_events, round(sum(value), 2) AS total_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "dedup_component_survivors": f"""
-        WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ), closure(src, reach) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT c.src, e.dst FROM closure c JOIN edges e ON c.reach = e.src
-        ), comps AS (
-            SELECT src AS doc_id, least(src, min(reach)) AS comp
-            FROM closure GROUP BY src
-        ), assigned AS (
-            SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp
-            FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
-        ), ranked AS (
-            SELECT comp, doc_id, n_chars,
-                   row_number() OVER (PARTITION BY comp
-                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
-                   count(*) OVER (PARTITION BY comp) AS n_members
-            FROM assigned
-        )
-        SELECT comp, doc_id AS survivor_doc_id, n_chars AS survivor_chars,
-               n_members
-        FROM ranked WHERE rn = 1 ORDER BY comp
-    """,
-    "session_overlap_pairs": """
-        WITH g AS (
-            SELECT user_id, event_id, ts,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)
-                            > 1800000000
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events
-        ), s AS (
-            SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_seq
-            FROM g
-        ), sess AS (
-            SELECT user_id, session_seq,
-                   epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
-            FROM s GROUP BY user_id, session_seq
-        ), pairs AS (
-            SELECT a.user_id AS user_a, b.user_id AS user_b,
-                   least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov_us
-            FROM sess a JOIN sess b
-              ON a.user_id < b.user_id
-             AND a.s_us <= b.e_us AND b.s_us <= a.e_us
-        )
-        SELECT user_a, user_b, count(*) AS n_overlaps,
-               CAST(sum(ov_us) AS BIGINT) AS total_overlap_us
-        FROM pairs GROUP BY user_a, user_b ORDER BY user_a, user_b
-    """,
-    "window_time_range_avg": """
-        SELECT event_id, user_id, ts, round(value, 2) AS value,
-               round(avg(value) OVER w, 4) AS trailing_avg,
-               count(*) OVER w AS trailing_n
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, ts, event_id
-    """,
-    "revenue_share_by_priority": """
-        WITH per AS (
-            SELECT o_orderpriority,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS revenue
-            FROM orders GROUP BY o_orderpriority
-        )
-        SELECT o_orderpriority, revenue,
-               round(revenue / sum(revenue) OVER (), 6) AS share
-        FROM per ORDER BY o_orderpriority
-    """,
-    "price_histogram": """
-        SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
-               CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_low,
-               count(*) AS n_orders,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price
-        FROM orders GROUP BY 1 ORDER BY 1
-    """,
-    "equidepth_price_histogram": """
-        -- Same cutpoints (exact interpolated percentiles — Spark
-        -- percentile() and DuckDB quantile_cont agree bit-for-bit on
-        -- doubles, the percentile_value_by_type precedent), same
-        -- strictly-greater bucket fold.
-        WITH cuts AS (
-            SELECT ["""
-    + ", ".join(
-        f"quantile_cont(CAST(o_totalprice AS DOUBLE), {i / 10})"
-        for i in range(1, 10)
-    )
-    + """] AS cs
-            FROM orders
-        ), b AS (
-            SELECT o_totalprice,
-                   ("""
-    + " + ".join(
-        f"CASE WHEN CAST(o_totalprice AS DOUBLE) > cs[{i}] THEN 1 ELSE 0 END"
-        for i in range(1, 10)
-    )
-    + """) AS bucket
-            FROM orders, cuts
-        )
-        SELECT bucket, count(*) AS n_orders,
-               round(min(o_totalprice), 2) AS min_price,
-               round(max(o_totalprice), 2) AS max_price
-        FROM b GROUP BY bucket ORDER BY bucket
-    """,
-    "stats_price_boxplot": """
-        WITH pct AS (
-            SELECT o_orderstatus,
-                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
-                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med,
-                   quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
-            FROM orders GROUP BY o_orderstatus
-        )
-        SELECT o.o_orderstatus, count(*) AS n_orders,
-               round(min(q1), 4) AS q1, round(min(med), 4) AS median,
-               round(min(q3), 4) AS q3, round(min(q3 - q1), 4) AS iqr,
-               CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE)
-                                  < q1 - 1.5 * (q3 - q1)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
-               CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE)
-                                  > q3 + 1.5 * (q3 - q1)
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
-        FROM orders o JOIN pct USING (o_orderstatus)
-        GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
-    """,
-    "agg_user_bookends": """
-        -- struct argmin/argmax on the (ts, event_id) total order; both
-        -- engines compare the struct lexicographically, so the bookend
-        -- payloads are pinned exactly
-        SELECT user_id, count(*) AS n_events,
-               (min(struct_pack(ts := ts, eid := event_id,
-                                et := event_type, val := value))).et
-                   AS first_type,
-               CAST((min(struct_pack(ts := ts, eid := event_id,
-                                     et := event_type, val := value))).val
-                    AS DOUBLE) AS first_value,
-               (max(struct_pack(ts := ts, eid := event_id,
-                                et := event_type, val := value))).et
-                   AS last_type,
-               CAST((max(struct_pack(ts := ts, eid := event_id,
-                                     et := event_type, val := value))).val
-                    AS DOUBLE) AS last_value,
-               epoch_us((max(struct_pack(ts := ts, eid := event_id,
-                                         et := event_type, val := value))).ts)
-               - epoch_us((min(struct_pack(ts := ts, eid := event_id,
-                                           et := event_type, val := value))).ts)
-                   AS span_us
-        FROM events GROUP BY user_id ORDER BY user_id
-    """,
-    "events_time_weighted_avg": """
-        -- left-constant TWAP: exact DECIMAL(18,2)·micros numerator,
-        -- doubles only at the final division (money_sum pattern)
-        WITH s AS (
-            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
-                   epoch_us(lead(ts) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   )) - epoch_us(ts) AS dt
-            FROM events
-        )
-        SELECT user_id, count(*) AS n_intervals,
-               CAST(sum(dt) AS BIGINT) AS span_us,
-               floor(CAST(sum(v * dt) AS DOUBLE)
-                     / CAST(sum(dt) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
-        FROM s WHERE dt IS NOT NULL
-        GROUP BY user_id HAVING sum(dt) > 0
-        ORDER BY user_id
-    """,
-    "sample_pps_systematic": """
-        -- systematic PPS over the md5-ordered weight line; the stride
-        -- boundary test is integer DIV — bit-exact across engines
-        WITH keyed AS (
-            SELECT doc_id, source, greatest(n_chars, 1) AS w,
-                   sum(greatest(n_chars, 1)) OVER (
-                       PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
-                       ROWS UNBOUNDED PRECEDING
-                   ) AS cum,
-                   sum(greatest(n_chars, 1)) OVER (
-                       PARTITION BY source
-                   ) AS total_w
-            FROM documents
-        )
-        SELECT doc_id, source, CAST(w AS BIGINT) AS w,
-               CAST((cum * 25) // total_w - ((cum - w) * 25) // total_w
-                    AS BIGINT) AS n_picks,
-               CAST(((cum - w) * 25) // total_w AS BIGINT) AS first_pick
-        FROM keyed
-        WHERE (cum * 25) // total_w - ((cum - w) * 25) // total_w > 0
-        ORDER BY source, first_pick
-    """,
-    "text_word_pairs": f"""
-        WITH t AS (
-            SELECT string_split({_NORM_SQL}, ' ') AS w FROM documents
-        ), s AS (
-            SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2
-        )
-        SELECT w[i] || ' ' || w[i+1] AS pair, count(*) AS n_occurrences
-        FROM s GROUP BY pair ORDER BY n_occurrences DESC, pair ASC LIMIT 50
-    """,
-    "streaming_sessionize": """
-        WITH g AS (
-            SELECT user_id, event_id, ts, value,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
-                            (PARTITION BY user_id ORDER BY ts, event_id)
-                            > 1800000000
-                        THEN 1 ELSE 0 END AS new_sess
-            FROM events
-        ), s AS (
-            SELECT *, sum(new_sess) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_seq
-            FROM g
-        )
-        SELECT user_id, min(ts) AS session_start,
-               max(ts) + INTERVAL 30 MINUTE AS session_end,
-               count(*) AS n_events, round(sum(value), 2) AS session_value
-        FROM s GROUP BY user_id, session_seq
-        ORDER BY user_id, session_start
-    """,
-    # the streaming twin must converge to the exact batch answer on a
-    # bounded replay — same oracle as hourly_rollup by construction
-    "streaming_hourly_rollup": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n_events, round(sum(value), 2) AS total_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "streaming_tier_rollup": """
-        -- batch twin of the stream-static enrichment: the static tier
-        -- dimension is a pure function of user_id, so the broadcast
-        -- join folds into a projection here
-        SELECT date_trunc('hour', ts) AS window_start,
-               CAST(user_id % 3 AS INT) AS tier,
-               count(*) AS n_events, round(sum(value), 2) AS total_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    # incremental maintenance must equal the from-scratch recompute of
-    # the post-change table: pre-1997 minus every-50th-key, plus 1997+
-    "incremental_agg_orders": """
-        SELECT o_orderstatus, count(*) AS n_rows,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                    AS DOUBLE) AS total
-        FROM orders
-        WHERE o_orderdate >= DATE '1997-01-01' OR o_orderkey % 50 <> 0
-        GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-    # row-level streaming dedup over a 3x-duplicated replay collapses
-    # to the plain batch census of the original table
-    "streaming_dedup_census": """
-        SELECT event_type, count(*) AS n_events,
-               round(sum(value), 2) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    # the stream-stream interval join emits every match on a bounded
-    # replay — the oracle is the plain batch interval join.  The self
-    # join goes through a CTE so the module-level "FROM events"
-    # microsecond-cast rewrite applies exactly once (a bare aliased
-    # self-join would collide with the rewrite's own table alias).
-    "streaming_click_attribution": """
-        WITH ev AS (SELECT * FROM events)
-        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
-               p.value AS purchase_value,
-               c.event_id AS click_id, c.ts AS click_ts
-        FROM ev p JOIN ev c
-          ON p.user_id = c.user_id
-         AND p.event_type = 'purchase' AND c.event_type = 'click'
-         AND c.ts BETWEEN p.ts - INTERVAL 1 DAY AND p.ts
-        ORDER BY purchase_id, click_id
-    """,
-    # the streaming CDC MERGE converges to the batch full-outer merge:
-    # update row wins on key match, inserted otherwise, base kept
-    # elsewhere — update files partition keys disjointly, so batch
-    # grouping cannot change the fixpoint
-    "streaming_cdc_apply": """
-        WITH base AS (
-            SELECT o_orderkey, o_orderstatus,
-                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
-            FROM orders WHERE o_orderkey % 4 <> 0
-        ), upd AS (
-            SELECT o_orderkey, 'U' AS o_orderstatus,
-                   round(CAST(o_totalprice AS DOUBLE) * 2, 2) AS o_totalprice
-            FROM orders WHERE o_orderkey % 3 = 0
-        )
-        SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-               CASE WHEN u.o_orderkey IS NOT NULL
-                    THEN u.o_orderstatus ELSE b.o_orderstatus
-               END AS o_orderstatus,
-               CASE WHEN u.o_orderkey IS NOT NULL
-                    THEN u.o_totalprice ELSE b.o_totalprice
-               END AS o_totalprice
-        FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
-        ORDER BY o_orderkey
-    """,
-    # rank-based quintiles (custkey tiebreak) are exactly reproducible
-    # cross-engine where value-percentile cutpoints tie-break
-    # ambiguously; the oracle's plain windows ARE the semantics the
-    # distributed rank must reproduce
-    "customers_rfm_segments": """
-        WITH m AS (
-            SELECT o_custkey,
-                   max(o_orderdate) AS last_order_date,
-                   count(*) AS n_orders,
-                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                              AS DOUBLE), 2) AS total_spend
-            FROM orders GROUP BY o_custkey
-        ), r AS (
-            SELECT *,
-                   row_number() OVER (ORDER BY last_order_date, o_custkey)
-                       AS rr,
-                   row_number() OVER (ORDER BY n_orders, o_custkey) AS fr,
-                   row_number() OVER (ORDER BY total_spend, o_custkey) AS mr,
-                   count(*) OVER () AS nc
-            FROM m
-        )
-        SELECT o_custkey, last_order_date, n_orders, total_spend,
-               CAST(1 + (5 * (rr - 1)) // nc AS INT) AS r_score,
-               CAST(1 + (5 * (fr - 1)) // nc AS INT) AS f_score,
-               CAST(1 + (5 * (mr - 1)) // nc AS INT) AS m_score,
-               CAST(1 + (5 * (rr - 1)) // nc AS VARCHAR)
-                   || CAST(1 + (5 * (fr - 1)) // nc AS VARCHAR)
-                   || CAST(1 + (5 * (mr - 1)) // nc AS VARCHAR)
-                   AS rfm_segment
-        FROM r ORDER BY o_custkey
-    """,
-    # corpus-internal duplicate-5-gram coverage: same gram construction
-    # as the decontamination oracle, document frequency >= 2 instead of
-    # train membership
-    "dedup_ngram_coverage": f"""
-        WITH norm AS (
-            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
-            FROM documents
-        ), grams AS (
-            SELECT doc_id,
-                   CASE WHEN len(w) >= 5
-                        THEN list_distinct(list_transform(range(1, len(w) - 4 + 1),
-                                 i -> array_to_string(w[i:i+4], ' ')))
-                        ELSE CAST([] AS VARCHAR[]) END AS g
-            FROM norm
-        ), eg AS (
-            SELECT doc_id, unnest(g) AS gram FROM grams
-        ), shared_g AS (
-            SELECT gram FROM eg GROUP BY gram HAVING count(*) >= 2
-        ), hits AS (
-            SELECT e.doc_id, count(*) AS n_shared
-            FROM eg e JOIN shared_g USING (gram) GROUP BY e.doc_id
-        )
-        SELECT g.doc_id, len(g.g) AS n_ngrams,
-               COALESCE(h.n_shared, 0) AS n_shared,
-               round(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(g.g), 4)
-                   AS dup_frac
-        FROM grams g LEFT JOIN hits h USING (doc_id)
-        WHERE len(g.g) > 0 ORDER BY g.doc_id
-    """,
-    # deterministic contrastive negatives: the md5 rank line is shared
-    # with the sampling family's convention; rank ordering uses the
-    # 15-hex numeric projection + doc_id tiebreak on BOTH engines
-    "sample_negative_pairs": """
-        WITH ranked AS (
-            SELECT doc_id,
-                   row_number() OVER (
-                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS
-                                VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS r,
-                   count(*) OVER () AS n
-            FROM documents
-        ), probes AS (
-            SELECT a.doc_id, j.j AS neg_idx,
-                   ((a.r - 1 + greatest(1, (a.n * j.j) // 4)) % a.n) + 1
-                       AS pr
-            FROM ranked a, (SELECT unnest([1, 2, 3]) AS j) j
-            WHERE a.n >= 2
-        )
-        SELECT p.doc_id, p.neg_idx, b.doc_id AS neg_doc_id
-        FROM probes p JOIN ranked b ON b.r = p.pr
-        ORDER BY p.doc_id, p.neg_idx
-    """,
-    # rank-trimmed robust means: integer rank bounds make row selection
-    # bit-deterministic (value-percentile cutpoints can wobble one ulp
-    # and flip a boundary row); sums exact decimal, double at the edge
-    "stats_price_trimmed_means": """
-        WITH r AS (
-            SELECT o_orderstatus,
-                   CAST(o_totalprice AS DECIMAL(18,2)) AS v,
-                   row_number() OVER (PARTITION BY o_orderstatus
-                                      ORDER BY o_totalprice, o_orderkey) AS rk,
-                   count(*) OVER (PARTITION BY o_orderstatus) AS n
-            FROM orders
-        ), t AS (
-            SELECT o_orderstatus, v, rk, n,
-                   CAST(floor(n * 5 / 100) AS BIGINT) AS k
-            FROM r
-        ), g AS (
-            SELECT o_orderstatus,
-                   max(n) AS n_orders,
-                   max(k) AS n_trimmed_each_side,
-                   sum(CASE WHEN rk > k AND rk <= n - k THEN v END) AS s_in,
-                   max(CASE WHEN rk = k + 1 THEN v END) AS lo,
-                   max(CASE WHEN rk = n - k THEN v END) AS hi
-            FROM t GROUP BY o_orderstatus
-        )
-        SELECT o_orderstatus, n_orders, n_trimmed_each_side,
-               round(CAST(s_in / (n_orders - 2 * n_trimmed_each_side)
-                          AS DOUBLE), 4) AS trimmed_mean,
-               round(CAST((s_in + n_trimmed_each_side * lo
-                           + n_trimmed_each_side * hi) / n_orders
-                          AS DOUBLE), 4) AS winsorized_mean,
-               CAST(lo AS DOUBLE) AS lo_clamp,
-               CAST(hi AS DOUBLE) AS hi_clamp
-        FROM g ORDER BY o_orderstatus
-    """,
-    "events_quantile_normalize": """
-        WITH r AS (
-            SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY value, event_id) AS rk,
-                   count(*) OVER (PARTITION BY event_type) AS n
-            FROM events
-        )
-        SELECT event_id, event_type, value,
-               round(CASE WHEN n > 1
-                          THEN CAST(rk - 1 AS DOUBLE) / (n - 1)
-                          ELSE 0.0 END, 6) AS qnorm
-        FROM r ORDER BY event_id
-    """,
-    # affine int8 quantization: every step is elementwise double math
-    # in list order on both engines, so codes and stats are
-    # bit-identical (floor(+0.5), never round() — half-even vs
-    # half-away differs across engines)
-    "embedding_scalar_quantization": """
-        WITH v AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
-        ), s AS (
-            SELECT vec_id, label, v,
-                   list_aggregate(v, 'min') AS vmin,
-                   (list_aggregate(v, 'max') - list_aggregate(v, 'min'))
-                       / 255 AS scale
-            FROM v
-        ), e AS (
-            SELECT vec_id, label, v, scale,
-                   CASE WHEN scale > 0 THEN
-                       list_transform(v, x -> abs(x - (vmin +
-                           floor((x - vmin) / scale + 0.5) * scale)))
-                   ELSE list_transform(v, x -> 0.0) END AS errs
-            FROM s
-        )
-        SELECT vec_id, label, len(v) AS n_dims, round(scale, 6) AS scale,
-               round(sqrt(list_aggregate(list_transform(errs, x -> x * x),
-                                         'sum') / len(v)), 6) AS rmse,
-               round(list_aggregate(errs, 'max'), 6) AS max_err
-        FROM e ORDER BY vec_id
-    """,
-    "embedding_centroid_dispersion": """
-        WITH x AS (
-            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings
-        ), pos AS (
-            SELECT vec_id, label, t.i, v[t.i] AS val
-            FROM x, unnest(range(1, len(v) + 1)) AS t(i)
-        ), cent AS (
-            SELECT label, i, avg(val) AS c FROM pos GROUP BY label, i
-        ), d AS (
-            SELECT p.vec_id, p.label,
-                   sqrt(sum((p.val - c.c) * (p.val - c.c))) AS dist
-            FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
-            GROUP BY p.vec_id, p.label
-        )
-        SELECT label, count(*) AS n_vecs,
-               round(avg(dist), 6) AS avg_dist,
-               round(max(dist), 6) AS max_dist
-        FROM d GROUP BY label ORDER BY label
-    """,
-    "text_sentence_stats": """
-        WITH s AS (
-            SELECT doc_id,
-                   list_filter(list_transform(
-                       string_split_regex(text, '[.!?]+'), x -> trim(x)),
-                       x -> x <> '') AS ss
-            FROM documents
-        ), w AS (
-            SELECT doc_id, ss,
-                   list_transform(ss, x ->
-                       len(list_filter(string_split(x, ' '),
-                           t -> t <> ''))) AS wcs
-            FROM s WHERE len(ss) > 0
-        )
-        SELECT doc_id, len(ss) AS n_sentences,
-               CAST(list_aggregate(wcs, 'sum') AS BIGINT) AS n_words,
-               round(CAST(list_aggregate(wcs, 'sum') AS DOUBLE) / len(ss), 4)
-                   AS avg_sentence_words,
-               CAST(list_aggregate(wcs, 'max') AS INT) AS max_sentence_words
-        FROM w ORDER BY doc_id
-    """,
-    "text_zipf_fit": f"""
-        WITH wds AS (
-            SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS word
-            FROM documents
-        ), wc AS (
-            SELECT lang, word, count(*) AS n
-            FROM wds WHERE word <> '' GROUP BY lang, word
-        ), top AS (
-            SELECT lang, word, n,
-                   row_number() OVER (PARTITION BY lang
-                                      ORDER BY n DESC, word) AS r
-            FROM wc QUALIFY r <= 100
-        )
-        SELECT lang, count(*) AS n_terms,
-               round((sum(ln(r) * ln(n)) - count(*) * avg(ln(r)) * avg(ln(n)))
-                   / (sum(ln(r) * ln(r)) - count(*) * avg(ln(r)) * avg(ln(r))),
-                   4) AS zipf_slope,
-               CAST(max(n) AS BIGINT) AS top_freq
-        FROM top GROUP BY lang ORDER BY lang
-    """,
-    "setop_status_bag_overlap": """
-        WITH b1 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1995),
-             b2 AS (SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = 1996),
-             c AS (
-                SELECT o_orderstatus, count(*) AS n_common
-                FROM (SELECT * FROM b1 INTERSECT ALL SELECT * FROM b2)
-                GROUP BY o_orderstatus
-             ),
-             s AS (
-                SELECT o_orderstatus, count(*) AS n_surplus_y1
-                FROM (SELECT * FROM b1 EXCEPT ALL SELECT * FROM b2)
-                GROUP BY o_orderstatus
-             )
-        SELECT o_orderstatus,
-               COALESCE(n_common, 0) AS n_common,
-               COALESCE(n_surplus_y1, 0) AS n_surplus_y1
-        FROM c FULL OUTER JOIN s USING (o_orderstatus)
-        ORDER BY o_orderstatus
-    """,
-    "integrity_fk_audit": """
-        -- per-FK-edge orphan accounting; on a consistent TPC-H corpus
-        -- every orphan count is zero and the totals pin the audit's
-        -- reference arithmetic
-        """
-    + "\n        UNION ALL\n        ".join(
-        f"""SELECT '{c}' AS child_table, '{fk}' AS fk_column,
-               count(*) AS n_child_rows,
-               CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_null_fk,
-               CAST(sum(CASE WHEN {fk} IS NOT NULL AND {pk_ref} IS NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
-               CAST(count(DISTINCT CASE WHEN {fk} IS NOT NULL
-                                         AND {pk_ref} IS NULL
-                                        THEN {fk} END)
-                    AS BIGINT) AS n_orphan_keys
-        FROM {c} LEFT JOIN {p} ON {c}.{fk} = {p}.{pk}"""
-        for c, fk, p, pk in [
-            ("customer", "c_nationkey", "nation", "n_nationkey"),
-            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
-            ("lineitem", "l_partkey", "part", "p_partkey"),
-            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-            ("nation", "n_regionkey", "region", "r_regionkey"),
-            ("orders", "o_custkey", "customer", "c_custkey"),
-            ("supplier", "s_nationkey", "nation", "n_nationkey"),
-        ]
-        for pk_ref in [f"{p}.{pk}"]
-    )
-    + """
-        ORDER BY child_table, fk_column
-    """,
-    "profile_orders_table": """
-        SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
-               count(DISTINCT o_orderkey) AS n_distinct FROM orders
-        UNION ALL
-        SELECT 'o_custkey', count(*) - count(o_custkey),
-               count(DISTINCT o_custkey) FROM orders
-        UNION ALL
-        SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
-               count(DISTINCT o_orderstatus) FROM orders
-        UNION ALL
-        SELECT 'o_totalprice', count(*) - count(o_totalprice),
-               count(DISTINCT o_totalprice) FROM orders
-        UNION ALL
-        SELECT 'o_orderdate', count(*) - count(o_orderdate),
-               count(DISTINCT o_orderdate) FROM orders
-        UNION ALL
-        SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
-               count(DISTINCT o_orderpriority) FROM orders
-        ORDER BY col_name
-    """,
-    "skew_lineitem_suppkey": """
-        WITH c AS (
-            SELECT l_suppkey AS key_value, count(*) AS n_rows
-            FROM lineitem GROUP BY 1
-        ), t AS (
-            SELECT sum(n_rows) AS total_rows, count(*) AS n_keys FROM c
-        )
-        SELECT key_value, n_rows,
-               round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS share,
-               round(CAST(n_rows AS DOUBLE) / (CAST(total_rows AS DOUBLE) / n_keys), 4)
-                   AS skew_ratio
-        FROM c, t
-        ORDER BY n_rows DESC, key_value ASC LIMIT 10
-    """,
-    "snapshot_diff_orders": """
-        WITH old_snap AS (
-            SELECT * FROM orders WHERE o_orderkey % 13 <> 0
-        ), new_snap AS (
-            SELECT o_orderkey, o_custkey, o_orderstatus,
-                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
-                        ELSE o_totalprice END AS o_totalprice,
-                   o_orderdate, o_orderpriority
-            FROM orders WHERE o_orderkey % 20 <> 0
-        ), j AS (
-            SELECT CASE
-                WHEN o.o_orderkey IS NULL THEN 'added'
-                WHEN n.o_orderkey IS NULL THEN 'removed'
-                WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
-                  OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
-                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
-                  OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
-                  OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
-                THEN 'changed'
-                ELSE 'unchanged' END AS change_type
-            FROM old_snap o FULL OUTER JOIN new_snap n
-              ON o.o_orderkey = n.o_orderkey
-        )
-        SELECT change_type, count(*) AS n_rows
-        FROM j GROUP BY change_type ORDER BY change_type
-    """,
-    "merge_upsert_orders": """
-        WITH base AS (
-            SELECT * FROM orders WHERE o_orderkey % 4 <> 0
-        ), upd AS (
-            SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
-                   o_totalprice + 100.0 AS o_totalprice,
-                   o_orderdate, o_orderpriority
-            FROM orders WHERE o_orderkey % 2 = 0
-        ), merged AS (
-            SELECT CASE
-                       WHEN b.o_orderkey IS NULL THEN 'inserted'
-                       WHEN u.o_orderkey IS NULL THEN 'kept'
-                       ELSE 'updated' END AS action,
-                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
-                        ELSE b.o_orderstatus END AS o_orderstatus,
-                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
-                        ELSE b.o_totalprice END AS o_totalprice,
-                   (b.o_orderkey IS NOT NULL AND u.o_orderkey IS NOT NULL
-                    AND u.o_totalprice > 400000.0) AS del
-            FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
-        )
-        SELECT action AS "__merge_action", o_orderstatus,
-               count(*) AS n_rows,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                    AS DOUBLE) AS sum_price
-        FROM merged WHERE NOT del
-        GROUP BY action, o_orderstatus ORDER BY action, o_orderstatus
-    """,
-    "scd2_customer_history": """
-        WITH ev AS (
-            SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
-                   o_orderstatus, o_orderpriority
-            FROM orders WHERE o_custkey % 10 = 0
-        ), flagged AS (
-            SELECT *,
-                   (lag(1) OVER w IS NULL) AS is_first,
-                   (o_orderstatus IS NOT DISTINCT FROM lag(o_orderstatus) OVER w
-                    AND o_orderpriority IS NOT DISTINCT FROM
-                        lag(o_orderpriority) OVER w) AS unchanged
-            FROM ev
-            WINDOW w AS (PARTITION BY o_custkey
-                         ORDER BY ts, o_orderstatus, o_orderpriority)
-        ), changes AS (
-            SELECT o_custkey, ts, o_orderstatus, o_orderpriority
-            FROM flagged WHERE is_first OR NOT unchanged
-        )
-        SELECT o_custkey, o_orderstatus, o_orderpriority,
-               ts AS valid_from,
-               lead(ts) OVER w2 AS valid_to,
-               row_number() OVER w2 AS version,
-               (lead(ts) OVER w2 IS NULL) AS is_current
-        FROM changes
-        WINDOW w2 AS (PARTITION BY o_custkey
-                      ORDER BY ts, o_orderstatus, o_orderpriority)
-        ORDER BY o_custkey, version
-    """,
-    "events_funnel_steps": """
-        WITH s0 AS (
-            SELECT user_id, min(ts) AS t FROM events
-            WHERE event_type = 'view' GROUP BY user_id
-        ), s1 AS (
-            SELECT events.user_id, min(events.ts) AS t
-            FROM events JOIN s0 ON events.user_id = s0.user_id
-            WHERE events.event_type = 'click' AND events.ts > s0.t
-            GROUP BY events.user_id
-        ), s2 AS (
-            SELECT events.user_id, min(events.ts) AS t
-            FROM events JOIN s1 ON events.user_id = s1.user_id
-            WHERE events.event_type = 'purchase' AND events.ts > s1.t
-            GROUP BY events.user_id
-        )
-        SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
-        UNION ALL SELECT 1, 'click', count(*) FROM s1
-        UNION ALL SELECT 2, 'purchase', count(*) FROM s2
-        ORDER BY step_idx
-    """,
-    "events_retention_cohorts": """
-        WITH cohort AS (
-            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
-            FROM events WHERE event_type = 'signup' GROUP BY user_id
-        ), activity AS (
-            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
-            FROM events
-        )
-        SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
-               count(*) AS n_users
-        FROM activity a JOIN cohort c USING (user_id)
-        WHERE week >= cohort_week
-        GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
-    """,
-    "orders_monthly_yoy": """
-        WITH monthly AS (
-            SELECT date_trunc('month', o_orderdate) AS month,
-                   count(*) AS n_orders,
-                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
-                        AS DOUBLE) AS revenue
-            FROM orders GROUP BY 1
-        )
-        SELECT month, n_orders, revenue,
-               round(revenue - lag(revenue, 1) OVER (ORDER BY month), 2)
-                   AS mom_delta,
-               round(revenue - lag(revenue, 12) OVER (ORDER BY month), 2)
-                   AS yoy_delta
-        FROM monthly ORDER BY month
-    """,
-    "sample_token_length_hist": """
-        WITH t AS (
-            SELECT source,
-                   len(list_filter(string_split(text, ' '), x -> x <> ''))
-                       AS n_tokens
-            FROM documents
-        )
-        SELECT source,
-               CASE WHEN n_tokens <= 0 THEN -1
-                    WHEN n_tokens < 2 THEN 0
-                    WHEN n_tokens < 4 THEN 1
-                    WHEN n_tokens < 8 THEN 2
-                    WHEN n_tokens < 16 THEN 3
-                    WHEN n_tokens < 32 THEN 4
-                    WHEN n_tokens < 64 THEN 5
-                    WHEN n_tokens < 128 THEN 6
-                    WHEN n_tokens < 256 THEN 7
-                    WHEN n_tokens < 512 THEN 8
-                    WHEN n_tokens < 1024 THEN 9
-                    WHEN n_tokens < 2048 THEN 10
-                    WHEN n_tokens < 4096 THEN 11
-                    WHEN n_tokens < 8192 THEN 12
-                    WHEN n_tokens < 16384 THEN 13
-                    WHEN n_tokens < 32768 THEN 14
-                    WHEN n_tokens < 65536 THEN 15
-                    WHEN n_tokens < 131072 THEN 16
-                    WHEN n_tokens < 262144 THEN 17
-                    WHEN n_tokens < 524288 THEN 18
-                    WHEN n_tokens < 1048576 THEN 19
-                    ELSE 20 END AS bucket,
-               count(*) AS n_docs,
-               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
-               CAST(max(n_tokens) AS BIGINT) AS max_tokens
-        FROM t GROUP BY source, bucket ORDER BY source, bucket
-    """,
-    "window_user_drawdown": """
-        WITH per AS (
-            SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
-                   max(CAST(value AS DECIMAL(18,2))) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING
-                   ) AS peak
-            FROM events
-        )
-        SELECT user_id, count(*) AS n_events,
-               CAST(max(peak) AS DOUBLE) AS peak_value,
-               CAST(max(peak - v) AS DOUBLE) AS max_drawdown
-        FROM per GROUP BY user_id ORDER BY user_id
-    """,
-    "supplier_return_report": """
-        SELECT l_suppkey, count(*) AS n_lines,
-               CAST(sum(CASE WHEN l_returnflag = 'R'
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
-               floor(CAST(sum(CASE WHEN l_returnflag = 'R'
-                                   THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*) * 1e6 + 0.5) / 1e6 AS return_share,
-               CAST(round(sum(CAST(CASE WHEN l_returnflag = 'R'
-                                        THEN l_extendedprice ELSE 0 END
-                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
-                   AS returned_value
-        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
-    """,
-    "events_daily_users": """
-        WITH actives AS (
-            SELECT day, count(*) AS n_active FROM (
-                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
-                FROM events
-            ) GROUP BY day
-        ), news AS (
-            SELECT day, count(*) AS n_new FROM (
-                SELECT user_id, min(date_trunc('day', ts)) AS day
-                FROM events GROUP BY user_id
-            ) GROUP BY day
-        )
-        SELECT a.day, n_active,
-               coalesce(n_new, 0) AS n_new,
-               CAST(sum(coalesce(n_new, 0)) OVER (
-                   ORDER BY a.day ROWS UNBOUNDED PRECEDING
-               ) AS BIGINT) AS cum_users
-        FROM actives a LEFT JOIN news USING (day)
-        ORDER BY a.day
-    """,
-    "graph_kcore": """
-        -- unrolled k-core peel (k=3, 8 rounds): the fixpoint is unique
-        -- and peeling is monotone, so rounds past convergence are
-        -- no-ops — the unroll depth only needs to be >= the true peel
-        -- depth (the operator RAISES if it exceeds its own budget)
-        WITH """ + _WS_PAIRS_SQL.replace(
-        "ws AS (", "ws AS MATERIALIZED (", 1
-    ).replace("pairs AS (", "pairs AS MATERIALIZED (", 1) + """,
-        e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM pairs
-               UNION ALL SELECT doc_b, doc_a FROM pairs),
-        """ + ",\n        ".join(
-        # MATERIALIZED: every e_i is referenced twice (its m_i and the
-        # next e), so default CTE inlining would expand 2^rounds scans
-        # of the base table (observed: fd exhaustion at 8 rounds)
-        f"""m{i} AS MATERIALIZED (SELECT s FROM e{i} GROUP BY s
-                                  HAVING count(*) >= 3),
-        e{i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e{i} e
-                     JOIN m{i} a ON e.s = a.s
-                     JOIN m{i} b ON e.t = b.s)"""
-        for i in range(8)
-    ) + """
-        SELECT s AS node, count(*) AS internal_degree
-        FROM e8 GROUP BY s HAVING count(*) >= 3 ORDER BY node
-    """,
-    "events_value_outliers": """
-        -- the same division/sqrt-cleared exact predicate:
-        -- (n·v − S)²·(n−1) > 9·n·(n·Q − S²) over exact decimals
-        WITH m AS (
-            SELECT user_id, count(*) AS n,
-                   sum(CAST(value AS DECIMAL(18,2))) AS s,
-                   sum(CAST(value AS DECIMAL(18,2))
-                       * CAST(value AS DECIMAL(18,2))) AS q
-            FROM events GROUP BY user_id
-        )
-        SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
-               CAST(sum(CASE WHEN
-                   (CAST(n AS DECIMAL(38,0)) * CAST(value AS DECIMAL(18,2))
-                    - CAST(s AS DECIMAL(38,2)))
-                   * (CAST(n AS DECIMAL(38,0)) * CAST(value AS DECIMAL(18,2))
-                      - CAST(s AS DECIMAL(38,2)))
-                   * (CAST(n AS DECIMAL(38,0)) - 1)
-                   > 9 * CAST(n AS DECIMAL(38,0))
-                       * (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,4))
-                          - CAST(s AS DECIMAL(38,2)) * CAST(s AS DECIMAL(38,2)))
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        FROM events JOIN m USING (user_id)
-        WHERE n >= 3
-        GROUP BY user_id ORDER BY user_id
-    """,
-    "revenue_gini_by_nation": """
-        WITH spend AS (
-            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
-            FROM orders GROUP BY o_custkey
-        ), keyed AS (
-            SELECT n_name AS nation, x, s.o_custkey
-            FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
-                         JOIN nation n ON c.c_nationkey = n.n_nationkey
-        ), ranked AS (
-            SELECT nation, x,
-                   row_number() OVER (
-                       PARTITION BY nation ORDER BY x, o_custkey
-                   ) AS i
-            FROM keyed
-        )
-        SELECT nation, count(*) AS n_customers,
-               round(CAST(sum(x) AS DOUBLE), 2) AS total_revenue,
-               floor(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
-                     / CAST(count(*) * sum(x) AS DOUBLE)
-                     * 1e6 + 0.5) / 1e6 AS gini
-        FROM ranked GROUP BY nation ORDER BY nation
-    """,
-    "parts_copurchase_rules": """
-        WITH baskets AS (
-            SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
-            FROM lineitem
-        ), pc AS (
-            SELECT pk, count(*) AS n_baskets FROM baskets GROUP BY pk
-        ), tot AS (
-            SELECT count(DISTINCT okey) AS n_orders FROM baskets
-        ), pairs AS (
-            SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_together
-            FROM baskets a JOIN baskets b
-              ON a.okey = b.okey AND a.pk < b.pk
-            GROUP BY part_a, part_b HAVING count(*) >= 2
-        )
-        SELECT part_a, part_b, n_together,
-               ca.n_baskets AS n_a, cb.n_baskets AS n_b,
-               floor(CAST(n_together AS DOUBLE) / ca.n_baskets
-                     * 1e6 + 0.5) / 1e6 AS confidence_a_to_b,
-               floor(CAST(n_together AS DOUBLE) * tot.n_orders
-                     / (CAST(ca.n_baskets AS DOUBLE) * cb.n_baskets)
-                     * 1e6 + 0.5) / 1e6 AS lift
-        FROM pairs JOIN pc ca ON pairs.part_a = ca.pk
-                   JOIN pc cb ON pairs.part_b = cb.pk, tot
-        ORDER BY n_together DESC, part_a, part_b LIMIT 50
-    """,
-    "events_cohort_revenue": """
-        WITH cohort AS (
-            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
-            FROM events WHERE event_type = 'signup' GROUP BY user_id
-        ), purchases AS (
-            SELECT user_id, date_trunc('week', ts) AS week,
-                   CAST(value AS DECIMAL(18,2)) AS v
-            FROM events WHERE event_type = 'purchase'
-        )
-        SELECT cohort_week,
-               CAST(date_diff('day', cohort_week, week) // 7 AS INT)
-                   AS week_offset,
-               count(DISTINCT user_id) AS n_buyers,
-               count(*) AS n_purchases,
-               CAST(sum(v) AS DOUBLE) AS revenue
-        FROM purchases p JOIN cohort c USING (user_id)
-        WHERE week >= cohort_week
-        GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
-    """,
-    "orders_repeat_intervals": """
-        WITH gaps AS (
-            SELECT o_custkey,
-                   date_diff('day',
-                       lag(o_orderdate) OVER (
-                           PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey),
-                       o_orderdate) AS gap_days
-            FROM orders
-        )
-        SELECT o_custkey, count(*) AS n_gaps,
-               CAST(min(gap_days) AS INT) AS min_gap_days,
-               floor(avg(gap_days) * 1e4 + 0.5) / 1e4 AS avg_gap_days,
-               CAST(max(gap_days) AS INT) AS max_gap_days
-        FROM gaps WHERE gap_days IS NOT NULL
-        GROUP BY o_custkey ORDER BY o_custkey
-    """,
-    "text_pmi_collocations": f"""
-        WITH toks AS (
-            SELECT string_split({_NORM_SQL}, ' ') AS w FROM documents
-        ), bi AS (
-            SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS n_pair
-            FROM (SELECT w, unnest(range(1, len(w))) AS i
-                  FROM toks WHERE len(w) >= 2)
-            WHERE w[i] <> '' AND w[i+1] <> ''
-            GROUP BY w1, w2 HAVING count(*) >= 5
-        ), uni AS (
-            SELECT word, count(*) AS n_word
-            FROM (SELECT unnest(w) AS word FROM toks)
-            WHERE word <> '' GROUP BY word
-        ), tot AS (
-            SELECT (SELECT count(*) FROM (SELECT unnest(w) AS word FROM toks)
-                    WHERE word <> '') AS n_uni,
-                   (SELECT CAST(sum(len(w) - 1) AS BIGINT) FROM toks
-                    WHERE len(w) >= 2) AS n_bi
-        )
-        SELECT w1 || ' ' || w2 AS pair, n_pair,
-               u1.n_word AS n_w1, u2.n_word AS n_w2,
-               round(ln(CAST(n_pair AS DOUBLE) * n_uni * n_uni
-                        / (CAST(n_bi AS DOUBLE) * u1.n_word * u2.n_word)),
-                     4) AS pmi
-        FROM bi JOIN uni u1 ON bi.w1 = u1.word
-                JOIN uni u2 ON bi.w2 = u2.word, tot
-        ORDER BY n_pair DESC, pair ASC LIMIT 50
-    """,
-    "window_sliding_counts": """
-        WITH ex AS (
-            SELECT event_type, value,
-                   unnest([time_bucket(INTERVAL '30 minutes', ts),
-                           time_bucket(INTERVAL '30 minutes', ts)
-                               - INTERVAL '30 minutes']) AS window_start
-            FROM events
-        )
-        SELECT window_start, event_type, count(*) AS n_events,
-               round(sum(value), 2) AS total_value
-        FROM ex GROUP BY window_start, event_type
-        ORDER BY window_start, event_type
-    """,
-    "setop_repeat_customers": """
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
-        INTERSECT
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
-        ORDER BY custkey
-    """,
-    "setop_churned_customers": """
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
-        EXCEPT
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
-        ORDER BY custkey
-    """,
-    "setop_all_party_keys": """
-        SELECT DISTINCT party_key, nationkey FROM (
-            SELECT c_custkey AS party_key, c_nationkey AS nationkey FROM customer
-            UNION ALL
-            SELECT s_suppkey AS party_key, s_nationkey AS nationkey FROM supplier
-        ) ORDER BY party_key, nationkey
-    """,
-    "text_quality_metrics": f"""
-        WITH per_doc AS (
-            SELECT lang,
-                   length(text) AS chars,
-                   len(string_split(text, ' ')) AS nw,
-                   CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                       / NULLIF(length(text), 0) AS punct_ratio,
-                   CAST(len(list_filter(string_split(text, ' '),
-                        x -> x IN {_EN_STOP})) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS stop_ratio,
-                   CAST(length(text) AS DOUBLE)
-                       / len(string_split(text, ' ')) AS avg_word_len
-            FROM documents
-        )
-        SELECT lang, count(*) AS n_docs,
-               round(avg(chars), 2) AS avg_chars,
-               round(avg(nw), 2) AS avg_words,
-               round(avg(punct_ratio), 4) AS avg_punct_ratio,
-               round(avg(stop_ratio), 4) AS avg_stop_ratio,
-               round(avg(avg_word_len), 4) AS avg_word_len
-        FROM per_doc GROUP BY lang ORDER BY lang
-    """,
-    "text_token_counts": """
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-               CAST(sum(len(regexp_extract_all(text,
-                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS regex_tokens
-        FROM documents GROUP BY source ORDER BY source
-    """,
-    "text_language_id": f"""
-        WITH scored AS (
-            SELECT doc_id, lang,
-                   string_split({_NORM_SQL}, ' ') AS w
-            FROM documents
-        ), ratios AS (
-            SELECT doc_id, lang,
-                CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is'))) AS DOUBLE) / len(w) AS score_en,
-                CAST(len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS DOUBLE) / len(w) AS score_es,
-                CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS DOUBLE) / len(w) AS score_fr,
-                CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS DOUBLE) / len(w) AS score_de
-            FROM scored
-        ), pred AS (
-            SELECT lang,
-                   CASE WHEN greatest(score_en, score_es, score_fr, score_de) < 0.05 THEN 'und'
-                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
-                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
-                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
-                        ELSE 'de' END AS predicted_lang
-            FROM ratios
-        )
-        SELECT lang, predicted_lang, count(*) AS n_docs
-        FROM pred GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
-    """,
-    "text_fingerprints": f"""
-        SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, source
-        FROM documents ORDER BY doc_id
-    """,
-    "pagerank_suppliers": _pagerank_oracle_sql(4),
-    "window_ewma_smooth": _ewma_oracle_sql(0.3, 8),
-    "scale_zorder_census": _zorder_census_oracle_sql(),
-    # U-shaped attribution: CASE weight literals are decimals in DuckDB
-    # but convert to the identical nearest doubles; round(4) at the
-    # edge on both sides
-    "events_multi_touch_attribution": """
-        WITH ev AS (SELECT * FROM events),
-        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
-                     value AS purchase_value
-              FROM ev WHERE event_type = 'purchase'),
-        c AS (SELECT user_id AS click_user, event_id AS click_id,
-                     ts AS click_ts
-              FROM ev WHERE event_type = 'click'),
-        pr AS (
-            SELECT p.user_id, purchase_id, purchase_value, click_id,
-                   row_number() OVER (PARTITION BY purchase_id
-                                      ORDER BY click_ts, click_id)
-                       AS touch_rank,
-                   count(*) OVER (PARTITION BY purchase_id) AS n_touches
-            FROM p JOIN c ON p.user_id = c.click_user
-             AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 DAY
-                                AND p.purchase_ts
-        )
-        SELECT user_id, purchase_id, click_id, touch_rank, n_touches,
-               floor(purchase_value * CASE
-                   WHEN n_touches = 1 THEN 1.0
-                   WHEN n_touches = 2 THEN 0.5
-                   WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
-                   ELSE 0.2 / (n_touches - 2) END * 1e4 + 0.5) / 1e4
-                   AS credit
-        FROM pr ORDER BY purchase_id, touch_rank
-    """,
-    "events_transition_matrix": """
-        WITH pairs AS (
-            SELECT event_type AS from_type,
-                   lead(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS to_type
-            FROM events
-        ), counted AS (
-            SELECT from_type, to_type, count(*) AS n_transitions
-            FROM pairs WHERE to_type IS NOT NULL
-            GROUP BY from_type, to_type
-        )
-        SELECT from_type, to_type, n_transitions,
-               floor(CAST(n_transitions AS DOUBLE)
-                     / sum(n_transitions) OVER (PARTITION BY from_type)
-                     * 1e6 + 0.5) / 1e6 AS probability
-        FROM counted ORDER BY from_type, to_type
-    """,
-    "events_time_decay_attribution": """
-        -- decay weight 2^(-age_days) is an exact power of two, so the
-        -- per-purchase weight sum is order-insensitive and the credit
-        -- quotient bit-identical across engines
-        WITH ev AS (SELECT * FROM events),
-        p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
-                     value AS purchase_value
-              FROM ev WHERE event_type = 'purchase'),
-        c AS (SELECT user_id AS click_user, event_id AS click_id,
-                     ts AS click_ts
-              FROM ev WHERE event_type = 'click'),
-        pr AS (
-            SELECT p.user_id, purchase_id, purchase_value, click_id,
-                   pow(2.0, -CAST((epoch_us(p.purchase_ts)
-                                   - epoch_us(c.click_ts))
-                                  // 86400000000 AS DOUBLE)) AS h
-            FROM p JOIN c ON p.user_id = c.click_user
-             AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 7 DAY
-                                AND p.purchase_ts
-        )
-        SELECT user_id, purchase_id, click_id, h AS decay_weight,
-               floor(purchase_value * h
-                     / sum(h) OVER (PARTITION BY purchase_id)
-                     * 1e4 + 0.5) / 1e4 AS credit
-        FROM pr ORDER BY purchase_id, click_id
-    """,
-    # add-k bigram LM: every quotient is bit-identical across engines
-    # (exact integer counts, k=0.5 and k·V exactly representable);
-    # round(4)/round(2) absorb libm log/exp ulp variance and
-    # summation-order drift, same contract as text_word_entropy
-    "text_lm_perplexity": f"""
-        WITH d AS (SELECT doc_id,
-                          list_prepend('<s>', string_split({_NORM_SQL}, ' ')) AS ws
-                   FROM documents),
-        tok AS (SELECT doc_id, unnest(ws) AS tok,
-                       generate_subscripts(ws, 1) AS i FROM d),
-        uni AS (SELECT tok, count(*) AS u FROM tok GROUP BY tok),
-        tot AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-        seq AS (SELECT doc_id, tok,
-                       lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
-                FROM tok),
-        dp AS (SELECT doc_id, prev, tok FROM seq WHERE prev IS NOT NULL),
-        bi AS (SELECT prev, tok, count(*) AS b FROM dp GROUP BY 1, 2),
-        per AS (
-            SELECT dp.doc_id,
-                   sum(-ln((bi.b + 0.5) / (up.u + 0.5 * tot.v))) AS s,
-                   count(*) AS n_tokens
-            FROM dp
-            JOIN bi USING (prev, tok)
-            JOIN uni up ON up.tok = dp.prev, tot
-            GROUP BY dp.doc_id
-        )
-        SELECT doc_id, n_tokens,
-               round(s / n_tokens, 4) AS avg_nll,
-               round(exp(s / n_tokens), 2) AS perplexity
-        FROM per ORDER BY doc_id
-    """,
-    # the blocked fuzzy join is lossless, so the oracle is the naive
-    # levenshtein join over the same deterministic corruption
-    "fuzzy_match_part_names": """
-        WITH dirty AS (
-            SELECT p_partkey AS dirty_id,
-                   substr(p_name, 1, 2) || substr(p_name, 4) AS dirty_name
-            FROM part WHERE p_partkey % 3 = 0
-        ),
-        clean AS (SELECT DISTINCT p_name AS clean_name FROM part)
-        SELECT dirty_id, dirty_name, clean_name,
-               levenshtein(dirty_name, clean_name) AS edit_dist
-        FROM dirty JOIN clean
-          ON abs(length(dirty_name) - length(clean_name)) <= 2
-         AND levenshtein(dirty_name, clean_name) <= 2
-        ORDER BY dirty_id, clean_name
-    """,
-    "graph_triangle_stats": """
-        -- global triangle census of the part co-purchase graph; the
-        -- Spark side enumerates via degree-ordered orientation, the
-        -- oracle via the id-ordered 3-way join — same triangle set
-        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT a.p AS u, b.p AS v
-              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
-        d AS (SELECT node, count(*) AS deg
-              FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-              GROUP BY node),
-        tri AS (SELECT count(*) AS t FROM e e1
-                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
-        SELECT (SELECT count(*) FROM d) AS n_nodes,
-               (SELECT count(*) FROM e) AS n_edges,
-               (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
-                   AS n_wedges,
-               (SELECT t FROM tri) AS n_triangles,
-               3.0 * (SELECT t FROM tri)
-                   / (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM d)
-                   AS clustering
-    """,
-    "graph_triangle_nodes": """
-        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT a.p AS u, b.p AS v
-              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
-        tri AS (SELECT e1.u AS a, e1.v AS x, e2.v AS y FROM e e1
-                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
-                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
-        SELECT node, count(*) AS n_triangles
-        FROM (SELECT a AS node FROM tri
-              UNION ALL SELECT x FROM tri
-              UNION ALL SELECT y FROM tri)
-        GROUP BY node
-        ORDER BY n_triangles DESC, node
-        LIMIT 10
-    """,
-    "text_bpe_merges": _bpe_oracle_sql(8),
-    "text_bpe_encode": _bpe_encode_oracle_sql(8),
-    "text_bm25_search": _bm25_oracle_sql(text_ops.BM25_QUERY_TERMS),
-    "pipeline_quality_gate": f"""
-        -- end-to-end C4-style keep/drop accounting per source: exact-dup
-        -- losers, length bounds, low word-entropy; reason precedence
-        -- exact_dup > length > low_entropy > kept.
-        WITH ent AS ({_ENTROPY_CTE_SQL}
-        ), keepers AS (
-            SELECT text, min(doc_id) AS keeper_id FROM documents GROUP BY text
-        )
-        SELECT source, count(*) AS n_docs,
-               CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               CAST(sum(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
-               CAST(sum(CASE WHEN reason = 'length' THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
-               CAST(sum(CASE WHEN reason = 'low_entropy' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
-        FROM (
-            SELECT d.source,
-                   CASE WHEN d.doc_id <> k.keeper_id THEN 'exact_dup'
-                        WHEN e.n_words < 20 OR e.n_words > 100000 THEN 'length'
-                        WHEN e.entropy < 3.5 THEN 'low_entropy'
-                        ELSE 'kept' END AS reason
-            FROM documents d
-            JOIN keepers k USING (text)
-            JOIN ent e USING (doc_id)
-        ) GROUP BY source ORDER BY source
-    """,
-    "sample_shuffle_shards": """
-        -- deterministic training-order shuffle: md5(seed:doc_id) order
-        -- key, 16-bit-prefix shard assignment, position within shard —
-        -- no global sort on either engine.
-        SELECT doc_id, shard,
-               row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
-                   AS pos
-        FROM (
-            SELECT doc_id,
-                   md5('seed0:' || CAST(doc_id AS VARCHAR)) AS k,
-                   CAST(('0x' || substr(
-                        md5('seed0:' || CAST(doc_id AS VARCHAR)), 1, 4))
-                        AS INT) % 8 AS shard
-            FROM documents
-        ) ORDER BY shard, pos
-    """,
-    "text_word_entropy": f"""
-        -- per-doc Shannon entropy of the word distribution; the engine
-        -- computes it row-locally over run-lengths of the sorted word
-        -- array, the oracle relationally — same math, independent
-        -- formulation.
-        SELECT doc_id, n_words, n_unique, entropy
-        FROM ({_ENTROPY_CTE_SQL}) ORDER BY doc_id
-    """,
-    "dedup_paragraphs": """
-        -- C4-style paragraph-level exact dedup: fixed 20-word windows,
-        -- first corpus occurrence wins (ordered by doc_id, position),
-        -- surviving text reassembled in position order per document.
-        -- First occurrence is an argmin over the (doc_id, idx) TUPLE —
-        -- mirroring the operator's struct-min exactly; a packed
-        -- doc_id*K+idx long key would silently diverge once a document
-        -- exceeds K paragraphs or the product overflows (round-8
-        -- advice).
-        WITH paras AS (
-            SELECT doc_id, idx,
-                   array_to_string(ws[(idx*20+1):(idx*20+20)], ' ') AS para
-            FROM (
-                SELECT doc_id, ws,
-                       unnest(generate_series(
-                           0,
-                           CAST(ceil(len(ws)/20.0) AS BIGINT) - 1)) AS idx
-                FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                      FROM documents)
-            )
-        ), firsts AS (
-            SELECT para, min(ROW(doc_id, idx)) AS first_occ
-            FROM paras GROUP BY para
-        )
-        SELECT p.doc_id, count(*) AS n_paras,
-               CAST(sum(CASE WHEN ROW(p.doc_id, p.idx) <> f.first_occ
-                             THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_dropped,
-               coalesce(string_agg(
-                   CASE WHEN ROW(p.doc_id, p.idx) = f.first_occ
-                        THEN p.para END,
-                   ' ' ORDER BY p.idx), '') AS clean_text
-        FROM paras p JOIN firsts f USING (para)
-        GROUP BY p.doc_id ORDER BY p.doc_id
-    """,
-    "dedup_exact": """
-        SELECT keep_doc_id, n_copies FROM (
-            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
-            FROM documents GROUP BY text
-        ) WHERE n_copies > 1 ORDER BY keep_doc_id
-    """,
-    "dedup_exact_survivors": """
-        WITH kept AS (
-            SELECT lang, text, min(doc_id) AS keep_doc_id, count(*) AS n_copies
-            FROM documents GROUP BY lang, text
-        )
-        SELECT lang, count(*) AS distinct_docs,
-               CAST(sum(n_copies) AS BIGINT) AS total_docs
-        FROM kept GROUP BY lang ORDER BY lang
-    """,
-    "dedup_ngram_jaccard": f"""
-        WITH ws AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
-            FROM ws a JOIN ws b
-              ON a.lang = b.lang AND a.doc_id < b.doc_id
-             AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-        )
-        SELECT doc_a, doc_b, jaccard FROM pairs
-        WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
-    """,
-    "dedup_incremental_jaccard": f"""
-        -- incremental dedup: the blocked asymmetric join is lossless,
-        -- so the naive new-batch x (base + earlier batch) join is the
-        -- oracle (same shape as dedup_ngram_jaccard's)
-        WITH ws AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset,
-                   doc_id % 5 = 0 AS is_new
-            FROM documents
-        ), pairs AS (
-            SELECT a.doc_id AS new_doc, b.doc_id AS dup_of,
-                   b.is_new AS dup_in_batch,
-                   round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.wset, b.wset))), 4)
-                       AS jaccard
-            FROM ws a JOIN ws b
-              ON a.is_new AND (NOT b.is_new OR b.doc_id < a.doc_id)
-             AND a.lang = b.lang
-             AND abs(a.n_chars - b.n_chars)
-                 <= 0.2 * greatest(a.n_chars, b.n_chars)
-        )
-        SELECT new_doc, dup_of, dup_in_batch, jaccard FROM pairs
-        WHERE jaccard >= 0.6 ORDER BY new_doc, dup_of
-    """,
-    "sample_leakage_safe_split": f"""
-        WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ), closure(src, reach) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT c.src, e.dst FROM closure c JOIN edges e ON c.reach = e.src
-        ), comps AS (
-            SELECT src AS doc_id, least(src, min(reach)) AS comp
-            FROM closure GROUP BY src
-        ), assigned AS (
-            SELECT d.doc_id, d.n_chars, COALESCE(c.comp, d.doc_id) AS comp
-            FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
-        ), bucketed AS (
-            SELECT comp, n_chars,
-                   CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 4))
-                        AS INT) % 100 AS b
-            FROM assigned
-        )
-        SELECT CASE WHEN b < 80 THEN 'train'
-                    WHEN b < 90 THEN 'val'
-                    ELSE 'test' END AS split,
-               count(*) AS n_docs, count(DISTINCT comp) AS n_components,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM bucketed
-        GROUP BY split ORDER BY split
-    """,
-    "dedup_components": f"""
-        WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs
-        ), closure(src, reach) AS (
-            SELECT src, dst FROM edges
-            UNION
-            SELECT c.src, e.dst FROM closure c JOIN edges e ON c.reach = e.src
-        )
-        SELECT src AS doc_id, least(src, min(reach)) AS comp
-        FROM closure GROUP BY src ORDER BY doc_id
-    """,
-    "dedup_cross_split_contamination": f"""
-        WITH fp AS (
-            SELECT source, md5({_NORM_SQL}) AS fingerprint FROM documents
-        ), per_split AS (
-            SELECT fingerprint, source, count(*) AS n
-            FROM fp GROUP BY fingerprint, source
-        )
-        SELECT fingerprint, count(DISTINCT source) AS n_splits,
-               CAST(sum(n) AS BIGINT) AS n_docs
-        FROM per_split GROUP BY fingerprint
-        HAVING count(DISTINCT source) > 1 ORDER BY fingerprint
-    """,
-    "dedup_ngram_decontaminate": f"""
-        WITH norm AS (
-            SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 = 0 AS is_train,
-                   string_split({_NORM_SQL}, ' ') AS w
-            FROM documents
-        ), grams AS (
-            SELECT doc_id, is_train,
-                   CASE WHEN len(w) >= 5
-                        THEN list_distinct(list_transform(range(1, len(w) - 4 + 1),
-                                 i -> array_to_string(w[i:i+4], ' ')))
-                        ELSE CAST([] AS VARCHAR[]) END AS g
-            FROM norm
-        ), train AS (
-            SELECT DISTINCT unnest(g) AS gram FROM grams WHERE is_train
-        ), eval_g AS (
-            SELECT doc_id, unnest(g) AS gram FROM grams WHERE NOT is_train
-        ), hits AS (
-            SELECT e.doc_id, count(*) AS n_hit
-            FROM eval_g e JOIN train t USING (gram) GROUP BY e.doc_id
-        )
-        SELECT g.doc_id, len(g.g) AS n_ngrams,
-               COALESCE(h.n_hit, 0) AS n_contaminated,
-               round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / len(g.g), 4)
-                   AS contaminated_frac
-        FROM grams g LEFT JOIN hits h USING (doc_id)
-        WHERE NOT g.is_train AND len(g.g) > 0
-        ORDER BY g.doc_id
-    """,
-    "dedup_embedding_cosine": """
-        SELECT vec_a, vec_b, cosine_sim FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_cosine_similarity(
-                       CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-        ) WHERE cosine_sim >= 0.3 ORDER BY vec_a, vec_b
-    """,
-    "knn_cosine_brute_force": f"""
-        SELECT query_id, rnk, vec_id, sim FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                   round(list_cosine_similarity(
-                       CAST(q.embedding AS DOUBLE[]),
-                       CAST(e.embedding AS DOUBLE[])), 6) AS sim,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY round(list_cosine_similarity(
-                                    CAST(q.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])), 6) DESC,
-                                e.vec_id ASC) AS rnk
-            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-            WHERE q.vec_id IN {_KNN_IDS_SQL}
-        ) WHERE rnk <= 10 ORDER BY query_id, rnk
-    """,
-    "multimodal_media_summary": """
-        SELECT source, count(*) AS n_media,
-               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-               count(DISTINCT md5(text)) AS distinct_payloads
-        FROM documents GROUP BY source ORDER BY source
-    """,
-    "multimodal_image_decode": """
-        -- The Spark side synthesizes GENUINE png/bmp/gif/jpeg container
-        -- bytes from doc_id and decodes them with the REAL stdlib-struct
-        -- header parsers (no fakes on that path); the oracle replicates
-        -- the construction arithmetic, pinning every decoded width/
-        -- height/bit-depth/channel/byte value end-to-end.  Container
-        -- sizes fixed by construction: png 33 B, bmp 54 B, gif 13 B,
-        -- jpeg 39 B (SOI + APP0/JFIF + SOF0).
-        SELECT fmt AS format, count(*) AS n_images,
-               CAST(sum(w) AS BIGINT) AS sum_width,
-               CAST(sum(h) AS BIGINT) AS sum_height,
-               CAST(sum(nbytes) AS BIGINT) AS sum_bytes,
-               min(bd) AS bit_depth, min(ch) AS channels
-        FROM (
-            SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                        WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
-                   16 + doc_id % 64 AS w,
-                   16 + (doc_id * 7) % 48 AS h,
-                   CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 54
-                        WHEN 2 THEN 13 ELSE 39 END AS nbytes,
-                   CASE doc_id % 4 WHEN 1 THEN 24 ELSE 8 END AS bd,
-                   CASE doc_id % 4 WHEN 0 THEN 4 ELSE 3 END AS ch
-            FROM documents
-        ) GROUP BY fmt ORDER BY format
-    """,
-    "multimodal_bmp_pixel_decode": """
-        -- The Spark side synthesizes GENUINE uncompressed 24-bit BMPs —
-        -- headers AND pixel arrays, stride-padded — from doc_id and
-        -- decodes the pixel payloads with the REAL stdlib-struct+numpy
-        -- path (no PIL anywhere); the oracle replicates the
-        -- construction's closed-form pixel byte (doc_id+3x+5y+11c)%256
-        -- per BGR channel, pinning every channel sum and byte extremum
-        -- of every image end-to-end.
-        WITH geo AS (
-            SELECT doc_id, 4 + doc_id % 12 AS w, 4 + (doc_id * 7) % 8 AS h
-            FROM documents
-        ), px AS (
-            SELECT g.doc_id, g.w, g.h,
-                   (g.doc_id + 3*xs.x + 5*ys.y) % 256 AS b,
-                   (g.doc_id + 3*xs.x + 5*ys.y + 11) % 256 AS gg,
-                   (g.doc_id + 3*xs.x + 5*ys.y + 22) % 256 AS r
-            FROM geo g,
-                 unnest(generate_series(0, g.w - 1)) xs(x),
-                 unnest(generate_series(0, g.h - 1)) ys(y)
-        )
-        SELECT doc_id AS media_id,
-               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
-               count(*) AS n_pixels,
-               CAST(sum(b) AS BIGINT) AS sum_b,
-               CAST(sum(gg) AS BIGINT) AS sum_g,
-               CAST(sum(r) AS BIGINT) AS sum_r,
-               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
-               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
-        FROM px GROUP BY doc_id ORDER BY media_id
-    """,
-    "multimodal_png_pixel_decode": """
-        -- The Spark side synthesizes GENUINE 8-bit RGB PNGs — magic,
-        -- IHDR, a VALID zlib IDAT (stored-mode deflate, HOF-computed
-        -- adler32) with real None/Sub/Up scanline filters — and decodes
-        -- them with the REAL stdlib zlib+numpy path (inflate verifies
-        -- the checksum, the unfilter reconstructs raw bytes); the
-        -- oracle replicates the construction's closed-form RAW pixel
-        -- byte (doc_id + 7j + 13y) % 256 with j = 3x + channel,
-        -- pinning every channel sum and byte extremum end-to-end.
-        WITH geo AS (
-            SELECT doc_id, 4 + doc_id % 12 AS w, 4 + (doc_id * 7) % 8 AS h
-            FROM documents
-        ), px AS (
-            SELECT g.doc_id, g.w, g.h,
-                   (g.doc_id + 21*xs.x + 13*ys.y) % 256 AS r,
-                   (g.doc_id + 21*xs.x + 13*ys.y + 7) % 256 AS gg,
-                   (g.doc_id + 21*xs.x + 13*ys.y + 14) % 256 AS b
-            FROM geo g,
-                 unnest(generate_series(0, g.w - 1)) xs(x),
-                 unnest(generate_series(0, g.h - 1)) ys(y)
-        )
-        SELECT doc_id AS media_id,
-               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
-               count(*) AS n_pixels,
-               CAST(sum(b) AS BIGINT) AS sum_b,
-               CAST(sum(gg) AS BIGINT) AS sum_g,
-               CAST(sum(r) AS BIGINT) AS sum_r,
-               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
-               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
-        FROM px GROUP BY doc_id ORDER BY media_id
-    """,
-    "multimodal_wav_sample_decode": """
-        -- The Spark side synthesizes GENUINE PCM16 WAV clips — headers
-        -- AND frame blocks — from doc_id and decodes the sample payloads
-        -- with the REAL stdlib-wave+numpy path (no ffmpeg); the oracle
-        -- replicates the construction's closed-form two's-complement
-        -- sample (doc_id*13 + 7i) % 65536, pinning every amplitude
-        -- sum/square/extremum of every clip end-to-end.
-        WITH geo AS (
-            SELECT doc_id, 64 + doc_id % 128 AS n FROM documents
-        ), samp AS (
-            SELECT g.doc_id, g.n,
-                   CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS s
-            FROM (
-                SELECT g.doc_id, g.n,
-                       (g.doc_id * 13 + 7 * i.i) % 65536 AS m
-                FROM geo g, unnest(generate_series(0, g.n - 1)) i(i)
-            ) g
-        )
-        SELECT doc_id AS media_id, 1 AS channels, 8000 AS sample_rate,
-               count(*) AS n_samples,
-               CAST(sum(s) AS BIGINT) AS sum_amp,
-               CAST(sum(s * s) AS BIGINT) AS sum_sq,
-               CAST(min(s) AS INT) AS min_amp,
-               CAST(max(s) AS INT) AS max_amp
-        FROM samp GROUP BY doc_id ORDER BY media_id
-    """,
-    "multimodal_video_decode": """
-        -- The Spark side synthesizes GENUINE avi/mp4 container bytes from
-        -- doc_id and walks them with the REAL stdlib chunk/box parsers
-        -- (RIFF tree to avih; ISO-BMFF boxes to mvhd); the oracle
-        -- replicates the construction arithmetic.  MP4 geometry/frames
-        -- are NULL by contract (mvhd carries time, not track pixels).
-        -- Container sizes fixed by construction: avi 88 B, mp4 132 B.
-        SELECT fmt AS format, count(*) AS n_media,
-               CAST(sum(frames) AS BIGINT) AS sum_frames,
-               CAST(sum(dur_ms) AS DOUBLE) AS sum_duration_ms,
-               CAST(sum(w) AS BIGINT) AS sum_width,
-               CAST(sum(h) AS BIGINT) AS sum_height,
-               CAST(sum(nbytes) AS BIGINT) AS sum_bytes
-        FROM (
-            SELECT CASE doc_id % 2 WHEN 0 THEN 'avi' ELSE 'mp4' END AS fmt,
-                   CASE doc_id % 2 WHEN 0 THEN 10 + doc_id % 240 END AS frames,
-                   CASE doc_id % 2
-                        WHEN 0 THEN 40.0 * (10 + doc_id % 240)
-                        ELSE CAST(100 + doc_id % 900 AS DOUBLE) END AS dur_ms,
-                   CASE doc_id % 2 WHEN 0 THEN 32 + doc_id % 32 END AS w,
-                   CASE doc_id % 2 WHEN 0 THEN 24 + doc_id % 24 END AS h,
-                   CASE doc_id % 2 WHEN 0 THEN 88 ELSE 132 END AS nbytes
-            FROM documents
-        ) GROUP BY fmt ORDER BY format
-    """,
-    "multimodal_frame_sample": """
-        -- one row per 64-byte frame window of the utf8 payload, i.e. the
-        -- mapInPandas 1->N expansion shape, replicated relationally:
-        -- frames = range(0, max(n,1)) step 64 -> ceil(max(n,1)/64) rows
-        SELECT doc_id AS media_id,
-               CAST(f AS INT) AS frame_no,
-               CAST(least(64, greatest(octet_length(encode(text)), 0) - f * 64)
-                    AS INT) AS frame_bytes
-        FROM (
-            SELECT doc_id, text,
-                   unnest(generate_series(
-                       0,
-                       CAST(ceil(greatest(octet_length(encode(text)), 1)
-                                 / 64.0) AS BIGINT) - 1)) AS f
-            FROM documents
-        )
-    """,
-}
-
-# The Arrow/BLAS kNN is bit-identical to the HOF brute-force twin (same
-# rounding edge, same tie-break; exactness asserted in tests and verified
-# at sf0.01/sf0.1), so it shares the same oracle instead of a weaker
-# rows-only check.
-ORACLES["knn_cosine_arrow"] = ORACLES["knn_cosine_brute_force"]
-
-# The bucket-partitioned CDC apply converges to the SAME fixpoint as the
-# full-rewrite form (identical base/update derivation; bucketing only
-# changes which files each batch rewrites), so it shares the oracle.
-ORACLES["streaming_cdc_apply_bucketed"] = ORACLES["streaming_cdc_apply"]
-
-
-def _expectations_oracle() -> str:
-    """Generated from profiling.ORDERS_EXPECTATIONS — one source of
-    truth for rule ids and predicate strings, so a rule edit can never
-    drift between the Spark gate and its oracle.  Each rule's violation
-    count re-evaluates the SAME SQL predicate under the same explicit
-    NULL rule (NOT coalesce(pred, FALSE))."""
-    from parcial_bigdata_spark.operators.profiling import ORDERS_EXPECTATIONS
-
-    parts = []
-    for rid, pred in ORDERS_EXPECTATIONS:
-        esc = pred.replace("'", "''")
-        parts.append(
-            f"SELECT '{rid}' AS rule_id, '{esc}' AS rule, "
-            f"(SELECT count(*) FROM orders) AS n_rows, "
-            f"(SELECT count(*) FROM orders "
-            f" WHERE NOT coalesce(({pred}), FALSE)) AS n_violations"
-        )
-    body = " UNION ALL ".join(parts)
-    return (
-        "SELECT rule_id, rule, n_rows, n_violations, "
-        "n_violations = 0 AS passed "
-        f"FROM ({body}) ORDER BY rule_id"
-    )
-
-
-ORACLES["integrity_expectations"] = _expectations_oracle()
-
-# IVF is deterministic given the cluster column, and its probe ranking
-# orders by csim ROUNDED to 6 (cluster-id tie-break), so the whole query
-# is engine-stable and exactly SQL-expressible: centroids via a lateral
-# element-index unnest, probes via the same rounded ranking.
-ORACLES["knn_cosine_ivf"] = f"""
-    WITH cent AS (
-        SELECT label AS cluster, list(m ORDER BY i) AS centroid
-        FROM (
-            -- fixture embeddings are 64-dim at every SF (TESTDATA
-            -- contract); DuckDB's generate_series cannot take a subquery
-            -- bound in FROM, so the index range is the constant 1..64
-            SELECT label, t.i, avg(embedding[t.i]) AS m
-            FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
-            GROUP BY label, t.i
-        )
-        GROUP BY label
-    ), q AS (
-        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
-        FROM embeddings WHERE vec_id IN {_KNN_IDS_SQL}
-    ), probes AS (
-        SELECT query_id, qvec, cluster FROM (
-            SELECT q.query_id, q.qvec, c.cluster,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(
-                                    q.qvec, c.centroid), 6) DESC,
-                                c.cluster ASC) AS crnk
-            FROM q, cent c
-        ) WHERE crnk <= 2
-    )
-    SELECT query_id, rnk, vec_id, sim FROM (
-        SELECT p.query_id, e.vec_id,
-               round(list_cosine_similarity(
-                   p.qvec, CAST(e.embedding AS DOUBLE[])), 6) AS sim,
-               row_number() OVER (
-                   PARTITION BY p.query_id
-                   ORDER BY round(list_cosine_similarity(
-                                p.qvec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
-                            e.vec_id ASC) AS rnk
-        FROM probes p JOIN embeddings e ON e.label = p.cluster
-        WHERE e.vec_id <> p.query_id
-    ) WHERE rnk <= 10 ORDER BY query_id, rnk
-"""
-
-# LSH kNN's hyperplanes are seeded numpy draws — deterministic — so they
-# inline into the oracle as full-precision DOUBLE[] literals (repr round-
-# trips the exact bits).  Bucket assignment and both rankings then
-# replicate exactly; a sign flip would need a query·plane dot within
-# ~1e-15 of zero, which the O(1)-magnitude dots never approach.
-def _lsh_oracle() -> str:
-    from parcial_bigdata_spark.operators.similarity import _hyperplanes
-
-    def bucket_expr(col: str) -> str:
-        terms = []
-        for i, p in enumerate(_hyperplanes(64, 6, 42)):
-            arr = "[" + ", ".join(repr(v) for v in p) + "]::DOUBLE[]"
-            terms.append(
-                f"(CASE WHEN list_dot_product({col}, {arr}) > 0"
-                f" THEN {2 ** i} ELSE 0 END)"
-            )
-        return " + ".join(terms)
-
-    return f"""
-        WITH b AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-                   {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
-            FROM embeddings
-        ), q AS (
-            SELECT vec_id AS query_id, emb AS qvec, bucket AS qbucket
-            FROM b WHERE vec_id IN {_KNN_IDS_SQL}
-        )
-        SELECT query_id, rnk, vec_id, sim FROM (
-            SELECT q.query_id, b.vec_id,
-                   round(list_cosine_similarity(q.qvec, b.emb), 6) AS sim,
-                   row_number() OVER (
-                       PARTITION BY q.query_id
-                       ORDER BY round(list_cosine_similarity(q.qvec, b.emb), 6)
-                                    DESC,
-                                b.vec_id ASC) AS rnk
-            FROM q JOIN b ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
-        ) WHERE rnk <= 10 ORDER BY query_id, rnk
-    """
-
-
-ORACLES["knn_cosine_lsh"] = _lsh_oracle()
-
-
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled Lloyd twin of train_spherical_kmeans: the FIXED iteration
-    count is what makes the iterative algorithm SQL-expressible — one
-    assign/recenter CTE pair per round, same rounded-cosine argmax and
-    per-position mean as the Spark side."""
-
-    def assign(cent: str, out: str, keep_sim: bool) -> str:
-        sim_col = ", s" if keep_sim else ""
-        return f"""
-    {out} AS (
-        SELECT vec_id, v, cluster{sim_col} FROM (
-            SELECT e.vec_id, e.v, c.cluster,
-                   round(list_cosine_similarity(e.v, c.centroid), 6) AS s,
-                   row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC,
-                                c.cluster ASC) AS rn
-            FROM e, {cent} c
-        ) WHERE rn = 1
-    )"""
-
-    def recenter(asg: str, out: str) -> str:
-        return f"""
-    {out} AS (
-        SELECT cluster, list(m ORDER BY i) AS centroid FROM (
-            SELECT a.cluster, t.i, avg(a.v[t.i]) AS m
-            FROM {asg} a, (SELECT unnest(range(1, {dim + 1})) AS i) t
-            GROUP BY a.cluster, t.i
-        ) GROUP BY cluster
-    )"""
-
-    ctes = [
-        f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    c0 AS (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS centroid
-        FROM e ORDER BY vec_id LIMIT {k}
-    )"""
-    ]
-    for r in range(1, iters + 1):
-        ctes.append(assign(f"c{r - 1}", f"a{r}", keep_sim=False))
-        ctes.append(recenter(f"a{r}", f"c{r}"))
-    ctes.append(assign(f"c{iters}", "final", keep_sim=True))
-    return f"""
-    WITH {",".join(ctes)}
-    SELECT cluster, count(*) AS n_vecs, round(avg(s), 4) AS avg_sim
-    FROM final GROUP BY cluster ORDER BY cluster
-    """
-
-
-ORACLES["embedding_kmeans_train"] = _kmeans_oracle()
-
-# ---- audit-twin oracles (round 5): exact anchors + literal bound flags.
-# Every non-literal column is reproducible in ANSI SQL; each flag column
-# must render 1, so a recall/error-bound regression in the approximate
-# operator breaks the value hash — no more rows-only carve-outs.
-
-ORACLES["approx_distinct_parts"] = """
-    SELECT count(DISTINCT l_partkey) AS n_exact_parts,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
-           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
-           1 AS approx_distinct_ok, 1 AS p50_ok, 1 AS p95_ok, 1 AS p99_ok
-    FROM lineitem
-"""
-
-ORACLES["approx_percentile_value_by_type"] = """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50_value,
-           round(quantile_cont(value, 0.9), 4) AS p90_value,
-           count(*) AS n_events,
-           1 AS p50_ok, 1 AS p90_ok
-    FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-# Constant-SIZE audit samples (round-5 verdict item 5): the 1000 ids
-# with the smallest md5 — identical on both engines (Spark md5(CAST(id
-# AS STRING)) ≡ DuckDB md5(CAST(id AS VARCHAR)), both lowercase hex),
-# so the truth sweep is O(1000²) at any corpus size.
-_SAMP_DOCS_SQL = (
-    "SELECT doc_id FROM documents WHERE doc_id IS NOT NULL "
-    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000"
-)
-_SAMP_VECS_SQL = (
-    "SELECT vec_id FROM embeddings WHERE vec_id IS NOT NULL "
-    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1000"
-)
-
-# Shingle semantics mirror operators/dedup.shingles(): max(len-2, 1)
-# windows; the last windows of a short doc shrink (xxhash64 skips the
-# NULL padding on the Spark side; string join skips it here), so the
-# distinct-gram sets correspond 1:1 to the distinct hash sets.
-_GRAMS_SQL = f"""
-    SELECT doc_id, lang, n_chars,
-           list_distinct(list_transform(
-               generate_series(1, greatest(len(w) - 2, 1)),
-               i -> w[i] || COALESCE(' ' || w[i+1], '')
-                         || COALESCE(' ' || w[i+2], '')
-           )) AS grams
-    FROM (SELECT doc_id, lang, n_chars,
-                 string_split({_NORM_SQL}, ' ') AS w
-          FROM documents WHERE doc_id IN ({_SAMP_DOCS_SQL}))
-"""
-
-ORACLES["dedup_minhash_lsh_check"] = f"""
-    WITH sh AS ({_GRAMS_SQL}),
-    truth AS (
-        SELECT 1 FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
-         AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
-        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.6
-    )
-    SELECT (SELECT count(*) FROM ({_SAMP_DOCS_SQL})) AS n_sample_docs,
-           (SELECT count(*) FROM truth) AS n_truth_pairs,
-           CAST((SELECT count(*) FROM truth) >= 5 AS INT) AS truth_sufficient,
-           1 AS recall_ok
-"""
-
-# simhash truth is hash-geometry (not ANSI-reproducible), so the oracle
-# asserts truth_sufficient as a literal — 17 truth pairs on the 500-doc
-# fixture, so a fixture regression below the 5-pair power floor turns red.
-ORACLES["dedup_simhash_check"] = f"""
-    SELECT count(*) AS n_sample_docs, 1 AS twin_ok,
-           1 AS truth_sufficient, 1 AS recall_ok
-    FROM ({_SAMP_DOCS_SQL})
-"""
-
-ORACLES["dedup_embedding_lsh_check"] = f"""
-    WITH samp AS ({_SAMP_VECS_SQL}),
-    truth AS (
-        SELECT 1 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id IN (SELECT vec_id FROM samp)
-          AND b.vec_id IN (SELECT vec_id FROM samp)
-          AND round(list_cosine_similarity(
-                  CAST(a.embedding AS DOUBLE[]),
-                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-    )
-    SELECT (SELECT count(*) FROM samp) AS n_sample_vecs,
-           (SELECT count(*) FROM truth) AS n_truth_pairs,
-           CAST((SELECT count(*) FROM truth) >= 5 AS INT) AS truth_sufficient,
-           1 AS recall_ok
-"""
-
-# rolling 7-day distinct users: the oracle mirrors the contribution-
-# explode inversion (each (day, user) pair covers the 7 target days)
-# rather than a per-day correlated rescan — same counts, same clipping
-ORACLES["events_sliding_distinct_users"] = """
-    WITH pairs AS (
-        SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
-        FROM events
-    ),
-    b AS (SELECT min(day) AS lo, max(day) AS hi FROM pairs),
-    -- MATERIALIZED: duckdb 1.0's binder hits an internal error when a
-    -- downstream CTE filters on an unnest-projected alias inline
-    contrib AS MATERIALIZED (
-        SELECT p.event_type,
-               unnest(generate_series(
-                   p.day, p.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day,
-               p.user_id, b.hi
-        FROM pairs p, b
-    ),
-    counts AS (
-        SELECT event_type, day, count(DISTINCT user_id) AS active_users_w
-        FROM contrib WHERE day <= hi GROUP BY 1, 2
-    ),
-    grid AS MATERIALIZED (
-        SELECT t.event_type, d.day
-        FROM (SELECT DISTINCT event_type FROM events) t,
-             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
-              FROM b) d
-    )
-    SELECT g.event_type, g.day,
-           coalesce(c.active_users_w, 0) AS active_users_w
-    FROM grid g LEFT JOIN counts c
-        ON g.event_type = c.event_type AND g.day = c.day
-    ORDER BY g.event_type, g.day
-"""
-
-# rank-selected median + MAD: both medians are the value at
-# row_number floor((n+1)/2) under the (value, event_id) total order —
-# the lower-middle ELEMENT, so the k·MAD cut is bit-exact cross-engine
-ORACLES["events_mad_outliers"] = """
-    WITH v AS (
-        SELECT event_id, event_type, CAST(value AS DOUBLE) AS v FROM events
-    ),
-    c AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
-    r AS (
-        SELECT event_type, v,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY v, event_id) AS rk
-        FROM v
-    ),
-    med AS (
-        SELECT r.event_type, r.v AS med
-        FROM r JOIN c USING (event_type) WHERE r.rk = (c.n + 1) // 2
-    ),
-    d AS (
-        SELECT v.event_id, v.event_type, abs(v.v - m.med) AS dev, m.med
-        FROM v JOIN med m USING (event_type)
-    ),
-    r2 AS (
-        SELECT event_type, dev,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY dev, event_id) AS rk
-        FROM d
-    ),
-    mad AS (
-        SELECT r2.event_type, r2.dev AS mad
-        FROM r2 JOIN c USING (event_type) WHERE r2.rk = (c.n + 1) // 2
-    )
-    SELECT d.event_type, count(*) AS n_events,
-           max(d.med) AS median_value, max(mad.mad) AS mad,
-           CAST(sum(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers
-    FROM d JOIN mad USING (event_type)
-    GROUP BY d.event_type ORDER BY d.event_type
-"""
-
-# exact trailing-7-row median: odd full frames make median() hit the
-# middle element exactly (h = (n-1)/2 integral — no interpolation)
-ORACLES["window_rolling_median"] = """
-    WITH r AS (
-        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn,
-               median(CAST(value AS DOUBLE)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-               ) AS rolling_median
-        FROM events
-    )
-    SELECT user_id, event_id, ts, value, rolling_median
-    FROM r WHERE rn >= 7
-    ORDER BY user_id, ts, event_id
-"""
-
-# chi-square vocabulary drift: the drifted flag is cross-multiplied
-# integer arithmetic (HUGEINT here, decimal(38,0) on the Spark side);
-# the reported X² is one exact-integer division rounded at the edge
-ORACLES["text_source_drift"] = """
-    WITH toks AS (
-        SELECT a, word FROM (
-            SELECT CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS a,
-                   unnest(string_split(text, ' ')) AS word
-            FROM documents
-        ) WHERE word <> ''
-    ),
-    counts AS (
-        SELECT word, CAST(sum(a) AS BIGINT) AS o1,
-               CAST(sum(1 - a) AS BIGINT) AS o2
-        FROM toks GROUP BY word
-    ),
-    tot AS (
-        SELECT CAST(sum(o1) AS BIGINT) AS n1, CAST(sum(o2) AS BIGINT) AS n2
-        FROM counts
-    ),
-    x AS (
-        SELECT word, o1, o2,
-               CAST(n1 AS HUGEINT) + n2 AS nn,
-               CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1 AS diff,
-               CAST(n1 AS HUGEINT) AS n1h, CAST(n2 AS HUGEINT) AS n2h
-        FROM counts, tot
-        WHERE o1 + o2 >= 20
-    ),
-    y AS (
-        SELECT word, o1, o2,
-               nn * diff * diff AS num,
-               (CAST(o1 AS HUGEINT) + o2) * (nn - o1 - o2) * n1h * n2h AS den
-        FROM x
-    )
-    SELECT word, o1 AS n_ref, o2 AS n_other,
-           floor((CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * 1e6 + 0.5)
-               / 1e6 AS chisq,
-           CAST(num > 20 * den AS INT) AS drifted
-    FROM y ORDER BY word
-"""
-
-# single-source BFS: the oracle's bounded recursive walk produces every
-# (node, hop ≤ max) pair the layered expansion can reach; min(hop) per
-# node is the BFS distance — identical to the frontier labeling
-ORACLES["graph_bfs_distances"] = """
-    WITH RECURSIVE
-    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
-           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
-    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
-    seed AS (SELECT min(u) AS s FROM e),
-    walk(node, hop) AS (
-        SELECT s, 0 FROM seed WHERE s IS NOT NULL
-        UNION
-        SELECT e.v, walk.hop + 1
-        FROM walk JOIN e ON e.u = walk.node
-        WHERE walk.hop < 6
-    ),
-    d AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node),
-    hops AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
-             FROM d GROUP BY hop),
-    unreached AS (
-        SELECT -1 AS hop,
-               CAST((SELECT count(DISTINCT u) FROM e)
-                    - (SELECT count(*) FROM d) AS BIGINT) AS n_nodes
-    )
-    SELECT hop, n_nodes FROM hops
-    UNION ALL SELECT hop, n_nodes FROM unreached
-    ORDER BY hop
-"""
-
-# OHLC bars: struct argmin/argmax over the (ts, event_id) total order
-# pins the open/close payloads exactly; volume sums on the cents grid
-ORACLES["events_hourly_ohlc"] = """
-    SELECT event_type, date_trunc('hour', ts) AS hour,
-           count(*) AS n_events,
-           CAST((min(struct_pack(ts := ts, eid := event_id,
-                                 v := value))).v AS DOUBLE) AS open,
-           CAST((max(struct_pack(ts := ts, eid := event_id,
-                                 v := value))).v AS DOUBLE) AS close,
-           max(value) AS high, min(value) AS low,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
-    FROM events
-    GROUP BY event_type, date_trunc('hour', ts)
-    ORDER BY event_type, hour
-"""
-
-ORACLES["sample_temporal_split"] = """
-    SELECT split, event_type, count(*) AS n_events,
-           count(DISTINCT user_id) AS n_users,
-           min(day) AS first_day, max(day) AS last_day
-    FROM (
-        SELECT CASE
-                   WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
-                   WHEN ts < TIMESTAMP '2024-01-20' + INTERVAL 2 DAY
-                       THEN 'embargo'
-                   ELSE 'test' END AS split,
-               event_type, user_id, date_trunc('day', ts) AS day
-        FROM events
-    )
-    GROUP BY split, event_type ORDER BY split, event_type
-"""
-
-# the streaming OHLC twin converges to the batch bars exactly on a
-# bounded replay — one oracle serves both
-ORACLES["streaming_hourly_ohlc"] = ORACLES["events_hourly_ohlc"]
-
-# frame-level audio features: the synthesized sample at index i is the
-# int16 two's-complement of (doc_id*13 + i*7) % 65536, so every frame's
-# energy / zero-crossing count recomputes from pure arithmetic — the
-# Spark side must produce them through a GENUINE wave-module decode
-ORACLES["multimodal_wav_frame_features"] = """
-    WITH params AS (
-        SELECT doc_id AS media_id, 64 + doc_id % 128 AS n FROM documents
-    ),
-    frames AS (
-        SELECT media_id, unnest(range(0, n // 32)) AS frame_idx FROM params
-    ),
-    samp AS (
-        SELECT media_id, frame_idx,
-               unnest(range(frame_idx * 32, frame_idx * 32 + 32)) AS i
-        FROM frames
-    ),
-    vals AS (
-        SELECT media_id, frame_idx, i,
-               CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS v,
-               CASE WHEN m2 >= 32768 THEN m2 - 65536 ELSE m2 END AS v_next
-        FROM (
-            SELECT media_id, frame_idx, i,
-                   (media_id * 13 + i * 7) % 65536 AS m,
-                   (media_id * 13 + (i + 1) * 7) % 65536 AS m2
-            FROM samp
-        )
-    )
-    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-           32 AS n_samples,
-           CAST(sum(v) AS BIGINT) AS sum_amp,
-           CAST(sum(v * v) AS BIGINT) AS sum_sq,
-           CAST(sum(CASE WHEN (i % 32) < 31 AND v * v_next < 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
-    FROM vals
-    GROUP BY media_id, frame_idx
-    ORDER BY media_id, frame_idx
-"""
-
-# CSV round trip: the oracle is arithmetic on the source table plus
-# the literal injected bad-line count — independent of the CSV path
-ORACLES["source_csv_roundtrip"] = """
-    SELECT count(*) + 3 AS n_rows,
-           count(*) AS n_valid,
-           CAST(3 AS BIGINT) AS n_corrupt,
-           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
-           CAST(sum(user_id) AS BIGINT) AS sum_user_id,
-           count(DISTINCT event_type) AS n_types
-    FROM events
-"""
-
-# Heaps curve: slice = ceil(S*rank/n) in integer arithmetic; a word's
-# first slice is a min-aggregate — every count exact
-ORACLES["text_vocab_growth"] = """
-    WITH ranked AS (
-        SELECT doc_id, text,
-               row_number() OVER (
-                   ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS
-                            VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS r,
-               count(*) OVER () AS n
-        FROM documents
-    ),
-    sliced AS (
-        SELECT text, CAST((10 * r + n - 1) // n AS INT) AS slice
-        FROM ranked
-    ),
-    wf AS (
-        SELECT word, min(slice) AS first_slice
-        FROM (SELECT slice, unnest(string_split(text, ' ')) AS word
-              FROM sliced)
-        WHERE word <> '' GROUP BY word
-    ),
-    nw AS (SELECT first_slice AS slice, count(*) AS new_words
-           FROM wf GROUP BY 1),
-    tok AS (
-        SELECT slice,
-               CAST(sum(len(list_filter(string_split(text, ' '),
-                                        w -> w <> ''))) AS BIGINT)
-                   AS slice_tokens
-        FROM sliced GROUP BY slice
-    )
-    SELECT t.slice, t.slice_tokens,
-           coalesce(nw.new_words, 0) AS new_words,
-           CAST(sum(t.slice_tokens) OVER (ORDER BY t.slice
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS cum_tokens,
-           CAST(sum(coalesce(nw.new_words, 0)) OVER (ORDER BY t.slice
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS cum_vocab
-    FROM tok t LEFT JOIN nw ON t.slice = nw.slice
-    ORDER BY t.slice
-"""
-
-ORACLES["events_interarrival_hist"] = """
-    WITH g AS (
-        SELECT event_type,
-               (epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                   PARTITION BY event_type, user_id
-                   ORDER BY ts, event_id)) // 1000000 AS gap_s
-        FROM events
-    )
-    SELECT event_type,
-           CAST(length(bin(gap_s + 1)) - 1 AS INT) AS log2_bucket,
-           count(*) AS n_gaps,
-           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
-    FROM g WHERE gap_s IS NOT NULL
-    GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-ORACLES["nation_supplier_hhi"] = """
-    WITH per AS (
-        SELECT s_nationkey,
-               CAST(sum(CAST(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4)) * 10000 AS BIGINT))
-                    AS HUGEINT) AS rev
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY l_suppkey, s_nationkey
-    )
-    SELECT n_name, count(*) AS n_suppliers,
-           CAST(sum(rev * rev) AS DOUBLE)
-               / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
-               AS hhi
-    FROM per JOIN nation ON s_nationkey = n_nationkey
-    GROUP BY n_name ORDER BY n_name
-"""
-
-# exact KS: the argmax ranks by |cum_a*n_b - cum_b*n_a| (constant
-# denominator dropped) — integer-deterministic; D divides at the edge
-ORACLES["text_length_ks_drift"] = """
-    WITH counts AS (
-        SELECT n_chars AS len,
-               CAST(sum(CASE WHEN length(source) = 4 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS ca,
-               CAST(sum(CASE WHEN length(source) = 4 THEN 0 ELSE 1 END)
-                    AS BIGINT) AS cb
-        FROM documents GROUP BY n_chars
-    ),
-    cum AS (
-        SELECT len,
-               sum(ca) OVER (ORDER BY len
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS cum_a,
-               sum(cb) OVER (ORDER BY len
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS cum_b,
-               sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
-        FROM counts
-    ),
-    g AS (
-        SELECT len, n_a, n_b,
-               abs(CAST(cum_a AS HUGEINT) * n_b
-                   - CAST(cum_b AS HUGEINT) * n_a) AS gap
-        FROM cum
-    )
-    SELECT len AS ks_at_length, CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           CAST(gap AS DOUBLE)
-               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-               AS ks_statistic
-    FROM g ORDER BY gap DESC, len ASC LIMIT 1
-"""
-
-ORACLES["graph_degree_hist"] = """
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e AS (SELECT DISTINCT a.p AS u, b.p AS v
-          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
-    d AS (SELECT node, count(*) AS degree
-          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
-          GROUP BY node)
-    SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_bucket,
-           count(*) AS n_nodes,
-           min(degree) AS min_degree, max(degree) AS max_degree
-    FROM d GROUP BY 1 ORDER BY 1
-"""
-
-# isotropy histogram: the md5 rank-line pairing is a pure function of
-# the corpus; cosines round at 6 BEFORE bucketing so the bucket edges
-# are deterministic cross-engine
-ORACLES["embedding_pair_cosine_hist"] = """
-    WITH ranked AS (
-        SELECT vec_id, embedding,
-               row_number() OVER (
-                   ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS
-                            VARCHAR)), 1, 15)) AS BIGINT), vec_id) AS r,
-               count(*) OVER () // 2 AS half
-        FROM embeddings
-    ),
-    pairs AS (
-        SELECT round(list_cosine_similarity(
-                   CAST(a.embedding AS DOUBLE[]),
-                   CAST(b.embedding AS DOUBLE[])), 6) AS c
-        FROM ranked a JOIN ranked b
-          ON b.r = a.r + a.half AND a.r <= a.half
-    )
-    SELECT bucket, count(*) AS n_pairs,
-           min(c) AS min_cos, max(c) AS max_cos
-    FROM (
-        SELECT c, CAST(least(greatest(floor((c + 1) * 5), 0), 9) AS INT)
-                   AS bucket
-        FROM pairs
-    )
-    GROUP BY bucket ORDER BY bucket
-"""
-
-ORACLES["sample_undersample_balance"] = """
-    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-    m AS (SELECT min(n) AS m FROM counts),
-    ranked AS (
-        SELECT lang, n_chars,
-               row_number() OVER (
-                   PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        FROM documents
-    )
-    SELECT lang, count(*) AS n_docs,
-           CAST(sum(CASE WHEN rn <= m.m THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-           CAST(sum(CASE WHEN rn > m.m THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dropped,
-           CAST(sum(CASE WHEN rn <= m.m THEN n_chars END) AS BIGINT)
-               AS kept_chars
-    FROM ranked, m GROUP BY lang ORDER BY lang
-"""
-
-# stateful streaming prefix z-score: the oracle is the batch window
-# formulation — strictly-earlier moments per (ts, event_id) order,
-# same exact-integer predicate (HUGEINT here, python ints in the state
-# transition), so the stateful emission hash-matches on bounded replay
-ORACLES["streaming_running_zscore"] = """
-    WITH v AS (
-        SELECT user_id, event_id, ts,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        FROM events
-    ),
-    p AS (
-        SELECT user_id, event_id, v,
-               count(*) OVER w AS n,
-               CAST(coalesce(sum(v) OVER w, 0) AS BIGINT) AS s,
-               CAST(coalesce(sum(v * v) OVER w, 0) AS BIGINT) AS q
-        FROM v
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    )
-    SELECT user_id, event_id, CAST(n AS BIGINT) AS n_prior,
-           CAST(n >= 3 AS INT) AS scored,
-           CAST(CASE WHEN n >= 3 AND
-                (CAST(n AS HUGEINT) * v - s) * (CAST(n AS HUGEINT) * v - s)
-                    * (n - 1)
-                > 9 * CAST(n AS HUGEINT)
-                    * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
-                THEN 1 ELSE 0 END AS INT) AS is_outlier
-    FROM p ORDER BY user_id, event_id
-"""
-
-# real BMP resize: the pixel byte at (x, y, c) is
-# (doc_id + 3x + 5y + 11c) % 256, so every post-resize statistic
-# recomputes from arithmetic over the sampled even-x/even-y grid
-ORACLES["multimodal_bmp_resize"] = """
-    WITH p AS (
-        SELECT doc_id AS media_id, 4 + doc_id % 12 AS w,
-               4 + (doc_id * 7) % 8 AS h
-        FROM documents
-    ),
-    xs AS MATERIALIZED (
-        SELECT media_id, w, h, unnest(range(0, w, 2)) AS x FROM p
-    ),
-    g AS MATERIALIZED (
-        SELECT media_id, w, h, x, unnest(range(0, h, 2)) AS y FROM xs
-    ),
-    v AS (
-        SELECT media_id, w, h,
-               (media_id + 3 * x + 5 * y) % 256 AS b,
-               (media_id + 3 * x + 5 * y + 11) % 256 AS gg,
-               (media_id + 3 * x + 5 * y + 22) % 256 AS r
-        FROM g
-    )
-    SELECT media_id,
-           CAST(max(w) AS INT) AS in_width,
-           CAST(max(h) AS INT) AS in_height,
-           CAST((max(w) + 1) // 2 AS INT) AS out_width,
-           CAST((max(h) + 1) // 2 AS INT) AS out_height,
-           CAST(sum(b) AS BIGINT) AS sum_b,
-           CAST(sum(gg) AS BIGINT) AS sum_g,
-           CAST(sum(r) AS BIGINT) AS sum_r,
-           CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
-           CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
-    FROM v GROUP BY media_id ORDER BY media_id
-"""
-
-# behavioral entropy: H = ln(n) - (sum c*ln c)/n folded SEQUENTIALLY
-# over the type-sorted count list — the same fixed evaluation order as
-# the Spark aggregate()
-ORACLES["events_user_entropy"] = """
-    WITH c AS (
-        SELECT user_id, event_type, count(*) AS c
-        FROM events GROUP BY 1, 2
-    ),
-    u AS (
-        SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
-               count(*) AS n_types,
-               list(CAST(c AS DOUBLE) ORDER BY event_type) AS cs
-        FROM c GROUP BY user_id
-    )
-    SELECT user_id, n_events, n_types,
-           round(ln(CAST(n_events AS DOUBLE))
-                 - list_sum(list_transform(cs, x -> x * ln(x)))
-                   / CAST(n_events AS DOUBLE), 4) AS entropy
-    FROM u ORDER BY user_id
-"""
-
-# per-dimension moments: values round onto the 1e-18 decimal grid first
-# (exact decimal sums are order-insensitive), then mean/var come out of
-# the two exact sums with the identical IEEE op sequence
-ORACLES["embedding_dim_stats"] = """
-    WITH pos AS (
-        SELECT t.i AS dim, CAST(v[t.i] AS DOUBLE) AS val
-        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             unnest(range(1, len(v) + 1)) AS t(i)
-    ),
-    agg AS (
-        SELECT dim, count(*) AS n_values,
-               sum(CAST(val AS DECIMAL(38,18))) AS s,
-               sum(CAST(val * val AS DECIMAL(38,18))) AS q,
-               min(val) AS min_val, max(val) AS max_val
-        FROM pos GROUP BY dim
-    )
-    SELECT dim, n_values,
-           floor((CAST(s AS DOUBLE) / n_values) * 1e6 + 0.5) / 1e6
-               AS mean_val,
-           floor((CAST(q AS DOUBLE) / n_values
-                  - (CAST(s AS DOUBLE) / n_values)
-                    * (CAST(s AS DOUBLE) / n_values)) * 1e6 + 0.5) / 1e6
-               AS var_val,
-           min_val, max_val
-    FROM agg ORDER BY dim
-"""
-
-# ABC/Pareto: revenue on the integer 1e-4 grid end-to-end; the 80/95
-# class cut-offs are exact integer cross-multiplications, never shares
-ORACLES["parts_abc_classes"] = """
-    WITH pr AS (
-        SELECT l_partkey,
-               sum(CAST(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS units
-        FROM lineitem GROUP BY l_partkey
-    ),
-    ranked AS (
-        SELECT l_partkey, units,
-               sum(units) OVER (ORDER BY units DESC, l_partkey
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum,
-               sum(units) OVER () AS tot
-        FROM pr
-    )
-    SELECT abc_class, count(*) AS n_parts,
-           CAST(sum(units) AS DOUBLE) / 10000.0 AS class_revenue
-    FROM (
-        SELECT units,
-               CASE WHEN cum * 5 <= tot * 4 THEN 'A'
-                    WHEN cum * 20 <= tot * 19 THEN 'B'
-                    ELSE 'C' END AS abc_class
-        FROM ranked
-    )
-    GROUP BY abc_class ORDER BY abc_class
-"""
-
-# FD audit: one grouped distinct-count per declared dependency; the two
-# single-column dependencies are EXPECTED to fail — branching quantified
-ORACLES["integrity_functional_deps"] = """
-    SELECT * FROM (
-        SELECT 'order_to_returnflag' AS dep_id,
-               'l_orderkey' AS determinant,
-               'l_returnflag' AS dependent,
-               count(*) AS n_keys,
-               CAST(sum(CASE WHEN b > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_violating_keys,
-               max(b) AS max_branching,
-               CAST(max(b) = 1 AS INT) AS holds
-        FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS b
-              FROM lineitem GROUP BY 1)
-        UNION ALL
-        SELECT 'part_to_supplier', 'l_partkey', 'l_suppkey',
-               count(*),
-               CAST(sum(CASE WHEN b > 1 THEN 1 ELSE 0 END) AS BIGINT),
-               max(b), CAST(max(b) = 1 AS INT)
-        FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS b
-              FROM lineitem GROUP BY 1)
-        UNION ALL
-        SELECT 'pk_order_line',
-               'l_orderkey + l_linenumber',
-               'l_partkey + l_suppkey + l_quantity',
-               count(*),
-               CAST(sum(CASE WHEN b > 1 THEN 1 ELSE 0 END) AS BIGINT),
-               max(b), CAST(max(b) = 1 AS INT)
-        FROM (SELECT l_orderkey, l_linenumber,
-                     count(DISTINCT (l_partkey, l_suppkey, l_quantity)) AS b
-              FROM lineitem GROUP BY 1, 2)
-    ) ORDER BY dep_id
-"""
-
-# gaps-and-islands: day_index - row_number is constant exactly along a
-# run of consecutive days — the island key needs no self-join
-ORACLES["events_activity_streaks"] = """
-    WITH pairs AS (
-        SELECT DISTINCT user_id,
-               datediff('day', DATE '2024-01-01',
-                        date_trunc('day', ts)) AS d
-        FROM events
-    ),
-    islands AS (
-        SELECT user_id, d,
-               d - row_number() OVER (PARTITION BY user_id ORDER BY d)
-                   AS anchor
-        FROM pairs
-    ),
-    streaks AS (
-        SELECT user_id, anchor, count(*) AS len
-        FROM islands GROUP BY user_id, anchor
-    )
-    SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
-           count(*) AS n_streaks, max(len) AS longest_streak
-    FROM streaks GROUP BY user_id ORDER BY user_id
-"""
-
-# exact heavy hitters: the oracle is the definition; the Spark side's
-# candidate prune is lossless by weighted pigeonhole, so both produce
-# exactly the words with corpus count >= 500
-ORACLES["text_heavy_hitters"] = """
-    SELECT word, count(*) AS n_occurrences
-    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-    WHERE word <> ''
-    GROUP BY word HAVING count(*) >= 500
-    ORDER BY word
-"""
-
-ORACLES["sample_group_kfold"] = """
-    SELECT fold, count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM (
-        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
-                    AS INT) % 5 AS fold,
-               user_id
-        FROM events
-    )
-    GROUP BY fold ORDER BY fold
-"""
-
-# The events fixture stores ts as TIMESTAMP(NANOS); Spark reads it via the
-# nanos-as-long escape hatch truncated to microseconds (catalog.load_table),
-# so every oracle must apply the matching truncation on the DuckDB side.
-_EVENTS_US = (
-    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
-    "value, props FROM events) events"
-)
-for _name, _sql in list(ORACLES.items()):
-    if "FROM events" in _sql:
-        ORACLES[_name] = _sql.replace("FROM events", f"FROM {_EVENTS_US}")
