@@ -811,6 +811,13 @@ _NEW_OPS_R8 = [
     "events_user_entropy",
     "multimodal_bmp_resize",
     "streaming_running_zscore",
+    # round-11 additions (first timings -> BENCH_r11 / BENCH_DETAIL)
+    "events_hourly_autocorr",
+    "integrity_benford_audit",
+    "graph_assortativity",
+    "embedding_mahalanobis_outliers",
+    "multimodal_gif_frame_census",
+    "sample_curriculum_order",
     "embedding_pair_cosine_hist",
     "sample_undersample_balance",
     "text_length_ks_drift",

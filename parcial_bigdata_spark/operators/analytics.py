@@ -1019,3 +1019,93 @@ def interarrival_histogram(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "log2_bucket")
     )
+
+
+def hourly_autocorrelation(events: DataFrame, lags=(1, 24)) -> DataFrame:
+    """Lag-L autocorrelation of the hourly event-count series per type
+    (`events_hourly_autocorr`) — the seasonality/self-similarity readout
+    a capacity planner checks before trusting an hourly forecast: lag-1
+    says how smooth the series is, lag-24 whether a daily cycle exists.
+
+    EXACT-integer Pearson: the series is the DENSE hourly grid between
+    each type's first and last event (missing hours are true zeros —
+    excluding them biases r toward busy periods), so every input is an
+    integer count; Σx, Σy, Σxy, Σx², Σy² accumulate in decimal(38,0)
+    (order-free, overflow-free), and
+    r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²)) is ONE
+    fixed IEEE op sequence over the exact sums — sqrt is correctly
+    rounded by IEEE-754, so both engines emit the identical double
+    before the shared round-6.  A constant series (zero variance)
+    reports NULL.
+
+    Scale: one map-side-combining groupBy to the (type, hour) grain;
+    the grid explode, the lag self-join, and the closing sums all live
+    on the |types|·|hours| DIMENSION-sized series, never on raw
+    events.  The series frame is ``iter_checkpoint``-materialized: it
+    feeds both sides of every lag's self-join (2·|lags| consumers) and
+    each would otherwise replan the raw-event aggregate."""
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = events.groupBy(
+        F.col("event_type"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = counts.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    series = iter_checkpoint(
+        bounds.select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("h"),
+        )
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    out = None
+    for lag in lags:
+        a = series.select(
+            "event_type", F.col("h").alias("ha"), F.col("c").alias("x")
+        )
+        b = series.select(
+            "event_type",
+            F.expr(f"h - interval {int(lag)} hours").alias("ha"),
+            F.col("c").alias("y"),
+        )
+        dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+        sums = (
+            a.join(b, ["event_type", "ha"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum(dec("x")).alias("sx"),
+                F.sum(dec("y")).alias("sy"),
+                F.sum(dec("x") * dec("y")).alias("sxy"),
+                F.sum(dec("x") * dec("x")).alias("sxx"),
+                F.sum(dec("y") * dec("y")).alias("syy"),
+            )
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+        r = F.when(
+            (vx > 0) & (vy > 0),
+            ratio_round(num / F.sqrt(vx * vy), 6),
+        )
+        lag_out = sums.select(
+            "event_type",
+            F.lit(int(lag)).alias("lag_hours"),
+            F.col("n").cast("long").alias("n_pairs"),
+            r.alias("autocorr"),
+        )
+        out = lag_out if out is None else out.unionByName(lag_out)
+    return out.orderBy("event_type", "lag_hours")

@@ -477,3 +477,79 @@ def degree_histogram(
         )
         .orderBy("log2_bucket")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-assortativity coefficient of an undirected graph
+    (`graph_assortativity`): the Pearson correlation of the endpoint
+    degrees over every edge, counted in both directions (the Newman
+    convention) — positive r means hubs attach to hubs (social-graph
+    shape), negative means hub-and-spoke (dependency/star shape).
+    Alongside the degree histogram it is the one-number structural
+    health readout for the co-purchase graph.
+
+    EXACT-integer Pearson: degrees are integers and the both-directions
+    edge list makes the x/y marginals identical, so
+    r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — an integer-over-integer
+    ratio accumulated in decimal(38,0), with ONE double division at the
+    edge (no sqrt needed in the symmetric form) before the shared
+    round-6.  A degree-regular graph (zero variance) reports NULL.
+
+    Scale: degrees are one map-side-combining groupBy; the two
+    degree lookups are |nodes|-sized joins onto the edge list; the
+    closing sums collapse to one row.  The edge and degree frames are
+    ``iter_checkpoint``-materialized (the ``_triangles`` precedent):
+    each is consumed 2-4 times downstream and the co-purchase edge
+    build would otherwise replan per consumer."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    ed = iter_checkpoint(_canonical_undirected(edges, src, dst))
+    deg = iter_checkpoint(
+        ed.select(F.col("u").alias("node"))
+        .unionByName(ed.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+    )
+    both = ed.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        ed.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    dx = F.col("__dx").cast("decimal(38,0)")
+    dy = F.col("__dy").cast("decimal(38,0)")
+    sums = (
+        both.join(
+            deg.select(F.col("node").alias("a"), F.col("__deg").alias("__dx")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("__deg").alias("__dy")),
+            "b",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dx).alias("sx"),
+            F.sum(dx * dy).alias("sxy"),
+            F.sum(dx * dx).alias("sxx"),
+        )
+    )
+    node_count = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edge_count = ed.agg(F.count(F.lit(1)).alias("n_edges"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return (
+        sums.crossJoin(F.broadcast(node_count))
+        .crossJoin(F.broadcast(edge_count))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.when(den > 0, ratio_round(num / den, 6)).alias(
+                "assortativity"
+            ),
+        )
+    )

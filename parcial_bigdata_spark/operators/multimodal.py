@@ -1457,3 +1457,170 @@ def bmp_resized_summary(documents: DataFrame, factor: int = 2) -> DataFrame:
             rows_out = []
 
     return corpus.mapInPandas(batches, RESIZE_SCHEMA).orderBy("media_id")
+
+
+def _le_hex(col, n_bytes: int):
+    """Little-endian unsigned integer → hex STRING of n bytes (the
+    string-side sibling of ``_le_bytes`` for corpora assembled as one
+    hex string and unhexed once)."""
+    h = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+    return F.concat(
+        *[F.substring(h, i * 2 + 1, 2) for i in reversed(range(n_bytes))]
+    )
+
+
+def synth_gif_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL multi-frame GIF89a containers built from the
+    documents table with pure built-in string/byte expressions (no
+    UDF): doc_id fixes the geometry (width 8 + doc_id%32, height
+    8 + 3·doc_id%24), the frame count (1 + doc_id%5), the per-frame
+    animation delay (1 + doc_id%100 centiseconds) and the LZW sub-block
+    size (1 + doc_id%3).  Every frame is a genuine
+    graphic-control-extension + image-descriptor + data-sub-block
+    sequence — the block stream ``gif_frame_census`` walks is the one
+    an actual animation decoder walks; only the LZW payload bytes are
+    filler.  The whole payload is assembled as ONE hex string
+    (header ‖ repeat(frame, n) ‖ trailer) and unhexed once — codegen
+    end to end."""
+    w = (F.lit(8) + F.col("doc_id") % 32).cast("bigint")
+    h = (F.lit(8) + (F.col("doc_id") * 3) % 24).cast("bigint")
+    n_frames = (F.lit(1) + F.col("doc_id") % 5).cast("int")
+    delay = (F.lit(1) + F.col("doc_id") % 100).cast("bigint")
+    sub_len = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    # GCE (8 B): 21 F9 04 flags=00 delay(LE16) transparent=00 term=00
+    gce = F.concat(F.lit("21F90400"), _le_hex(delay, 2), F.lit("0000"))
+    # image descriptor (10 B): 2C left=0 top=0 w(LE16) h(LE16) packed=00
+    desc = F.concat(
+        F.lit("2C00000000"), _le_hex(w, 2), _le_hex(h, 2), F.lit("00")
+    )
+    # data: LZW min-code 07, one sub-block of sub_len 0xAA bytes, term 00
+    data = F.concat(
+        F.lit("07"),
+        _le_hex(F.col("__sub"), 1),
+        F.expr("repeat('AA', __sub)"),
+        F.lit("00"),
+    )
+    # header (6 B) + logical screen descriptor (7 B, no global table)
+    header = F.concat(
+        F.lit("474946383961"), _le_hex(w, 2), _le_hex(h, 2), F.lit("700000")
+    )
+    staged = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("source"),
+        n_frames.alias("__n"),
+        sub_len.alias("__sub"),
+        header.alias("__head"),
+        gce.alias("__gce"),
+        desc.alias("__desc"),
+    )
+    frame = F.concat(F.col("__gce"), F.col("__desc"), data)
+    return (
+        staged.withColumn("__frame", frame)
+        .select(
+            "media_id",
+            F.unhex(
+                F.concat(
+                    F.col("__head"),
+                    F.expr("repeat(__frame, __n)"),
+                    F.lit("3B"),
+                )
+            ).alias("content"),
+            F.lit("image/gif").alias("media_type"),
+            "source",
+        )
+    )
+
+
+def gif_frame_census(df: DataFrame) -> DataFrame:
+    """REAL GIF block-stream walk (`multimodal_gif_frame_census`):
+    frames, extensions, animation duration, and LZW payload volume per
+    media — the census an animation-aware pipeline runs before
+    deciding frame-sampling rates.  Pure stdlib: header + logical
+    screen descriptor, optional global color table, then the block
+    loop — 0x21 extensions (graphic-control delays are read from the
+    0xF9 block), 0x2C image descriptors with optional local color
+    tables and LZW sub-block chains, 0x3B trailer.  Corrupt payloads
+    (bad magic, truncation, unknown block ids) raise ValueError — the
+    walk never guesses.
+
+    Arrow-batched mapInPandas, row-local, zero shuffles."""
+
+    def _census_one(content: bytes) -> tuple:
+        if content is None or len(content) < 14:
+            raise ValueError("GIF payload too short for header + LSD")
+        if content[:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("bad GIF magic")
+        packed = content[10]
+        pos = 13
+        if packed & 0x80:  # global color table
+            pos += 3 * (1 << ((packed & 0x07) + 1))
+        frames = exts = data_bytes = total_delay = 0
+
+        def skip_subblocks(p: int, count_data: bool) -> int:
+            nonlocal data_bytes
+            while True:
+                if p >= len(content):
+                    raise ValueError("truncated GIF sub-block chain")
+                ln = content[p]
+                p += 1
+                if ln == 0:
+                    return p
+                if count_data:
+                    data_bytes += ln
+                p += ln
+
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF stream ends without trailer")
+            block = content[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                exts += 1
+                if pos + 2 > len(content):
+                    raise ValueError("truncated GIF extension")
+                label = content[pos + 1]
+                body = pos + 2
+                if label == 0xF9 and content[body] >= 4:
+                    total_delay += content[body + 2] | (
+                        content[body + 3] << 8
+                    )
+                pos = skip_subblocks(body, count_data=False)
+            elif block == 0x2C:  # image descriptor
+                frames += 1
+                if pos + 10 > len(content):
+                    raise ValueError("truncated GIF image descriptor")
+                ipacked = content[pos + 9]
+                pos += 10
+                if ipacked & 0x80:  # local color table
+                    pos += 3 * (1 << ((ipacked & 0x07) + 1))
+                pos += 1  # LZW minimum code size
+                pos = skip_subblocks(pos, count_data=True)
+            else:
+                raise ValueError(f"unknown GIF block id 0x{block:02x}")
+        return frames, exts, data_bytes, total_delay
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else None
+                frames, exts, data_bytes, delay = _census_one(blob)
+                rows.append(
+                    (mid, frames, exts, data_bytes, delay, len(blob))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_extensions",
+                    "lzw_data_bytes", "total_delay_cs", "byte_len",
+                ],
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema=(
+            "media_id long, n_frames int, n_extensions int, "
+            "lzw_data_bytes long, total_delay_cs long, byte_len long"
+        ),
+    )

@@ -336,3 +336,71 @@ def functional_dependencies(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("dep_id")
+
+
+# First-significant-digit shares under Benford's law, log10(1 + 1/d).
+# Computed ONCE in Python and injected as literals into BOTH engines
+# (the Spark plan via F.lit, the DuckDB oracle via repr in the SQL
+# string), so the expected shares are the identical doubles everywhere
+# — engine log10 implementations are only 1-ulp-accurate, not
+# correctly rounded, and must not appear in the comparison path.
+import math as _math
+
+BENFORD_SHARES: dict[int, float] = {
+    d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_audit(orders: DataFrame, amount_col: str = "o_totalprice") -> DataFrame:
+    """First-digit Benford's-law audit of an amount column
+    (`integrity_benford_audit`) — the classic fraud / synthetic-data
+    screen: organically-grown monetary amounts follow
+    P(d) = log10(1+1/d); fabricated or capped amounts don't, and the
+    per-digit chi-square contribution points at WHICH digit is off.
+
+    Exact and engine-portable: the first digit comes from the STRING
+    of the floored integer part (floor is exact; integer-to-string is
+    identical across engines — never floor(log10(x)), whose 1-ulp
+    wobble can misbucket exact powers of ten); counts are integers;
+    the expected shares are shared Python literals (see
+    ``BENFORD_SHARES``); observed share and the chi-square term
+    (obs − n·p)²/(n·p) are ONE fixed IEEE op sequence each over exact
+    operands, then the shared round-6.  All nine digit rows are always
+    present (zero-count digits report their full expected deficit).
+
+    Scale: one map-side-combining 9-group aggregate over the scan; the
+    single-row total broadcasts."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    amounts = orders.where(F.col(amount_col) >= 1)
+    digit = F.substring(
+        F.floor(F.col(amount_col)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = amounts.groupBy(digit.alias("first_digit")).agg(
+        F.count(F.lit(1)).alias("n_amounts")
+    )
+    total = amounts.agg(F.count(F.lit(1)).alias("__n"))
+    digits = orders.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("first_digit")
+    )
+    share_pairs = [
+        x
+        for d, p in sorted(BENFORD_SHARES.items())
+        for x in (F.lit(d), F.lit(p))
+    ]
+    expected = F.create_map(*share_pairs)[F.col("first_digit")]
+    obs = F.coalesce("n_amounts", F.lit(0)).cast("double")
+    n = F.col("__n").cast("double")
+    dev = obs - n * expected
+    return (
+        digits.join(counts, "first_digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            F.coalesce("n_amounts", F.lit(0)).alias("n_amounts"),
+            ratio_round(obs / n, 6).alias("observed_share"),
+            expected.alias("expected_share"),
+            ratio_round(dev * dev / (n * expected), 6).alias("chisq_term"),
+        )
+        .orderBy("first_digit")
+    )

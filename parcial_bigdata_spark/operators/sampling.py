@@ -590,3 +590,50 @@ def undersample_balance(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def curriculum_order(
+    documents: DataFrame, bands: tuple[int, ...] = (500, 1000, 2000, 4000)
+) -> DataFrame:
+    """Curriculum training order (`sample_curriculum_order`): documents
+    are banded by length (short-and-easy first is the standard
+    curriculum heuristic; the band edges are explicit literals) and the
+    schedule round-robins across bands — position
+    (band_rank − 1)·n_bands + band — so early training sees every
+    difficulty tier while still leading with the easy mass.  Within a
+    band the order is the md5 line (the sampling-family convention:
+    deterministic, reshuffle-free, engine-portable).
+
+    Positions are a deterministic TOTAL ORDER, not a dense sequence —
+    once a band is exhausted its residues go unused (documented, not a
+    bug: the consumer sorts by schedule_pos).
+
+    Scale: band assignment is row-local; the within-band rank rides
+    :func:`~parcial_bigdata_spark.operators.scale.distributed_rank`
+    (bands are few and huge — the exact mega-group case a partitioned
+    window serializes)."""
+    from parcial_bigdata_spark.operators.scale import distributed_rank
+
+    band = F.lit(len(bands))
+    for i, edge in reversed(list(enumerate(bands))):
+        band = F.when(F.col("n_chars") < edge, F.lit(i)).otherwise(band)
+    hashed = documents.select(
+        "doc_id",
+        "n_chars",
+        band.cast("int").alias("band"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("bigint")
+        .alias("__h"),
+    )
+    ranked = distributed_rank(
+        hashed, "__h", "doc_id", part_cols=["band"], out_col="__r"
+    )
+    n_bands = len(bands) + 1
+    return ranked.select(
+        "doc_id",
+        "band",
+        F.col("__r").alias("band_rank"),
+        ((F.col("__r") - 1) * n_bands + F.col("band")).alias("schedule_pos"),
+    ).orderBy("schedule_pos")

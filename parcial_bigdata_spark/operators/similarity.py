@@ -566,3 +566,76 @@ def pair_cosine_histogram(embeddings: DataFrame, n_buckets: int = 10) -> DataFra
         )
         .orderBy("bucket")
     )
+
+
+def mahalanobis_outliers(
+    embeddings: DataFrame, top_n: int = 20, var_floor: float = 1e-12
+) -> DataFrame:
+    """Embedding-space outliers by DIAGONAL-covariance Mahalanobis
+    distance (`embedding_mahalanobis_outliers`): per-dimension z-score
+    energy d² = Σ_i (x_i − μ_i)²/σ_i² — the standard cheap screen for
+    corrupt / out-of-distribution vectors before they poison dedup
+    thresholds or k-means seeds (full-covariance Mahalanobis needs a
+    matrix inverse; the diagonal form is the scale-sane variant and
+    catches the axis-aligned pathologies real pipelines produce).
+
+    Engine-exact: per-dim moments use the ``dimension_stats``
+    decimal-grid technique (values and squares land on the 1e-18 grid,
+    sum EXACTLY in any order, one fixed IEEE sequence to μ and σ²);
+    each vector's per-dim term is one fixed double sequence, rounded
+    back onto the 1e-18 grid so the per-vector SUM is again
+    order-free; the top-``top_n`` ranking orders by the EXACT decimal
+    (tie-break vec_id) so the cut is bit-deterministic.  Dimensions
+    with σ² ≤ ``var_floor`` are excluded (deterministically — both
+    engines compare the identical double) rather than dividing by ~0.
+
+    Scale: one posexplode groupBy to the |dims| grain (map-side
+    combining), the ≤|dims|-row stats frame broadcasts back over a
+    second row-local pass, and the closing top-n is a global sort of
+    |vectors| single-double rows — the same shape as knn's result
+    collapse."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    pos = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    s = F.col("val").cast("decimal(38,18)")
+    q = (F.col("val") * F.col("val")).cast("decimal(38,18)")
+    agg = pos.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(s).alias("__s"),
+        F.sum(q).alias("__q"),
+    )
+    n = F.col("__n").cast("double")
+    s_d = F.col("__s").cast("double")
+    q_d = F.col("__q").cast("double")
+    mean = s_d / n
+    var = q_d / n - (s_d / n) * (s_d / n)
+    stats = agg.select(
+        "dim", mean.alias("__mu"), var.alias("__var")
+    ).where(F.col("__var") > F.lit(var_floor))
+    dev = F.col("val") - F.col("__mu")
+    term = (dev * dev / F.col("__var")).cast("decimal(38,18)")
+    scored = (
+        pos.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims_used"),
+            F.sum(term).alias("__d2"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("__d2").desc(), F.col("vec_id"))
+        .limit(top_n)
+        .select(
+            "vec_id",
+            "n_dims_used",
+            ratio_round(F.col("__d2").cast("double"), 6).alias(
+                "mahalanobis_sq"
+            ),
+        )
+    )

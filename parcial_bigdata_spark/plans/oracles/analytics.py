@@ -545,3 +545,53 @@ ORACLES["events_activity_streaks"] = """
            count(*) AS n_streaks, max(len) AS longest_streak
     FROM streaks GROUP BY user_id ORDER BY user_id
 """
+
+
+def _autocorr_pairs_sql(lag: int) -> str:
+    """One lag's (x, y) pair block over the dense hourly series."""
+    return f"""
+        SELECT a.event_type, {lag} AS lag_hours, a.c AS x, b.c AS y
+        FROM series a JOIN series b
+          ON b.event_type = a.event_type
+         AND b.h = a.h + INTERVAL {lag} HOUR"""
+
+
+# dense-grid exact-integer Pearson; r is one IEEE sequence over HUGEINT
+# sums (sqrt is correctly rounded, so the doubles match Spark's)
+ORACLES["events_hourly_autocorr"] = f"""
+    WITH counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(h) AS lo, max(h) AS hi
+        FROM counts GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), series AS (
+        SELECT g.event_type, g.h, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c
+          ON c.event_type = g.event_type AND c.h = g.h
+    ), pairs AS ({_autocorr_pairs_sql(1)}
+        UNION ALL{_autocorr_pairs_sql(24)}
+    ), sums AS (
+        SELECT event_type, lag_hours,
+               CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag_hours, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                THEN floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+           END AS autocorr
+    FROM sums ORDER BY event_type, lag_hours
+"""

@@ -118,3 +118,36 @@ ORACLES["graph_degree_hist"] = """
            min(degree) AS min_degree, max(degree) AS max_degree
     FROM d GROUP BY 1 ORDER BY 1
 """
+
+
+# symmetric-form exact-integer Pearson over both edge directions;
+# one double division at the edge (no sqrt in the symmetric form)
+ORACLES["graph_assortativity"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+    d AS (SELECT node, count(*) AS deg
+          FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+          GROUP BY node),
+    both_dir AS (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v, u FROM e
+    ),
+    sums AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               sum(CAST(da.deg AS HUGEINT)) AS sx,
+               sum(CAST(da.deg AS HUGEINT) * db.deg) AS sxy,
+               sum(CAST(da.deg AS HUGEINT) * da.deg) AS sxx
+        FROM both_dir
+        JOIN d da ON da.node = both_dir.a
+        JOIN d db ON db.node = both_dir.b
+    )
+    SELECT (SELECT count(*) FROM d) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                THEN floor((CAST(n * sxy - sx * sx AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS assortativity
+    FROM sums
+"""

@@ -113,3 +113,46 @@ ORACLES["integrity_functional_deps"] = """
               FROM lineitem GROUP BY 1, 2)
     ) ORDER BY dep_id
 """
+
+
+# Benford expected shares: the SAME Python literals the Spark plan
+# injects via F.lit (engine log10 is only 1-ulp accurate and must not
+# appear in the comparison path)
+from parcial_bigdata_spark.operators.profiling import BENFORD_SHARES
+
+_BENFORD_ROWS = "\n        UNION ALL ".join(
+    f"SELECT {d} AS first_digit, {p!r} AS expected_share"
+    for d, p in sorted(BENFORD_SHARES.items())
+)
+
+# first digit from the STRING of the floored integer part (never
+# floor(log10): 1-ulp wobble misbuckets exact powers of ten)
+ORACLES["integrity_benford_audit"] = f"""
+    WITH amounts AS (
+        SELECT o_totalprice AS amt FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+        SELECT CAST(substr(CAST(CAST(floor(amt) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS first_digit,
+               count(*) AS n_amounts
+        FROM amounts GROUP BY 1
+    ), total AS (SELECT count(*) AS n FROM amounts),
+    digits AS (
+        {_BENFORD_ROWS}
+    )
+    SELECT d.first_digit,
+           coalesce(c.n_amounts, 0) AS n_amounts,
+           floor((CAST(coalesce(c.n_amounts, 0) AS DOUBLE)
+                  / CAST(t.n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS observed_share,
+           d.expected_share,
+           floor(((CAST(coalesce(c.n_amounts, 0) AS DOUBLE)
+                   - CAST(t.n AS DOUBLE) * d.expected_share)
+                  * (CAST(coalesce(c.n_amounts, 0) AS DOUBLE)
+                     - CAST(t.n AS DOUBLE) * d.expected_share)
+                  / (CAST(t.n AS DOUBLE) * d.expected_share))
+                 * 1e6 + 0.5) / 1e6 AS chisq_term
+    FROM digits d
+    LEFT JOIN counts c USING (first_digit)
+    CROSS JOIN total t
+    ORDER BY d.first_digit
+"""

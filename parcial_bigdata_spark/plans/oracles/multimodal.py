@@ -241,3 +241,20 @@ ORACLES["multimodal_bmp_resize"] = """
            CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
     FROM v GROUP BY media_id ORDER BY media_id
 """
+
+
+# multi-frame GIF census: the synthetic corpus is closed-form in
+# doc_id (n frames of 8B GCE + 10B descriptor + 3+sub B data between a
+# 13B header/LSD and the 1B trailer), so every walked count is pinned
+ORACLES["multimodal_gif_frame_census"] = """
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 5 AS INT) AS n_frames,
+           CAST(1 + doc_id % 5 AS INT) AS n_extensions,
+           CAST((1 + doc_id % 5) * (1 + doc_id % 3) AS BIGINT)
+               AS lzw_data_bytes,
+           CAST((1 + doc_id % 5) * (1 + doc_id % 100) AS BIGINT)
+               AS total_delay_cs,
+           CAST(14 + (1 + doc_id % 5) * (22 + doc_id % 3) AS BIGINT)
+               AS byte_len
+    FROM documents ORDER BY media_id
+"""

@@ -296,3 +296,29 @@ ORACLES["sample_group_kfold"] = """
     )
     GROUP BY fold ORDER BY fold
 """
+
+
+# curriculum schedule: literal length bands, md5 line within band,
+# round-robin interleave (band_rank-1)*n_bands + band
+ORACLES["sample_curriculum_order"] = """
+    WITH banded AS (
+        SELECT doc_id,
+               CASE WHEN n_chars < 500 THEN 0
+                    WHEN n_chars < 1000 THEN 1
+                    WHEN n_chars < 2000 THEN 2
+                    WHEN n_chars < 4000 THEN 3
+                    ELSE 4 END AS band,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, band,
+               row_number() OVER (
+                   PARTITION BY band ORDER BY h, doc_id) AS band_rank
+        FROM banded
+    )
+    SELECT doc_id, band, band_rank,
+           (band_rank - 1) * 5 + band AS schedule_pos
+    FROM ranked ORDER BY schedule_pos
+"""

@@ -194,3 +194,42 @@ ORACLES["embedding_dim_stats"] = """
            min_val, max_val
     FROM agg ORDER BY dim
 """
+
+
+# diagonal-covariance Mahalanobis: decimal-grid moments (the
+# embedding_dim_stats technique), per-vector term sums re-gridded to
+# DECIMAL(38,18) so the sum is order-free, top-n cut on the EXACT sum
+ORACLES["embedding_mahalanobis_outliers"] = """
+    WITH pos AS (
+        SELECT vec_id, t.i AS dim, CAST(v[t.i] AS DOUBLE) AS val
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+             unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT dim, count(*) AS n,
+               sum(CAST(val AS DECIMAL(38,18))) AS s,
+               sum(CAST(val * val AS DECIMAL(38,18))) AS q
+        FROM pos GROUP BY dim
+    ),
+    stats AS (
+        SELECT dim,
+               CAST(s AS DOUBLE) / n AS mu,
+               CAST(q AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                   AS var
+        FROM agg
+    ),
+    scored AS (
+        SELECT p.vec_id, count(*) AS n_dims_used,
+               sum(CAST((p.val - st.mu) * (p.val - st.mu) / st.var
+                        AS DECIMAL(38,18))) AS d2
+        FROM pos p JOIN stats st ON st.dim = p.dim
+        WHERE st.var > 1e-12
+        GROUP BY p.vec_id
+    )
+    SELECT vec_id, n_dims_used,
+           floor(CAST(d2 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mahalanobis_sq
+    FROM scored
+    ORDER BY d2 DESC, vec_id LIMIT 20
+"""

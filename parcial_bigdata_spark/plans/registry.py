@@ -1417,6 +1417,44 @@ def q_heavy_hitters(spark, sf_dir):
     return text_ops.heavy_hitters(_t(spark, sf_dir, "documents"))
 
 
+def q_hourly_autocorr(spark, sf_dir):
+    # lag-1/lag-24 autocorrelation of the dense hourly count series per
+    # type: exact-integer Pearson sums, one IEEE edge
+    return ana_ops.hourly_autocorrelation(_t(spark, sf_dir, "events"))
+
+
+def q_benford_audit(spark, sf_dir):
+    # Benford first-digit audit of order totals: string-of-floor digit
+    # extraction, shared Python-literal expected shares
+    return prof_ops.benford_audit(_t(spark, sf_dir, "orders"))
+
+
+def q_assortativity(spark, sf_dir):
+    # degree assortativity of the co-purchase graph: symmetric-form
+    # exact-integer Pearson, no sqrt
+    return graph_ops.degree_assortativity(_copurchase_edges(spark, sf_dir))
+
+
+def q_mahalanobis_outliers(spark, sf_dir):
+    # diagonal-covariance Mahalanobis embedding outliers: decimal-grid
+    # moments, exact-decimal per-vector sums, bit-deterministic top-n
+    return sim_ops.mahalanobis_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+def q_gif_frame_census(spark, sf_dir):
+    # real multi-frame GIF block walk over the synthetic animation
+    # corpus: frames / extensions / delays / LZW volume per media
+    return mm_ops.gif_frame_census(
+        mm_ops.synth_gif_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_curriculum_order(spark, sf_dir):
+    # length-banded curriculum schedule with round-robin interleave;
+    # within-band md5 order on distributed_rank
+    return sample_ops.curriculum_order(_t(spark, sf_dir, "documents"))
+
+
 # Dict order matters: the correctness driver checks the FIRST 50 entries.
 # Round-6 rotation (per the round-5 verdict item 1): the reference-parity
 # core keeps its row every round; the full 22-query TPC-H block and the
@@ -1639,6 +1677,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interarrival_hist": q_interarrival_hist,
     "nation_supplier_hhi": q_supplier_hhi,
     "source_csv_roundtrip": q_csv_roundtrip,
+    # round-11 additions (INTRODUCED_ROUND 11; first slots due r14 by
+    # the introduced+3 rule — the r14 plan has 32 rotating seats past
+    # the r9 remainder, see the rotation note)
+    "events_hourly_autocorr": q_hourly_autocorr,
+    "integrity_benford_audit": q_benford_audit,
+    "graph_assortativity": q_assortativity,
+    "embedding_mahalanobis_outliers": q_mahalanobis_outliers,
+    "multimodal_gif_frame_census": q_gif_frame_census,
+    "sample_curriculum_order": q_curriculum_order,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1647,6 +1694,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # their CORRECTNESS_r*.json rows instead).  Remove an entry once its
 # query is driver-certified.
 INTRODUCED_ROUND = {
+    # round-11 additions
+    "events_hourly_autocorr": 11,
+    "integrity_benford_audit": 11,
+    "graph_assortativity": 11,
+    "embedding_mahalanobis_outliers": 11,
+    "multimodal_gif_frame_census": 11,
+    "sample_curriculum_order": 11,
     "streaming_cdc_apply": 10,
     "multimodal_png_pixel_decode": 10,
     "customers_rfm_segments": 10,

@@ -166,11 +166,14 @@ def test_r12_plan_is_feasible():
     leftovers = set(registry._R12_PLAN_NEVER_CERTIFIED)
     window = set(registry.DRIVER_WINDOW)
 
-    # every never-certified query is either in the r11 window or planned
+    # every never-certified query whose introduction grace expires by
+    # r13 is either in the r11 window or planned for r12; queries
+    # introduced in r11 itself are due r14 and ride the r14 headroom
     ever_slotted = set().union(*rounds.values())
     never = {
         n for n in registry.QUERIES
         if n not in ever_slotted and n not in window
+        and registry.INTRODUCED_ROUND.get(n, current) < current
     }
     assert never == leftovers, (
         "r12 plan out of sync with the never-certified backlog: "
