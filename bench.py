@@ -818,6 +818,10 @@ _NEW_OPS_R8 = [
     "embedding_mahalanobis_outliers",
     "multimodal_gif_frame_census",
     "sample_curriculum_order",
+    "orders_backlog_timeseries",
+    "orders_fulfillment_percentiles",
+    "sample_importance_weights",
+    "multimodal_media_dedup",
     "embedding_pair_cosine_hist",
     "sample_undersample_balance",
     "text_length_ks_drift",

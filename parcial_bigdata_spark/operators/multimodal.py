@@ -1624,3 +1624,38 @@ def gif_frame_census(df: DataFrame) -> DataFrame:
             "lzw_data_bytes long, total_delay_cs long, byte_len long"
         ),
     )
+
+
+def media_dedup_census(df: DataFrame) -> DataFrame:
+    """Exact content-hash dedup census over a media corpus
+    (`multimodal_media_dedup`): payloads are fingerprinted with
+    md5(hex(content)) — hashing the hex rendering keeps the digest
+    engine-portable (both engines uppercase-hex binary identically,
+    while md5-of-BLOB is not in ANSI DuckDB) — and grouped so byte-
+    identical blobs collapse; per media_type the census reports corpus
+    size, distinct payloads, duplicate groups, and the worst copy
+    count.  The synthetic image corpus genuinely collides (geometry is
+    doc_id mod the format cycle), so the census is non-trivial.
+
+    Scale: the shuffle key is the 32-char digest, never the payload —
+    the classic first pass of any media dedup; per-group state is one
+    count + one min."""
+    sig = df.select(
+        "media_type",
+        F.md5(F.hex(F.col("content"))).alias("sig"),
+    )
+    groups = sig.groupBy("media_type", "sig").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("n_copies").alias("n_media"),
+            F.count(F.lit(1)).alias("n_distinct_payloads"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias(
+                "n_dup_groups"
+            ),
+            F.max("n_copies").alias("max_copies"),
+        )
+        .orderBy("media_type")
+    )

@@ -637,3 +637,39 @@ def curriculum_order(
         F.col("__r").alias("band_rank"),
         ((F.col("__r") - 1) * n_bands + F.col("band")).alias("schedule_pos"),
     ).orderBy("schedule_pos")
+
+
+def importance_weights(documents: DataFrame) -> DataFrame:
+    """Per-source importance weights that reweight the corpus to the
+    UNIFORM source mixture (`sample_importance_weights`) — the standard
+    fix when one crawl dominates a training mix: weight_s =
+    target_share / actual_share, so example-level loss scaling (or
+    weighted sampling) equalizes source influence without moving data.
+
+    Exact: shares and weights are single divisions of exact counts —
+    weight_s = n_total / (n_sources · n_s) — computed in ONE fixed IEEE
+    sequence from the two integers, then the shared round-6.  Scale:
+    one map-side count per source; the 1-row total broadcasts."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    counts = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("__total"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    n = F.col("n_docs").cast("double")
+    tot = F.col("__total").cast("double")
+    k = F.col("__k").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            ratio_round(n / tot, 6).alias("actual_share"),
+            ratio_round(F.lit(1.0) / k, 6).alias("target_share"),
+            ratio_round(tot / (k * n), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

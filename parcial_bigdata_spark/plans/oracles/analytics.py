@@ -595,3 +595,59 @@ ORACLES["events_hourly_autocorr"] = f"""
            END AS autocorr
     FROM sums ORDER BY event_type, lag_hours
 """
+
+
+# event-differencing backlog: +placed/−completed integer deltas, one
+# cumulative sum over the |dates|-row daily frame
+ORACLES["orders_backlog_timeseries"] = """
+    WITH placed AS (
+        SELECT date_trunc('day', o_orderdate) AS day, count(*) AS placed
+        FROM orders GROUP BY 1
+    ),
+    completed AS (
+        SELECT date_trunc('day', done) AS day, count(*) AS completed
+        FROM (SELECT l_orderkey, max(l_shipdate) AS done
+              FROM lineitem GROUP BY 1)
+        GROUP BY 1
+    ),
+    daily AS (
+        SELECT coalesce(p.day, c.day) AS day,
+               coalesce(placed, 0) AS placed,
+               coalesce(completed, 0) AS completed
+        FROM placed p FULL JOIN completed c ON p.day = c.day
+    )
+    SELECT day, placed, completed,
+           CAST(sum(placed - completed) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS open_backlog
+    FROM daily ORDER BY day
+"""
+
+# bounded-domain exact percentiles: (priority, days) counts, integer
+# cross-multiplied CDF selection cum*100 >= p*n
+ORACLES["orders_fulfillment_percentiles"] = """
+    WITH lat AS (
+        SELECT o_orderpriority,
+               datediff('day', CAST(o_orderdate AS DATE),
+                        CAST(done AS DATE)) AS days
+        FROM orders
+        JOIN (SELECT l_orderkey, max(l_shipdate) AS done
+              FROM lineitem GROUP BY 1) d
+          ON d.l_orderkey = o_orderkey
+    ),
+    cdf AS (
+        SELECT o_orderpriority, days,
+               sum(c) OVER (PARTITION BY o_orderpriority ORDER BY days
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(c) OVER (PARTITION BY o_orderpriority) AS n
+        FROM (SELECT o_orderpriority, days, count(*) AS c
+              FROM lat GROUP BY 1, 2)
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           min(CASE WHEN cum * 100 >= 50 * n THEN days END) AS p50_days,
+           min(CASE WHEN cum * 100 >= 90 * n THEN days END) AS p90_days,
+           min(CASE WHEN cum * 100 >= 99 * n THEN days END) AS p99_days
+    FROM cdf GROUP BY 1 ORDER BY 1
+"""

@@ -258,3 +258,29 @@ ORACLES["multimodal_gif_frame_census"] = """
                AS byte_len
     FROM documents ORDER BY media_id
 """
+
+
+# content dedup census: the synthetic corpus's payload is a pure
+# function of (format, w, h), so the oracle counts in parameter space
+# while the Spark side hashes real bytes — agreement proves the
+# byte-level fingerprint collapses exactly the constructed collisions
+ORACLES["multimodal_media_dedup"] = """
+    WITH keys AS (
+        SELECT ['png','bmp','gif','jpeg'][CAST(doc_id % 4 AS INT) + 1]
+                   AS media_type,
+               16 + doc_id % 64 AS w,
+               16 + (doc_id * 7) % 48 AS h
+        FROM documents
+    ),
+    groups AS (
+        SELECT media_type, w, h, count(*) AS n_copies
+        FROM keys GROUP BY 1, 2, 3
+    )
+    SELECT media_type,
+           CAST(sum(n_copies) AS BIGINT) AS n_media,
+           count(*) AS n_distinct_payloads,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           max(n_copies) AS max_copies
+    FROM groups GROUP BY 1 ORDER BY 1
+"""

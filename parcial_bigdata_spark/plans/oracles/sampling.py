@@ -322,3 +322,25 @@ ORACLES["sample_curriculum_order"] = """
            (band_rank - 1) * 5 + band AS schedule_pos
     FROM ranked ORDER BY schedule_pos
 """
+
+
+# uniform-mixture importance weights: one division chain of exact
+# counts, shared round-6
+ORACLES["sample_importance_weights"] = """
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS k
+        FROM counts
+    )
+    SELECT source, n_docs,
+           floor((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS actual_share,
+           floor((1.0 / CAST(k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS target_share,
+           floor((CAST(total AS DOUBLE)
+                  / (CAST(k AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS weight
+    FROM counts CROSS JOIN totals ORDER BY source
+"""

@@ -1455,6 +1455,35 @@ def q_curriculum_order(spark, sf_dir):
     return sample_ops.curriculum_order(_t(spark, sf_dir, "documents"))
 
 
+def q_backlog_timeseries(spark, sf_dir):
+    # open-order backlog: +/- integer event differencing, |dates|-row
+    # cumulative window
+    return ana_ops.order_backlog_timeseries(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_fulfillment_percentiles(spark, sf_dir):
+    # exact SLA percentiles via bounded-domain counting: integer
+    # cross-multiplied CDF selection, no rank shuffle, no sketch
+    return ana_ops.fulfillment_percentiles(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_importance_weights(spark, sf_dir):
+    # uniform-mixture reweighting: weight = total/(k*n) per source
+    return sample_ops.importance_weights(_t(spark, sf_dir, "documents"))
+
+
+def q_media_dedup(spark, sf_dir):
+    # exact payload dedup census: md5(hex(content)) fingerprints over
+    # the synthetic image corpus (which genuinely collides)
+    return mm_ops.media_dedup_census(
+        mm_ops.synth_image_corpus(_t(spark, sf_dir, "documents"))
+    )
+
+
 # Dict order matters: the correctness driver checks the FIRST 50 entries.
 # Round-6 rotation (per the round-5 verdict item 1): the reference-parity
 # core keeps its row every round; the full 22-query TPC-H block and the
@@ -1686,6 +1715,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_mahalanobis_outliers": q_mahalanobis_outliers,
     "multimodal_gif_frame_census": q_gif_frame_census,
     "sample_curriculum_order": q_curriculum_order,
+    "orders_backlog_timeseries": q_backlog_timeseries,
+    "orders_fulfillment_percentiles": q_fulfillment_percentiles,
+    "sample_importance_weights": q_importance_weights,
+    "multimodal_media_dedup": q_media_dedup,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1701,6 +1734,10 @@ INTRODUCED_ROUND = {
     "embedding_mahalanobis_outliers": 11,
     "multimodal_gif_frame_census": 11,
     "sample_curriculum_order": 11,
+    "orders_backlog_timeseries": 11,
+    "orders_fulfillment_percentiles": 11,
+    "sample_importance_weights": 11,
+    "multimodal_media_dedup": 11,
     "streaming_cdc_apply": 10,
     "multimodal_png_pixel_decode": 10,
     "customers_rfm_segments": 10,

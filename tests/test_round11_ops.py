@@ -223,3 +223,74 @@ class TestCurriculumOrder:
         # deterministic across runs
         again = [r.schedule_pos for r in samp.curriculum_order(docs).collect()]
         assert sorted(again) == sorted(positions)
+
+
+class TestOrderBacklog:
+    def test_cumsum_and_zero_fill(self, spark):
+        d = dt.datetime
+        orders = spark.createDataFrame(
+            [(1, d(2024, 1, 1)), (2, d(2024, 1, 1)), (3, d(2024, 1, 3))],
+            "o_orderkey long, o_orderdate timestamp",
+        )
+        lineitem = spark.createDataFrame(
+            [(1, d(2024, 1, 2)), (1, d(2024, 1, 4)), (2, d(2024, 1, 2))],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        rows = ana.order_backlog_timeseries(orders, lineitem).collect()
+        # order 1 completes Jan 4 (last line), order 2 Jan 2; order 3 never
+        assert [(r.day.day, r.placed, r.completed, r.open_backlog)
+                for r in rows] == [
+            (1, 2, 0, 2), (2, 0, 1, 1), (3, 1, 0, 2), (4, 0, 1, 1),
+        ]
+
+
+class TestFulfillmentPercentiles:
+    def test_exact_lower_value_selection(self, spark):
+        d = dt.datetime(2024, 1, 1)
+        orders = spark.createDataFrame(
+            [(i, "1-URGENT", d) for i in range(10)],
+            "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+        )
+        # latencies 1..10 days
+        lineitem = spark.createDataFrame(
+            [(i, d + dt.timedelta(days=i + 1)) for i in range(10)],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        [row] = ana.fulfillment_percentiles(orders, lineitem).collect()
+        # ceil selection: p50 -> 5th smallest = 5, p90 -> 9th = 9,
+        # p99 -> ceil(9.9) = 10th = 10
+        assert (row.n_orders, row.p50_days, row.p90_days, row.p99_days) == (
+            10, 5, 9, 10,
+        )
+
+
+class TestImportanceWeights:
+    def test_uniform_target(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "a" if i < 3 else "b", 10) for i in range(4)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rows = {r.source: r for r in samp.importance_weights(docs).collect()}
+        assert rows["a"].n_docs == 3 and rows["b"].n_docs == 1
+        assert rows["a"].actual_share == pytest.approx(0.75, abs=1e-6)
+        assert rows["a"].target_share == pytest.approx(0.5, abs=1e-6)
+        assert rows["a"].weight == pytest.approx(4 / 6, abs=1e-6)
+        assert rows["b"].weight == pytest.approx(2.0, abs=1e-6)
+
+
+class TestMediaDedupCensus:
+    def test_constructed_collisions_collapse(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "en", "web", 1) for i in (0, 192, 384, 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        rows = {
+            r.media_type: r
+            for r in mm.media_dedup_census(mm.synth_image_corpus(docs)).collect()
+        }
+        # 0/192/384 share (fmt=png, w, h) — byte-identical payloads
+        assert rows["png"].n_media == 3
+        assert rows["png"].n_distinct_payloads == 1
+        assert rows["png"].n_dup_groups == 1
+        assert rows["png"].max_copies == 3
+        assert rows["bmp"].n_media == 1 and rows["bmp"].n_dup_groups == 0
