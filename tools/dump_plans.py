@@ -50,6 +50,9 @@ SHOWCASE = [
     ("graph_bfs_distances", "layered BFS: per-round frontier joins run at construction (lineage-cut); the final plan aggregates the labeled node frame"),
     ("parts_abc_classes", "ABC/Pareto: integer 1e-4-grid revenue; the unkeyed cumulative window touches only the |parts|-row aggregate (post-aggregation pattern)"),
     ("events_hourly_ohlc", "OHLC bars: struct argmin/argmax bookends in ONE map-side groupBy - no bucket-partitioned window over the raw stream"),
+    ("orders_fulfillment_percentiles", "exact SLA percentiles via bounded-domain counting (r11): the (priority, days) CDF is checkpointed once, each percentile is an integer cross-multiplied selection - no full-stream rank or sort anywhere"),
+    ("embedding_mahalanobis_outliers", "diagonal Mahalanobis outliers (r11): decimal-grid moment groupBy on |dims|, broadcast stats back over a row-local second pass, top-n via TakeOrdered on the exact decimal"),
+    ("multimodal_gif_frame_census", "real multi-frame GIF block walk (r11): expression-built animation corpus feeds ONE ArrowEvalPython stage, zero shuffles"),
 ]
 
 
