@@ -801,6 +801,9 @@ def _sketch_exact_median(
             val_col, [max(0.0, 0.5 - eps), min(1.0, 0.5 + eps)], accuracy
         ).alias("__q"),
     ).collect()
+    # defensive: a group whose values are all NULL has no sketch (the
+    # mad_outliers caller pre-filters NULLs; other callers may not)
+    sk = [r for r in sk if r["__q"] is not None]
     if not sk:
         return {}, {}
     n_by = {r["event_type"]: r["__n"] for r in sk}
@@ -878,10 +881,16 @@ def mad_outliers(events: DataFrame, k: int = 3) -> DataFrame:
     a band filter.  The ≤|types| medians ride LITERAL lookup
     expressions between passes (no broadcast exchange, no checkpoint
     job), so the whole operator is six single-scan jobs plus the
-    returned final aggregate."""
+    returned final aggregate.
+
+    NULL values and NULL event types are excluded up front (round-11
+    review): a median over NULLs is undefined, an all-NULL type would
+    leave the sketch bracket empty, and a NULL type key cannot ride
+    the literal lookup map — the robust profile covers the measurable
+    events, with n_events counting exactly those."""
     vals = events.select(
         "event_id", "event_type", F.col("value").cast("double").alias("v")
-    )
+    ).where(F.col("v").isNotNull() & F.col("event_type").isNotNull())
     med_by, _ = _sketch_exact_median(vals, "v", "event_id")
     if not med_by:  # empty input: keep the output schema
         return vals.groupBy("event_type").agg(

@@ -913,11 +913,14 @@ def decode_pixels(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                     try:
                         stats = _decode_bmp_pixels(blob)
                     except NotImplementedError:
-                        # valid-but-unsupported encoding: the optional
-                        # PIL tier may still own it
-                        stats = _pil_decode_pixels(blob)
-                        if stats is None and not use_fake_decode:
-                            raise
+                        # valid-but-unsupported encoding: REAL mode may
+                        # try the optional PIL tier; fake mode must NOT
+                        # (the deterministic fake cannot depend on what
+                        # libraries the box happens to have)
+                        if not use_fake_decode:
+                            stats = _pil_decode_pixels(blob)
+                            if stats is None:
+                                raise
                     except ValueError:
                         if not use_fake_decode:
                             raise
@@ -925,9 +928,10 @@ def decode_pixels(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                     try:
                         stats = _decode_png_pixels(blob)
                     except NotImplementedError:
-                        stats = _pil_decode_pixels(blob)
-                        if stats is None and not use_fake_decode:
-                            raise
+                        if not use_fake_decode:
+                            stats = _pil_decode_pixels(blob)
+                            if stats is None:
+                                raise
                     except ValueError:
                         if not use_fake_decode:
                             raise
@@ -1577,14 +1581,19 @@ def gif_frame_census(df: DataFrame) -> DataFrame:
                 break
             if block == 0x21:  # extension
                 exts += 1
-                if pos + 2 > len(content):
+                body = pos + 2
+                if body >= len(content):
                     raise ValueError("truncated GIF extension")
                 label = content[pos + 1]
-                body = pos + 2
-                if label == 0xF9 and content[body] >= 4:
-                    total_delay += content[body + 2] | (
-                        content[body + 3] << 8
-                    )
+                if label == 0xF9:
+                    if body + 4 > len(content):
+                        raise ValueError(
+                            "truncated GIF graphic-control extension"
+                        )
+                    if content[body] >= 4:
+                        total_delay += content[body + 2] | (
+                            content[body + 3] << 8
+                        )
                 pos = skip_subblocks(body, count_data=False)
             elif block == 0x2C:  # image descriptor
                 frames += 1

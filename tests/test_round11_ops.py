@@ -294,3 +294,53 @@ class TestMediaDedupCensus:
         assert rows["png"].n_dup_groups == 1
         assert rows["png"].max_copies == 3
         assert rows["bmp"].n_media == 1 and rows["bmp"].n_dup_groups == 0
+
+
+class TestReviewFixes:
+    """Round-11 self-review regressions."""
+
+    def test_mad_outliers_tolerates_nulls(self, spark):
+        rows = [
+            (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0),
+            (4, "a", None),          # null value
+            (5, None, 9.0),          # null type
+            (6, "b", None), (7, "b", None),  # all-null type
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+        out = {r.event_type: r for r in ana.mad_outliers(ev).collect()}
+        assert set(out) == {"a"}  # null-keyed and all-null types dropped
+        assert out["a"].n_events == 3
+        assert out["a"].median_value == 2.0
+        assert out["a"].mad == 1.0
+
+    def test_gif_truncated_gce_is_valueerror(self, spark):
+        blob = b"GIF89a" + b"\x00" * 7 + b"\x21\xf9"
+        media = spark.createDataFrame(
+            [(1, bytearray(blob), "image/gif", "s")],
+            "media_id long, content binary, media_type string, source string",
+        )
+        with pytest.raises(Exception, match="ValueError.*truncated GIF"):
+            mm.gif_frame_census(media).collect()
+
+    def test_fake_pixel_decode_ignores_pil(self, spark):
+        # grayscale PNG (color type 0): the stdlib tier declines it; in
+        # FAKE mode the deterministic byte-length fake must stand in
+        # regardless of whether the box has PIL
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">II", 5, 4) + bytes([8, 0, 0, 0, 0])
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+        media = spark.createDataFrame(
+            [(1, bytearray(blob), "image/png", "s")],
+            "media_id long, content binary, media_type string, source string",
+        )
+        [row] = mm.decode_pixels(media, use_fake_decode=True).collect()
+        # the fake reports payload length as every channel sum
+        assert row.sum_b == len(blob) == row.sum_g == row.sum_r

@@ -45,7 +45,7 @@ SHOWCASE = [
     ("multimodal_png_pixel_decode", "real COMPRESSED-payload decode: expression-built valid zlib IDAT (HOF adler32) feeds ONE ArrowEvalPython stage (stdlib zlib inflate + numpy unfilter inside), zero shuffles before the ordered output"),
     ("dedup_ngram_coverage", "duplicate-n-gram coverage: ONE gram-keyed doc-frequency exchange + semi-join; per-doc totals ride the row-local array branch"),
     ("events_sliding_distinct_users", "rolling distinct via contribution-explode inversion: w-day fan-out is row-local, shuffle volume w x |type-user-days|, history never rescanned"),
-    ("events_mad_outliers", "rank-selected MAD gate: both distributed_rank passes run eagerly at construction (checkpointed tiny selection frames), final plan is scan + broadcasts + ONE groupBy"),
+    ("events_mad_outliers", "sketch-selected MAD gate (r11 rewrite): both medians resolve at construction via GK-bracketed exact band selection (verified, full-rank fallback); the final plan is ONE scan + literal-map lookups + ONE groupBy - no broadcast, no rank, no full-stream shuffle"),
     ("text_heavy_hitters", "exact two-pass heavy hitters: Arrow candidate prune (lossless by weighted pigeonhole), exact recount bounded by |candidates| not |vocab|"),
     ("graph_bfs_distances", "layered BFS: per-round frontier joins run at construction (lineage-cut); the final plan aggregates the labeled node frame"),
     ("parts_abc_classes", "ABC/Pareto: integer 1e-4-grid revenue; the unkeyed cumulative window touches only the |parts|-row aggregate (post-aggregation pattern)"),
