@@ -643,3 +643,81 @@ def test_activity_streaks_match_python_reference(spark, rows):
         runs.append(cur)
         expected[u] = (len(ds), len(runs), max(runs))
     assert got == expected
+
+
+@st.composite
+def typed_values(draw):
+    """(event_type, value) stream with duplicates, ties, and skewed
+    group sizes — the adversarial inputs for exact median selection."""
+    n_types = draw(st.integers(min_value=1, max_value=3))
+    rows = []
+    eid = 0
+    for t in range(n_types):
+        n = draw(st.integers(min_value=1, max_value=40))
+        # small value domain forces heavy ties (duplicate-band case)
+        dom = draw(st.sampled_from([3, 10, 1000]))
+        for _ in range(n):
+            v = float(draw(st.integers(min_value=0, max_value=dom)))
+            rows.append((eid, f"t{t}", v))
+            eid += 1
+    return rows
+
+
+@given(rows=typed_values())
+@settings(**_SETTINGS)
+def test_sketch_exact_median_matches_sorted_selection(spark, rows):
+    """The round-11 sketch-guided selection must return EXACTLY the
+    lower-middle element (rank floor((n+1)/2) of the sorted values)
+    for every group, at any tie structure — the property the GK
+    bracket + exact band rank is supposed to guarantee."""
+    from parcial_bigdata_spark.operators.analytics import (
+        _sketch_exact_median,
+    )
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, v double"
+    )
+    med_by, n_by = _sketch_exact_median(df, "v", "event_id")
+    expected = {}
+    for eid, t, v in rows:
+        expected.setdefault(t, []).append(v)
+    for t, vals in expected.items():
+        vals.sort()
+        assert n_by[t] == len(vals)
+        assert med_by[t] == vals[(len(vals) + 1) // 2 - 1], t
+
+
+@given(rows=typed_values())
+@settings(**_SETTINGS)
+def test_bounded_domain_percentile_matches_sorted_selection(spark, rows):
+    """fulfillment_percentiles' integer cross-multiplied CDF selection
+    (cum·100 ≥ p·n) must pick exactly the ceil(p·n/100)-th smallest
+    value per group."""
+    import math as m
+
+    from parcial_bigdata_spark.operators.analytics import (
+        fulfillment_percentiles,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(eid, t, base) for eid, t, _ in rows],
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+    )
+    lineitem = spark.createDataFrame(
+        [(eid, base + dt.timedelta(days=int(v))) for eid, _, v in rows],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {
+        r.o_orderpriority: r
+        for r in fulfillment_percentiles(orders, lineitem).collect()
+    }
+    expected = {}
+    for _, t, v in rows:
+        expected.setdefault(t, []).append(int(v))
+    for t, vals in expected.items():
+        vals.sort()
+        n = len(vals)
+        for p in (50, 90, 99):
+            want = vals[m.ceil(p * n / 100) - 1]
+            assert got[t][f"p{p}_days"] == want, (t, p)
