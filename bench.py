@@ -822,6 +822,7 @@ _NEW_OPS_R8 = [
     "orders_fulfillment_percentiles",
     "sample_importance_weights",
     "multimodal_media_dedup",
+    "streaming_late_data_audit",
     "embedding_pair_cosine_hist",
     "sample_undersample_balance",
     "text_length_ks_drift",

@@ -122,3 +122,43 @@ ORACLES["streaming_running_zscore"] = """
                 THEN 1 ELSE 0 END AS INT) AS is_outlier
     FROM p ORDER BY user_id, event_id
 """
+
+
+# append-mode flush audit, recomputed from first principles: final
+# watermark = ms-floored max(ts) − 1 hour (Spark tracks event-time
+# watermarks in milliseconds; AvailableNow ends with an empty flush
+# batch carrying it), append emits exactly the hourly windows with
+# end <= watermark (boundary verified empirically), so n_not_emitted
+# is the unflushed tail
+ORACLES["streaming_late_data_audit"] = """
+    WITH b AS (
+        SELECT epoch_us(max(ts)) AS hi FROM events
+    ),
+    wm AS (
+        SELECT make_timestamp((hi // 1000) * 1000) - INTERVAL 1 HOUR AS w
+        FROM b
+    ),
+    emitted AS (
+        SELECT event_type, date_trunc('hour', ts) AS ws, count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type, count(*) AS n_windows_emitted,
+               CAST(sum(n) AS BIGINT) AS n_events_emitted
+        FROM emitted, wm
+        WHERE ws + INTERVAL 1 HOUR <= w
+        GROUP BY 1
+    ),
+    totals AS (
+        SELECT event_type, count(*) AS n_total_events
+        FROM events GROUP BY 1
+    )
+    SELECT t.event_type,
+           coalesce(n_windows_emitted, 0) AS n_windows_emitted,
+           coalesce(n_events_emitted, 0) AS n_events_emitted,
+           n_total_events,
+           n_total_events - coalesce(n_events_emitted, 0) AS n_not_emitted
+    FROM totals t LEFT JOIN per_type p ON p.event_type = t.event_type
+    ORDER BY t.event_type
+"""

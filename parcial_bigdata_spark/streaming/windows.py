@@ -410,3 +410,73 @@ def tier_rollup_available_now(spark, events_parquet: str) -> DataFrame:
         lambda st: streaming_tier_rollup(st, tiers),
         "stream_tier_rollup_result",
     ).orderBy("window_start", "tier")
+
+
+def late_data_audit(
+    spark,
+    events_parquet: str,
+    delay: str = "1 hour",
+    name: str = "late_audit",
+) -> DataFrame:
+    """REAL append-mode watermark flush audit
+    (`streaming_late_data_audit`, SURVEY.md §2.9 ST4): replays the
+    events table through an APPEND-mode watermarked hourly count under
+    AvailableNow and reconciles the append output against the batch
+    count — per type: windows/events that actually surfaced vs.
+    arrived, and ``n_not_emitted``, the UNFLUSHED TAIL (events in
+    windows whose end the final watermark never passed) a pipeline
+    owner must account for before trusting an append-mode sink as
+    complete.
+
+    The measured contract, pinned by the DuckDB oracle: AvailableNow
+    finishes with an empty flush batch carrying the final watermark
+    (ms-floored max event time − delay — Spark tracks event-time
+    watermarks in milliseconds), and append emits EXACTLY the windows
+    with end ≤ that watermark (boundary verified empirically:
+    end == watermark emits).  A Spark version drifting any of those
+    semantics breaks the hash.
+
+    The companion pytest (``test_streaming.py``) pins the DISORDERED-
+    replay behavior this audit deliberately does not ride: input
+    arriving below the watermark in a later micro-batch is MERGED and
+    flushed combined (the late-input filter lags the watermark by one
+    micro-batch), not dropped — so an at-least-once append consumer
+    must key on the window, not assume one emission per window."""
+    res = _run_available_now(
+        spark,
+        events_parquet,
+        lambda s: (
+            s.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        ),
+        name,
+        output_mode="append",
+    )
+    emitted = res.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows_emitted"),
+        F.sum("n").alias("n_events_emitted"),
+    )
+    totals = (
+        spark.read.parquet(events_parquet)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total_events"))
+    )
+    return (
+        totals.join(emitted, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("n_windows_emitted", F.lit(0)).alias(
+                "n_windows_emitted"
+            ),
+            F.coalesce("n_events_emitted", F.lit(0)).alias(
+                "n_events_emitted"
+            ),
+            "n_total_events",
+            (
+                F.col("n_total_events")
+                - F.coalesce("n_events_emitted", F.lit(0))
+            ).alias("n_not_emitted"),
+        )
+        .orderBy("event_type")
+    )

@@ -763,3 +763,100 @@ def test_streaming_ohlc_converges_to_batch_bars(spark):
     batch_rows = {tuple(r) for r in batch.collect()}
     stream_rows = {tuple(r) for r in ohlc_available_now(spark, path).collect()}
     assert stream_rows == batch_rows
+
+
+def test_append_mode_flush_contract_and_disordered_merge(spark, tmp_path):
+    """Round-11 empirics behind `streaming_late_data_audit`, pinned:
+
+    (a) single replay: AvailableNow ends with an empty flush batch and
+        append emits EXACTLY the windows with end <= final watermark
+        (ms-floored max ts - delay); end == watermark EMITS;
+    (b) DISORDERED replay (on-time file first, then a below-watermark
+        barrage as its own micro-batch): the late input is MERGED into
+        state and flushed combined — NOT dropped — because the
+        late-input filter lags the watermark by one micro-batch.  An
+        at-least-once append consumer must key on the window.  If a
+        Spark upgrade starts dropping here, this pin (not the driver
+        oracle) is the thing that fires."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = dt.datetime
+
+    def run(stage, files, max_files=None):
+        for i, (tag, rows) in enumerate(files):
+            df = spark.createDataFrame(
+                rows, "event_id long, event_type string, ts timestamp"
+            )
+            tmp = str(stage / f"__tmp_{tag}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            [part] = [
+                f for f in os.listdir(tmp) if f.startswith("part-")
+            ]
+            dest = str(stage / f"{tag}.parquet")
+            shutil.move(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp)
+            os.utime(dest, (1_700_000_000 + 10 * i,) * 2)
+        reader = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        ).option("pathGlobFilter", "*.parquet")
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        agg = (
+            reader.parquet(str(stage))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"flush_{stage.name}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(stage / "__ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["w"].start.hour, r["event_type"]): r["n"]
+            for r in spark.table(name).collect()
+        }
+
+    # (a) flush boundary: max ts 02:00:00 exactly -> WM = 01:00; the
+    # 00-01 window (end == WM) emits, the 01-02 and 02-03 windows don't
+    s1 = tmp_path / "single"
+    s1.mkdir()
+    out = run(
+        s1,
+        [("0_all", [
+            (1, "a", d(2024, 1, 10, 0, 30)),
+            (2, "a", d(2024, 1, 10, 1, 30)),
+            (3, "a", d(2024, 1, 10, 2, 0, 0)),
+        ])],
+    )
+    assert out == {(0, "a"): 1}
+
+    # (b) disordered: batch 1 = on-time (advances WM to 12:30), batch 2
+    # = late barrage; one late row shares the 11-12 window with an
+    # on-time row — flushed MERGED (n=2), the other resurrects 01-02
+    s2 = tmp_path / "disorder"
+    s2.mkdir()
+    out = run(
+        s2,
+        [
+            ("0_ontime", [
+                (1, "a", d(2024, 1, 10, 11, 50)),
+                (2, "a", d(2024, 1, 10, 12, 30)),
+                (3, "a", d(2024, 1, 10, 13, 30)),
+            ]),
+            ("1_late", [
+                (4, "a", d(2024, 1, 10, 1, 30)),
+                (5, "a", d(2024, 1, 10, 11, 45)),
+            ]),
+        ],
+        max_files=1,
+    )
+    assert out == {(1, "a"): 1, (11, "a"): 2}
