@@ -753,11 +753,12 @@ def sliding_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
 
 
 def _lit_map(d: dict, col: str = "event_type"):
-    """Literal lookup expression type→value for a bounded driver-side
-    dict (the ≤|types| contract) — avoids a broadcast-join exchange
-    per lookup, keeping each selection pass a single scan→agg job."""
-    pairs = [x for kv in d.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
-    return F.create_map(*pairs)[F.col(col)]
+    """Event-type-keyed form of :func:`~parcial_bigdata_spark.
+    operators.scale.lit_lookup` (the ≤|types| bounded-dict contract) —
+    keeps each selection pass a single scan→agg job."""
+    from parcial_bigdata_spark.operators.scale import lit_lookup
+
+    return lit_lookup(d, col)
 
 
 def _sketch_exact_median(

@@ -613,14 +613,20 @@ def _be_bytes(col, n_bytes: int):
     return F.unhex(F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0"))
 
 
-def _le_bytes(col, n_bytes: int):
-    """Little-endian unsigned integer → n-byte binary: the big-endian
-    hex string re-concatenated byte-pair-reversed (still whole-stage
-    codegen — no UDF)."""
+def _le_hex(col, n_bytes: int):
+    """Little-endian unsigned integer → hex STRING of n bytes: the
+    big-endian hex re-concatenated byte-pair-reversed (still
+    whole-stage codegen — no UDF).  The string form serves corpora
+    assembled as one hex string and unhexed once (GIF frames)."""
     h = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
-    return F.unhex(
-        F.concat(*[F.substring(h, i * 2 + 1, 2) for i in reversed(range(n_bytes))])
+    return F.concat(
+        *[F.substring(h, i * 2 + 1, 2) for i in reversed(range(n_bytes))]
     )
+
+
+def _le_bytes(col, n_bytes: int):
+    """Little-endian unsigned integer → n-byte binary."""
+    return F.unhex(_le_hex(col, n_bytes))
 
 
 def _zero_bytes(n: int):
@@ -1461,16 +1467,6 @@ def bmp_resized_summary(documents: DataFrame, factor: int = 2) -> DataFrame:
             rows_out = []
 
     return corpus.mapInPandas(batches, RESIZE_SCHEMA).orderBy("media_id")
-
-
-def _le_hex(col, n_bytes: int):
-    """Little-endian unsigned integer → hex STRING of n bytes (the
-    string-side sibling of ``_le_bytes`` for corpora assembled as one
-    hex string and unhexed once)."""
-    h = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
-    return F.concat(
-        *[F.substring(h, i * 2 + 1, 2) for i in reversed(range(n_bytes))]
-    )
 
 
 def synth_gif_corpus(documents: DataFrame) -> DataFrame:

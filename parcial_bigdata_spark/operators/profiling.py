@@ -380,15 +380,12 @@ def benford_audit(orders: DataFrame, amount_col: str = "o_totalprice") -> DataFr
         F.count(F.lit(1)).alias("n_amounts")
     )
     total = amounts.agg(F.count(F.lit(1)).alias("__n"))
+    from parcial_bigdata_spark.operators.scale import lit_lookup
+
     digits = orders.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("first_digit")
     )
-    share_pairs = [
-        x
-        for d, p in sorted(BENFORD_SHARES.items())
-        for x in (F.lit(d), F.lit(p))
-    ]
-    expected = F.create_map(*share_pairs)[F.col("first_digit")]
+    expected = lit_lookup(BENFORD_SHARES, "first_digit")
     obs = F.coalesce("n_amounts", F.lit(0)).cast("double")
     n = F.col("__n").cast("double")
     dev = obs - n * expected

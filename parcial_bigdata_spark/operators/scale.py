@@ -13,6 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def lit_lookup(mapping: dict, key_col: str):
+    """Literal lookup expression key→value for a BOUNDED driver-side
+    dict — avoids a broadcast-join exchange per lookup (round-11: the
+    MAD sketch medians travel between selection passes this way, and
+    the Benford audit injects its expected shares through it).  The
+    caller owns the boundedness contract (≤|types|/|digits|-sized
+    dicts); a large dict belongs in a broadcast join instead."""
+    pairs = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    return F.create_map(*pairs)[F.col(key_col)]
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
