@@ -823,6 +823,9 @@ _NEW_OPS_R8 = [
     "sample_importance_weights",
     "multimodal_media_dedup",
     "streaming_late_data_audit",
+    "events_change_point",
+    "customers_pareto_share",
+    "maintenance_compaction_plan",
     "embedding_pair_cosine_hist",
     "sample_undersample_balance",
     "text_length_ks_drift",

@@ -1238,3 +1238,147 @@ def fulfillment_percentiles(
         "n_orders",
         *[f"p{int(p)}_days" for p in percentiles],
     ).orderBy("o_orderpriority")
+
+
+def daily_change_point(events: DataFrame) -> DataFrame:
+    """Single change-point detection on the daily event-count series
+    per type (`events_change_point`): the split of the dense day grid
+    that maximizes the between-segment variance reduction
+    L·R·(mean_L − mean_R)² — the classic CUSUM/binary-segmentation
+    score a monitoring stack runs when a counter steps.
+
+    Exact ranking: counts are integers on the DENSE day grid (missing
+    days are true zeros), the cumulative sums ride decimal(38,0), and
+    the score's ingredients — gap = S_L·R − S_R·L, L·R — are exact
+    integers; the double score gap²/(L·R·n) is ONE fixed IEEE sequence
+    over them, identical cross-engine, so the argmax (tie → earlier
+    day) is deterministic.  Reported means are single divisions of
+    exact integers.
+
+    Scale: one (type, day) count aggregate; the grid explode and the
+    cumulative window run over the |types|·|days| dimension-sized
+    series (the documented post-aggregation pattern)."""
+    from pyspark.sql.window import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    counts = events.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    series = (
+        bounds.select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = series.select(
+        "event_type",
+        "d",
+        F.sum(F.col("c").cast("decimal(38,0)")).over(w).alias("sl"),
+        F.count(F.lit(1)).over(w).cast("decimal(38,0)").alias("l"),
+        F.sum(F.col("c").cast("decimal(38,0)")).over(wt).alias("s"),
+        F.count(F.lit(1)).over(wt).cast("decimal(38,0)").alias("n"),
+    ).where(F.col("l") < F.col("n"))  # a split needs a non-empty right
+    r = F.col("n") - F.col("l")
+    gap = (F.col("sl") * r - (F.col("s") - F.col("sl")) * F.col("l")).cast(
+        "double"
+    )
+    score = gap * gap / (
+        (F.col("l") * r).cast("double") * F.col("n").cast("double")
+    )
+    scored = cum.select(
+        "event_type",
+        "d",
+        "l",
+        "n",
+        "sl",
+        "s",
+        score.alias("__score"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("__score").desc(), F.col("d").asc()
+    )
+    best = scored.withColumn("__rk", F.row_number().over(w_best)).where(
+        F.col("__rk") == 1
+    )
+    mean_l = F.col("sl").cast("double") / F.col("l").cast("double")
+    mean_r = (F.col("s") - F.col("sl")).cast("double") / (
+        F.col("n") - F.col("l")
+    ).cast("double")
+    return best.select(
+        "event_type",
+        F.col("d").alias("split_after_day"),
+        F.col("l").cast("long").alias("n_days_before"),
+        (F.col("n") - F.col("l")).cast("long").alias("n_days_after"),
+        ratio_round(mean_l, 6).alias("mean_before"),
+        ratio_round(mean_r, 6).alias("mean_after"),
+        ratio_round(F.col("__score"), 6).alias("score"),
+    ).orderBy("event_type")
+
+
+def pareto_revenue_share(
+    orders: DataFrame, quantiles=(1, 5, 10, 25)
+) -> DataFrame:
+    """Revenue-concentration curve points (`customers_pareto_share`):
+    the share of total order revenue carried by the top q% of
+    customers, for the classic q ∈ {1, 5, 10, 25} — the "do 1% of
+    accounts pay the bills" readout next to the Gini coefficient (the
+    curve points localize WHERE the concentration sits).
+
+    Exact: revenue rides the integer 1e-4 grid per customer (the ABC
+    convention); customers are ranked by the skew-proof
+    ``distributed_rank`` on (units, custkey); top-q membership is the
+    INTEGER cutoff rank > n − ceil(q·n/100) (computed with integer
+    `div`); the reported share is one double division of two exact
+    decimals.
+
+    Scale: one map-side customer aggregate; the global rank
+    decomposes over percentile buckets (no single-task sort); the
+    per-quantile reductions are map-side sums over the ranked frame."""
+    from parcial_bigdata_spark.operators.scale import (
+        distributed_rank,
+        iter_checkpoint,
+    )
+
+    rev_units = (
+        F.col("o_totalprice").cast("decimal(18,4)") * 10000
+    ).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(rev_units).cast("decimal(38,0)").alias("units")
+    )
+    ranked = iter_checkpoint(
+        distributed_rank(per_cust, "units", "o_custkey", out_col="__rk")
+    )
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("units").alias("__tot")
+    )
+    out = None
+    for q in quantiles:
+        # k = ceil(q*n/100) in integer arithmetic; top-k = rank > n-k
+        k = F.expr(f"CAST((__n * {int(q)} + 99) div 100 AS BIGINT)")
+        top = (
+            ranked.crossJoin(F.broadcast(totals))
+            .where(F.col("__rk") > F.col("__n") - k)
+            .agg(
+                F.lit(int(q)).alias("top_pct"),
+                F.count(F.lit(1)).alias("n_customers"),
+                (
+                    F.sum("units").cast("double")
+                    / F.first(F.col("__tot").cast("double"))
+                ).alias("__share"),
+            )
+        )
+        out = top if out is None else out.unionByName(top)
+    return out.select(
+        "top_pct",
+        "n_customers",
+        ratio_round(F.col("__share"), 6).alias("revenue_share"),
+    ).orderBy("top_pct")

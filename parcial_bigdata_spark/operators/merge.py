@@ -251,3 +251,55 @@ def maintain_grouped_agg(
             F.round(F.col("__sum"), 2).cast("double").alias("total"),
         )
     )
+
+
+def compaction_plan(
+    lineitem: DataFrame, n_files: int = 200, target_rows: int = 8192
+) -> DataFrame:
+    """Small-file compaction plan (`maintenance_compaction_plan`): given
+    a file census (simulated here by hashing lineitem into ``n_files``
+    pmod buckets — the shape a real census reads from the table log),
+    assign files to compaction bins of ~``target_rows`` rows via the
+    deterministic sort-descending + cumulative-quota rule: files sort
+    by (rows desc, file id), and a file opens a new bin whenever the
+    running total crosses the next target boundary — the one-pass
+    distributed form of first-fit-decreasing that OPTIMIZE-style table
+    maintenance runs before rewriting.
+
+    Exact/deterministic: integer row counts, integer `div` bin
+    assignment (bin = floor((cumsum − rows) / target)); oversized
+    files (> target) own their bin span by construction.  Scale: the
+    census aggregate is map-side; the cumulative window runs over the
+    |files|-row census (the documented post-aggregation pattern — a
+    real table's file count is dimension-sized), never over rows."""
+    from pyspark.sql.window import Window
+
+    census = lineitem.groupBy(
+        F.pmod(F.col("l_orderkey"), F.lit(n_files)).cast("long").alias(
+            "file_id"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("file_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    planned = census.select(
+        "file_id",
+        "n_rows",
+        F.sum("n_rows").over(w).alias("__cum"),
+    ).select(
+        "file_id",
+        "n_rows",
+        F.expr(
+            f"CAST(((__cum - n_rows) div {int(target_rows)}) AS BIGINT)"
+        ).alias("bin"),
+    )
+    return (
+        planned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("n_rows").alias("min_file_rows"),
+            F.max("n_rows").alias("max_file_rows"),
+        )
+        .orderBy("bin")
+    )

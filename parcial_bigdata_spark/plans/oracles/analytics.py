@@ -651,3 +651,93 @@ ORACLES["orders_fulfillment_percentiles"] = """
            min(CASE WHEN cum * 100 >= 99 * n THEN days END) AS p99_days
     FROM cdf GROUP BY 1 ORDER BY 1
 """
+
+
+# binary-segmentation change point: exact HUGEINT cumsums on the dense
+# day grid; score = gap^2/(L*R*n) as one fixed IEEE sequence; argmax
+# ties break on the earlier day
+ORACLES["events_change_point"] = """
+    WITH counts AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(d) AS lo, max(d) AS hi
+        FROM counts GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    ), series AS (
+        SELECT g.event_type, g.d, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c
+          ON c.event_type = g.event_type AND c.d = g.d
+    ), cum AS (
+        SELECT event_type, d,
+               sum(CAST(c AS HUGEINT)) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sl,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY d) AS HUGEINT) AS l,
+               sum(CAST(c AS HUGEINT)) OVER (
+                   PARTITION BY event_type) AS s,
+               CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT)
+                   AS n
+        FROM series
+    ), scored AS (
+        SELECT event_type, d, l, n, sl, s,
+               CAST(sl * (n - l) - (s - sl) * l AS DOUBLE)
+                   * CAST(sl * (n - l) - (s - sl) * l AS DOUBLE)
+                   / (CAST(l * (n - l) AS DOUBLE) * CAST(n AS DOUBLE))
+                   AS score
+        FROM cum WHERE l < n
+    ), best AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY score DESC, d ASC) AS rk
+        FROM scored
+    )
+    SELECT event_type, d AS split_after_day,
+           CAST(l AS BIGINT) AS n_days_before,
+           CAST(n - l AS BIGINT) AS n_days_after,
+           floor((CAST(sl AS DOUBLE) / CAST(l AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS mean_before,
+           floor((CAST(s - sl AS DOUBLE) / CAST(n - l AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS mean_after,
+           floor(score * 1e6 + 0.5) / 1e6 AS score
+    FROM best WHERE rk = 1 ORDER BY event_type
+"""
+
+
+def _pareto_block_sql(q: int) -> str:
+    return f"""
+        SELECT {q} AS top_pct, count(*) AS n_customers,
+               floor((CAST(sum(units) AS DOUBLE)
+                      / CAST((SELECT tot FROM t) AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 AS revenue_share
+        FROM r
+        WHERE rk > (SELECT n FROM t)
+                   - (((SELECT n FROM t) * {q} + 99) // 100)"""
+
+
+# concentration curve: integer-grid revenue, ascending rank with
+# custkey tiebreak, integer ceil cutoffs, one division per point
+ORACLES["customers_pareto_share"] = f"""
+    WITH pc AS (
+        SELECT o_custkey,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                        AS BIGINT)) AS units
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS n, sum(units) AS tot FROM pc),
+    r AS (
+        SELECT o_custkey, units,
+               row_number() OVER (ORDER BY units, o_custkey) AS rk
+        FROM pc
+    )
+    SELECT * FROM ({_pareto_block_sql(1)}
+    UNION ALL {_pareto_block_sql(5)}
+    UNION ALL {_pareto_block_sql(10)}
+    UNION ALL {_pareto_block_sql(25)})
+    ORDER BY top_pct
+"""

@@ -105,3 +105,24 @@ ORACLES: dict[str, str] = {
     """,
     "scale_zorder_census": _zorder_census_oracle_sql(),
 }
+
+
+# compaction plan: sort-desc census, cumulative-quota integer binning
+ORACLES["maintenance_compaction_plan"] = """
+    WITH census AS (
+        SELECT l_orderkey % 200 AS file_id, count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    planned AS (
+        SELECT file_id, n_rows,
+               CAST((sum(n_rows) OVER (
+                        ORDER BY n_rows DESC, file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_rows) // 8192 AS BIGINT) AS bin
+        FROM census
+    )
+    SELECT bin, count(*) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           min(n_rows) AS min_file_rows, max(n_rows) AS max_file_rows
+    FROM planned GROUP BY 1 ORDER BY 1
+"""

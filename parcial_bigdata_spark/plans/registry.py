@@ -1484,6 +1484,25 @@ def q_media_dedup(spark, sf_dir):
     )
 
 
+def q_change_point(spark, sf_dir):
+    # binary-segmentation change point on the dense daily series per
+    # type: exact decimal cumsums, one IEEE score sequence, earlier-day
+    # tiebreak
+    return ana_ops.daily_change_point(_t(spark, sf_dir, "events"))
+
+
+def q_pareto_share(spark, sf_dir):
+    # revenue concentration curve: integer-grid revenue, skew-proof
+    # global rank, integer ceil cutoffs, one division per point
+    return ana_ops.pareto_revenue_share(_t(spark, sf_dir, "orders"))
+
+
+def q_compaction_plan(spark, sf_dir):
+    # sort-desc + cumulative-quota bin assignment over a simulated
+    # 200-file census; integer div binning
+    return merge_ops.compaction_plan(_t(spark, sf_dir, "lineitem"))
+
+
 def q_streaming_late_audit(spark, sf_dir):
     """Ninth real-streaming oracle query: a TWO-micro-batch replay in
     deliberate event-time disorder (later half first, earlier half as
@@ -1735,6 +1754,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_importance_weights": q_importance_weights,
     "multimodal_media_dedup": q_media_dedup,
     "streaming_late_data_audit": q_streaming_late_audit,
+    "events_change_point": q_change_point,
+    "customers_pareto_share": q_pareto_share,
+    "maintenance_compaction_plan": q_compaction_plan,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1755,6 +1777,9 @@ INTRODUCED_ROUND = {
     "sample_importance_weights": 11,
     "multimodal_media_dedup": 11,
     "streaming_late_data_audit": 11,
+    "events_change_point": 11,
+    "customers_pareto_share": 11,
+    "maintenance_compaction_plan": 11,
     "streaming_cdc_apply": 10,
     "multimodal_png_pixel_decode": 10,
     "customers_rfm_segments": 10,

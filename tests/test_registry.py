@@ -90,6 +90,11 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         "graph_degree_hist": (8, 0),
         # Heaps doc line: one global distributed_rank, same singles
         "text_vocab_growth": (9, 13),
+        # concentration curve: the global rank runs EAGERLY at
+        # construction (checkpointed); the singles are the 1-row
+        # totals + four per-quantile 1-row point aggregates — never
+        # fact-sized
+        "customers_pareto_share": (2, 8),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()

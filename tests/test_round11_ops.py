@@ -344,3 +344,66 @@ class TestReviewFixes:
         [row] = mm.decode_pixels(media, use_fake_decode=True).collect()
         # the fake reports payload length as every channel sum
         assert row.sum_b == len(blob) == row.sum_g == row.sum_r
+
+
+class TestChangePoint:
+    def test_planted_step_found(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for day, c in enumerate([2, 2, 2, 2, 10, 10, 10, 10]):
+            for _ in range(c):
+                rows.append((eid, "a", t0 + dt.timedelta(days=day)))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp"
+        )
+        [row] = ana.daily_change_point(ev).collect()
+        assert row.split_after_day == t0 + dt.timedelta(days=3)
+        assert (row.n_days_before, row.n_days_after) == (4, 4)
+        assert row.mean_before == 2.0 and row.mean_after == 10.0
+
+    def test_missing_days_are_zero(self, spark):
+        # days 0 and 3 only: the grid inserts zero days 1-2, so the
+        # best split is after the single busy day 0
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(i, "a", t0) for i in range(6)] + [
+            (9, "a", t0 + dt.timedelta(days=3))
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp"
+        )
+        [row] = ana.daily_change_point(ev).collect()
+        assert row.split_after_day == t0
+        assert row.n_days_before == 1 and row.n_days_after == 3
+
+
+class TestParetoShare:
+    def test_known_concentration(self, spark):
+        # 100 customers: one whale with 901, 99 with 1 each -> total 1000
+        rows = [(0, 0, 901.0)] + [(i, i, 1.0) for i in range(1, 100)]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+        out = {r.top_pct: r for r in ana.pareto_revenue_share(orders).collect()}
+        assert out[1].n_customers == 1
+        assert out[1].revenue_share == pytest.approx(0.901, abs=1e-6)
+        assert out[10].n_customers == 10
+        assert out[10].revenue_share == pytest.approx(0.91, abs=1e-6)
+
+
+class TestCompactionPlan:
+    def test_bins_respect_quota_rule(self, spark):
+        from parcial_bigdata_spark.operators import merge as mg
+
+        li = spark.createDataFrame(
+            [(i,) for i in range(2000)], "l_orderkey long"
+        )
+        out = mg.compaction_plan(li, n_files=10, target_rows=500).collect()
+        # 10 files x 200 rows, target 500: cum boundaries every 500 rows
+        # -> bins of at most ceil(500/200)=3 files
+        assert sum(r.n_files for r in out) == 10
+        assert sum(r.total_rows for r in out) == 2000
+        assert all(r.n_files <= 3 for r in out)
+        # deterministic across runs
+        again = mg.compaction_plan(li, n_files=10, target_rows=500).collect()
+        assert out == again
