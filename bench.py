@@ -699,6 +699,52 @@ def _rank_rows(spark, n):
     )
 
 
+# ---- sketch-median scale probe (round 11) ---------------------------------
+# events_mad_outliers' sketch-guided exact selection claims ZERO
+# full-stream shuffles (the r10 rank form paid two).  This probe times
+# the whole MAD operator on synthetic events at x1/x4/x16 rows: flat
+# per-row cost (exponent well below 1 after the 6-job fixed overhead)
+# is the measured backing for the 100 TB posture.
+
+_MADSKETCH_SCALES = (1, 4, 16)
+_MADSKETCH_BASE_ROWS = 250_000
+
+
+def _madsketch_rows(spark, n):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("t"), F.pmod(F.col("id"), F.lit(4))).alias(
+            "event_type"
+        ),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 100.0).alias("value"),
+    )
+
+
+def _run_madsketch_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators.analytics import mad_outliers
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    mad_outliers(_madsketch_rows(spark, 20_000)).count()  # warm the shapes
+    secs, sizes = [], []
+    for s in _MADSKETCH_SCALES:
+        rows = _madsketch_rows(spark, _MADSKETCH_BASE_ROWS * s).persist()
+        n = rows.count()
+        t0 = time.perf_counter()
+        mad_outliers(rows).write.mode("overwrite").format("noop").save()
+        el = round(time.perf_counter() - t0, 3)
+        timings[f"madsketch_scale_x{s}"] = el
+        detail[f"x{s}"] = {"rows": n, "sec": el}
+        secs.append(el)
+        sizes.append(n)
+        rows.unpersist()
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 def _run_rank_scale(spark) -> tuple[dict[str, float], dict]:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -937,6 +983,8 @@ def main() -> None:
     probe_timings.update(bfs_timings)
     rank_timings, rank_detail = _run_rank_scale(probe_spark)
     probe_timings.update(rank_timings)
+    mad_timings, mad_detail = _run_madsketch_scale(probe_spark)
+    probe_timings.update(mad_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
     probe_timings.update(graph_timings)
 
@@ -965,6 +1013,7 @@ def main() -> None:
         "kcore_scale": kcore_detail,
         "bfs_scale": bfs_detail,
         "rank_scale": rank_detail,
+        "madsketch_scale": mad_detail,
         "noise_sentinel": sentinel,
     }
     # Persist the detail record IN-REPO (round-9 verdict item 2): the
