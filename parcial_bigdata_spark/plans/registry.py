@@ -1897,6 +1897,20 @@ DRIVER_WINDOW = [
     "multimodal_png_pixel_decode",
 ]
 
+# Paste-ready r12 window = 5 standing + the 13 tranche-2 leftovers
+# below + these 32 of the 45-query r8 block (TPC-H first — the full
+# relational core re-certifies in one window — then the tolerance-
+# bearing as-of, the range/subquery/overlap joins, and seven of the
+# window family):
+#   q1..q22 (all 22 TPC-H), asof_purchase_signup_tolerance,
+#   range_value_bands, subquery_big_spenders, session_overlap_pairs,
+#   window_value_delta, window_topk_per_user, window_running_total,
+#   window_rank_bands, window_daily_delta, window_time_range_avg.
+# The 13-query r8 remainder (window_sliding_counts, sessionize_events,
+# hourly_rollup, gapfill_daily_series, agg_user_value_trend x2,
+# grouping_sets/rollup/cube/pivot/percentile, multimodal summary +
+# image decode) leads r13 ahead of the r9 block.
+#
 # r10 backlog, tranche 2 — MUST hold r12 slots (introduced r10, due r13
 # by the introduced+3 rule, and r13 is already committed to the r8
 # remainder + r9 block).  tests/test_staleness.py checks this plan's
