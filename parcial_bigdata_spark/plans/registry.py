@@ -1780,87 +1780,61 @@ INTRODUCED_ROUND = {
     "events_change_point": 11,
     "customers_pareto_share": 11,
     "maintenance_compaction_plan": 11,
-    "streaming_cdc_apply": 10,
-    "multimodal_png_pixel_decode": 10,
-    "customers_rfm_segments": 10,
+    # round-10 additions still awaiting their first driver row (tranche 2
+    # of the r10 backlog — everything else from r10 was certified in the
+    # r10 or r11 windows and dates from its CORRECTNESS row instead)
     "dedup_ngram_coverage": 10,
-    "text_zipf_fit": 10,
-    "streaming_cdc_apply_bucketed": 10,
-    "embedding_scalar_quantization": 10,
-    "embedding_centroid_dispersion": 10,
-    "text_sentence_stats": 10,
-    "stats_price_trimmed_means": 10,
-    "events_quantile_normalize": 10,
     "sample_negative_pairs": 10,
     "integrity_expectations": 10,
     "events_sliding_distinct_users": 10,
-    "events_mad_outliers": 10,
-    "window_rolling_median": 10,
-    "text_source_drift": 10,
-    "graph_bfs_distances": 10,
-    "events_hourly_ohlc": 10,
     "sample_temporal_split": 10,
     "sample_group_kfold": 10,
-    "text_heavy_hitters": 10,
     "events_activity_streaks": 10,
-    "parts_abc_classes": 10,
     "integrity_functional_deps": 10,
-    "streaming_hourly_ohlc": 10,
-    "embedding_dim_stats": 10,
     "multimodal_wav_frame_features": 10,
     "events_user_entropy": 10,
     "multimodal_bmp_resize": 10,
-    "streaming_running_zscore": 10,
-    "embedding_pair_cosine_hist": 10,
     "sample_undersample_balance": 10,
-    "text_length_ks_drift": 10,
-    "graph_degree_hist": 10,
-    "text_vocab_growth": 10,
     "events_interarrival_hist": 10,
-    "nation_supplier_hhi": 10,
-    "source_csv_roundtrip": 10,
 }
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 11)
+# Driver-window rotation (round 12)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
 # of it).
 #
-# Budget math (round-10 verdict item 1 — the round-9 4-round budget became
-# JOINTLY UNSATISFIABLE once the registry crossed 180 rotating queries):
-# with 5 standing slots (parity core 4 + one real streaming run), each
-# round rotates 45 queries.  A B-round staleness budget is feasible only
-# while |rotating registry| <= 45*B.  At 198 total / 193 rotating, B=4
-# gives capacity 180 < 193 — infeasible regardless of window choice — so
-# the ledger rule is now a FIVE-round budget (capacity 225), enforced
-# with the capacity check in tests/test_staleness.py so growth past ~215
-# rotating queries fails loudly instead of silently wedging the rotation.
+# Budget math: with 5 standing slots (parity core 4 + one real streaming
+# run), each round rotates 45 queries.  A B-round staleness budget is
+# feasible only while |rotating registry| <= 45*B.  The round-11 5-round
+# budget (capacity 225) was already within 8 queries of its tripwire at
+# 207 rotating queries, so round 12 rebases to a SIX-round budget
+# (capacity 270): a query last slotted in round N must re-enter by N+6,
+# and a never-certified query introduced in round N takes its first slot
+# by N+3 (unchanged — new operators still certify promptly).  Feasibility
+# is no longer hand-derived per round: tests/test_staleness.py runs an
+# EDF (earliest-deadline-first) cumulative-demand check over every
+# rotating query's due round, so ANY future window composition that
+# wedges the schedule fails loudly at commit time.
 #
-# Round-11 window: the 20 r7-certified queries hit age 4 (due r12 under
-# the 5-round budget; slotted now per the round-10 verdict) + 25 of the
-# 38 never-driver-certified round-10 additions, prioritized per the
-# verdict: the real-run streaming entries (bucketed CDC, streaming OHLC,
-# stateful z-score), the distributed_rank consumers (RFM, MAD outliers,
-# trimmed means, quantile normalize), the everyday-monitoring ops
-# (rolling median, BFS, degree hist), the embedding-diagnostics quartet,
-# and every query touched by a round-11 advice fix (ABC classes, heavy
-# hitters, CSV roundtrip, vocab growth) so the fixes land driver-checked.
+# Round-12 window (the composition pre-committed by the round-11
+# rotation note, applied verbatim): 5 standing + the 13 never-certified
+# round-10 tranche-2 leftovers (introduced r10, first slot due r13) +
+# 32 of the 45-query r8 block — TPC-H q1..q22 first (the full relational
+# core re-certifies in one window), then the tolerance-bearing as-of,
+# the range/subquery/overlap joins, and six of the window family.
 #
-# Forward plan (the two-round arithmetic the round-10 verdict item 2
-# demands, enforced by tests/test_staleness.py::test_r12_plan_is_feasible):
-#   r12 = 5 standing + the 13 round-10 leftovers (_R12_PLAN below; due
-#         r13 by the introduced+3 never-certified rule) + 32 of the r8
-#         TPC-H/window block (due r13).
-#   r13 = 5 standing + the 13 r8 remainder + 32 of the r9 block (due r14).
-#   r14 = 5 standing + the 13 r9 remainder + 32 of the r10-certified
-#         block (due r15).
-#   r15 = 5 standing + the 13 r10-certified remainder + 32 slots of
-#         headroom (r11-certified re-entries / new-query burn-down).
-# Steady state: a 13-query carry ripples forward; headroom for new
-# queries is ~32 per 5-round cycle (capacity 225 - demand 193).
+# Forward plan (EDF-checked, not hand-tranched): the 13-query r8
+# remainder (window_sliding_counts, sessionize_events, hourly_rollup,
+# gapfill_daily_series, agg_user_value_trend x2, grouping_sets/rollup/
+# cube/pivot/percentile, multimodal summary + image decode) is due r14
+# under the 6-round budget and leads r13 together with the 14
+# never-certified round-11 additions (due r14) and the r9 block's front
+# (due r15).  Steady state: ~45 seats/round against ~35 forced/round
+# leaves ~10 new-query seats per round — matching the observed
+# 10-14-query growth rate.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -1868,54 +1842,7 @@ DRIVER_WINDOW = [
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # forced: the 20 r7-certified queries at age 4
-    "dedup_embedding_cosine", "dedup_cross_split_contamination",
-    "dedup_ngram_decontaminate", "dedup_component_survivors",
-    "knn_cosine_brute_force", "embedding_kmeans_train",
-    "multimodal_frame_sample", "sample_leakage_safe_split",
-    "sample_split_assign", "sample_pack_sequences", "sample_epoch_repeat",
-    "sample_temperature_mix", "snapshot_diff_orders", "text_word_pairs",
-    "text_fingerprints", "text_top_words_per_lang", "text_quality_pass_rates",
-    "text_gopher_flags", "text_repetition_ratios", "text_pii_redaction",
-    # r10 backlog, tranche 1 of 2: real streaming runs first
-    "streaming_cdc_apply_bucketed", "streaming_hourly_ohlc",
-    "streaming_running_zscore",
-    # distributed_rank consumers
-    "customers_rfm_segments", "events_mad_outliers",
-    "stats_price_trimmed_means", "events_quantile_normalize",
-    # everyday monitoring ops (verdict item 4)
-    "window_rolling_median", "graph_bfs_distances", "graph_degree_hist",
-    # embedding diagnostics quartet (verdict item 4)
-    "embedding_dim_stats", "embedding_scalar_quantization",
-    "embedding_centroid_dispersion", "embedding_pair_cosine_hist",
-    # queries touched by round-11 advice fixes — certify the fixed plans
-    "parts_abc_classes", "text_heavy_hitters", "source_csv_roundtrip",
-    "text_vocab_growth",
-    # remaining tranche-1 picks: text drift/fit block + OHLC/HHI/PNG
-    "text_zipf_fit", "text_length_ks_drift", "text_source_drift",
-    "text_sentence_stats", "nation_supplier_hhi", "events_hourly_ohlc",
-    "multimodal_png_pixel_decode",
-]
-
-# Paste-ready r12 window = 5 standing + the 13 tranche-2 leftovers
-# below + these 32 of the 45-query r8 block (TPC-H first — the full
-# relational core re-certifies in one window — then the tolerance-
-# bearing as-of, the range/subquery/overlap joins, and seven of the
-# window family):
-#   q1..q22 (all 22 TPC-H), asof_purchase_signup_tolerance,
-#   range_value_bands, subquery_big_spenders, session_overlap_pairs,
-#   window_value_delta, window_topk_per_user, window_running_total,
-#   window_rank_bands, window_daily_delta, window_time_range_avg.
-# The 13-query r8 remainder (window_sliding_counts, sessionize_events,
-# hourly_rollup, gapfill_daily_series, agg_user_value_trend x2,
-# grouping_sets/rollup/cube/pivot/percentile, multimodal summary +
-# image decode) leads r13 ahead of the r9 block.
-#
-# r10 backlog, tranche 2 — MUST hold r12 slots (introduced r10, due r13
-# by the introduced+3 rule, and r13 is already committed to the r8
-# remainder + r9 block).  tests/test_staleness.py checks this plan's
-# arithmetic now so the r12 rotation is a paste, not a re-derivation.
-_R12_PLAN_NEVER_CERTIFIED = [
+    # r10 backlog, tranche 2 of 2 (introduced r10, first slot due r13)
     "dedup_ngram_coverage", "events_activity_streaks",
     "events_interarrival_hist", "events_sliding_distinct_users",
     "events_user_entropy", "integrity_expectations",
@@ -1923,6 +1850,21 @@ _R12_PLAN_NEVER_CERTIFIED = [
     "multimodal_wav_frame_features", "sample_group_kfold",
     "sample_negative_pairs", "sample_temporal_split",
     "sample_undersample_balance",
+    # the r8 block, part 1 of 2: all 22 TPC-H shapes
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "q6_revenue_forecast",
+    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
+    "q13_order_distribution", "q14_promo_share", "q15_top_suppliers",
+    "q16_supplier_variety", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_brand_bands", "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q22_wealthy_inactive",
+    # the r8 block, part 2: as-of tolerance + range/subquery/overlap joins
+    "asof_purchase_signup_tolerance", "range_value_bands",
+    "subquery_big_spenders", "session_overlap_pairs",
+    # the r8 block, part 3: six of the window family
+    "window_value_delta", "window_topk_per_user", "window_running_total",
+    "window_rank_bands", "window_daily_delta", "window_time_range_avg",
 ]
 
 _WINDOW_SET = set(DRIVER_WINDOW)

@@ -1,24 +1,29 @@
-"""Registry staleness budget (round-9 verdict item 8, rebased round 11).
+"""Registry staleness budget (round-9 verdict item 8, rebased round 12).
 
 The driver certifies only the FIRST 50 ``queries()`` entries per round,
 so a ~200-query registry needs an explicit rotation discipline or
 queries silently age out of hard certification.
 
-Capacity math (round-10 verdict item 1): with 5 standing slots (the
-reference-parity core + one real streaming run every round), each round
-rotates 45 queries, so a B-round budget is feasible only while
-``|rotating registry| <= 45 * B``.  The round-9 4-round budget became
-jointly unsatisfiable at 193 rotating queries (capacity 180) — by round
-14 every query would have needed a slot in 4x45=180 seats.  The ledger
-rule is therefore now:
+Capacity math: with 5 standing slots (the reference-parity core + one
+real streaming run every round), each round rotates 45 queries, so a
+B-round budget is feasible only while ``|rotating registry| <= 45 * B``.
+The round-11 5-round budget (capacity 225) was within 8 queries of its
+own tripwire at 207 rotating queries, so round 12 rebased to SIX rounds
+(capacity 270).  The ledger rule is now:
 
-    no registry query goes more than 5 rounds without a driver-window
+    no registry query goes more than 6 rounds without a driver-window
     slot — a query last slotted in round N must hold a slot again no
-    later than round N+5 — and a never-certified query introduced in
+    later than round N+6 — and a never-certified query introduced in
     round N must hold its FIRST slot no later than round N+3.
 
 ``test_budget_capacity`` fails loudly when registry growth approaches
-the 225-query ceiling, instead of letting the rotation wedge again.
+the ceiling; ``test_forward_schedule_is_feasible`` replaces the old
+hand-derived per-round plan checks with an EDF (earliest-deadline-
+first) cumulative-demand argument — EDF is optimal for unit-size jobs
+with deadlines on a fixed-capacity resource, so the check is exact: if
+it passes, SOME sequence of future windows satisfies every deadline;
+if cumulative demand ever exceeds cumulative capacity, NO composition
+can, and the rotation has wedged.
 
 These tests encode the rule over the committed CORRECTNESS_r*.json
 artifacts (each file's keys ARE that round's window) plus the upcoming
@@ -37,7 +42,7 @@ from pathlib import Path
 from parcial_bigdata_spark.plans import registry
 
 REPO = Path(__file__).resolve().parent.parent
-MAX_ROUNDS_WITHOUT_SLOT = 5
+MAX_ROUNDS_WITHOUT_SLOT = 6
 NEVER_CERTIFIED_GRACE = 3  # first slot due by INTRODUCED_ROUND + 3
 STANDING_SLOTS = 5  # parity core (4) + one real streaming run
 WINDOW_SIZE = 50
@@ -69,7 +74,19 @@ def _last_slot(name: str, rounds: dict[int, set[str]]) -> int | None:
     slotted = [r for r, keys in rounds.items() if name in keys]
     if slotted:
         return max(slotted)
-    return registry.INTRODUCED_ROUND.get(name)
+    return None
+
+
+def _due_round(name: str, rounds: dict[int, set[str]]) -> int | None:
+    """The last round by which `name` must hold a driver-window slot,
+    or None if the query is undated (a loud failure elsewhere)."""
+    last = _last_slot(name, rounds)
+    if last is not None:
+        return last + MAX_ROUNDS_WITHOUT_SLOT
+    intro = registry.INTRODUCED_ROUND.get(name)
+    if intro is None:
+        return None
+    return intro + NEVER_CERTIFIED_GRACE
 
 
 def test_budget_capacity():
@@ -97,23 +114,20 @@ def test_staleness_budget():
     for name in registry.QUERIES:
         if name in window:
             continue  # gets a slot this round
-        last = _last_slot(name, rounds)
-        if last is None:
+        due = _due_round(name, rounds)
+        if due is None:
             undated.append(name)
             continue
-        if current - last > MAX_ROUNDS_WITHOUT_SLOT - 1:
-            # last slot round N ⇒ must re-enter the window by N+5;
-            # being out of the CURRENT window at age 5 is the failure
-            overdue.append(f"{name} (last slot r{last}, age {current - last})")
+        if current > due:
+            overdue.append(f"{name} (due r{due}, current r{current})")
 
     assert not undated, (
         "never-slotted queries missing from registry.INTRODUCED_ROUND "
         f"(the staleness budget needs an age origin): {sorted(undated)}"
     )
     assert not overdue, (
-        f"queries out of the r{current} window past the "
-        f"{MAX_ROUNDS_WITHOUT_SLOT}-round staleness budget — rotate them "
-        f"into DRIVER_WINDOW: {sorted(overdue)}"
+        f"queries out of the r{current} window past their staleness "
+        f"deadline — rotate them into DRIVER_WINDOW: {sorted(overdue)}"
     )
 
 
@@ -126,13 +140,7 @@ def test_window_is_first_50_queries():
 def test_never_certified_oracle_queries_are_in_window():
     """A query that has NEVER been driver-certified must take its first
     slot within NEVER_CERTIFIED_GRACE rounds of introduction — local
-    sf0.01 runs are the soft check, the driver row is the hard one.
-
-    Round-10 verdict item 1: the round-9 form of this test (first slot
-    the round after introduction) demanded 58 queries for 50 seats; the
-    grace now matches the window arithmetic (a 39-query introduction
-    burst takes two 25/13 tranches to drain, so first-slot-due is
-    introduced+3, landing tranche 2 in r12 with a round to spare)."""
+    sf0.01 runs are the soft check, the driver row is the hard one."""
     rounds = _correctness_rounds()
     current = _current_round(rounds)
     ever_slotted = set().union(*rounds.values())
@@ -152,59 +160,36 @@ def test_never_certified_oracle_queries_are_in_window():
     )
 
 
-def test_r12_plan_is_feasible():
-    """Round-10 verdict item 2: the r12 window is already committed to
-    the r8 TPC-H/window block (due r13) — prove NOW that the planned r12
-    composition (standing + the round-10 tranche-2 leftovers + 32 of the
-    r8 block) satisfies both staleness rules, so the r12 rotation is a
-    paste, not a re-derivation that discovers an overflow."""
+def test_forward_schedule_is_feasible():
+    """EDF feasibility over the whole future: for every horizon round h,
+    the number of rotating queries whose deadline falls at or before h
+    must fit in the rotating seats available through h.  Queries in the
+    upcoming window are treated as certified this round (deadline resets
+    to current + MAX_ROUNDS_WITHOUT_SLOT, beyond every horizon checked).
+    This subsumes the old hand-written per-round plan tests: a window
+    composition or a new-query burst that wedges ANY future round fails
+    here at commit time, naming the first infeasible horizon."""
     rounds = _correctness_rounds()
     current = _current_round(rounds)
-    if current != 11:  # the plan is for the r11→r12 handoff only
-        return
-
-    leftovers = set(registry._R12_PLAN_NEVER_CERTIFIED)
     window = set(registry.DRIVER_WINDOW)
 
-    # every never-certified query whose introduction grace expires by
-    # r13 is either in the r11 window or planned for r12; queries
-    # introduced in r11 itself are due r14 and ride the r14 headroom
-    ever_slotted = set().union(*rounds.values())
-    never = {
-        n for n in registry.QUERIES
-        if n not in ever_slotted and n not in window
-        and registry.INTRODUCED_ROUND.get(n, current) < current
-    }
-    assert never == leftovers, (
-        "r12 plan out of sync with the never-certified backlog: "
-        f"unplanned={sorted(never - leftovers)} "
-        f"stale-plan={sorted(leftovers - never)}"
-    )
+    due_counts: dict[int, int] = {}
+    for name in registry.QUERIES:
+        if name in STANDING or name in window:
+            continue
+        due = _due_round(name, rounds)
+        if due is None:
+            continue  # test_staleness_budget reports undated queries
+        due_counts[due] = due_counts.get(due, 0) + 1
 
-    # simulate r11 certification, then check r12 seat arithmetic:
-    # forced-at-r12 (age 5, i.e. last slot <= r7 and not in r11 window)
-    # + tranche-2 leftovers + standing must fit in 50 seats, leaving
-    # enough r12/r13 room for the 45-query r8 block due r13.
-    forced_r12 = [
-        n for n in registry.QUERIES
-        if n not in window and n not in STANDING
-        and (last := _last_slot(n, rounds)) is not None
-        and (12 - last) > MAX_ROUNDS_WITHOUT_SLOT - 1
-    ]
-    r12_mandatory = STANDING_SLOTS + len(forced_r12) + len(leftovers)
-    assert r12_mandatory <= WINDOW_SIZE, (
-        f"r12 overflow: {r12_mandatory} mandatory seats for "
-        f"{WINDOW_SIZE} slots (forced={sorted(forced_r12)})"
-    )
-    # the r8 block (due r13) must fit in the r12 slack + r13's rotation
-    r8_block = [
-        n for n in registry.QUERIES
-        if n not in window and n not in STANDING
-        and _last_slot(n, rounds) == 8
-    ]
-    r12_slack = WINDOW_SIZE - r12_mandatory
-    r13_capacity = WINDOW_SIZE - STANDING_SLOTS
-    assert len(r8_block) <= r12_slack + r13_capacity, (
-        f"r8 block ({len(r8_block)}) cannot drain through r12 slack "
-        f"({r12_slack}) + r13 ({r13_capacity})"
-    )
+    rotating_per_round = WINDOW_SIZE - STANDING_SLOTS
+    cumulative_demand = 0
+    for h in range(current + 1, current + MAX_ROUNDS_WITHOUT_SLOT + 1):
+        cumulative_demand += due_counts.get(h, 0)
+        cumulative_capacity = rotating_per_round * (h - current)
+        assert cumulative_demand <= cumulative_capacity, (
+            f"rotation wedged: {cumulative_demand} rotating queries are "
+            f"due by r{h} but only {cumulative_capacity} rotating seats "
+            f"exist in rounds r{current + 1}..r{h} — trim additions or "
+            "extend the budget"
+        )
