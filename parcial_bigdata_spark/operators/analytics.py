@@ -1382,3 +1382,161 @@ def pareto_revenue_share(
         "n_customers",
         ratio_round(F.col("__share"), 6).alias("revenue_share"),
     ).orderBy("top_pct")
+
+
+def ab_proportion_test(events: DataFrame) -> DataFrame:
+    """Two-proportion z-test over a deterministic user hash split
+    (`events_ab_proportion_test`) — the experiment readout every
+    product-analytics stack runs daily: split the user base 50/50 by a
+    stable hash, compare purchase-conversion rates, report the pooled
+    z statistic.
+
+    The split MUST be a pure function of user_id (not Spark's `hash`,
+    which the DuckDB oracle cannot reproduce): a Knuth multiplicative
+    hash on the user id reduced mod a prime, taking the variant from
+    the top bit of the 32-bit product.  All arithmetic stays in int64
+    (max intermediate ~2.8e15), so both engines compute the identical
+    assignment at any scale.
+
+    Exactness: every input to the z formula is an integer count
+    (exposed/converted per variant); the rate difference, pooled
+    variance, and z are ONE fixed IEEE sequence over those integers —
+    deterministic on both engines — rounded through ratio_round(6).
+
+    Scale: one map-side-combining groupBy to the |users| grain (the
+    conversion flag is a bool_or), then a 2-row variant aggregate and
+    a single-row cross of the two variants.  No window, no skew
+    surface: the user grain is the natural partition key."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    m = F.pmod(F.col("user_id"), F.lit(1048573))
+    h = F.pmod(m * F.lit(2654435761), F.lit(4294967296))
+    users = (
+        events.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(h < F.lit(2147483648), F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "converted",
+        )
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    a = per.where(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per.where(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    pool = (ca + cb) / (na + nb)
+    # degenerate pools (0% or 100% overall conversion — seen at tiny
+    # scale factors) have zero pooled variance: z is undefined, not inf
+    defined = (F.col("conv_a") + F.col("conv_b") > 0) & (
+        F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = (ca / na - cb / nb) / se
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        ratio_round(ca / na, 6).alias("rate_a"),
+        ratio_round(cb / nb, 6).alias("rate_b"),
+        F.when(defined, ratio_round(z, 6)).alias("z_score"),
+        F.when(defined, F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )
+
+
+def seasonal_naive_backtest(events: DataFrame) -> DataFrame:
+    """Seasonal-naive forecast backtest (`events_seasonal_forecast`):
+    forecast each hour of the FINAL week as the count observed in the
+    same hour one week earlier (the lag-168 persistence forecast — the
+    baseline every capacity-planning forecast must beat), then score
+    MAE / RMSE / bias per event type over the dense 168-hour test
+    grid.
+
+    Exactness: the seasonal-naive forecast is itself an integer count,
+    so every error term is an integer; MAE/RMSE/bias reduce to integer
+    sums (order-free) with ONE IEEE division (and sqrt for RMSE) at
+    the output edge, rounded through ratio_round(6).  A slot-mean
+    forecast would instead force per-hour rational divisions whose
+    double sums are partial-order-dependent — the naive form is both
+    the standard baseline and the bit-stable one.
+
+    Scale: one map-side-combining groupBy to the (type, hour) grain;
+    the test grid explode and both left joins live on the
+    |types|·168-row dimension frame.  The counts frame is
+    ``iter_checkpoint``-materialized (two join consumers — actual and
+    lag-168 forecast — would each replan the raw-event aggregate)."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = iter_checkpoint(
+        events.groupBy(F.col("event_type"), hour.alias("h")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    )
+    test_start = counts.agg(
+        F.expr(
+            "date_trunc('day', max(h)) - interval 6 days"
+        ).alias("t0")
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(test_start))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(t0, t0 + interval 167 hours, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    actual = counts.select("event_type", "h", F.col("c").alias("a"))
+    lagged = counts.select(
+        "event_type",
+        F.expr("h + interval 168 hours").alias("h"),
+        F.col("c").alias("f"),
+    )
+    scored = (
+        grid.join(actual, ["event_type", "h"], "left")
+        .join(lagged, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("f", F.lit(0)).alias("f"),
+        )
+    )
+    err = F.col("a") - F.col("f")
+    sums = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("a")).alias("total_actual"),
+        F.sum(F.col("f")).alias("total_forecast"),
+        F.sum(F.abs(err)).alias("sae"),
+        F.sum(err * err).alias("sse"),
+        F.sum(err).alias("se"),
+    )
+    n = F.col("n_hours").cast("double")
+    return sums.select(
+        "event_type",
+        "n_hours",
+        "total_actual",
+        "total_forecast",
+        ratio_round(F.col("sae").cast("double") / n, 6).alias("mae"),
+        ratio_round(
+            F.sqrt(F.col("sse").cast("double") / n), 6
+        ).alias("rmse"),
+        ratio_round(F.col("se").cast("double") / n, 6).alias("bias"),
+    ).orderBy("event_type")

@@ -401,3 +401,111 @@ def benford_audit(orders: DataFrame, amount_col: str = "o_totalprice") -> DataFr
         )
         .orderBy("first_digit")
     )
+
+
+def schema_drift(
+    orders: DataFrame, split_date: str = "1998-05-01"
+) -> DataFrame:
+    """Two-period column-statistics drift report
+    (`integrity_schema_drift`): split the table at a date boundary and
+    compare per-column health metrics — null rate, mean, min/max for
+    numerics; null rate, distinct count, mode share for categoricals —
+    the check a data-quality monitor runs when a new snapshot lands to
+    catch silent upstream distribution shifts (a column going sparse,
+    a new enum value diluting the mode, a price-scale change).
+
+    Exactness: every metric is either an integer count, an exact
+    DECIMAL(18,2) min/max/sum, or a ratio of those — each ratio is ONE
+    IEEE division rounded through ratio_round(6).  The mode is
+    tie-broken lexicographically, so it is a deterministic selection,
+    not an arbitrary-first pick.
+
+    Scale: ONE pass over the table computes both periods' numeric
+    aggregates (groupBy on the derived period tag, map-side combined);
+    the categorical modes add one (period, column, value)-grain
+    aggregate whose output is bounded by the enum cardinalities.  All
+    subsequent shaping runs on those dimension-sized frames."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    period = F.when(
+        F.col("o_orderdate") < F.lit(split_date).cast("timestamp"),
+        F.lit("baseline"),
+    ).otherwise(F.lit("current"))
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    base = orders.select(
+        period.alias("period"),
+        price.alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    num = base.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("price").alias("n_price"),
+        F.sum("price").alias("sum_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.count("status").alias("n_status"),
+        F.countDistinct("status").alias("d_status"),
+        F.count("priority").alias("n_priority"),
+        F.countDistinct("priority").alias("d_priority"),
+    )
+
+    def _mode(col: str) -> DataFrame:
+        counts = base.groupBy("period", col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # deterministic mode: max (count, reverse-lexicographic value)
+        # struct per period — an argmax aggregate on the enum-sized
+        # frame, no window
+        best = counts.groupBy("period").agg(
+            F.max(F.struct(F.col("c"), F.col(col))).alias("b"),
+            F.sum("c").alias("tot"),
+        )
+        return best.select(
+            "period",
+            F.lit(f"{col}_mode_share").alias("metric"),
+            ratio_round(
+                F.col("b.c").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("value"),
+        )
+
+    n = F.col("n").cast("double")
+    metrics = None
+    for name, expr in [
+        ("price_null_rate", ratio_round((n - F.col("n_price")) / n, 6)),
+        (
+            "price_mean",
+            ratio_round(
+                F.col("sum_price").cast("double") / F.col("n_price"), 6
+            ),
+        ),
+        ("price_min", F.col("min_price").cast("double")),
+        ("price_max", F.col("max_price").cast("double")),
+        ("status_null_rate", ratio_round((n - F.col("n_status")) / n, 6)),
+        ("status_distinct", F.col("d_status").cast("double")),
+        (
+            "priority_null_rate",
+            ratio_round((n - F.col("n_priority")) / n, 6),
+        ),
+        ("priority_distinct", F.col("d_priority").cast("double")),
+    ]:
+        row = num.select(
+            "period", F.lit(name).alias("metric"), expr.alias("value")
+        )
+        metrics = row if metrics is None else metrics.unionByName(row)
+    metrics = metrics.unionByName(_mode("status")).unionByName(
+        _mode("priority")
+    )
+
+    wide = (
+        metrics.groupBy("metric")
+        .pivot("period", ["baseline", "current"])
+        .agg(F.first("value"))
+    )
+    return wide.select(
+        "metric",
+        "baseline",
+        "current",
+        ratio_round(F.col("current") - F.col("baseline"), 6).alias("change"),
+    ).orderBy("metric")

@@ -741,3 +741,88 @@ ORACLES["customers_pareto_share"] = f"""
     UNION ALL {_pareto_block_sql(25)})
     ORDER BY top_pct
 """
+
+
+# deterministic multiplicative-hash split (pure int64 arithmetic both
+# engines can compute); z is one IEEE sequence over integer counts
+ORACLES["events_ab_proportion_test"] = """
+    WITH users AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ), tagged AS (
+        SELECT CASE WHEN ((user_id % 1048573) * 2654435761) % 4294967296
+                         < 2147483648
+                    THEN 'A' ELSE 'B' END AS variant,
+               converted
+        FROM users
+    ), per AS (
+        SELECT variant, count(*) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
+        FROM tagged GROUP BY variant
+    ), j AS (
+        SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+        FROM (SELECT * FROM per WHERE variant = 'A') a
+        CROSS JOIN (SELECT * FROM per WHERE variant = 'B') b
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           floor((CAST(conv_a AS DOUBLE) / n_a) * 1e6 + 0.5) / 1e6
+               AS rate_a,
+           floor((CAST(conv_b AS DOUBLE) / n_b) * 1e6 + 0.5) / 1e6
+               AS rate_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                THEN floor(((CAST(conv_a AS DOUBLE) / n_a
+                             - CAST(conv_b AS DOUBLE) / n_b)
+                  / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                         * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b))) * 1e6 + 0.5) / 1e6
+           END AS z_score,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                THEN abs((CAST(conv_a AS DOUBLE) / n_a
+                          - CAST(conv_b AS DOUBLE) / n_b)
+               / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.959964
+           END AS significant_95
+    FROM j
+"""
+
+# lag-168 seasonal-naive backtest: integer forecasts => integer error
+# sums over the dense final-week grid, one IEEE division per metric
+ORACLES["events_seasonal_forecast"] = """
+    WITH counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), t0 AS (
+        SELECT date_trunc('day', max(h)) - INTERVAL 6 DAY AS t0 FROM counts
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(t0, t0 + INTERVAL 167 HOUR,
+                                      INTERVAL 1 HOUR)) AS h
+        FROM (SELECT DISTINCT event_type FROM counts) CROSS JOIN t0
+    ), scored AS (
+        SELECT g.event_type,
+               coalesce(a.c, 0) AS a, coalesce(f.c, 0) AS f
+        FROM grid g
+        LEFT JOIN counts a
+          ON a.event_type = g.event_type AND a.h = g.h
+        LEFT JOIN counts f
+          ON f.event_type = g.event_type
+         AND f.h = g.h - INTERVAL 168 HOUR
+    ), sums AS (
+        SELECT event_type, count(*) AS n_hours,
+               CAST(sum(a) AS BIGINT) AS total_actual,
+               CAST(sum(f) AS BIGINT) AS total_forecast,
+               CAST(sum(abs(a - f)) AS BIGINT) AS sae,
+               CAST(sum((a - f) * (a - f)) AS BIGINT) AS sse,
+               CAST(sum(a - f) AS BIGINT) AS se
+        FROM scored GROUP BY 1
+    )
+    SELECT event_type, n_hours, total_actual, total_forecast,
+           floor((CAST(sae AS DOUBLE) / n_hours) * 1e6 + 0.5) / 1e6 AS mae,
+           floor(sqrt(CAST(sse AS DOUBLE) / n_hours) * 1e6 + 0.5) / 1e6
+               AS rmse,
+           floor((CAST(se AS DOUBLE) / n_hours) * 1e6 + 0.5) / 1e6 AS bias
+    FROM sums ORDER BY event_type
+"""

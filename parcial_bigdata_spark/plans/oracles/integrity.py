@@ -156,3 +156,86 @@ ORACLES["integrity_benford_audit"] = f"""
     CROSS JOIN total t
     ORDER BY d.first_digit
 """
+
+
+# two-period column-stats drift: one-pass period aggregates, exact
+# DECIMAL(18,2) price metrics, deterministic (count, value)-argmax mode
+ORACLES["integrity_schema_drift"] = """
+    WITH base AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-05-01'
+                    THEN 'baseline' ELSE 'current' END AS period,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderstatus AS status, o_orderpriority AS priority
+        FROM orders
+    ), num AS (
+        SELECT period, count(*) AS n,
+               count(price) AS n_price, sum(price) AS sum_price,
+               min(price) AS min_price, max(price) AS max_price,
+               count(status) AS n_status,
+               count(DISTINCT status) AS d_status,
+               count(priority) AS n_priority,
+               count(DISTINCT priority) AS d_priority
+        FROM base GROUP BY period
+    ), status_mode AS (
+        SELECT period, 'status_mode_share' AS metric,
+               floor((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5)
+                   / 1e6 AS value
+        FROM (
+            SELECT period, c,
+                   sum(c) OVER (PARTITION BY period) AS tot,
+                   row_number() OVER (PARTITION BY period
+                                      ORDER BY c DESC, status DESC) AS rn
+            FROM (SELECT period, status, count(*) AS c
+                  FROM base GROUP BY 1, 2)
+        ) WHERE rn = 1
+    ), priority_mode AS (
+        SELECT period, 'priority_mode_share' AS metric,
+               floor((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6 + 0.5)
+                   / 1e6 AS value
+        FROM (
+            SELECT period, c,
+                   sum(c) OVER (PARTITION BY period) AS tot,
+                   row_number() OVER (PARTITION BY period
+                                      ORDER BY c DESC, priority DESC) AS rn
+            FROM (SELECT period, priority, count(*) AS c
+                  FROM base GROUP BY 1, 2)
+        ) WHERE rn = 1
+    ), metrics AS (
+        SELECT period, 'price_null_rate' AS metric,
+               floor(((n - n_price) * 1.0 / n) * 1e6 + 0.5) / 1e6 AS value
+        FROM num
+        UNION ALL
+        SELECT period, 'price_mean',
+               floor((CAST(sum_price AS DOUBLE) / n_price) * 1e6 + 0.5)
+                   / 1e6
+        FROM num
+        UNION ALL
+        SELECT period, 'price_min', CAST(min_price AS DOUBLE) FROM num
+        UNION ALL
+        SELECT period, 'price_max', CAST(max_price AS DOUBLE) FROM num
+        UNION ALL
+        SELECT period, 'status_null_rate',
+               floor(((n - n_status) * 1.0 / n) * 1e6 + 0.5) / 1e6
+        FROM num
+        UNION ALL
+        SELECT period, 'status_distinct', CAST(d_status AS DOUBLE) FROM num
+        UNION ALL
+        SELECT period, 'priority_null_rate',
+               floor(((n - n_priority) * 1.0 / n) * 1e6 + 0.5) / 1e6
+        FROM num
+        UNION ALL
+        SELECT period, 'priority_distinct', CAST(d_priority AS DOUBLE)
+        FROM num
+        UNION ALL SELECT * FROM status_mode
+        UNION ALL SELECT * FROM priority_mode
+    ), wide AS (
+        SELECT metric,
+               max(CASE WHEN period = 'baseline' THEN value END)
+                   AS baseline,
+               max(CASE WHEN period = 'current' THEN value END) AS current
+        FROM metrics GROUP BY metric
+    )
+    SELECT metric, baseline, current,
+           floor((current - baseline) * 1e6 + 0.5) / 1e6 AS change
+    FROM wide ORDER BY metric
+"""

@@ -1503,6 +1503,24 @@ def q_compaction_plan(spark, sf_dir):
     return merge_ops.compaction_plan(_t(spark, sf_dir, "lineitem"))
 
 
+def q_ab_proportion_test(spark, sf_dir):
+    # two-proportion z-test on a deterministic multiplicative-hash
+    # 50/50 user split: integer counts, one IEEE z sequence
+    return ana_ops.ab_proportion_test(_t(spark, sf_dir, "events"))
+
+
+def q_seasonal_forecast(spark, sf_dir):
+    # lag-168 seasonal-naive backtest on the dense final-week hourly
+    # grid: integer forecasts => integer error sums, one IEEE edge
+    return ana_ops.seasonal_naive_backtest(_t(spark, sf_dir, "events"))
+
+
+def q_schema_drift(spark, sf_dir):
+    # two-period column-stats drift report: one-pass period aggregate,
+    # enum-sized mode argmax, exact decimal/integer metrics
+    return prof_ops.schema_drift(_t(spark, sf_dir, "orders"))
+
+
 def q_streaming_late_audit(spark, sf_dir):
     """Ninth real-streaming oracle query: a TWO-micro-batch replay in
     deliberate event-time disorder (later half first, earlier half as
@@ -1757,6 +1775,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_change_point": q_change_point,
     "customers_pareto_share": q_pareto_share,
     "maintenance_compaction_plan": q_compaction_plan,
+    # round-12 additions (INTRODUCED_ROUND 12; first slots due r15)
+    "events_ab_proportion_test": q_ab_proportion_test,
+    "events_seasonal_forecast": q_seasonal_forecast,
+    "integrity_schema_drift": q_schema_drift,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1765,6 +1787,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # their CORRECTNESS_r*.json rows instead).  Remove an entry once its
 # query is driver-certified.
 INTRODUCED_ROUND = {
+    # round-12 additions
+    "events_ab_proportion_test": 12,
+    "events_seasonal_forecast": 12,
+    "integrity_schema_drift": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
