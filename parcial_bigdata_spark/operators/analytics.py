@@ -1540,3 +1540,243 @@ def seasonal_naive_backtest(events: DataFrame) -> DataFrame:
         ).alias("rmse"),
         ratio_round(F.col("se").cast("double") / n, 6).alias("bias"),
     ).orderBy("event_type")
+
+
+def top_session_paths(
+    events: DataFrame, gap_minutes: int = 30, prefix_len: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k session path prefixes (`events_top_paths`) — the
+    click-path mining readout: sessionize by the standard 30-minute
+    inactivity gap, take each session's first ``prefix_len`` event
+    types in time order, and count the most common journeys.
+
+    Determinism: in-user ordering is (ts, event_id) — the same total
+    order every session operator here uses — so the path string is a
+    pure function of the data; ties in the top-k are broken by path
+    ascending.
+
+    Scale: the gap flag and session counter are two stacked windows on
+    the ONE (user_id) shuffle (the `sessions_unordered` pattern); the
+    prefix is an in-group row_number filter on the same shuffle, the
+    path assembly is a map-side-combining groupBy on (user, session),
+    and the top-k is a TakeOrdered over the path-count aggregate — no
+    global sort of anything row-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (
+        F.unix_micros(F.col("ts"))
+        - F.lag(F.unix_micros(F.col("ts")), 1, None).over(w)
+        > gap_us
+    )
+    sess_id = F.sum(F.when(new_sess, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = events.select(
+        "user_id",
+        "event_type",
+        F.col("ts"),
+        F.col("event_id"),
+        sess_id.alias("session_seq"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prefixed = stepped.withColumn("pos", F.row_number().over(ws)).where(
+        F.col("pos") <= prefix_len
+    )
+    paths = (
+        prefixed.groupBy("user_id", "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    return paths.orderBy(F.col("n_sessions").desc(), F.col("path").asc()).limit(
+        int(k)
+    )
+
+
+def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend of daily value totals per event type
+    (`events_theil_sen_trend`): the median of all pairwise slopes —
+    the estimator that shrugs off the outlier days an OLS slope chases
+    (29% breakdown point; Sen 1968).
+
+    Exactness: daily totals are exact DECIMAL(18,2) sums on integer
+    day indexes; each pairwise slope is ONE IEEE division of exact
+    operands, so both engines hold the identical slope multiset, and
+    the median is a pure selection (avg of the two middle order
+    statistics for even counts — one more IEEE op), rounded via
+    ratio_round(6).
+
+    Scale: the pair enumeration runs on the POST-AGGREGATION daily
+    frame — |days| rows per type, |days|²/2 pairs (a 10-year series is
+    ~6.7M pairs per type, executor-trivial) — never on raw events.
+    The rank window partitions by event_type over that bounded pair
+    frame; raw-event work is one map-side-combining groupBy."""
+    from pyspark.sql import Window
+
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    day = F.date_trunc("day", F.col("ts"))
+    daily = iter_checkpoint(
+        events.groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+        .select(
+            "event_type",
+            F.datediff(F.col("d"), F.lit("2024-01-01").cast("date")).alias(
+                "i"
+            ),
+            "v",
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("i").alias("ia"), F.col("v").alias("va")
+    )
+    b = daily.select(
+        "event_type", F.col("i").alias("ib"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "event_type").where(F.col("ib") > F.col("ia"))
+    slopes = pairs.select(
+        "event_type",
+        (
+            (F.col("vb") - F.col("va")).cast("double")
+            / (F.col("ib") - F.col("ia")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("slope").asc())
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = (F.col("n") + 1) / 2
+    mid = ranked.where(
+        (F.col("rk") == F.floor(lo)) | (F.col("rk") == F.ceil(lo))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n_pairs"),
+            ratio_round(
+                (F.min("slope") + F.max("slope")) / F.lit(2.0), 6
+            ).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def kaplan_meier_repurchase(
+    orders: DataFrame, bin_days: int = 30
+) -> DataFrame:
+    """Kaplan-Meier survival of repeat-purchase latency
+    (`orders_kaplan_meier`): per customer, each consecutive-order gap
+    is an observed "death" (the repurchase happened); the tail from a
+    customer's LAST order to the dataset horizon is right-CENSORED —
+    the estimator every retention model starts from, and the reason a
+    naive mean-gap statistic is biased (it silently drops everyone who
+    hasn't repurchased yet).
+
+    Life-table form on ``bin_days`` intervals: n_i (at risk) descends
+    by the prior bins' deaths+censorings; S = Π(1 − d_i/n_i)
+    cumulatively over ordered bins.  Every count is exact; each factor
+    is one IEEE division; the running product is exp(Σ ln f_i) over
+    the ORDERED ≤|horizon/bin| cumulative window — sequential and
+    deterministic on both engines — rounded via ratio_round(6) (the
+    log2-entropy precedent: libm ln/exp agree well past 6 digits).
+
+    Scale: one (custkey)-partitioned lead() window over orders, then
+    everything lives on the ≤~80-row bin frame (the unpartitioned
+    cumulative windows there are bounded-dimension by construction)."""
+    from pyspark.sql import Window
+
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    horizon = orders.agg(F.max(F.col("o_orderdate")).alias("hz"))
+    spans = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lead("o_orderdate", 1).over(wc).alias("next_date"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("next_date").isNotNull(),
+                F.datediff(F.col("next_date"), F.col("o_orderdate")),
+            )
+            .otherwise(F.datediff(F.col("hz"), F.col("o_orderdate")))
+            .alias("days"),
+            F.col("next_date").isNotNull().alias("observed"),
+        )
+    )
+    bins = iter_checkpoint(
+        spans.groupBy(
+            (F.floor(F.col("days") / bin_days) * bin_days).alias(
+                "bin_start_days"
+            )
+        ).agg(
+            F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias(
+                "n_events"
+            ),
+            F.sum(F.when(F.col("observed"), 0).otherwise(1)).alias(
+                "n_censored"
+            ),
+        )
+    )
+    wb = Window.orderBy(F.col("bin_start_days").asc())
+    total = bins.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("tot")
+    )
+    at_risk = bins.crossJoin(F.broadcast(total)).select(
+        "bin_start_days",
+        "n_events",
+        "n_censored",
+        (
+            F.col("tot")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("n_at_risk"),
+    )
+    f = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    # ln(0) is an ANSI error and S is identically 0 from the first bin
+    # where everyone at risk repurchases — track extinction explicitly
+    cum = wb.rowsBetween(Window.unboundedPreceding, 0)
+    extinct = F.max(F.when(f <= 0, 1).otherwise(0)).over(cum) == 1
+    surv = F.when(extinct, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(F.when(f > 0, f))).over(cum))
+    )
+    return at_risk.where(F.col("n_at_risk") > 0).select(
+        "bin_start_days",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        ratio_round(surv, 6).alias("survival"),
+    ).orderBy("bin_start_days")

@@ -826,3 +826,121 @@ ORACLES["events_seasonal_forecast"] = """
            floor((CAST(se AS DOUBLE) / n_hours) * 1e6 + 0.5) / 1e6 AS bias
     FROM sums ORDER BY event_type
 """
+
+
+# top-k session journeys: identical (ts, event_id) total order, 30-min
+# gap sessionization, first-5 prefix, count-desc/path-asc top 20
+ORACLES["events_top_paths"] = """
+    WITH flg AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *, sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flg
+    ), ranked AS (
+        SELECT user_id, sid, event_type,
+               row_number() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS pos
+        FROM sess
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY pos) AS path
+        FROM ranked WHERE pos <= 5 GROUP BY user_id, sid
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+# Theil-Sen: pairwise slopes of exact DECIMAL daily totals on integer
+# day indexes; median = avg of the two middle order statistics
+ORACLES["events_theil_sen_trend"] = """
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS i,
+               sum(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.event_type,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+                   AS slope
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.i > a.i
+    ), ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM slopes
+    ), mid AS (
+        SELECT event_type, n, slope FROM ranked
+        WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)
+           OR rk = CAST(ceil((n + 1) / 2.0) AS BIGINT)
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+           floor(((min(slope) + max(slope)) / 2.0) * 1e6 + 0.5) / 1e6
+               AS ts_slope
+    FROM mid GROUP BY event_type ORDER BY event_type
+"""
+
+# Kaplan-Meier life table: exact integer bin counts, ordered
+# cumulative exp(sum(ln f)) survival with explicit extinction
+ORACLES["orders_kaplan_meier"] = """
+    WITH spans AS (
+        SELECT CASE WHEN nd IS NOT NULL
+                    THEN datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(nd AS DATE))
+                    ELSE datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(hz AS DATE))
+               END AS days,
+               nd IS NOT NULL AS observed
+        FROM (
+            SELECT o_custkey, o_orderdate,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate,
+                                                    o_orderkey) AS nd
+            FROM orders
+        ) CROSS JOIN (SELECT max(o_orderdate) AS hz FROM orders)
+    ), bins AS (
+        SELECT CAST(floor(days / 30) * 30 AS BIGINT) AS bin_start_days,
+               CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM spans GROUP BY 1
+    ), risk AS (
+        SELECT bin_start_days, n_events, n_censored,
+               CAST((SELECT sum(n_events + n_censored) FROM bins)
+                    - coalesce(sum(n_events + n_censored) OVER (
+                          ORDER BY bin_start_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM bins
+    ), factored AS (
+        SELECT *,
+               1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                   AS f
+        FROM risk WHERE n_at_risk > 0
+    ), surv AS (
+        SELECT bin_start_days, n_at_risk, n_events, n_censored,
+               CASE WHEN max(CASE WHEN f <= 0 THEN 1 ELSE 0 END) OVER (
+                        ORDER BY bin_start_days
+                        ROWS UNBOUNDED PRECEDING) = 1
+                    THEN 0.0
+                    ELSE exp(sum(ln(CASE WHEN f > 0 THEN f END))
+                             OVER (ORDER BY bin_start_days
+                                              ROWS UNBOUNDED PRECEDING))
+               END AS s
+        FROM factored
+    )
+    SELECT bin_start_days, n_at_risk, n_events, n_censored,
+           floor(s * 1e6 + 0.5) / 1e6 AS survival
+    FROM surv ORDER BY bin_start_days
+"""

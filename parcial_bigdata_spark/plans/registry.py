@@ -1521,6 +1521,24 @@ def q_schema_drift(spark, sf_dir):
     return prof_ops.schema_drift(_t(spark, sf_dir, "orders"))
 
 
+def q_top_paths(spark, sf_dir):
+    # top-k session journeys: stacked windows on one user shuffle,
+    # prefix row_number, TakeOrdered over the path-count aggregate
+    return ana_ops.top_session_paths(_t(spark, sf_dir, "events"))
+
+
+def q_theil_sen(spark, sf_dir):
+    # Theil-Sen robust daily trend: pairwise slopes on the
+    # post-aggregation |days| frame, exact-median selection
+    return ana_ops.theil_sen_daily_trend(_t(spark, sf_dir, "events"))
+
+
+def q_kaplan_meier(spark, sf_dir):
+    # Kaplan-Meier repurchase survival with right censoring: life-table
+    # bins, ordered cumulative exp(sum(ln)) product
+    return ana_ops.kaplan_meier_repurchase(_t(spark, sf_dir, "orders"))
+
+
 def q_streaming_late_audit(spark, sf_dir):
     """Ninth real-streaming oracle query: a TWO-micro-batch replay in
     deliberate event-time disorder (later half first, earlier half as
@@ -1779,6 +1797,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_proportion_test": q_ab_proportion_test,
     "events_seasonal_forecast": q_seasonal_forecast,
     "integrity_schema_drift": q_schema_drift,
+    "events_top_paths": q_top_paths,
+    "events_theil_sen_trend": q_theil_sen,
+    "orders_kaplan_meier": q_kaplan_meier,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1791,6 +1812,9 @@ INTRODUCED_ROUND = {
     "events_ab_proportion_test": 12,
     "events_seasonal_forecast": 12,
     "integrity_schema_drift": 12,
+    "events_top_paths": 12,
+    "events_theil_sen_trend": 12,
+    "orders_kaplan_meier": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
