@@ -553,3 +553,62 @@ def degree_assortativity(
             ),
         )
     )
+
+
+def label_propagation_communities(
+    edges: DataFrame, src: str = "src", dst: str = "dst", rounds: int = 3, k: int = 20
+) -> DataFrame:
+    """Synchronous min-label propagation communities
+    (`graph_label_propagation`) — the cheapest community detector that
+    works distributed (Raghavan 2007, deterministic min-label variant):
+    every node starts labeled with its own id; each round it adopts the
+    minimum label in its closed neighborhood.  After R rounds a node's
+    label is exactly min(node id within R hops) — a fixed, verifiable
+    semantics (unlike the random-order variant), and the first R
+    rounds of the connected-components star algorithm.
+
+    Returns the top-``k`` communities by size (ties: community id
+    ascending) — community id = the R-hop minimum node id.
+
+    Scale: each round is one |E|-row equi-join + map-side-combining
+    min aggregate (the same per-round shape as PageRank here); rounds
+    are lineage-cut with ``iter_checkpoint`` and released eagerly, so
+    R rounds cost R linear passes, not an exponential plan tree."""
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    ed = _canonical_undirected(edges, src, dst)
+    # closed-neighborhood adjacency: both directions + self-loop
+    nbr = iter_checkpoint(
+        ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(ed.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .unionByName(
+            ed.select(F.col("u").alias("n"))
+            .unionByName(ed.select(F.col("v").alias("n")))
+            .distinct()
+            .select(F.col("n").alias("a"), F.col("n").alias("b"))
+        )
+    )
+    labels = nbr.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    prev = None
+    for _ in range(int(rounds)):
+        labels = iter_checkpoint(
+            nbr.join(
+                labels.select(F.col("node").alias("b"), "lab"), "b"
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lab").alias("lab"))
+        )
+        release_checkpoint(prev)
+        prev = labels
+    out = (
+        labels.groupBy(F.col("lab").alias("community_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community_id").asc())
+        .limit(int(k))
+    )
+    return out

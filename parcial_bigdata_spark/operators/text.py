@@ -1332,3 +1332,68 @@ def vocab_growth_curve(documents: DataFrame, n_slices: int = 10) -> DataFrame:
         .withColumn("cum_vocab", F.sum("new_words").over(w))
         .orderBy("slice")
     )
+
+
+def readability_scores(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade per language
+    (`text_readability`) — the classic prose-difficulty readout a
+    training-data curator bins corpora by (Flesch 1948; Kincaid 1975).
+
+    Syllables are the standard regex estimate: one syllable per vowel
+    GROUP (`[aeiouy]+`) in the normalized text, plus one for each
+    vowel-less word (every word contributes ≥1).  Sentences count
+    terminal-punctuation runs in the RAW text, clamped to ≥1 per doc.
+
+    Exactness: words / sentences / syllables are integer counts;
+    per-language totals are integer sums, and both scores are ONE
+    fixed IEEE sequence over those totals (the corpus-level form —
+    averaging per-doc double scores would be partial-sum-order
+    dependent), rounded via ratio_round(6).
+
+    Scale: all three counts are row-local string expressions inside
+    whole-stage codegen; the only shuffle is the |langs|-row final
+    aggregate."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    norm = normalized(F.col("text"))
+    n_words = F.size(words(norm))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syl = F.regexp_count(norm, F.lit(r"[aeiouy]+")) + F.size(
+        F.filter(words(norm), lambda w: ~w.rlike("[aeiouy]"))
+    )
+    sums = (
+        documents.select(
+            "lang",
+            n_words.alias("w"),
+            n_sent.alias("s"),
+            n_syl.alias("y"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+            F.sum("y").alias("n_syllables"),
+        )
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    return sums.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        ratio_round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_ease"),
+        ratio_round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    ).orderBy("lang")

@@ -151,3 +151,31 @@ ORACLES["graph_assortativity"] = """
            END AS assortativity
     FROM sums
 """
+
+
+# R-round synchronous min-label propagation == min node id within R
+# hops: the unrolled SQL twin is R closed-neighborhood min joins
+ORACLES["graph_label_propagation"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ed AS (
+        SELECT a.p AS u, b.p AS v FROM op a JOIN op b
+          ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), nbr AS (
+        SELECT u AS a, v AS b FROM ed
+        UNION ALL SELECT v, u FROM ed
+        UNION ALL SELECT n, n FROM (
+            SELECT u AS n FROM ed UNION SELECT v FROM ed)
+    ), l1 AS (
+        SELECT a AS node, min(b) AS lab FROM nbr GROUP BY a
+    ), l2 AS (
+        SELECT n.a AS node, min(l.lab) AS lab
+        FROM nbr n JOIN l1 l ON l.node = n.b GROUP BY n.a
+    ), l3 AS (
+        SELECT n.a AS node, min(l.lab) AS lab
+        FROM nbr n JOIN l2 l ON l.node = n.b GROUP BY n.a
+    )
+    SELECT lab AS community_id, count(*) AS n_members
+    FROM l3 GROUP BY lab
+    ORDER BY n_members DESC, community_id ASC LIMIT 20
+"""

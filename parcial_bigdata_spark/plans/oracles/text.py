@@ -500,3 +500,35 @@ ORACLES["text_heavy_hitters"] = """
     GROUP BY word HAVING count(*) >= 500
     ORDER BY word
 """
+
+
+# corpus-level Flesch: integer word/sentence/syllable sums per lang,
+# one IEEE score sequence (per-doc double averaging would be
+# partial-sum-order dependent)
+ORACLES["text_readability"] = f"""
+    WITH d AS (
+        SELECT lang,
+               len(string_split({_NORM_SQL}, ' ')) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all({_NORM_SQL}, '[aeiouy]+'))
+                 + len(list_filter(string_split({_NORM_SQL}, ' '),
+                                   x -> NOT regexp_matches(x, '[aeiouy]')))
+                   AS y
+        FROM documents
+    ), sums AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(s) AS BIGINT) AS n_sentences,
+               CAST(sum(y) AS BIGINT) AS n_syllables
+        FROM d GROUP BY lang
+    )
+    SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+           floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                 * 1e6 + 0.5) / 1e6 AS flesch_ease,
+           floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                  + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                  - 15.59) * 1e6 + 0.5) / 1e6 AS fk_grade
+    FROM sums ORDER BY lang
+"""

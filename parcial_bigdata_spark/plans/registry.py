@@ -1539,6 +1539,35 @@ def q_kaplan_meier(spark, sf_dir):
     return ana_ops.kaplan_meier_repurchase(_t(spark, sf_dir, "orders"))
 
 
+def q_readability(spark, sf_dir):
+    # corpus-level Flesch/FK per lang: row-local codegen counts, one
+    # |langs|-row aggregate, one IEEE score sequence
+    return text_ops.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_label_propagation(spark, sf_dir):
+    # 3-round min-label propagation communities on the REPEAT
+    # co-purchase graph (pairs bought together in >=2 orders — the
+    # unthresholded graph is one giant component, which is correct but
+    # uninformative): |E|-join + min-agg per round, checkpointed rounds
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return graph_ops.label_propagation_communities(edges)
+
+
 def q_streaming_late_audit(spark, sf_dir):
     """Ninth real-streaming oracle query: a TWO-micro-batch replay in
     deliberate event-time disorder (later half first, earlier half as
@@ -1800,6 +1829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_top_paths": q_top_paths,
     "events_theil_sen_trend": q_theil_sen,
     "orders_kaplan_meier": q_kaplan_meier,
+    "text_readability": q_readability,
+    "graph_label_propagation": q_label_propagation,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1815,6 +1846,8 @@ INTRODUCED_ROUND = {
     "events_top_paths": 12,
     "events_theil_sen_trend": 12,
     "orders_kaplan_meier": 12,
+    "text_readability": 12,
+    "graph_label_propagation": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
