@@ -639,3 +639,93 @@ def mahalanobis_outliers(
             ),
         )
     )
+
+
+def random_projection_audit(
+    embeddings: DataFrame, k: int = 8, n_buckets: int = 20
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection distance audit
+    (`embedding_random_projection`): project the embedding space to
+    ``k`` dims with a deterministic ±1 matrix (Achlioptas 2003 — the
+    database-friendly JL construction: no Gaussians, just signs), then
+    histogram the projected/original distance ratios over adjacent
+    (even, odd) vec_id pairs.  A healthy projection concentrates the
+    ratio near 1.0; this is the cheap pre-flight check before
+    committing an ANN index to the reduced space.
+
+    The sign matrix is a pure int64 function of (dim i, proj j) —
+    ``bit 16 of (i*2654435761 + j*40503) mod 2^32`` — so both engines
+    materialize the identical matrix with no stored state.
+
+    Determinism: each projected coordinate and each distance is a
+    SEQUENTIAL fold in array order (F.aggregate here, list_sum in the
+    oracle — the knn-oracle-validated pattern), so the ratio doubles
+    are bit-identical; the histogram bucket is floor(ratio·10) capped
+    at the top bucket.  Zero-distance originals (exact duplicate
+    vectors) are counted in their own row (bucket -1) rather than
+    dividing by zero.
+
+    Scale: the projection is row-local (|dims|·k multiply-adds inside
+    codegen); pairing is ONE equi-join on vec_id+1; the histogram is a
+    |buckets|-row aggregate.  No all-pairs anything."""
+    from parcial_bigdata_spark.functions.money import ratio_round  # noqa: F401
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    dim = _vec_dim(embeddings)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def sign(i, j):
+        h = F.pmod(
+            i.cast("long") * F.lit(2654435761) + F.lit(j * 40503),
+            F.lit(4294967296),
+        )
+        return F.when(
+            F.pmod(F.floor(h / F.lit(65536)), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(emb, idx, lambda v, i: v * sign(i, j)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(k)
+        ]
+    )
+    projected = iter_checkpoint(
+        embeddings.select("vec_id", emb.alias("v"), proj.alias("p"))
+    )
+    a = projected.where(F.pmod(F.col("vec_id"), F.lit(2)) == 0).select(
+        F.col("vec_id").alias("id"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    b = projected.where(F.pmod(F.col("vec_id"), F.lit(2)) == 1).select(
+        (F.col("vec_id") - 1).alias("id"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "id")
+    d_orig = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d_proj = None
+    for j in range(k):
+        term = (F.col("pa")[j] - F.col("pb")[j]) * (
+            F.col("pa")[j] - F.col("pb")[j]
+        )
+        d_proj = term if d_proj is None else d_proj + term
+    ratio = F.sqrt((d_proj / F.lit(float(k))) / d_orig)
+    bucket = F.when(d_orig <= 0, F.lit(-1)).otherwise(
+        F.least(F.floor(ratio * 10).cast("long"), F.lit(n_buckets - 1))
+    )
+    return (
+        pairs.select(bucket.alias("ratio_bucket"))
+        .groupBy("ratio_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("ratio_bucket")
+    )

@@ -233,3 +233,45 @@ ORACLES["embedding_mahalanobis_outliers"] = """
     FROM scored
     ORDER BY d2 DESC, vec_id LIMIT 20
 """
+
+
+def _jl_proj_sql(j: int) -> str:
+    """One JL projected coordinate: the same ±1 sign matrix (bit 16 of
+    (i·2654435761 + j·40503) mod 2^32, 0-based dim i) and the same
+    ascending sequential fold as the Spark F.aggregate."""
+    c = j * 40503
+    return (
+        "list_sum(list_transform(v, (x, i) -> x * ("
+        f"CASE WHEN ((((i - 1) * 2654435761 + {c}) % 4294967296) "
+        "// 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END)))"
+    )
+
+
+_JL_PROJ_LIST = ", ".join(_jl_proj_sql(j) for j in range(8))
+_JL_DPROJ = " + ".join(
+    f"(a.p[{j + 1}] - b.p[{j + 1}]) * (a.p[{j + 1}] - b.p[{j + 1}])"
+    for j in range(8)
+)
+
+# JL sign-projection distance-preservation histogram: identical int64
+# sign matrix, identical ascending folds, floor(ratio*10) buckets
+ORACLES["embedding_random_projection"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), proj AS (
+        SELECT vec_id, v, [{_JL_PROJ_LIST}] AS p FROM e
+    ), pairs AS (
+        SELECT a.v AS va, b.v AS vb,
+               list_sum(list_transform(a.v,
+                   (x, i) -> (x - b.v[i]) * (x - b.v[i]))) AS d_orig,
+               {_JL_DPROJ} AS d_proj
+        FROM proj a JOIN proj b
+          ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+    )
+    SELECT CASE WHEN d_orig <= 0 THEN -1
+                ELSE least(CAST(floor(sqrt((d_proj / 8.0) / d_orig) * 10)
+                                AS BIGINT), 19)
+           END AS ratio_bucket,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY 1 ORDER BY 1
+"""

@@ -162,3 +162,24 @@ ORACLES["streaming_late_data_audit"] = """
     FROM totals t LEFT JOIN per_type p ON p.event_type = t.event_type
     ORDER BY t.event_type
 """
+
+
+# streaming 6-hour windowed top-k: the bounded AvailableNow replay's
+# complete-mode count table equals the batch group-by (time_bucket's
+# 2000-01-01 origin and Spark's epoch window origin are both 6-hour
+# epoch multiples), then the identical rank
+ORACLES["streaming_topk_per_window"] = """
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type ASC) AS INT) AS rk
+        FROM counts
+    )
+    SELECT window_start, event_type, n_events, rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY window_start, rk
+"""

@@ -1568,6 +1568,31 @@ def q_label_propagation(spark, sf_dir):
     return graph_ops.label_propagation_communities(edges)
 
 
+def q_random_projection(spark, sf_dir):
+    # JL ±1 projection distance audit: row-local codegen projection,
+    # one vec_id+1 equi-join, |buckets|-row histogram
+    return sim_ops.random_projection_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def q_streaming_topk(spark, sf_dir):
+    """Tenth real-streaming oracle query: 6-hour tumbling (window,
+    type) counts maintained in the state store under a REAL
+    AvailableNow run, then a batch top-3 rank over the final
+    |windows|·|types| table (Structured Streaming forbids the second
+    aggregation in-stream) — hash-checked against the batch windowed
+    rank."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import (
+        topk_per_window_available_now,
+    )
+
+    tune_runtime(spark)
+    return topk_per_window_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_streaming_late_audit(spark, sf_dir):
     """Ninth real-streaming oracle query: a TWO-micro-batch replay in
     deliberate event-time disorder (later half first, earlier half as
@@ -1831,6 +1856,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_kaplan_meier": q_kaplan_meier,
     "text_readability": q_readability,
     "graph_label_propagation": q_label_propagation,
+    "embedding_random_projection": q_random_projection,
+    "streaming_topk_per_window": q_streaming_topk,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1848,6 +1875,8 @@ INTRODUCED_ROUND = {
     "orders_kaplan_meier": 12,
     "text_readability": 12,
     "graph_label_propagation": 12,
+    "embedding_random_projection": 12,
+    "streaming_topk_per_window": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,

@@ -480,3 +480,54 @@ def late_data_audit(
         )
         .orderBy("event_type")
     )
+
+
+def streaming_window_type_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked 6-hour tumbling (window, event_type) counts — the
+    STATEFUL half of the streaming top-k (`streaming_topk_per_window`).
+    Structured Streaming forbids a second aggregation (the rank) in
+    the same query, so the stream maintains the count state and the
+    rank runs as a batch step on the final table — the standard
+    pattern (the alternative, arbitrary stateful top-k via
+    applyInPandasWithState, buys nothing on a count-based key metric
+    and loses the mergeable-aggregate state format)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def topk_per_window_available_now(
+    spark, events_parquet: str, k: int = 3
+) -> DataFrame:
+    """streaming_topk_per_window under AvailableNow: a REAL streaming
+    run maintains the 6-hour (window, type) counts in the state store
+    (complete-mode memory sink — every window emits at termination on
+    a bounded replay, so the table equals the batch group-by); the
+    top-k rank then runs once over that |windows|·|types| final table
+    (a bounded dimension frame: the window partition never exceeds
+    |types| rows).  Shares the batch windowed-rank SQL oracle."""
+    from pyspark.sql import Window as W
+
+    counts = _run_available_now(
+        spark,
+        events_parquet,
+        streaming_window_type_counts,
+        "stream_topk_window_result",
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(k))
+        .orderBy("window_start", "rk")
+    )
