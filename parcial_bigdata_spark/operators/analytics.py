@@ -1780,3 +1780,201 @@ def kaplan_meier_repurchase(
         "n_censored",
         ratio_round(surv, 6).alias("survival"),
     ).orderBy("bin_start_days")
+
+
+def welch_ttest_by_status(
+    orders: DataFrame, group_a: str = "F", group_b: str = "O"
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two order-status
+    populations on order value (`stats_welch_ttest`) — the comparison
+    a finance analyst runs before claiming "fulfilled orders are
+    bigger": means, Welch t statistic, and the Welch–Satterthwaite
+    degrees of freedom (Welch 1947).
+
+    Exactness: per-group n is an integer; sum(price) rides
+    DECIMAL(18,2) and sum(price²) DECIMAL(38,4) — both EXACT, so the
+    shuffle's partial-sum order cannot perturb them.  Mean, sample
+    variance (Q − S·(S/n))/(n−1), t, and dof are then ONE fixed IEEE
+    sequence over those exact sums, rounded via ratio_round(6).
+
+    Scale: a single map-side-combining 2-group aggregate over the
+    scan, then a broadcast single-row cross — no window, no skew
+    surface."""
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    per = (
+        orders.where(F.col("o_orderstatus").isin(group_a, group_b))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).alias("s"),
+            F.sum((price * price).cast("decimal(38,4)")).alias("q"),
+        )
+    )
+
+    def _side(tag: str, status: str):
+        return per.where(F.col("o_orderstatus") == status).select(
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s").alias(f"s_{tag}"),
+            F.col("q").alias(f"q_{tag}"),
+        )
+
+    j = _side("a", group_a).crossJoin(F.broadcast(_side("b", group_b)))
+
+    def _stats(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        q = F.col(f"q_{tag}").cast("double")
+        mean = s / n
+        var = (q - s * (s / n)) / (n - F.lit(1.0))
+        return n, mean, var
+
+    na, ma, va = _stats("a")
+    nb, mb, vb = _stats("b")
+    sa, sb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (na - F.lit(1.0)) + sb * sb / (nb - F.lit(1.0))
+    )
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        ratio_round(ma, 6).alias("mean_a"),
+        ratio_round(mb, 6).alias("mean_b"),
+        ratio_round(va, 6).alias("var_a"),
+        ratio_round(vb, 6).alias("var_b"),
+        ratio_round(t, 6).alias("t_stat"),
+        ratio_round(dof, 6).alias("welch_dof"),
+        (F.abs(t) > F.lit(1.959964)).alias("significant_95"),
+    )
+
+
+def poisson_rate_test(events: DataFrame, split_day: int = 16) -> DataFrame:
+    """Two-period Poisson rate test per event type
+    (`events_poisson_rate_test`): compare each type's event rate in the
+    first vs second half of the observed month with the conditional
+    binomial z statistic (c1 − E)/√(c1·c2/(c1+c2) form reduced for
+    equal exposure: z = (c1 − c2)/√(c1 + c2)) — the incident-rate step
+    detector an SRE dashboard runs per error class.
+
+    Exposure symmetry: days [1, split_day) vs [split_day, 2·split_day−1)
+    — both windows are exactly split_day−1 days, so the equal-exposure
+    reduction is exact, not approximate.
+
+    Exactness: both counts are integers; rate ratio and z are single
+    IEEE sequences over them, rounded via ratio_round(6).  Types absent
+    from a period contribute a true 0 (conditional z undefined only
+    when both counts are 0, reported NULL).
+
+    Scale: one map-side-combining (type) aggregate with two conditional
+    counts — the scan is the whole cost."""
+    dom = F.dayofmonth(F.col("ts"))
+    lo, hi = split_day, 2 * split_day - 1
+    per = (
+        events.where(dom < F.lit(hi))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(dom < F.lit(lo), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(dom >= F.lit(lo), 1).otherwise(0)).alias("c2"),
+        )
+    )
+    c1, c2 = F.col("c1").cast("double"), F.col("c2").cast("double")
+    tot = F.col("c1") + F.col("c2")
+    z = (c1 - c2) / F.sqrt(c1 + c2)
+    return per.select(
+        "event_type",
+        "c1",
+        "c2",
+        F.when(F.col("c2") > 0, ratio_round(c1 / c2, 6)).alias("rate_ratio"),
+        F.when(tot > 0, ratio_round(z, 6)).alias("z_score"),
+        F.when(tot > 0, F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    ).orderBy("event_type")
+
+
+def cusum_alarms(
+    events: DataFrame,
+    baseline_days: int = 14,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """One-sided standardized CUSUM over the daily count series per
+    event type (`events_cusum_alarm`): s_i = max(0, s_{i−1} +
+    (x_i − μ)/σ − k), alarm when s_i > h (Page 1954) — the sequential
+    step detector that fires persistent-shift alarms a single-day
+    z-score misses.
+
+    μ and σ come from the first `baseline_days` days of each type's
+    DENSE daily grid (missing days are true zeros): S and Q are exact
+    integer sums, μ = S/n, σ² = (Q − S·(S/n))/(n−1) — ONE fixed IEEE
+    sequence both engines reproduce.  The recursion itself is
+    inherently sequential PER TYPE, so it runs inside ONE
+    applyInPandas group per event type over the |days|-row
+    post-aggregation series — the documented dimension-sized-frame
+    pattern; the fact-table cost is the single (type, day) count
+    aggregate.  The DuckDB oracle replays the identical recursion with
+    a recursive CTE; both sides round s through 6 dp at the output
+    edge only (the carried state stays full-precision).
+
+    Types whose baseline variance is 0 (a constant first fortnight)
+    have no standardized scale and are reported with NULL cusum/alarm
+    rather than an arbitrary fallback."""
+    import math
+
+    import pandas as pd
+
+    day = F.date_trunc("day", F.col("ts"))
+    counts = events.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    series = (
+        bounds.select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+
+    out_schema = (
+        "event_type string, d timestamp, c long, cusum double, alarm boolean"
+    )
+    n_base = baseline_days
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        xs = pdf["c"].astype("int64")
+        base = xs.iloc[:n_base]
+        n = len(base)
+        s_sum = int(base.sum())
+        q_sum = int((base * base).sum())
+        if n < 2:
+            var = 0.0
+            mu = float(s_sum)
+        else:
+            mu = s_sum / n
+            var = (q_sum - s_sum * (s_sum / n)) / (n - 1)
+        if var <= 0.0:
+            pdf["cusum"] = None
+            pdf["alarm"] = None
+            return pdf
+        sigma = var ** 0.5
+        s = 0.0
+        cus, alarms = [], []
+        for x in xs:
+            s = s + (x - mu) / sigma - k
+            if s < 0.0:
+                s = 0.0
+            # the ratio_round floor form — engine-consistent at halves
+            cus.append(math.floor(s * 1e6 + 0.5) / 1e6)
+            alarms.append(s > h)
+        pdf["cusum"] = cus
+        pdf["alarm"] = alarms
+        return pdf
+
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(_scan, schema=out_schema)
+        .orderBy("event_type", "d")
+    )

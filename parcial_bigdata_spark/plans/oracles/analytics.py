@@ -944,3 +944,128 @@ ORACLES["orders_kaplan_meier"] = """
            floor(s * 1e6 + 0.5) / 1e6 AS survival
     FROM surv ORDER BY bin_start_days
 """
+
+ORACLES["stats_welch_ttest"] = """
+    WITH per AS (
+        SELECT o_orderstatus,
+               count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                        * CAST(o_totalprice AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) AS q
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY o_orderstatus
+    ), j AS (
+        SELECT a.n AS n_a, CAST(a.s AS DOUBLE) AS s_a,
+               CAST(a.q AS DOUBLE) AS q_a,
+               b.n AS n_b, CAST(b.s AS DOUBLE) AS s_b,
+               CAST(b.q AS DOUBLE) AS q_b
+        FROM (SELECT * FROM per WHERE o_orderstatus = 'F') a,
+             (SELECT * FROM per WHERE o_orderstatus = 'O') b
+    ), stats AS (
+        SELECT n_a, n_b,
+               s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+               (q_a - s_a * (s_a / n_a)) / (n_a - 1.0) AS var_a,
+               (q_b - s_b * (s_b / n_b)) / (n_b - 1.0) AS var_b
+        FROM j
+    ), t AS (
+        SELECT *,
+               var_a / n_a AS sa, var_b / n_b AS sb,
+               (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS tt
+        FROM stats
+    )
+    SELECT n_a, n_b,
+           floor(mean_a * 1e6 + 0.5) / 1e6 AS mean_a,
+           floor(mean_b * 1e6 + 0.5) / 1e6 AS mean_b,
+           floor(var_a * 1e6 + 0.5) / 1e6 AS var_a,
+           floor(var_b * 1e6 + 0.5) / 1e6 AS var_b,
+           floor(tt * 1e6 + 0.5) / 1e6 AS t_stat,
+           floor((sa + sb) * (sa + sb)
+                 / (sa * sa / (n_a - 1.0) + sb * sb / (n_b - 1.0))
+                 * 1e6 + 0.5) / 1e6 AS welch_dof,
+           abs(tt) > 1.959964 AS significant_95
+    FROM t
+"""
+
+ORACLES["events_poisson_rate_test"] = """
+    WITH per AS (
+        SELECT event_type,
+               sum(CASE WHEN day(ts) < 16 THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS c2
+        FROM events WHERE day(ts) < 31
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CASE WHEN c2 > 0 THEN floor(CAST(c1 AS DOUBLE) / c2 * 1e6 + 0.5)
+                / 1e6 END AS rate_ratio,
+           CASE WHEN c1 + c2 > 0
+                THEN floor((CAST(c1 AS DOUBLE) - c2)
+                           / sqrt(CAST(c1 AS DOUBLE) + c2) * 1e6 + 0.5) / 1e6
+           END AS z_score,
+           CASE WHEN c1 + c2 > 0
+                THEN abs((CAST(c1 AS DOUBLE) - c2)
+                         / sqrt(CAST(c1 AS DOUBLE) + c2)) > 1.959964
+           END AS significant_95
+    FROM per ORDER BY event_type
+"""
+
+# Page's one-sided CUSUM: the recursion is replayed with a recursive
+# CTE carrying full-precision state; output rounds via the floor form.
+# Baseline mu/sigma use the IDENTICAL IEEE sequence as the Spark
+# twin's pandas scan: mu = S/n, var = (Q - S*(S/n))/(n-1).
+ORACLES["events_cusum_alarm"] = """
+    WITH RECURSIVE counts AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    ), series AS (
+        SELECT g.event_type, g.d, coalesce(c.c, 0) AS c,
+               row_number() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.d) AS rn
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.d = c.d
+    ), base AS (
+        SELECT event_type, count(*) AS n,
+               sum(c) AS s_sum, sum(c * c) AS q_sum
+        FROM series WHERE rn <= 14 GROUP BY event_type
+    ), params AS (
+        SELECT event_type,
+               CAST(s_sum AS DOUBLE) / n AS mu,
+               CASE WHEN n >= 2
+                    THEN (CAST(q_sum AS DOUBLE)
+                          - s_sum * (CAST(s_sum AS DOUBLE) / n)) / (n - 1)
+                    ELSE 0.0 END AS var
+        FROM base
+    ), ok AS (
+        SELECT event_type, mu, sqrt(var) AS sigma FROM params WHERE var > 0
+    ), scan AS (
+        SELECT s.event_type, s.d, s.c, s.rn,
+               greatest(0.0, (CAST(s.c AS DOUBLE) - o.mu) / o.sigma - 0.5)
+                   AS state
+        FROM series s JOIN ok o ON s.event_type = o.event_type
+        WHERE s.rn = 1
+        UNION ALL
+        SELECT s.event_type, s.d, s.c, s.rn,
+               greatest(0.0, p.state
+                             + (CAST(s.c AS DOUBLE) - o.mu) / o.sigma - 0.5)
+        FROM scan p
+        JOIN series s ON s.event_type = p.event_type AND s.rn = p.rn + 1
+        JOIN ok o ON s.event_type = o.event_type
+    )
+    SELECT event_type, d, CAST(c AS BIGINT) AS c,
+           floor(state * 1e6 + 0.5) / 1e6 AS cusum,
+           state > 4.0 AS alarm
+    FROM scan
+    UNION ALL
+    SELECT s.event_type, s.d, CAST(s.c AS BIGINT) AS c,
+           NULL AS cusum, NULL AS alarm
+    FROM series s JOIN params p ON s.event_type = p.event_type
+    WHERE p.var <= 0
+    ORDER BY event_type, d
+"""

@@ -1608,6 +1608,26 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_welch_ttest(spark, sf_dir):
+    # Welch unequal-variance t-test F vs O order values: exact decimal
+    # moment sums, one IEEE t/dof sequence, broadcast single-row cross
+    return ana_ops.welch_ttest_by_status(_t(spark, sf_dir, "orders"))
+
+
+def q_poisson_rate_test(spark, sf_dir):
+    # equal-exposure two-period Poisson rate z per event type: one
+    # conditional-count aggregate, integer inputs to one IEEE sequence
+    return ana_ops.poisson_rate_test(_t(spark, sf_dir, "events"))
+
+
+def q_cusum_alarm(spark, sf_dir):
+    # Page's one-sided CUSUM per event type on the dense daily grid:
+    # fact cost is one (type, day) count; the sequential scan runs
+    # applyInPandas per type over the |days|-row series (recursive-CTE
+    # oracle replays the identical IEEE recursion)
+    return ana_ops.cusum_alarms(_t(spark, sf_dir, "events"))
+
+
 # Dict order matters: the correctness driver checks the FIRST 50 entries.
 # Round-6 rotation (per the round-5 verdict item 1): the reference-parity
 # core keeps its row every round; the full 22-query TPC-H block and the
@@ -1858,6 +1878,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_label_propagation": q_label_propagation,
     "embedding_random_projection": q_random_projection,
     "streaming_topk_per_window": q_streaming_topk,
+    "stats_welch_ttest": q_welch_ttest,
+    "events_poisson_rate_test": q_poisson_rate_test,
+    "events_cusum_alarm": q_cusum_alarm,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1877,6 +1900,9 @@ INTRODUCED_ROUND = {
     "graph_label_propagation": 12,
     "embedding_random_projection": 12,
     "streaming_topk_per_window": 12,
+    "stats_welch_ttest": 12,
+    "events_poisson_rate_test": 12,
+    "events_cusum_alarm": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
