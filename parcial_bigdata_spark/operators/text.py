@@ -1397,3 +1397,113 @@ def readability_scores(documents: DataFrame) -> DataFrame:
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     ).orderBy("lang")
+
+
+def boilerplate_ngrams(
+    documents: DataFrame, n: int = 5, min_docs: int = 2, top_k: int = 20
+) -> DataFrame:
+    """Cross-document boilerplate n-gram census
+    (`text_boilerplate_ngrams`): word ``n``-grams appearing in at least
+    ``min_docs`` DISTINCT documents, ranked by document frequency — the
+    diagnostic behind C4-style boilerplate stripping (Raffel 2020 §2.2
+    removed lines repeated across the crawl; with newline-free corpora
+    the shingle is the unit).  The survivors are navigation chrome,
+    legal footers, and template text a curator strips before training.
+
+    Dedup-per-doc FIRST (array_distinct on the row-local gram array),
+    so the groupBy count IS the distinct-doc frequency — no
+    countDistinct expand against the exploded stream.  Ranking is
+    (doc_freq DESC, gram ASC): fully deterministic.
+
+    Scale: the gram stream is the only high-cardinality shuffle
+    (map-side combined); TakeOrdered keeps the top-k selection
+    driver-bounded at k, and the share denominator rides a broadcast
+    single-row count."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    ws = words(normalized(F.col("text")))
+    staged = documents.select("doc_id", ws.alias("ws")).select(
+        "doc_id", "ws", F.size("ws").alias("nw")
+    )
+    # sequence(1, nw-n+1) would COUNT DOWN when nw < n (Spark infers
+    # step -1); guard short docs to an empty gram array explicitly
+    grams = F.when(
+        F.col("nw") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nw") - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    freq = (
+        staged.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_docs)
+        .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
+    total = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    return freq.crossJoin(F.broadcast(total)).select(
+        "gram",
+        "doc_freq",
+        ratio_round(
+            F.col("doc_freq").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("doc_share"),
+    ).orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+
+
+def js_divergence_by_source(documents: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    from the corpus distribution (`text_js_divergence`) — the standard
+    bounded drift metric ([0, 1] in log2) a curation pipeline tracks
+    per crawl slice; a source whose JSD jumps got a template change or
+    an injection (Lin 1991).
+
+    JSD(P‖Q) = ½·Σ p·log2(p/m) + ½·Σ q·log2(q/m), m = (p+q)/2, with P
+    the source and Q the corpus distribution.  Words ABSENT from the
+    source contribute exactly ½·q·log2(2) = ½·q, so the out-of-source
+    tail collapses to ½·(1 − Σ_{w∈S} q_w) — no anti-join against the
+    vocabulary is needed.
+
+    Scale: one (source, word) count aggregate over the exploded stream
+    (map-side combined); the corpus and source totals are WINDOW sums
+    over that same |sources|·|vocab| frame (partition sizes are
+    bounded by |sources| and |vocab of one source| — never fact-sized;
+    no broadcast of the web-scale vocabulary, no re-aggregation of the
+    exploded stream), and the 1-row corpus total is a broadcast cross.
+    Like the sibling zipf/entropy fits, the per-word double terms are
+    group-summed and rounded at the output edge (4 dp)."""
+    w = documents.select(
+        "source",
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    sc = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    enriched = sc.select(
+        "source",
+        "word",
+        "c",
+        F.sum("c").over(Window.partitionBy("word")).alias("cc"),
+        F.sum("c").over(Window.partitionBy("source")).alias("st"),
+    )
+    corpus_tot = sc.groupBy().agg(F.sum("c").alias("ct"))
+    joined = enriched.crossJoin(F.broadcast(corpus_tot))
+    p = F.col("c").cast("double") / F.col("st").cast("double")
+    q = F.col("cc").cast("double") / F.col("ct").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * p * F.log2(p / m) + F.lit(0.5) * q * F.log2(q / m)
+    per = joined.groupBy("source").agg(
+        F.max("st").alias("n_words"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(term).alias("in_mass"),
+        F.sum(q).alias("q_cov"),
+    )
+    jsd = F.col("in_mass") + F.lit(0.5) * (F.lit(1.0) - F.col("q_cov"))
+    return per.select(
+        "source",
+        F.col("n_words").cast("long").alias("n_words"),
+        "vocab",
+        F.round(jsd, 4).alias("jsd"),
+    ).orderBy("source")

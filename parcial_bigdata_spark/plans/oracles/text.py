@@ -532,3 +532,58 @@ ORACLES["text_readability"] = f"""
                   - 15.59) * 1e6 + 0.5) / 1e6 AS fk_grade
     FROM sums ORDER BY lang
 """
+
+ORACLES["text_boilerplate_ngrams"] = f"""
+    WITH staged AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' ')
+            ))) AS gram
+        FROM staged WHERE len(ws) >= 5
+    ), freq AS (
+        SELECT gram, count(*) AS doc_freq FROM grams GROUP BY gram
+        HAVING count(*) >= 2
+        ORDER BY doc_freq DESC, gram ASC LIMIT 20
+    )
+    SELECT gram, CAST(doc_freq AS BIGINT) AS doc_freq,
+           floor(CAST(doc_freq AS DOUBLE)
+                 / (SELECT count(*) FROM documents) * 1e6 + 0.5) / 1e6
+               AS doc_share
+    FROM freq ORDER BY doc_freq DESC, gram ASC
+"""
+
+ORACLES["text_js_divergence"] = f"""
+    WITH w AS (
+        SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+    ), sc AS (
+        SELECT source, word, count(*) AS c FROM w
+        WHERE word <> '' GROUP BY source, word
+    ), corpus AS (
+        SELECT word, sum(c) AS cc FROM sc GROUP BY word
+    ), tot AS (
+        SELECT CAST(sum(cc) AS DOUBLE) AS ct FROM corpus
+    ), st AS (
+        SELECT source, sum(c) AS st FROM sc GROUP BY source
+    ), terms AS (
+        SELECT s.source,
+               CAST(s.c AS DOUBLE) / CAST(st.st AS DOUBLE) AS p,
+               CAST(g.cc AS DOUBLE) / tot.ct AS q
+        FROM sc s
+        JOIN corpus g USING (word)
+        JOIN st USING (source),
+             tot
+    )
+    SELECT t.source,
+           CAST(st.st AS BIGINT) AS n_words,
+           count(*) AS vocab,
+           round(sum(0.5 * p * log2(p / ((p + q) / 2.0))
+                     + 0.5 * q * log2(q / ((p + q) / 2.0)))
+                 + 0.5 * (1.0 - sum(q)), 4) AS jsd
+    FROM terms t JOIN st ON t.source = st.source
+    GROUP BY t.source, st.st ORDER BY t.source
+"""

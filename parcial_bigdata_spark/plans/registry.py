@@ -1608,6 +1608,19 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    # C4-style cross-doc boilerplate 5-gram census: row-local distinct
+    # gram arrays, one map-side-combined gram count, TakeOrdered top-k
+    return text_ops.boilerplate_ngrams(_t(spark, sf_dir, "documents"))
+
+
+def q_js_divergence(spark, sf_dir):
+    # per-source vs corpus unigram Jensen-Shannon drift: one (source,
+    # word) aggregate, vocab-sized shuffle join, closed-form out-of-
+    # source tail (no vocabulary anti-join)
+    return text_ops.js_divergence_by_source(_t(spark, sf_dir, "documents"))
+
+
 def q_welch_ttest(spark, sf_dir):
     # Welch unequal-variance t-test F vs O order values: exact decimal
     # moment sums, one IEEE t/dof sequence, broadcast single-row cross
@@ -1881,6 +1894,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_welch_ttest": q_welch_ttest,
     "events_poisson_rate_test": q_poisson_rate_test,
     "events_cusum_alarm": q_cusum_alarm,
+    "text_boilerplate_ngrams": q_boilerplate_ngrams,
+    "text_js_divergence": q_js_divergence,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1903,6 +1918,8 @@ INTRODUCED_ROUND = {
     "stats_welch_ttest": 12,
     "events_poisson_rate_test": 12,
     "events_cusum_alarm": 12,
+    "text_boilerplate_ngrams": 12,
+    "text_js_divergence": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
