@@ -612,3 +612,83 @@ def label_propagation_communities(
         .limit(int(k))
     )
     return out
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction
+    (`graph_common_neighbors`): for NON-adjacent node pairs, count
+    shared neighbors and score Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| —
+    the classic "who should be connected" ranking (Liben-Nowell &
+    Kleinberg 2003); on the co-purchase graph it is the
+    market-basket recommendation candidate list.
+
+    Scale: the wedge join (u—z—v through each middle node z) is
+    quadratic in z's degree, so nodes with degree > ``max_degree``
+    are EXCLUDED as wedge middles (the standard hub cap — same
+    posture as the LSH 64-member bucket cap: a hub's wedge set is
+    recommendation noise anyway; the cap bounds per-key fanout at
+    max_degree², making the join skew-proof).  The cap is part of the
+    operator's declared semantics and the oracle replays it.
+    Adjacent pairs are removed with a broadcast-free left_anti join on
+    the canonical edge set; degrees are FULL degrees (the cap filters
+    wedge middles, not score inputs).
+
+    Determinism: counts and degrees are integers; Jaccard is one IEEE
+    division rounded at the edge; ranking is (common desc, jaccard
+    desc, u asc, v asc) — a total order."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    ed = iter_checkpoint(_canonical_undirected(edges, src, dst))
+    both = ed.unionByName(
+        ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    mids = deg.where(F.col("deg") <= max_degree).select(
+        F.col("u").alias("z")
+    )
+    half = both.select(F.col("v").alias("z"), F.col("u").alias("n")).join(
+        mids, "z"
+    )
+    wedges = (
+        half.select("z", F.col("n").alias("a"))
+        .join(half.select("z", F.col("n").alias("b")), "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = wedges.join(
+        ed,
+        (wedges["a"] == ed["u"]) & (wedges["b"] == ed["v"]),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b")), "b")
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("common")
+    ).cast("double")
+    return (
+        scored.select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "common",
+            F.col("deg_a").cast("long").alias("deg_u"),
+            F.col("deg_b").cast("long").alias("deg_v"),
+            ratio_round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("common").desc(),
+            F.col("jaccard").desc(),
+            F.col("u").asc(),
+            F.col("v").asc(),
+        )
+        .limit(k)
+    )

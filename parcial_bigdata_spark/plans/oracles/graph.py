@@ -179,3 +179,37 @@ ORACLES["graph_label_propagation"] = """
     FROM l3 GROUP BY lab
     ORDER BY n_members DESC, community_id ASC LIMIT 20
 """
+
+ORACLES["graph_common_neighbors"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), ed AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), sym AS (
+        SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed
+    ), deg AS (
+        SELECT u, count(*) AS deg FROM sym GROUP BY u
+    ), half AS (
+        SELECT b.v AS z, b.u AS n FROM sym b
+        WHERE b.v IN (SELECT u FROM deg WHERE deg <= 64)
+    ), wedges AS (
+        SELECT h1.n AS a, h2.n AS b, count(*) AS common
+        FROM half h1 JOIN half h2 ON h1.z = h2.z AND h1.n < h2.n
+        GROUP BY h1.n, h2.n
+    ), cand AS (
+        SELECT w.* FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM ed
+                          WHERE ed.u = w.a AND ed.v = w.b)
+    )
+    SELECT c.a AS u, c.b AS v, CAST(c.common AS BIGINT) AS common,
+           CAST(da.deg AS BIGINT) AS deg_u, CAST(db.deg AS BIGINT) AS deg_v,
+           floor(CAST(c.common AS DOUBLE)
+                 / (da.deg + db.deg - c.common) * 1e6 + 0.5) / 1e6
+               AS jaccard
+    FROM cand c
+    JOIN deg da ON da.u = c.a
+    JOIN deg db ON db.u = c.b
+    ORDER BY common DESC, jaccard DESC, u ASC, v ASC
+    LIMIT 20
+"""

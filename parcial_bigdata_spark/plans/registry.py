@@ -1608,6 +1608,13 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_common_neighbors(spark, sf_dir):
+    # Jaccard/common-neighbor link prediction on the co-purchase graph:
+    # hub-capped wedge join (fanout <= cap^2), left_anti on existing
+    # edges, total-order top-k
+    return graph_ops.common_neighbor_scores(_copurchase_edges(spark, sf_dir))
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     # C4-style cross-doc boilerplate 5-gram census: row-local distinct
     # gram arrays, one map-side-combined gram count, TakeOrdered top-k
@@ -1896,6 +1903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_alarm": q_cusum_alarm,
     "text_boilerplate_ngrams": q_boilerplate_ngrams,
     "text_js_divergence": q_js_divergence,
+    "graph_common_neighbors": q_common_neighbors,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1920,6 +1928,7 @@ INTRODUCED_ROUND = {
     "events_cusum_alarm": 12,
     "text_boilerplate_ngrams": 12,
     "text_js_divergence": 12,
+    "graph_common_neighbors": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,

@@ -95,6 +95,13 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # totals + four per-quantile 1-row point aggregates — never
         # fact-sized
         "customers_pareto_share": (2, 8),
+        # wedge-join link prediction is a genuine multi-stage graph
+        # pipeline: edge canonicalization, symmetric degree agg, the
+        # hub-capped wedge self-join, the existing-edge anti join, and
+        # two degree re-joins — each stage keyed on a DIFFERENT column
+        # (o, node, z, (a,b)), so no partitioning can be reused; every
+        # exchange carries at most the capped wedge stream
+        "graph_common_neighbors": (10, 0),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()
