@@ -780,3 +780,54 @@ def nation_supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
         )
         .orderBy("n_name")
     )
+
+
+def price_elasticity_by_brand(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Log-log OLS price-elasticity estimate per brand
+    (`parts_price_elasticity`): regress ln(quantity) on ln(retail
+    price) across each brand's line items — slope = elasticity, the
+    pricing-analytics staple (a slope near −1 means unit-elastic
+    demand; TPC-H's generator draws quantity independent of price, so
+    the expected slope is ≈ 0 with a diagnosable r²).
+
+    One fact-side projection computes both logs row-locally; ONE
+    map-side-combining brand aggregate collects the five regression
+    moments (n, Σx, Σy, Σxy, Σx²) plus Σy² for r².  Like the sibling
+    zipf fit, the double moment sums are group-aggregated and the
+    slope/intercept/r² are rounded at the output edge (4 dp) — the
+    moments are O(1e5)-magnitude doubles whose summation-order jitter
+    is ~1e-11 relative, invisible at 4 dp.
+
+    Scale: the part join is keyed on p_partkey (broadcast when small,
+    shuffle otherwise — Catalyst's call); everything after the join is
+    a single aggregate to the |brands| grain."""
+    j = lineitem.select("l_partkey", "l_quantity").join(
+        part.select("p_partkey", "p_brand", "p_retailprice"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    x = F.log(F.col("p_retailprice"))
+    y = F.log(F.col("l_quantity"))
+    per = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = cov * cov / (varx * vary)
+    return per.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(slope, 4).alias("elasticity"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    ).orderBy("p_brand")

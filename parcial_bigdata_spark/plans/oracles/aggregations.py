@@ -199,3 +199,24 @@ ORACLES["approx_percentile_value_by_type"] = """
            1 AS p50_ok, 1 AS p90_ok
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+ORACLES["parts_price_elasticity"] = """
+    WITH m AS (
+        SELECT p_brand, count(*) AS n,
+               sum(ln(p_retailprice)) AS sx,
+               sum(ln(l_quantity)) AS sy,
+               sum(ln(p_retailprice) * ln(l_quantity)) AS sxy,
+               sum(ln(p_retailprice) * ln(p_retailprice)) AS sxx,
+               sum(ln(l_quantity) * ln(l_quantity)) AS syy
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4)
+               AS elasticity,
+           round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n,
+                 4) AS intercept,
+           round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+    FROM m ORDER BY p_brand
+"""

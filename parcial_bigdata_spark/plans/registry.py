@@ -1608,6 +1608,14 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_price_elasticity(spark, sf_dir):
+    # log-log OLS elasticity per brand: row-local logs, one map-side
+    # combined 6-moment brand aggregate after the partkey join
+    return agg_ops.price_elasticity_by_brand(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
 def q_common_neighbors(spark, sf_dir):
     # Jaccard/common-neighbor link prediction on the co-purchase graph:
     # hub-capped wedge join (fanout <= cap^2), left_anti on existing
@@ -1904,6 +1912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_boilerplate_ngrams": q_boilerplate_ngrams,
     "text_js_divergence": q_js_divergence,
     "graph_common_neighbors": q_common_neighbors,
+    "parts_price_elasticity": q_price_elasticity,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1929,6 +1938,7 @@ INTRODUCED_ROUND = {
     "text_boilerplate_ngrams": 12,
     "text_js_divergence": 12,
     "graph_common_neighbors": 12,
+    "parts_price_elasticity": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
