@@ -1978,3 +1978,92 @@ def cusum_alarms(
         .applyInPandas(_scan, schema=out_schema)
         .orderBy("event_type", "d")
     )
+
+
+def holt_linear_smoothing(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt's double-exponential (level + trend) smoothing over the
+    daily count series per event type (`events_holt_forecast`), with an
+    ``horizon``-day linear forecast from the final state (Holt 1957) —
+    the first real forecaster above the seasonal-naive baseline
+    (`events_seasonal_forecast`) in any capacity-planning stack.
+
+    Initialization is the textbook pair: level₀ = x₀, trend₀ = x₁ − x₀;
+    smoothing starts at the THIRD day.  α and β are dyadic rationals
+    (0.5, 0.25), so every smoothing step is an exact-at-the-edges IEEE
+    sequence both engines replay bit-identically; the recursion is
+    inherently sequential per type and runs applyInPandas over the
+    |days|-row dense daily grid (missing days are true zeros) — the
+    same dimension-sized-frame pattern as `events_cusum_alarm`, with a
+    recursive-CTE DuckDB oracle carrying (level, trend) state.  Output
+    rounds through the floor form at the edge only.
+
+    Types with fewer than 2 observed days cannot initialize a trend
+    and are omitted (at any realistic scale every type has a month)."""
+    import math
+
+    import pandas as pd
+
+    day = F.date_trunc("day", F.col("ts"))
+    counts = events.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    series = (
+        bounds.select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+
+    out_schema = (
+        "event_type string, horizon_days int, level double, trend double,"
+        " forecast double"
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        xs = pdf["c"].astype("int64").tolist()
+        if len(xs) < 2:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype="object"),
+                    "horizon_days": pd.Series(dtype="int32"),
+                    "level": pd.Series(dtype="float64"),
+                    "trend": pd.Series(dtype="float64"),
+                    "forecast": pd.Series(dtype="float64"),
+                }
+            )
+        level = float(xs[0])
+        trend = float(xs[1] - xs[0])
+        for x in xs[2:]:
+            prev = level
+            level = alpha * x + (1.0 - alpha) * (level + trend)
+            trend = beta * (level - prev) + (1.0 - beta) * trend
+        et = pdf["event_type"].iloc[0]
+        rows = [
+            {
+                "event_type": et,
+                "horizon_days": h,
+                "level": math.floor(level * 1e6 + 0.5) / 1e6,
+                "trend": math.floor(trend * 1e6 + 0.5) / 1e6,
+                "forecast": math.floor((level + h * trend) * 1e6 + 0.5)
+                / 1e6,
+            }
+            for h in range(1, horizon + 1)
+        ]
+        return pd.DataFrame(rows)
+
+    return (
+        series.groupBy("event_type")
+        .applyInPandas(_fit, schema=out_schema)
+        .orderBy("event_type", "horizon_days")
+    )

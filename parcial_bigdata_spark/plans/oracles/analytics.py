@@ -1069,3 +1069,51 @@ ORACLES["events_cusum_alarm"] = """
     WHERE p.var <= 0
     ORDER BY event_type, d
 """
+
+# Holt's linear smoothing: recursive CTE carries (level, trend) in full
+# precision through the IDENTICAL dyadic-coefficient IEEE sequence as
+# the Spark twin's pandas scan; floor-form rounding at the edge only.
+ORACLES["events_holt_forecast"] = """
+    WITH RECURSIVE counts AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    ), series AS (
+        SELECT g.event_type, coalesce(c.c, 0) AS c,
+               row_number() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.d) AS rn
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.d = c.d
+    ), scan AS (
+        SELECT s1.event_type, CAST(2 AS BIGINT) AS rn,
+               CAST(s1.c AS DOUBLE) AS level,
+               CAST(s2.c - s1.c AS DOUBLE) AS trend
+        FROM series s1 JOIN series s2
+          ON s1.event_type = s2.event_type AND s1.rn = 1 AND s2.rn = 2
+        UNION ALL
+        SELECT s.event_type, s.rn,
+               0.5 * CAST(s.c AS DOUBLE) + 0.5 * (p.level + p.trend),
+               0.25 * ((0.5 * CAST(s.c AS DOUBLE)
+                        + 0.5 * (p.level + p.trend)) - p.level)
+                   + 0.75 * p.trend
+        FROM scan p JOIN series s
+          ON s.event_type = p.event_type AND s.rn = p.rn + 1
+    ), finals AS (
+        SELECT sc.event_type, sc.level, sc.trend
+        FROM scan sc
+        JOIN (SELECT event_type, max(rn) AS mx FROM series
+              GROUP BY event_type) m
+          ON sc.event_type = m.event_type AND sc.rn = m.mx
+    )
+    SELECT event_type, CAST(h AS INTEGER) AS horizon_days,
+           floor(level * 1e6 + 0.5) / 1e6 AS level,
+           floor(trend * 1e6 + 0.5) / 1e6 AS trend,
+           floor((level + h * trend) * 1e6 + 0.5) / 1e6 AS forecast
+    FROM finals, unnest(generate_series(1, 7)) AS t(h)
+    ORDER BY event_type, horizon_days
+"""

@@ -1608,6 +1608,13 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_holt_forecast(spark, sf_dir):
+    # Holt level+trend smoothing per type on the dense daily grid:
+    # dyadic coefficients make the sequential recursion bit-identical
+    # cross-engine; applyInPandas per type, recursive-CTE oracle
+    return ana_ops.holt_linear_smoothing(_t(spark, sf_dir, "events"))
+
+
 def q_price_elasticity(spark, sf_dir):
     # log-log OLS elasticity per brand: row-local logs, one map-side
     # combined 6-moment brand aggregate after the partkey join
@@ -1913,6 +1920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_js_divergence": q_js_divergence,
     "graph_common_neighbors": q_common_neighbors,
     "parts_price_elasticity": q_price_elasticity,
+    "events_holt_forecast": q_holt_forecast,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1939,6 +1947,7 @@ INTRODUCED_ROUND = {
     "text_js_divergence": 12,
     "graph_common_neighbors": 12,
     "parts_price_elasticity": 12,
+    "events_holt_forecast": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
