@@ -183,3 +183,46 @@ ORACLES["streaming_topk_per_window"] = """
     FROM ranked WHERE rk <= 3
     ORDER BY window_start, rk
 """
+
+
+# stream-stream LEFT OUTER interval join census: matched pairs are the
+# batch interval join; the null-click rows are exactly the unmatched
+# purchases the final no-data batch EVICTS — purchase_ts strictly below
+# the global watermark, which is the MIN over both sides' (ms-floored
+# max event time - delay), per the late_data_audit contract.
+ORACLES["streaming_outer_join_expiry"] = """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least(
+            make_timestamp(((SELECT epoch_us(max(click_ts)) FROM clicks)
+                            // 1000) * 1000),
+            make_timestamp(((SELECT epoch_us(max(purchase_ts))
+                             FROM purchases) // 1000) * 1000)
+        ) - INTERVAL 1 HOUR AS w
+    ), matched AS (
+        SELECT p.purchase_id, p.purchase_ts, c.click_id
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                            AND p.purchase_ts
+    ), expired_unmatched AS (
+        SELECT p.purchase_id, p.purchase_ts
+        FROM purchases p, wm
+        WHERE p.purchase_ts < wm.w
+          AND NOT EXISTS (SELECT 1 FROM matched m
+                          WHERE m.purchase_id = p.purchase_id)
+    ), rows_out AS (
+        SELECT purchase_ts, 1 AS matched FROM matched
+        UNION ALL
+        SELECT purchase_ts, 0 AS matched FROM expired_unmatched
+    )
+    SELECT date_trunc('day', purchase_ts) AS purchase_day,
+           CAST(sum(matched) AS BIGINT) AS n_matched_pairs,
+           CAST(sum(1 - matched) AS BIGINT) AS n_expired_unmatched
+    FROM rows_out GROUP BY 1 ORDER BY 1
+"""

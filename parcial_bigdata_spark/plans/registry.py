@@ -1608,6 +1608,25 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_streaming_outer_join(spark, sf_dir):
+    """Eleventh real-streaming oracle query: a watermarked stream-stream
+    LEFT OUTER interval join under AvailableNow — matched pairs emit as
+    found; unmatched purchases emit a null-click row only when the final
+    no-data batch's watermark evicts them.  The oracle recomputes both
+    populations from the batch join + the pinned watermark arithmetic,
+    so outer-emission/eviction semantics drift breaks the hash."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import (
+        outer_attribution_available_now,
+    )
+
+    tune_runtime(spark)
+    return outer_attribution_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 def q_holt_forecast(spark, sf_dir):
     # Holt level+trend smoothing per type on the dense daily grid:
     # dyadic coefficients make the sequential recursion bit-identical
@@ -1921,6 +1940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_common_neighbors": q_common_neighbors,
     "parts_price_elasticity": q_price_elasticity,
     "events_holt_forecast": q_holt_forecast,
+    "streaming_outer_join_expiry": q_streaming_outer_join,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1948,6 +1968,7 @@ INTRODUCED_ROUND = {
     "graph_common_neighbors": 12,
     "parts_price_elasticity": 12,
     "events_holt_forecast": 12,
+    "streaming_outer_join_expiry": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,

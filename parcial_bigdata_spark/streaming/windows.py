@@ -531,3 +531,82 @@ def topk_per_window_available_now(
         .where(F.col("rk") <= int(k))
         .orderBy("window_start", "rk")
     )
+
+
+def streaming_outer_attribution(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join
+    (`streaming_outer_join_expiry`, SURVEY.md §2.9 ST7): purchases
+    left-joined to same-user clicks in the ``lookback`` window ending
+    at the purchase.  The OUTER side is the semantics the inner join
+    (`streaming_click_attribution`) cannot give: a purchase with NO
+    qualifying click must still surface — and in a stream that answer
+    is only safe once the click-side watermark passes the purchase's
+    last possible match time, at which point the state store EVICTS
+    the row and emits it with a null click side.  State stays
+    O(lookback window of traffic); the null-row latency is exactly the
+    watermark delay — the price of outer correctness on a stream."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = click_user
+                AND click_ts BETWEEN purchase_ts - INTERVAL {lookback}
+                                 AND purchase_ts"""
+        ),
+        "leftOuter",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id")
+
+
+def outer_attribution_available_now(
+    spark, events_parquet: str, lookback: str = "1 hour"
+) -> DataFrame:
+    """streaming_outer_join_expiry under AvailableNow (append-mode
+    memory sink), reduced to a per-day census the oracle can recompute:
+    matched rows emit as found (every batch pair appears — bounded
+    replay), and each UNMATCHED purchase emits one null-click row when
+    the final no-data batch's watermark (ms-floored min over both
+    sides of max event time − delay, the `late_data_audit` contract)
+    evicts it — i.e. exactly the unmatched purchases with
+    purchase_ts < final watermark.  Unmatched purchases INSIDE the
+    final watermark band are the deliberately-retained tail (they
+    could still match a future click) and are absent from both sides
+    of the comparison."""
+    res = _run_available_now(
+        spark,
+        events_parquet,
+        lambda s: streaming_outer_attribution(s, lookback=lookback),
+        "stream_outer_attribution_result",
+        output_mode="append",
+    )
+    day = F.date_trunc("day", F.col("purchase_ts"))
+    return (
+        res.groupBy(day.alias("purchase_day"))
+        .agg(
+            F.sum(
+                F.when(F.col("click_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_matched_pairs"),
+            F.sum(
+                F.when(F.col("click_id").isNull(), 1).otherwise(0)
+            ).alias("n_expired_unmatched"),
+        )
+        .orderBy("purchase_day")
+    )
