@@ -880,6 +880,27 @@ _NEW_OPS_R8 = [
     "events_interarrival_hist",
     "nation_supplier_hhi",
     "source_csv_roundtrip",
+    # round-12 additions (first timings -> BENCH_r12 / BENCH_DETAIL)
+    "events_ab_proportion_test",
+    "events_seasonal_forecast",
+    "integrity_schema_drift",
+    "events_top_paths",
+    "events_theil_sen_trend",
+    "orders_kaplan_meier",
+    "text_readability",
+    "graph_label_propagation",
+    "embedding_random_projection",
+    "streaming_topk_per_window",
+    "stats_welch_ttest",
+    "events_poisson_rate_test",
+    "events_cusum_alarm",
+    "text_boilerplate_ngrams",
+    "text_js_divergence",
+    "graph_common_neighbors",
+    "parts_price_elasticity",
+    "events_holt_forecast",
+    "streaming_outer_join_expiry",
+    "events_weekday_seasonality",
 ]
 
 

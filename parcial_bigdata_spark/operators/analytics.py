@@ -2067,3 +2067,65 @@ def holt_linear_smoothing(
         .applyInPandas(_fit, schema=out_schema)
         .orderBy("event_type", "horizon_days")
     )
+
+
+def weekday_seasonality(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonality indices per event type
+    (`events_weekday_seasonality`): each weekday's mean daily count
+    divided by the type's grand mean daily count — the multiplicative
+    profile a capacity planner scales forecasts by (index 1.3 =
+    "Mondays run 30% hot") and the input Holt-Winters' seasonal form
+    would consume.
+
+    Exactness: daily counts are integers on the dense day grid; per-
+    weekday event sums and day tallies are integer sums, so both means
+    and the index are a fixed IEEE sequence over exact integers,
+    rounded via ratio_round(6).
+
+    Scale: one (type, day) count aggregate (map-side combined), then
+    everything runs on the |types|·|days| dimension frame; the grand
+    mean rides a window over the ≤7-row weekday frame."""
+    from pyspark.sql.window import Window
+
+    day = F.date_trunc("day", F.col("ts"))
+    counts = events.groupBy(F.col("event_type"), day.alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    series = (
+        bounds.select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+        .join(counts, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    per_dow = series.groupBy(
+        "event_type", F.dayofweek("d").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = per_dow.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "n_events",
+        F.sum("n_events").over(w).alias("te"),
+        F.sum("n_days").over(w).alias("td"),
+    )
+    dow_mean = F.col("n_events").cast("double") / F.col("n_days").cast(
+        "double"
+    )
+    grand = F.col("te").cast("double") / F.col("td").cast("double")
+    return tot.select(
+        "event_type",
+        "dow",
+        "n_days",
+        "n_events",
+        ratio_round(dow_mean, 6).alias("mean_daily"),
+        ratio_round(dow_mean / grand, 6).alias("seasonal_index"),
+    ).orderBy("event_type", "dow")

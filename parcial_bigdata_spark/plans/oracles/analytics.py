@@ -1117,3 +1117,38 @@ ORACLES["events_holt_forecast"] = """
     FROM finals, unnest(generate_series(1, 7)) AS t(h)
     ORDER BY event_type, horizon_days
 """
+
+# Spark dayofweek is 1=Sunday..7=Saturday; DuckDB's is 0-based — +1.
+ORACLES["events_weekday_seasonality"] = """
+    WITH counts AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(d) AS lo, max(d) AS hi FROM counts GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    ), series AS (
+        SELECT g.event_type, g.d, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.d = c.d
+    ), per_dow AS (
+        SELECT event_type, dayofweek(d) + 1 AS dow,
+               count(*) AS n_days, sum(c) AS n_events
+        FROM series GROUP BY 1, 2
+    ), tot AS (
+        SELECT *, sum(n_events) OVER (PARTITION BY event_type) AS te,
+                  sum(n_days) OVER (PARTITION BY event_type) AS td
+        FROM per_dow
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_events AS BIGINT) AS n_events,
+           floor(CAST(n_events AS DOUBLE) / n_days * 1e6 + 0.5) / 1e6
+               AS mean_daily,
+           floor((CAST(n_events AS DOUBLE) / n_days)
+                 / (CAST(te AS DOUBLE) / td) * 1e6 + 0.5) / 1e6
+               AS seasonal_index
+    FROM tot ORDER BY event_type, dow
+"""

@@ -1608,6 +1608,13 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_weekday_seasonality(spark, sf_dir):
+    # day-of-week multiplicative indices per type on the dense daily
+    # grid: integer sums at every grain, |types|-row window for the
+    # grand mean
+    return ana_ops.weekday_seasonality(_t(spark, sf_dir, "events"))
+
+
 def q_streaming_outer_join(spark, sf_dir):
     """Eleventh real-streaming oracle query: a watermarked stream-stream
     LEFT OUTER interval join under AvailableNow — matched pairs emit as
@@ -1941,6 +1948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_price_elasticity": q_price_elasticity,
     "events_holt_forecast": q_holt_forecast,
     "streaming_outer_join_expiry": q_streaming_outer_join,
+    "events_weekday_seasonality": q_weekday_seasonality,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1969,6 +1977,7 @@ INTRODUCED_ROUND = {
     "parts_price_elasticity": 12,
     "events_holt_forecast": 12,
     "streaming_outer_join_expiry": 12,
+    "events_weekday_seasonality": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
