@@ -901,6 +901,8 @@ _NEW_OPS_R8 = [
     "events_holt_forecast",
     "streaming_outer_join_expiry",
     "events_weekday_seasonality",
+    "embedding_pca_variance",
+    "embedding_pca_trace_audit",
 ]
 
 

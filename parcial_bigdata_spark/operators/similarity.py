@@ -729,3 +729,164 @@ def random_projection_audit(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("ratio_bucket")
     )
+
+
+def _exact_covariance_moments(embeddings: DataFrame):
+    """(dim_frame, pair_frame): exact-decimal first moments per
+    dimension and second moments per (i ≤ j) dimension pair.
+
+    float32→double casts and double×double products of float32 operands
+    are EXACT (24+24 mantissa bits < 53); each product lands on the
+    1e-18 decimal grid, so the sums are order-free and the covariance
+    matrix is bit-identical across runs/engines (the
+    `embedding_dim_stats` technique, extended to cross-moments).
+
+    The pair expansion is ROW-LOCAL (nested transform + flatten —
+    codegen, no self-join); the shuffle carries map-side-combined
+    partials at the d(d+1)/2 pair grain.  For d=64 that is a ×2080
+    explode per vector — the documented alternative above ~1e9 vectors
+    is per-partition Gram partials via mapInPandas; at every tested
+    scale the explode's map-side combine collapses it first."""
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = embeddings.select(arr.alias("v"), F.size("embedding").alias("d"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.col("d")),
+            lambda i: F.transform(
+                F.sequence(i, F.col("d")),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("v"), i)
+                        * F.element_at(F.col("v"), j)
+                    ).alias("p"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        staged.select(F.explode(pair_structs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").cast("decimal(38,18)")).alias("q"),
+        )
+    )
+    dims = (
+        embeddings.select(F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            (F.col("pos") + 1).alias("i"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
+            F.sum(
+                (F.col("val") * F.col("val")).cast("decimal(38,18)")
+            ).alias("q"),
+        )
+    )
+    return dims, pairs
+
+
+def pca_variance_spectrum(embeddings: DataFrame) -> DataFrame:
+    """Full-covariance PCA variance spectrum
+    (`embedding_pca_variance`): eigen-decompose the embedding
+    covariance matrix and report each principal component's
+    eigenvalue, explained-variance ratio, and the cumulative curve —
+    the intrinsic-dimensionality readout (how many axes carry the
+    corpus, whether the tail is noise) behind whitening, compression,
+    and IVF cell-count choices.
+
+    Distributed part: the exact-decimal moment aggregates of
+    `_exact_covariance_moments` (bit-identical covariance across
+    runs).  Driver part: numpy `eigh` on the d×d matrix — d² doubles,
+    BOUNDED BY THE DECLARED DIMENSION, never by the row count (the
+    same driver-side contract as the BPE merge list).  No SQL oracle
+    can eigen-decompose, so this entry is rows-only by design; its
+    hard-check twin is `embedding_pca_trace_audit` (Σ eigenvalues must
+    reproduce the SQL-computable trace bit-for-bit at 6 dp)."""
+    import math
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    dims, pairs = _exact_covariance_moments(embeddings)
+    dim_rows = dims.collect()
+    pair_rows = pairs.collect()
+    d = max(r["i"] for r in dim_rows)
+    n = dim_rows[0]["n"]
+    mu = np.zeros(d)
+    for r in dim_rows:
+        mu[r["i"] - 1] = float(r["s"]) / n
+    cov = np.zeros((d, d))
+    for r in pair_rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        c = float(r["q"]) / n - mu[i] * mu[j]
+        cov[i, j] = c
+        cov[j, i] = c
+    eig = np.linalg.eigh(cov)[0][::-1]  # descending
+    trace = float(eig.sum())
+    rows, cum = [], 0.0
+    for k, ev in enumerate(eig, start=1):
+        ev = float(ev)
+        cum += ev
+        rows.append(
+            (
+                k,
+                math.floor(ev * 1e6 + 0.5) / 1e6,
+                math.floor(ev / trace * 1e6 + 0.5) / 1e6,
+                math.floor(cum / trace * 1e6 + 0.5) / 1e6,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_ratio double,"
+        " cumulative_ratio double",
+    )
+
+
+def pca_trace_audit(embeddings: DataFrame) -> DataFrame:
+    """Oracle-checked twin of `embedding_pca_variance`
+    (`embedding_pca_trace_audit`): the eigenvalue sum of the
+    driver-side decomposition must equal the covariance trace — which
+    IS SQL-computable from the exact-decimal moments (Σᵢ Qᵢᵢ/n −
+    μᵢ²).  Both numbers are reported rounded at 6 dp; the DuckDB
+    oracle emits the trace TWICE, so any eigensolver / moment-pipeline
+    drift beyond 5e-7 breaks the hash."""
+    import math
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    dims, pairs = _exact_covariance_moments(embeddings)
+    dim_rows = dims.collect()
+    pair_rows = pairs.collect()
+    d = max(r["i"] for r in dim_rows)
+    n = dim_rows[0]["n"]
+    mu = np.zeros(d)
+    trace = 0.0
+    for r in dim_rows:
+        m = float(r["s"]) / n
+        mu[r["i"] - 1] = m
+        trace += float(r["q"]) / n - m * m
+    cov = np.zeros((d, d))
+    for r in pair_rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        c = float(r["q"]) / n - mu[i] * mu[j]
+        cov[i, j] = c
+        cov[j, i] = c
+    sum_eig = float(np.linalg.eigh(cov)[0].sum())
+    return spark.createDataFrame(
+        [
+            (
+                d,
+                math.floor(trace * 1e6 + 0.5) / 1e6,
+                math.floor(sum_eig * 1e6 + 0.5) / 1e6,
+            )
+        ],
+        "n_dims int, trace double, sum_eigenvalues double",
+    )

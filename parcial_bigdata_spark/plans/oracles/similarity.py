@@ -275,3 +275,29 @@ ORACLES["embedding_random_projection"] = f"""
            count(*) AS n_pairs
     FROM pairs GROUP BY 1 ORDER BY 1
 """
+
+# PCA trace audit: the covariance trace from the same exact-decimal
+# moment pipeline, emitted twice — the Spark twin's second column is
+# the numpy eigenvalue sum, so the hash match IS the
+# trace == sum(eigenvalues) invariant at 6 dp.
+ORACLES["embedding_pca_trace_audit"] = """
+    WITH pos AS (
+        SELECT t.i AS dim, CAST(v[t.i] AS DOUBLE) AS val
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             unnest(range(1, len(v) + 1)) AS t(i)
+    ),
+    agg AS (
+        SELECT dim, count(*) AS n,
+               sum(CAST(val AS DECIMAL(38,18))) AS s,
+               sum(CAST(val * val AS DECIMAL(38,18))) AS q
+        FROM pos GROUP BY dim
+    )
+    SELECT CAST(count(*) AS INTEGER) AS n_dims,
+           floor(sum(CAST(q AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 * 1e6 + 0.5) / 1e6 AS trace,
+           floor(sum(CAST(q AS DOUBLE) / n
+                     - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 * 1e6 + 0.5) / 1e6 AS sum_eigenvalues
+    FROM agg
+"""

@@ -1608,6 +1608,19 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_pca_variance(spark, sf_dir):
+    # full-covariance PCA spectrum: exact-decimal distributed moments,
+    # driver-side d x d eigh (bounded by dimension, not rows);
+    # rows-only by design — its hard check is the trace-audit twin
+    return sim_ops.pca_variance_spectrum(_t(spark, sf_dir, "embeddings"))
+
+
+def q_pca_trace_audit(spark, sf_dir):
+    # oracle-checked PCA twin: sum(eigenvalues) must hash-match the
+    # SQL-computable covariance trace at 6 dp
+    return sim_ops.pca_trace_audit(_t(spark, sf_dir, "embeddings"))
+
+
 def q_weekday_seasonality(spark, sf_dir):
     # day-of-week multiplicative indices per type on the dense daily
     # grid: integer sums at every grain, |types|-row window for the
@@ -1949,6 +1962,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holt_forecast": q_holt_forecast,
     "streaming_outer_join_expiry": q_streaming_outer_join,
     "events_weekday_seasonality": q_weekday_seasonality,
+    "embedding_pca_variance": q_pca_variance,
+    "embedding_pca_trace_audit": q_pca_trace_audit,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1978,6 +1993,8 @@ INTRODUCED_ROUND = {
     "events_holt_forecast": 12,
     "streaming_outer_join_expiry": 12,
     "events_weekday_seasonality": 12,
+    "embedding_pca_variance": 12,
+    "embedding_pca_trace_audit": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
