@@ -1,0 +1,300 @@
+"""Round-12 operators: Welch t-test, Poisson rate test, CUSUM alarms,
+Holt smoothing, boilerplate n-grams, JS divergence, common-neighbor
+link prediction, price elasticity, weekday seasonality, PCA spectrum.
+Each test pins the result against an independent pure-Python/numpy
+computation on a corpus small enough to verify by hand (the DuckDB
+differential sweep is the scale gate)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parcial_bigdata_spark.operators import aggregations as agg
+from parcial_bigdata_spark.operators import analytics as ana
+from parcial_bigdata_spark.operators import graph as g
+from parcial_bigdata_spark.operators import similarity as sim
+from parcial_bigdata_spark.operators import text as t
+
+
+def _events(spark, day_counts, event_type="click"):
+    """One event per count unit, on consecutive days starting Jan 1."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = []
+    eid = 0
+    for day, c in enumerate(day_counts):
+        for _ in range(c):
+            rows.append(
+                (eid, event_type, t0 + dt.timedelta(days=day), 1, 1.0)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, event_type string, ts timestamp, "
+        "user_id long, value double",
+    )
+
+
+class TestWelchTTest:
+    def test_matches_textbook_formula(self, spark):
+        a_vals = [100.0, 120.0, 130.0, 90.0]
+        b_vals = [200.0, 210.0, 190.0]
+        rows = [(i, "F", v) for i, v in enumerate(a_vals)] + [
+            (100 + i, "O", v) for i, v in enumerate(b_vals)
+        ]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+        )
+        out = ana.welch_ttest_by_status(orders).collect()[0]
+
+        def stats(vs):
+            n = len(vs)
+            m = sum(vs) / n
+            var = sum((v - m) ** 2 for v in vs) / (n - 1)
+            return n, m, var
+
+        na, ma, va = stats(a_vals)
+        nb, mb, vb = stats(b_vals)
+        texp = (ma - mb) / math.sqrt(va / na + vb / nb)
+        assert out["n_a"] == na and out["n_b"] == nb
+        assert out["mean_a"] == pytest.approx(ma, abs=1e-6)
+        assert out["var_b"] == pytest.approx(vb, abs=1e-6)
+        assert out["t_stat"] == pytest.approx(texp, abs=1e-5)
+        sa, sb = va / na, vb / nb
+        dof = (sa + sb) ** 2 / (sa**2 / (na - 1) + sb**2 / (nb - 1))
+        assert out["welch_dof"] == pytest.approx(dof, abs=1e-5)
+        assert out["significant_95"] == (abs(texp) > 1.959964)
+
+
+class TestPoissonRateTest:
+    def test_step_rate_flags(self, spark):
+        # 2/day for days 1-15, 8/day for days 16-30: strong step
+        ev = _events(spark, [2] * 15 + [8] * 15, "error")
+        out = {
+            r["event_type"]: r
+            for r in ana.poisson_rate_test(ev).collect()
+        }["error"]
+        c1, c2 = 2 * 15, 8 * 15
+        z = (c1 - c2) / math.sqrt(c1 + c2)
+        assert out["c1"] == c1 and out["c2"] == c2
+        assert out["z_score"] == pytest.approx(z, abs=1e-6)
+        assert bool(out["significant_95"]) is True
+
+
+class TestCusumAlarms:
+    def test_step_shift_alarms_after_shift_not_before(self, spark):
+        # flat 10/day baseline for 14 days, then a +5 sd-ish... baseline
+        # needs nonzero variance: alternate 9/11 (var=1.07), then jump
+        base = [9, 11] * 7
+        shifted = [20] * 10
+        ev = _events(spark, base + shifted)
+        rows = ana.cusum_alarms(ev).collect()
+        by_day = {r["d"].day: r for r in rows}
+        # pre-shift days never alarm; the shift is caught within 2 days
+        assert not any(by_day[d]["alarm"] for d in range(1, 15))
+        assert by_day[16]["alarm"] or by_day[17]["alarm"]
+
+    def test_zero_variance_baseline_yields_nulls(self, spark):
+        ev = _events(spark, [5] * 20)
+        rows = ana.cusum_alarms(ev).collect()
+        assert all(r["cusum"] is None and r["alarm"] is None for r in rows)
+
+    def test_replays_page_recursion_exactly(self, spark):
+        counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3]
+        ev = _events(spark, counts)
+        rows = ana.cusum_alarms(ev).orderBy("d").collect()
+        n = 14
+        s_sum = sum(counts[:n])
+        q_sum = sum(c * c for c in counts[:n])
+        mu = s_sum / n
+        var = (q_sum - s_sum * (s_sum / n)) / (n - 1)
+        sigma = var**0.5
+        s = 0.0
+        for r, x in zip(rows, counts):
+            s = max(0.0, s + (x - mu) / sigma - 0.5)
+            assert r["cusum"] == math.floor(s * 1e6 + 0.5) / 1e6
+
+
+class TestHoltSmoothing:
+    def test_linear_series_forecasts_linearly(self, spark):
+        # x_t = 5 + 2t: Holt's state converges geometrically to
+        # (level=x_t, trend=2); 40 points put the transient below 1e-4
+        counts = [5 + 2 * i for i in range(40)]
+        ev = _events(spark, counts)
+        rows = ana.holt_linear_smoothing(ev).orderBy("horizon_days").collect()
+        last = counts[-1]
+        for r in rows:
+            assert r["trend"] == pytest.approx(2.0, abs=1e-4)
+            assert r["forecast"] == pytest.approx(
+                last + 2 * r["horizon_days"], abs=1e-3
+            )
+
+    def test_replays_recursion_exactly(self, spark):
+        counts = [3, 7, 4, 9, 2, 8, 6]
+        ev = _events(spark, counts)
+        rows = ana.holt_linear_smoothing(ev).orderBy("horizon_days").collect()
+        level, trend = float(counts[0]), float(counts[1] - counts[0])
+        for x in counts[2:]:
+            prev = level
+            level = 0.5 * x + 0.5 * (level + trend)
+            trend = 0.25 * (level - prev) + 0.75 * trend
+        assert rows[0]["level"] == math.floor(level * 1e6 + 0.5) / 1e6
+        assert rows[2]["forecast"] == math.floor(
+            (level + 3 * trend) * 1e6 + 0.5
+        ) / 1e6
+
+
+class TestBoilerplateNgrams:
+    def test_shared_shingle_found_with_doc_frequency(self, spark):
+        chrome = "all rights reserved contact us today"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta gamma {chrome}", "en", "a", 1),
+                (2, f"{chrome} delta epsilon", "en", "a", 1),
+                (3, f"zeta eta {chrome} theta", "en", "b", 1),
+                (4, "nothing shared here at all whatsoever okay", "en", "b", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = t.boilerplate_ngrams(docs).collect()
+        top = out[0]
+        assert top["doc_freq"] == 3
+        assert "rights reserved contact us" in top["gram"]
+        assert top["doc_share"] == pytest.approx(0.75, abs=1e-6)
+        # doc 4 shares nothing: no gram reaches doc_freq 4
+        assert all(r["doc_freq"] <= 3 for r in out)
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        ngram = "one two three four five"
+        docs = spark.createDataFrame(
+            [
+                (1, f"{ngram} {ngram} {ngram}", "en", "a", 1),
+                (2, "unrelated words only here now yes", "en", "a", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = t.boilerplate_ngrams(docs, min_docs=1).collect()
+        row = {r["gram"]: r for r in out}[ngram]
+        assert row["doc_freq"] == 1  # array_distinct per doc
+
+
+class TestJsDivergence:
+    def test_identical_source_has_zero_divergence(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d", "en", "only", 1),
+                (2, "a b c d", "en", "only", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = t.js_divergence_by_source(docs).collect()
+        assert len(out) == 1
+        assert out[0]["jsd"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_disjoint_vocabulary_is_log2_bounded(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a", "en", "s1", 1),
+                (2, "b b b b", "en", "s2", 1),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = {r["source"]: r for r in t.js_divergence_by_source(docs).collect()}
+        # P = {a:1}, Q = {a:.5, b:.5}: JSD = 0.5*log2(4/3) + 0.25*log2... the
+        # closed form: 0.5*1*log2(1/0.75) + 0.5*(0.5*log2(0.5/0.75)) + 0.5*0.5
+        expected = 0.5 * math.log2(1 / 0.75) + 0.5 * (
+            0.5 * math.log2(0.5 / 0.75)
+        ) + 0.5 * 0.5
+        assert out["s1"]["jsd"] == pytest.approx(expected, abs=1e-4)
+        assert out["s2"]["jsd"] == pytest.approx(expected, abs=1e-4)
+
+
+class TestCommonNeighbors:
+    def test_square_graph(self, spark):
+        # square 1-2-3-4-1: (1,3) and (2,4) are the non-adjacent pairs,
+        # each with 2 common neighbors and union = 2+2-2 = 2 → J = 1.0
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+        )
+        out = g.common_neighbor_scores(edges).collect()
+        assert {(r["u"], r["v"]) for r in out} == {(1, 3), (2, 4)}
+        for r in out:
+            assert r["common"] == 2
+            assert r["jaccard"] == pytest.approx(1.0)
+
+    def test_hub_cap_excludes_wedges_through_hubs(self, spark):
+        # star: hub 0 connected to 1..5; with max_degree=3 the hub is
+        # not a valid middle, so NO candidate pairs survive
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 6)], "src long, dst long"
+        )
+        assert g.common_neighbor_scores(edges, max_degree=3).count() == 0
+        # uncapped, every leaf pair shares the hub
+        out = g.common_neighbor_scores(edges, max_degree=10).collect()
+        assert len(out) == 10  # C(5,2) leaf pairs
+        assert all(r["common"] == 1 for r in out)
+
+
+class TestPriceElasticity:
+    def test_known_loglog_slope(self, spark):
+        # quantity = 100 / price  →  ln q = ln 100 − 1·ln p: slope −1, r²=1
+        parts = spark.createDataFrame(
+            [(i, f"p{i}", "B1", "t", 1, float(p)) for i, p in enumerate([2, 4, 8, 16])],
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        )
+        li = spark.createDataFrame(
+            [(i, i, 100.0 / p) for i, p in enumerate([2, 4, 8, 16])],
+            "l_orderkey long, l_partkey long, l_quantity double",
+        )
+        out = agg.price_elasticity_by_brand(li, parts).collect()[0]
+        assert out["elasticity"] == pytest.approx(-1.0, abs=1e-4)
+        assert out["r2"] == pytest.approx(1.0, abs=1e-4)
+        assert out["intercept"] == pytest.approx(math.log(100.0), abs=1e-4)
+
+
+class TestWeekdaySeasonality:
+    def test_hot_weekday_index(self, spark):
+        # 14 days starting Mon Jan 1 2024: 8 events every Monday, 1
+        # otherwise → Monday mean 8, grand mean (2*8+12*1)/14 = 2
+        counts = [8, 1, 1, 1, 1, 1, 1] * 2
+        ev = _events(spark, counts)
+        rows = {r["dow"]: r for r in ana.weekday_seasonality(ev).collect()}
+        # Spark dayofweek: Monday = 2
+        assert rows[2]["n_events"] == 16
+        assert rows[2]["mean_daily"] == pytest.approx(8.0)
+        assert rows[2]["seasonal_index"] == pytest.approx(8.0 / 2.0)
+        assert rows[3]["seasonal_index"] == pytest.approx(0.5)
+
+
+class TestPcaSpectrum:
+    def _emb(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        # rank-2 structure in 6 dims + small noise
+        basis = rng.normal(size=(2, 6))
+        rows = []
+        for i in range(80):
+            v = rng.normal(size=2) @ basis + 0.01 * rng.normal(size=6)
+            rows.append((i, [float(x) for x in v], 0))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def test_rank2_spectrum_and_trace_invariant(self, spark):
+        emb = self._emb(spark)
+        spec = sim.pca_variance_spectrum(emb).collect()
+        assert [r["component"] for r in spec] == list(range(1, 7))
+        # two dominant axes explain ~everything
+        assert spec[0]["cumulative_ratio"] < 1.0
+        assert spec[1]["cumulative_ratio"] > 0.99
+        # eigenvalues descending
+        eigs = [r["eigenvalue"] for r in spec]
+        assert eigs == sorted(eigs, reverse=True)
+        audit = sim.pca_trace_audit(emb).collect()[0]
+        assert audit["trace"] == audit["sum_eigenvalues"]
+        assert audit["trace"] == pytest.approx(sum(eigs), abs=1e-4)
