@@ -903,6 +903,7 @@ _NEW_OPS_R8 = [
     "events_weekday_seasonality",
     "embedding_pca_variance",
     "embedding_pca_trace_audit",
+    "multimodal_wav_silence",
 ]
 
 

@@ -1664,3 +1664,65 @@ def media_dedup_census(df: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+SILENCE_SCHEMA = (
+    "media_id long, n_samples int, n_silent int, n_runs int, "
+    "longest_run int"
+)
+
+
+def wav_silence_runs(documents: DataFrame, threshold: int = 1000) -> DataFrame:
+    """Silence-run detection over real PCM16 WAV clips
+    (`multimodal_wav_silence`): per clip, the count of samples under
+    the amplitude ``threshold``, the number of maximal silent runs,
+    and the longest run — the voice-activity-detection / silence-trim
+    primitive an audio curation pipeline runs before windowed feature
+    work (`wav_frame_features`).
+
+    Clips synthesize via :func:`synth_wav_corpus` (sample amplitudes
+    are a closed form of doc_id), so the DuckDB oracle recomputes the
+    run structure with gaps-and-islands SQL over the same arithmetic —
+    the genuine container decode, int16 unpack, and run-length scan
+    are pinned end-to-end.  All outputs are integer-exact.
+
+    Scale: row-local decode + numpy run-length inside ONE mapInPandas
+    stage; one output row per clip, no shuffle before the ordered
+    output."""
+    corpus = synth_wav_corpus(documents)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(content))) as w:
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                sil = np.abs(s) < threshold
+                # run boundaries: a silent sample whose predecessor is
+                # not silent starts a run
+                starts = sil & ~np.concatenate(([False], sil[:-1]))
+                n_runs = int(starts.sum())
+                longest = 0
+                if n_runs:
+                    idx = np.flatnonzero(
+                        np.diff(np.concatenate(([0], sil.view(np.int8), [0])))
+                    )
+                    longest = int((idx[1::2] - idx[0::2]).max())
+                rows.append(
+                    (int(mid), len(s), int(sil.sum()), n_runs, longest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "n_silent", "n_runs",
+                    "longest_run",
+                ],
+            )
+
+    return corpus.mapInPandas(batches, SILENCE_SCHEMA).orderBy("media_id")

@@ -284,3 +284,45 @@ ORACLES["multimodal_media_dedup"] = """
            max(n_copies) AS max_copies
     FROM groups GROUP BY 1 ORDER BY 1
 """
+
+# silence runs over the closed-form PCM: gaps-and-islands on the
+# |v| < 1000 mask replays the decode-side run-length scan exactly
+ORACLES["multimodal_wav_silence"] = """
+    WITH params AS (
+        SELECT doc_id AS media_id, 64 + doc_id % 128 AS n FROM documents
+    ), samp AS (
+        SELECT media_id, n, unnest(range(0, n)) AS i FROM params
+    ), vals AS (
+        SELECT media_id, n, i,
+               CASE WHEN m >= 32768 THEN m - 65536 ELSE m END AS v
+        FROM (SELECT media_id, n, i,
+                     (media_id * 13 + i * 7) % 65536 AS m
+              FROM samp)
+    ), marks AS (
+        SELECT media_id, n, i,
+               CASE WHEN abs(v) < 1000 THEN 1 ELSE 0 END AS sil
+        FROM vals
+    ), isl AS (
+        SELECT media_id, i, sil,
+               i - row_number() OVER (PARTITION BY media_id, sil
+                                      ORDER BY i) AS grp
+        FROM marks
+    ), runs AS (
+        SELECT media_id, count(*) AS run_len
+        FROM isl WHERE sil = 1 GROUP BY media_id, grp
+    ), run_agg AS (
+        SELECT media_id, count(*) AS n_runs, max(run_len) AS longest
+        FROM runs GROUP BY media_id
+    ), sil_tot AS (
+        SELECT media_id, CAST(sum(sil) AS INTEGER) AS n_silent
+        FROM marks GROUP BY media_id
+    )
+    SELECT p.media_id, CAST(p.n AS INTEGER) AS n_samples,
+           s.n_silent,
+           CAST(coalesce(r.n_runs, 0) AS INTEGER) AS n_runs,
+           CAST(coalesce(r.longest, 0) AS INTEGER) AS longest_run
+    FROM params p
+    JOIN sil_tot s ON s.media_id = p.media_id
+    LEFT JOIN run_agg r ON r.media_id = p.media_id
+    ORDER BY p.media_id
+"""

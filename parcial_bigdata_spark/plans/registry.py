@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_wav_silence(spark, sf_dir):
+    # VAD-style silence runs over REAL PCM16 decode: numpy run-length
+    # scan in one mapInPandas stage, gaps-and-islands oracle
+    return mm_ops.wav_silence_runs(_t(spark, sf_dir, "documents"))
+
+
 def q_pca_variance(spark, sf_dir):
     # full-covariance PCA spectrum: exact-decimal distributed moments,
     # driver-side d x d eigh (bounded by dimension, not rows);
@@ -1964,6 +1970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_weekday_seasonality": q_weekday_seasonality,
     "embedding_pca_variance": q_pca_variance,
     "embedding_pca_trace_audit": q_pca_trace_audit,
+    "multimodal_wav_silence": q_wav_silence,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -1995,6 +2002,7 @@ INTRODUCED_ROUND = {
     "events_weekday_seasonality": 12,
     "embedding_pca_variance": 12,
     "embedding_pca_trace_audit": 12,
+    "multimodal_wav_silence": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
