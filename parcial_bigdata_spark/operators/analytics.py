@@ -2129,3 +2129,95 @@ def weekday_seasonality(events: DataFrame) -> DataFrame:
         ratio_round(dow_mean, 6).alias("mean_daily"),
         ratio_round(dow_mean / grand, 6).alias("seasonal_index"),
     ).orderBy("event_type", "dow")
+
+
+# Poisson(1) CDF thresholds on the 2^32 integer grid: weight k is
+# assigned when the hash lands in [T_{k-1}, T_k) — integer literals so
+# both engines compare exactly (floor(CDF(k) * 2^32), k = 0..7).
+_POISSON1_T32 = [
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+    4294923276,
+]
+
+
+def bootstrap_mean_ci(
+    events: DataFrame, event_type: str = "purchase", n_resamples: int = 32
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean purchase
+    value (`events_bootstrap_ci`): the SCALABLE bootstrap (Chamandy et
+    al., Google 2012) — instead of materializing B resamples, each row
+    draws an independent Poisson(1) multiplicity per resample from a
+    deterministic hash, so one pass computes every resample's weighted
+    mean and the CI is the empirical 2.5/97.5 percentile of those
+    means.  This is THE bootstrap that works on a cluster: no
+    row-index bookkeeping, no sampling shuffle, B map-side-combined
+    aggregates in one job.
+
+    Determinism: the multiplicity is a pure integer function of
+    (event_id, resample) — Knuth multiplicative hash reduced mod 2^32,
+    compared against integer-literal Poisson CDF thresholds — so both
+    engines assign identical weights at any scale (the `ab_proportion
+    _test` posture, including the mod-1048573 pre-reduction that keeps
+    the product in int64 at any conceivable id range).  Values ride
+    the exact decimal(18,2) grid; each resample mean is ONE IEEE
+    division of exact sums; the percentile is an exact element pick
+    from the sorted 32-element mean list (nearest-rank floor form).
+
+    Scale: explode ×B before the map-side combine — the shuffle
+    carries B rows per input partition, not B× the data; the closing
+    sort runs on a B-element array in one row."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    vals = events.where(F.col("event_type") == event_type).select(
+        "event_id", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    m0 = F.pmod(F.col("event_id"), F.lit(1048573))
+    h = F.pmod(
+        m0 * F.lit(2654435761) + F.col("b") * F.lit(40503) + F.lit(7),
+        F.lit(4294967296),
+    )
+    w = F.lit(8)
+    for k in range(len(_POISSON1_T32) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON1_T32[k]), F.lit(k)).otherwise(w)
+    per = (
+        vals.select(
+            "event_id",
+            "v",
+            F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias(
+                "b"
+            ),
+        )
+        .select("b", w.alias("w"), "v")
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("wsum"),
+            F.sum(F.col("w") * F.col("v")).alias("vsum"),
+        )
+    )
+    mean_b = F.col("vsum").cast("double") / F.col("wsum").cast("double")
+    means = per.groupBy().agg(
+        F.sort_array(F.collect_list(mean_b)).alias("ms")
+    )
+    base = vals.groupBy().agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("tot"),
+    )
+    lo_idx = int((0.025 * (n_resamples - 1)) + 0.5) + 1  # 1-based
+    hi_idx = int((0.975 * (n_resamples - 1)) + 0.5) + 1
+    j = base.crossJoin(F.broadcast(means))
+    return j.select(
+        "n_events",
+        F.lit(n_resamples).alias("n_resamples"),
+        ratio_round(
+            F.col("tot").cast("double") / F.col("n_events").cast("double"),
+            6,
+        ).alias("mean_value"),
+        ratio_round(F.element_at("ms", lo_idx), 6).alias("ci_lo"),
+        ratio_round(F.element_at("ms", hi_idx), 6).alias("ci_hi"),
+    )

@@ -1152,3 +1152,43 @@ ORACLES["events_weekday_seasonality"] = """
                AS seasonal_index
     FROM tot ORDER BY event_type, dow
 """
+
+# Poisson bootstrap: identical integer hash -> weight mapping, exact
+# decimal sums per resample, nearest-rank pick from the sorted
+# 32-element mean list (positions 2 and 31, 1-based).
+ORACLES["events_bootstrap_ci"] = """
+    WITH vals AS (
+        SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ), per AS (
+        SELECT b, sum(w) AS wsum, sum(w * v) AS vsum
+        FROM (SELECT b, v,
+                     CASE WHEN h < 1580030168 THEN 0
+                          WHEN h < 3160060337 THEN 1
+                          WHEN h < 3950075421 THEN 2
+                          WHEN h < 4213413783 THEN 3
+                          WHEN h < 4279248373 THEN 4
+                          WHEN h < 4292415291 THEN 5
+                          WHEN h < 4294609777 THEN 6
+                          WHEN h < 4294923276 THEN 7
+                          ELSE 8 END AS w
+              FROM (SELECT event_id, v, b,
+                           ((event_id % 1048573) * 2654435761
+                            + b * 40503 + 7) % 4294967296 AS h
+                    FROM vals,
+                         unnest(generate_series(0, 31)) AS t(b)))
+        GROUP BY b
+    ), means AS (
+        SELECT list_sort(list(CAST(vsum AS DOUBLE) / CAST(wsum AS DOUBLE)))
+            AS ms
+        FROM per
+    ), base AS (
+        SELECT count(*) AS n_events, sum(v) AS tot FROM vals
+    )
+    SELECT n_events, 32 AS n_resamples,
+           floor(CAST(tot AS DOUBLE) / n_events * 1e6 + 0.5) / 1e6
+               AS mean_value,
+           floor(ms[2] * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor(ms[31] * 1e6 + 0.5) / 1e6 AS ci_hi
+    FROM base, means
+"""

@@ -1608,6 +1608,13 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    # Poisson-bootstrap CI for the mean purchase value: deterministic
+    # integer hash -> Poisson(1) weights, 32 resample means in ONE
+    # map-side-combined pass, nearest-rank CI from the 32-row frame
+    return ana_ops.bootstrap_mean_ci(_t(spark, sf_dir, "events"))
+
+
 def q_wav_silence(spark, sf_dir):
     # VAD-style silence runs over REAL PCM16 decode: numpy run-length
     # scan in one mapInPandas stage, gaps-and-islands oracle
@@ -1971,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_variance": q_pca_variance,
     "embedding_pca_trace_audit": q_pca_trace_audit,
     "multimodal_wav_silence": q_wav_silence,
+    "events_bootstrap_ci": q_bootstrap_ci,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2003,6 +2011,7 @@ INTRODUCED_ROUND = {
     "embedding_pca_variance": 12,
     "embedding_pca_trace_audit": 12,
     "multimodal_wav_silence": 12,
+    "events_bootstrap_ci": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
