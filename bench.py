@@ -905,6 +905,7 @@ _NEW_OPS_R8 = [
     "embedding_pca_trace_audit",
     "multimodal_wav_silence",
     "events_bootstrap_ci",
+    "graph_harmonic_closeness",
 ]
 
 

@@ -692,3 +692,93 @@ def common_neighbor_scores(
         )
         .limit(k)
     )
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_seeds: int = 8,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Harmonic closeness centrality from deterministic seed nodes
+    (`graph_harmonic_closeness`): H(s) = Σ_{v reached, v≠s} 1/d(s, v)
+    within ``max_hops`` — the centrality that stays well-defined on
+    disconnected graphs (Boldi & Vigna 2014), computed for the
+    ``n_seeds`` smallest node ids as a MULTI-source layered BFS (every
+    seed's frontier advances in the same round, keyed (seed, node), so
+    the round count stays ``max_hops`` regardless of seed count — the
+    standard trick for landmark/centrality sampling at scale).
+
+    The hop-``max_hops`` truncation is part of the declared contract
+    (the oracle replays it); n_within_ball makes it visible.  The
+    harmonic sum is ≤``max_hops`` IEEE terms (count_h · (1/h)) in fixed
+    hop order — engine-identical.
+
+    Scale: per round one |frontier ⋈ edges| shuffle on the node key +
+    one left_anti against the labeled set; total work O(n_seeds · E)
+    worst case, frontiers lineage-cut per round."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        release_checkpoint,
+    )
+
+    und = _canonical_undirected(edges, src, dst)
+    e = iter_checkpoint(
+        und.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+            und.select(F.col("v").alias("s"), F.col("u").alias("t"))
+        )
+    )
+    seeds = (
+        e.select(F.col("s").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_seeds)
+        .select(F.col("node").alias("seed"), F.col("node"), F.lit(0).alias("hop"))
+    )
+    dist = iter_checkpoint(seeds)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select("seed", F.col("t").alias("node"))
+            .distinct()
+        )
+        new = iter_checkpoint(
+            reached.join(dist, ["seed", "node"], "left_anti").select(
+                "seed", "node", F.lit(h).alias("hop")
+            )
+        )
+        if new.count() == 0:  # bounded scalar: convergence probe
+            release_checkpoint(new)
+            break
+        nxt = iter_checkpoint(dist.unionByName(new))
+        release_checkpoint(dist)
+        if frontier is not dist:
+            release_checkpoint(frontier)
+        dist, frontier = nxt, new
+    if frontier is not dist:
+        release_checkpoint(frontier)
+    per_hop = (
+        dist.where(F.col("hop") > 0)
+        .groupBy("seed", "hop")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # fixed hop order: sum over the <= max_hops struct array, not the
+    # shuffle order
+    packed = per_hop.groupBy("seed").agg(
+        F.sum("c").alias("n_within_ball"),
+        F.sort_array(F.collect_list(F.struct("hop", "c"))).alias("hs"),
+    )
+    harm = F.aggregate(
+        "hs",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["c"].cast("double") * (F.lit(1.0) / s["hop"].cast("double")),
+    )
+    return packed.select(
+        "seed",
+        "n_within_ball",
+        ratio_round(harm, 6).alias("harmonic_closeness"),
+    ).orderBy("seed")

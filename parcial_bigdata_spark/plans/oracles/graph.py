@@ -213,3 +213,68 @@ ORACLES["graph_common_neighbors"] = """
     ORDER BY common DESC, jaccard DESC, u ASC, v ASC
     LIMIT 20
 """
+
+# harmonic closeness: level-synchronous BFS unrolled to the declared
+# 4-hop ball (DISTINCT per level — no path enumeration), harmonic sum
+# in fixed ascending-hop order matching the Spark fold
+ORACLES["graph_harmonic_closeness"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), ed AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), sym AS (
+        SELECT u AS s, v AS t FROM ed UNION ALL SELECT v, u FROM ed
+    ), seeds AS (
+        SELECT s AS seed FROM (SELECT DISTINCT s FROM sym)
+        ORDER BY s LIMIT 8
+    ), h0 AS (
+        SELECT seed, seed AS node FROM seeds
+    ), h1 AS (
+        SELECT DISTINCT h0.seed, sym.t AS node
+        FROM h0 JOIN sym ON h0.node = sym.s
+        WHERE sym.t NOT IN (SELECT node FROM h0 x WHERE x.seed = h0.seed)
+    ), h2 AS (
+        SELECT DISTINCT h1.seed, sym.t AS node
+        FROM h1 JOIN sym ON h1.node = sym.s
+        WHERE NOT EXISTS (SELECT 1 FROM h0 x
+                          WHERE x.seed = h1.seed AND x.node = sym.t)
+          AND NOT EXISTS (SELECT 1 FROM h1 y
+                          WHERE y.seed = h1.seed AND y.node = sym.t)
+    ), h3 AS (
+        SELECT DISTINCT h2.seed, sym.t AS node
+        FROM h2 JOIN sym ON h2.node = sym.s
+        WHERE NOT EXISTS (SELECT 1 FROM h0 x
+                          WHERE x.seed = h2.seed AND x.node = sym.t)
+          AND NOT EXISTS (SELECT 1 FROM h1 y
+                          WHERE y.seed = h2.seed AND y.node = sym.t)
+          AND NOT EXISTS (SELECT 1 FROM h2 z
+                          WHERE z.seed = h2.seed AND z.node = sym.t)
+    ), h4 AS (
+        SELECT DISTINCT h3.seed, sym.t AS node
+        FROM h3 JOIN sym ON h3.node = sym.s
+        WHERE NOT EXISTS (SELECT 1 FROM h0 x
+                          WHERE x.seed = h3.seed AND x.node = sym.t)
+          AND NOT EXISTS (SELECT 1 FROM h1 y
+                          WHERE y.seed = h3.seed AND y.node = sym.t)
+          AND NOT EXISTS (SELECT 1 FROM h2 z
+                          WHERE z.seed = h3.seed AND z.node = sym.t)
+          AND NOT EXISTS (SELECT 1 FROM h3 w
+                          WHERE w.seed = h3.seed AND w.node = sym.t)
+    ), counts AS (
+        SELECT seed,
+               (SELECT count(*) FROM h1 WHERE h1.seed = seeds.seed) AS c1,
+               (SELECT count(*) FROM h2 WHERE h2.seed = seeds.seed) AS c2,
+               (SELECT count(*) FROM h3 WHERE h3.seed = seeds.seed) AS c3,
+               (SELECT count(*) FROM h4 WHERE h4.seed = seeds.seed) AS c4
+        FROM seeds
+    )
+    SELECT seed,
+           CAST(c1 + c2 + c3 + c4 AS BIGINT) AS n_within_ball,
+           floor((CAST(c1 AS DOUBLE) * (1.0 / 1.0)
+                  + CAST(c2 AS DOUBLE) * (1.0 / 2.0)
+                  + CAST(c3 AS DOUBLE) * (1.0 / 3.0)
+                  + CAST(c4 AS DOUBLE) * (1.0 / 4.0)) * 1e6 + 0.5) / 1e6
+               AS harmonic_closeness
+    FROM counts ORDER BY seed
+"""

@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_harmonic_closeness(spark, sf_dir):
+    # landmark harmonic centrality: multi-source layered BFS keyed
+    # (seed, node) — max_hops rounds total regardless of seed count
+    return graph_ops.harmonic_closeness(_copurchase_edges(spark, sf_dir))
+
+
 def q_bootstrap_ci(spark, sf_dir):
     # Poisson-bootstrap CI for the mean purchase value: deterministic
     # integer hash -> Poisson(1) weights, 32 resample means in ONE
@@ -1979,6 +1985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_trace_audit": q_pca_trace_audit,
     "multimodal_wav_silence": q_wav_silence,
     "events_bootstrap_ci": q_bootstrap_ci,
+    "graph_harmonic_closeness": q_harmonic_closeness,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2012,6 +2019,7 @@ INTRODUCED_ROUND = {
     "embedding_pca_trace_audit": 12,
     "multimodal_wav_silence": 12,
     "events_bootstrap_ci": 12,
+    "graph_harmonic_closeness": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
