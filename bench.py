@@ -906,6 +906,7 @@ _NEW_OPS_R8 = [
     "multimodal_wav_silence",
     "events_bootstrap_ci",
     "graph_harmonic_closeness",
+    "events_conversion_latency",
 ]
 
 

@@ -2221,3 +2221,91 @@ def bootstrap_mean_ci(
         ratio_round(F.element_at("ms", lo_idx), 6).alias("ci_lo"),
         ratio_round(F.element_at("ms", hi_idx), 6).alias("ci_hi"),
     )
+
+
+def conversion_latency_percentiles(
+    events: DataFrame, percentiles=(50, 90, 99)
+) -> DataFrame:
+    """EXACT view→purchase conversion-latency percentiles
+    (`events_conversion_latency`): hours from a user's FIRST view to
+    their FIRST purchase at or after it, reduced to p50/p90/p99 plus
+    the conversion rate — the activation-funnel latency readout next
+    to `events_funnel_steps`' count view.
+
+    Latency in whole hours has a tiny value domain (≤ |observation
+    window|), so the percentiles use the BOUNDED-DOMAIN COUNTING
+    technique of `orders_fulfillment_percentiles`: one (hours) count
+    frame, a cumulative window over it, and percentile p picked by the
+    integer cross-multiplication cum·100 ≥ p·n — exact at any data
+    size, no full-stream rank.  The hour bucket is exact int64 floor
+    division of microsecond deltas (both engines).
+
+    Scale: one per-user conditional-min aggregate (map-side combined)
+    is the only fact-sized shuffle; everything after runs on the
+    ≤|hours| dimension frame."""
+    from pyspark.sql.window import Window
+
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts")
+            )
+        ).alias("first_purchase"),
+    )
+    converted = per_user.where(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        F.expr(
+            "(unix_micros(first_purchase) - unix_micros(first_view))"
+            " div 3600000000"
+        ).alias("hours")
+    )
+    counts = iter_checkpoint(
+        converted.groupBy("hours").agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("hours").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.select(
+        "hours",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    picks = None
+    for p in percentiles:
+        row = (
+            cdf.where(F.col("cum") * 100 >= F.lit(p) * F.col("n"))
+            .orderBy("hours")
+            .limit(1)
+            .select(
+                F.lit(p).alias("p"), F.col("hours").alias("v"), "n"
+            )
+        )
+        picks = row if picks is None else picks.unionByName(row)
+    wide = picks.groupBy("n").pivot("p", list(percentiles)).agg(
+        F.first("v")
+    )
+    viewers = per_user.where(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_viewers")
+    )
+    out = wide.crossJoin(F.broadcast(viewers))
+    cols = [
+        F.col("n").cast("long").alias("n_converted"),
+        "n_viewers",
+        ratio_round(
+            F.col("n").cast("double") / F.col("n_viewers").cast("double"), 6
+        ).alias("conversion_rate"),
+    ] + [
+        F.col(str(p)).cast("long").alias(f"p{p}_hours") for p in percentiles
+    ]
+    return out.select(*cols)

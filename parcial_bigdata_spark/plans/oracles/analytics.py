@@ -1192,3 +1192,37 @@ ORACLES["events_bootstrap_ci"] = """
            floor(ms[31] * 1e6 + 0.5) / 1e6 AS ci_hi
     FROM base, means
 """
+
+ORACLES["events_conversion_latency"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id
+    ), conv AS (
+        SELECT (epoch_us(fp) - epoch_us(fv)) // 3600000000 AS hours
+        FROM per_user
+        WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    ), counts AS (
+        SELECT hours, count(*) AS c FROM conv GROUP BY hours
+    ), cdf AS (
+        SELECT hours, sum(c) OVER (ORDER BY hours) AS cum,
+               (SELECT sum(c) FROM counts) AS n
+        FROM counts
+    ), viewers AS (
+        SELECT count(*) AS n_viewers FROM per_user WHERE fv IS NOT NULL
+    ), base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_converted FROM conv
+    )
+    SELECT b.n_converted,
+           CAST(v.n_viewers AS BIGINT) AS n_viewers,
+           floor(CAST(b.n_converted AS DOUBLE) / v.n_viewers * 1e6 + 0.5)
+               / 1e6 AS conversion_rate,
+           (SELECT CAST(min(hours) AS BIGINT) FROM cdf
+            WHERE cum * 100 >= 50 * n) AS p50_hours,
+           (SELECT CAST(min(hours) AS BIGINT) FROM cdf
+            WHERE cum * 100 >= 90 * n) AS p90_hours,
+           (SELECT CAST(min(hours) AS BIGINT) FROM cdf
+            WHERE cum * 100 >= 99 * n) AS p99_hours
+    FROM base b, viewers v
+"""

@@ -1608,6 +1608,13 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_conversion_latency(spark, sf_dir):
+    # first-view -> first-purchase latency percentiles: one per-user
+    # conditional-min aggregate, bounded-domain counting percentiles
+    # on the <=|hours| frame (integer cross-multiplication pick)
+    return ana_ops.conversion_latency_percentiles(_t(spark, sf_dir, "events"))
+
+
 def q_harmonic_closeness(spark, sf_dir):
     # landmark harmonic centrality: multi-source layered BFS keyed
     # (seed, node) — max_hops rounds total regardless of seed count
@@ -1986,6 +1993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_wav_silence": q_wav_silence,
     "events_bootstrap_ci": q_bootstrap_ci,
     "graph_harmonic_closeness": q_harmonic_closeness,
+    "events_conversion_latency": q_conversion_latency,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2020,6 +2028,7 @@ INTRODUCED_ROUND = {
     "multimodal_wav_silence": 12,
     "events_bootstrap_ci": 12,
     "graph_harmonic_closeness": 12,
+    "events_conversion_latency": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,

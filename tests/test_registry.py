@@ -102,6 +102,10 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # (o, node, z, (a,b)), so no partitioning can be reused; every
         # exchange carries at most the capped wedge stream
         "graph_common_neighbors": (10, 0),
+        # bounded-domain percentile picks: one single-partition window
+        # per percentile plus the totals line — every one of them runs
+        # on the checkpointed <=|hours| count frame, never facts
+        "events_conversion_latency": (7, 4),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()
