@@ -699,6 +699,59 @@ def _rank_rows(spark, n):
     )
 
 
+# ---- wedge-join scale probe (round 12) -------------------------------------
+# graph_common_neighbors' hub-capped wedge join claims per-key fanout
+# bounded at cap² regardless of graph size.  The probe graph is a
+# circulant (node i ↔ i+1..i+8 mod n): every degree is exactly 16, so
+# the wedge stream grows LINEARLY with nodes — a measured exponent near
+# 1 is the backing for the cap argument; without the cap a hub graph
+# would scale quadratically.
+
+_WEDGE_SCALES = (1, 4, 16)
+_WEDGE_BASE_EDGES = 100_000
+_WEDGE_D = 8
+
+
+def _wedge_graph(spark, n_edges):
+    from pyspark.sql import functions as F
+
+    n = n_edges // _WEDGE_D
+    return (
+        spark.range(n)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, {_WEDGE_D}), k -> "
+                    f"named_struct('src', id, 'dst', pmod(id + k, {n})))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+
+
+def _run_wedge_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import graph as G
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _WEDGE_SCALES:
+        edges = _wedge_graph(spark, _WEDGE_BASE_EDGES * s).persist()
+        n_edges = edges.count()  # materialize input outside the timing
+        t0 = time.perf_counter()
+        n_out = G.common_neighbor_scores(edges, k=20).count()
+        el = round(time.perf_counter() - t0, 3)
+        edges.unpersist()
+        timings[f"wedge_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(n_edges)
+        detail[f"x{s}"] = {"edges": n_edges, "top_k": n_out, "sec": el}
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # ---- sketch-median scale probe (round 11) ---------------------------------
 # events_mad_outliers' sketch-guided exact selection claims ZERO
 # full-stream shuffles (the r10 rank form paid two).  This probe times
@@ -1012,6 +1065,8 @@ def main() -> None:
     probe_timings.update(rank_timings)
     mad_timings, mad_detail = _run_madsketch_scale(probe_spark)
     probe_timings.update(mad_timings)
+    wedge_timings, wedge_detail = _run_wedge_scale(probe_spark)
+    probe_timings.update(wedge_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
     probe_timings.update(graph_timings)
 
@@ -1041,6 +1096,7 @@ def main() -> None:
         "bfs_scale": bfs_detail,
         "rank_scale": rank_detail,
         "madsketch_scale": mad_detail,
+        "wedge_scale": wedge_detail,
         "noise_sentinel": sentinel,
     }
     # Persist the detail record IN-REPO (round-9 verdict item 2): the
