@@ -1840,8 +1840,12 @@ def welch_ttest_by_status(
         F.col("n_b").cast("long").alias("n_b"),
         ratio_round(ma, 6).alias("mean_a"),
         ratio_round(mb, 6).alias("mean_b"),
-        ratio_round(va, 6).alias("var_a"),
-        ratio_round(vb, 6).alias("var_b"),
+        # variances sit at ~1e10 where one double ulp (~4e-6) EXCEEDS a
+        # 1e-6 grid — the decimal(38,4)→double cast differs by 1 ulp
+        # between engines (int128 vs BigDecimal paths, observed live at
+        # sf0.1) — so report them at 2 dp, where the grid dwarfs the ulp
+        ratio_round(va, 2).alias("var_a"),
+        ratio_round(vb, 2).alias("var_b"),
         ratio_round(t, 6).alias("t_stat"),
         ratio_round(dof, 6).alias("welch_dof"),
         (F.abs(t) > F.lit(1.959964)).alias("significant_95"),

@@ -174,7 +174,16 @@ def temperature_mixture(
     totals = weighted.agg(
         F.sum("w").alias("tw"), F.sum("n_docs").alias("tn")
     )
-    target = F.floor(F.lit(float(budget)) * F.col("w") / F.col("tw")).cast("long")
+    # snap the quotient to the 1e-9 grid BEFORE flooring: tw is a sum
+    # of doubles whose partial-sum order differs between engines (and
+    # between Spark plans), and equal-sized sources put budget·w/tw
+    # EXACTLY on an integer — observed live at sf0.1 (20×250 docs →
+    # 50 ± 1 ulp flooring to 49 or 50 by summation order).  The snap
+    # absorbs the ulp jitter; a mathematically non-integer quotient is
+    # never within 5e-10 of an integer at these magnitudes.
+    quotient = F.lit(float(budget)) * F.col("w") / F.col("tw")
+    snapped = F.floor(quotient * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    target = F.floor(snapped).cast("long")
     return (
         weighted.crossJoin(F.broadcast(totals))
         .select(

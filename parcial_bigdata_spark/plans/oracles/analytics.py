@@ -977,8 +977,11 @@ ORACLES["stats_welch_ttest"] = """
     SELECT n_a, n_b,
            floor(mean_a * 1e6 + 0.5) / 1e6 AS mean_a,
            floor(mean_b * 1e6 + 0.5) / 1e6 AS mean_b,
-           floor(var_a * 1e6 + 0.5) / 1e6 AS var_a,
-           floor(var_b * 1e6 + 0.5) / 1e6 AS var_b,
+           -- 2 dp: at ~1e10 magnitude one double ulp exceeds a 1e-6
+           -- grid (the decimal->double cast differs by 1 ulp between
+           -- engines); see the Spark twin
+           floor(var_a * 1e2 + 0.5) / 1e2 AS var_a,
+           floor(var_b * 1e2 + 0.5) / 1e2 AS var_b,
            floor(tt * 1e6 + 0.5) / 1e6 AS t_stat,
            floor((sa + sb) * (sa + sb)
                  / (sa * sa / (n_a - 1.0) + sb * sb / (n_b - 1.0))

@@ -113,12 +113,16 @@ ORACLES: dict[str, str] = {
         ), totals AS (
             SELECT sum(w) AS tw, sum(n_docs) AS tn FROM weighted
         )
+        -- the 1e-9 snap before floor mirrors the Spark twin: equal
+        -- source sizes put the quotient exactly on an integer, where
+        -- the engines' tw summation order would otherwise flip floor
         SELECT source, n_docs,
                round(n_docs / tn, 4) AS raw_share,
                round(w / tw, 4) AS tempered_share,
-               CAST(floor(1000.0 * w / tw) AS BIGINT) AS target_docs,
-               round(CAST(floor(1000.0 * w / tw) AS DOUBLE) / n_docs, 2)
-                   AS repeat_factor
+               CAST(floor(floor(1000.0 * w / tw * 1e9 + 0.5) / 1e9)
+                    AS BIGINT) AS target_docs,
+               round(CAST(floor(floor(1000.0 * w / tw * 1e9 + 0.5) / 1e9)
+                          AS DOUBLE) / n_docs, 2) AS repeat_factor
         FROM weighted, totals ORDER BY source
     """,
     "sample_pps_systematic": """

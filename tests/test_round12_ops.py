@@ -61,7 +61,9 @@ class TestWelchTTest:
         texp = (ma - mb) / math.sqrt(va / na + vb / nb)
         assert out["n_a"] == na and out["n_b"] == nb
         assert out["mean_a"] == pytest.approx(ma, abs=1e-6)
-        assert out["var_b"] == pytest.approx(vb, abs=1e-6)
+        # variances are reported at 2 dp (ulp-vs-grid note in the op)
+        assert out["var_a"] == pytest.approx(va, abs=5e-3)
+        assert out["var_b"] == pytest.approx(vb, abs=5e-3)
         assert out["t_stat"] == pytest.approx(texp, abs=1e-5)
         sa, sb = va / na, vb / nb
         dof = (sa + sb) ** 2 / (sa**2 / (na - 1) + sb**2 / (nb - 1))
