@@ -732,8 +732,9 @@ def random_projection_audit(
 
 
 def _exact_covariance_moments(embeddings: DataFrame):
-    """(dim_frame, pair_frame): exact-decimal first moments per
-    dimension and second moments per (i ≤ j) dimension pair.
+    """(dim_rows, pair_rows): exact-decimal first moments per
+    dimension and second moments per (i ≤ j) dimension pair, collected
+    driver-side (bounded by d², the declared-dimension contract).
 
     float32→double casts and double×double products of float32 operands
     are EXACT (24+24 mantissa bits < 53); each product lands on the
@@ -743,12 +744,24 @@ def _exact_covariance_moments(embeddings: DataFrame):
 
     The pair expansion is ROW-LOCAL (nested transform + flatten —
     codegen, no self-join); the shuffle carries map-side-combined
-    partials at the d(d+1)/2 pair grain.  For d=64 that is a ×2080
-    explode per vector — the documented alternative above ~1e9 vectors
-    is per-partition Gram partials via mapInPandas; at every tested
-    scale the explode's map-side combine collapses it first."""
-    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    staged = embeddings.select(arr.alias("v"), F.size("embedding").alias("d"))
+    partials at the d(d+1)/2 pair grain.  A SENTINEL dimension of
+    constant 1.0 is appended before the expansion, so the pair stream
+    carries the first moments too — (i, d+1) products ARE the Σxᵢ line
+    and (d+1, d+1) is n — so ONE aggregate/job serves both frames
+    (one scan+shuffle instead of two; the remaining cost is the
+    decimal aggregation of the exploded pair stream itself, the price
+    of the exact-grid covariance).  For d=64 that is a ×2145 explode
+    per vector — the
+    documented alternative above ~1e9 vectors is per-partition Gram
+    partials via mapInPandas; at every tested scale the explode's
+    map-side combine collapses it first."""
+    arr = F.concat(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.array(F.lit(1.0)),
+    )
+    staged = embeddings.select(arr.alias("v")).select(
+        "v", F.size("v").alias("d")
+    )
     pair_structs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.col("d")),
@@ -765,7 +778,7 @@ def _exact_covariance_moments(embeddings: DataFrame):
             ),
         )
     )
-    pairs = (
+    pairs_all = (
         staged.select(F.explode(pair_structs).alias("e"))
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
@@ -773,22 +786,18 @@ def _exact_covariance_moments(embeddings: DataFrame):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("p").cast("decimal(38,18)")).alias("q"),
         )
-    )
-    dims = (
-        embeddings.select(F.posexplode("embedding").alias("pos", "val"))
-        .select(
-            (F.col("pos") + 1).alias("i"),
-            F.col("val").cast("double").alias("val"),
-        )
-        .groupBy("i")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
-            F.sum(
-                (F.col("val") * F.col("val")).cast("decimal(38,18)")
-            ).alias("q"),
-        )
-    )
+    ).collect()
+    d = max(r["j"] for r in pairs_all) - 1
+    dims = [
+        {"i": r["i"], "n": r["n"], "s": r["q"]}
+        for r in pairs_all
+        if r["j"] == d + 1 and r["i"] <= d
+    ]
+    # per-dim Q_ii rides the diagonal pair rows
+    qii = {r["i"]: r["q"] for r in pairs_all if r["i"] == r["j"] and r["i"] <= d}
+    for row in dims:
+        row["q"] = qii[row["i"]]
+    pairs = [r for r in pairs_all if r["j"] <= d]
     return dims, pairs
 
 
@@ -814,9 +823,7 @@ def pca_variance_spectrum(embeddings: DataFrame) -> DataFrame:
     import numpy as np
 
     spark = embeddings.sparkSession
-    dims, pairs = _exact_covariance_moments(embeddings)
-    dim_rows = dims.collect()
-    pair_rows = pairs.collect()
+    dim_rows, pair_rows = _exact_covariance_moments(embeddings)
     d = max(r["i"] for r in dim_rows)
     n = dim_rows[0]["n"]
     mu = np.zeros(d)
@@ -862,9 +869,7 @@ def pca_trace_audit(embeddings: DataFrame) -> DataFrame:
     import numpy as np
 
     spark = embeddings.sparkSession
-    dims, pairs = _exact_covariance_moments(embeddings)
-    dim_rows = dims.collect()
-    pair_rows = pairs.collect()
+    dim_rows, pair_rows = _exact_covariance_moments(embeddings)
     d = max(r["i"] for r in dim_rows)
     n = dim_rows[0]["n"]
     mu = np.zeros(d)
