@@ -960,6 +960,7 @@ _NEW_OPS_R8 = [
     "events_bootstrap_ci",
     "graph_harmonic_closeness",
     "events_conversion_latency",
+    "text_bigram_entropy",
 ]
 
 

@@ -1507,3 +1507,74 @@ def js_divergence_by_source(documents: DataFrame) -> DataFrame:
         "vocab",
         F.round(jsd, 4).alias("jsd"),
     ).orderBy("source")
+
+
+def bigram_conditional_entropy(documents: DataFrame) -> DataFrame:
+    """Corpus-level bigram conditional entropy per language
+    (`text_bigram_entropy`): H(w₂|w₁) = H(bigrams) − H(unigrams) — the
+    predictability-of-the-next-word diagnostic (Shannon 1951).  Low
+    conditional entropy flags templated/boilerplate-heavy slices that
+    per-document entropy (`text_word_entropy`) misses because each doc
+    looks individually normal; the gap H(w₂|w₁) vs H(w₁) is the
+    repetition signal.
+
+    Within-document bigrams only (no cross-doc splice).  Counts are
+    exact integers; each entropy is the standard Σ c·log2(c) group sum
+    rounded at the edge (4 dp — the zipf/entropy posture for double
+    term sums).
+
+    Scale: ONE exploded bigram stream with map-side combining is the
+    only fact-sized shuffle; the unigram line re-aggregates the
+    (lang, w₁)-grain count frame, never the corpus."""
+    ws = documents.select(
+        "lang", F.split(normalized(F.col("text")), " ").alias("ws")
+    ).select("lang", "ws", F.size("ws").alias("nw"))
+    bigrams = F.when(
+        F.col("nw") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("nw") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ws"), i).alias("w1"),
+                F.element_at(F.col("ws"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bc = (
+        ws.select("lang", F.explode(bigrams).alias("b"))
+        .where((F.col("b.w1") != "") & (F.col("b.w2") != ""))
+        .groupBy("lang", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # unigram line = the first-word marginal of the SAME bigram stream
+    # (so H2 - H1 is the exact chain rule on one distribution)
+    uc = bc.groupBy("lang", "w1").agg(F.sum("c").alias("c"))
+
+    def _entropy(counts: DataFrame, n_col: str) -> DataFrame:
+        tot = counts.groupBy("lang").agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias(n_col),
+            F.sum(
+                F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+            ).alias("clogc"),
+        )
+        h = F.log2(F.col("n").cast("double")) - F.col("clogc") / F.col(
+            "n"
+        ).cast("double")
+        return tot.select("lang", n_col, h.alias(f"__h_{n_col}"))
+
+    h2 = _entropy(bc, "n_bigrams")
+    h1 = _entropy(uc, "n_contexts")
+    return (
+        h2.join(h1, "lang")
+        .select(
+            "lang",
+            "n_bigrams",
+            "n_contexts",
+            F.round(F.col("__h_n_contexts"), 4).alias("unigram_entropy"),
+            F.round(F.col("__h_n_bigrams"), 4).alias("bigram_entropy"),
+            F.round(
+                F.col("__h_n_bigrams") - F.col("__h_n_contexts"), 4
+            ).alias("conditional_entropy"),
+        )
+        .orderBy("lang")
+    )

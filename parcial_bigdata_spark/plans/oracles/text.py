@@ -587,3 +587,39 @@ ORACLES["text_js_divergence"] = f"""
     FROM terms t JOIN st ON t.source = st.source
     GROUP BY t.source, st.st ORDER BY t.source
 """
+
+ORACLES["text_bigram_entropy"] = f"""
+    WITH staged AS (
+        SELECT lang, string_split({_NORM_SQL}, ' ') AS ws
+        FROM documents
+    ), big AS (
+        SELECT lang, ws[i] AS w1, ws[i + 1] AS w2
+        FROM staged, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE len(ws) >= 2
+    ), bc AS (
+        SELECT lang, w1, w2, count(*) AS c FROM big
+        WHERE w1 <> '' AND w2 <> '' GROUP BY lang, w1, w2
+    ), uc AS (
+        SELECT lang, w1, sum(c) AS c FROM bc GROUP BY lang, w1
+    ), h2 AS (
+        SELECT lang, sum(c) AS n, count(*) AS n_bigrams,
+               sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+        FROM bc GROUP BY lang
+    ), h1 AS (
+        SELECT lang, sum(c) AS n, count(*) AS n_contexts,
+               sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+        FROM uc GROUP BY lang
+    )
+    SELECT h2.lang,
+           CAST(h2.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(h1.n_contexts AS BIGINT) AS n_contexts,
+           round(log2(CAST(h1.n AS DOUBLE)) - h1.clogc / h1.n, 4)
+               AS unigram_entropy,
+           round(log2(CAST(h2.n AS DOUBLE)) - h2.clogc / h2.n, 4)
+               AS bigram_entropy,
+           round((log2(CAST(h2.n AS DOUBLE)) - h2.clogc / h2.n)
+                 - (log2(CAST(h1.n AS DOUBLE)) - h1.clogc / h1.n), 4)
+               AS conditional_entropy
+    FROM h2 JOIN h1 ON h2.lang = h1.lang
+    ORDER BY h2.lang
+"""

@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_bigram_entropy(spark, sf_dir):
+    # Shannon bigram conditional entropy per lang: one bigram-stream
+    # aggregate; the unigram marginal re-aggregates the bigram frame
+    return text_ops.bigram_conditional_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_conversion_latency(spark, sf_dir):
     # first-view -> first-purchase latency percentiles: one per-user
     # conditional-min aggregate, bounded-domain counting percentiles
@@ -1994,6 +2000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_bootstrap_ci": q_bootstrap_ci,
     "graph_harmonic_closeness": q_harmonic_closeness,
     "events_conversion_latency": q_conversion_latency,
+    "text_bigram_entropy": q_bigram_entropy,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2029,6 +2036,7 @@ INTRODUCED_ROUND = {
     "events_bootstrap_ci": 12,
     "graph_harmonic_closeness": 12,
     "events_conversion_latency": 12,
+    "text_bigram_entropy": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
