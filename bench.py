@@ -961,6 +961,7 @@ _NEW_OPS_R8 = [
     "graph_harmonic_closeness",
     "events_conversion_latency",
     "text_bigram_entropy",
+    "events_periodogram",
 ]
 
 

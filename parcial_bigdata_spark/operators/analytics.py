@@ -2313,3 +2313,97 @@ def conversion_latency_percentiles(
         F.col(str(p)).cast("long").alias(f"p{p}_hours") for p in percentiles
     ]
     return out.select(*cols)
+
+
+_TWO_PI = 6.283185307179586
+
+
+def hourly_periodogram(
+    events: DataFrame, periods=(24, 168, 12)
+) -> DataFrame:
+    """Single-frequency periodogram points per event type
+    (`events_periodogram`): for each candidate period P (daily, weekly,
+    half-daily), the fitted cosine amplitude and the share of the
+    hourly-count variance that harmonic explains — the seasonality
+    detector that tells a capacity planner WHICH cycle drives a
+    counter before a seasonal model (`events_seasonal_forecast`,
+    `events_weekday_seasonality`) assumes one.
+
+    For the dense hourly grid (missing hours are true zeros, t = hour
+    index): a = Σ dₜ·cos(2πt/P), b = Σ dₜ·sin(2πt/P) with dₜ the
+    mean-centered count; amplitude = 2·√(a²+b²)/n and variance share
+    = 2·(a²+b²)/(n·Σdₜ²) — the classic Schuster periodogram ordinate,
+    normalized.  Like the autocorrelation sibling, the double term
+    sums are group-aggregated and rounded at the edge (4 dp); 2π is an
+    identical literal on both engines.
+
+    Scale: one (type, hour) count is the only fact-sized shuffle;
+    the trig pass runs over the |types|·|hours|·|periods| dimension
+    frame."""
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = events.groupBy(F.col("event_type"), hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    series = (
+        bounds.select(
+            "event_type",
+            "lo",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("h"),
+        )
+        .join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_micros(h) - unix_micros(lo)) div 3600000000"
+            ).alias("t"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    stats = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    centered = series.join(stats, "event_type").select(
+        "event_type",
+        "t",
+        "n",
+        (
+            F.col("c").cast("double")
+            - F.col("s").cast("double") / F.col("n").cast("double")
+        ).alias("d"),
+    )
+    expanded = centered.select(
+        "event_type",
+        "t",
+        "n",
+        "d",
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in periods])
+        ).alias("period_hours"),
+    )
+    ang = (
+        F.lit(_TWO_PI)
+        * F.col("t").cast("double")
+        / F.col("period_hours").cast("double")
+    )
+    per = expanded.groupBy("event_type", "period_hours").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("d") * F.cos(ang)).alias("a"),
+        F.sum(F.col("d") * F.sin(ang)).alias("b"),
+        F.sum(F.col("d") * F.col("d")).alias("ss"),
+    )
+    p2 = F.col("a") * F.col("a") + F.col("b") * F.col("b")
+    n = F.col("n").cast("double")
+    return per.select(
+        "event_type",
+        "period_hours",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(F.lit(2.0) * F.sqrt(p2) / n, 4).alias("amplitude"),
+        F.round(
+            F.lit(2.0) * p2 / (n * F.col("ss")), 4
+        ).alias("variance_share"),
+    ).orderBy("event_type", "period_hours")

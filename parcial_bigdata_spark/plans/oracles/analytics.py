@@ -1229,3 +1229,48 @@ ORACLES["events_conversion_latency"] = """
             WHERE cum * 100 >= 99 * n) AS p99_hours
     FROM base b, viewers v
 """
+
+# Schuster periodogram ordinates at fixed candidate periods; 2*pi is
+# the identical literal on both engines, sums round at the edge (4 dp)
+ORACLES["events_periodogram"] = """
+    WITH counts AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), bounds AS (
+        SELECT event_type, min(h) AS lo, max(h) AS hi FROM counts GROUP BY 1
+    ), grid AS (
+        SELECT event_type, lo,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), series AS (
+        SELECT g.event_type,
+               (epoch_us(g.h) - epoch_us(g.lo)) // 3600000000 AS t,
+               coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.h = c.h
+    ), stats AS (
+        SELECT event_type, count(*) AS n, sum(c) AS s
+        FROM series GROUP BY 1
+    ), centered AS (
+        SELECT se.event_type, se.t, st.n,
+               CAST(se.c AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n AS d
+        FROM series se JOIN stats st ON se.event_type = st.event_type
+    ), expanded AS (
+        SELECT c.*, p.period_hours
+        FROM centered c,
+             (SELECT unnest([24, 168, 12]) AS period_hours) p
+    ), per AS (
+        SELECT event_type, period_hours, max(n) AS n,
+               sum(d * cos(6.283185307179586 * CAST(t AS DOUBLE)
+                           / period_hours)) AS a,
+               sum(d * sin(6.283185307179586 * CAST(t AS DOUBLE)
+                           / period_hours)) AS b,
+               sum(d * d) AS ss
+        FROM expanded GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(period_hours AS INTEGER) AS period_hours,
+           CAST(n AS BIGINT) AS n_hours,
+           round(2.0 * sqrt(a * a + b * b) / n, 4) AS amplitude,
+           round(2.0 * (a * a + b * b) / (n * ss), 4) AS variance_share
+    FROM per ORDER BY event_type, period_hours
+"""

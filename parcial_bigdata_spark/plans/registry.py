@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_periodogram(spark, sf_dir):
+    # Schuster periodogram at daily/weekly/half-daily periods: one
+    # (type, hour) count; trig pass on the dimension grid only
+    return ana_ops.hourly_periodogram(_t(spark, sf_dir, "events"))
+
+
 def q_bigram_entropy(spark, sf_dir):
     # Shannon bigram conditional entropy per lang: one bigram-stream
     # aggregate; the unigram marginal re-aggregates the bigram frame
@@ -2001,6 +2007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_harmonic_closeness": q_harmonic_closeness,
     "events_conversion_latency": q_conversion_latency,
     "text_bigram_entropy": q_bigram_entropy,
+    "events_periodogram": q_periodogram,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2037,6 +2044,7 @@ INTRODUCED_ROUND = {
     "graph_harmonic_closeness": 12,
     "events_conversion_latency": 12,
     "text_bigram_entropy": 12,
+    "events_periodogram": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
