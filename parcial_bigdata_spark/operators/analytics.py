@@ -2181,11 +2181,22 @@ def bootstrap_mean_ci(
     vals = events.where(F.col("event_type") == event_type).select(
         "event_id", F.col("value").cast("decimal(18,2)").alias("v")
     )
+    # murmur-style avalanche AFTER the linear combine: the raw Knuth
+    # lattice is so structured on consecutive ids that the additive
+    # b-shift barely moved any weight — all 32 resample means came out
+    # IDENTICAL on a periodic-value corpus (observed in the unit test:
+    # a degenerate, biased CI).  xor-shift + multiply breaks the
+    # lattice; constants sized so every intermediate stays in int64.
     m0 = F.pmod(F.col("event_id"), F.lit(1048573))
-    h = F.pmod(
+    h0 = F.pmod(
         m0 * F.lit(2654435761) + F.col("b") * F.lit(40503) + F.lit(7),
         F.lit(4294967296),
     )
+    h1 = F.pmod(
+        h0.bitwiseXOR(F.shiftright(h0, 16)) * F.lit(49979687),
+        F.lit(4294967296),
+    )
+    h = h1.bitwiseXOR(F.shiftright(h1, 15))
     w = F.lit(8)
     for k in range(len(_POISSON1_T32) - 1, -1, -1):
         w = F.when(h < F.lit(_POISSON1_T32[k]), F.lit(k)).otherwise(w)

@@ -1164,6 +1164,8 @@ ORACLES["events_bootstrap_ci"] = """
         SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v
         FROM events WHERE event_type = 'purchase'
     ), per AS (
+        -- identical murmur-style avalanche as the Spark twin: the raw
+        -- Knuth lattice left all resample weights in lockstep
         SELECT b, sum(w) AS wsum, sum(w * v) AS vsum
         FROM (SELECT b, v,
                      CASE WHEN h < 1580030168 THEN 0
@@ -1176,10 +1178,16 @@ ORACLES["events_bootstrap_ci"] = """
                           WHEN h < 4294923276 THEN 7
                           ELSE 8 END AS w
               FROM (SELECT event_id, v, b,
-                           ((event_id % 1048573) * 2654435761
-                            + b * 40503 + 7) % 4294967296 AS h
-                    FROM vals,
-                         unnest(generate_series(0, 31)) AS t(b)))
+                           xor(h1, h1 >> 15) AS h
+                    FROM (SELECT event_id, v, b,
+                                 (xor(h0, h0 >> 16) * 49979687)
+                                     % 4294967296 AS h1
+                          FROM (SELECT event_id, v, b,
+                                       ((event_id % 1048573) * 2654435761
+                                        + b * 40503 + 7) % 4294967296 AS h0
+                                FROM vals,
+                                     unnest(generate_series(0, 31))
+                                         AS t(b)))))
         GROUP BY b
     ), means AS (
         SELECT list_sort(list(CAST(vsum AS DOUBLE) / CAST(wsum AS DOUBLE)))

@@ -300,3 +300,125 @@ class TestPcaSpectrum:
         audit = sim.pca_trace_audit(emb).collect()[0]
         assert audit["trace"] == audit["sum_eigenvalues"]
         assert audit["trace"] == pytest.approx(sum(eigs), abs=1e-4)
+
+
+class TestBootstrapCI:
+    def test_ci_brackets_mean_and_replays_hash(self, spark):
+        import math as m
+
+        rows = [(i, "purchase", dt.datetime(2024, 1, 1), 1, float(10 + i % 5))
+                for i in range(200)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double"
+        )
+        out = ana.bootstrap_mean_ci(ev).collect()[0]
+        mean = sum(10 + i % 5 for i in range(200)) / 200
+        assert out["n_events"] == 200
+        assert out["mean_value"] == pytest.approx(mean, abs=1e-6)
+        assert out["ci_lo"] <= out["mean_value"] <= out["ci_hi"]
+        # python replay of resample b=0's weighted mean
+        T = ana._POISSON1_T32
+        ws, vs = 0, 0.0
+        for i in range(200):
+            h = ((i % 1048573) * 2654435761 + 7) % 4294967296
+            w = next((k for k, t in enumerate(T) if h < t), 8)
+            ws += w
+            vs += w * (10 + i % 5)
+        assert out["ci_lo"] <= m.floor(vs / ws * 1e6 + 0.5) / 1e6 <= out["ci_hi"]
+
+
+class TestConversionLatency:
+    def test_known_latencies(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # users 1..10: view at t0, purchase h hours later (h = user)
+        eid = 0
+        for u in range(1, 11):
+            rows.append((eid, "view", t0, u, 1.0)); eid += 1
+            rows.append(
+                (eid, "purchase", t0 + dt.timedelta(hours=u), u, 1.0)
+            ); eid += 1
+        # user 11 views but never purchases
+        rows.append((eid, "view", t0, 11, 1.0))
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double"
+        )
+        out = ana.conversion_latency_percentiles(ev).collect()[0]
+        assert out["n_converted"] == 10 and out["n_viewers"] == 11
+        assert out["conversion_rate"] == pytest.approx(10 / 11, abs=1e-6)
+        # hours = 1..10: ceil-covering picks p50 -> 5, p90 -> 9, p99 -> 10
+        assert out["p50_hours"] == 5
+        assert out["p90_hours"] == 9
+        assert out["p99_hours"] == 10
+
+
+class TestBigramEntropy:
+    def test_deterministic_text_has_zero_conditional_entropy(self, spark):
+        # 'a b a b ...': every context word fully determines the next
+        docs = spark.createDataFrame(
+            [(1, "a b " * 50, "en", "s", 1)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = t.bigram_conditional_entropy(docs).collect()[0]
+        assert out["conditional_entropy"] == pytest.approx(0.0, abs=1e-3)
+        assert out["unigram_entropy"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_uniform_random_pairs_near_unigram_entropy(self, spark):
+        import random
+
+        rng = random.Random(5)
+        text = " ".join(rng.choice("abcd") for _ in range(4000))
+        docs = spark.createDataFrame(
+            [(1, text, "en", "s", 1)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = t.bigram_conditional_entropy(docs).collect()[0]
+        # iid stream: H(w2|w1) ~ H(w1) ~ 2 bits
+        assert out["conditional_entropy"] == pytest.approx(2.0, abs=0.05)
+
+
+class TestPeriodogram:
+    def test_pure_daily_cycle_concentrates_at_24h(self, spark):
+        import math as m
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for hour in range(24 * 28):
+            c = 10 + round(5 * m.cos(2 * m.pi * hour / 24))
+            for _ in range(c):
+                rows.append(
+                    (eid, "click", t0 + dt.timedelta(hours=hour), 1, 1.0)
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double",
+        )
+        out = {r["period_hours"]: r for r in ana.hourly_periodogram(ev).collect()}
+        assert out[24]["amplitude"] == pytest.approx(5.0, abs=0.2)
+        assert out[24]["variance_share"] > 0.95
+        assert out[168]["variance_share"] < 0.05
+        assert out[12]["variance_share"] < 0.05
+
+
+class TestHarmonicCloseness:
+    def test_path_graph_values(self, spark):
+        # path 1-2-3-4-5-6-7, seeds = all nodes (n_seeds big). For seed 1:
+        # d = 1,2,3,4 within 4 hops -> H = 1 + 1/2 + 1/3 + 1/4
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 7)], "src long, dst long"
+        )
+        out = {r["u"] if "u" in r else r["seed"]: r
+               for r in g.harmonic_closeness(edges, n_seeds=7).collect()}
+        h_end = 1 + 0.5 + 1 / 3 + 0.25
+        assert out[1]["n_within_ball"] == 4
+        assert out[1]["harmonic_closeness"] == pytest.approx(h_end, abs=1e-6)
+        # middle node 4 reaches everything: 2 at d1, 2 at d2, 2 at d3
+        assert out[4]["n_within_ball"] == 6
+        assert out[4]["harmonic_closeness"] == pytest.approx(
+            2 + 1 + 2 / 3, abs=1e-6
+        )
