@@ -21,6 +21,9 @@ NO_ORACLE_OK = {
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    # eigen-decomposition is not SQL-expressible; its hard check is the
+    # oracle-checked trace-audit twin (embedding_pca_trace_audit)
+    "embedding_pca_variance",
 }
 
 pytestmark = pytest.mark.skipif(
