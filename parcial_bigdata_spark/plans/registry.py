@@ -2106,15 +2106,25 @@ INTRODUCED_ROUND = {
 # core re-certifies in one window), then the tolerance-bearing as-of,
 # the range/subquery/overlap joins, and six of the window family.
 #
-# Forward plan (EDF-checked, not hand-tranched): the 13-query r8
+# Forward plan (EDF-checked, not hand-tranched).  Round 12 closed with
+# 30 new operators (INTRODUCED_ROUND 12, first slots due r15), so the
+# paste-ready r13 composition is: standing 5 + the 13-query r8
 # remainder (window_sliding_counts, sessionize_events, hourly_rollup,
 # gapfill_daily_series, agg_user_value_trend x2, grouping_sets/rollup/
-# cube/pivot/percentile, multimodal summary + image decode) is due r14
-# under the 6-round budget and leads r13 together with the 14
-# never-certified round-11 additions (due r14) and the r9 block's front
-# (due r15).  Steady state: ~45 seats/round against ~35 forced/round
-# leaves ~10 new-query seats per round — matching the observed
-# 10-14-query growth rate.
+# cube/pivot/percentile, multimodal summary + image decode — due r14)
+# + the 14 never-certified round-11 additions (due r14) + 18 of the r9
+# block's front (due r15).  r14 then takes the r9 remainder + the
+# first ~19 round-12 introductions (prioritize the real-run streaming
+# entries streaming_topk_per_window / streaming_outer_join_expiry, the
+# operators that took round-12 fixes — stats_welch_ttest,
+# events_bootstrap_ci, sample_temperature_mix, integrity_schema_drift
+# — and the applyInPandas recursion pair events_cusum_alarm /
+# events_holt_forecast, so the fixes land driver-checked); r15 sweeps
+# the round-12 tail before its due round.  Steady state: ~45
+# seats/round against ~35 forced/round leaves ~10 new-query seats per
+# round; round 12's 30 introductions spent three rounds of that slack,
+# so rounds 13-14 should add sparingly (<=10 new queries each) to keep
+# the EDF check comfortable.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
