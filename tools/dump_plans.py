@@ -53,6 +53,11 @@ SHOWCASE = [
     ("orders_fulfillment_percentiles", "exact SLA percentiles via bounded-domain counting (r11): the (priority, days) CDF is checkpointed once, each percentile is an integer cross-multiplied selection - no full-stream rank or sort anywhere"),
     ("embedding_mahalanobis_outliers", "diagonal Mahalanobis outliers (r11): decimal-grid moment groupBy on |dims|, broadcast stats back over a row-local second pass, top-n via TakeOrdered on the exact decimal"),
     ("multimodal_gif_frame_census", "real multi-frame GIF block walk (r11): expression-built animation corpus feeds ONE ArrowEvalPython stage, zero shuffles"),
+    ("events_bootstrap_ci", "Poisson bootstrap (r12): 32 resamples as a row-local x32 explode with avalanche-hashed integer weights, ONE map-side-combined aggregate - no sampling shuffle, CI from a 32-element sorted array"),
+    ("text_js_divergence", "per-source JSD (r12): corpus and source totals are WINDOW sums over the single (source, word) aggregate - the vocabulary is never broadcast or re-aggregated"),
+    ("graph_common_neighbors", "link prediction (r12): hub-capped wedge self-join (per-key fanout <= cap^2), left_anti on the canonical edge set, TakeOrdered top-k"),
+    ("events_cusum_alarm", "sequential CUSUM (r12): fact cost is ONE (type, day) count; the recursion runs applyInPandas per type over the dense |days|-row grid (FlatMapGroupsInPandas on the dimension frame)"),
+    ("events_conversion_latency", "conversion latency (r12): one per-user conditional-min aggregate, then bounded-domain counting percentiles on the checkpointed <=|hours| frame"),
 ]
 
 
