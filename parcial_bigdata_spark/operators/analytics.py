@@ -2414,7 +2414,9 @@ def hourly_periodogram(
         "period_hours",
         F.col("n").cast("long").alias("n_hours"),
         F.round(F.lit(2.0) * F.sqrt(p2) / n, 4).alias("amplitude"),
-        F.round(
-            F.lit(2.0) * p2 / (n * F.col("ss")), 4
+        # a constant (zero-variance) series has no spectrum: NULL, not
+        # a 0/0 NaN-vs-NULL engine drift
+        F.when(
+            F.col("ss") > 0, F.round(F.lit(2.0) * p2 / (n * F.col("ss")), 4)
         ).alias("variance_share"),
     ).orderBy("event_type", "period_hours")

@@ -1279,6 +1279,8 @@ ORACLES["events_periodogram"] = """
     SELECT event_type, CAST(period_hours AS INTEGER) AS period_hours,
            CAST(n AS BIGINT) AS n_hours,
            round(2.0 * sqrt(a * a + b * b) / n, 4) AS amplitude,
-           round(2.0 * (a * a + b * b) / (n * ss), 4) AS variance_share
+           CASE WHEN ss > 0
+                THEN round(2.0 * (a * a + b * b) / (n * ss), 4)
+           END AS variance_share
     FROM per ORDER BY event_type, period_hours
 """
