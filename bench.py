@@ -962,6 +962,7 @@ _NEW_OPS_R8 = [
     "events_conversion_latency",
     "text_bigram_entropy",
     "events_periodogram",
+    "dedup_component_size_hist",
 ]
 
 

@@ -2155,3 +2155,44 @@ def embedding_lsh_recall_check(
             ).alias("recall_ok"),
         )
     )
+
+
+def component_size_histogram(
+    documents: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Duplicate-cluster size histogram over the WHOLE corpus
+    (`dedup_component_size_hist`): how many components exist at each
+    size (singletons included — size 1 is the non-duplicated mass) and
+    the removable-document count per bucket (size − 1 per component) —
+    the savings readout a curator checks before committing a dedup
+    pass, and the skew check that flags a pathological mega-cluster
+    before `dedup_component_survivors` ships it.
+
+    Scale: component labels come from the O(log n) star-rounds CC
+    (`duplicate_components`); everything after is two map-side-combined
+    aggregates — (comp) then (size) — both bounded by |docs| and
+    |distinct sizes| respectively.  No window, no skew surface."""
+    comps = duplicate_components(pairs)
+    labeled = (
+        documents.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
+        )
+    )
+    sizes = labeled.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").alias("component_size"))
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .select(
+            "component_size",
+            "n_components",
+            (F.col("component_size") * F.col("n_components")).alias(
+                "n_docs"
+            ),
+            (
+                (F.col("component_size") - F.lit(1)) * F.col("n_components")
+            ).alias("n_removable"),
+        )
+        .orderBy("component_size")
+    )

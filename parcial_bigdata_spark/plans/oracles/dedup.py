@@ -264,3 +264,31 @@ ORACLES["dedup_embedding_lsh_check"] = f"""
            CAST((SELECT count(*) FROM truth) >= 5 AS INT) AS truth_sufficient,
            1 AS recall_ok
 """
+
+# component-size histogram: transitive closure labels (singletons keep
+# their own id via COALESCE) -> per-component sizes -> histogram; the
+# checker swaps in the union-find py-oracle past the closure bound
+ORACLES["dedup_component_size_hist"] = f"""
+    WITH RECURSIVE {_WS_PAIRS_SQL}, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), closure(src, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT c.src, e.dst FROM closure c JOIN edges e ON c.reach = e.src
+    ), labels AS (
+        SELECT src AS doc_id, least(src, min(reach)) AS comp
+        FROM closure GROUP BY src
+    ), assigned AS (
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS comp
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ), sizes AS (
+        SELECT comp, count(*) AS sz FROM assigned GROUP BY comp
+    )
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           count(*) AS n_components,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY sz ORDER BY component_size
+"""

@@ -1608,6 +1608,15 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_component_size_hist(spark, sf_dir):
+    # dedup savings readout: star-rounds CC labels + two bounded
+    # aggregates (comp -> size -> histogram), singletons included
+    pairs = dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return dedup_ops.component_size_histogram(
+        _t(spark, sf_dir, "documents"), pairs
+    )
+
+
 def q_periodogram(spark, sf_dir):
     # Schuster periodogram at daily/weekly/half-daily periods: one
     # (type, hour) count; trig pass on the dimension grid only
@@ -2008,6 +2017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_conversion_latency": q_conversion_latency,
     "text_bigram_entropy": q_bigram_entropy,
     "events_periodogram": q_periodogram,
+    "dedup_component_size_hist": q_component_size_hist,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2045,6 +2055,7 @@ INTRODUCED_ROUND = {
     "events_conversion_latency": 12,
     "text_bigram_entropy": 12,
     "events_periodogram": 12,
+    "dedup_component_size_hist": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,

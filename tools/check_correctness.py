@@ -172,10 +172,32 @@ def _py_leakage_safe_split(con):
     return out.sort_values("split").reset_index(drop=True)
 
 
+def _py_component_size_hist(con):
+    import pandas as pd
+
+    df = _assigned(con)
+    sizes = df.groupby("comp").size()
+    hist = sizes.value_counts().sort_index()
+    out = pd.DataFrame(
+        {
+            "component_size": hist.index.astype("int64"),
+            "n_components": hist.values.astype("int64"),
+        }
+    )
+    out["n_docs"] = (out["component_size"] * out["n_components"]).astype(
+        "int64"
+    )
+    out["n_removable"] = (
+        (out["component_size"] - 1) * out["n_components"]
+    ).astype("int64")
+    return out.reset_index(drop=True)
+
+
 PY_ORACLES = {
     "dedup_components": _py_dedup_components,
     "dedup_component_survivors": _py_component_survivors,
     "sample_leakage_safe_split": _py_leakage_safe_split,
+    "dedup_component_size_hist": _py_component_size_hist,
 }
 
 
