@@ -963,6 +963,7 @@ _NEW_OPS_R8 = [
     "text_bigram_entropy",
     "events_periodogram",
     "dedup_component_size_hist",
+    "multimodal_image_histogram",
 ]
 
 

@@ -1726,3 +1726,85 @@ def wav_silence_runs(documents: DataFrame, threshold: int = 1000) -> DataFrame:
             )
 
     return corpus.mapInPandas(batches, SILENCE_SCHEMA).orderBy("media_id")
+
+
+HIST_SCHEMA = "channel string, bin int, n_pixels long"
+
+
+def image_channel_histogram(
+    documents: DataFrame, n_bins: int = 16
+) -> DataFrame:
+    """Corpus-level per-channel intensity histogram over REAL BMP pixel
+    decode (`multimodal_image_histogram`): 16 equal-width byte bins per
+    BGR channel — the exposure/paletted-content profile an image
+    curation pipeline computes before brightness filters or
+    augmentation (the channel-sum view of `multimodal_bmp_pixel_decode`
+    cannot see bimodality; the histogram can).
+
+    Clips synthesize via :func:`synth_bmp_pixel_corpus` (pixel byte =
+    (doc_id + 3x + 5y + 11c) % 256), so the DuckDB oracle recomputes
+    every bin count from arithmetic over the (doc, x, y) grid — the
+    genuine container decode, stride unpack, and binning are pinned
+    end-to-end.  Integer-exact.
+
+    Scale: row-local decode + per-BATCH partial histograms inside ONE
+    mapInPandas stage (np.bincount per channel — the shuffle carries
+    ≤|batches|·48 partial rows, never pixels), then one tiny
+    (channel, bin) aggregate."""
+    corpus = synth_bmp_pixel_corpus(documents)
+    width = 256 // n_bins
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            acc = {c: np.zeros(n_bins, dtype=np.int64) for c in "bgr"}
+            for content in pdf["content"]:
+                meta = _decode_bmp_pixels_raw(bytes(content))
+                for ci, c in enumerate("bgr"):
+                    acc[c] += np.bincount(
+                        meta[:, ci] // width, minlength=n_bins
+                    )
+            rows = [
+                (c, b, int(acc[c][b]))
+                for c in "bgr"
+                for b in range(n_bins)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["channel", "bin", "n_pixels"]
+            )
+
+    return (
+        corpus.mapInPandas(batches, HIST_SCHEMA)
+        .groupBy("channel", "bin")
+        .agg(F.sum("n_pixels").alias("n_pixels"))
+        .where(F.col("n_pixels") > 0)
+        .orderBy("channel", "bin")
+    )
+
+
+def _decode_bmp_pixels_raw(content: bytes):
+    """The pixel matrix behind :func:`_decode_bmp_pixels` — (n_pixels,
+    3) uint8 BGR array after the same header walk, stride slice, and
+    guard set (shared decode contract; summaries and histograms must
+    never drift)."""
+    import struct
+
+    import numpy as np
+
+    meta = _decode_bmp(content)
+    if meta is None:
+        raise ValueError("carries the BM magic but its header does not decode")
+    if meta["bit_depth"] != 24:
+        raise NotImplementedError(
+            f"{meta['bit_depth']}-bpp BMP pixel decode requires PIL"
+        )
+    (offset,) = struct.unpack("<I", content[10:14])
+    w, h = meta["width"], meta["height"]
+    stride = (w * 3 + 3) & ~3
+    if len(content) < offset + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : w * 3]
+    return rows.reshape(-1, 3)

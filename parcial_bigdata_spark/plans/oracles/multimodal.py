@@ -326,3 +326,33 @@ ORACLES["multimodal_wav_silence"] = """
     LEFT JOIN run_agg r ON r.media_id = p.media_id
     ORDER BY p.media_id
 """
+
+# corpus channel histogram: bin counts recomputed from the closed-form
+# pixel byte over the (doc, x, y) grid; empty bins are absent on both
+# sides (the Spark twin filters n_pixels > 0)
+ORACLES["multimodal_image_histogram"] = """
+    WITH p AS (
+        SELECT doc_id AS media_id, 4 + doc_id % 12 AS w,
+               4 + (doc_id * 7) % 8 AS h
+        FROM documents
+    ), grid AS (
+        SELECT media_id, x.x, y.y
+        FROM p,
+             LATERAL (SELECT unnest(range(0, w)) AS x) x,
+             LATERAL (SELECT unnest(range(0, h)) AS y) y
+    ), px AS (
+        SELECT 'b' AS channel,
+               ((media_id + 3 * x + 5 * y) % 256) // 16 AS bin
+        FROM grid
+        UNION ALL
+        SELECT 'g', ((media_id + 3 * x + 5 * y + 11) % 256) // 16
+        FROM grid
+        UNION ALL
+        SELECT 'r', ((media_id + 3 * x + 5 * y + 22) % 256) // 16
+        FROM grid
+    )
+    SELECT channel, CAST(bin AS INTEGER) AS bin, count(*) AS n_pixels
+    FROM px GROUP BY channel, bin
+    HAVING count(*) > 0
+    ORDER BY channel, bin
+"""

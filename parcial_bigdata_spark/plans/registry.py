@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_image_histogram(spark, sf_dir):
+    # corpus BGR intensity histogram over REAL BMP decode: per-batch
+    # np.bincount partials, shuffle carries <=|batches|*48 rows
+    return mm_ops.image_channel_histogram(_t(spark, sf_dir, "documents"))
+
+
 def q_component_size_hist(spark, sf_dir):
     # dedup savings readout: star-rounds CC labels + two bounded
     # aggregates (comp -> size -> histogram), singletons included
@@ -2018,6 +2024,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_entropy": q_bigram_entropy,
     "events_periodogram": q_periodogram,
     "dedup_component_size_hist": q_component_size_hist,
+    "multimodal_image_histogram": q_image_histogram,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2056,6 +2063,7 @@ INTRODUCED_ROUND = {
     "text_bigram_entropy": 12,
     "events_periodogram": 12,
     "dedup_component_size_hist": 12,
+    "multimodal_image_histogram": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
