@@ -964,6 +964,7 @@ _NEW_OPS_R8 = [
     "events_periodogram",
     "dedup_component_size_hist",
     "multimodal_image_histogram",
+    "graph_rich_club",
 ]
 
 

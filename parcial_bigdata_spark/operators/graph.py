@@ -782,3 +782,101 @@ def harmonic_closeness(
         "n_within_ball",
         ratio_round(harm, 6).alias("harmonic_closeness"),
     ).orderBy("seed")
+
+
+def rich_club_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ks=(25, 50, 100),
+) -> DataFrame:
+    """Rich-club coefficients at fixed club sizes
+    (`graph_rich_club`): for the top-k nodes by degree (ties broken by
+    node id — a total order), the realized fraction of the k·(k−1)/2
+    possible intra-club edges (Zhou & Mondragón 2004) — the
+    hub-interconnection diagnostic that distinguishes an oligarchy of
+    interlinked hubs from independent stars (assortativity's summary
+    number can't separate them).
+
+    Scale: degrees are one map-side aggregate; the club membership is a
+    TakeOrdered top-max(k) (driver-bounded by the declared club size,
+    never |nodes|) broadcast back over the edge list; per-edge club
+    rank is greatest(rank_u, rank_v) and ALL club sizes reduce in ONE
+    conditional-sum aggregate over that stream."""
+    from pyspark.sql import Window
+
+    from parcial_bigdata_spark.functions.money import ratio_round
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    # ed feeds the degree line AND both membership joins; deg feeds the
+    # club AND the node count — checkpoint both or each reference
+    # replans the edge build (the _triangles lifecycle)
+    ed = iter_checkpoint(_canonical_undirected(edges, src, dst))
+    sym = ed.unionByName(
+        ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = iter_checkpoint(
+        sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    kmax = max(ks)
+    top = (
+        deg.orderBy(F.col("deg").desc(), F.col("u").asc())
+        .limit(kmax)
+        .select(
+            "u",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("deg").desc(), F.col("u").asc())
+            )
+            .alias("rk"),
+        )
+    )
+    ranked = (
+        ed.join(
+            F.broadcast(top.select(F.col("u"), F.col("rk").alias("rk_u"))),
+            "u",
+        )
+        .join(
+            F.broadcast(
+                top.select(F.col("u").alias("v"), F.col("rk").alias("rk_v"))
+            ),
+            "v",
+        )
+        .select(F.greatest("rk_u", "rk_v").alias("rmax"))
+    )
+    agg = ranked.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("rmax") <= k, 1).otherwise(0)).alias(
+                f"e_{k}"
+            )
+            for k in ks
+        ]
+    )
+    n_nodes = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    j = agg.crossJoin(F.broadcast(n_nodes))
+    # one explode, not a per-k union — a union branch would replan the
+    # whole edge/degree subtree once per club size
+    exploded = j.select(
+        "n_nodes",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("club_size"),
+                        F.coalesce(F.col(f"e_{k}"), F.lit(0)).alias("e"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("x"),
+    ).select("n_nodes", "x.club_size", "x.e")
+    kk = F.least(F.col("club_size"), F.col("n_nodes"))
+    possible = (kk * (kk - 1) / 2).cast("long")
+    return exploded.select(
+        "club_size",
+        F.col("e").alias("n_edges_within"),
+        possible.alias("n_possible"),
+        ratio_round(
+            F.col("e").cast("double") / possible.cast("double"), 6
+        ).alias("coefficient"),
+    ).orderBy("club_size")

@@ -278,3 +278,42 @@ ORACLES["graph_harmonic_closeness"] = """
                AS harmonic_closeness
     FROM counts ORDER BY seed
 """
+
+# rich-club coefficients: top-k club by (degree DESC, node ASC), edge
+# inside the club when both endpoint ranks <= k; k(k-1) is even so the
+# /2 is exact
+ORACLES["graph_rich_club"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), ed AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ), sym AS (
+        SELECT u, v FROM ed UNION ALL SELECT v, u FROM ed
+    ), deg AS (
+        SELECT u, count(*) AS deg FROM sym GROUP BY u
+    ), top AS (
+        SELECT u, row_number() OVER (ORDER BY deg DESC, u ASC) AS rk
+        FROM deg ORDER BY deg DESC, u ASC LIMIT 100
+    ), ranked AS (
+        SELECT greatest(tu.rk, tv.rk) AS rmax
+        FROM ed JOIN top tu ON ed.u = tu.u JOIN top tv ON ed.v = tv.u
+    ), n AS (
+        SELECT count(*) AS n_nodes FROM deg
+    ), ks AS (
+        SELECT unnest([25, 50, 100]) AS club_size
+    )
+    SELECT k.club_size,
+           CAST(coalesce((SELECT count(*) FROM ranked
+                          WHERE rmax <= k.club_size), 0) AS BIGINT)
+               AS n_edges_within,
+           CAST(least(k.club_size, n.n_nodes)
+                * (least(k.club_size, n.n_nodes) - 1) / 2 AS BIGINT)
+               AS n_possible,
+           floor(CAST(coalesce((SELECT count(*) FROM ranked
+                                WHERE rmax <= k.club_size), 0) AS DOUBLE)
+                 / (least(k.club_size, n.n_nodes)
+                    * (least(k.club_size, n.n_nodes) - 1) / 2)
+                 * 1e6 + 0.5) / 1e6 AS coefficient
+    FROM ks k, n ORDER BY club_size
+"""

@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_rich_club(spark, sf_dir):
+    # hub-interconnection diagnostic: TakeOrdered top-k club broadcast
+    # over the edge list, all club sizes in ONE conditional-sum agg
+    return graph_ops.rich_club_coefficients(_copurchase_edges(spark, sf_dir))
+
+
 def q_image_histogram(spark, sf_dir):
     # corpus BGR intensity histogram over REAL BMP decode: per-batch
     # np.bincount partials, shuffle carries <=|batches|*48 rows
@@ -2025,6 +2031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_periodogram": q_periodogram,
     "dedup_component_size_hist": q_component_size_hist,
     "multimodal_image_histogram": q_image_histogram,
+    "graph_rich_club": q_rich_club,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2064,6 +2071,7 @@ INTRODUCED_ROUND = {
     "events_periodogram": 12,
     "dedup_component_size_hist": 12,
     "multimodal_image_histogram": 12,
+    "graph_rich_club": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
