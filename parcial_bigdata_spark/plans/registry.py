@@ -2134,7 +2134,7 @@ INTRODUCED_ROUND = {
 # the range/subquery/overlap joins, and six of the window family.
 #
 # Forward plan (EDF-checked, not hand-tranched).  Round 12 closed with
-# 31 new operators (INTRODUCED_ROUND 12, first slots due r15), so the
+# 33 new operators (INTRODUCED_ROUND 12, first slots due r15), so the
 # paste-ready r13 composition is: standing 5 + the 13-query r8
 # remainder (window_sliding_counts, sessionize_events, hourly_rollup,
 # gapfill_daily_series, agg_user_value_trend x2, grouping_sets/rollup/
