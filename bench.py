@@ -965,6 +965,7 @@ _NEW_OPS_R8 = [
     "dedup_component_size_hist",
     "multimodal_image_histogram",
     "graph_rich_club",
+    "orders_nelson_aalen",
 ]
 
 

@@ -1284,3 +1284,50 @@ ORACLES["events_periodogram"] = """
            END AS variance_share
     FROM per ORDER BY event_type, period_hours
 """
+
+# Nelson-Aalen: the SAME life table as orders_kaplan_meier; the hazard
+# is an ordered cumulative sum of IEEE divisions (sequential both
+# engines), Fleming-Harrington survival = exp(-H)
+ORACLES["orders_nelson_aalen"] = """
+    WITH spans AS (
+        SELECT CASE WHEN nd IS NOT NULL
+                    THEN datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(nd AS DATE))
+                    ELSE datediff('day', CAST(o_orderdate AS DATE),
+                                  CAST(hz AS DATE))
+               END AS days,
+               nd IS NOT NULL AS observed
+        FROM (
+            SELECT o_custkey, o_orderdate,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate,
+                                                    o_orderkey) AS nd
+            FROM orders
+        ) CROSS JOIN (SELECT max(o_orderdate) AS hz FROM orders)
+    ), bins AS (
+        SELECT CAST(floor(days / 30) * 30 AS BIGINT) AS bin_start_days,
+               CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_events,
+               CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_censored
+        FROM spans GROUP BY 1
+    ), risk AS (
+        SELECT bin_start_days, n_events, n_censored,
+               CAST((SELECT sum(n_events + n_censored) FROM bins)
+                    - coalesce(sum(n_events + n_censored) OVER (
+                          ORDER BY bin_start_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM bins
+    ), hz AS (
+        SELECT bin_start_days, n_at_risk, n_events, n_censored,
+               sum(CAST(n_events AS DOUBLE) / n_at_risk) OVER (
+                   ORDER BY bin_start_days ROWS UNBOUNDED PRECEDING
+               ) AS h
+        FROM risk WHERE n_at_risk > 0
+    )
+    SELECT bin_start_days, n_at_risk, n_events, n_censored,
+           floor(h * 1e6 + 0.5) / 1e6 AS cum_hazard,
+           floor(exp(-h) * 1e6 + 0.5) / 1e6 AS fh_survival
+    FROM hz ORDER BY bin_start_days
+"""

@@ -1608,6 +1608,12 @@ def q_streaming_late_audit(spark, sf_dir):
     return late_data_audit(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def q_nelson_aalen(spark, sf_dir):
+    # cumulative-hazard sibling of orders_kaplan_meier on the identical
+    # life table: ordered cumsum of exact-count divisions
+    return ana_ops.nelson_aalen_hazard(_t(spark, sf_dir, "orders"))
+
+
 def q_rich_club(spark, sf_dir):
     # hub-interconnection diagnostic: TakeOrdered top-k club broadcast
     # over the edge list, all club sizes in ONE conditional-sum agg
@@ -2032,6 +2038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_component_size_hist": q_component_size_hist,
     "multimodal_image_histogram": q_image_histogram,
     "graph_rich_club": q_rich_club,
+    "orders_nelson_aalen": q_nelson_aalen,
 }
 
 # Round each oracle-checked query was added to the registry, ONLY for
@@ -2072,6 +2079,7 @@ INTRODUCED_ROUND = {
     "dedup_component_size_hist": 12,
     "multimodal_image_histogram": 12,
     "graph_rich_club": 12,
+    "orders_nelson_aalen": 12,
     # round-11 additions
     "events_hourly_autocorr": 11,
     "integrity_benford_audit": 11,
@@ -2134,7 +2142,7 @@ INTRODUCED_ROUND = {
 # the range/subquery/overlap joins, and six of the window family.
 #
 # Forward plan (EDF-checked, not hand-tranched).  Round 12 closed with
-# 33 new operators (INTRODUCED_ROUND 12, first slots due r15), so the
+# 34 new operators (INTRODUCED_ROUND 12, first slots due r15), so the
 # paste-ready r13 composition is: standing 5 + the 13-query r8
 # remainder (window_sliding_counts, sessionize_events, hourly_rollup,
 # gapfill_daily_series, agg_user_value_trend x2, grouping_sets/rollup/
