@@ -422,3 +422,96 @@ class TestHarmonicCloseness:
         assert out[4]["harmonic_closeness"] == pytest.approx(
             2 + 1 + 2 / 3, abs=1e-6
         )
+
+
+class TestComponentSizeHistogram:
+    def test_hand_graph(self, spark):
+        from parcial_bigdata_spark.operators import dedup as dd
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "en", "s", 10) for i in range(1, 8)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        # components: {1,2,3} (chain), {4,5}; 6,7 singletons
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+        )
+        out = {r["component_size"]: r
+               for r in dd.component_size_histogram(docs, pairs).collect()}
+        assert out[1]["n_components"] == 2 and out[1]["n_removable"] == 0
+        assert out[2]["n_components"] == 1 and out[2]["n_removable"] == 1
+        assert out[3]["n_components"] == 1 and out[3]["n_removable"] == 2
+        assert sum(r["n_docs"] for r in out.values()) == 7
+
+
+class TestRichClub:
+    def test_clique_plus_pendants(self, spark):
+        from parcial_bigdata_spark.operators import graph as gg
+
+        # K5 clique (nodes 1..5) + a pendant leaf on each clique node:
+        # top-5 by degree IS the clique (deg 5 vs 1) -> coefficient 1.0
+        edges = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+        edges += [(i, 100 + i) for i in range(1, 6)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        out = {r["club_size"]: r
+               for r in gg.rich_club_coefficients(e, ks=(5, 10)).collect()}
+        assert out[5]["n_edges_within"] == 10
+        assert out[5]["coefficient"] == pytest.approx(1.0)
+        # the 10-club includes all 10 nodes: 15 edges of 45 possible
+        assert out[10]["n_edges_within"] == 15
+        assert out[10]["coefficient"] == pytest.approx(15 / 45, abs=1e-6)
+
+
+class TestNelsonAalen:
+    def test_hazard_matches_life_table(self, spark):
+        import datetime as dtt
+
+        from parcial_bigdata_spark.operators import analytics as an
+
+        d0 = dtt.datetime(2024, 1, 1)
+        # cust 1: orders at day 0, 10 (gap 10 observed; tail censored at
+        # horizon day 40 - 30); cust 2: one order day 0 (censored 40)
+        orders = spark.createDataFrame(
+            [
+                (1, 1, d0),
+                (2, 1, d0 + dtt.timedelta(days=10)),
+                (3, 2, d0),
+                (4, 3, d0 + dtt.timedelta(days=40)),
+            ],
+            "o_orderkey long, o_custkey long, o_orderdate timestamp",
+        )
+        rows = {r["bin_start_days"]: r
+                for r in an.nelson_aalen_hazard(orders).collect()}
+        # life table: bin 0 (days 0-29): events=1 (gap 10), censored=1
+        # (cust3 tail 0); bin 30: censored=2 (cust1 tail 30, cust2 40)
+        assert rows[0]["n_at_risk"] == 4
+        assert rows[0]["n_events"] == 1
+        h0 = 1 / 4
+        assert rows[0]["cum_hazard"] == pytest.approx(h0, abs=1e-6)
+        assert rows[30]["cum_hazard"] == pytest.approx(h0, abs=1e-6)
+        assert rows[30]["fh_survival"] == pytest.approx(
+            math.exp(-h0), abs=1e-6
+        )
+
+
+class TestImageHistogram:
+    def test_bins_match_closed_form(self, spark):
+        from parcial_bigdata_spark.operators import multimodal as mm
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "en", "s", 10) for i in range(1, 6)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = mm.image_channel_histogram(docs).collect()
+        got = {(r["channel"], r["bin"]): r["n_pixels"] for r in out}
+        expected: dict = {}
+        for d in range(1, 6):
+            w, h = 4 + d % 12, 4 + (d * 7) % 8
+            for y in range(h):
+                for x in range(w):
+                    for ci, c in enumerate("bgr"):
+                        b = ((d + 3 * x + 5 * y + 11 * ci) % 256) // 16
+                        expected[(c, b)] = expected.get((c, b), 0) + 1
+        assert got == expected
