@@ -2115,7 +2115,7 @@ INTRODUCED_ROUND = {
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 12)
+# Driver-window rotation (round 13)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
@@ -2134,31 +2134,27 @@ INTRODUCED_ROUND = {
 # rotating query's due round, so ANY future window composition that
 # wedges the schedule fails loudly at commit time.
 #
-# Round-12 window (the composition pre-committed by the round-11
-# rotation note, applied verbatim): 5 standing + the 13 never-certified
-# round-10 tranche-2 leftovers (introduced r10, first slot due r13) +
-# 32 of the 45-query r8 block — TPC-H q1..q22 first (the full relational
-# core re-certifies in one window), then the tolerance-bearing as-of,
-# the range/subquery/overlap joins, and six of the window family.
+# Round-13 window (the composition pre-committed by the round-12
+# rotation note, applied with one deliberate swap): 5 standing + the
+# 13-query r8 remainder (due r14) + the 14 never-certified round-11
+# additions (due r14) + 18 due-r15 seats.  Within the 18, five seats go
+# to the queries whose code or oracle took round-13 ADVICE fixes
+# (integrity_schema_drift oracle NULL-denominator alignment,
+# embedding_pca_variance zero-trace guard + its trace-audit twin,
+# events_bootstrap_ci, events_conversion_latency) so the fixes land
+# driver-checked THIS round rather than r14; the remaining 13 come from
+# the r9 block's front (dedup + kNN families, as-of, semi/anti joins).
 #
-# Forward plan (EDF-checked, not hand-tranched).  Round 12 closed with
-# 34 new operators (INTRODUCED_ROUND 12, first slots due r15), so the
-# paste-ready r13 composition is: standing 5 + the 13-query r8
-# remainder (window_sliding_counts, sessionize_events, hourly_rollup,
-# gapfill_daily_series, agg_user_value_trend x2, grouping_sets/rollup/
-# cube/pivot/percentile, multimodal summary + image decode — due r14)
-# + the 14 never-certified round-11 additions (due r14) + 18 of the r9
-# block's front (due r15).  r14 then takes the r9 remainder + the
-# first ~19 round-12 introductions (prioritize the real-run streaming
-# entries streaming_topk_per_window / streaming_outer_join_expiry, the
-# operators that took round-12 fixes — stats_welch_ttest,
-# events_bootstrap_ci, sample_temperature_mix, integrity_schema_drift
-# — and the applyInPandas recursion pair events_cusum_alarm /
-# events_holt_forecast, so the fixes land driver-checked); r15 sweeps
+# Forward plan (EDF-checked, not hand-tranched).  After this window,
+# the due-r15 pool is 59 queries (the 32 r9-block remainder + 27 of the
+# r12 introductions) against 90 rotating seats in r14..r15 — feasible
+# with 31 seats of slack.  r14 takes the r9-block remainder + the
+# round-12 introductions that took fixes (stats_welch_ttest,
+# sample_temperature_mix, events_cusum_alarm / events_holt_forecast,
+# streaming_topk_per_window / streaming_outer_join_expiry); r15 sweeps
 # the round-12 tail before its due round.  Steady state: ~45
 # seats/round against ~35 forced/round leaves ~10 new-query seats per
-# round; round 12's 30 introductions spent three rounds of that slack,
-# so rounds 13-14 should add sparingly (<=10 new queries each) to keep
+# round; rounds 13-14 add sparingly (<=10 new queries each) to keep
 # the EDF check comfortable.
 # --------------------------------------------------------------------------
 
@@ -2167,29 +2163,33 @@ DRIVER_WINDOW = [
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # r10 backlog, tranche 2 of 2 (introduced r10, first slot due r13)
-    "dedup_ngram_coverage", "events_activity_streaks",
-    "events_interarrival_hist", "events_sliding_distinct_users",
-    "events_user_entropy", "integrity_expectations",
-    "integrity_functional_deps", "multimodal_bmp_resize",
-    "multimodal_wav_frame_features", "sample_group_kfold",
-    "sample_negative_pairs", "sample_temporal_split",
-    "sample_undersample_balance",
-    # the r8 block, part 1 of 2: all 22 TPC-H shapes
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_region_revenue", "q6_revenue_forecast",
-    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation",
-    "q10_returned_items", "q11_important_parts", "q12_priority_lines",
-    "q13_order_distribution", "q14_promo_share", "q15_top_suppliers",
-    "q16_supplier_variety", "q17_small_qty_revenue", "q18_large_orders",
-    "q19_brand_bands", "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q22_wealthy_inactive",
-    # the r8 block, part 2: as-of tolerance + range/subquery/overlap joins
-    "asof_purchase_signup_tolerance", "range_value_bands",
-    "subquery_big_spenders", "session_overlap_pairs",
-    # the r8 block, part 3: six of the window family
-    "window_value_delta", "window_topk_per_user", "window_running_total",
-    "window_rank_bands", "window_daily_delta", "window_time_range_avg",
+    # the r8 remainder (last green r8, due r14)
+    "window_sliding_counts", "sessionize_events", "hourly_rollup",
+    "gapfill_daily_series", "agg_user_value_trend",
+    "agg_user_value_trend_pandas", "grouping_sets_revenue",
+    "rollup_order_totals", "cube_lineitem_counts", "pivot_priority_counts",
+    "percentile_value_by_type", "multimodal_media_summary",
+    "multimodal_image_decode",
+    # the 14 never-certified round-11 additions (introduced r11, due r14)
+    "customers_pareto_share", "embedding_mahalanobis_outliers",
+    "events_change_point", "events_hourly_autocorr", "graph_assortativity",
+    "integrity_benford_audit", "maintenance_compaction_plan",
+    "multimodal_gif_frame_census", "multimodal_media_dedup",
+    "orders_backlog_timeseries", "orders_fulfillment_percentiles",
+    "sample_curriculum_order", "sample_importance_weights",
+    "streaming_late_data_audit",
+    # due-r15 seats, part 1: the five queries that took round-13 ADVICE
+    # fixes — certify the fixed behavior now, not next round
+    "integrity_schema_drift", "embedding_pca_variance",
+    "embedding_pca_trace_audit", "events_bootstrap_ci",
+    "events_conversion_latency",
+    # due-r15 seats, part 2: the r9 block's front — dedup + kNN
+    # families, as-of, semi/anti/top-k joins
+    "dedup_minhash_lsh", "dedup_minhash_lsh_check", "dedup_simhash",
+    "dedup_embedding_lsh", "dedup_paragraphs", "knn_cosine_arrow",
+    "knn_cosine_ivf", "knn_cosine_lsh", "asof_purchase_signup",
+    "anti_join_idle_customers", "semi_join_big_orders",
+    "join_revenue_by_brand", "top_orders_by_price",
 ]
 
 _WINDOW_SET = set(DRIVER_WINDOW)

@@ -168,10 +168,24 @@ def test_forward_schedule_is_feasible():
     to current + MAX_ROUNDS_WITHOUT_SLOT, beyond every horizon checked).
     This subsumes the old hand-written per-round plan tests: a window
     composition or a new-query burst that wedges ANY future round fails
-    here at commit time, naming the first infeasible horizon."""
+    here at commit time, naming the first infeasible horizon.
+
+    Round-boundary hardening (round-12 verdict item 1): when the driver
+    drops a fresh CORRECTNESS file whose keys EQUAL ``DRIVER_WINDOW``,
+    the window on disk is the one that JUST RAN, not the upcoming
+    composition — treating it as the upcoming window would double-spend
+    the new round's seats on already-fresh queries and redden the suite
+    between rounds with nothing actionable.  In that state the upcoming
+    window is simply not composed yet, so the check degrades to pure
+    EDF feasibility with the upcoming round's seats unassigned (every
+    future round, including the upcoming one, is a free 45-seat round).
+    """
     rounds = _correctness_rounds()
     current = _current_round(rounds)
     window = set(registry.DRIVER_WINDOW)
+    boundary_state = window == rounds[max(rounds)]
+    if boundary_state:
+        window = set()  # upcoming window not yet composed; seats free
 
     due_counts: dict[int, int] = {}
     for name in registry.QUERIES:
@@ -183,13 +197,28 @@ def test_forward_schedule_is_feasible():
         due_counts[due] = due_counts.get(due, 0) + 1
 
     rotating_per_round = WINDOW_SIZE - STANDING_SLOTS
-    cumulative_demand = 0
-    for h in range(current + 1, current + MAX_ROUNDS_WITHOUT_SLOT + 1):
+    # with the window unassigned, the upcoming round itself is schedulable
+    first_scheduled = current if boundary_state else current + 1
+    cumulative_demand = sum(
+        n for d, n in due_counts.items() if d < first_scheduled
+    )
+    for h in range(first_scheduled, current + MAX_ROUNDS_WITHOUT_SLOT + 1):
         cumulative_demand += due_counts.get(h, 0)
-        cumulative_capacity = rotating_per_round * (h - current)
+        cumulative_capacity = rotating_per_round * (h - first_scheduled + 1)
         assert cumulative_demand <= cumulative_capacity, (
             f"rotation wedged: {cumulative_demand} rotating queries are "
             f"due by r{h} but only {cumulative_capacity} rotating seats "
-            f"exist in rounds r{current + 1}..r{h} — trim additions or "
-            "extend the budget"
+            f"exist in rounds r{first_scheduled}..r{h} — trim additions "
+            "or extend the budget"
         )
+
+
+def test_forward_schedule_survives_round_boundary(monkeypatch):
+    """Regression for the round-12 judged-tree red: a fresh driver
+    CORRECTNESS file landing while DRIVER_WINDOW still holds that same
+    round's composition must NOT redden the feasibility check.  Simulate
+    by pointing DRIVER_WINDOW at the newest CORRECTNESS file's keys."""
+    rounds = _correctness_rounds()
+    newest = sorted(rounds[max(rounds)])
+    monkeypatch.setattr(registry, "DRIVER_WINDOW", newest)
+    test_forward_schedule_is_feasible()  # must not raise
