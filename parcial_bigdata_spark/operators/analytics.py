@@ -2243,9 +2243,15 @@ def conversion_latency_percentiles(
 ) -> DataFrame:
     """EXACT view→purchase conversion-latency percentiles
     (`events_conversion_latency`): hours from a user's FIRST view to
-    their FIRST purchase at or after it, reduced to p50/p90/p99 plus
-    the conversion rate — the activation-funnel latency readout next
-    to `events_funnel_steps`' count view.
+    their FIRST PURCHASE OVERALL — a user whose first purchase
+    precedes their first view does not count as converted, even if a
+    later purchase follows the view (the funnel reads "organically
+    converted by the view", excluding already-buying users; the
+    DuckDB oracle replays exactly this rule).  Reduced to p50/p90/p99
+    plus the conversion rate — the activation-funnel latency readout
+    next to `events_funnel_steps`' count view.  With zero converted
+    users the report is still ONE row (n_converted=0, NULL
+    percentiles), matching the oracle's always-one-row shape.
 
     Latency in whole hours has a tiny value domain (≤ |observation
     window|), so the percentiles use the BOUNDED-DOMAIN COUNTING
@@ -2302,23 +2308,25 @@ def conversion_latency_percentiles(
             cdf.where(F.col("cum") * 100 >= F.lit(p) * F.col("n"))
             .orderBy("hours")
             .limit(1)
-            .select(
-                F.lit(p).alias("p"), F.col("hours").alias("v"), "n"
-            )
+            .select(F.lit(p).alias("p"), F.col("hours").alias("v"))
         )
         picks = row if picks is None else picks.unionByName(row)
-    wide = picks.groupBy("n").pivot("p", list(percentiles)).agg(
-        F.first("v")
-    )
+    # groupBy() (global) pivot: ONE row even when picks is empty, so
+    # the zero-conversions report matches the oracle's always-one-row
+    # shape instead of vanishing (round-13 advice)
+    wide = picks.groupBy().pivot("p", list(percentiles)).agg(F.first("v"))
+    base = converted.agg(F.count(F.lit(1)).alias("n_converted"))
     viewers = per_user.where(F.col("first_view").isNotNull()).agg(
         F.count(F.lit(1)).alias("n_viewers")
     )
-    out = wide.crossJoin(F.broadcast(viewers))
+    out = base.crossJoin(F.broadcast(wide)).crossJoin(F.broadcast(viewers))
     cols = [
-        F.col("n").cast("long").alias("n_converted"),
+        F.col("n_converted").cast("long").alias("n_converted"),
         "n_viewers",
         ratio_round(
-            F.col("n").cast("double") / F.col("n_viewers").cast("double"), 6
+            F.col("n_converted").cast("double")
+            / F.col("n_viewers").cast("double"),
+            6,
         ).alias("conversion_rate"),
     ] + [
         F.col(str(p)).cast("long").alias(f"p{p}_hours") for p in percentiles

@@ -1033,9 +1033,13 @@ def synth_png_pixel_corpus(documents: DataFrame) -> DataFrame:
     the constant 21 past the first pixel, Up deltas to 13 — the decoder
     still runs the genuine prefix-sum / previous-row reconstruction).
     Geometry matches the BMP corpus (width 4-15, height 4-11).  Chunk
-    CRCs are zeroed except IEND's constant AE426082 (the chunk walk
-    reads lengths, not CRCs); the oracle replicates the raw-byte closed
-    form per RGB channel, pinning every statistic end-to-end."""
+    CRCs are REAL since round 13 (``F.crc32`` over chunk type + data —
+    the same CRC-32 polynomial PNG mandates), so the corpus is fully
+    spec-valid and any external decoder (e.g. the optional PIL tier,
+    which VERIFIES chunk CRCs where stdlib zlib does not) accepts it;
+    the stdlib chunk walk reads lengths, not CRCs, so the decoded
+    statistics are unchanged.  The oracle replicates the raw-byte
+    closed form per RGB channel, pinning every statistic end-to-end."""
     w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     raw_len = h * (1 + 3 * w)
@@ -1060,20 +1064,29 @@ def synth_png_pixel_corpus(documents: DataFrame) -> DataFrame:
     bytes_hex = F.array_join(
         F.transform("__png_bytes", lambda b: F.lpad(F.hex(b), 2, "0")), ""
     )
-    content = F.concat(
-        F.unhex(F.lit("89504E470D0A1A0A")),                  # magic
-        F.unhex(F.lit("0000000D49484452")),                  # IHDR len + tag
+    # chunk CRCs are CRC-32 over (type || data) — F.crc32 implements the
+    # identical polynomial, so both chunks carry REAL spec-valid CRCs
+    ihdr_chunk = F.concat(
+        F.unhex(F.lit("49484452")),                          # 'IHDR'
         _be_bytes(w, 4), _be_bytes(h, 4),
         F.unhex(F.lit("0802000000")),                        # depth 8, RGB
-        _zero_bytes(4),                                      # IHDR CRC
-        _be_bytes(raw_len + 11, 4),                          # IDAT length
+    )
+    idat_chunk = F.concat(
         F.unhex(F.lit("49444154")),                          # 'IDAT'
         F.unhex(F.lit("7801")),                              # zlib header
         F.unhex(F.lit("01")),                                # BFINAL, stored
         _le_bytes(raw_len, 2), _le_bytes(F.lit(65535) - raw_len, 2),
         F.unhex(bytes_hex),                                  # raw scanlines
         _be_bytes(adler, 4),                                 # zlib adler32
-        _zero_bytes(4),                                      # IDAT CRC
+    )
+    content = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),                  # magic
+        F.unhex(F.lit("0000000D")),                          # IHDR length
+        ihdr_chunk,
+        _be_bytes(F.crc32(ihdr_chunk), 4),                   # IHDR CRC
+        _be_bytes(raw_len + 11, 4),                          # IDAT length
+        idat_chunk,
+        _be_bytes(F.crc32(idat_chunk), 4),                   # IDAT CRC
         F.unhex(F.lit("0000000049454E44AE426082")),          # IEND (real CRC)
     )
     return (
@@ -1099,6 +1112,58 @@ def png_pixel_summary(documents: DataFrame) -> DataFrame:
     return decode_pixels(
         synth_png_pixel_corpus(documents), use_fake_decode=False
     ).orderBy("media_id")
+
+
+def pil_pixel_summary(documents: DataFrame) -> DataFrame:
+    """Optional-tier differential query (`multimodal_pil_pixel_decode`,
+    registered only when PIL is importable — round-12 verdict item 6):
+    decode the SAME spec-valid synthetic PNG corpus as
+    ``png_pixel_summary``, but FORCE the decode through the PIL tier
+    (``_pil_decode_pixels``: ``Image.open`` + RGB numpy stats) instead
+    of the stdlib zlib path.  The closed-form DuckDB oracle is shared
+    with the stdlib query, so on a PIL-equipped box the optional tier
+    is hash-checked end-to-end — PIL's inflate, CRC verification, and
+    unfilter must reproduce the construction arithmetic exactly, not
+    just pass unit tests.  On a box without PIL the query never
+    registers (declarative skip), so the driver window and staleness
+    ledger are unaffected.
+
+    Scale: same mapInPandas shape as ``decode_pixels`` — Arrow-batched,
+    partition-parallel, constant memory per batch; the PNG construction
+    side stays pure built-in byte expressions."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                stats = _pil_decode_pixels(
+                    bytes(content) if content is not None else None
+                )
+                if stats is None:
+                    raise NotImplementedError(
+                        "multimodal_pil_pixel_decode requires the optional "
+                        "PIL tier (not installed, or payload rejected)"
+                    )
+                rows.append(
+                    (
+                        mid, stats["width"], stats["height"],
+                        stats["n_pixels"], stats["sum_b"], stats["sum_g"],
+                        stats["sum_r"], stats["min_byte"], stats["max_byte"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "sum_b", "sum_g", "sum_r", "min_byte", "max_byte",
+                ],
+            )
+
+    return (
+        synth_png_pixel_corpus(documents)
+        .mapInPandas(batches, schema=PIXEL_SCHEMA)
+        .orderBy("media_id")
+    )
 
 
 def bmp_pixel_summary(documents: DataFrame) -> DataFrame:

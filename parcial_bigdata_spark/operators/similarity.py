@@ -837,6 +837,11 @@ def pca_variance_spectrum(embeddings: DataFrame) -> DataFrame:
         cov[j, i] = c
     eig = np.linalg.eigh(cov)[0][::-1]  # descending
     trace = float(eig.sum())
+    # degenerate corpus (constant embeddings, or a single row): every
+    # variance is 0 and the ratio denominators vanish — emit NULL
+    # ratios instead of raising, matching the NULL-not-NaN posture of
+    # the periodogram variance-share guard (round-13 advice)
+    degenerate = trace <= 0.0
     rows, cum = [], 0.0
     for k, ev in enumerate(eig, start=1):
         ev = float(ev)
@@ -845,8 +850,10 @@ def pca_variance_spectrum(embeddings: DataFrame) -> DataFrame:
             (
                 k,
                 math.floor(ev * 1e6 + 0.5) / 1e6,
-                math.floor(ev / trace * 1e6 + 0.5) / 1e6,
-                math.floor(cum / trace * 1e6 + 0.5) / 1e6,
+                None if degenerate
+                else math.floor(ev / trace * 1e6 + 0.5) / 1e6,
+                None if degenerate
+                else math.floor(cum / trace * 1e6 + 0.5) / 1e6,
             )
         )
     return spark.createDataFrame(

@@ -186,7 +186,7 @@ ORACLES["integrity_schema_drift"] = """
                    row_number() OVER (PARTITION BY period
                                       ORDER BY c DESC, status DESC) AS rn
             FROM (SELECT period, status, count(*) AS c
-                  FROM base GROUP BY 1, 2)
+                  FROM base WHERE status IS NOT NULL GROUP BY 1, 2)
         ) WHERE rn = 1
     ), priority_mode AS (
         SELECT period, 'priority_mode_share' AS metric,
@@ -198,7 +198,7 @@ ORACLES["integrity_schema_drift"] = """
                    row_number() OVER (PARTITION BY period
                                       ORDER BY c DESC, priority DESC) AS rn
             FROM (SELECT period, priority, count(*) AS c
-                  FROM base GROUP BY 1, 2)
+                  FROM base WHERE priority IS NOT NULL GROUP BY 1, 2)
         ) WHERE rn = 1
     ), metrics AS (
         SELECT period, 'price_null_rate' AS metric,

@@ -237,3 +237,79 @@ def test_functional_dependencies_rejects_missing_columns(spark):
         functional_dependencies(
             spark.range(1), [("bad", ("nope",), ("id",))]
         )
+
+
+def test_schema_drift_null_categoricals_match_oracle(spark, tmp_path):
+    """Round-13 advice (medium): the Spark side excludes NULLs from the
+    categorical mode numerator AND denominator; the DuckDB oracle must
+    mirror that.  TPC-H status/priority are never NULL, so this builds a
+    null-bearing orders snapshot where a NULL group would WIN the mode
+    by count if the oracle still grouped over all rows — the exact
+    masked divergence."""
+    import duckdb
+
+    from parcial_bigdata_spark.operators.profiling import schema_drift
+    from parcial_bigdata_spark.plans.registry import ORACLES
+
+    rows = []
+    # baseline period: 4x NULL status (would win an all-rows mode),
+    # 3x 'F', 2x 'O'; priority has one NULL
+    for i, (st, pr) in enumerate(
+        [(None, "1-URGENT"), (None, "1-URGENT"), (None, None),
+         (None, "2-HIGH"), ("F", "2-HIGH"), ("F", "2-HIGH"),
+         ("F", "3-MEDIUM"), ("O", "3-MEDIUM"), ("O", "3-MEDIUM")]
+    ):
+        rows.append((i, "1998-01-0%d" % (i % 9 + 1), 100.0 + i, st, pr))
+    # current period: NULL ties the mode count — non-null must still win
+    for i, (st, pr) in enumerate(
+        [(None, "1-URGENT"), (None, "5-LOW"), ("P", "5-LOW"), ("P", None)]
+    ):
+        rows.append((100 + i, "1998-06-0%d" % (i + 1), 200.0 + i, st, pr))
+
+    orders = spark.createDataFrame(
+        [(oid, f"{d} 00:00:00", p, st, pr) for oid, d, p, st, pr in rows],
+        "o_orderkey long, o_orderdate string, o_totalprice double, "
+        "o_orderstatus string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+
+    got = {
+        r.metric: r
+        for r in schema_drift(orders, split_date="1998-05-01").collect()
+    }
+    # baseline: non-null mode is F (3 of 5 non-null) even though NULL
+    # has 4 rows; current: P wins the 2-2 tie against NULL
+    assert got["status_mode_share"].baseline == pytest.approx(3 / 5)
+    assert got["status_mode_share"].current == pytest.approx(2 / 2)
+    assert got["priority_mode_share"].baseline == pytest.approx(3 / 8)
+    assert got["status_null_rate"].baseline == pytest.approx(4 / 9)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, TIMESTAMP '%s 00:00:00', %r, %s, %s)"
+            % (
+                oid,
+                d,
+                p,
+                "NULL" if st is None else f"'{st}'",
+                "NULL" if pr is None else f"'{pr}'",
+            )
+            for oid, d, p, st, pr in rows
+        )
+        + ") AS t(o_orderkey, o_orderdate, o_totalprice, "
+        "o_orderstatus, o_orderpriority)"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(ORACLES["integrity_schema_drift"]).fetchall()
+    }
+    assert set(oracle) == set(got)
+    for metric, row in oracle.items():
+        g = got[metric]
+        for a, b in [(row[1], g.baseline), (row[2], g.current),
+                     (row[3], g.change)]:
+            if a is None or b is None:
+                assert a is None and b is None, (metric, a, b)
+            else:
+                assert a == pytest.approx(b, abs=1e-9), (metric, a, b)

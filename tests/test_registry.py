@@ -106,9 +106,11 @@ def test_query_runs_and_is_deterministic_schema(spark, name):
         # exchange carries at most the capped wedge stream
         "graph_common_neighbors": (10, 0),
         # bounded-domain percentile picks: one single-partition window
-        # per percentile plus the totals line — every one of them runs
-        # on the checkpointed <=|hours| count frame, never facts
-        "events_conversion_latency": (7, 4),
+        # per percentile plus the totals line AND the always-one-row
+        # n_converted base aggregate (round-13 zero-conversions shape
+        # fix) — every one of them runs on the checkpointed <=|hours|
+        # count frame or a 1-row aggregate, never facts
+        "events_conversion_latency": (7, 5),
     }
     hash_max, single_max = overrides.get(name, (7, 3))
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -301,6 +301,19 @@ class TestPcaSpectrum:
         assert audit["trace"] == audit["sum_eigenvalues"]
         assert audit["trace"] == pytest.approx(sum(eigs), abs=1e-4)
 
+    def test_degenerate_corpus_emits_null_ratios(self, spark):
+        # constant embeddings: trace == 0 — ratios must be NULL, not a
+        # ZeroDivisionError on the driver (round-13 advice)
+        emb = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0], 0) for i in range(5)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        spec = sim.pca_variance_spectrum(emb).collect()
+        assert [r["component"] for r in spec] == [1, 2, 3]
+        assert all(r["eigenvalue"] == 0.0 for r in spec)
+        assert all(r["explained_ratio"] is None for r in spec)
+        assert all(r["cumulative_ratio"] is None for r in spec)
+
 
 class TestBootstrapCI:
     def test_ci_brackets_mean_and_replays_hash(self, spark):
@@ -317,15 +330,30 @@ class TestBootstrapCI:
         assert out["n_events"] == 200
         assert out["mean_value"] == pytest.approx(mean, abs=1e-6)
         assert out["ci_lo"] <= out["mean_value"] <= out["ci_hi"]
-        # python replay of resample b=0's weighted mean
+        # python replay of the FULL hash (h0 -> xor-shift/multiply
+        # avalanche h1 -> h) across ALL 32 resamples, reproducing
+        # ci_lo/ci_hi exactly — a regression in any avalanche step
+        # moves a weight and breaks the equality (round-13 advice:
+        # the old replay stopped at h0, so the containment assertion
+        # passed only incidentally)
         T = ana._POISSON1_T32
-        ws, vs = 0, 0.0
-        for i in range(200):
-            h = ((i % 1048573) * 2654435761 + 7) % 4294967296
-            w = next((k for k, t in enumerate(T) if h < t), 8)
-            ws += w
-            vs += w * (10 + i % 5)
-        assert out["ci_lo"] <= m.floor(vs / ws * 1e6 + 0.5) / 1e6 <= out["ci_hi"]
+        means = []
+        for b in range(32):
+            ws, vs = 0, 0.0
+            for i in range(200):
+                h0 = ((i % 1048573) * 2654435761 + b * 40503 + 7) % 2**32
+                h1 = ((h0 ^ (h0 >> 16)) * 49979687) % 2**32
+                h = h1 ^ (h1 >> 15)
+                w = next((k for k, t in enumerate(T) if h < t), 8)
+                ws += w
+                vs += w * (10 + i % 5)
+            means.append(vs / ws)
+        means.sort()
+        lo_idx = int(0.025 * 31 + 0.5)       # 0-based nearest-rank
+        hi_idx = int(0.975 * 31 + 0.5)
+        assert out["ci_lo"] == m.floor(means[lo_idx] * 1e6 + 0.5) / 1e6
+        assert out["ci_hi"] == m.floor(means[hi_idx] * 1e6 + 0.5) / 1e6
+        assert len(set(means)) > 1  # the avalanche actually moves weight
 
 
 class TestConversionLatency:
@@ -352,6 +380,31 @@ class TestConversionLatency:
         assert out["p50_hours"] == 5
         assert out["p90_hours"] == 9
         assert out["p99_hours"] == 10
+
+    def test_zero_conversions_still_one_row(self, spark):
+        # viewers exist but nobody converts: the report must be ONE row
+        # with n_converted=0, rate 0.0, NULL percentiles — the oracle's
+        # always-one-row shape (round-13 advice)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, "view", t0, 1, 1.0),
+            (1, "view", t0, 2, 1.0),
+            # user 3 purchased BEFORE their first view: not converted
+            (2, "purchase", t0, 3, 1.0),
+            (3, "view", t0 + dt.timedelta(hours=1), 3, 1.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double",
+        )
+        got = ana.conversion_latency_percentiles(ev).collect()
+        assert len(got) == 1
+        out = got[0]
+        assert out["n_converted"] == 0 and out["n_viewers"] == 3
+        assert out["conversion_rate"] == 0.0
+        assert out["p50_hours"] is None
+        assert out["p90_hours"] is None
+        assert out["p99_hours"] is None
 
 
 class TestBigramEntropy:

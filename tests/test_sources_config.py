@@ -738,7 +738,9 @@ def _make_png_rgb(w, h, pix, filters=None, compress=True):
     """Genuine 8-bit RGB PNG built with stdlib zlib: real DEFLATE
     compression (not just the stored-mode blocks the Spark corpus
     emits), real per-row filters (0=None, 1=Sub, 2=Up applied to the
-    closed-form raw bytes), zeroed chunk CRCs like the corpus."""
+    closed-form raw bytes), zeroed chunk CRCs (legal for the stdlib
+    decoder, which reads lengths, not CRCs; the Spark corpus itself
+    carries REAL CRCs since round 13 for optional-tier decoders)."""
     import struct
     import zlib
 
