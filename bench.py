@@ -966,6 +966,11 @@ _NEW_OPS_R8 = [
     "multimodal_image_histogram",
     "graph_rich_club",
     "orders_nelson_aalen",
+    # round-13 additions
+    "stats_mann_whitney",
+    "stats_levene_value",
+    "orders_ols_trend",
+    "text_hapax_stats",
 ]
 
 

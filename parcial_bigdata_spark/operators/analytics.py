@@ -2519,3 +2519,242 @@ def nelson_aalen_hazard(orders: DataFrame, bin_days: int = 30) -> DataFrame:
         ratio_round(hazard, 6).alias("cum_hazard"),
         ratio_round(F.exp(-hazard), 6).alias("fh_survival"),
     ).orderBy("bin_start_days")
+
+
+def mann_whitney_quantity(
+    lineitem: DataFrame, flag_a: str = "A", flag_b: str = "R"
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two return-flag populations
+    on line quantity (`stats_mann_whitney`): the NONPARAMETRIC
+    complement to `stats_welch_ttest` — "do returned and accepted
+    lines draw from the same quantity distribution?" without assuming
+    normality.  Average ranks with the standard tie correction
+    (Mann & Whitney 1947; normal approximation with tie-adjusted
+    variance).
+
+    Exactness: quantity has a BOUNDED domain (the TPC-H grid is 1..50),
+    so ranks come from the bounded-domain counting technique — one
+    (value) count frame, a cumulative window over it, and the average
+    rank of a tied block expressed as the INTEGER double-rank
+    dr = 2·cum_before + c + 1 (twice the average rank, always integer).
+    Rank sums and the tie term Σ(c³−c) aggregate as exact DECIMAL(38,0)
+    (immune to int64 overflow at any corpus size); U, μ, σ, z are then
+    ONE fixed IEEE sequence over those exact sums, rounded via
+    ratio_round.
+
+    Scale: one map-side-combining value-grain aggregate over the scan
+    is the only fact-sized shuffle; the window and everything after run
+    on the ≤|distinct quantities| frame (the census-pinned
+    post-aggregation single-partition pattern)."""
+    from pyspark.sql.window import Window
+
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    counts = (
+        lineitem.where(F.col("l_returnflag").isin(flag_a, flag_b))
+        .groupBy(q.alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == flag_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("l_returnflag") == flag_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+        .select("v", "ca", "cb", (F.col("ca") + F.col("cb")).alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        "ca",
+        "cb",
+        "c",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+        ).alias("dr"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(F.col("ca").cast(dec) * F.col("dr")).alias("r2a"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # U_a from the double-rank sum: R_a = r2a/2, U_a = R_a − n_a(n_a+1)/2
+    u_a = (F.col("r2a").cast("double") - na * (na + 1)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma2 = (na * nb / F.lit(12.0)) * (
+        (n + 1) - F.col("ties").cast("double") / (n * (n - 1))
+    )
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        # exact multiple of 0.5 — 2 dp pins it without double-ulp risk
+        ratio_round(u_a, 2).alias("u_stat"),
+        F.col("ties").cast("long").alias("tie_term"),
+        ratio_round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )
+
+
+def levene_value_by_type(events: DataFrame) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types on
+    event value (`stats_levene_value`): Levene's W with the
+    median-centered deviations Brown & Forsythe (1974) showed robust
+    to non-normality — the check an experimenter runs before trusting
+    a pooled-variance comparison across k groups.
+
+    Exactness: value rides the cent grid (DECIMAL(12,2) cast, the
+    engine-wide money posture), so each group's LOWER MEDIAN comes
+    exactly from the bounded-domain counting technique (one
+    (type, value) count frame, per-type cumulative window, min v with
+    2·cum ≥ n).  |x − median| then stays EXACT decimal, Σz at
+    DECIMAL(38,2) and Σz² at DECIMAL(38,4) are order-free, and W is a
+    fixed IEEE sequence over the k-row group frame, rounded at 4 dp
+    (the entropy-contract margin for a k-term double sum).
+
+    Scale: two fact-sized map-side-combining aggregates (the count
+    frame, then the deviation moments after a k-row broadcast join);
+    windows run only on the (type, value) frame, whose size is bounded
+    by |types| × |cent-grid values|, never by row count."""
+    from pyspark.sql.window import Window
+
+    v = F.col("value").cast("decimal(12,2)")
+    counts = (
+        events.groupBy("event_type", v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "v",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n_g"),
+    )
+    med = (
+        cum.where(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("med"))
+    )
+    z = events.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(v - F.col("med")).alias("z")
+    )
+    per = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,4)")).alias("sq"),
+    )
+    ng = F.col("n").cast("double")
+    szg = F.col("sz").cast("double")
+    sqg = F.col("sq").cast("double")
+    terms = per.select(
+        "n",
+        "sz",
+        # per-group pieces of the W numerator/denominator, each a fixed
+        # IEEE sequence over exact sums; the grand mean enters later
+        (szg / ng).alias("zbar_g"),
+        ng.alias("ng"),
+        (sqg - szg * (szg / ng)).alias("den_g"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("sz").alias("sz_all"),
+        F.sum(
+            F.col("ng") * F.col("zbar_g") * F.col("zbar_g")
+        ).alias("num_raw"),
+        F.sum("den_g").alias("den"),
+    )
+    nn = F.col("n_total").cast("double")
+    kk = F.col("k").cast("double")
+    zbar = F.col("sz_all").cast("double") / nn
+    # Σ n_g(z̄_g − z̄)² = Σ n_g z̄_g² − N z̄²  (exact-sum König form: no
+    # per-group grand-mean subtraction, so the k-row sum needs no
+    # cross-group ordering discipline beyond the 4 dp margin)
+    num = F.col("num_raw") - nn * zbar * zbar
+    w_stat = ((nn - kk) / (kk - 1)) * num / F.col("den")
+    # degenerate inputs — a single group (df1 = 0) or zero within-group
+    # deviation everywhere (den = 0) — leave W undefined: NULL, not a
+    # raise (the NULL-not-NaN posture; ANSI mode would otherwise throw
+    # DIVIDE_BY_ZERO)
+    defined = (F.col("k") > 1) & (F.col("den") > 0)
+    return tot.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        ratio_round(zbar, 6).alias("mean_abs_dev"),
+        F.when(defined, ratio_round(w_stat, 4)).alias("w_stat"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        (F.col("n_total") - F.col("k")).cast("long").alias("df2"),
+    )
+
+
+def ols_daily_trend(orders: DataFrame) -> DataFrame:
+    """Classical least-squares trend of daily order revenue
+    (`orders_ols_trend`): slope, intercept, and R² of total revenue
+    against the day index — the parametric line next to
+    `events_theil_sen_trend`'s robust estimator (and the closed-form
+    special case of what `q6_revenue_forecast`'s consumers fit
+    downstream).
+
+    Exactness: the daily series is an exact DECIMAL(18,2) revenue sum
+    per observed day; Σt/Σt² are int64 on the |days| frame, Σty rides
+    DECIMAL(38,2) and Σy² DECIMAL(38,4) — every moment is order-free
+    exact.  Slope, intercept, and R² are one fixed IEEE sequence over
+    the six exact moments (normal-equation form n·Σty − Σt·Σy etc.;
+    the n²-scaled cancellations stay ≥10⁴ above double ulp at any SF),
+    rounded via ratio_round(6).
+
+    Scale: one map-side-combining daily aggregate over the scan, a
+    1-row min-day broadcast for the index origin, then a single
+    aggregate over the ≤|days| frame — no window, no skew surface."""
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(price).alias("y"))
+    )
+    origin = daily.agg(F.min("d").alias("d0"))
+    t = F.datediff(F.col("d"), F.col("d0"))
+    moments = (
+        daily.crossJoin(F.broadcast(origin))
+        .select(
+            t.alias("t"),
+            F.col("y"),
+            (t.cast("decimal(20,0)") * F.col("y")).alias("ty"),
+            (F.col("y") * F.col("y")).cast("decimal(38,4)").alias("yy"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("t").alias("st"),
+            F.sum(F.col("t").cast("long") * F.col("t")).alias("stt"),
+            F.sum("y").alias("sy"),
+            F.sum("ty").alias("sty"),
+            F.sum("yy").alias("syy"),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    st = F.col("st").cast("double")
+    stt = F.col("stt").cast("double")
+    sy = F.col("sy").cast("double")
+    sty = F.col("sty").cast("double")
+    syy = F.col("syy").cast("double")
+    sxx = n * stt - st * st
+    sxy = n * sty - st * sy
+    syy_c = n * syy - sy * sy
+    slope = sxy / sxx
+    intercept = (sy - slope * st) / n
+    r2 = sxy * sxy / (sxx * syy_c)
+    return moments.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        ratio_round(slope, 6).alias("slope_per_day"),
+        ratio_round(intercept, 2).alias("intercept"),
+        ratio_round(r2, 6).alias("r_squared"),
+    )

@@ -1578,3 +1578,48 @@ def bigram_conditional_entropy(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def hapax_stats(documents: DataFrame) -> DataFrame:
+    """Corpus lexical-richness summary (`text_hapax_stats`): hapax
+    legomena count (words occurring exactly once), vocabulary size,
+    type-token ratio, hapax share, and Herdan's C (log-vocabulary over
+    log-tokens — the scale-robust richness constant) — the corpus-level
+    health readout a pre-training data curator reads next to
+    `text_vocab_growth`'s curve: a crawl slice whose hapax share spikes
+    is OCR noise or boilerplate-stripped fragments; one whose TTR
+    collapses is template spam.
+
+    Tokenization parity: the engine-wide normalized form (lowercase,
+    non-alphanumeric runs → single space, trim) shared with
+    `text_vocabulary` / `text_word_pairs`, empty tokens dropped.
+
+    Exactness: every statistic is an integer count or ONE IEEE
+    ratio/log over integer counts, rounded via ratio_round(6).
+
+    Scale: explode → one map-side-combining word-grain aggregate (the
+    vocabulary frame) → a 1-row global aggregate.  The fact-sized
+    shuffle carries (word, partial-count) pairs; nothing downstream
+    exceeds |vocabulary|."""
+    from parcial_bigdata_spark.functions.money import ratio_round
+
+    tokens = documents.select(
+        F.explode(words(normalized(F.col("text")))).alias("word")
+    ).where(F.col("word") != "")
+    per_word = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_word.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_count"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    vocab = F.col("vocab_size").cast("double")
+    hapax = F.col("hapax_count").cast("double")
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("hapax_count").cast("long").alias("hapax_count"),
+        ratio_round(hapax / vocab, 6).alias("hapax_share"),
+        ratio_round(vocab / n_tok, 6).alias("type_token_ratio"),
+        ratio_round(F.log(vocab) / F.log(n_tok), 6).alias("herdan_c"),
+    )

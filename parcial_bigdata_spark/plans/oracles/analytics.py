@@ -1331,3 +1331,138 @@ ORACLES["orders_nelson_aalen"] = """
            floor(exp(-h) * 1e6 + 0.5) / 1e6 AS fh_survival
     FROM hz ORDER BY bin_start_days
 """
+
+# Mann-Whitney U between return flags on the bounded quantity grid:
+# integer double-ranks (2·cum_before + c + 1), exact rank/tie sums,
+# the identical IEEE z sequence as the operator
+ORACLES["stats_mann_whitney"] = """
+    WITH counts AS (
+        SELECT CAST(l_quantity AS DECIMAL(12,2)) AS v,
+               sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cb
+        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+    ), ranked AS (
+        SELECT ca, cb, c,
+               2 * coalesce(sum(c) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + c + 1 AS dr
+        FROM (SELECT v, ca, cb, ca + cb AS c FROM counts)
+    ), agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               sum(CAST(ca AS HUGEINT) * dr) AS r2a,
+               sum(CAST(c AS HUGEINT) * c * c - c) AS ties
+        FROM ranked
+    ), f AS (
+        SELECT n_a, n_b, ties,
+               CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+               CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+               (CAST(r2a AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1))
+                   / 2.0 AS u_a
+        FROM agg
+    ), g AS (
+        SELECT n_a, n_b, ties, u_a,
+               (u_a - na * nb / 2.0)
+                   / sqrt((na * nb / 12.0)
+                          * ((n + 1) - CAST(ties AS DOUBLE)
+                                 / (n * (n - 1)))) AS z
+        FROM f
+    )
+    SELECT n_a, n_b,
+           floor(u_a * 1e2 + 0.5) / 1e2 AS u_stat,
+           CAST(ties AS BIGINT) AS tie_term,
+           floor(z * 1e6 + 0.5) / 1e6 AS z_score,
+           abs(z) > 1.959964 AS significant_95
+    FROM g
+"""
+
+# Brown-Forsythe W across event types: exact cent-grid lower medians
+# from the counting CTE, exact decimal deviation moments, the Konig
+# numerator form, W rounded at the 4 dp k-term-double-sum margin
+ORACLES["stats_levene_value"] = """
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+    ), counts AS (
+        SELECT event_type, v, count(*) AS c FROM vals GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, v,
+               sum(c) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n_g
+        FROM counts
+    ), med AS (
+        SELECT event_type, min(v) AS med FROM cum
+        WHERE 2 * cum >= n_g GROUP BY 1
+    ), z AS (
+        SELECT vals.event_type, abs(vals.v - med.med) AS z
+        FROM vals JOIN med USING (event_type)
+    ), per AS (
+        SELECT event_type, count(*) AS n, sum(z) AS sz,
+               sum(CAST(z * z AS DECIMAL(38,4))) AS sq
+        FROM z GROUP BY 1
+    ), terms AS (
+        SELECT n, sz, CAST(n AS DOUBLE) AS ng,
+               CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS zbar_g,
+               CAST(sq AS DOUBLE) - CAST(sz AS DOUBLE)
+                   * (CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS den_g
+        FROM per
+    ), tot AS (
+        SELECT count(*) AS k, sum(n) AS n_total, sum(sz) AS sz_all,
+               sum(ng * zbar_g * zbar_g) AS num_raw, sum(den_g) AS den
+        FROM terms
+    ), f AS (
+        SELECT k, n_total, num_raw, den,
+               CAST(n_total AS DOUBLE) AS nn, CAST(k AS DOUBLE) AS kk,
+               CAST(sz_all AS DOUBLE) / CAST(n_total AS DOUBLE) AS zbar
+        FROM tot
+    )
+    SELECT CAST(k AS INT) AS k_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           floor(zbar * 1e6 + 0.5) / 1e6 AS mean_abs_dev,
+           CASE WHEN k > 1 AND den > 0 THEN
+               floor(((nn - kk) / (kk - 1))
+                     * (num_raw - nn * zbar * zbar) / den * 1e4 + 0.5)
+                   / 1e4 END AS w_stat,
+           CAST(k - 1 AS INT) AS df1,
+           CAST(n_total - k AS BIGINT) AS df2
+    FROM f
+"""
+
+# classical OLS daily-revenue trend: six exact decimal/int64 moments,
+# normal-equation slope/intercept/R2 in the identical IEEE sequence
+ORACLES["orders_ols_trend"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders GROUP BY 1
+    ), org AS (SELECT min(d) AS d0 FROM daily),
+    m AS (
+        SELECT date_diff('day', org.d0, daily.d) AS t, y FROM daily, org
+    ), s AS (
+        SELECT count(*) AS n_days, sum(t) AS st,
+               sum(CAST(t AS BIGINT) * t) AS stt, sum(y) AS sy,
+               sum(CAST(t AS DECIMAL(20,0)) * y) AS sty,
+               sum(CAST(y * y AS DECIMAL(38,4))) AS syy
+        FROM m
+    ), f AS (
+        SELECT n_days,
+               CAST(n_days AS DOUBLE) AS n, CAST(st AS DOUBLE) AS std,
+               CAST(stt AS DOUBLE) AS sttd, CAST(sy AS DOUBLE) AS syd,
+               CAST(sty AS DOUBLE) AS styd, CAST(syy AS DOUBLE) AS syyd
+        FROM s
+    ), g AS (
+        SELECT n_days, n, std, syd,
+               n * sttd - std * std AS sxx,
+               n * styd - std * syd AS sxy,
+               n * syyd - syd * syd AS syy_c
+        FROM f
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           floor(sxy / sxx * 1e6 + 0.5) / 1e6 AS slope_per_day,
+           floor((syd - (sxy / sxx) * std) / n * 1e2 + 0.5) / 1e2
+               AS intercept,
+           floor(sxy * sxy / (sxx * syy_c) * 1e6 + 0.5) / 1e6
+               AS r_squared
+    FROM g
+"""

@@ -623,3 +623,29 @@ ORACLES["text_bigram_entropy"] = f"""
     FROM h2 JOIN h1 ON h2.lang = h1.lang
     ORDER BY h2.lang
 """
+
+# corpus lexical richness: one word-grain count frame, one global row;
+# hapax share / TTR / Herdan's C as single IEEE ratios over integers
+ORACLES["text_hapax_stats"] = f"""
+    WITH w0 AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word
+        FROM documents
+    ), pw AS (
+        SELECT word, count(*) AS c FROM w0 WHERE word <> '' GROUP BY 1
+    ), a AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_count
+        FROM pw
+    )
+    SELECT n_tokens, vocab_size, hapax_count,
+           floor(CAST(hapax_count AS DOUBLE) / CAST(vocab_size AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS hapax_share,
+           floor(CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+           floor(ln(CAST(vocab_size AS DOUBLE))
+                 / ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS herdan_c
+    FROM a
+"""

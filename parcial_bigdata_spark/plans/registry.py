@@ -1614,6 +1614,39 @@ def q_nelson_aalen(spark, sf_dir):
     return ana_ops.nelson_aalen_hazard(_t(spark, sf_dir, "orders"))
 
 
+def q_mann_whitney(spark, sf_dir):
+    # nonparametric rank-sum sibling of stats_welch_ttest: bounded-
+    # domain integer double-ranks, decimal(38,0) rank/tie sums, one
+    # IEEE z sequence
+    return ana_ops.mann_whitney_quantity(_t(spark, sf_dir, "lineitem"))
+
+
+def q_levene_value(spark, sf_dir):
+    # Brown–Forsythe variance homogeneity across event types: exact
+    # cent-grid lower medians, exact decimal deviation moments, W at
+    # the 4 dp entropy-contract margin
+    return ana_ops.levene_value_by_type(_t(spark, sf_dir, "events"))
+
+
+def q_ols_trend(spark, sf_dir):
+    # classical OLS daily-revenue trend next to the Theil–Sen robust
+    # line: six exact decimal/int64 moments, one IEEE slope/R² sequence
+    return ana_ops.ols_daily_trend(_t(spark, sf_dir, "orders"))
+
+
+def q_hapax_stats(spark, sf_dir):
+    # corpus lexical richness: hapax share, TTR, Herdan's C from one
+    # word-grain aggregate + one global row
+    return text_ops.hapax_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pil_pixel_decode(spark, sf_dir):
+    # optional-tier twin of multimodal_png_pixel_decode: PIL-forced
+    # decode of the same spec-valid PNG corpus, same closed-form oracle
+    # (registered only when PIL is importable — see OPTIONAL_QUERIES)
+    return mm_ops.pil_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_rich_club(spark, sf_dir):
     # hub-interconnection diagnostic: TakeOrdered top-k club broadcast
     # over the edge list, all club sizes in ONE conditional-sum agg
@@ -2039,7 +2072,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_image_histogram": q_image_histogram,
     "graph_rich_club": q_rich_club,
     "orders_nelson_aalen": q_nelson_aalen,
+    # round-13 additions (INTRODUCED_ROUND 13; first slots due r16) —
+    # kept to four per the r12 certification-debt arithmetic
+    "stats_mann_whitney": q_mann_whitney,
+    "stats_levene_value": q_levene_value,
+    "orders_ols_trend": q_ols_trend,
+    "text_hapax_stats": q_hapax_stats,
 }
+
+# Optional-tier queries: registered ONLY when their optional dependency
+# is importable (round-12 verdict item 6 — make the PIL tier
+# DIFFERENTIAL, not just pytest-covered).  The driver box ships without
+# the optional deps, so these never hold driver-window seats and the
+# staleness/EDF ledger excludes them by name; on an equipped box,
+# tools/check_correctness.py hash-checks them like any other query.
+OPTIONAL_QUERIES: set[str] = {"multimodal_pil_pixel_decode"}
+import importlib.util as _ilu  # noqa: E402
+
+if _ilu.find_spec("PIL") is not None:
+    QUERIES["multimodal_pil_pixel_decode"] = q_pil_pixel_decode
 
 # Round each oracle-checked query was added to the registry, ONLY for
 # queries that have never yet held a driver-window slot (the staleness
@@ -2047,6 +2098,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # their CORRECTNESS_r*.json rows instead).  Remove an entry once its
 # query is driver-certified.
 INTRODUCED_ROUND = {
+    # round-13 additions
+    "stats_mann_whitney": 13,
+    "stats_levene_value": 13,
+    "orders_ols_trend": 13,
+    "text_hapax_stats": 13,
     # round-12 additions
     "events_ab_proportion_test": 12,
     "events_seasonal_forecast": 12,
@@ -2215,3 +2271,12 @@ QUERIES = {name: QUERIES[name] for name in DRIVER_WINDOW} | {
 # per-family modules under plans/oracles/ (round-10 verdict item 8) and
 # is imported above so `registry.ORACLES` stays the public surface.
 # --------------------------------------------------------------------------
+
+# The PIL-forced decode reads the SAME spec-valid PNG corpus as the
+# stdlib query, so it shares that query's closed-form oracle verbatim —
+# registered only alongside the query itself (an oracle for an
+# unregistered query would trip the entry-contract consistency test).
+if "multimodal_pil_pixel_decode" in QUERIES:
+    ORACLES["multimodal_pil_pixel_decode"] = ORACLES[
+        "multimodal_png_pixel_decode"
+    ]

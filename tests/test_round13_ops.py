@@ -1,0 +1,175 @@
+"""Round-13 operators: Mann-Whitney U, Brown-Forsythe (Levene) W,
+classical OLS daily trend, hapax/lexical-richness stats.  Each test
+pins the result against an independent pure-Python computation on a
+corpus small enough to verify by hand (the DuckDB differential sweep
+is the scale gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from parcial_bigdata_spark.operators import analytics as ana
+from parcial_bigdata_spark.operators import text as t
+
+
+def _r(x, k):
+    return math.floor(x * 10**k + 0.5) / 10**k
+
+
+class TestMannWhitney:
+    def test_hand_computed_ties(self, spark):
+        # A: [1, 2, 2, 5]   R: [2, 3, 5, 5, 6]
+        # pooled ranks: 1->1; 2,2,2 -> avg 3; 3->5; 5,5,5 -> avg 7; 6->9
+        # R_a = 1 + 3 + 3 + 7 = 14, U_a = 14 - 4*5/2 = 4
+        rows = [("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 5.0),
+                ("R", 2.0), ("R", 3.0), ("R", 5.0), ("R", 5.0),
+                ("R", 6.0), ("N", 50.0)]  # N-flag row must be ignored
+        li = spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double"
+        )
+        out = ana.mann_whitney_quantity(li).collect()[0]
+        assert (out["n_a"], out["n_b"]) == (4, 5)
+        assert out["u_stat"] == 4.0
+        # ties: c = [1, 3, 1, 3, 1] -> sum(c^3 - c) = 24 + 24 = 48
+        assert out["tie_term"] == 48
+        na, nb, n, ties, u = 4.0, 5.0, 9.0, 48.0, 4.0
+        mu = na * nb / 2.0
+        sigma2 = (na * nb / 12.0) * ((n + 1) - ties / (n * (n - 1)))
+        z = (u - mu) / math.sqrt(sigma2)
+        assert out["z_score"] == pytest.approx(_r(z, 6), abs=1e-12)
+        assert out["significant_95"] == (abs(z) > 1.959964)
+
+    def test_no_ties_symmetric(self, spark):
+        # identical distributions: z == 0 exactly, U = n_a*n_b/2
+        rows = [("A", float(v)) for v in (1, 3, 5)] + [
+            ("R", float(v)) for v in (2, 4, 6)
+        ]
+        li = spark.createDataFrame(
+            rows, "l_returnflag string, l_quantity double"
+        )
+        out = ana.mann_whitney_quantity(li).collect()[0]
+        # ranks 1..6, R_a = 1+3+5 = 9, U_a = 9 - 6 = 3; mu = 4.5
+        assert out["u_stat"] == 3.0
+        assert out["tie_term"] == 0
+        assert not out["significant_95"]
+
+
+class TestLeveneValue:
+    def test_hand_computed_two_groups(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        xs = [1.0, 2.0, 3.0, 4.0, 100.0]   # lower median 3
+        ys = [10.0, 10.0, 10.0, 10.0]      # median 10, zero deviations
+        rows = [(i, "X", t0, 1, v) for i, v in enumerate(xs)] + [
+            (100 + i, "Y", t0, 2, v) for i, v in enumerate(ys)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double",
+        )
+        out = ana.levene_value_by_type(ev).collect()[0]
+        assert (out["k_groups"], out["n_total"]) == (2, 9)
+        assert (out["df1"], out["df2"]) == (1, 7)
+        # z_X = [2,1,0,1,97]: sz=101 sq=9415; z_Y all 0
+        sz, n_x = 101.0, 5.0
+        zbar_g = sz / n_x
+        num = n_x * zbar_g * zbar_g - 9.0 * (sz / 9.0) ** 2
+        den = 9415.0 - sz * (sz / n_x)
+        w = ((9.0 - 2.0) / 1.0) * num / den
+        assert out["mean_abs_dev"] == pytest.approx(_r(sz / 9.0, 6), abs=1e-12)
+        assert out["w_stat"] == pytest.approx(_r(w, 4), abs=1e-12)
+
+    def test_even_group_lower_median(self, spark):
+        import datetime as dt
+
+        # even n: the LOWER median (first v with 2*cum >= n) is 2, not 2.5
+        rows = [(i, "X", dt.datetime(2024, 1, 1), 1, v)
+                for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double",
+        )
+        out = ana.levene_value_by_type(ev).collect()[0]
+        # z about med=2: [1,0,1,2] -> mean abs dev = 1.0; W undefined
+        # for a single group (df1 = 0) -> NULL, not a raise
+        assert out["mean_abs_dev"] == pytest.approx(1.0)
+        assert out["w_stat"] is None
+        assert out["df1"] == 0
+
+
+class TestOlsDailyTrend:
+    def test_perfect_line(self, spark):
+        rows = [(1, "1998-01-01", 10.0), (2, "1998-01-02", 20.0),
+                (3, "1998-01-03", 30.0)]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        ).withColumn("o_orderdate", orders_ts("o_orderdate"))
+        out = ana.ols_daily_trend(orders).collect()[0]
+        assert out["n_days"] == 3
+        assert out["slope_per_day"] == pytest.approx(10.0)
+        assert out["intercept"] == pytest.approx(10.0)
+        assert out["r_squared"] == pytest.approx(1.0)
+
+    def test_daily_sums_and_noise(self, spark):
+        # two orders on day 0 sum before the fit; day indexes skip a gap
+        rows = [(1, "1998-01-01", 4.0), (2, "1998-01-01", 6.0),
+                (3, "1998-01-02", 14.0), (4, "1998-01-04", 26.0)]
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+        ).withColumn("o_orderdate", orders_ts("o_orderdate"))
+        out = ana.ols_daily_trend(orders).collect()[0]
+        ts_, ys = [0.0, 1.0, 3.0], [10.0, 14.0, 26.0]
+        n = 3.0
+        st, stt = sum(ts_), sum(x * x for x in ts_)
+        sy, sty = sum(ys), sum(x * y for x, y in zip(ts_, ys))
+        syy = sum(y * y for y in ys)
+        sxx, sxy = n * stt - st * st, n * sty - st * sy
+        syy_c = n * syy - sy * sy
+        slope = sxy / sxx
+        assert out["slope_per_day"] == pytest.approx(_r(slope, 6), abs=1e-12)
+        assert out["intercept"] == pytest.approx(
+            _r((sy - slope * st) / n, 2), abs=1e-12
+        )
+        assert out["r_squared"] == pytest.approx(
+            _r(sxy * sxy / (sxx * syy_c), 6), abs=1e-12
+        )
+
+
+class TestHapaxStats:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a c", "en", "s", 7), (2, "b d", "en", "s", 3)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = t.hapax_stats(docs).collect()[0]
+        # counts: a2 b2 c1 d1
+        assert (out["n_tokens"], out["vocab_size"], out["hapax_count"]) == (
+            6, 4, 2,
+        )
+        assert out["hapax_share"] == pytest.approx(0.5)
+        assert out["type_token_ratio"] == pytest.approx(_r(4 / 6, 6))
+        assert out["herdan_c"] == pytest.approx(
+            _r(math.log(4) / math.log(6), 6), abs=1e-12
+        )
+
+    def test_normalization_and_empty_tokens(self, spark):
+        # punctuation collapses to spaces; casing folds; empties dropped
+        docs = spark.createDataFrame(
+            [(1, "Hello, HELLO!! world...", "en", "s", 23)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = t.hapax_stats(docs).collect()[0]
+        assert (out["n_tokens"], out["vocab_size"], out["hapax_count"]) == (
+            3, 2, 1,
+        )
+
+
+def orders_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp(col)

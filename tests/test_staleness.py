@@ -55,6 +55,18 @@ STANDING = {
 }
 
 
+def _rotating_queries():
+    """Registry queries subject to the rotation ledger: excludes the
+    standing five and the optional-tier queries (registered only when
+    their optional dependency is importable — the driver box lacks
+    those deps, so they can never hold a seat; their certification is
+    the differential checker on an equipped box)."""
+    return [
+        q for q in registry.QUERIES
+        if q not in registry.OPTIONAL_QUERIES
+    ]
+
+
 def _correctness_rounds() -> dict[int, set[str]]:
     out: dict[int, set[str]] = {}
     for f in REPO.glob("CORRECTNESS_r*.json"):
@@ -93,7 +105,7 @@ def test_budget_capacity():
     """The B-round budget only works while the rotating registry fits in
     B windows.  Fail with headroom (10 queries) so the maintainer bumps
     the budget or trims standing slots BEFORE the rotation wedges."""
-    rotating = len([q for q in registry.QUERIES if q not in STANDING])
+    rotating = len([q for q in _rotating_queries() if q not in STANDING])
     capacity = (WINDOW_SIZE - STANDING_SLOTS) * MAX_ROUNDS_WITHOUT_SLOT
     assert rotating <= capacity - 10, (
         f"rotating registry ({rotating}) is within 10 of the "
@@ -111,7 +123,7 @@ def test_staleness_budget():
 
     overdue: list[str] = []
     undated: list[str] = []
-    for name in registry.QUERIES:
+    for name in _rotating_queries():
         if name in window:
             continue  # gets a slot this round
         due = _due_round(name, rounds)
@@ -148,7 +160,7 @@ def test_never_certified_oracle_queries_are_in_window():
 
     stuck = [
         name
-        for name in registry.QUERIES
+        for name in _rotating_queries()
         if name not in ever_slotted
         and name not in window
         and current >= registry.INTRODUCED_ROUND.get(name, current)
@@ -188,7 +200,7 @@ def test_forward_schedule_is_feasible():
         window = set()  # upcoming window not yet composed; seats free
 
     due_counts: dict[int, int] = {}
-    for name in registry.QUERIES:
+    for name in _rotating_queries():
         if name in STANDING or name in window:
             continue
         due = _due_round(name, rounds)
