@@ -2589,12 +2589,20 @@ def mann_whitney_quantity(
     sigma2 = (na * nb / F.lit(12.0)) * (
         (n + 1) - F.col("ties").cast("double") / (n * (n - 1))
     )
-    z = (u_a - mu) / F.sqrt(sigma2)
+    # degenerate inputs — an empty group, or every pooled value tied
+    # (σ = 0) — leave z undefined: NULL, not an ANSI DIVIDE_BY_ZERO.
+    # NESTED whens: sigma2 divides by n(n−1), so it may only be
+    # EVALUATED once both groups are known non-empty (n ≥ 2) — a
+    # flat `defined & (sigma2 > 0)` condition would still compute it
+    defined = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    z = F.when(
+        defined, F.when(sigma2 > 0, (u_a - mu) / F.sqrt(sigma2))
+    )
     return agg.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         # exact multiple of 0.5 — 2 dp pins it without double-ulp risk
-        ratio_round(u_a, 2).alias("u_stat"),
+        F.when(defined, ratio_round(u_a, 2)).alias("u_stat"),
         F.col("ties").cast("long").alias("tie_term"),
         ratio_round(z, 6).alias("z_score"),
         (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
@@ -2752,9 +2760,13 @@ def ols_daily_trend(orders: DataFrame) -> DataFrame:
     slope = sxy / sxx
     intercept = (sy - slope * st) / n
     r2 = sxy * sxy / (sxx * syy_c)
+    # degenerate series — a single day (sxx = 0) or exactly-flat
+    # revenue (syy_c = 0, R² is 0/0) — leave the fit undefined: NULL,
+    # not an ANSI DIVIDE_BY_ZERO
+    fit = sxx > 0
     return moments.select(
         F.col("n_days").cast("long").alias("n_days"),
-        ratio_round(slope, 6).alias("slope_per_day"),
-        ratio_round(intercept, 2).alias("intercept"),
-        ratio_round(r2, 6).alias("r_squared"),
+        F.when(fit, ratio_round(slope, 6)).alias("slope_per_day"),
+        F.when(fit, ratio_round(intercept, 2)).alias("intercept"),
+        F.when(fit & (syy_c > 0), ratio_round(r2, 6)).alias("r_squared"),
     )

@@ -1615,11 +1615,25 @@ def hapax_stats(documents: DataFrame) -> DataFrame:
     n_tok = F.col("n_tokens").cast("double")
     vocab = F.col("vocab_size").cast("double")
     hapax = F.col("hapax_count").cast("double")
+    # degenerate corpora — empty (vocab = 0) or a single token
+    # (ln N = 0 in Herdan's C) — leave the ratios NULL, not an ANSI
+    # DIVIDE_BY_ZERO
+    nonempty = F.col("vocab_size") > 0
     return agg.select(
-        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
         F.col("vocab_size").cast("long").alias("vocab_size"),
-        F.col("hapax_count").cast("long").alias("hapax_count"),
-        ratio_round(hapax / vocab, 6).alias("hapax_share"),
-        ratio_round(vocab / n_tok, 6).alias("type_token_ratio"),
-        ratio_round(F.log(vocab) / F.log(n_tok), 6).alias("herdan_c"),
+        F.coalesce(F.col("hapax_count"), F.lit(0)).cast("long").alias(
+            "hapax_count"
+        ),
+        F.when(nonempty, ratio_round(hapax / vocab, 6)).alias(
+            "hapax_share"
+        ),
+        F.when(nonempty, ratio_round(vocab / n_tok, 6)).alias(
+            "type_token_ratio"
+        ),
+        F.when(
+            F.col("n_tokens") > 1, ratio_round(F.log(vocab) / F.log(n_tok), 6)
+        ).alias("herdan_c"),
     )

@@ -1362,19 +1362,25 @@ ORACLES["stats_mann_whitney"] = """
                    / 2.0 AS u_a
         FROM agg
     ), g AS (
-        SELECT n_a, n_b, ties, u_a,
-               (u_a - na * nb / 2.0)
-                   / sqrt((na * nb / 12.0)
-                          * ((n + 1) - CAST(ties AS DOUBLE)
-                                 / (n * (n - 1)))) AS z
+        SELECT n_a, n_b, ties, u_a, na, nb,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   (na * nb / 12.0)
+                       * ((n + 1) - CAST(ties AS DOUBLE)
+                              / (n * (n - 1))) END AS sigma2
         FROM f
+    ), h AS (
+        SELECT n_a, n_b, ties, u_a,
+               CASE WHEN sigma2 > 0 THEN
+                   (u_a - na * nb / 2.0) / sqrt(sigma2) END AS z
+        FROM g
     )
     SELECT n_a, n_b,
-           floor(u_a * 1e2 + 0.5) / 1e2 AS u_stat,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               floor(u_a * 1e2 + 0.5) / 1e2 END AS u_stat,
            CAST(ties AS BIGINT) AS tie_term,
            floor(z * 1e6 + 0.5) / 1e6 AS z_score,
            abs(z) > 1.959964 AS significant_95
-    FROM g
+    FROM h
 """
 
 # Brown-Forsythe W across event types: exact cent-grid lower medians
@@ -1459,10 +1465,13 @@ ORACLES["orders_ols_trend"] = """
         FROM f
     )
     SELECT CAST(n_days AS BIGINT) AS n_days,
-           floor(sxy / sxx * 1e6 + 0.5) / 1e6 AS slope_per_day,
-           floor((syd - (sxy / sxx) * std) / n * 1e2 + 0.5) / 1e2
-               AS intercept,
-           floor(sxy * sxy / (sxx * syy_c) * 1e6 + 0.5) / 1e6
-               AS r_squared
+           CASE WHEN sxx > 0 THEN
+               floor(sxy / sxx * 1e6 + 0.5) / 1e6 END AS slope_per_day,
+           CASE WHEN sxx > 0 THEN
+               floor((syd - (sxy / sxx) * std) / n * 1e2 + 0.5) / 1e2
+               END AS intercept,
+           CASE WHEN sxx > 0 AND syy_c > 0 THEN
+               floor(sxy * sxy / (sxx * syy_c) * 1e6 + 0.5) / 1e6
+               END AS r_squared
     FROM g
 """

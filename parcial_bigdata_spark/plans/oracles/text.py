@@ -639,13 +639,19 @@ ORACLES["text_hapax_stats"] = f"""
                    AS hapax_count
         FROM pw
     )
-    SELECT n_tokens, vocab_size, hapax_count,
-           floor(CAST(hapax_count AS DOUBLE) / CAST(vocab_size AS DOUBLE)
-                 * 1e6 + 0.5) / 1e6 AS hapax_share,
-           floor(CAST(vocab_size AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                 * 1e6 + 0.5) / 1e6 AS type_token_ratio,
-           floor(ln(CAST(vocab_size AS DOUBLE))
-                 / ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
-               AS herdan_c
+    SELECT coalesce(n_tokens, 0) AS n_tokens, vocab_size,
+           coalesce(hapax_count, 0) AS hapax_count,
+           CASE WHEN vocab_size > 0 THEN
+               floor(CAST(hapax_count AS DOUBLE)
+                     / CAST(vocab_size AS DOUBLE) * 1e6 + 0.5) / 1e6
+               END AS hapax_share,
+           CASE WHEN vocab_size > 0 THEN
+               floor(CAST(vocab_size AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+               END AS type_token_ratio,
+           CASE WHEN n_tokens > 1 THEN
+               floor(ln(CAST(vocab_size AS DOUBLE))
+                     / ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               END AS herdan_c
     FROM a
 """

@@ -136,3 +136,56 @@ def test_fake_tier_unchanged(spark):
     assert row.byte_len == len(_EXOTIC)
     frames = mm.frame_sample(media, every_n_bytes=16).collect()
     assert len(frames) == (len(_EXOTIC) + 15) // 16
+
+
+def test_png_corpus_chunk_crcs_are_spec_valid(spark):
+    """The synthetic PNG corpus must be consumable by CRC-verifying
+    decoders (PIL rejects a bad chunk CRC where stdlib zlib never looks
+    at it): walk every chunk of every image and check its CRC against
+    zlib.crc32 over type+data — the exact check PIL performs."""
+    import struct
+    import zlib
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 4}", 1) for i in range(12)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    for r in mm.synth_png_pixel_corpus(docs).collect():
+        b = bytes(r.content)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        pos = 8
+        seen = []
+        while pos < len(b):
+            ln = struct.unpack(">I", b[pos:pos + 4])[0]
+            typ = b[pos + 4:pos + 8]
+            data = b[pos + 8:pos + 8 + ln]
+            crc = struct.unpack(">I", b[pos + 8 + ln:pos + 12 + ln])[0]
+            assert crc == zlib.crc32(typ + data) & 0xFFFFFFFF, typ
+            seen.append(typ)
+            pos += 12 + ln
+        assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="optional PIL tier not installed")
+def test_pil_pixel_decode_query_matches_stdlib(spark):
+    """On a PIL-equipped box the optional-tier registry query must
+    reproduce the stdlib decode bit-for-bit (both are pinned by the
+    same closed-form oracle)."""
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 4}", 1) for i in range(10)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    pil_rows = mm.pil_pixel_summary(docs).collect()
+    std_rows = mm.png_pixel_summary(docs).collect()
+    assert [tuple(r) for r in pil_rows] == [tuple(r) for r in std_rows]
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL installed: guard tier not active")
+def test_pil_pixel_decode_not_registered_without_pil():
+    from parcial_bigdata_spark.plans import registry
+
+    assert "multimodal_pil_pixel_decode" not in registry.QUERIES
+    assert "multimodal_pil_pixel_decode" not in registry.ORACLES
+    assert "multimodal_pil_pixel_decode" in registry.OPTIONAL_QUERIES

@@ -55,6 +55,26 @@ class TestMannWhitney:
         assert out["tie_term"] == 0
         assert not out["significant_95"]
 
+    def test_degenerate_inputs_null_not_raise(self, spark):
+        # one group empty: U and z undefined (NULL), no ANSI
+        # DIVIDE_BY_ZERO from the sigma2 expression
+        li = spark.createDataFrame(
+            [("A", 1.0), ("A", 2.0)],
+            "l_returnflag string, l_quantity double",
+        )
+        out = ana.mann_whitney_quantity(li).collect()[0]
+        assert (out["n_a"], out["n_b"]) == (2, 0)
+        assert out["u_stat"] is None and out["z_score"] is None
+        # every pooled value tied: sigma = 0 -> z NULL, U defined
+        li2 = spark.createDataFrame(
+            [("A", 5.0), ("A", 5.0), ("R", 5.0)],
+            "l_returnflag string, l_quantity double",
+        )
+        out2 = ana.mann_whitney_quantity(li2).collect()[0]
+        # dr = 2*0+3+1 = 4, r2a = 2*4 = 8, U_a = (8 - 2*3)/2 = 1.0
+        assert out2["u_stat"] == 1.0
+        assert out2["z_score"] is None
+
 
 class TestLeveneValue:
     def test_hand_computed_two_groups(self, spark):
@@ -113,6 +133,27 @@ class TestOlsDailyTrend:
         assert out["intercept"] == pytest.approx(10.0)
         assert out["r_squared"] == pytest.approx(1.0)
 
+    def test_single_day_null_fit(self, spark):
+        # sxx = 0: the fit is undefined -> NULLs, not DIVIDE_BY_ZERO
+        orders = spark.createDataFrame(
+            [(1, "1998-01-01", 10.0), (2, "1998-01-01", 20.0)],
+            "o_orderkey long, o_orderdate string, o_totalprice double",
+        ).withColumn("o_orderdate", orders_ts("o_orderdate"))
+        out = ana.ols_daily_trend(orders).collect()[0]
+        assert out["n_days"] == 1
+        assert out["slope_per_day"] is None
+        assert out["r_squared"] is None
+
+    def test_flat_series_r2_null(self, spark):
+        # syy_c = 0 (perfectly flat): slope 0, R^2 is 0/0 -> NULL
+        orders = spark.createDataFrame(
+            [(1, "1998-01-01", 10.0), (2, "1998-01-02", 10.0)],
+            "o_orderkey long, o_orderdate string, o_totalprice double",
+        ).withColumn("o_orderdate", orders_ts("o_orderdate"))
+        out = ana.ols_daily_trend(orders).collect()[0]
+        assert out["slope_per_day"] == 0.0
+        assert out["r_squared"] is None
+
     def test_daily_sums_and_noise(self, spark):
         # two orders on day 0 sum before the fit; day indexes skip a gap
         rows = [(1, "1998-01-01", 4.0), (2, "1998-01-01", 6.0),
@@ -155,6 +196,18 @@ class TestHapaxStats:
         assert out["herdan_c"] == pytest.approx(
             _r(math.log(4) / math.log(6), 6), abs=1e-12
         )
+
+    def test_degenerate_single_token(self, spark):
+        # ln(1) = 0: Herdan's C undefined -> NULL, not DIVIDE_BY_ZERO
+        docs = spark.createDataFrame(
+            [(1, "hello", "en", "s", 5)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        out = t.hapax_stats(docs).collect()[0]
+        assert (out["n_tokens"], out["vocab_size"]) == (1, 1)
+        assert out["hapax_share"] == 1.0
+        assert out["herdan_c"] is None
 
     def test_normalization_and_empty_tokens(self, spark):
         # punctuation collapses to spaces; casing folds; empties dropped
