@@ -2549,8 +2549,14 @@ def mann_whitney_quantity(
     from pyspark.sql.window import Window
 
     q = F.col("l_quantity").cast("decimal(12,2)")
+    # NULL quantities are excluded explicitly: Spark windows order
+    # NULLS FIRST where DuckDB orders NULLS LAST, so a null group would
+    # silently skew the rank frame differently on each engine
     counts = (
-        lineitem.where(F.col("l_returnflag").isin(flag_a, flag_b))
+        lineitem.where(
+            F.col("l_returnflag").isin(flag_a, flag_b)
+            & F.col("l_quantity").isNotNull()
+        )
         .groupBy(q.alias("v"))
         .agg(
             F.sum(
@@ -2632,8 +2638,11 @@ def levene_value_by_type(events: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     v = F.col("value").cast("decimal(12,2)")
+    # NULL values excluded explicitly (cross-engine NULLS FIRST/LAST
+    # window-order divergence — same posture as the Mann-Whitney frame)
+    base = events.where(F.col("value").isNotNull())
     counts = (
-        events.groupBy("event_type", v.alias("v"))
+        base.groupBy("event_type", v.alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     wcum = (
@@ -2653,7 +2662,7 @@ def levene_value_by_type(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.min("v").alias("med"))
     )
-    z = events.join(F.broadcast(med), "event_type").select(
+    z = base.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(v - F.col("med")).alias("z")
     )
     per = z.groupBy("event_type").agg(
@@ -2725,8 +2734,11 @@ def ols_daily_trend(orders: DataFrame) -> DataFrame:
     1-row min-day broadcast for the index origin, then a single
     aggregate over the ≤|days| frame — no window, no skew surface."""
     price = F.col("o_totalprice").cast("decimal(18,2)")
+    # NULL dates excluded explicitly: a null day would contribute to
+    # n_days but not to Σt, silently corrupting the moment system
     daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum(price).alias("y"))
     )
     origin = daily.agg(F.min("d").alias("d0"))

@@ -1340,7 +1340,9 @@ ORACLES["stats_mann_whitney"] = """
         SELECT CAST(l_quantity AS DECIMAL(12,2)) AS v,
                sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS ca,
                sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cb
-        FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+        FROM lineitem
+        WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+        GROUP BY 1
     ), ranked AS (
         SELECT ca, cb, c,
                2 * coalesce(sum(c) OVER (
@@ -1389,6 +1391,7 @@ ORACLES["stats_mann_whitney"] = """
 ORACLES["stats_levene_value"] = """
     WITH vals AS (
         SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+        WHERE value IS NOT NULL
     ), counts AS (
         SELECT event_type, v, count(*) AS c FROM vals GROUP BY 1, 2
     ), cum AS (
@@ -1441,7 +1444,7 @@ ORACLES["orders_ols_trend"] = """
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), org AS (SELECT min(d) AS d0 FROM daily),
     m AS (
         SELECT date_diff('day', org.d0, daily.d) AS t, y FROM daily, org

@@ -102,6 +102,24 @@ class TestLeveneValue:
         assert out["mean_abs_dev"] == pytest.approx(_r(sz / 9.0, 6), abs=1e-12)
         assert out["w_stat"] == pytest.approx(_r(w, 4), abs=1e-12)
 
+    def test_null_values_excluded(self, spark):
+        import datetime as dt
+
+        # NULL values must not enter n, the median frame, or the
+        # deviation moments (cross-engine NULLS FIRST/LAST hazard)
+        rows = [(0, "X", dt.datetime(2024, 1, 1), 1, None)] + [
+            (i, "X", dt.datetime(2024, 1, 1), 1, v)
+            for i, v in enumerate([1.0, 2.0, 3.0], start=1)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts timestamp,"
+            " user_id long, value double",
+        )
+        out = ana.levene_value_by_type(ev).collect()[0]
+        assert out["n_total"] == 3  # the NULL row is gone
+        # median 2, z = [1,0,1] -> mean abs dev 2/3
+        assert out["mean_abs_dev"] == pytest.approx(_r(2 / 3, 6))
+
     def test_even_group_lower_median(self, spark):
         import datetime as dt
 
