@@ -58,6 +58,8 @@ SHOWCASE = [
     ("graph_common_neighbors", "link prediction (r12): hub-capped wedge self-join (per-key fanout <= cap^2), left_anti on the canonical edge set, TakeOrdered top-k"),
     ("events_cusum_alarm", "sequential CUSUM (r12): fact cost is ONE (type, day) count; the recursion runs applyInPandas per type over the dense |days|-row grid (FlatMapGroupsInPandas on the dimension frame)"),
     ("events_conversion_latency", "conversion latency (r12): one per-user conditional-min aggregate, then bounded-domain counting percentiles on the checkpointed <=|hours| frame"),
+    ("stats_mann_whitney", "rank-sum test (r13): ONE value-grain map-side aggregate over the fact scan; integer double-ranks and the tie term resolve on the <=|distinct values| frame (post-aggregation single-partition window), z from exact decimal(38,0) sums"),
+    ("stats_levene_value", "Brown-Forsythe W (r13): exact lower medians from the (type, value) counting frame, 5-row broadcast back over the scan for the deviation moments - two fact passes, zero fact-sized windows"),
 ]
 
 
