@@ -108,6 +108,22 @@ def test_temperature_mixture_flattens_shares(spark):
     assert out["small"] == (20, 0.2, 0.3333, 33, 1.65)
 
 
+def test_temperature_mixture_integer_boundary_snap(spark):
+    """Equal-sized sources put budget·w/tw EXACTLY on an integer — the
+    case where a 1-ulp summation-order difference flips floor() to
+    target−1 (observed live at sf0.1 before the r12 snap fix).  Four
+    25-doc sources at any tau must draw exactly 25 each, never 24."""
+    rows = [
+        (100 * s + i, "t", "en", f"src{s}", 1)
+        for s in range(4)
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    for tau in (1.0, 2.0, 3.0):
+        out = sampling.temperature_mixture(docs, tau=tau, budget=100)
+        assert [r.target_docs for r in out.collect()] == [25, 25, 25, 25]
+
+
 def test_chunk_documents_overlapping_windows(spark):
     """10 tokens, chunk=4, stride=3 → starts 0/3/6/9; the tail window
     carries only the 1 remaining token; overlap regions repeat."""
