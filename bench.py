@@ -614,6 +614,10 @@ def _run_kcore_scale(spark) -> tuple[dict[str, float], dict]:
             "edges": n_edges,
             "core_nodes": n_core,
             "peel_rounds": rounds,
+            # per-round surviving-node trace (r12 verdict item 8): a
+            # peel-layout regression moves this sequence before it
+            # moves the wall clock
+            "round_nodes": G._LAST_KCORE_STATS.get("round_nodes"),
             "sec": el,
         }
     detail["exponent"] = _fit_exponent(sizes, secs)

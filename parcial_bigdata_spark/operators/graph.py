@@ -321,12 +321,22 @@ def kcore(
     )
     live = und
     prev_nodes = None
+    # per-round surviving-node counts (free: the convergence probe
+    # already materializes each count) — the engagement trace the
+    # bench probe persists so a peel-layout regression shows up in
+    # BENCH JSON like CC's contract_in/out (round-12 verdict item 8)
+    round_nodes: list[int] = []
     for rnd in range(max_rounds):
         deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("internal_degree"))
         members = deg.where(F.col("internal_degree") >= k)
         n_members = members.count()  # bounded scalar: convergence probe
+        round_nodes.append(n_members)
         if prev_nodes is not None and n_members == prev_nodes:
-            _LAST_KCORE_STATS = {"peel_rounds": rnd, "core_nodes": n_members}
+            _LAST_KCORE_STATS = {
+                "peel_rounds": rnd,
+                "core_nodes": n_members,
+                "round_nodes": round_nodes,
+            }
             return members.select(
                 F.col("s").alias("node"), "internal_degree"
             ).orderBy("node")
@@ -349,6 +359,7 @@ def kcore(
         _LAST_KCORE_STATS = {
             "peel_rounds": max_rounds,
             "core_nodes": prev_nodes,
+            "round_nodes": round_nodes,
         }
         return members.select(
             F.col("s").alias("node"), "internal_degree"
