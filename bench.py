@@ -975,6 +975,9 @@ _NEW_OPS_R8 = [
     "stats_levene_value",
     "orders_ols_trend",
     "text_hapax_stats",
+    "stats_chi2_independence",
+    "stats_kendall_tau",
+    "orders_runs_test",
 ]
 
 

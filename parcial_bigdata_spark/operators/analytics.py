@@ -2782,3 +2782,242 @@ def ols_daily_trend(orders: DataFrame) -> DataFrame:
         F.when(fit, ratio_round(intercept, 2)).alias("intercept"),
         F.when(fit & (syy_c > 0), ratio_round(r2, 6)).alias("r_squared"),
     )
+
+
+def chi2_independence(
+    orders: DataFrame, row_col: str = "o_orderstatus",
+    col_col: str = "o_orderpriority",
+) -> DataFrame:
+    """Chi-square test of independence between two categorical order
+    columns (`stats_chi2_independence`), with Cramér's V effect size —
+    "does order status depend on priority?", the contingency-table
+    sibling of the two-sample tests (`stats_welch_ttest`,
+    `stats_mann_whitney`).
+
+    Exactness: every cell and margin count is an integer from ONE
+    map-side-combining (row, col) aggregate (NULL categories excluded
+    on both engines); expected counts and the χ² terms are a fixed
+    IEEE sequence over those integers.  χ² reports at 4 dp (the
+    entropy-contract margin for a ≤|cells|-term double sum), Cramér's
+    V at 6 dp (a single sqrt of one ratio).
+
+    Scale: the fact-sized shuffle is the cell aggregate; margins,
+    expected counts, and the χ² fold all run on the ≤|row cats| ×
+    |col cats| frame with broadcast margin joins — no second fact
+    pass, no window over row data."""
+    cells = (
+        orders.where(
+            F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+        )
+        .groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_m = cells.groupBy("r").agg(F.sum("n").alias("rn"))
+    col_m = cells.groupBy("c").agg(F.sum("n").alias("cn"))
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    r_cnt = row_m.agg(F.count(F.lit(1)).alias("n_rows"))
+    c_cnt = col_m.agg(F.count(F.lit(1)).alias("n_cols"))
+    joined = (
+        cells.join(F.broadcast(row_m), "r")
+        .join(F.broadcast(col_m), "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("rn").cast("double")
+        * (F.col("cn").cast("double") / F.col("nn").cast("double"))
+    )
+    d = F.col("n").cast("double") - e
+    terms = joined.agg(F.sum(d * d / e).alias("chi2_raw"))
+    out = (
+        terms.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(r_cnt))
+        .crossJoin(F.broadcast(c_cnt))
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    v = F.sqrt(
+        F.col("chi2_raw")
+        / (F.col("nn").cast("double") * mindim.cast("double"))
+    )
+    defined = dof > 0
+    return out.select(
+        F.col("nn").cast("long").alias("n_total"),
+        F.col("n_rows").cast("int").alias("n_row_cats"),
+        F.col("n_cols").cast("int").alias("n_col_cats"),
+        dof.cast("int").alias("dof"),
+        F.round(F.col("chi2_raw"), 4).alias("chi2"),
+        F.when(defined, ratio_round(v, 6)).alias("cramers_v"),
+    )
+
+
+def kendall_tau_quantity_discount(lineitem: DataFrame) -> DataFrame:
+    """Kendall's τ-b rank correlation between line quantity and
+    discount (`stats_kendall_tau`) — the tie-robust monotonic-
+    association test: both columns live on tiny grids (quantity 1..50,
+    discount a handful of steps), where Pearson is dominated by ties
+    and Spearman's dense ranks need the same tie machinery τ-b carries
+    natively.
+
+    Exactness: the fact scan collapses to ONE (x, y) cell aggregate
+    (≤ |x-grid| × |y-grid| cells, NULLs excluded both engines);
+    concordant/discordant pair counts are a cell-frame SELF-JOIN
+    (≤ cells² comparisons of integer products — DECIMAL(38,0) sums, no
+    int64 overflow at any corpus size), and the tie terms are per-axis
+    Σ n·(n−1)/2 on the margin frames.  τ-b is one IEEE sequence over
+    those exact integers, rounded at 6 dp.
+
+    Scale: the only fact-sized work is the cell aggregate; the
+    quadratic self-join is bounded by the GRID size (≤550 × 550 here),
+    not the row count — the bounded-domain analogue of the all-pairs
+    τ that cannot scale."""
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_discount").cast("decimal(12,2)")
+    cells = (
+        lineitem.where(
+            F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+        )
+        .groupBy(x.alias("x"), y.alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("n").cast("decimal(38,0)").alias("na"),
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("n").cast("decimal(38,0)").alias("nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b), (F.col("xb") > F.col("xa")), "inner"
+    ).select(
+        (F.col("na") * F.col("nb")).alias("prod"),
+        (F.col("yb") > F.col("ya")).alias("conc"),
+        (F.col("yb") < F.col("ya")).alias("disc"),
+    )
+    cd = pairs.agg(
+        F.sum(F.when(F.col("conc"), F.col("prod")).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )).alias("c_pairs"),
+        F.sum(F.when(F.col("disc"), F.col("prod")).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )).alias("d_pairs"),
+    )
+    dec = "decimal(38,0)"
+    # the x-margin aggregate carries the grand total too (Σ_x t_x = N),
+    # so the plan needs three 1-row aggregates, not four
+    tx = (
+        cells.groupBy("x").agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(dec) * (F.col("t") - 1) / 2
+            ).cast(dec).alias("t1"),
+            F.sum("t").alias("nn"),
+        )
+    )
+    ty = (
+        cells.groupBy("y").agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t").cast(dec) * (F.col("t") - 1) / 2
+            ).cast(dec).alias("t2")
+        )
+    )
+    out = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("nn").cast("double")
+    n0 = n * (n - 1) / F.lit(2.0)
+    c = F.col("c_pairs").cast("double")
+    d = F.col("d_pairs").cast("double")
+    t1 = F.col("t1").cast("double")
+    t2 = F.col("t2").cast("double")
+    denom = F.sqrt((n0 - t1) * (n0 - t2))
+    tau = F.when((n0 > t1) & (n0 > t2), (c - d) / denom)
+    return out.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        # exact decimal internally; DOUBLE at the output edge (exact to
+        # 2^53, and past that both engines cast the identical decimal
+        # to the identical double — hash-consistent at any scale)
+        c.alias("concordant"),
+        d.alias("discordant"),
+        ratio_round(tau, 6).alias("tau_b"),
+    )
+
+
+def runs_test_daily_revenue(orders: DataFrame) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue series
+    (`orders_runs_test`): is the above/below-median sign sequence
+    random, or does it trend/cluster?  The nonparametric randomness
+    check an analyst runs before fitting `orders_ols_trend`'s line —
+    too FEW runs means trending/sticky regimes, too many means
+    oscillation.
+
+    Exactness: daily revenue is an exact DECIMAL(18,2) sum; the
+    reference median is the LOWER MEDIAN picked by integer cumulative
+    counting over the |days| frame (the engine-wide convention); days
+    equal to the median are EXCLUDED (the standard two-sample
+    reduction).  Runs count via one lag over the day-ordered frame;
+    n₁/n₂/R are integers and z is one IEEE sequence, rounded at 6 dp.
+
+    Scale: one map-side daily aggregate over the scan; the median
+    counting, sign sequence, lag, and run count all run on the
+    ≤|days| frame (post-aggregation single-partition pattern)."""
+    from pyspark.sql.window import Window
+
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(price).alias("y"))
+    )
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = daily.select(
+        "d", "y",
+        F.count(F.lit(1)).over(wc).alias("cum"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        cum.where(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("y").alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("y") != F.col("med"))
+        .select("d", (F.col("y") > F.col("med")).alias("above"))
+    )
+    wd = Window.orderBy("d")
+    runs = signed.select(
+        "above",
+        F.when(
+            F.lag("above", 1).over(wd).isNull()
+            | (F.lag("above", 1).over(wd) != F.col("above")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).alias("n_below"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    two = 2 * n1 * n2
+    mu = two / nn + 1
+    sigma2 = two * (two - nn) / (nn * nn * (nn - 1))
+    defined = (F.col("n_above") > 0) & (F.col("n_below") > 0)
+    z = F.when(
+        defined,
+        F.when(
+            sigma2 > 0, (F.col("n_runs").cast("double") - mu) / F.sqrt(sigma2)
+        ),
+    )
+    return agg.select(
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("n_below").cast("long").alias("n_below"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        ratio_round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )

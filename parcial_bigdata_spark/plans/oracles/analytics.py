@@ -1478,3 +1478,144 @@ ORACLES["orders_ols_trend"] = """
                END AS r_squared
     FROM g
 """
+
+# chi-square independence status x priority: exact integer contingency
+# counts, expected = rn * (cn / nn) in the identical IEEE order, chi2
+# rounded at the 4 dp <=|cells|-term-double-sum margin
+ORACLES["stats_chi2_independence"] = """
+    WITH cells AS (
+        SELECT o_orderstatus AS r, o_orderpriority AS c,
+               count(*) AS n
+        FROM orders
+        WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        GROUP BY 1, 2
+    ), row_m AS (SELECT r, sum(n) AS rn FROM cells GROUP BY 1),
+    col_m AS (SELECT c, sum(n) AS cn FROM cells GROUP BY 1),
+    tot AS (SELECT sum(n) AS nn, count(*) AS n_cells FROM cells),
+    dims AS (
+        SELECT (SELECT count(*) FROM row_m) AS n_rows,
+               (SELECT count(*) FROM col_m) AS n_cols
+    ), terms AS (
+        SELECT sum(
+            (CAST(cells.n AS DOUBLE)
+             - CAST(rn AS DOUBLE) * (CAST(cn AS DOUBLE)
+                                     / CAST(nn AS DOUBLE)))
+            * (CAST(cells.n AS DOUBLE)
+               - CAST(rn AS DOUBLE) * (CAST(cn AS DOUBLE)
+                                       / CAST(nn AS DOUBLE)))
+            / (CAST(rn AS DOUBLE) * (CAST(cn AS DOUBLE)
+                                     / CAST(nn AS DOUBLE)))
+        ) AS chi2_raw
+        FROM cells JOIN row_m USING (r) JOIN col_m USING (c), tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total,
+           CAST(n_rows AS INT) AS n_row_cats,
+           CAST(n_cols AS INT) AS n_col_cats,
+           CAST((n_rows - 1) * (n_cols - 1) AS INT) AS dof,
+           round(chi2_raw, 4) AS chi2,
+           CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+               floor(sqrt(chi2_raw
+                          / (CAST(nn AS DOUBLE)
+                             * CAST(least(n_rows - 1, n_cols - 1)
+                                    AS DOUBLE))) * 1e6 + 0.5) / 1e6
+               END AS cramers_v
+    FROM terms, tot, dims
+"""
+
+# Kendall tau-b on the bounded quantity/discount grid: cell-frame
+# self-join pair counts as exact HUGEINT/decimal sums, per-axis tie
+# terms, one IEEE tau sequence
+ORACLES["stats_kendall_tau"] = """
+    WITH cells AS (
+        SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+               CAST(l_discount AS DECIMAL(12,2)) AS y,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        GROUP BY 1, 2
+    ), cd AS (
+        SELECT sum(CASE WHEN b.y > a.y
+                        THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
+                   AS c_pairs,
+               sum(CASE WHEN b.y < a.y
+                        THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
+                   AS d_pairs
+        FROM cells a JOIN cells b ON b.x > a.x
+    ), tx AS (
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS t1
+        FROM (SELECT sum(n) AS t FROM cells GROUP BY x)
+    ), ty AS (
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS t2
+        FROM (SELECT sum(n) AS t FROM cells GROUP BY y)
+    ), tot AS (SELECT sum(n) AS nn FROM cells),
+    f AS (
+        SELECT nn, c_pairs, d_pairs, t1, t2,
+               CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1) / 2.0 AS n0
+        FROM cd, tx, ty, tot
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(c_pairs AS DOUBLE) AS concordant,
+           CAST(d_pairs AS DOUBLE) AS discordant,
+           CASE WHEN n0 > CAST(t1 AS DOUBLE) AND n0 > CAST(t2 AS DOUBLE)
+                THEN floor((CAST(c_pairs AS DOUBLE)
+                            - CAST(d_pairs AS DOUBLE))
+                           / sqrt((n0 - CAST(t1 AS DOUBLE))
+                                  * (n0 - CAST(t2 AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+                END AS tau_b
+    FROM f
+"""
+
+# Wald-Wolfowitz runs test on daily revenue: exact decimal daily sums,
+# lower-median counting, one lag over the day-ordered frame, integer
+# n1/n2/R into one IEEE z sequence
+ORACLES["orders_runs_test"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+    ), cum AS (
+        SELECT y,
+               count(*) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                   AS cum,
+               count(*) OVER () AS n
+        FROM daily
+    ), med AS (
+        SELECT min(y) AS med FROM cum WHERE 2 * cum >= n
+    ), signed AS (
+        SELECT d, daily.y > med.med AS above
+        FROM daily, med WHERE daily.y != med.med
+    ), runs AS (
+        SELECT above,
+               CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                         OR lag(above) OVER (ORDER BY d) != above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signed
+    ), agg AS (
+        SELECT sum(CASE WHEN above THEN 1 ELSE 0 END) AS n_above,
+               sum(CASE WHEN above THEN 0 ELSE 1 END) AS n_below,
+               sum(new_run) AS n_runs
+        FROM runs
+    ), f AS (
+        SELECT n_above, n_below, n_runs,
+               CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
+        FROM agg
+    ), g AS (
+        SELECT n_above, n_below, n_runs,
+               CASE WHEN n_above > 0 AND n_below > 0
+                         AND 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                             / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)) > 0
+                    THEN (CAST(n_runs AS DOUBLE)
+                          - (2 * n1 * n2 / (n1 + n2) + 1))
+                         / sqrt(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                                / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)))
+                    END AS z
+        FROM f
+    )
+    SELECT CAST(n_above AS BIGINT) AS n_above,
+           CAST(n_below AS BIGINT) AS n_below,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           floor(z * 1e6 + 0.5) / 1e6 AS z_score,
+           abs(z) > 1.959964 AS significant_95
+    FROM g
+"""

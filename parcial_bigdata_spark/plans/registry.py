@@ -1640,6 +1640,26 @@ def q_hapax_stats(spark, sf_dir):
     return text_ops.hapax_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_chi2_independence(spark, sf_dir):
+    # status x priority contingency: one cell aggregate, broadcast
+    # margins, chi-square + Cramér's V from exact integer counts
+    return ana_ops.chi2_independence(_t(spark, sf_dir, "orders"))
+
+
+def q_kendall_tau(spark, sf_dir):
+    # tie-robust monotonic association on the bounded quantity/discount
+    # grid: cell-frame self-join pair counts, decimal(38,0) sums
+    return ana_ops.kendall_tau_quantity_discount(
+        _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_runs_test(spark, sf_dir):
+    # Wald-Wolfowitz randomness check on daily revenue: lower-median
+    # counting + one lag over the |days| frame
+    return ana_ops.runs_test_daily_revenue(_t(spark, sf_dir, "orders"))
+
+
 def q_pil_pixel_decode(spark, sf_dir):
     # optional-tier twin of multimodal_png_pixel_decode: PIL-forced
     # decode of the same spec-valid PNG corpus, same closed-form oracle
@@ -2073,11 +2093,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_rich_club": q_rich_club,
     "orders_nelson_aalen": q_nelson_aalen,
     # round-13 additions (INTRODUCED_ROUND 13; first slots due r16) —
-    # kept to four per the r12 certification-debt arithmetic
+    # seven total, inside the r12 verdict's <=10 cap, leaving 11 seats
+    # of budget-capacity headroom for r14
     "stats_mann_whitney": q_mann_whitney,
     "stats_levene_value": q_levene_value,
     "orders_ols_trend": q_ols_trend,
     "text_hapax_stats": q_hapax_stats,
+    "stats_chi2_independence": q_chi2_independence,
+    "stats_kendall_tau": q_kendall_tau,
+    "orders_runs_test": q_runs_test,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2103,6 +2127,9 @@ INTRODUCED_ROUND = {
     "stats_levene_value": 13,
     "orders_ols_trend": 13,
     "text_hapax_stats": 13,
+    "stats_chi2_independence": 13,
+    "stats_kendall_tau": 13,
+    "orders_runs_test": 13,
     # round-12 additions
     "events_ab_proportion_test": 12,
     "events_seasonal_forecast": 12,

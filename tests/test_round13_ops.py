@@ -244,3 +244,109 @@ def orders_ts(col):
     from pyspark.sql import functions as F
 
     return F.to_timestamp(col)
+
+
+class TestChi2Independence:
+    def test_hand_computed_2x2(self, spark):
+        # 2x2 table: rows F/O, cols A/B with counts [[10, 20], [30, 40]]
+        rows = (
+            [("F", "A")] * 10 + [("F", "B")] * 20
+            + [("O", "A")] * 30 + [("O", "B")] * 40
+        )
+        orders = spark.createDataFrame(
+            [(i, s, p) for i, (s, p) in enumerate(rows)],
+            "o_orderkey long, o_orderstatus string, o_orderpriority string",
+        )
+        out = ana.chi2_independence(orders).collect()[0]
+        assert (out["n_total"], out["n_row_cats"], out["n_col_cats"]) == (
+            100, 2, 2,
+        )
+        assert out["dof"] == 1
+        # expected: e = rn*cn/N; chi2 = sum (n-e)^2/e
+        chi2 = 0.0
+        for n, rn, cn in [(10, 30, 40), (20, 30, 60), (30, 70, 40),
+                          (40, 70, 60)]:
+            e = rn * (cn / 100.0)
+            chi2 += (n - e) * (n - e) / e
+        assert out["chi2"] == pytest.approx(round(chi2, 4), abs=1e-9)
+        assert out["cramers_v"] == pytest.approx(
+            _r(math.sqrt(chi2 / 100.0), 6), abs=1e-9
+        )
+
+    def test_single_category_null_v(self, spark):
+        orders = spark.createDataFrame(
+            [(1, "F", "A"), (2, "F", "A"), (3, "F", "A")],
+            "o_orderkey long, o_orderstatus string, o_orderpriority string",
+        )
+        out = ana.chi2_independence(orders).collect()[0]
+        assert out["dof"] == 0
+        assert out["chi2"] == 0.0
+        assert out["cramers_v"] is None
+
+
+class TestKendallTau:
+    def test_perfect_concordance(self, spark):
+        li = spark.createDataFrame(
+            [("x", 1.0, 0.01), ("x", 2.0, 0.02), ("x", 3.0, 0.03)],
+            "l_returnflag string, l_quantity double, l_discount double",
+        )
+        out = ana.kendall_tau_quantity_discount(li).collect()[0]
+        assert (out["concordant"], out["discordant"]) == (3.0, 0.0)
+        assert out["tau_b"] == pytest.approx(1.0)
+
+    def test_hand_computed_with_ties(self, spark):
+        # pairs over (q, d): (1,.01) (1,.02) (2,.01) (2,.02) (2,.02)
+        # x-pairs (xb > xa): (1,.01)-(2,*): vs .01 tie, .02 conc x2
+        #                    (1,.02)-(2,.01) disc; (1,.02)-(2,.02) tie x2
+        # C = 2, D = 1; ties: t_x: n=2,3 -> t1 = 1 + 3 = 4
+        # t_y: n=2 (.01), 3 (.02) -> t2 = 1 + 3 = 4; n0 = 10
+        data = [(1.0, 0.01), (1.0, 0.02), (2.0, 0.01), (2.0, 0.02),
+                (2.0, 0.02)]
+        li = spark.createDataFrame(
+            [("x", q, d) for q, d in data],
+            "l_returnflag string, l_quantity double, l_discount double",
+        )
+        out = ana.kendall_tau_quantity_discount(li).collect()[0]
+        assert (out["concordant"], out["discordant"]) == (2.0, 1.0)
+        tau = (2 - 1) / math.sqrt((10 - 4) * (10 - 4))
+        assert out["tau_b"] == pytest.approx(_r(tau, 6), abs=1e-12)
+
+    def test_all_tied_null_tau(self, spark):
+        li = spark.createDataFrame(
+            [("x", 5.0, 0.01)] * 4,
+            "l_returnflag string, l_quantity double, l_discount double",
+        )
+        out = ana.kendall_tau_quantity_discount(li).collect()[0]
+        assert out["tau_b"] is None
+
+
+class TestRunsTest:
+    def test_hand_computed_alternating(self, spark):
+        # daily revenue 1,9,1,9,1,9 -> median 1 (lower), days equal to
+        # the median DROP, leaving 3 above -> one run of 3... build a
+        # clearer series instead: 1,9,2,8,3,7 -> lower median 3;
+        # drop the 3-day; signs by date: 1:below 9:above 2:below
+        # 8:above 7:above -> runs B,A,B,A,A -> R=4, n1=3, n2=2
+        vals = [1.0, 9.0, 2.0, 8.0, 3.0, 7.0]
+        orders = spark.createDataFrame(
+            [(i, f"1998-01-0{i+1}", v) for i, v in enumerate(vals)],
+            "o_orderkey long, o_orderdate string, o_totalprice double",
+        ).withColumn("o_orderdate", orders_ts("o_orderdate"))
+        out = ana.runs_test_daily_revenue(orders).collect()[0]
+        assert (out["n_above"], out["n_below"], out["n_runs"]) == (3, 2, 4)
+        n1, n2, r = 3.0, 2.0, 4.0
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        s2 = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+              / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+        assert out["z_score"] == pytest.approx(
+            _r((r - mu) / math.sqrt(s2), 6), abs=1e-12
+        )
+
+    def test_flat_series_null_z(self, spark):
+        orders = spark.createDataFrame(
+            [(i, f"1998-01-0{i+1}", 10.0) for i in range(4)],
+            "o_orderkey long, o_orderdate string, o_totalprice double",
+        ).withColumn("o_orderdate", orders_ts("o_orderdate"))
+        out = ana.runs_test_daily_revenue(orders).collect()[0]
+        # every day equals the median: all dropped, z undefined
+        assert out["z_score"] is None
