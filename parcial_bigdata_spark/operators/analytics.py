@@ -2733,10 +2733,14 @@ def ols_daily_trend(orders: DataFrame) -> DataFrame:
     Scale: one map-side-combining daily aggregate over the scan, a
     1-row min-day broadcast for the index origin, then a single
     aggregate over the ≤|days| frame — no window, no skew surface."""
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
     price = F.col("o_totalprice").cast("decimal(18,2)")
     # NULL dates excluded explicitly: a null day would contribute to
-    # n_days but not to Σt, silently corrupting the moment system
-    daily = (
+    # n_days but not to Σt, silently corrupting the moment system.
+    # Materialized ONCE: the origin row and the moment aggregate both
+    # derive from the daily frame
+    daily = iter_checkpoint(
         orders.where(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum(price).alias("y"))
@@ -2801,11 +2805,15 @@ def chi2_independence(
     entropy-contract margin for a ≤|cells|-term double sum), Cramér's
     V at 6 dp (a single sqrt of one ratio).
 
-    Scale: the fact-sized shuffle is the cell aggregate; margins,
-    expected counts, and the χ² fold all run on the ≤|row cats| ×
-    |col cats| frame with broadcast margin joins — no second fact
-    pass, no window over row data."""
-    cells = (
+    Scale: the fact-sized shuffle is the cell aggregate, materialized
+    ONCE (``iter_checkpoint`` — the margins, totals, and dimension
+    counts all derive from it, and without the lineage cut each
+    derivation would replay the whole fact scan); everything after
+    runs on the ≤|row cats| × |col cats| frame with broadcast margin
+    joins — one fact pass, no window over row data."""
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    cells = iter_checkpoint(
         orders.where(
             F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
         )
@@ -2814,12 +2822,13 @@ def chi2_independence(
     )
     row_m = cells.groupBy("r").agg(F.sum("n").alias("rn"))
     col_m = cells.groupBy("c").agg(F.sum("n").alias("cn"))
+    # ONE 1-row aggregate carries the grand total and both dimension
+    # cardinalities (countDistinct over the ≤|cells|-row checkpoint)
     tot = cells.agg(
         F.sum("n").alias("nn"),
-        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("r").alias("n_rows"),
+        F.countDistinct("c").alias("n_cols"),
     )
-    r_cnt = row_m.agg(F.count(F.lit(1)).alias("n_rows"))
-    c_cnt = col_m.agg(F.count(F.lit(1)).alias("n_cols"))
     joined = (
         cells.join(F.broadcast(row_m), "r")
         .join(F.broadcast(col_m), "c")
@@ -2830,12 +2839,13 @@ def chi2_independence(
         * (F.col("cn").cast("double") / F.col("nn").cast("double"))
     )
     d = F.col("n").cast("double") - e
-    terms = joined.agg(F.sum(d * d / e).alias("chi2_raw"))
-    out = (
-        terms.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(r_cnt))
-        .crossJoin(F.broadcast(c_cnt))
+    terms = joined.agg(
+        F.sum(d * d / e).alias("chi2_raw"),
+        F.first("nn").alias("nn"),
+        F.first("n_rows").alias("n_rows"),
+        F.first("n_cols").alias("n_cols"),
     )
+    out = terms
     dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
     mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
     v = F.sqrt(
@@ -2873,9 +2883,14 @@ def kendall_tau_quantity_discount(lineitem: DataFrame) -> DataFrame:
     quadratic self-join is bounded by the GRID size (≤550 × 550 here),
     not the row count — the bounded-domain analogue of the all-pairs
     τ that cannot scale."""
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
     x = F.col("l_quantity").cast("decimal(12,2)")
     y = F.col("l_discount").cast("decimal(12,2)")
-    cells = (
+    # materialized ONCE: the pair join (twice), both margin aggregates,
+    # and the total all derive from the cell frame — without the
+    # lineage cut each derivation replays the whole fact scan
+    cells = iter_checkpoint(
         lineitem.where(
             F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
         )
@@ -2965,8 +2980,12 @@ def runs_test_daily_revenue(orders: DataFrame) -> DataFrame:
     ≤|days| frame (post-aggregation single-partition pattern)."""
     from pyspark.sql.window import Window
 
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
     price = F.col("o_totalprice").cast("decimal(18,2)")
-    daily = (
+    # materialized ONCE: the median frame and the sign sequence both
+    # derive from the daily aggregate
+    daily = iter_checkpoint(
         orders.where(F.col("o_orderdate").isNotNull())
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum(price).alias("y"))

@@ -2093,8 +2093,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_rich_club": q_rich_club,
     "orders_nelson_aalen": q_nelson_aalen,
     # round-13 additions (INTRODUCED_ROUND 13; first slots due r16) —
-    # seven total, inside the r12 verdict's <=10 cap, leaving 11 seats
-    # of budget-capacity headroom for r14
+    # seven total, inside the r12 verdict's <=10 cap; 246 rotating
+    # queries against the 260-query capacity tripwire leaves 14 seats
+    # of headroom for r14
     "stats_mann_whitney": q_mann_whitney,
     "stats_levene_value": q_levene_value,
     "orders_ols_trend": q_ols_trend,
