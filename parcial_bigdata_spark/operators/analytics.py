@@ -2846,8 +2846,14 @@ def chi2_independence(
         F.first("n_cols").alias("n_cols"),
     )
     out = terms
-    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
-    mindim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    # coalesce the dimension counts to 0 so a fully-empty/all-NULL input
+    # matches the oracle's count-over-empty-CTE arithmetic (F.first over
+    # an empty agg yields NULL; the oracle's COUNT(*) yields 0) — the
+    # round-13 ADVICE degenerate-fixture alignment
+    n_rows = F.coalesce(F.col("n_rows"), F.lit(0))
+    n_cols = F.coalesce(F.col("n_cols"), F.lit(0))
+    dof = (n_rows - 1) * (n_cols - 1)
+    mindim = F.least(n_rows - 1, n_cols - 1)
     v = F.sqrt(
         F.col("chi2_raw")
         / (F.col("nn").cast("double") * mindim.cast("double"))
@@ -2855,10 +2861,12 @@ def chi2_independence(
     defined = dof > 0
     return out.select(
         F.col("nn").cast("long").alias("n_total"),
-        F.col("n_rows").cast("int").alias("n_row_cats"),
-        F.col("n_cols").cast("int").alias("n_col_cats"),
+        n_rows.cast("int").alias("n_row_cats"),
+        n_cols.cast("int").alias("n_col_cats"),
         dof.cast("int").alias("dof"),
-        F.round(F.col("chi2_raw"), 4).alias("chi2"),
+        # χ² over integer contingency counts is rational and CAN land on
+        # 4-dp halves — ratio_round, never bare round (money.py contract)
+        ratio_round(F.col("chi2_raw"), 4).alias("chi2"),
         F.when(defined, ratio_round(v, 6)).alias("cramers_v"),
     )
 

@@ -14,7 +14,7 @@ decode FOR REAL (stdlib ``struct`` + numpy, stride-aware —
 non-interlaced PNGs — a genuinely COMPRESSED container — via stdlib
 ``zlib`` inflate (adler32 verified) plus the real None/Sub/Up scanline
 unfilter (``_decode_png_pixels``); the remaining payload codecs
-(JPEG/GIF pixels, MP4/AVI frames, PNG Average/Paeth + interlacing)
+(JPEG/GIF pixels, MP4/AVI frames, PNG interlacing)
 need PIL/ffmpeg.  Those ride an OPTIONAL tier probed at first use
 (round-11 verdict item 7): when PIL / PyAV are installed, real mode
 decodes them through the library; when absent (this container), the
@@ -805,17 +805,18 @@ def _decode_png_pixels(content: bytes) -> dict:
     chunk stream collecting IDAT, inflate it with ``zlib.decompress``
     (the adler32 trailer is verified end-to-end — the synthetic corpus
     computes it with a Spark HOF so the stream is a fully valid zlib
-    stream), then apply the REAL scanline unfilter (spec §9: None /
-    Sub / Up — Sub is three independent mod-256 prefix sums per channel,
-    Up adds the prior reconstructed row) and reduce per-channel sums /
-    byte extrema vectorized.
+    stream), then apply the REAL scanline unfilter (spec §9, ALL FIVE
+    filter types: None / Sub / Up / Average / Paeth — Sub is three
+    independent mod-256 prefix sums per channel, Up adds the prior
+    reconstructed row, Average and Paeth run the genuine left-dependent
+    sequential predictors) and reduce per-channel sums / byte extrema
+    vectorized.
 
     Raises ValueError for corrupt payloads (bad chunk walk, inflate
     failure, wrong scanline volume, invalid filter id) and
     NotImplementedError for valid-but-unsupported encodings (non-RGB-8
-    color, interlacing, Average/Paeth filters — the per-byte-sequential
-    predictors a PIL-class decoder owns) — corruption must never
-    masquerade as a missing dependency (round-7 advice)."""
+    color, interlacing) — corruption must never masquerade as a
+    missing dependency (round-7 advice)."""
     import struct
     import zlib
 
@@ -873,11 +874,40 @@ def _decode_png_pixels(content: bytes) -> dict:
                 )
         elif f == 2:
             cur = line + prev  # uint8 addition IS the mod-256 Up filter
-        elif f in (3, 4):
-            raise NotImplementedError(
-                "PNG Average/Paeth unfilter is per-byte sequential; "
-                "payloads using them require PIL"
-            )
+        elif f == 3:
+            # Average: raw[j] = filt[j] + floor((left + up)/2) where
+            # left is the just-reconstructed byte bpp=3 back (0 before
+            # the first pixel; prior row is zeros on y=0 per spec §9).
+            # Sequential in j by construction — the loop is bounded by
+            # the stride, and rows still vectorize across images via
+            # the Arrow batching above this function.
+            cur = np.empty_like(line)
+            li = line.astype(np.int64)
+            pi = prev.astype(np.int64)
+            for j in range(li.shape[0]):
+                left = int(cur[j - 3]) if j >= 3 else 0
+                cur[j] = (li[j] + ((left + int(pi[j])) >> 1)) & 0xFF
+        elif f == 4:
+            # Paeth: predictor picks left/up/upper-left by smallest
+            # |p−·| for p = left + up − ul, ties resolved in that order
+            # (spec §9 — exact integer arithmetic, no rounding)
+            cur = np.empty_like(line)
+            li = line.astype(np.int64)
+            pi = prev.astype(np.int64)
+            for j in range(li.shape[0]):
+                left = int(cur[j - 3]) if j >= 3 else 0
+                ul = int(pi[j - 3]) if j >= 3 else 0
+                up = int(pi[j])
+                pa = abs(up - ul)
+                pb = abs(left - ul)
+                pc = abs(left + up - 2 * ul)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = ul
+                cur[j] = (li[j] + pred) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur
@@ -1027,12 +1057,18 @@ def synth_png_pixel_corpus(documents: DataFrame) -> DataFrame:
     closed form), and the adler32 trailer is computed IN-EXPRESSION
     with an ``aggregate`` HOF over the scanline bytes, so stdlib
     ``zlib.decompress`` verifies the checksum end-to-end on the decode
-    side.  Scanlines exercise the REAL unfilter: row filter type cycles
-    y % 3 (None / Sub / Up), with filtered bytes derived in closed form
-    from the raw byte (doc_id + 7j + 13y) % 256 (Sub deltas collapse to
-    the constant 21 past the first pixel, Up deltas to 13 — the decoder
-    still runs the genuine prefix-sum / previous-row reconstruction).
-    Geometry matches the BMP corpus (width 4-15, height 4-11).  Chunk
+    side.  Scanlines exercise the REAL unfilter over ALL FIVE spec §9
+    filter types: row filter cycles y % 5 (None / Sub / Up / Average /
+    Paeth), with filtered bytes derived in closed form from the raw
+    byte (doc_id + 7j + 13y) % 256 — Sub deltas collapse to the
+    constant 21 past the first pixel, Up deltas to 13, and the Average
+    and Paeth filtered bytes are exact mod-256 arithmetic over the
+    closed-form left / up / upper-left raw neighbours (left and
+    upper-left are 0 before the first pixel, so the decoder's
+    sequential predictors are exercised at the boundary too).  Every
+    image carries an Average row (y=3; heights are ≥4) and all but the
+    h=4 images carry a Paeth row (y=4).  Geometry matches the BMP
+    corpus (width 4-15, height 4-11).  Chunk
     CRCs are REAL since round 13 (``F.crc32`` over chunk type + data —
     the same CRC-32 polynomial PNG mandates), so the corpus is fully
     spec-valid and any external decoder (e.g. the optional PIL tier,
@@ -1043,15 +1079,36 @@ def synth_png_pixel_corpus(documents: DataFrame) -> DataFrame:
     w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     raw_len = h * (1 + 3 * w)
+    # closed-form raw neighbours for the predictor filters: raw(y, j) =
+    # (doc_id + 7j + 13y) % 256, so left / up / upper-left are the same
+    # form shifted by -21 / -13 / -34 (left and upper-left are 0 before
+    # the first pixel; Average/Paeth rows have y >= 3 so the shifted
+    # bases stay non-negative and plain % is exact)
+    r_ = "(doc_id + 7 * j + 13 * y) % 256"
+    l_ = "IF(j < 3, 0, (doc_id + 7 * j + 13 * y - 21) % 256)"
+    u_ = "(doc_id + 7 * j + 13 * y - 13) % 256"
+    ul_ = "IF(j < 3, 0, (doc_id + 7 * j + 13 * y - 34) % 256)"
+    # Paeth predictor with the deltas pre-simplified: |p−left| = |up−ul|,
+    # |p−up| = |left−ul|, |p−ul| = |left+up−2·ul| (ties pick left, then
+    # up — spec §9 order)
+    paeth_pred = (
+        f"CASE WHEN abs(({u_}) - ({ul_})) <= abs(({l_}) - ({ul_}))"
+        f" AND abs(({u_}) - ({ul_})) <= abs(({l_}) + ({u_}) - 2 * ({ul_}))"
+        f" THEN {l_}"
+        f" WHEN abs(({l_}) - ({ul_})) <= abs(({l_}) + ({u_}) - 2 * ({ul_}))"
+        f" THEN {u_} ELSE {ul_} END"
+    )
     scanline_bytes = F.expr(
         "flatten(transform(sequence(0, CAST(4 + (doc_id * 7) % 8 AS INT) - 1), y -> "
         "  concat("
-        "    array(CAST(y % 3 AS INT)),"
+        "    array(CAST(y % 5 AS INT)),"
         "    transform(sequence(0, 3 * CAST(4 + doc_id % 12 AS INT) - 1), j -> "
         "      CAST(CASE"
-        "        WHEN y % 3 = 0 THEN (doc_id + 7 * j + 13 * y) % 256"
-        "        WHEN y % 3 = 1 THEN IF(j < 3, (doc_id + 7 * j + 13 * y) % 256, 21)"
-        "        ELSE 13 END AS INT)))))"
+        f"        WHEN y % 5 = 0 THEN {r_}"
+        f"        WHEN y % 5 = 1 THEN IF(j < 3, {r_}, 21)"
+        "        WHEN y % 5 = 2 THEN 13"
+        f"        WHEN y % 5 = 3 THEN pmod(({r_}) - ((({l_}) + ({u_})) div 2), 256)"
+        f"        ELSE pmod(({r_}) - ({paeth_pred}), 256) END AS INT)))))"
     )
     adler = F.expr(
         "aggregate(__png_bytes,"

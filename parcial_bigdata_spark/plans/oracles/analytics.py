@@ -1512,7 +1512,7 @@ ORACLES["stats_chi2_independence"] = """
            CAST(n_rows AS INT) AS n_row_cats,
            CAST(n_cols AS INT) AS n_col_cats,
            CAST((n_rows - 1) * (n_cols - 1) AS INT) AS dof,
-           round(chi2_raw, 4) AS chi2,
+           floor(chi2_raw * 1e4 + 0.5) / 1e4 AS chi2,
            CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
                floor(sqrt(chi2_raw
                           / (CAST(nn AS DOUBLE)
@@ -1542,10 +1542,13 @@ ORACLES["stats_kendall_tau"] = """
                    AS d_pairs
         FROM cells a JOIN cells b ON b.x > a.x
     ), tx AS (
-        SELECT sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS t1
+        -- t·(t−1) is always even, so // is exact and keeps the sum
+        -- HUGEINT; / would coerce to DOUBLE and break exactness past
+        -- 2^53 (round-13 ADVICE)
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS t1
         FROM (SELECT sum(n) AS t FROM cells GROUP BY x)
     ), ty AS (
-        SELECT sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS t2
+        SELECT sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS t2
         FROM (SELECT sum(n) AS t FROM cells GROUP BY y)
     ), tot AS (SELECT sum(n) AS nn FROM cells),
     f AS (

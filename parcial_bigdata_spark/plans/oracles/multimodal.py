@@ -71,9 +71,11 @@ ORACLES: dict[str, str] = {
     "multimodal_png_pixel_decode": """
         -- The Spark side synthesizes GENUINE 8-bit RGB PNGs — magic,
         -- IHDR, a VALID zlib IDAT (stored-mode deflate, HOF-computed
-        -- adler32) with real None/Sub/Up scanline filters — and decodes
-        -- them with the REAL stdlib zlib+numpy path (inflate verifies
-        -- the checksum, the unfilter reconstructs raw bytes); the
+        -- adler32) with ALL FIVE spec scanline filters (None/Sub/Up/
+        -- Average/Paeth, cycling y % 5) — and decodes them with the
+        -- REAL stdlib zlib+numpy path (inflate verifies the checksum,
+        -- the unfilter reconstructs raw bytes sequentially where the
+        -- predictor demands it); the
         -- oracle replicates the construction's closed-form RAW pixel
         -- byte (doc_id + 7j + 13y) % 256 with j = 3x + channel,
         -- pinning every channel sum and byte extremum end-to-end.

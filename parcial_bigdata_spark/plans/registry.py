@@ -2199,7 +2199,7 @@ INTRODUCED_ROUND = {
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 13)
+# Driver-window rotation (round 14)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
@@ -2218,28 +2218,27 @@ INTRODUCED_ROUND = {
 # rotating query's due round, so ANY future window composition that
 # wedges the schedule fails loudly at commit time.
 #
-# Round-13 window (the composition pre-committed by the round-12
-# rotation note, applied with one deliberate swap): 5 standing + the
-# 13-query r8 remainder (due r14) + the 14 never-certified round-11
-# additions (due r14) + 18 due-r15 seats.  Within the 18, five seats go
-# to the queries whose code or oracle took round-13 ADVICE fixes
-# (integrity_schema_drift oracle NULL-denominator alignment,
-# embedding_pca_variance zero-trace guard + its trace-audit twin,
-# events_bootstrap_ci, events_conversion_latency) so the fixes land
-# driver-checked THIS round rather than r14; the remaining 13 come from
-# the r9 block's front (dedup + kNN families, as-of, semi/anti joins).
+# Round-14 window (exactly the composition pre-committed by the
+# round-13 rotation note): 5 standing + the full 32-query r9-block
+# remainder (last green r9, due r15) + 13 never-certified seats.  The
+# 13 go to: the five round-12 introductions whose code or oracle took
+# post-introduction fixes (stats_welch_ttest, events_cusum_alarm,
+# events_holt_forecast, streaming_topk_per_window,
+# streaming_outer_join_expiry — certify the fixed behavior), all SEVEN
+# round-13 statistics operators (stats_mann_whitney, stats_levene_value,
+# orders_ols_trend, text_hapax_stats, stats_chi2_independence — whose
+# chi2 rounding + degenerate-input alignment took this round's ADVICE
+# fixes — stats_kendall_tau — whose oracle tie terms took this round's
+# integer-division ADVICE fix — orders_runs_test), and
+# events_seasonal_forecast (pairs with the Holt forecast).  This window
+# has ZERO rows-only queries: all 50 are oracle-checked.
 #
-# Forward plan (EDF-checked, not hand-tranched).  After this window,
-# the due-r15 pool is 59 queries (the 32 r9-block remainder + 27 of the
-# r12 introductions) against 90 rotating seats in r14..r15 — feasible
-# with 31 seats of slack.  r14 takes the r9-block remainder + the
-# round-12 introductions that took fixes (stats_welch_ttest,
-# sample_temperature_mix, events_cusum_alarm / events_holt_forecast,
-# streaming_topk_per_window / streaming_outer_join_expiry); r15 sweeps
-# the round-12 tail before its due round.  Steady state: ~45
-# seats/round against ~35 forced/round leaves ~10 new-query seats per
-# round; rounds 13-14 add sparingly (<=10 new queries each) to keep
-# the EDF check comfortable.
+# Forward plan (EDF-checked, not hand-tranched).  After this window the
+# never-certified pool is 21 round-12 introductions (due r15), and
+# nothing else forces before r16 — the r15 window takes all 21 plus
+# the stalest certified block (the r10 tranche, due r16) with seats to
+# spare.  Steady state: ~45 seats/round against ~35 forced/round
+# leaves ~10 new-query seats per round.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -2247,34 +2246,45 @@ DRIVER_WINDOW = [
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # the r8 remainder (last green r8, due r14)
-    "window_sliding_counts", "sessionize_events", "hourly_rollup",
-    "gapfill_daily_series", "agg_user_value_trend",
-    "agg_user_value_trend_pandas", "grouping_sets_revenue",
-    "rollup_order_totals", "cube_lineitem_counts", "pivot_priority_counts",
-    "percentile_value_by_type", "multimodal_media_summary",
-    "multimodal_image_decode",
-    # the 14 never-certified round-11 additions (introduced r11, due r14)
-    "customers_pareto_share", "embedding_mahalanobis_outliers",
-    "events_change_point", "events_hourly_autocorr", "graph_assortativity",
-    "integrity_benford_audit", "maintenance_compaction_plan",
-    "multimodal_gif_frame_census", "multimodal_media_dedup",
-    "orders_backlog_timeseries", "orders_fulfillment_percentiles",
-    "sample_curriculum_order", "sample_importance_weights",
-    "streaming_late_data_audit",
-    # due-r15 seats, part 1: the five queries that took round-13 ADVICE
-    # fixes — certify the fixed behavior now, not next round
-    "integrity_schema_drift", "embedding_pca_variance",
-    "embedding_pca_trace_audit", "events_bootstrap_ci",
-    "events_conversion_latency",
-    # due-r15 seats, part 2: the r9 block's front — dedup + kNN
-    # families, as-of, semi/anti/top-k joins
-    "dedup_minhash_lsh", "dedup_minhash_lsh_check", "dedup_simhash",
-    "dedup_embedding_lsh", "dedup_paragraphs", "knn_cosine_arrow",
-    "knn_cosine_ivf", "knn_cosine_lsh", "asof_purchase_signup",
-    "anti_join_idle_customers", "semi_join_big_orders",
-    "join_revenue_by_brand", "top_orders_by_price",
+    # the full r9-block remainder (last green r9, due r15)
+    "approx_distinct_parts", "approx_percentile_value_by_type",
+    "correlation_stats", "distinct_customers_per_status",
+    "embedding_norm_stats", "events_funnel_steps",
+    "events_multi_touch_attribution", "fuzzy_match_part_names",
+    "graph_triangle_nodes", "graph_triangle_stats", "incremental_agg_orders",
+    "merge_upsert_orders", "multimodal_bmp_pixel_decode",
+    "multimodal_video_decode", "pagerank_suppliers", "pipeline_quality_gate",
+    "price_histogram", "revenue_share_by_priority", "sample_shuffle_shards",
+    "scale_zorder_census", "scd2_customer_history", "stats_price_by_status",
+    "streaming_click_attribution", "streaming_dedup_census",
+    "streaming_sessionize", "text_bm25_search", "text_bpe_encode",
+    "text_bpe_merges", "text_lm_perplexity", "text_word_entropy",
+    "unpivot_status_metrics", "window_ewma_smooth",
+    # never-certified, part 1: the round-12 introductions that took
+    # post-introduction fixes — certify the fixed behavior
+    "stats_welch_ttest", "events_cusum_alarm", "events_holt_forecast",
+    "streaming_topk_per_window", "streaming_outer_join_expiry",
+    # never-certified, part 2: the seven round-13 statistics operators
+    # (chi2 + kendall carry this round's ADVICE fixes)
+    "stats_mann_whitney", "stats_levene_value", "orders_ols_trend",
+    "text_hapax_stats", "stats_chi2_independence", "stats_kendall_tau",
+    "orders_runs_test",
+    # never-certified, part 3: seasonal forecast (Holt's sibling)
+    "events_seasonal_forecast",
 ]
+
+# Approximate queries that are rows-only by design (no SQL oracle) and
+# the exact oracle-checked audit twin that pins each one.  Registry
+# invariant (round-13 verdict item 6, asserted by tests/test_registry.py):
+# whenever an approximate rotates into DRIVER_WINDOW, its twin rides in
+# the SAME window so the pairing stays visible in that round's
+# CORRECTNESS file.
+APPROX_TWINS = {
+    "dedup_minhash_lsh": "dedup_minhash_lsh_check",
+    "dedup_simhash": "dedup_simhash_check",
+    "dedup_embedding_lsh": "dedup_embedding_lsh_check",
+    "embedding_pca_variance": "embedding_pca_trace_audit",
+}
 
 _WINDOW_SET = set(DRIVER_WINDOW)
 # import-time invariants raise explicitly, NOT assert (round-7 advice:

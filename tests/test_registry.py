@@ -45,6 +45,26 @@ def test_every_query_has_oracle_or_exemption():
     assert not missing, f"queries without oracle or exemption: {missing}"
 
 
+def test_approx_twins_ride_the_same_driver_window():
+    # Registry invariant (round-13 verdict item 6): a rows-only
+    # approximate query never holds a driver-window seat without its
+    # exact oracle-checked audit twin in the SAME window, so the
+    # round's CORRECTNESS file always shows the no_oracle row and the
+    # green twin that pins it side by side.
+    from parcial_bigdata_spark.plans.registry import (
+        APPROX_TWINS, DRIVER_WINDOW, QUERIES,
+    )
+
+    assert set(APPROX_TWINS) == NO_ORACLE_OK
+    for approx, twin in APPROX_TWINS.items():
+        assert twin in QUERIES, f"missing twin {twin} for {approx}"
+        if approx in DRIVER_WINDOW:
+            assert twin in DRIVER_WINDOW, (
+                f"{approx} holds a window seat without its audit twin "
+                f"{twin} in the same window"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_runs_and_is_deterministic_schema(spark, name):
     fn = entrymod.queries()[name]

@@ -283,6 +283,24 @@ class TestChi2Independence:
         assert out["chi2"] == 0.0
         assert out["cramers_v"] is None
 
+    def test_empty_input_matches_oracle_arithmetic(self, spark):
+        # fully-empty (or all-NULL-category) input: the oracle's
+        # count-over-empty-CTE arithmetic yields n_row_cats=0,
+        # n_col_cats=0, dof=(0-1)*(0-1)=1, NULL n_total/chi2/cramers_v;
+        # the operator must coalesce its F.first-over-empty-agg NULLs to
+        # the same values (round-13 ADVICE degenerate alignment)
+        orders = spark.createDataFrame(
+            [(1, None, None)],
+            "o_orderkey long, o_orderstatus string, o_orderpriority string",
+        )
+        out = ana.chi2_independence(orders).collect()[0]
+        assert (out["n_row_cats"], out["n_col_cats"], out["dof"]) == (
+            0, 0, 1,
+        )
+        assert out["n_total"] is None
+        assert out["chi2"] is None
+        assert out["cramers_v"] is None
+
 
 class TestKendallTau:
     def test_perfect_concordance(self, spark):

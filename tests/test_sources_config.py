@@ -760,6 +760,23 @@ def _make_png_rgb(w, h, pix, filters=None, compress=True):
             )
         elif f == 2:
             raw.extend((v - p) % 256 for v, p in zip(line, prev))
+        elif f == 3:
+            raw.extend(
+                (v - (((line[j - 3] if j >= 3 else 0) + prev[j]) >> 1)) % 256
+                for j, v in enumerate(line)
+            )
+        elif f == 4:
+            for j, v in enumerate(line):
+                left = line[j - 3] if j >= 3 else 0
+                ul = prev[j - 3] if j >= 3 else 0
+                up = prev[j]
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+                raw.append((v - pred) % 256)
         else:
             raw.extend(line)  # emit the id verbatim; decoder must reject
         prev = line
@@ -801,10 +818,32 @@ def test_decode_pixels_png_real_golden(spark):
             assert (row.min_byte, row.max_byte) == (min(exp), max(exp))
 
 
+def test_decode_pixels_png_avg_paeth_golden(spark):
+    """Average (3) and Paeth (4) filters decode for real since round 14
+    — including on row 0, where the spec treats the prior scanline as
+    zeros, exercising the predictors' boundary arithmetic."""
+    pix = lambda x, y, c: (11 + 17 * x + 29 * y + 5 * c) % 256  # noqa: E731
+    for filters in ([3, 4, 0, 1, 2], [4, 3, 4, 3, 4], [0, 1, 2, 3, 4]):
+        golden = _make_png_rgb(6, 5, pix, filters=filters)
+        exp = [
+            pix(x, y, c) for y in range(5) for x in range(6) for c in range(3)
+        ]
+        media = spark.createDataFrame(
+            [(1, golden, "image/png", "s")],
+            "media_id long, content binary, media_type string, source string",
+        )
+        row = mm.decode_pixels(media, use_fake_decode=False).collect()[0]
+        assert (row.width, row.height, row.n_pixels) == (6, 5, 30)
+        assert row.sum_r == sum(v for i, v in enumerate(exp) if i % 3 == 0)
+        assert row.sum_g == sum(v for i, v in enumerate(exp) if i % 3 == 1)
+        assert row.sum_b == sum(v for i, v in enumerate(exp) if i % 3 == 2)
+        assert (row.min_byte, row.max_byte) == (min(exp), max(exp))
+
+
 def test_decode_pixels_png_corrupt_and_unsupported(spark):
     """Real PNG path taxonomy: bad adler32 / wrong scanline volume /
-    invalid filter id are ValueError (corruption); RGBA and Paeth
-    filters are NotImplementedError (need PIL) — never confused."""
+    invalid filter id are ValueError (corruption); RGBA is
+    NotImplementedError (needs PIL) — never confused."""
     import struct
 
     pix = lambda x, y, c: (x + y + c) % 256  # noqa: E731
@@ -814,7 +853,6 @@ def test_decode_pixels_png_corrupt_and_unsupported(spark):
     bad_adler[-18] ^= 0xFF
     rgba = bytearray(good)
     rgba[25] = 6  # color type RGBA
-    paeth = _make_png_rgb(4, 3, pix, filters=[0, 4, 0])
     badfilter = _make_png_rgb(4, 3, pix, filters=[0, 9, 0])
     short = bytearray(_make_png_rgb(4, 3, pix, compress=False))
     # declare one extra row in IHDR: inflated volume no longer matches
@@ -822,7 +860,6 @@ def test_decode_pixels_png_corrupt_and_unsupported(spark):
     cases = [
         (1, bytes(bad_adler), ValueError, "inflate failed"),
         (2, bytes(rgba), NotImplementedError, "requires PIL"),
-        (3, paeth, NotImplementedError, "Average/Paeth"),
         (4, badfilter, ValueError, "invalid PNG filter type"),
         (5, bytes(short), ValueError, "scanline volume mismatch"),
     ]
