@@ -802,6 +802,67 @@ def _run_madsketch_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# kNN/ANN scale probe (round-13 verdict item 4): the similarity family
+# was the one load-bearing 100 TB claim without a measured exponent —
+# its scale story rested on plan shape alone (batch-local top-k prune
+# bounds the Arrow shuffle at k·|queries| rows/batch; IVF prunes the
+# scan to nprobe/|clusters| of the corpus).  This probe times the full
+# brute-force-Arrow and IVF operators end-to-end on synthetic 64-dim
+# embeddings at x1/x4/x16 vectors; a flat-ish tail exponent is the
+# measured backing.  Clustered geometry (a label-dependent component
+# dominating the per-id term) keeps IVF's probe pruning meaningful
+# rather than degenerate.
+
+_KNN_SCALES = (1, 4, 16)
+_KNN_BASE_VECS = 50_000
+_KNN_QUERY_IDS = list(range(0, 40, 2))  # 20 queries, same every scale
+
+
+def _knn_rows(spark, n):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> CAST("
+            "  2.0 * cos((id % 32) * 2.1 + j * 0.5)"  # cluster component
+            "  + sin(id * 0.7 + j * 1.3) AS FLOAT))"  # per-vector detail
+        ).alias("embedding"),
+        (F.col("id") % 32).cast("int").alias("label"),
+    )
+
+
+def _run_knn_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators.similarity import (
+        knn_brute_force_arrow, knn_ivf,
+    )
+
+    timings: dict[str, float] = {}
+    detail: dict = {"arrow": {}, "ivf": {}}
+    # warm both plan shapes (Arrow python workers + matmul JIT for the
+    # brute-force path, centroid broadcast + window for IVF)
+    knn_brute_force_arrow(_knn_rows(spark, 5_000), _KNN_QUERY_IDS).count()
+    knn_ivf(_knn_rows(spark, 5_000), _KNN_QUERY_IDS).count()
+    for family, fn in (("arrow", knn_brute_force_arrow), ("ivf", knn_ivf)):
+        secs, sizes = [], []
+        for s in _KNN_SCALES:
+            rows = _knn_rows(spark, _KNN_BASE_VECS * s).persist()
+            n = rows.count()  # materialize input outside the timing
+            t0 = time.perf_counter()
+            fn(rows, _KNN_QUERY_IDS).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            el = round(time.perf_counter() - t0, 3)
+            timings[f"knn_{family}_scale_x{s}"] = el
+            detail[family][f"x{s}"] = {"vecs": n, "sec": el}
+            secs.append(el)
+            sizes.append(n)
+            rows.unpersist()
+        detail[family]["exponent"] = _fit_exponent(sizes, secs)
+        detail[family]["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 def _run_rank_scale(spark) -> tuple[dict[str, float], dict]:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1083,6 +1144,8 @@ def main() -> None:
     probe_timings.update(rank_timings)
     mad_timings, mad_detail = _run_madsketch_scale(probe_spark)
     probe_timings.update(mad_timings)
+    knn_timings, knn_detail = _run_knn_scale(probe_spark)
+    probe_timings.update(knn_timings)
     wedge_timings, wedge_detail = _run_wedge_scale(probe_spark)
     probe_timings.update(wedge_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
@@ -1096,6 +1159,18 @@ def main() -> None:
     }
     detail_record = {
         "record": "bench_detail",
+        # Which run this file holds (round-13 verdict nit: the detail
+        # file held the driver's elevated-box refresh while BASELINE.md's
+        # bench-of-record was a different, quiet run — a future reader
+        # mistook the refresh for a regression).  The round's
+        # bench-of-record run sets SPARK_GRAFT_BENCH_CONTEXT
+        # (e.g. "bench-of-record r14, quiet box"); anything else —
+        # including the driver's per-round capture, which doesn't set
+        # the variable — is labelled an untagged refresh, and
+        # BASELINE.md names the authoritative numbers.
+        "run_context": os.environ.get(
+            "SPARK_GRAFT_BENCH_CONTEXT", "untagged refresh (not the round's bench-of-record; see BASELINE.md)"
+        ),
         "sf": sf,
         # headline per-query timings ALSO live here (round-10 verdict
         # item 5: the quiet bench-of-record's per-query numbers were
@@ -1114,6 +1189,7 @@ def main() -> None:
         "bfs_scale": bfs_detail,
         "rank_scale": rank_detail,
         "madsketch_scale": mad_detail,
+        "knn_scale": knn_detail,
         "wedge_scale": wedge_detail,
         "noise_sentinel": sentinel,
     }

@@ -3048,3 +3048,318 @@ def runs_test_daily_revenue(orders: DataFrame) -> DataFrame:
         ratio_round(z, 6).alias("z_score"),
         (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
     )
+
+
+def spearman_rho_quantity_discount(lineitem: DataFrame) -> DataFrame:
+    """Spearman's ρ rank correlation between line quantity and discount
+    (`stats_spearman_rho`) — the average-rank sibling of
+    `stats_kendall_tau` on the same bounded grids: Pearson correlation
+    of the tie-averaged ranks, the form most toolkits report next to
+    τ-b.
+
+    Exactness: both axes ride tiny grids (quantity 1..50, discount a
+    handful of steps), so AVERAGE ranks come from the bounded-domain
+    counting technique at DOUBLE-RANK scale (dr = 2·cum_before + c + 1,
+    always integer — the same frame the Mann-Whitney machinery uses),
+    one margin frame per axis.  Both axes carry the identical ×2
+    scaling, which cancels exactly in the correlation, so the weighted
+    sums Σn·drx, Σn·drx², Σn·drx·dry aggregate as exact DECIMAL(38,0)
+    (n·dr² ≤ 4·N³ — headroom past any real corpus) and ρ is ONE IEEE
+    sequence over those exact integers, rounded at 6 dp.
+
+    Scale: one map-side-combining (x, y) cell aggregate is the only
+    fact-sized shuffle, materialized ONCE (``iter_checkpoint`` — both
+    margin frames and the final reduce derive from it); rank windows
+    and the 1-row reduce run on the ≤|x-grid|×|y-grid| cell frame under
+    broadcast joins."""
+    from pyspark.sql.window import Window
+
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_discount").cast("decimal(12,2)")
+    # NULLs excluded explicitly (cross-engine NULLS FIRST/LAST window
+    # order divergence — the Mann-Whitney posture)
+    cells = iter_checkpoint(
+        lineitem.where(
+            F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+        )
+        .groupBy(x.alias("x"), y.alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    xm = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("cx"))
+        .select(
+            "x",
+            (
+                2 * F.coalesce(F.sum("cx").over(wx), F.lit(0))
+                + F.col("cx") + 1
+            ).alias("drx"),
+        )
+    )
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    ym = (
+        cells.groupBy("y")
+        .agg(F.sum("n").alias("cy"))
+        .select(
+            "y",
+            (
+                2 * F.coalesce(F.sum("cy").over(wy), F.lit(0))
+                + F.col("cy") + 1
+            ).alias("dry"),
+        )
+    )
+    dec = "decimal(38,0)"
+    j = cells.join(F.broadcast(xm), "x").join(F.broadcast(ym), "y")
+    agg = j.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("x").alias("n_x_levels"),
+        F.countDistinct("y").alias("n_y_levels"),
+        F.sum(F.col("n").cast(dec) * F.col("drx")).alias("sx"),
+        F.sum(F.col("n").cast(dec) * F.col("dry")).alias("sy"),
+        F.sum(
+            F.col("n").cast(dec) * F.col("drx") * F.col("drx")
+        ).alias("sxx"),
+        F.sum(
+            F.col("n").cast(dec) * F.col("dry") * F.col("dry")
+        ).alias("syy"),
+        F.sum(
+            F.col("n").cast(dec) * F.col("drx") * F.col("dry")
+        ).alias("sxy"),
+    )
+    nn = F.col("nn").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    vx = nn * F.col("sxx").cast("double") - sx * sx
+    vy = nn * F.col("syy").cast("double") - sy * sy
+    # an all-tied axis (vx or vy = 0) leaves ρ undefined: NULL, not a
+    # raise (the NULL-not-NaN posture)
+    rho = F.when(
+        (vx > 0) & (vy > 0),
+        (nn * F.col("sxy").cast("double") - sx * sy) / F.sqrt(vx * vy),
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        F.col("n_x_levels").cast("int").alias("n_x_levels"),
+        F.col("n_y_levels").cast("int").alias("n_y_levels"),
+        ratio_round(rho, 6).alias("rho"),
+    )
+
+
+def anova_oneway_value(events: DataFrame) -> DataFrame:
+    """One-way ANOVA F test of event value across event types
+    (`stats_anova_oneway`): the k-group parametric mean comparison that
+    completes the classical trio — Welch for two groups, Brown-Forsythe
+    for the variance precondition, ANOVA for the k-group omnibus.
+
+    Exactness: value rides the cent grid (DECIMAL(12,2) cast, the
+    engine-wide money posture), so per-group Σv at DECIMAL and Σv² at
+    DECIMAL(38,4) are exact order-free sums; each group's König terms
+    (n·mean², Σv² − (Σv)²/n) are a fixed IEEE sequence over those exact
+    decimals, and SSB/SSW/F reduce the k-row group frame (k = |event
+    types|, tiny), rounded at 4 dp — the entropy-contract margin for a
+    k-term double sum.
+
+    Scale: ONE map-side-combining fact aggregate; everything after runs
+    on the k-row frame."""
+    v = F.col("value").cast("decimal(12,2)")
+    per = (
+        events.where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sv"),
+            F.sum((v * v).cast("decimal(38,4)")).alias("sq"),
+        )
+    )
+    ng = F.col("n").cast("double")
+    svg = F.col("sv").cast("double")
+    sqg = F.col("sq").cast("double")
+    terms = per.select(
+        "n",
+        "sv",
+        # König forms over exact sums — no grand-mean subtraction per
+        # group, so the k-row reduce needs no cross-group ordering
+        # discipline beyond the 4 dp margin
+        (svg * (svg / ng)).alias("nmean2_g"),
+        (sqg - svg * (svg / ng)).alias("ssw_g"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("sv").alias("sv_all"),
+        F.sum("nmean2_g").alias("nm2"),
+        F.sum("ssw_g").alias("ssw"),
+    )
+    nn = F.col("n_total").cast("double")
+    kk = F.col("k").cast("double")
+    grand = F.col("sv_all").cast("double")
+    ssb = F.col("nm2") - grand * (grand / nn)
+    f_stat = (ssb / (kk - 1)) / (F.col("ssw") / (nn - kk))
+    # degenerate inputs — one group (df1 = 0), no residual dof, or zero
+    # within-group variance — leave F undefined: NULL, not a raise
+    defined = (
+        (F.col("k") > 1) & (F.col("n_total") > F.col("k"))
+        & (F.col("ssw") > 0)
+    )
+    return tot.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        (F.col("n_total") - F.col("k")).cast("long").alias("df2"),
+        ratio_round(ssb, 4).alias("ss_between"),
+        ratio_round(F.col("ssw"), 4).alias("ss_within"),
+        F.when(defined, ratio_round(f_stat, 4)).alias("f_stat"),
+    )
+
+
+def markov_event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition census of per-user event-type
+    sequences (`events_markov_transitions`): count every
+    (previous type → next type) step a user takes and the row-normalized
+    transition probability — the navigation fingerprint behind
+    `events_top_paths`, at pair grain instead of path grain.
+
+    Determinism: steps order by (ts, event_id) within a user — event_id
+    is unique, so the sequence is a total order on both engines (bare
+    ts would tie).  Probabilities are double/double division of exact
+    integer counts, rounded at 6 dp.
+
+    Scale: ONE shuffle on user_id feeds the lag window over the fact
+    stream (AQE-splittable by user); the census aggregate is map-side-
+    combining onto the ≤|types|² grid, and the probability window runs
+    on that grid frame only."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.where(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("user_id"),
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            ratio_round(
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(wrow).cast("double"),
+                6,
+            ).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def lag_xcorr_click_purchase(
+    events: DataFrame, max_lag: int = 6,
+    type_a: str = "click", type_b: str = "purchase",
+) -> DataFrame:
+    """Lagged cross-correlation between two event types' hourly count
+    series (`events_lag_xcorr`): Pearson r of (clicks at hour t,
+    purchases at hour t+L) for L = 0..max_lag — "how many hours does
+    purchase activity trail click activity?", the cross-series sibling
+    of `events_hourly_autocorr`.
+
+    Semantics: the series is the FULL hour spine from the first to the
+    last observed hour, zero-filled (a missing hour is zero activity,
+    not a dropped pair), so every lag compares aligned windows of
+    length |spine| − L.
+
+    Exactness: counts are integers on the zero-filled spine, so all
+    five correlation moments aggregate as exact DECIMAL(38,0) per lag
+    and r is ONE IEEE sequence over the exact integers, rounded at
+    6 dp.
+
+    Scale: ONE map-side-combining hourly fact aggregate; the spine
+    explode, lag join, and per-lag reduce all run on the |hours|-row
+    frame (the census-pinned post-aggregation pattern)."""
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    hid = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast(
+        "long"
+    )
+    hourly = iter_checkpoint(
+        events.where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isin(type_a, type_b)
+        )
+        .groupBy(hid.alias("hid"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == type_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("event_type") == type_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    bounds = hourly.agg(
+        F.min("hid").alias("h0"), F.max("hid").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hid")
+    )
+    filled = (
+        spine.join(F.broadcast(hourly), "hid", "left")
+        .select(
+            "hid",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    lags = filled.select(
+        "hid", "ca",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(max_lag))
+        ).alias("lag"),
+    )
+    paired = lags.join(
+        F.broadcast(filled.select(F.col("hid").alias("bhid"), "cb")),
+        F.col("hid") + F.col("lag") == F.col("bhid"),
+    )
+    dec = "decimal(38,0)"
+    agg = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("ca").cast(dec)).alias("sa"),
+        F.sum(F.col("cb").cast(dec)).alias("sb"),
+        F.sum(F.col("ca").cast(dec) * F.col("ca")).alias("saa"),
+        F.sum(F.col("cb").cast(dec) * F.col("cb")).alias("sbb"),
+        F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("sab"),
+    )
+    nn = F.col("n_hours").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    va = nn * F.col("saa").cast("double") - sa * sa
+    vb = nn * F.col("sbb").cast("double") - sb * sb
+    r = F.when(
+        (va > 0) & (vb > 0),
+        (nn * F.col("sab").cast("double") - sa * sb) / F.sqrt(va * vb),
+    )
+    return (
+        agg.select(
+            F.col("lag").cast("int").alias("lag_hours"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("sa").cast("long").alias("n_a_events"),
+            F.col("sb").cast("long").alias("n_b_events"),
+            ratio_round(r, 6).alias("xcorr"),
+        )
+        .orderBy("lag_hours")
+    )

@@ -800,23 +800,25 @@ def _decode_bmp_pixels(content: bytes) -> dict:
 
 
 def _decode_png_pixels(content: bytes) -> dict:
-    """REAL pixel-payload decode for 8-bit RGB non-interlaced PNG —
-    stdlib ``struct`` + ``zlib`` + numpy, no PIL anywhere: walk the
-    chunk stream collecting IDAT, inflate it with ``zlib.decompress``
-    (the adler32 trailer is verified end-to-end — the synthetic corpus
-    computes it with a Spark HOF so the stream is a fully valid zlib
-    stream), then apply the REAL scanline unfilter (spec §9, ALL FIVE
-    filter types: None / Sub / Up / Average / Paeth — Sub is three
-    independent mod-256 prefix sums per channel, Up adds the prior
-    reconstructed row, Average and Paeth run the genuine left-dependent
-    sequential predictors) and reduce per-channel sums / byte extrema
-    vectorized.
+    """REAL pixel-payload decode for 8-bit RGB and 8-bit PALETTE
+    non-interlaced PNG — stdlib ``struct`` + ``zlib`` + numpy, no PIL
+    anywhere: walk the chunk stream collecting IDAT (and PLTE for color
+    type 3), inflate with ``zlib.decompress`` (the adler32 trailer is
+    verified end-to-end — the synthetic corpus computes it with a Spark
+    HOF so the stream is a fully valid zlib stream), apply the REAL
+    scanline unfilter (spec §9, ALL FIVE filter types: None / Sub / Up /
+    Average / Paeth — Sub is bpp independent mod-256 prefix sums, Up
+    adds the prior reconstructed row, Average and Paeth run the genuine
+    left-dependent sequential predictors; bpp is 3 for RGB, 1 for
+    palette indices), map palette indices through PLTE where
+    applicable, and reduce per-channel sums / byte extrema vectorized.
 
     Raises ValueError for corrupt payloads (bad chunk walk, inflate
-    failure, wrong scanline volume, invalid filter id) and
-    NotImplementedError for valid-but-unsupported encodings (non-RGB-8
-    color, interlacing) — corruption must never masquerade as a
-    missing dependency (round-7 advice)."""
+    failure, wrong scanline volume, invalid filter id, missing or
+    overrun palette) and NotImplementedError for valid-but-unsupported
+    encodings (grayscale/alpha color types, non-8-bit depth,
+    interlacing) — corruption must never masquerade as a missing
+    dependency (round-7 advice)."""
     import struct
     import zlib
 
@@ -825,16 +827,18 @@ def _decode_png_pixels(content: bytes) -> dict:
     meta = _decode_png(content)
     if meta is None:
         raise ValueError("carries the PNG magic but its IHDR does not decode")
-    if meta["bit_depth"] != 8 or meta["channels"] != 3:
+    color_type = content[25] if len(content) > 25 else -1
+    if meta["bit_depth"] != 8 or color_type not in (2, 3):
         raise NotImplementedError(
-            f"PNG pixel decode beyond 8-bit RGB (depth {meta['bit_depth']}, "
-            f"{meta['channels']} channels) requires PIL"
+            f"PNG pixel decode beyond 8-bit RGB/palette (depth "
+            f"{meta['bit_depth']}, color type {color_type}) requires PIL"
         )
     if len(content) >= 29 and content[28] != 0:
         raise NotImplementedError("interlaced (Adam7) PNG requires PIL")
     w, h = meta["width"], meta["height"]
+    bpp = 3 if color_type == 2 else 1
 
-    idat, pos = b"", 8
+    idat, plte, pos = b"", None, 8
     while pos + 8 <= len(content):
         (length,) = struct.unpack(">I", content[pos : pos + 4])
         ctype = content[pos + 4 : pos + 8]
@@ -842,6 +846,8 @@ def _decode_png_pixels(content: bytes) -> dict:
             raise ValueError("truncated PNG chunk stream")
         if ctype == b"IDAT":
             idat += content[pos + 8 : pos + 8 + length]
+        elif ctype == b"PLTE":
+            plte = content[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + CRC
         if ctype == b"IEND":
             break
@@ -851,32 +857,32 @@ def _decode_png_pixels(content: bytes) -> dict:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    stride = 1 + 3 * w
+    stride = 1 + bpp * w
     if len(raw) != stride * h:
         raise ValueError(
-            f"PNG scanline volume mismatch: {w}x{h} RGB needs "
+            f"PNG scanline volume mismatch: {w}x{h} at {bpp} B/px needs "
             f"{stride * h} bytes, inflated {len(raw)}"
         )
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-    out = np.zeros((h, 3 * w), dtype=np.uint8)
-    prev = np.zeros(3 * w, dtype=np.uint8)
+    out = np.zeros((h, bpp * w), dtype=np.uint8)
+    prev = np.zeros(bpp * w, dtype=np.uint8)
     for y in range(h):
         f, line = int(arr[y, 0]), arr[y, 1:]
         if f == 0:
             cur = line.copy()
         elif f == 1:
-            # Sub: raw[j] = filt[j] + raw[j-3] — a mod-256 prefix sum
-            # per channel lane (bpp = 3)
+            # Sub: raw[j] = filt[j] + raw[j-bpp] — a mod-256 prefix sum
+            # per byte lane
             cur = np.empty_like(line)
-            for c in range(3):
-                cur[c::3] = np.cumsum(line[c::3], dtype=np.uint64).astype(
-                    np.uint8
-                )
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(
+                    line[c::bpp], dtype=np.uint64
+                ).astype(np.uint8)
         elif f == 2:
             cur = line + prev  # uint8 addition IS the mod-256 Up filter
         elif f == 3:
             # Average: raw[j] = filt[j] + floor((left + up)/2) where
-            # left is the just-reconstructed byte bpp=3 back (0 before
+            # left is the just-reconstructed byte bpp back (0 before
             # the first pixel; prior row is zeros on y=0 per spec §9).
             # Sequential in j by construction — the loop is bounded by
             # the stride, and rows still vectorize across images via
@@ -885,7 +891,7 @@ def _decode_png_pixels(content: bytes) -> dict:
             li = line.astype(np.int64)
             pi = prev.astype(np.int64)
             for j in range(li.shape[0]):
-                left = int(cur[j - 3]) if j >= 3 else 0
+                left = int(cur[j - bpp]) if j >= bpp else 0
                 cur[j] = (li[j] + ((left + int(pi[j])) >> 1)) & 0xFF
         elif f == 4:
             # Paeth: predictor picks left/up/upper-left by smallest
@@ -895,8 +901,8 @@ def _decode_png_pixels(content: bytes) -> dict:
             li = line.astype(np.int64)
             pi = prev.astype(np.int64)
             for j in range(li.shape[0]):
-                left = int(cur[j - 3]) if j >= 3 else 0
-                ul = int(pi[j - 3]) if j >= 3 else 0
+                left = int(cur[j - bpp]) if j >= bpp else 0
+                ul = int(pi[j - bpp]) if j >= bpp else 0
                 up = int(pi[j])
                 pa = abs(up - ul)
                 pb = abs(left - ul)
@@ -912,7 +918,18 @@ def _decode_png_pixels(content: bytes) -> dict:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur
         prev = cur
-    chans = out.reshape(-1, 3).astype(np.int64)
+    if color_type == 2:
+        chans = out.reshape(-1, 3).astype(np.int64)
+    else:
+        # palette: reconstructed bytes are PLTE indices; an index past
+        # the palette, or a missing/ragged PLTE, is corruption
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idxs = out.reshape(-1)
+        if idxs.size and int(idxs.max()) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        chans = pal[idxs].astype(np.int64)
     return {
         "width": w,
         "height": h,
@@ -921,8 +938,8 @@ def _decode_png_pixels(content: bytes) -> dict:
         "sum_b": int(chans[:, 2].sum()),
         "sum_g": int(chans[:, 1].sum()),
         "sum_r": int(chans[:, 0].sum()),
-        "min_byte": int(out.min()),
-        "max_byte": int(out.max()),
+        "min_byte": int(chans.min()) if chans.size else 0,
+        "max_byte": int(chans.max()) if chans.size else 0,
     }
 
 
@@ -1168,6 +1185,128 @@ def png_pixel_summary(documents: DataFrame) -> DataFrame:
     replicates the construction's closed-form raw pixel arithmetic."""
     return decode_pixels(
         synth_png_pixel_corpus(documents), use_fake_decode=False
+    ).orderBy("media_id")
+
+
+def synth_png_palette_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL 8-bit PALETTE (color type 3) PNGs — magic,
+    IHDR, a 16-entry PLTE with a REAL CRC, a VALID zlib IDAT, IEND —
+    built from the documents table with pure built-in byte expressions,
+    the indexed-color sibling of ``synth_png_pixel_corpus``.
+
+    Palette entry i is the closed form ((3·doc_id + 17i) % 256,
+    +29, +58) for (R, G, B); pixel (x, y) carries index
+    (doc_id + 7x + 13y) % 16.  Scanlines cycle ALL FIVE spec §9 filter
+    types (y % 5) at bpp = 1 — the one-byte-per-pixel stride exercises
+    the decoder's generalized left-offset paths (the RGB corpus only
+    ever hits bpp = 3) — with filtered bytes in closed form over the
+    index arithmetic.  The stored-mode deflate + HOF adler32 + F.crc32
+    chunk CRCs make every byte spec-valid, exactly as the RGB corpus.
+    The oracle replicates index → palette arithmetic per channel."""
+    w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
+    h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
+    raw_len = h * (1 + w)
+    # closed-form index neighbours (bpp = 1): ix(y, j) =
+    # (doc_id + 7j + 13y) % 16; left / up / upper-left are the same form
+    # shifted by -7 / -13 / -20 (0 before the first pixel; Average rows
+    # have y >= 3 and Paeth rows y >= 4, so shifted bases stay
+    # non-negative and plain % is exact)
+    ix_ = "(doc_id + 7 * j + 13 * y) % 16"
+    l_ = "IF(j < 1, 0, (doc_id + 7 * j + 13 * y - 7) % 16)"
+    u_ = "(doc_id + 7 * j + 13 * y - 13) % 16"
+    ul_ = "IF(j < 1, 0, (doc_id + 7 * j + 13 * y - 20) % 16)"
+    paeth_pred = (
+        f"CASE WHEN abs(({u_}) - ({ul_})) <= abs(({l_}) - ({ul_}))"
+        f" AND abs(({u_}) - ({ul_})) <= abs(({l_}) + ({u_}) - 2 * ({ul_}))"
+        f" THEN {l_}"
+        f" WHEN abs(({l_}) - ({ul_})) <= abs(({l_}) + ({u_}) - 2 * ({ul_}))"
+        f" THEN {u_} ELSE {ul_} END"
+    )
+    scanline_bytes = F.expr(
+        "flatten(transform(sequence(0, CAST(4 + (doc_id * 7) % 8 AS INT) - 1), y -> "
+        "  concat("
+        "    array(CAST(y % 5 AS INT)),"
+        "    transform(sequence(0, CAST(4 + doc_id % 12 AS INT) - 1), j -> "
+        "      CAST(CASE"
+        f"        WHEN y % 5 = 0 THEN {ix_}"
+        f"        WHEN y % 5 = 1 THEN pmod(({ix_}) - ({l_}), 256)"
+        f"        WHEN y % 5 = 2 THEN pmod(({ix_}) - ({u_}), 256)"
+        f"        WHEN y % 5 = 3 THEN pmod(({ix_}) - ((({l_}) + ({u_})) div 2), 256)"
+        f"        ELSE pmod(({ix_}) - ({paeth_pred}), 256) END AS INT)))))"
+    )
+    plte_bytes = F.expr(
+        "flatten(transform(sequence(0, 15), i -> array("
+        "  CAST((3 * doc_id + 17 * i) % 256 AS INT),"
+        "  CAST((3 * doc_id + 17 * i + 29) % 256 AS INT),"
+        "  CAST((3 * doc_id + 17 * i + 58) % 256 AS INT))))"
+    )
+    adler = F.expr(
+        "aggregate(__png_bytes,"
+        "  named_struct('a', 1L, 'b', 0L),"
+        "  (acc, x) -> named_struct("
+        "    'a', (acc.a + x) % 65521,"
+        "    'b', (acc.b + acc.a + x) % 65521),"
+        "  acc -> acc.b * 65536 + acc.a)"
+    )
+
+    def _hex_join(col):
+        return F.array_join(
+            F.transform(col, lambda b: F.lpad(F.hex(b), 2, "0")), ""
+        )
+
+    ihdr_chunk = F.concat(
+        F.unhex(F.lit("49484452")),                          # 'IHDR'
+        _be_bytes(w, 4), _be_bytes(h, 4),
+        F.unhex(F.lit("0803000000")),                        # depth 8, palette
+    )
+    plte_chunk = F.concat(
+        F.unhex(F.lit("504C5445")),                          # 'PLTE'
+        F.unhex(_hex_join("__plte_bytes")),                  # 48 bytes
+    )
+    idat_chunk = F.concat(
+        F.unhex(F.lit("49444154")),                          # 'IDAT'
+        F.unhex(F.lit("7801")),                              # zlib header
+        F.unhex(F.lit("01")),                                # BFINAL, stored
+        _le_bytes(raw_len, 2), _le_bytes(F.lit(65535) - raw_len, 2),
+        F.unhex(_hex_join("__png_bytes")),                   # raw scanlines
+        _be_bytes(adler, 4),                                 # zlib adler32
+    )
+    content = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),                  # magic
+        F.unhex(F.lit("0000000D")),                          # IHDR length
+        ihdr_chunk,
+        _be_bytes(F.crc32(ihdr_chunk), 4),                   # IHDR CRC
+        F.unhex(F.lit("00000030")),                          # PLTE length (48)
+        plte_chunk,
+        _be_bytes(F.crc32(plte_chunk), 4),                   # PLTE CRC
+        _be_bytes(raw_len + 11, 4),                          # IDAT length
+        idat_chunk,
+        _be_bytes(F.crc32(idat_chunk), 4),                   # IDAT CRC
+        F.unhex(F.lit("0000000049454E44AE426082")),          # IEND (real CRC)
+    )
+    return (
+        documents.withColumn("__png_bytes", scanline_bytes)
+        .withColumn("__plte_bytes", plte_bytes)
+        .select(
+            F.col("doc_id").cast("long").alias("media_id"),
+            content.alias("content"),
+            F.lit("png").alias("media_type"),
+            F.col("source").alias("source"),
+        )
+    )
+
+
+def png_palette_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL palette-PNG pixel decode
+    (`multimodal_png_palette_decode`): synthesize genuine color-type-3
+    PNGs (16-entry PLTE, valid zlib IDAT, all five scanline filters at
+    bpp = 1) and decode them with ``decode_pixels(use_fake_decode=
+    False)`` — chunk walk collects PLTE, inflate verifies adler32, the
+    generalized unfilter reconstructs index bytes, and the palette map
+    produces RGB statistics.  The DuckDB oracle replicates the
+    index → palette closed form, pinning every statistic end-to-end."""
+    return decode_pixels(
+        synth_png_palette_corpus(documents), use_fake_decode=False
     ).orderBy("media_id")
 
 

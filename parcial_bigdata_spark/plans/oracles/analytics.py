@@ -1622,3 +1622,178 @@ ORACLES["orders_runs_test"] = """
            abs(z) > 1.959964 AS significant_95
     FROM g
 """
+
+# Spearman rho on the bounded quantity/discount grid: double-rank
+# margin frames (2*cum_before + c + 1, always integer), exact HUGEINT
+# weighted moments, the correlation combined in doubles AFTER each
+# exact moment casts (the identical IEEE sequence the Spark side runs)
+ORACLES["stats_spearman_rho"] = """
+    WITH cells AS (
+        SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+               CAST(l_discount AS DECIMAL(12,2)) AS y,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        GROUP BY 1, 2
+    ), xm AS (
+        SELECT x, 2 * COALESCE(sum(cx) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cx + 1 AS drx
+        FROM (SELECT x, sum(n) AS cx FROM cells GROUP BY x)
+    ), ym AS (
+        SELECT y, 2 * COALESCE(sum(cy) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + cy + 1 AS dry
+        FROM (SELECT y, sum(n) AS cy FROM cells GROUP BY y)
+    ), f AS (
+        SELECT sum(n) AS nn,
+               count(DISTINCT c.x) AS n_x_levels,
+               count(DISTINCT c.y) AS n_y_levels,
+               sum(CAST(n AS HUGEINT) * drx) AS sx,
+               sum(CAST(n AS HUGEINT) * dry) AS sy,
+               sum(CAST(n AS HUGEINT) * drx * drx) AS sxx,
+               sum(CAST(n AS HUGEINT) * dry * dry) AS syy,
+               sum(CAST(n AS HUGEINT) * drx * dry) AS sxy
+        FROM cells c JOIN xm USING (x) JOIN ym USING (y)
+    ), g AS (
+        SELECT nn, n_x_levels, n_y_levels,
+               CAST(nn AS DOUBLE) AS nnd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+               CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        FROM f
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           CAST(n_x_levels AS INT) AS n_x_levels,
+           CAST(n_y_levels AS INT) AS n_y_levels,
+           CASE WHEN nnd * sxxd - sxd * sxd > 0
+                 AND nnd * syyd - syd * syd > 0
+                THEN floor((nnd * sxyd - sxd * syd)
+                           / sqrt((nnd * sxxd - sxd * sxd)
+                                  * (nnd * syyd - syd * syd))
+                           * 1e6 + 0.5) / 1e6
+                END AS rho
+    FROM g
+"""
+
+# one-way ANOVA on event value by type: exact decimal per-group
+# moments, Koenig terms per group in a fixed IEEE sequence, the k-row
+# reduce rounded at the 4 dp k-term-double-sum margin
+ORACLES["stats_anova_oneway"] = """
+    WITH per AS (
+        SELECT event_type, count(*) AS n,
+               sum(CAST(value AS DECIMAL(12,2))) AS sv,
+               sum(CAST(CAST(value AS DECIMAL(12,2))
+                        * CAST(value AS DECIMAL(12,2))
+                        AS DECIMAL(38,4))) AS sq
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1
+    ), terms AS (
+        SELECT n, sv,
+               CAST(sv AS DOUBLE)
+                   * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS nmean2_g,
+               CAST(sq AS DOUBLE)
+                   - CAST(sv AS DOUBLE)
+                     * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS ssw_g
+        FROM per
+    ), tot AS (
+        SELECT count(*) AS k, sum(n) AS n_total, sum(sv) AS sv_all,
+               sum(nmean2_g) AS nm2, sum(ssw_g) AS ssw
+        FROM terms
+    ), g AS (
+        SELECT k, n_total, ssw,
+               nm2 - CAST(sv_all AS DOUBLE)
+                     * (CAST(sv_all AS DOUBLE)
+                        / CAST(n_total AS DOUBLE)) AS ssb,
+               CAST(n_total AS DOUBLE) AS nn, CAST(k AS DOUBLE) AS kk
+        FROM tot
+    )
+    SELECT CAST(k AS INT) AS k_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(k - 1 AS INT) AS df1,
+           CAST(n_total - k AS BIGINT) AS df2,
+           floor(ssb * 1e4 + 0.5) / 1e4 AS ss_between,
+           floor(ssw * 1e4 + 0.5) / 1e4 AS ss_within,
+           CASE WHEN k > 1 AND n_total > k AND ssw > 0
+                THEN floor((ssb / (kk - 1)) / (ssw / (nn - kk))
+                           * 1e4 + 0.5) / 1e4
+                END AS f_stat
+    FROM g
+"""
+
+# first-order Markov transition census: the certified (ts, event_id)
+# user-sequence ordering, integer counts, double/double probabilities
+ORACLES["events_markov_transitions"] = """
+    WITH steps AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL
+    ), counts AS (
+        SELECT prev_type, next_type, count(*) AS n_trans
+        FROM steps WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_trans,
+           floor(CAST(n_trans AS DOUBLE)
+                 / CAST(sum(n_trans) OVER (PARTITION BY prev_type)
+                        AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS p_next
+    FROM counts
+    ORDER BY prev_type, next_type
+"""
+
+# lagged click->purchase cross-correlation on the zero-filled hour
+# spine: exact HUGEINT moments per lag, correlation combined in doubles
+# after the per-moment casts (the Spark side's IEEE sequence)
+ORACLES["events_lag_xcorr"] = """
+    WITH hourly AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', ts)) / 3600)
+                    AS BIGINT) AS hid,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS cb
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), bounds AS (SELECT min(hid) AS h0, max(hid) AS h1 FROM hourly),
+    spine AS (
+        SELECT unnest(generate_series(h0, h1)) AS hid FROM bounds
+    ), filled AS (
+        SELECT s.hid, coalesce(h.ca, 0) AS ca, coalesce(h.cb, 0) AS cb
+        FROM spine s LEFT JOIN hourly h ON h.hid = s.hid
+    ), paired AS (
+        SELECT l.lag, a.ca, b.cb
+        FROM (SELECT unnest(generate_series(0, 6)) AS lag) l
+        JOIN filled a ON TRUE
+        JOIN filled b ON b.hid = a.hid + l.lag
+    ), sums AS (
+        SELECT lag, count(*) AS n_hours,
+               sum(CAST(ca AS HUGEINT)) AS sa,
+               sum(CAST(cb AS HUGEINT)) AS sb,
+               sum(CAST(ca AS HUGEINT) * ca) AS saa,
+               sum(CAST(cb AS HUGEINT) * cb) AS sbb,
+               sum(CAST(ca AS HUGEINT) * cb) AS sab
+        FROM paired GROUP BY 1
+    ), g AS (
+        SELECT lag, n_hours, sa, sb,
+               CAST(n_hours AS DOUBLE) AS nn, CAST(sa AS DOUBLE) AS sad,
+               CAST(sb AS DOUBLE) AS sbd, CAST(saa AS DOUBLE) AS saad,
+               CAST(sbb AS DOUBLE) AS sbbd, CAST(sab AS DOUBLE) AS sabd
+        FROM sums
+    )
+    SELECT CAST(lag AS INT) AS lag_hours,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(sa AS BIGINT) AS n_a_events,
+           CAST(sb AS BIGINT) AS n_b_events,
+           CASE WHEN nn * saad - sad * sad > 0
+                 AND nn * sbbd - sbd * sbd > 0
+                THEN floor((nn * sabd - sad * sbd)
+                           / sqrt((nn * saad - sad * sad)
+                                  * (nn * sbbd - sbd * sbd))
+                           * 1e6 + 0.5) / 1e6
+                END AS xcorr
+    FROM g ORDER BY lag_hours
+"""

@@ -101,6 +101,41 @@ ORACLES: dict[str, str] = {
                CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
         FROM px GROUP BY doc_id ORDER BY media_id
     """,
+    "multimodal_png_palette_decode": """
+        -- The Spark side synthesizes GENUINE color-type-3 (palette)
+        -- PNGs — 16-entry PLTE with real CRC, valid zlib IDAT, all
+        -- five scanline filters at bpp = 1 — and decodes them with the
+        -- REAL stdlib path (chunk walk collects PLTE, inflate verifies
+        -- adler32, generalized unfilter, palette map); the oracle
+        -- replicates the construction's index (doc_id + 7x + 13y) % 16
+        -- and palette entry ((3 doc_id + 17 i) % 256, +29, +58),
+        -- pinning every channel sum and byte extremum end-to-end.
+        WITH geo AS (
+            SELECT doc_id, 4 + doc_id % 12 AS w, 4 + (doc_id * 7) % 8 AS h
+            FROM documents
+        ), px AS (
+            SELECT g.doc_id, g.w, g.h,
+                   (g.doc_id + 7*xs.x + 13*ys.y) % 16 AS ix
+            FROM geo g,
+                 unnest(generate_series(0, g.w - 1)) xs(x),
+                 unnest(generate_series(0, g.h - 1)) ys(y)
+        ), rgb AS (
+            SELECT doc_id, w, h,
+                   (3*doc_id + 17*ix) % 256 AS r,
+                   (3*doc_id + 17*ix + 29) % 256 AS gg,
+                   (3*doc_id + 17*ix + 58) % 256 AS b
+            FROM px
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               count(*) AS n_pixels,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(gg) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
+               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
+        FROM rgb GROUP BY doc_id ORDER BY media_id
+    """,
     "multimodal_wav_sample_decode": """
         -- The Spark side synthesizes GENUINE PCM16 WAV clips — headers
         -- AND frame blocks — from doc_id and decodes the sample payloads

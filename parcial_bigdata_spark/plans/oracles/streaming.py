@@ -226,3 +226,51 @@ ORACLES["streaming_outer_join_expiry"] = """
            CAST(sum(1 - matched) AS BIGINT) AS n_expired_unmatched
     FROM rows_out GROUP BY 1 ORDER BY 1
 """
+
+# stream-stream LEFT-join retained-tail audit: batch join ground truth
+# + the pinned watermark arithmetic (ms-floored min over both sides of
+# max event time - delay); streamed and batch matched counts must agree
+# and emitted nulls + retained tail must equal batch unmatched, per day
+ORACLES["streaming_join_tail_audit"] = """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+        SELECT least(
+            make_timestamp(((SELECT epoch_us(max(click_ts)) FROM clicks)
+                            // 1000) * 1000),
+            make_timestamp(((SELECT epoch_us(max(purchase_ts))
+                             FROM purchases) // 1000) * 1000)
+        ) - INTERVAL 1 HOUR AS w
+    ), matched AS (
+        SELECT p.purchase_id, p.purchase_ts, c.click_id
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.click_ts BETWEEN p.purchase_ts - INTERVAL 1 HOUR
+                            AND p.purchase_ts
+    ), unmatched AS (
+        SELECT p.purchase_id, p.purchase_ts
+        FROM purchases p
+        WHERE NOT EXISTS (SELECT 1 FROM matched m
+                          WHERE m.purchase_id = p.purchase_id)
+    ), rows_out AS (
+        SELECT date_trunc('day', purchase_ts) AS purchase_day,
+               1 AS matched, 0 AS expired, 0 AS retained
+        FROM matched
+        UNION ALL
+        SELECT date_trunc('day', u.purchase_ts),
+               0,
+               CASE WHEN u.purchase_ts < wm.w THEN 1 ELSE 0 END,
+               CASE WHEN u.purchase_ts < wm.w THEN 0 ELSE 1 END
+        FROM unmatched u, wm
+    )
+    SELECT purchase_day,
+           CAST(sum(matched) AS BIGINT) AS n_matched_stream,
+           CAST(sum(matched) AS BIGINT) AS n_matched_batch,
+           CAST(sum(expired) AS BIGINT) AS n_expired_unmatched,
+           CAST(sum(retained) AS BIGINT) AS n_tail_retained
+    FROM rows_out GROUP BY 1 ORDER BY 1
+"""

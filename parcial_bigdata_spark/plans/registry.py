@@ -1004,10 +1004,16 @@ def q_bmp_pixel_decode(spark, sf_dir):
 
 def q_png_pixel_decode(spark, sf_dir):
     # REAL compressed-container pixel decode (stdlib zlib inflate with
-    # adler32 verification + genuine None/Sub/Up scanline unfilter)
+    # adler32 verification + the genuine five-filter scanline unfilter)
     # over valid 8-bit RGB PNGs synthesized with stored-deflate IDAT
     # streams from doc_id — the first payload codec past raw BMP/WAV
     return mm_ops.png_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
+def q_png_palette_decode(spark, sf_dir):
+    # indexed-color sibling: color-type-3 PNGs with a real-CRC PLTE,
+    # five filters at bpp = 1, palette-mapped RGB statistics
+    return mm_ops.png_palette_summary(_t(spark, sf_dir, "documents"))
 
 
 def q_wav_sample_decode(spark, sf_dir):
@@ -1660,6 +1666,32 @@ def q_runs_test(spark, sf_dir):
     return ana_ops.runs_test_daily_revenue(_t(spark, sf_dir, "orders"))
 
 
+def q_spearman_rho(spark, sf_dir):
+    # average-rank correlation on the bounded quantity/discount grid:
+    # double-rank margin frames + one exact-decimal cell reduce
+    return ana_ops.spearman_rho_quantity_discount(
+        _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_anova_oneway(spark, sf_dir):
+    # k-group omnibus mean test on event value: one fact aggregate,
+    # Koenig terms on the k-row frame
+    return ana_ops.anova_oneway_value(_t(spark, sf_dir, "events"))
+
+
+def q_markov_transitions(spark, sf_dir):
+    # per-user event-type transition census: one user-window lag pass,
+    # map-side census onto the |types|^2 grid
+    return ana_ops.markov_event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_lag_xcorr(spark, sf_dir):
+    # lagged click->purchase cross-correlation on the zero-filled hour
+    # spine: exact integer moments per lag
+    return ana_ops.lag_xcorr_click_purchase(_t(spark, sf_dir, "events"))
+
+
 def q_pil_pixel_decode(spark, sf_dir):
     # optional-tier twin of multimodal_png_pixel_decode: PIL-forced
     # decode of the same spec-valid PNG corpus, same closed-form oracle
@@ -1761,6 +1793,24 @@ def q_streaming_outer_join(spark, sf_dir):
 
     tune_runtime(spark)
     return outer_attribution_available_now(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def q_streaming_join_tail(spark, sf_dir):
+    """Twelfth real-streaming oracle query: the stream-stream LEFT-join
+    retained-tail audit — streamed vs batch matched pairs side by side,
+    watermark-evicted null rows, and the deliberately-retained
+    unmatched tail, reconciled per purchase day in one output (emitted
+    nulls + retained tail must equal batch unmatched, exactly)."""
+    import os
+
+    from parcial_bigdata_spark.streaming.windows import (
+        outer_join_tail_audit,
+    )
+
+    tune_runtime(spark)
+    return outer_join_tail_audit(
         spark, os.path.join(sf_dir, "events.parquet")
     )
 
@@ -2103,6 +2153,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_chi2_independence": q_chi2_independence,
     "stats_kendall_tau": q_kendall_tau,
     "orders_runs_test": q_runs_test,
+    # round-14 additions (INTRODUCED_ROUND 14; first slots due r17)
+    "stats_spearman_rho": q_spearman_rho,
+    "stats_anova_oneway": q_anova_oneway,
+    "events_markov_transitions": q_markov_transitions,
+    "events_lag_xcorr": q_lag_xcorr,
+    "multimodal_png_palette_decode": q_png_palette_decode,
+    "streaming_join_tail_audit": q_streaming_join_tail,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2123,6 +2180,13 @@ if _ilu.find_spec("PIL") is not None:
 # their CORRECTNESS_r*.json rows instead).  Remove an entry once its
 # query is driver-certified.
 INTRODUCED_ROUND = {
+    # round-14 additions
+    "stats_spearman_rho": 14,
+    "stats_anova_oneway": 14,
+    "events_markov_transitions": 14,
+    "events_lag_xcorr": 14,
+    "multimodal_png_palette_decode": 14,
+    "streaming_join_tail_audit": 14,
     # round-13 additions
     "stats_mann_whitney": 13,
     "stats_levene_value": 13,

@@ -610,3 +610,93 @@ def outer_attribution_available_now(
         )
         .orderBy("purchase_day")
     )
+
+
+def outer_join_tail_audit(
+    spark, events_parquet: str, lookback: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT-join RETAINED-TAIL audit
+    (`streaming_join_tail_audit`, the twelfth real-streaming oracle
+    query): run the watermarked outer attribution as a REAL
+    AvailableNow stream AND the identical join as a batch ground
+    truth, then reconcile per purchase day — the streamed and batch
+    matched-pair counts side by side (ANY divergence breaks the hash),
+    the unmatched purchases the final watermark evicted as null rows,
+    and ``n_tail_retained``: the batch-unmatched purchases still
+    INSIDE the watermark band, which the stream deliberately keeps in
+    state (they could yet match a future click) and an append consumer
+    must therefore not treat as absent.  The audit turns the outer
+    join's completeness contract into one measurable identity:
+    emitted nulls + retained tail = batch unmatched, per day, exactly.
+
+    The oracle recomputes the batch join and the pinned watermark
+    arithmetic (ms-floored min over both sides of max event time −
+    delay), so drift in match emission, eviction timing, or the
+    retained-tail boundary all surface as a hash mismatch.  The
+    DISORDERED-replay drop path (late input below the watermark in a
+    later micro-batch) is pinned by the companion pytest, not this
+    ordered replay — same split as `streaming_late_data_audit`."""
+    streamed = _run_available_now(
+        spark,
+        events_parquet,
+        lambda s: streaming_outer_attribution(
+            s, lookback=lookback, watermark=delay
+        ),
+        "stream_join_tail_audit_result",
+        output_mode="append",
+    )
+    day = F.date_trunc("day", F.col("purchase_ts"))
+    s_census = streamed.groupBy(day.alias("purchase_day")).agg(
+        F.sum(
+            F.when(F.col("click_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_matched_stream"),
+        F.sum(
+            F.when(F.col("click_id").isNull(), 1).otherwise(0)
+        ).alias("n_expired_unmatched"),
+    )
+    ev = spark.read.parquet(events_parquet)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = click_user
+                AND click_ts BETWEEN purchase_ts - INTERVAL {lookback}
+                                 AND purchase_ts"""
+        ),
+        "leftOuter",
+    )
+    b_census = batch.groupBy(day.alias("purchase_day")).agg(
+        F.sum(
+            F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+        ).alias("n_matched_batch"),
+        F.sum(
+            F.when(F.col("click_ts").isNull(), 1).otherwise(0)
+        ).alias("n_unmatched_batch"),
+    )
+    return (
+        b_census.join(s_census, "purchase_day", "left")
+        .select(
+            "purchase_day",
+            F.coalesce("n_matched_stream", F.lit(0)).alias(
+                "n_matched_stream"
+            ),
+            "n_matched_batch",
+            F.coalesce("n_expired_unmatched", F.lit(0)).alias(
+                "n_expired_unmatched"
+            ),
+            (
+                F.col("n_unmatched_batch")
+                - F.coalesce("n_expired_unmatched", F.lit(0))
+            ).alias("n_tail_retained"),
+        )
+        .orderBy("purchase_day")
+    )

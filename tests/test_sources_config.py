@@ -840,6 +840,137 @@ def test_decode_pixels_png_avg_paeth_golden(spark):
         assert (row.min_byte, row.max_byte) == (min(exp), max(exp))
 
 
+def _make_png_pal(w, h, idx, palette, filters=None, plte=True):
+    """Genuine color-type-3 (palette) PNG: PLTE + stored-mode IDAT over
+    filtered index scanlines (bpp = 1).  ``idx(x, y)`` gives the
+    palette index; ``palette`` is a list of (r, g, b)."""
+    import struct
+    import zlib
+
+    filters = filters or [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = [0] * w
+    for y in range(h):
+        line = [idx(x, y) for x in range(w)]
+        f = filters[y]
+        raw.append(f)
+        if f == 0:
+            raw.extend(line)
+        elif f == 1:
+            raw.extend(
+                (v - (line[j - 1] if j >= 1 else 0)) % 256
+                for j, v in enumerate(line)
+            )
+        elif f == 2:
+            raw.extend((v - p) % 256 for v, p in zip(line, prev))
+        elif f == 3:
+            raw.extend(
+                (v - (((line[j - 1] if j >= 1 else 0) + prev[j]) >> 1)) % 256
+                for j, v in enumerate(line)
+            )
+        else:
+            for j, v in enumerate(line):
+                left = line[j - 1] if j >= 1 else 0
+                ul = prev[j - 1] if j >= 1 else 0
+                up = prev[j]
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if pa <= pb and pa <= pc
+                    else (up if pb <= pc else ul)
+                )
+                raw.append((v - pred) % 256)
+        prev = line
+    idat = (
+        b"\x78\x01\x01"
+        + struct.pack("<HH", len(raw), 0xFFFF - len(raw))
+        + bytes(raw)
+        + struct.pack(">I", zlib.adler32(bytes(raw)))
+    )
+    ihdr = struct.pack(">II", w, h) + bytes([8, 3, 0, 0, 0])
+    plte_data = b"".join(bytes(e) for e in palette)
+    out = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+    if plte:
+        out += struct.pack(">I", len(plte_data)) + b"PLTE" + plte_data \
+            + b"\x00" * 4
+    out += (
+        struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+    )
+    return out
+
+
+def test_decode_pixels_png_palette_golden(spark):
+    """Color-type-3 decode for real since round 14: PLTE chunk walk,
+    bpp = 1 unfilter across all five filter types, palette-mapped RGB
+    statistics."""
+    palette = [((7 * i) % 256, (7 * i + 3) % 256, (7 * i + 6) % 256)
+               for i in range(16)]
+    idx = lambda x, y: (x + 5 * y) % 16  # noqa: E731
+    golden = _make_png_pal(6, 5, idx, palette)
+    exp = [palette[idx(x, y)] for y in range(5) for x in range(6)]
+    media = spark.createDataFrame(
+        [(1, golden, "image/png", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    row = mm.decode_pixels(media, use_fake_decode=False).collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (6, 5, 30)
+    assert row.sum_r == sum(r for r, _, _ in exp)
+    assert row.sum_g == sum(g for _, g, _ in exp)
+    assert row.sum_b == sum(b for _, _, b in exp)
+    flat = [v for e in exp for v in e]
+    assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
+
+
+def test_decode_pixels_png_palette_corrupt(spark):
+    """Palette taxonomy: a missing PLTE and an out-of-range index are
+    ValueError (corruption), never a missing-dependency signal."""
+    palette = [(i, i, i) for i in range(4)]  # only 4 entries
+    idx_ok = lambda x, y: (x + y) % 4  # noqa: E731
+    idx_over = lambda x, y: 9  # noqa: E731
+    no_plte = _make_png_pal(4, 3, idx_ok, palette, plte=False)
+    overrun = _make_png_pal(4, 3, idx_over, palette)
+    for mid, blob, msg in (
+        (1, no_plte, "without a valid PLTE"),
+        (2, overrun, "palette index out of range"),
+    ):
+        one = spark.createDataFrame(
+            [(mid, blob, "image/png", "s")],
+            "media_id long, content binary, media_type string,"
+            " source string",
+        )
+        with pytest.raises(Exception, match=msg):
+            mm.decode_pixels(one, use_fake_decode=False).collect()
+
+
+def test_png_palette_summary_matches_synth_arithmetic(spark, documents):
+    """End-to-end: the synthesized palette-PNG corpus's decoded stats
+    equal the closed-form index -> palette arithmetic (the DuckDB
+    oracle's formula) — through a REAL inflate, the bpp = 1 five-filter
+    unfilter, and the PLTE map."""
+    out = mm.png_palette_summary(documents.limit(20)).collect()
+    for row in out:
+        d = row.media_id
+        w, h = 4 + d % 12, 4 + (d * 7) % 8
+        pix = [
+            (
+                (3 * d + 17 * ((d + 7 * x + 13 * y) % 16)) % 256,
+                (3 * d + 17 * ((d + 7 * x + 13 * y) % 16) + 29) % 256,
+                (3 * d + 17 * ((d + 7 * x + 13 * y) % 16) + 58) % 256,
+            )
+            for y in range(h) for x in range(w)
+        ]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert row.sum_r == sum(r for r, _, _ in pix)
+        assert row.sum_g == sum(g for _, g, _ in pix)
+        assert row.sum_b == sum(b for _, _, b in pix)
+        flat = [v for e in pix for v in e]
+        assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
+
+
 def test_decode_pixels_png_corrupt_and_unsupported(spark):
     """Real PNG path taxonomy: bad adler32 / wrong scanline volume /
     invalid filter id are ValueError (corruption); RGBA is
