@@ -136,6 +136,42 @@ ORACLES: dict[str, str] = {
                CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
         FROM rgb GROUP BY doc_id ORDER BY media_id
     """,
+    "multimodal_gif_pixel_decode": """
+        -- The Spark side synthesizes GENUINE single-frame GIF89a
+        -- images (128-entry global color table, clear-interleaved LZW
+        -- stream at min code size 7 — the spec-legal 'uncompressed
+        -- GIF' encoding — split across data sub-blocks) and decodes
+        -- them with the REAL stdlib path: container walk, sub-block
+        -- reassembly, the GENUINE variable-width LZW algorithm, and
+        -- the palette map.  The oracle replicates the construction's
+        -- index (doc_id + 7x + 13y) % 16 and palette entry
+        -- ((3 doc_id + 17 i) % 256, +29, +58) end-to-end.
+        WITH geo AS (
+            SELECT doc_id, 4 + doc_id % 12 AS w, 4 + (doc_id * 7) % 8 AS h
+            FROM documents
+        ), px AS (
+            SELECT g.doc_id, g.w, g.h,
+                   (g.doc_id + 7*xs.x + 13*ys.y) % 16 AS ix
+            FROM geo g,
+                 unnest(generate_series(0, g.w - 1)) xs(x),
+                 unnest(generate_series(0, g.h - 1)) ys(y)
+        ), rgb AS (
+            SELECT doc_id, w, h,
+                   (3*doc_id + 17*ix) % 256 AS r,
+                   (3*doc_id + 17*ix + 29) % 256 AS gg,
+                   (3*doc_id + 17*ix + 58) % 256 AS b
+            FROM px
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               count(*) AS n_pixels,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(sum(gg) AS BIGINT) AS sum_g,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
+               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
+        FROM rgb GROUP BY doc_id ORDER BY media_id
+    """,
     "multimodal_wav_sample_decode": """
         -- The Spark side synthesizes GENUINE PCM16 WAV clips — headers
         -- AND frame blocks — from doc_id and decodes the sample payloads

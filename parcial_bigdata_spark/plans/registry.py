@@ -1016,6 +1016,13 @@ def q_png_palette_decode(spark, sf_dir):
     return mm_ops.png_palette_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_gif_pixel_decode(spark, sf_dir):
+    # REAL GIF pixel decode: container walk + sub-block reassembly +
+    # the genuine variable-width LZW algorithm + global-color-table map
+    # over spec-legal clear-interleaved single-frame GIF89a payloads
+    return mm_ops.gif_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_wav_sample_decode(spark, sf_dir):
     # REAL sample-PAYLOAD decode (stdlib wave + numpy) over genuine
     # PCM16 WAV clips synthesized with full frame blocks from doc_id
@@ -2159,6 +2166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_transitions": q_markov_transitions,
     "events_lag_xcorr": q_lag_xcorr,
     "multimodal_png_palette_decode": q_png_palette_decode,
+    "multimodal_gif_pixel_decode": q_gif_pixel_decode,
     "streaming_join_tail_audit": q_streaming_join_tail,
 }
 
@@ -2186,6 +2194,7 @@ INTRODUCED_ROUND = {
     "events_markov_transitions": 14,
     "events_lag_xcorr": 14,
     "multimodal_png_palette_decode": 14,
+    "multimodal_gif_pixel_decode": 14,
     "streaming_join_tail_audit": 14,
     # round-13 additions
     "stats_mann_whitney": 13,

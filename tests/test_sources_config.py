@@ -971,6 +971,187 @@ def test_png_palette_summary_matches_synth_arithmetic(spark, documents):
         assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
 
 
+def _lzw_encode_gif(indices, min_code_size):
+    """Independent GIF LZW encoder (for round-trip tests): greedy
+    longest-prefix, CLEAR first, EOI last.  The code-width schedule
+    explicitly simulates the DECODER's table timeline (the decoder
+    creates its entry one code later than the encoder, and bumps the
+    width when its table size reaches 2^width), so the two stay
+    bit-aligned through every bump.  Test sequences stay below the
+    4096-entry cap — no re-CLEAR logic."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits = []
+
+    def emit(code, width):
+        for k in range(width):
+            out_bits.append((code >> k) & 1)
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    dec_size = clear + 2  # decoder table size (incl. clear/eoi slots)
+    n_emitted = 0
+    emit(clear, width)
+
+    def emit_data(code):
+        nonlocal n_emitted, dec_size, width
+        emit(code, width)
+        n_emitted += 1
+        if n_emitted >= 2 and dec_size < 4096:
+            dec_size += 1
+            if dec_size == (1 << width) and width < 12:
+                width += 1
+
+    prefix = ()
+    for s in indices:
+        cand = prefix + (s,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit_data(table[prefix])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        prefix = (s,)
+    if prefix:
+        emit_data(table[prefix])
+    emit(eoi, width)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for k, b in enumerate(out_bits[i : i + 8]):
+            byte |= b << k
+        by.append(byte)
+    return bytes(by)
+
+
+def test_lzw_decode_gif_general_paths():
+    """The engine's LZW decoder is the GENERAL algorithm: KwKwK
+    self-reference, table growth with width bumps, and a round-trip
+    against an independent encoder on a long mixed sequence."""
+    from parcial_bigdata_spark.operators.multimodal import _lzw_decode_gif
+
+    # hand-packed KwKwK: codes [CLEAR=4, 0, 6, EOI=5] at width 3,
+    # LSB-first -> 0x84 0x0B; decodes to [0, 0, 0]
+    assert _lzw_decode_gif(b"\x84\x0b", 2) == [0, 0, 0]
+    # deterministic pseudo-random sequence with heavy repetition:
+    # forces table growth past several width bumps
+    seq = [(i * i * 7 + i) % 16 for i in range(4000)]
+    for mcs in (4, 7):
+        data = _lzw_encode_gif(seq, mcs)
+        assert _lzw_decode_gif(data, mcs) == seq
+    # truncation (no EOI) and data before CLEAR are corruption
+    data = _lzw_encode_gif(seq[:50], 4)
+    with pytest.raises(ValueError, match="without EOI"):
+        _lzw_decode_gif(data[:-2], 4)
+    with pytest.raises(ValueError, match="before the first clear"):
+        _lzw_decode_gif(b"\x00\x00", 4)
+
+
+def _make_gif_px(w, h, idx, palette, compressed=True, interlaced=False):
+    """Genuine single-frame GIF89a with a real LZW pixel payload."""
+    import struct
+
+    n_ent = len(palette)
+    size_bits = max(1, (n_ent - 1).bit_length()) - 1
+    assert n_ent == 1 << (size_bits + 1), "palette size must be 2^k"
+    mcs = max(2, size_bits + 1)
+    indices = [idx(x, y) for y in range(h) for x in range(w)]
+    lzw = _lzw_encode_gif(indices, mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x70 | size_bits, 0, 0])
+    for e in palette:
+        out += bytes(e)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlaced else 0])
+    out += bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_pixels_gif_real_golden(spark):
+    """GIF pixel payloads decode for real since round 14 — through the
+    genuine variable-width LZW algorithm on an actually-compressed
+    stream, the data sub-block reassembly, and the color-table map."""
+    palette = [((11 * i) % 256, (11 * i + 5) % 256, (11 * i + 9) % 256)
+               for i in range(16)]
+    idx = lambda x, y: (x * x + 3 * y) % 16  # noqa: E731
+    golden = _make_gif_px(9, 7, idx, palette)
+    exp = [palette[idx(x, y)] for y in range(7) for x in range(9)]
+    media = spark.createDataFrame(
+        [(1, golden, "image/gif", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    row = mm.decode_pixels(media, use_fake_decode=False).collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (9, 7, 63)
+    assert row.sum_r == sum(r for r, _, _ in exp)
+    assert row.sum_g == sum(g for _, g, _ in exp)
+    assert row.sum_b == sum(b for _, _, b in exp)
+    flat = [v for e in exp for v in e]
+    assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
+
+
+def test_decode_pixels_gif_corrupt_and_unsupported(spark):
+    """GIF taxonomy: truncated sub-blocks / missing palette / short
+    LZW volume are ValueError; interlacing is NotImplementedError."""
+    palette = [(i, i, i) for i in range(16)]
+    idx = lambda x, y: (x + y) % 16  # noqa: E731
+    good = _make_gif_px(5, 4, idx, palette)
+    interlaced = _make_gif_px(5, 4, idx, palette, interlaced=True)
+    truncated = good[: len(good) - 6]
+    # header declares 5x4 but the LZW stream carries only 3x4 indices
+    short = bytearray(_make_gif_px(3, 4, idx, palette))
+    import struct as _s
+    short[6:10] = _s.pack("<HH", 5, 4)
+    short[len(b"GIF89a") + 7 + 48 + 5 : len(b"GIF89a") + 7 + 48 + 9] = \
+        _s.pack("<HH", 5, 4)
+    cases = [
+        (1, truncated, ValueError, "truncated GIF"),
+        (2, bytes(short), ValueError, "volume mismatch"),
+        (3, interlaced, NotImplementedError, "interlaced GIF"),
+    ]
+    for mid, blob, exc, msg in cases:
+        one = spark.createDataFrame(
+            [(mid, blob, "image/gif", "s")],
+            "media_id long, content binary, media_type string,"
+            " source string",
+        )
+        with pytest.raises(Exception, match=msg):
+            mm.decode_pixels(one, use_fake_decode=False).collect()
+        fallback = mm.decode_pixels(one, use_fake_decode=True).collect()[0]
+        assert fallback.max_byte == 255  # deterministic fake stood in
+
+
+def test_gif_pixel_summary_matches_synth_arithmetic(spark, documents):
+    """End-to-end: the synthesized GIF corpus's decoded stats equal the
+    closed-form index -> palette arithmetic (the DuckDB oracle's
+    formula) — through the real container walk, sub-block reassembly,
+    LZW decode, and palette map."""
+    out = mm.gif_pixel_summary(documents.limit(20)).collect()
+    for row in out:
+        d = row.media_id
+        w, h = 4 + d % 12, 4 + (d * 7) % 8
+        pix = [
+            (
+                (3 * d + 17 * ((d + 7 * x + 13 * y) % 16)) % 256,
+                (3 * d + 17 * ((d + 7 * x + 13 * y) % 16) + 29) % 256,
+                (3 * d + 17 * ((d + 7 * x + 13 * y) % 16) + 58) % 256,
+            )
+            for y in range(h) for x in range(w)
+        ]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert row.sum_r == sum(r for r, _, _ in pix)
+        assert row.sum_g == sum(g for _, g, _ in pix)
+        assert row.sum_b == sum(b for _, _, b in pix)
+        flat = [v for e in pix for v in e]
+        assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
+
+
 def test_decode_pixels_png_corrupt_and_unsupported(spark):
     """Real PNG path taxonomy: bad adler32 / wrong scanline volume /
     invalid filter id are ValueError (corruption); RGBA is
