@@ -429,3 +429,11 @@ ORACLES["multimodal_image_histogram"] = """
     HAVING count(*) > 0
     ORDER BY channel, bin
 """
+
+# The Adam7-interlaced decode reads a corpus whose PIXEL CONTENT is
+# identical to the non-interlaced RGB corpus (only the serialization
+# differs), so it shares that closed-form oracle verbatim — a decoder
+# that mis-walks passes changes the sums and breaks the hash.
+ORACLES["multimodal_png_interlaced_decode"] = ORACLES[
+    "multimodal_png_pixel_decode"
+]

@@ -1016,6 +1016,13 @@ def q_png_palette_decode(spark, sf_dir):
     return mm_ops.png_palette_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_png_interlaced_decode(spark, sf_dir):
+    # REAL Adam7 deinterlacing: pass walk + per-pass unfilter + scatter
+    # over interlace-method-1 PNGs carrying the SAME closed-form pixels
+    # as the RGB corpus — shares that oracle verbatim
+    return mm_ops.png_interlaced_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_gif_pixel_decode(spark, sf_dir):
     # REAL GIF pixel decode: container walk + sub-block reassembly +
     # the genuine variable-width LZW algorithm + global-color-table map
@@ -2166,6 +2173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_transitions": q_markov_transitions,
     "events_lag_xcorr": q_lag_xcorr,
     "multimodal_png_palette_decode": q_png_palette_decode,
+    "multimodal_png_interlaced_decode": q_png_interlaced_decode,
     "multimodal_gif_pixel_decode": q_gif_pixel_decode,
     "streaming_join_tail_audit": q_streaming_join_tail,
 }
@@ -2194,6 +2202,7 @@ INTRODUCED_ROUND = {
     "events_markov_transitions": 14,
     "events_lag_xcorr": 14,
     "multimodal_png_palette_decode": 14,
+    "multimodal_png_interlaced_decode": 14,
     "multimodal_gif_pixel_decode": 14,
     "streaming_join_tail_audit": 14,
     # round-13 additions

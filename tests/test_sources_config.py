@@ -971,6 +971,135 @@ def test_png_palette_summary_matches_synth_arithmetic(spark, documents):
         assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
 
 
+def _png_filter_line(line, prev, f, bpp=3):
+    """Apply PNG filter ``f`` to a raw scanline (independent impl)."""
+    out = []
+    for j, v in enumerate(line):
+        left = line[j - bpp] if j >= bpp else 0
+        up = prev[j]
+        ul = prev[j - bpp] if j >= bpp else 0
+        if f == 0:
+            out.append(v)
+        elif f == 1:
+            out.append((v - left) % 256)
+        elif f == 2:
+            out.append((v - up) % 256)
+        elif f == 3:
+            out.append((v - ((left + up) >> 1)) % 256)
+        else:
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if pa <= pb and pa <= pc else (
+                up if pb <= pc else ul
+            )
+            out.append((v - pred) % 256)
+    return out
+
+
+def _make_png_rgb_interlaced(w, h, pix, filters=(0, 1, 2, 3, 4)):
+    """Genuine Adam7-INTERLACED 8-bit RGB PNG: seven passes serialized
+    in spec order, each pass independently filtered (the filter for
+    each emitted scanline cycles through ``filters`` globally), real
+    DEFLATE stream, zeroed chunk CRCs (legal for the stdlib decoder)."""
+    import struct
+    import zlib
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    sl = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = [0] * (3 * pw)
+        for j in range(ph):
+            line = [
+                pix(x0 + i * dx, y0 + j * dy, c) % 256
+                for i in range(pw) for c in range(3)
+            ]
+            f = filters[sl % len(filters)]
+            sl += 1
+            raw.append(f)
+            raw.extend(_png_filter_line(line, prev, f))
+            prev = line
+    idat = zlib.compress(bytes(raw))
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 1])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+        + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\x00" * 4
+        + struct.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+    )
+
+
+def test_decode_pixels_png_interlaced_golden(spark):
+    """Adam7 deinterlacing for real since round 14 — per-pass
+    unfiltering with ALL FIVE filter types inside passes, empty-pass
+    edge (w=4 has no pass 2), and the scatter back onto the grid."""
+    pix = lambda x, y, c: (5 + 13 * x + 31 * y + 7 * c) % 256  # noqa: E731
+    for (w, h) in ((4, 4), (9, 7), (16, 13)):
+        golden = _make_png_rgb_interlaced(w, h, pix)
+        exp = [
+            pix(x, y, c) for y in range(h) for x in range(w)
+            for c in range(3)
+        ]
+        media = spark.createDataFrame(
+            [(1, golden, "image/png", "s")],
+            "media_id long, content binary, media_type string,"
+            " source string",
+        )
+        row = mm.decode_pixels(media, use_fake_decode=False).collect()[0]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert row.sum_r == sum(
+            v for i, v in enumerate(exp) if i % 3 == 0
+        ), (w, h)
+        assert row.sum_g == sum(v for i, v in enumerate(exp) if i % 3 == 1)
+        assert row.sum_b == sum(v for i, v in enumerate(exp) if i % 3 == 2)
+        assert (row.min_byte, row.max_byte) == (min(exp), max(exp))
+    # corrupt: one missing pass byte is a volume mismatch, not a crash
+    import struct as _s
+    import zlib as _z
+
+    good = _make_png_rgb_interlaced(6, 5, pix)
+    # rebuild with one byte chopped from the inflated stream
+    raw_ok = _z.decompress(
+        good[8 + 8 + 13 + 4 + 8 : -16]  # IDAT payload slice
+    )
+    bad_idat = _z.compress(raw_ok[:-1])
+    bad = (
+        good[: 8 + 8 + 13 + 4]
+        + _s.pack(">I", len(bad_idat)) + b"IDAT" + bad_idat + b"\x00" * 4
+        + _s.pack(">I", 0) + b"IEND" + b"\xaeB`\x82"
+    )
+    one = spark.createDataFrame(
+        [(9, bad, "image/png", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    with pytest.raises(Exception, match="interlaced scanline volume"):
+        mm.decode_pixels(one, use_fake_decode=False).collect()
+
+
+def test_png_interlaced_summary_matches_synth_arithmetic(spark, documents):
+    """End-to-end: the Adam7 corpus decodes to the SAME closed-form
+    stats as the non-interlaced RGB corpus (whose oracle it shares) —
+    through pass extraction, per-pass unfilter, and the scatter."""
+    out = mm.png_interlaced_summary(documents.limit(20)).collect()
+    for row in out:
+        d = row.media_id
+        w, h = 4 + d % 12, 4 + (d * 7) % 8
+        vals = [
+            (d + 7 * j + 13 * y) % 256
+            for y in range(h) for j in range(3 * w)
+        ]
+        assert (row.width, row.height, row.n_pixels) == (w, h, w * h)
+        assert row.sum_r == sum(v for i, v in enumerate(vals) if i % 3 == 0)
+        assert row.sum_g == sum(v for i, v in enumerate(vals) if i % 3 == 1)
+        assert row.sum_b == sum(v for i, v in enumerate(vals) if i % 3 == 2)
+        assert (row.min_byte, row.max_byte) == (min(vals), max(vals))
+
+
 def _lzw_encode_gif(indices, min_code_size):
     """Independent GIF LZW encoder (for round-trip tests): greedy
     longest-prefix, CLEAR first, EOI last.  The code-width schedule
