@@ -1039,6 +1039,15 @@ _NEW_OPS_R8 = [
     "stats_chi2_independence",
     "stats_kendall_tau",
     "orders_runs_test",
+    # round-14 additions
+    "stats_spearman_rho",
+    "stats_anova_oneway",
+    "events_markov_transitions",
+    "events_lag_xcorr",
+    "multimodal_png_palette_decode",
+    "multimodal_png_interlaced_decode",
+    "multimodal_gif_pixel_decode",
+    "streaming_join_tail_audit",
 ]
 
 
