@@ -986,6 +986,7 @@ def _decode_png_pixels(content: bytes) -> dict:
         if idxs.size and int(idxs.max()) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
         chans = pal[idxs].astype(np.int64)
+    flat = chans.reshape(-1)
     return {
         "width": w,
         "height": h,
@@ -996,6 +997,14 @@ def _decode_png_pixels(content: bytes) -> dict:
         "sum_r": int(chans[:, 0].sum()),
         "min_byte": int(chans.min()) if chans.size else 0,
         "max_byte": int(chans.max()) if chans.size else 0,
+        # position-weighted checksum (Σ byte_i · (i+1) over the RGB
+        # bytes in IMAGE order): channel sums are placement-blind, so
+        # this is the statistic the golden pytests pin to prove the
+        # interlace scatter put every pixel at the right coordinate.
+        # Internal only — decode_pixels' query schema ignores it.
+        "pos_weighted": int(
+            (flat * np.arange(1, flat.size + 1, dtype=np.int64)).sum()
+        ),
     }
 
 
@@ -1059,11 +1068,12 @@ def _decode_gif_pixels(content: bytes) -> dict:
     through the active palette (local table wins over global), and
     reduce channel sums / byte extrema.
 
-    Raises ValueError for corrupt payloads (bad magic, truncation, no
-    palette, wrong pixel volume, LZW errors, index past the palette)
-    and NotImplementedError for valid-but-unsupported encodings
-    (interlaced frames) — the corruption/missing-dependency split every
-    other codec path keeps (round-7 advice)."""
+    Interlaced frames decode for real too — GIF interlacing is a pure
+    four-pass ROW reordering (spec appendix E), undone after the LZW
+    decode.  Raises ValueError for corrupt payloads (bad magic,
+    truncation, no palette, wrong pixel volume, LZW errors, index past
+    the palette) — corruption never masquerades as a missing
+    dependency (round-7 advice)."""
     import numpy as np
 
     if content is None or len(content) < 14:
@@ -1106,8 +1116,6 @@ def _decode_gif_pixels(content: bytes) -> dict:
     w, h = struct.unpack("<HH", content[pos + 5 : pos + 9])
     iflags = content[pos + 9]
     pos += 10
-    if iflags & 0x40:
-        raise NotImplementedError("interlaced GIF frame requires PIL")
     pal = gct
     if iflags & 0x80:  # local color table wins
         n_ent = 1 << ((iflags & 0x07) + 1)
@@ -1142,10 +1150,23 @@ def _decode_gif_pixels(content: bytes) -> dict:
             f"LZW decoded {len(idxs)}"
         )
     arr = np.asarray(idxs, dtype=np.int64)
+    if iflags & 0x40:
+        # GIF interlacing is pure ROW reordering (spec appendix E):
+        # rows arrive in four passes (every 8th from 0, every 8th from
+        # 4, every 4th from 2, every 2nd from 1) — scatter them back
+        rows = arr.reshape(h, w)
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        img = np.empty_like(rows)
+        img[order] = rows
+        arr = img.reshape(-1)
     palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
     if arr.size and int(arr.max()) >= palette.shape[0]:
         raise ValueError("GIF palette index out of range")
     chans = palette[arr].astype(np.int64)
+    flat = chans.reshape(-1)
     return {
         "width": int(w),
         "height": int(h),
@@ -1156,6 +1177,11 @@ def _decode_gif_pixels(content: bytes) -> dict:
         "sum_r": int(chans[:, 0].sum()),
         "min_byte": int(chans.min()) if chans.size else 0,
         "max_byte": int(chans.max()) if chans.size else 0,
+        # position-weighted checksum — pins the interlace row-reorder
+        # in pytest (channel sums are placement-blind); internal only
+        "pos_weighted": int(
+            (flat * np.arange(1, flat.size + 1, dtype=np.int64)).sum()
+        ),
     }
 
 
@@ -1427,9 +1453,12 @@ def synth_png_interlaced_corpus(documents: DataFrame) -> DataFrame:
     images have an empty pass 2, h=4 images an empty pass 3), per-pass
     zero prior rows, and the scatter back onto the pixel grid.
     Because the pixel CONTENT is identical to the non-interlaced
-    corpus, the query shares that oracle's SQL verbatim: a decoder
-    that mis-walks passes produces different sums and breaks the
-    hash."""
+    corpus, the query shares that oracle's SQL verbatim.  What each
+    gate pins: the oracle pins the reconstructed VALUE multiset and
+    stream volume (pass segmentation errors shift which bytes are
+    filter ids and corrupt values); pure PLACEMENT errors are
+    sum-invisible, so the golden pytest pins them with a
+    position-weighted checksum over the final image bytes."""
     x0 = "element_at(array(0,4,0,2,0,1,0), CAST(k + 1 AS INT))"
     y0 = "element_at(array(0,0,4,0,2,0,1), CAST(k + 1 AS INT))"
     dx = "element_at(array(8,8,4,4,2,2,1), CAST(k + 1 AS INT))"
@@ -1503,7 +1532,8 @@ def png_interlaced_summary(documents: DataFrame) -> DataFrame:
     non-interlaced RGB corpus, decode with ``decode_pixels(
     use_fake_decode=False)`` (pass walk + per-pass unfilter +
     scatter), and hash-check against the RGB corpus's closed-form
-    oracle verbatim — any pass-geometry error changes the sums."""
+    oracle verbatim (value multiset + volume; pixel PLACEMENT is
+    pinned by the golden pytest's position-weighted checksum)."""
     return decode_pixels(
         synth_png_interlaced_corpus(documents), use_fake_decode=False
     ).orderBy("media_id")

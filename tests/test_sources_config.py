@@ -1058,6 +1058,13 @@ def test_decode_pixels_png_interlaced_golden(spark):
         assert row.sum_g == sum(v for i, v in enumerate(exp) if i % 3 == 1)
         assert row.sum_b == sum(v for i, v in enumerate(exp) if i % 3 == 2)
         assert (row.min_byte, row.max_byte) == (min(exp), max(exp))
+        # channel sums are placement-blind; the position-weighted
+        # checksum proves the scatter put every pixel at the right
+        # IMAGE coordinate, not just that the value multiset is right
+        stats = mm._decode_png_pixels(golden)
+        assert stats["pos_weighted"] == sum(
+            v * (i + 1) for i, v in enumerate(exp)
+        ), (w, h)
     # corrupt: one missing pass byte is a volume mismatch, not a crash
     import struct as _s
     import zlib as _z
@@ -1186,7 +1193,11 @@ def _make_gif_px(w, h, idx, palette, compressed=True, interlaced=False):
     size_bits = max(1, (n_ent - 1).bit_length()) - 1
     assert n_ent == 1 << (size_bits + 1), "palette size must be 2^k"
     mcs = max(2, size_bits + 1)
-    indices = [idx(x, y) for y in range(h) for x in range(w)]
+    row_order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    ) if interlaced else list(range(h))
+    indices = [idx(x, y) for y in row_order for x in range(w)]
     lzw = _lzw_encode_gif(indices, mcs)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
@@ -1225,13 +1236,39 @@ def test_decode_pixels_gif_real_golden(spark):
     assert (row.min_byte, row.max_byte) == (min(flat), max(flat))
 
 
+def test_decode_pixels_gif_interlaced_golden(spark):
+    """GIF interlacing (four-pass row reordering) is undone for real:
+    an interlaced frame with row-DEPENDENT content must decode to the
+    same per-row statistics as its non-interlaced twin."""
+    palette = [((9 * i) % 256, (9 * i + 4) % 256, (9 * i + 8) % 256)
+               for i in range(16)]
+    idx = lambda x, y: (x + 5 * y) % 16  # noqa: E731
+    golden = _make_gif_px(6, 11, idx, palette, interlaced=True)
+    exp = [palette[idx(x, y)] for y in range(11) for x in range(6)]
+    media = spark.createDataFrame(
+        [(1, golden, "image/gif", "s")],
+        "media_id long, content binary, media_type string, source string",
+    )
+    row = mm.decode_pixels(media, use_fake_decode=False).collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (6, 11, 66)
+    assert row.sum_r == sum(r for r, _, _ in exp)
+    assert row.sum_g == sum(g for _, g, _ in exp)
+    assert row.sum_b == sum(b for _, _, b in exp)
+    # sums are row-order invariant — the position-weighted checksum is
+    # what actually proves the four-pass reorder was undone correctly
+    flat = [v for e in exp for v in e]
+    stats = mm._decode_gif_pixels(golden)
+    assert stats["pos_weighted"] == sum(
+        v * (i + 1) for i, v in enumerate(flat)
+    )
+
+
 def test_decode_pixels_gif_corrupt_and_unsupported(spark):
     """GIF taxonomy: truncated sub-blocks / missing palette / short
-    LZW volume are ValueError; interlacing is NotImplementedError."""
+    LZW volume are ValueError — never a missing-dependency signal."""
     palette = [(i, i, i) for i in range(16)]
     idx = lambda x, y: (x + y) % 16  # noqa: E731
     good = _make_gif_px(5, 4, idx, palette)
-    interlaced = _make_gif_px(5, 4, idx, palette, interlaced=True)
     truncated = good[: len(good) - 6]
     # header declares 5x4 but the LZW stream carries only 3x4 indices
     short = bytearray(_make_gif_px(3, 4, idx, palette))
@@ -1242,7 +1279,6 @@ def test_decode_pixels_gif_corrupt_and_unsupported(spark):
     cases = [
         (1, truncated, ValueError, "truncated GIF"),
         (2, bytes(short), ValueError, "volume mismatch"),
-        (3, interlaced, NotImplementedError, "interlaced GIF"),
     ]
     for mid, blob, exc, msg in cases:
         one = spark.createDataFrame(
