@@ -1661,7 +1661,9 @@ def png_palette_summary(documents: DataFrame) -> DataFrame:
     ).orderBy("media_id")
 
 
-def synth_gif_pixel_corpus(documents: DataFrame) -> DataFrame:
+def synth_gif_pixel_corpus(
+    documents: DataFrame, interlaced: bool = False
+) -> DataFrame:
     """Deterministic REAL single-frame GIF89a images with DECODABLE LZW
     pixel payloads — header, logical screen descriptor, a 128-entry
     global color table, image descriptor, LZW data sub-blocks, trailer
@@ -1685,13 +1687,32 @@ def synth_gif_pixel_corpus(documents: DataFrame) -> DataFrame:
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     # stream = (CLEAR, pixel) per pixel + one EOI = 2wh + 1 bytes
     total = (F.lit(2) * w * h + 1).cast("bigint")
-    stream_bytes = F.expr(
-        "concat(flatten(transform("
-        "  sequence(0, CAST((4 + doc_id % 12) * (4 + (doc_id * 7) % 8) AS INT) - 1),"
-        "  p -> array(128, CAST((doc_id + 7 * (p % (4 + doc_id % 12))"
-        "       + 13 * (p div (4 + doc_id % 12))) % 16 AS INT)))),"
-        " array(129))"
-    )
+    if not interlaced:
+        px_seq = (
+            "flatten(transform("
+            "  sequence(0, CAST((4 + doc_id % 12) * (4 + (doc_id * 7) % 8) AS INT) - 1),"
+            "  p -> array(128, CAST((doc_id + 7 * (p % (4 + doc_id % 12))"
+            "       + 13 * (p div (4 + doc_id % 12))) % 16 AS INT))))"
+        )
+    else:
+        # four-pass row order (spec appendix E); pass 2 (start 4,
+        # step 8) is EMPTY for h = 4 images — slice() yields the typed
+        # empty array Spark's IF branch unification needs
+        h_ = "(4 + (doc_id * 7) % 8)"
+        row_order = (
+            f"concat(sequence(0, {h_} - 1, 8),"
+            f" IF({h_} > 4, sequence(4, {h_} - 1, 8),"
+            f"    slice(sequence(0, 0), 1, 0)),"
+            f" sequence(2, {h_} - 1, 4),"
+            f" sequence(1, {h_} - 1, 2))"
+        )
+        px_seq = (
+            f"flatten(transform({row_order}, y -> "
+            "flatten(transform("
+            "  sequence(0, CAST(4 + doc_id % 12 AS INT) - 1), x -> "
+            "  array(128, CAST((doc_id + 7 * x + 13 * y) % 16 AS INT))))))"
+        )
+    stream_bytes = F.expr(f"concat({px_seq}, array(129))")
     gct_bytes = F.expr(
         "flatten(transform(sequence(0, 127), i -> array("
         " CAST((3 * doc_id + 17 * i) % 256 AS INT),"
@@ -1739,7 +1760,8 @@ def synth_gif_pixel_corpus(documents: DataFrame) -> DataFrame:
         F.lit("F60000"),
         F.col("__gct"),
         F.lit("2C00000000"),                      # image descriptor
-        F.col("__w16"), F.col("__h16"), F.lit("00"),
+        F.col("__w16"), F.col("__h16"),
+        F.lit("40" if interlaced else "00"),      # interlace flag
         data_hex,
         F.lit("3B"),                              # trailer
     )
@@ -1764,6 +1786,21 @@ def gif_pixel_summary(documents: DataFrame) -> DataFrame:
     honest NotImplementedError tier."""
     return decode_pixels(
         synth_gif_pixel_corpus(documents), use_fake_decode=False
+    ).orderBy("media_id")
+
+
+def gif_interlaced_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL GIF deinterlacing
+    (`multimodal_gif_interlaced_decode`): the same closed-form pixel
+    content as the GIF corpus, serialized in four-pass row order with
+    the interlace flag set, decoded through the real path (LZW + row
+    reorder).  Shares the GIF oracle verbatim (value multiset +
+    volume; ROW PLACEMENT — sum-invisible — is pinned by the golden
+    pytest's position-weighted checksum, the same split as the PNG
+    Adam7 query)."""
+    return decode_pixels(
+        synth_gif_pixel_corpus(documents, interlaced=True),
+        use_fake_decode=False,
     ).orderBy("media_id")
 
 

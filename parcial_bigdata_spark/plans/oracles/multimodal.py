@@ -437,3 +437,13 @@ ORACLES["multimodal_image_histogram"] = """
 ORACLES["multimodal_png_interlaced_decode"] = ORACLES[
     "multimodal_png_pixel_decode"
 ]
+
+# The interlaced-GIF decode reads a corpus whose pixel content is
+# identical to the GIF corpus (only the row serialization and the
+# interlace flag differ), so it shares that oracle verbatim; row
+# PLACEMENT (sum-invisible) is pinned by the golden pytest's
+# position-weighted checksum — the same gate split as the PNG Adam7
+# query.
+ORACLES["multimodal_gif_interlaced_decode"] = ORACLES[
+    "multimodal_gif_pixel_decode"
+]

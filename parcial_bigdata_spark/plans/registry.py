@@ -1030,6 +1030,12 @@ def q_gif_pixel_decode(spark, sf_dir):
     return mm_ops.gif_pixel_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_gif_interlaced_decode(spark, sf_dir):
+    # interlaced sibling: four-pass row serialization undone by the
+    # real decode; shares the GIF oracle (placement pinned by pytest)
+    return mm_ops.gif_interlaced_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_wav_sample_decode(spark, sf_dir):
     # REAL sample-PAYLOAD decode (stdlib wave + numpy) over genuine
     # PCM16 WAV clips synthesized with full frame blocks from doc_id
@@ -2175,6 +2181,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_png_palette_decode": q_png_palette_decode,
     "multimodal_png_interlaced_decode": q_png_interlaced_decode,
     "multimodal_gif_pixel_decode": q_gif_pixel_decode,
+    "multimodal_gif_interlaced_decode": q_gif_interlaced_decode,
     "streaming_join_tail_audit": q_streaming_join_tail,
 }
 
@@ -2204,6 +2211,7 @@ INTRODUCED_ROUND = {
     "multimodal_png_palette_decode": 14,
     "multimodal_png_interlaced_decode": 14,
     "multimodal_gif_pixel_decode": 14,
+    "multimodal_gif_interlaced_decode": 14,
     "streaming_join_tail_audit": 14,
     # round-13 additions
     "stats_mann_whitney": 13,
