@@ -1047,6 +1047,7 @@ _NEW_OPS_R8 = [
     "multimodal_png_palette_decode",
     "multimodal_png_interlaced_decode",
     "multimodal_gif_pixel_decode",
+    "multimodal_gif_interlaced_decode",
     "streaming_join_tail_audit",
 ]
 

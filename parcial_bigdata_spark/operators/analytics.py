@@ -3293,9 +3293,11 @@ def lag_xcorr_click_purchase(
     frame (the census-pinned post-aggregation pattern)."""
     from parcial_bigdata_spark.operators.scale import iter_checkpoint
 
-    hid = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast(
-        "long"
-    )
+    # floor, not cast-truncation: the DuckDB oracle floors epoch/3600,
+    # and the two diverge for pre-1970 (negative-epoch) timestamps
+    hid = F.floor(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600
+    ).cast("long")
     hourly = iter_checkpoint(
         events.where(
             F.col("ts").isNotNull()

@@ -1143,6 +1143,32 @@ def _decode_gif_pixels(content: bytes) -> dict:
             raise ValueError("truncated GIF LZW sub-block")
         lzw += content[pos : pos + ln]
         pos += ln
+    # walk the remainder of the block stream: a SECOND image descriptor
+    # means an animated (multi-frame) GIF — valid per GIF89a but outside
+    # this stdlib decoder's single-frame scope, so it raises
+    # NotImplementedError (NOT ValueError: the payload is not corrupt)
+    # and the optional PIL tier in ``decode_pixels`` takes over on
+    # equipped boxes (round-14 advice: keep that fallback arm reachable)
+    scan = pos
+    while scan < len(content):
+        blk = content[scan]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x2C:
+            raise NotImplementedError(
+                "multi-frame (animated) GIF pixel decode requires the "
+                "optional PIL tier; the stdlib decoder is single-frame"
+            )
+        if blk == 0x21:  # extension: label + sub-block chain
+            scan += 2
+            while scan < len(content):
+                ln = content[scan]
+                scan += 1
+                if ln == 0:
+                    break
+                scan += ln
+            continue
+        raise ValueError(f"unknown GIF block id 0x{blk:02x} after frame")
     idxs = _lzw_decode_gif(bytes(lzw), min_code_size)
     if len(idxs) != w * h:
         raise ValueError(
@@ -1185,15 +1211,326 @@ def _decode_gif_pixels(content: bytes) -> dict:
     }
 
 
+def _jpeg_build_huffman(bits: bytes, vals: bytes) -> dict:
+    """Canonical Huffman decode table from a DHT segment's BITS (count
+    of codes per length 1..16) and HUFFVAL arrays (ITU T.81 annex C):
+    maps (length, code) -> symbol, exactly the generation order the
+    spec's Generate_size_table/Generate_code_table procedures define."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a JPEG entropy-coded segment with the
+    T.81 byte-stuffing rule: a 0xFF data byte is followed by 0x00 (the
+    stuffing is dropped); 0xFF followed by anything else is a marker —
+    RSTn resets the reader at a restart interval, EOI/other markers end
+    the scan (hitting one mid-symbol is a truncation error)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.acc, self.n = buf, pos, 0, 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _JpegRestart(nxt & 0x07)
+            else:
+                raise ValueError("JPEG entropy stream truncated by a marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy stream ran off the payload")
+            self._fill()
+        self.n -= k
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return out
+
+    def huff(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 17:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (no symbol at <=16 bits)")
+
+    def sync_restart(self, m: int) -> None:
+        """Consume the RSTn marker the decode loop arrived at and
+        realign to the byte boundary (T.81 E.2.4)."""
+        self.acc = self.n = 0
+        if not (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] == 0xD0 + m
+        ):
+            raise ValueError("JPEG restart marker out of sequence")
+        self.pos += 2
+
+
+class _JpegRestart(Exception):
+    """Internal: the bit reader met RSTn where data was expected."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+
+# zigzag scan order: _JPEG_ZIGZAG[i] is the (row-major) position of the
+# i-th coefficient in the 8x8 block (T.81 figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the t magnitude bits v onto the signed
+    coefficient range [-(2^t - 1), -(2^(t-1))] u [2^(t-1), 2^t - 1]."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg_pixels(content: bytes) -> dict:
+    """REAL baseline JPEG pixel decode — stdlib ``struct`` + numpy, no
+    PIL: full marker walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman
+    table construction (annex C), the genuine entropy decode (DC
+    difference categories + EXTEND, AC run/size with EOB and ZRL,
+    byte-unstuffing, restart-marker resync), dequantization, inverse
+    zigzag, a float64 separable 2-D IDCT, level shift, clamp, and MCU
+    crop — the same general algorithm any conformant baseline decoder
+    runs (closed-form corpora just make its outputs oracle-checkable,
+    the PNG/GIF round-14 pattern).
+
+    Scope: baseline DCT (SOF0), 8-bit precision, grayscale or 3-
+    component 4:4:4 YCbCr.  Progressive (SOF2), 12-bit, subsampled, or
+    arithmetic-coded streams are valid JPEG outside this scope and
+    raise NotImplementedError so the optional PIL tier stays reachable;
+    corrupt payloads (bad magic, truncated segments, Huffman overruns,
+    coefficient overflow) raise ValueError — corruption never
+    masquerades as a missing dependency (round-7 advice)."""
+    import struct
+
+    import numpy as np
+
+    if content is None or len(content) < 4:
+        raise ValueError("JPEG payload too short for SOI")
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG magic (no SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at {pos}, got 0x{content[pos]:02x}")
+        marker = content[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before any scan data")
+        (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        seg = content[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq == 1:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization tables require PIL"
+                    )
+                if pq != 0 or p + 65 > len(seg):
+                    raise ValueError("bad JPEG DQT segment")
+                qt[tq] = list(seg[p + 1 : p + 65])
+                p += 65
+        elif marker in _JPEG_SOF:
+            if marker != 0xC0:
+                raise NotImplementedError(
+                    f"JPEG SOF{marker - 0xC0} (progressive/extended/"
+                    "arithmetic) pixel decode requires PIL"
+                )
+            if seg[0] != 8:
+                raise NotImplementedError(
+                    f"{seg[0]}-bit JPEG precision requires PIL"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            nf = seg[5]
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"{nf}-component JPEG requires PIL"
+                )
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (H/V != 1/1) requires PIL"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            sof = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = seg[p + 1 : p + 17]
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                if len(vals) != n:
+                    raise ValueError("truncated JPEG DHT segment")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _jpeg_build_huffman(
+                    bits, vals
+                )
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c : 3 + 2 * c]
+                sel.append({"cs": cs, "td": tda >> 4, "ta": tda & 0x0F})
+            scan = sel
+            pos += 2 + seg_len
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seg_len
+    if sof is None or scan is None:
+        raise ValueError("JPEG stream carries no SOF0 + SOS")
+    if len(scan) != len(sof["comps"]):
+        raise ValueError("JPEG scan/frame component count mismatch")
+    w, h = sof["w"], sof["h"]
+    if w == 0 or h == 0:
+        raise ValueError("JPEG frame with zero geometry")
+    for comp, sc in zip(sof["comps"], scan):
+        if comp["tq"] not in qt:
+            raise ValueError(f"JPEG references missing DQT {comp['tq']}")
+        if sc["td"] not in dc_tabs or sc["ta"] not in ac_tabs:
+            raise ValueError("JPEG references a missing Huffman table")
+
+    # IDCT basis: M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); the 2-D
+    # IDCT of block F is M.T @ F @ M (separable form of T.81 A.3.3)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        np.empty((bh * 8, bw * 8), dtype=np.uint8) for _ in sof["comps"]
+    ]
+    reader = _JpegBitReader(content, pos)
+    pred = [0] * len(sof["comps"])
+    zz = np.empty(64, dtype=np.float64)
+    n_mcu, next_rst = 0, 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.sync_restart(next_rst)
+                next_rst = (next_rst + 1) & 0x07
+                pred = [0] * len(sof["comps"])
+            n_mcu += 1
+            for ci, (comp, sc) in enumerate(zip(sof["comps"], scan)):
+                try:
+                    t = reader.huff(dc_tabs[sc["td"]])
+                    if t > 11:
+                        raise ValueError("JPEG DC category > 11")
+                    diff = _jpeg_extend(reader.bits(t), t)
+                    pred[ci] += diff
+                    zz[:] = 0.0
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(ac_tabs[sc["ta"]])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 0:  # EOB
+                                break
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            raise ValueError(f"invalid JPEG AC run/size {rs:#x}")
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient past block end")
+                        zz[k] = _jpeg_extend(reader.bits(s), s)
+                        k += 1
+                except _JpegRestart:
+                    raise ValueError(
+                        "JPEG restart marker inside an entropy symbol"
+                    ) from None
+                quant = np.asarray(qt[comp["tq"]], dtype=np.float64)
+                block = np.zeros(64, dtype=np.float64)
+                block[_JPEG_ZIGZAG] = zz * quant
+                px = m.T @ block.reshape(8, 8) @ m + 128.0
+                planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                    np.clip(np.rint(px), 0, 255).astype(np.uint8)
+                )
+    if len(planes) == 1:
+        gray = planes[0][:h, :w].astype(np.int64)
+        chans = np.stack([gray, gray, gray], axis=-1).reshape(-1, 3)
+    else:
+        yp, cb, cr = (p[:h, :w].astype(np.float64) for p in planes)
+        # JFIF YCbCr -> RGB (ITU T.871)
+        r = yp + 1.402 * (cr - 128.0)
+        g = yp - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = yp + 1.772 * (cb - 128.0)
+        chans = np.stack(
+            [
+                np.clip(np.rint(c), 0, 255).astype(np.int64)
+                for c in (r, g, b)
+            ],
+            axis=-1,
+        ).reshape(-1, 3)
+    flat = chans.reshape(-1)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": int(w) * int(h),
+        "sum_b": int(chans[:, 2].sum()),
+        "sum_g": int(chans[:, 1].sum()),
+        "sum_r": int(chans[:, 0].sum()),
+        "min_byte": int(chans.min()) if chans.size else 0,
+        "max_byte": int(chans.max()) if chans.size else 0,
+        # position-weighted checksum — pins block placement and the
+        # raster MCU order in pytest (channel sums are placement-blind)
+        "pos_weighted": int(
+            (flat * np.arange(1, flat.size + 1, dtype=np.int64)).sum()
+        ),
+    }
+
+
 def decode_pixels(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
     """Per-image pixel statistics via mapInPandas: Arrow-batched,
     partition-parallel, constant memory per batch.
 
-    Uncompressed 24-bit BMP, 8-bit RGB/palette non-interlaced PNG, and
-    single-frame palette GIF decode FOR REAL on both paths (stdlib
-    struct + zlib + numpy + a genuine LZW decoder — see
-    ``_decode_bmp_pixels`` / ``_decode_png_pixels`` /
-    ``_decode_gif_pixels``); every other payload needs PIL/ffmpeg
+    Uncompressed 24-bit BMP, 8-bit RGB/palette PNG (plain or Adam7),
+    single-frame palette GIF, and baseline 8-bit grayscale/4:4:4 JPEG
+    decode FOR REAL on both paths (stdlib struct + zlib + numpy + a
+    genuine LZW decoder + a genuine Huffman-entropy + IDCT baseline
+    JPEG decoder — see ``_decode_bmp_pixels`` / ``_decode_png_pixels``
+    / ``_decode_gif_pixels`` / ``_decode_jpeg_pixels``); every other
+    payload needs PIL/ffmpeg
     (absent here), so in fake mode the deterministic byte-length fake
     stands in and in real mode the decode raises NotImplementedError
     naming the missing library (ValueError for a payload that is
@@ -1235,6 +1572,19 @@ def decode_pixels(df: DataFrame, use_fake_decode: bool = True) -> DataFrame:
                     try:
                         stats = _decode_gif_pixels(blob)
                     except NotImplementedError:
+                        if not use_fake_decode:
+                            stats = _pil_decode_pixels(blob)
+                            if stats is None:
+                                raise
+                    except ValueError:
+                        if not use_fake_decode:
+                            raise
+                elif blob is not None and blob[:3] == b"\xff\xd8\xff":
+                    try:
+                        stats = _decode_jpeg_pixels(blob)
+                    except NotImplementedError:
+                        # valid baseline-scope miss (progressive, 12-bit,
+                        # subsampled): the optional PIL tier may decode it
                         if not use_fake_decode:
                             stats = _pil_decode_pixels(blob)
                             if stats is None:
@@ -1801,6 +2151,81 @@ def gif_interlaced_summary(documents: DataFrame) -> DataFrame:
     return decode_pixels(
         synth_gif_pixel_corpus(documents, interlaced=True),
         use_fake_decode=False,
+    ).orderBy("media_id")
+
+
+def synth_jpeg_pixel_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline JPEGs with DECODABLE entropy
+    payloads — SOI, DQT, SOF0, two DHTs, SOS, Huffman-coded scan, EOI —
+    built from the documents table with pure built-in byte expressions.
+
+    The closed form (the GIF LZW trick's JPEG sibling): grayscale,
+    dimensions 8·(1 + doc_id % 3) × 8·(1 + 7·doc_id % 3), every 8×8
+    block DC-only, Q[0] = 8 so the IDCT is EXACTLY flat pixel
+    DC + 128.  Custom-but-legal canonical Huffman tables (DC: category
+    0 at 4 bits, category 7 at 5 bits → code 00010; AC: EOB at 4 bits
+    → code 0000) make every block's entropy coding exactly 16 bits —
+    [cat7 code | 7 magnitude bits | EOB] — so the scan is byte-aligned
+    closed-form bytes: block k's value v_k is D = 64 + doc_id % 64 at
+    k = 0 (diff +D), 127 − E at odd k (diff −E via T.81 EXTEND,
+    E = 64 + 5·doc_id % 64), and E at even k ≥ 2 (diff +E), giving
+    byte pair (16 + v div 16, 16·(v mod 16)).  Top bits of byte 0 are
+    always 00010 and of byte 1 always the low magnitude nibble — no
+    byte can be 0xFF, so no stuffing and no accidental markers.  Even
+    blocks decode to gray D + 128 ∈ [192, 255], odd blocks to
+    D − E + 128 ∈ [65, 191]; the engine-side decoder stays the GENERAL
+    baseline algorithm (multi-length Huffman, AC run/size, stuffing,
+    restarts, and color are pinned by pytest goldens on genuinely
+    compressed fixtures)."""
+    bw = "(1 + doc_id % 3)"
+    bh = "(1 + (doc_id * 7) % 3)"
+    vk = (
+        "CASE WHEN k = 0 THEN 64 + doc_id % 64 "
+        "WHEN k % 2 = 1 THEN 63 - (doc_id * 5) % 64 "
+        "ELSE 64 + (doc_id * 5) % 64 END"
+    )
+    scan_hex = F.expr(
+        f"array_join(transform(flatten(transform("
+        f"  sequence(0, CAST({bw} * {bh} AS INT) - 1), k -> "
+        f"  array(16 + ({vk}) div 16, (({vk}) % 16) * 16))), "
+        "  b -> lpad(hex(b), 2, '0')), '')"
+    )
+    dims_hex = F.expr(
+        f"concat(lpad(hex(8 * {bh}), 4, '0'), lpad(hex(8 * {bw}), 4, '0'))"
+    )  # T.81 SOF order: height (lines) first, then width
+    content_hex = F.concat(
+        F.lit("FFD8"),                                # SOI
+        F.lit("FFDB004300" + "08" + "01" * 63),       # DQT 0: Q[0]=8
+        F.lit("FFC0000B08"), dims_hex, F.lit("01011100"),  # SOF0 gray
+        # DHT DC 0: BITS=[...,1@len4,1@len5,...], HUFFVAL=[cat0, cat7]
+        F.lit("FFC4001500" + "0000000101" + "00" * 11 + "0007"),
+        # DHT AC 0: BITS=[...,1@len4,...], HUFFVAL=[EOB]
+        F.lit("FFC4001410" + "00000001" + "00" * 12 + "00"),
+        F.lit("FFDA000801010000" + "3F00"),           # SOS
+        scan_hex,
+        F.lit("FFD9"),                                # EOI
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(content_hex).alias("content"),
+        F.lit("image/jpeg").alias("media_type"),
+        "source",
+    )
+
+
+def jpeg_pixel_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL JPEG pixel decode
+    (`multimodal_jpeg_pixel_decode`): synthesize genuine baseline
+    JPEGs with Huffman-coded DC-only scans and decode them with
+    ``decode_pixels(use_fake_decode=False)`` — marker walk, canonical
+    Huffman construction, the GENUINE entropy decode (category +
+    EXTEND + EOB), dequantization, IDCT, level shift, MCU raster.  The
+    DuckDB oracle replicates the construction's closed form (block k's
+    gray is D + 128 even / D − E + 128 odd), pinning every channel sum
+    and byte extremum end-to-end.  JPEG pixels leave the declared-fake
+    list; MP4/AVI frames remain the honest NotImplementedError tier."""
+    return decode_pixels(
+        synth_jpeg_pixel_corpus(documents), use_fake_decode=False
     ).orderBy("media_id")
 
 

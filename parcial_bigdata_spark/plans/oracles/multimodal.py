@@ -172,6 +172,46 @@ ORACLES: dict[str, str] = {
                CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
         FROM rgb GROUP BY doc_id ORDER BY media_id
     """,
+    "multimodal_jpeg_pixel_decode": """
+        -- The Spark side synthesizes GENUINE baseline JPEGs (SOF0
+        -- grayscale, custom-but-legal canonical Huffman tables, every
+        -- 8x8 block DC-only with Q[0] = 8) and decodes them with the
+        -- REAL stdlib path: marker walk, canonical Huffman build,
+        -- entropy decode (category + EXTEND + EOB), dequantize, IDCT,
+        -- level shift.  The construction makes block k's gray value an
+        -- exact closed form — D + 128 for even block index,
+        -- D - E + 128 for odd, D = 64 + doc_id % 64,
+        -- E = 64 + 5 doc_id % 64, 64 pixels per block — which the
+        -- oracle replicates, pinning every channel sum and byte
+        -- extremum end-to-end (grayscale: R = G = B).
+        WITH geo AS (
+            SELECT doc_id,
+                   1 + doc_id % 3 AS bw,
+                   1 + (doc_id * 7) % 3 AS bh,
+                   64 + doc_id % 64 AS d,
+                   64 + (doc_id * 5) % 64 AS e
+            FROM documents
+        ), agg AS (
+            SELECT doc_id, bw, bh, d, e,
+                   bw * bh AS nb,
+                   (bw * bh) // 2 AS n_odd
+            FROM geo
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 * bw AS INT) AS width,
+               CAST(8 * bh AS INT) AS height,
+               CAST(64 * nb AS BIGINT) AS n_pixels,
+               CAST(64 * ((nb - n_odd) * (d + 128)
+                          + n_odd * (d - e + 128)) AS BIGINT) AS sum_b,
+               CAST(64 * ((nb - n_odd) * (d + 128)
+                          + n_odd * (d - e + 128)) AS BIGINT) AS sum_g,
+               CAST(64 * ((nb - n_odd) * (d + 128)
+                          + n_odd * (d - e + 128)) AS BIGINT) AS sum_r,
+               CAST(CASE WHEN nb > 1 THEN d - e + 128
+                         ELSE d + 128 END AS INT) AS min_byte,
+               CAST(d + 128 AS INT) AS max_byte
+        FROM agg ORDER BY media_id
+    """,
     "multimodal_wav_sample_decode": """
         -- The Spark side synthesizes GENUINE PCM16 WAV clips — headers
         -- AND frame blocks — from doc_id and decodes the sample payloads

@@ -1036,6 +1036,14 @@ def q_gif_interlaced_decode(spark, sf_dir):
     return mm_ops.gif_interlaced_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_jpeg_pixel_decode(spark, sf_dir):
+    # REAL baseline JPEG pixel decode: marker walk + canonical Huffman
+    # construction + the genuine entropy decode (DC categories, EXTEND,
+    # EOB) + dequantize + IDCT + level shift over spec-legal DC-only
+    # grayscale payloads whose pixels are an exact closed form
+    return mm_ops.jpeg_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_wav_sample_decode(spark, sf_dir):
     # REAL sample-PAYLOAD decode (stdlib wave + numpy) over genuine
     # PCM16 WAV clips synthesized with full frame blocks from doc_id
@@ -2183,6 +2191,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_gif_pixel_decode": q_gif_pixel_decode,
     "multimodal_gif_interlaced_decode": q_gif_interlaced_decode,
     "streaming_join_tail_audit": q_streaming_join_tail,
+    # round-15 additions (INTRODUCED_ROUND 15; first slots due r18)
+    "multimodal_jpeg_pixel_decode": q_jpeg_pixel_decode,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2203,6 +2213,8 @@ if _ilu.find_spec("PIL") is not None:
 # their CORRECTNESS_r*.json rows instead).  Remove an entry once its
 # query is driver-certified.
 INTRODUCED_ROUND = {
+    # round-15 additions
+    "multimodal_jpeg_pixel_decode": 15,
     # round-14 additions
     "stats_spearman_rho": 14,
     "stats_anova_oneway": 14,
@@ -2289,7 +2301,7 @@ INTRODUCED_ROUND = {
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 14)
+# Driver-window rotation (round 15)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
@@ -2308,27 +2320,26 @@ INTRODUCED_ROUND = {
 # rotating query's due round, so ANY future window composition that
 # wedges the schedule fails loudly at commit time.
 #
-# Round-14 window (exactly the composition pre-committed by the
-# round-13 rotation note): 5 standing + the full 32-query r9-block
-# remainder (last green r9, due r15) + 13 never-certified seats.  The
-# 13 go to: the five round-12 introductions whose code or oracle took
-# post-introduction fixes (stats_welch_ttest, events_cusum_alarm,
-# events_holt_forecast, streaming_topk_per_window,
-# streaming_outer_join_expiry — certify the fixed behavior), all SEVEN
-# round-13 statistics operators (stats_mann_whitney, stats_levene_value,
-# orders_ols_trend, text_hapax_stats, stats_chi2_independence — whose
-# chi2 rounding + degenerate-input alignment took this round's ADVICE
-# fixes — stats_kendall_tau — whose oracle tie terms took this round's
-# integer-division ADVICE fix — orders_runs_test), and
-# events_seasonal_forecast (pairs with the Holt forecast).  This window
-# has ZERO rows-only queries: all 50 are oracle-checked.
+# Round-15 window (exactly the composition the round-14 rotation note
+# pre-committed): 5 standing + ALL 21 never-certified round-12
+# introductions (first slot due r15 — the EDF hard edge this round) +
+# the first 24, alphabetically, of the 45-query r10 tranche (last green
+# r10, due r16).  Alphabetical split keeps the tranche partition
+# deterministic and auditable; the remaining 21 r10 queries are the
+# r16 window's forced block.  The two rows-only approximates' audit
+# twins in the r10 tranche (dedup_simhash_check,
+# dedup_embedding_lsh_check) ride in this window; their approximates
+# are due r19 and the APPROX_TWINS invariant is one-directional
+# (approx in window => twin in window), so twin-alone is legal.  This
+# window has ZERO rows-only queries: all 50 are oracle-checked.
 #
-# Forward plan (EDF-checked, not hand-tranched).  After this window the
-# never-certified pool is 21 round-12 introductions (due r15), and
-# nothing else forces before r16 — the r15 window takes all 21 plus
-# the stalest certified block (the r10 tranche, due r16) with seats to
-# spare.  Steady state: ~45 seats/round against ~35 forced/round
-# leaves ~10 new-query seats per round.
+# Forward plan (EDF-checked, not hand-tranched).  After this window:
+# r16 must seat the remaining 21 r10-tranche queries (due r16), and its
+# ~24 spare seats go to the stalest r11 tranche (45 queries, due r17);
+# r17 then seats the r11 remainder (~21) + the 9 never-certified r14
+# introductions (due r17) with ~15 seats spare.  Capacity tripwire:
+# 255 rotating (excl. standing) vs the 260 alarm line — additions this
+# round must stay <= 5 (or the budget extends to 7 rounds first).
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -2336,31 +2347,29 @@ DRIVER_WINDOW = [
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # the full r9-block remainder (last green r9, due r15)
-    "approx_distinct_parts", "approx_percentile_value_by_type",
-    "correlation_stats", "distinct_customers_per_status",
-    "embedding_norm_stats", "events_funnel_steps",
-    "events_multi_touch_attribution", "fuzzy_match_part_names",
-    "graph_triangle_nodes", "graph_triangle_stats", "incremental_agg_orders",
-    "merge_upsert_orders", "multimodal_bmp_pixel_decode",
-    "multimodal_video_decode", "pagerank_suppliers", "pipeline_quality_gate",
-    "price_histogram", "revenue_share_by_priority", "sample_shuffle_shards",
-    "scale_zorder_census", "scd2_customer_history", "stats_price_by_status",
-    "streaming_click_attribution", "streaming_dedup_census",
-    "streaming_sessionize", "text_bm25_search", "text_bpe_encode",
-    "text_bpe_merges", "text_lm_perplexity", "text_word_entropy",
-    "unpivot_status_metrics", "window_ewma_smooth",
-    # never-certified, part 1: the round-12 introductions that took
-    # post-introduction fixes — certify the fixed behavior
-    "stats_welch_ttest", "events_cusum_alarm", "events_holt_forecast",
-    "streaming_topk_per_window", "streaming_outer_join_expiry",
-    # never-certified, part 2: the seven round-13 statistics operators
-    # (chi2 + kendall carry this round's ADVICE fixes)
-    "stats_mann_whitney", "stats_levene_value", "orders_ols_trend",
-    "text_hapax_stats", "stats_chi2_independence", "stats_kendall_tau",
-    "orders_runs_test",
-    # never-certified, part 3: seasonal forecast (Holt's sibling)
-    "events_seasonal_forecast",
+    # never-certified: all 21 round-12 introductions (first slot due r15)
+    "dedup_component_size_hist", "embedding_random_projection",
+    "events_ab_proportion_test", "events_periodogram",
+    "events_poisson_rate_test", "events_theil_sen_trend", "events_top_paths",
+    "events_weekday_seasonality", "graph_common_neighbors",
+    "graph_harmonic_closeness", "graph_label_propagation", "graph_rich_club",
+    "multimodal_image_histogram", "multimodal_wav_silence",
+    "orders_kaplan_meier", "orders_nelson_aalen", "parts_price_elasticity",
+    "text_bigram_entropy", "text_boilerplate_ngrams", "text_js_divergence",
+    "text_readability",
+    # r10 tranche, first 24 alphabetically (last green r10, due r16;
+    # remainder of the tranche is the r16 window's forced block)
+    "agg_user_bookends", "dedup_components", "dedup_embedding_lsh_check",
+    "dedup_exact", "dedup_exact_survivors", "dedup_incremental_jaccard",
+    "dedup_ngram_jaccard", "dedup_simhash_check",
+    "equidepth_price_histogram", "events_cohort_revenue",
+    "events_daily_users", "events_retention_cohorts",
+    "events_time_decay_attribution", "events_time_weighted_avg",
+    "events_transition_matrix", "events_value_outliers", "graph_kcore",
+    "integrity_fk_audit", "multimodal_wav_sample_decode",
+    "orders_monthly_yoy", "orders_repeat_intervals",
+    "parts_copurchase_rules", "profile_orders_table",
+    "revenue_gini_by_nation",
 ]
 
 # Approximate queries that are rows-only by design (no SQL oracle) and

@@ -1292,6 +1292,24 @@ def test_decode_pixels_gif_corrupt_and_unsupported(spark):
         assert fallback.max_byte == 255  # deterministic fake stood in
 
 
+def test_gif_multiframe_is_not_implemented_not_corrupt():
+    """Round-14 advice: the PIL-fallback arm of decode_pixels' GIF
+    branch must be REACHABLE — a multi-frame (animated) GIF is valid
+    GIF89a but outside the stdlib single-frame decoder's scope, so it
+    raises NotImplementedError (the missing-optional-tier signal),
+    never ValueError (the corruption signal)."""
+    palette = [(i * 16, i * 8, i * 4) for i in range(16)]
+    idx = lambda x, y: (x + y) % 16  # noqa: E731
+    one = _make_gif_px(5, 4, idx, palette)
+    frame_start = 13 + 3 * len(palette)  # header + LSD + GCT
+    frame = one[frame_start:-1]  # image descriptor .. block terminator
+    animated = one[:-1] + frame + b"\x3b"
+    with pytest.raises(NotImplementedError, match="multi-frame"):
+        mm._decode_gif_pixels(animated)
+    # the single-frame original still decodes
+    assert mm._decode_gif_pixels(one)["n_pixels"] == 20
+
+
 def test_gif_pixel_summary_matches_synth_arithmetic(spark, documents):
     """End-to-end: the synthesized GIF corpus's decoded stats equal the
     closed-form index -> palette arithmetic (the DuckDB oracle's

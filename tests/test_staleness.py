@@ -152,20 +152,33 @@ def test_window_is_first_50_queries():
 def test_never_certified_oracle_queries_are_in_window():
     """A query that has NEVER been driver-certified must take its first
     slot within NEVER_CERTIFIED_GRACE rounds of introduction — local
-    sf0.01 runs are the soft check, the driver row is the hard one."""
+    sf0.01 runs are the soft check, the driver row is the hard one.
+
+    Round-boundary hardening (round-14 verdict item 1, the sibling of
+    the feasibility check's round-12 fix): when the driver's fresh
+    CORRECTNESS file's keys EQUAL the on-disk ``DRIVER_WINDOW``, the
+    next round's window has not been composed yet — a grace deadline
+    landing exactly on the new current round is then "due in the window
+    about to be composed", not a violation.  In that state only a
+    STRICTLY-past deadline (which would already have been red before
+    the artifact dropped) fails.  Once the new window is pasted the
+    boundary state clears and due==current queries must hold a seat."""
     rounds = _correctness_rounds()
     current = _current_round(rounds)
     ever_slotted = set().union(*rounds.values())
     window = set(registry.DRIVER_WINDOW)
+    boundary_state = window == rounds[max(rounds)]
 
-    stuck = [
-        name
-        for name in _rotating_queries()
-        if name not in ever_slotted
-        and name not in window
-        and current >= registry.INTRODUCED_ROUND.get(name, current)
-        + NEVER_CERTIFIED_GRACE
-    ]
+    stuck = []
+    for name in _rotating_queries():
+        if name in ever_slotted or name in window:
+            continue
+        intro = registry.INTRODUCED_ROUND.get(name)
+        if intro is None:
+            continue  # test_staleness_budget reports undated queries
+        due = intro + NEVER_CERTIFIED_GRACE
+        if current > due or (current == due and not boundary_state):
+            stuck.append(f"{name} (due r{due}, current r{current})")
     assert not stuck, (
         "never-driver-certified queries past the introduction grace and "
         f"out of the upcoming window: {sorted(stuck)}"
@@ -223,6 +236,36 @@ def test_forward_schedule_is_feasible():
             f"exist in rounds r{first_scheduled}..r{h} — trim additions "
             "or extend the budget"
         )
+
+
+def test_never_certified_check_survives_round_boundary(monkeypatch):
+    """Regression for the round-14 judged-tree red: a never-certified
+    query whose introduction grace expires EXACTLY at the round the
+    driver's fresh artifact implies must not redden the suite while
+    DRIVER_WINDOW still holds the just-run composition.  Simulate the
+    state that bit round 14: point DRIVER_WINDOW at the newest
+    CORRECTNESS file's keys (boundary state) and register a synthetic
+    never-slotted query dated so its deadline lands on the new current
+    round."""
+    rounds = _correctness_rounds()
+    current = _current_round(rounds)
+    newest = sorted(rounds[max(rounds)])
+    monkeypatch.setattr(registry, "DRIVER_WINDOW", newest)
+    fake = "zz_boundary_regression_probe"
+    monkeypatch.setitem(registry.QUERIES, fake, lambda spark, sf: None)
+    monkeypatch.setitem(
+        registry.INTRODUCED_ROUND, fake, current - NEVER_CERTIFIED_GRACE
+    )
+    # due == current on the boundary: must NOT fire
+    test_never_certified_oracle_queries_are_in_window()
+    # …but a STRICTLY-past deadline still must, even on the boundary
+    monkeypatch.setitem(
+        registry.INTRODUCED_ROUND, fake, current - NEVER_CERTIFIED_GRACE - 1
+    )
+    import pytest
+
+    with pytest.raises(AssertionError, match=fake):
+        test_never_certified_oracle_queries_are_in_window()
 
 
 def test_forward_schedule_survives_round_boundary(monkeypatch):
