@@ -10,13 +10,15 @@ walk to ``mvhd`` (movie duration) — all from actual bytes.
 
 Pixel/sample PAYLOAD decode: uncompressed 24-bit BMP pixel arrays
 decode FOR REAL (stdlib ``struct`` + numpy, stride-aware —
-``decode_pixels`` / ``_decode_bmp_pixels``), and so do 8-bit RGB
-non-interlaced PNGs — a genuinely COMPRESSED container — via stdlib
-``zlib`` inflate (adler32 verified) plus the real None/Sub/Up scanline
-unfilter (``_decode_png_pixels``), and single-frame palette GIFs via a
-genuine variable-width LZW decode (``_decode_gif_pixels``); the
-remaining payload codecs (JPEG pixels, MP4/AVI frames, PNG/GIF
-interlacing)
+``decode_pixels`` / ``_decode_bmp_pixels``), and so do 8-bit
+RGB/palette PNGs — plain or Adam7-interlaced, a genuinely COMPRESSED
+container — via stdlib ``zlib`` inflate plus the real five-filter
+scanline unfilter (``_decode_png_pixels``), single-frame palette GIFs
+(plain or interlaced) via a genuine variable-width LZW decode
+(``_decode_gif_pixels``), and baseline 8-bit grayscale/4:4:4 JPEGs via
+a genuine Huffman entropy decode + IDCT (``_decode_jpeg_pixels``);
+the remaining payload codecs (MP4/AVI video frames, plus out-of-scope
+variants: progressive/subsampled JPEG, animated GIF, 16-bit PNG)
 need PIL/ffmpeg.  Those ride an OPTIONAL tier probed at first use
 (round-11 verdict item 7): when PIL / PyAV are installed, real mode
 decodes them through the library; when absent (this container), the
