@@ -212,6 +212,69 @@ ORACLES: dict[str, str] = {
                CAST(d + 128 AS INT) AS max_byte
         FROM agg ORDER BY media_id
     """,
+    "multimodal_avi_frame_decode": """
+        -- The Spark side synthesizes GENUINE AVI files (full RIFF tree:
+        -- hdrl -> avih + strl -> strh 'vids'/strf BITMAPINFOHEADER,
+        -- movi -> 00db chunks) whose frames are constant-color BI_RGB
+        -- 24-bit DIBs with the real 4-byte row stride, and decodes them
+        -- with the REAL stdlib path.  Frame f of doc d is
+        -- (B, G, R) = (d + 11f, d + 11f + 85, d + 11f + 170) % 256
+        -- over w*h pixels — the oracle replicates that closed form.
+        WITH geo AS (
+            SELECT doc_id,
+                   8 + doc_id % 8 AS w,
+                   4 + doc_id % 4 AS h,
+                   2 + doc_id % 3 AS n
+            FROM documents
+        ), per_frame AS (
+            SELECT g.doc_id, g.w, g.h, g.n,
+                   (g.doc_id + 11 * fs.f) % 256 AS b,
+                   (g.doc_id + 11 * fs.f + 85) % 256 AS gg,
+                   (g.doc_id + 11 * fs.f + 170) % 256 AS r
+            FROM geo g, unnest(generate_series(0, g.n - 1)) fs(f)
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width,
+               CAST(max(h) AS INT) AS height,
+               CAST(max(n) AS INT) AS n_frames,
+               CAST(max(w) * max(h) * max(n) AS BIGINT) AS n_pixels,
+               CAST(max(w) * max(h) * sum(b) AS BIGINT) AS sum_b,
+               CAST(max(w) * max(h) * sum(gg) AS BIGINT) AS sum_g,
+               CAST(max(w) * max(h) * sum(r) AS BIGINT) AS sum_r,
+               CAST(least(min(b), min(gg), min(r)) AS INT) AS min_byte,
+               CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
+        FROM per_frame GROUP BY doc_id ORDER BY media_id
+    """,
+    "multimodal_mp4_frame_decode": """
+        -- The Spark side synthesizes GENUINE ISO-BMFF files (ftyp +
+        -- full moov with real stsd/stts/stsc/stsz/stco sample tables +
+        -- mdat) whose samples are planar I420 with constant luma
+        -- (3d + 29f) % 256 and NEUTRAL chroma (both planes 128), so the
+        -- full-range BT.601 transform yields exactly R = G = B = Y —
+        -- the oracle replicates that closed form with no rounding.
+        WITH geo AS (
+            SELECT doc_id,
+                   8 + 2 * (doc_id % 5) AS w,
+                   4 + 2 * (doc_id % 3) AS h,
+                   2 + doc_id % 3 AS n
+            FROM documents
+        ), per_frame AS (
+            SELECT g.doc_id, g.w, g.h, g.n,
+                   (3 * g.doc_id + 29 * fs.f) % 256 AS y
+            FROM geo g, unnest(generate_series(0, g.n - 1)) fs(f)
+        )
+        SELECT doc_id AS media_id,
+               CAST(max(w) AS INT) AS width,
+               CAST(max(h) AS INT) AS height,
+               CAST(max(n) AS INT) AS n_frames,
+               CAST(max(w) * max(h) * max(n) AS BIGINT) AS n_pixels,
+               CAST(max(w) * max(h) * sum(y) AS BIGINT) AS sum_b,
+               CAST(max(w) * max(h) * sum(y) AS BIGINT) AS sum_g,
+               CAST(max(w) * max(h) * sum(y) AS BIGINT) AS sum_r,
+               CAST(min(y) AS INT) AS min_byte,
+               CAST(max(y) AS INT) AS max_byte
+        FROM per_frame GROUP BY doc_id ORDER BY media_id
+    """,
     "multimodal_wav_sample_decode": """
         -- The Spark side synthesizes GENUINE PCM16 WAV clips — headers
         -- AND frame blocks — from doc_id and decodes the sample payloads

@@ -1036,6 +1036,21 @@ def q_gif_interlaced_decode(spark, sf_dir):
     return mm_ops.gif_interlaced_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_avi_frame_decode(spark, sf_dir):
+    # REAL AVI frame-payload decode: RIFF tree walk + strh/strf
+    # validation + per-frame stride-aware bottom-up DIB decode over
+    # spec-legal uncompressed 24-bit AVIs with closed-form frames
+    return mm_ops.avi_frame_summary(_t(spark, sf_dir, "documents"))
+
+
+def q_mp4_frame_decode(spark, sf_dir):
+    # REAL MP4 frame-payload decode: box walk + hdlr gate + genuine
+    # stsd/stsz/stsc/stco sample-table resolution + per-sample I420
+    # plane split, chroma upsample, and BT.601 transform over
+    # spec-legal ISO-BMFF files with closed-form neutral-chroma frames
+    return mm_ops.mp4_frame_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_jpeg_pixel_decode(spark, sf_dir):
     # REAL baseline JPEG pixel decode: marker walk + canonical Huffman
     # construction + the genuine entropy decode (DC categories, EXTEND,
@@ -2193,6 +2208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_join_tail_audit": q_streaming_join_tail,
     # round-15 additions (INTRODUCED_ROUND 15; first slots due r18)
     "multimodal_jpeg_pixel_decode": q_jpeg_pixel_decode,
+    "multimodal_avi_frame_decode": q_avi_frame_decode,
+    "multimodal_mp4_frame_decode": q_mp4_frame_decode,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2215,6 +2232,8 @@ if _ilu.find_spec("PIL") is not None:
 INTRODUCED_ROUND = {
     # round-15 additions
     "multimodal_jpeg_pixel_decode": 15,
+    "multimodal_avi_frame_decode": 15,
+    "multimodal_mp4_frame_decode": 15,
     # round-14 additions
     "stats_spearman_rho": 14,
     "stats_anova_oneway": 14,
