@@ -863,6 +863,104 @@ def _run_knn_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# x64 (3.84M events) included because the first probe run read the
+# stream-stream join FLAT through x16 — 9.5 s at every volume, pure
+# fixed micro-batch overhead — so the state-cost tail only becomes
+# visible past ~1M events
+_STREAM_SCALES = (1, 4, 16, 64)
+_STREAM_BASE_EVENTS = 60_000
+_STREAM_BASE_USERS = 1_500
+
+
+def _stream_events(spark, scale: int):
+    """Deterministic synthetic event stream for the streaming
+    state-scale probe: users scale WITH volume (constant ~40 events
+    per user over a 2-day span, pseudo-random arrival via id*37 mod
+    172800), so session-window state and join buffer state both grow
+    ~linearly with the scale factor — the dimension the probe
+    measures."""
+    from pyspark.sql import functions as F
+
+    n = _STREAM_BASE_EVENTS * scale
+    users = _STREAM_BASE_USERS * scale
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + (F.col("id") * 37) % 172_800
+        ).alias("ts"),
+        (F.col("id") % users).alias("user_id"),
+        F.element_at(
+            F.array(
+                F.lit("view"), F.lit("click"),
+                F.lit("cart"), F.lit("purchase"),
+            ),
+            ((F.col("id") * 11) % 4 + 1).cast("int"),
+        ).alias("event_type"),
+        ((F.col("id") % 500) / 10.0).alias("value"),
+    )
+
+
+def _run_streaming_scale(spark) -> tuple[dict[str, float], dict]:
+    """Streaming STATE-SCALE probe (round-14 verdict item 5 — the last
+    100 TB family without a measured exponent): run the two heaviest
+    stateful shapes — session_window aggregation and the watermarked
+    stream-stream LEFT OUTER interval join — as REAL AvailableNow
+    streams over synthetic event volumes at x1/x4/x16, timing the full
+    run (source discovery, state-store build/merge/evict, sink).  The
+    tail exponent answers the question the correctness gate cannot:
+    does state-store cost stay ~linear as event volume and live state
+    grow together?"""
+    import shutil
+    import tempfile
+
+    from parcial_bigdata_spark.streaming.windows import (
+        outer_attribution_available_now, sessionize_available_now,
+    )
+
+    timings: dict[str, float] = {}
+    detail: dict = {"sessionize": {}, "outer_join": {}}
+    # warm both streaming plan shapes (file-stream source machinery,
+    # state-store codecs, memory sink) so x1 doesn't absorb cold start
+    warm_dir = tempfile.mkdtemp(prefix="stream-scale-warm-")
+    try:
+        _stream_events(spark, 1).limit(4_000).coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(warm_dir)
+        sessionize_available_now(spark, warm_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        outer_attribution_available_now(spark, warm_dir).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+    for family, fn in (
+        ("sessionize", sessionize_available_now),
+        ("outer_join", outer_attribution_available_now),
+    ):
+        secs, sizes = [], []
+        for s in _STREAM_SCALES:
+            tmp = tempfile.mkdtemp(prefix=f"stream-scale-x{s}-")
+            try:
+                rows = _stream_events(spark, s)
+                rows.coalesce(8).write.mode("overwrite").parquet(tmp)
+                n = _STREAM_BASE_EVENTS * s
+                t0 = time.perf_counter()
+                fn(spark, tmp).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                el = round(time.perf_counter() - t0, 3)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            timings[f"streaming_{family}_scale_x{s}"] = el
+            detail[family][f"x{s}"] = {"events": n, "sec": el}
+            secs.append(el)
+            sizes.append(n)
+        detail[family]["exponent"] = _fit_exponent(sizes, secs)
+        detail[family]["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 def _run_rank_scale(spark) -> tuple[dict[str, float], dict]:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1049,6 +1147,10 @@ _NEW_OPS_R8 = [
     "multimodal_gif_pixel_decode",
     "multimodal_gif_interlaced_decode",
     "streaming_join_tail_audit",
+    # round-15 additions
+    "multimodal_jpeg_pixel_decode",
+    "multimodal_avi_frame_decode",
+    "multimodal_mp4_frame_decode",
 ]
 
 
@@ -1156,6 +1258,8 @@ def main() -> None:
     probe_timings.update(mad_timings)
     knn_timings, knn_detail = _run_knn_scale(probe_spark)
     probe_timings.update(knn_timings)
+    stream_timings, stream_detail = _run_streaming_scale(probe_spark)
+    probe_timings.update(stream_timings)
     wedge_timings, wedge_detail = _run_wedge_scale(probe_spark)
     probe_timings.update(wedge_timings)
     graph_timings, graph_detail = _run_graph_scale(probe_spark)
@@ -1200,6 +1304,7 @@ def main() -> None:
         "rank_scale": rank_detail,
         "madsketch_scale": mad_detail,
         "knn_scale": knn_detail,
+        "streaming_scale": stream_detail,
         "wedge_scale": wedge_detail,
         "noise_sentinel": sentinel,
     }

@@ -1522,6 +1522,20 @@ def _decode_jpeg_pixels(content: bytes) -> dict:
     }
 
 
+def _ordered_once(df: DataFrame) -> DataFrame:
+    """Global media_id order WITHOUT paying the decode twice: a global
+    sort's RangePartitioner first SAMPLES its child, which re-executes
+    the full synth + decode pipeline a second time (measured 3.7 s →
+    8.05 s on the GIF pixel query at sf0.1 — the sort literally
+    doubled the query).  Checkpointing the decoded frame first lets
+    the sampler read materialized blocks instead.  ``iter_checkpoint``
+    picks reliable ``.checkpoint()`` when the session has a checkpoint
+    dir (cluster posture) and ``localCheckpoint`` otherwise."""
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
+
+    return iter_checkpoint(df).orderBy("media_id")
+
+
 def _frame_rgb_stats(frames_rgb) -> dict:
     """Reduce a list of (h, w, 3) RGB int arrays (one per video frame,
     frame order) to the video-frame stats dict; the position-weighted
@@ -2144,7 +2158,7 @@ def png_pixel_summary(documents: DataFrame) -> DataFrame:
     replicates the construction's closed-form raw pixel arithmetic."""
     return decode_pixels(
         synth_png_pixel_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def synth_png_interlaced_corpus(documents: DataFrame) -> DataFrame:
@@ -2241,7 +2255,7 @@ def png_interlaced_summary(documents: DataFrame) -> DataFrame:
     pinned by the golden pytest's position-weighted checksum)."""
     return decode_pixels(
         synth_png_interlaced_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def synth_png_palette_corpus(documents: DataFrame) -> DataFrame:
@@ -2363,7 +2377,7 @@ def png_palette_summary(documents: DataFrame) -> DataFrame:
     index → palette closed form, pinning every statistic end-to-end."""
     return decode_pixels(
         synth_png_palette_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def synth_gif_pixel_corpus(
@@ -2491,7 +2505,7 @@ def gif_pixel_summary(documents: DataFrame) -> DataFrame:
     honest NotImplementedError tier."""
     return decode_pixels(
         synth_gif_pixel_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def gif_interlaced_summary(documents: DataFrame) -> DataFrame:
@@ -2506,7 +2520,7 @@ def gif_interlaced_summary(documents: DataFrame) -> DataFrame:
     return decode_pixels(
         synth_gif_pixel_corpus(documents, interlaced=True),
         use_fake_decode=False,
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def synth_jpeg_pixel_corpus(documents: DataFrame) -> DataFrame:
@@ -2581,7 +2595,7 @@ def jpeg_pixel_summary(documents: DataFrame) -> DataFrame:
     list; MP4/AVI frames remain the honest NotImplementedError tier."""
     return decode_pixels(
         synth_jpeg_pixel_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def _le_hex_sql(expr: str, n: int) -> str:
@@ -2669,7 +2683,7 @@ def avi_frame_summary(documents: DataFrame) -> DataFrame:
     every channel sum and byte extremum end-to-end."""
     return decode_video_frames(
         synth_avi_frame_corpus(documents)
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def synth_mp4_frame_corpus(documents: DataFrame) -> DataFrame:
@@ -2769,7 +2783,7 @@ def mp4_frame_summary(documents: DataFrame) -> DataFrame:
     extremum end-to-end."""
     return decode_video_frames(
         synth_mp4_frame_corpus(documents)
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def pil_pixel_summary(documents: DataFrame) -> DataFrame:
@@ -2820,7 +2834,7 @@ def pil_pixel_summary(documents: DataFrame) -> DataFrame:
     return (
         synth_png_pixel_corpus(documents)
         .mapInPandas(batches, schema=PIXEL_SCHEMA)
-        .orderBy("media_id")
+        .transform(_ordered_once)
     )
 
 
@@ -2835,7 +2849,7 @@ def bmp_pixel_summary(documents: DataFrame) -> DataFrame:
     arithmetic, pinning every statistic of every image end-to-end."""
     return decode_pixels(
         synth_bmp_pixel_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 SAMPLE_SCHEMA = (
@@ -2991,7 +3005,7 @@ def wav_sample_summary(documents: DataFrame) -> DataFrame:
     two's-complement sample arithmetic."""
     return decode_samples(
         synth_wav_corpus(documents), use_fake_decode=False
-    ).orderBy("media_id")
+    ).transform(_ordered_once)
 
 
 def video_decode_summary(documents: DataFrame) -> DataFrame:
@@ -3189,7 +3203,7 @@ def bmp_resized_summary(documents: DataFrame, factor: int = 2) -> DataFrame:
             )
             rows_out = []
 
-    return corpus.mapInPandas(batches, RESIZE_SCHEMA).orderBy("media_id")
+    return corpus.mapInPandas(batches, RESIZE_SCHEMA).transform(_ordered_once)
 
 
 def synth_gif_corpus(documents: DataFrame) -> DataFrame:
@@ -3448,7 +3462,7 @@ def wav_silence_runs(documents: DataFrame, threshold: int = 1000) -> DataFrame:
                 ],
             )
 
-    return corpus.mapInPandas(batches, SILENCE_SCHEMA).orderBy("media_id")
+    return corpus.mapInPandas(batches, SILENCE_SCHEMA).transform(_ordered_once)
 
 
 HIST_SCHEMA = "channel string, bin int, n_pixels long"

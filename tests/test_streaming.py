@@ -860,3 +860,41 @@ def test_append_mode_flush_contract_and_disordered_merge(spark, tmp_path):
         max_files=1,
     )
     assert out == {(1, "a"): 1, (11, "a"): 2}
+
+
+def test_sessionize_state_and_plan_guard(spark, events_dir, tmp_path):
+    """Round-14 verdict item 7: pin the session-window run's plan shape
+    and state cardinality, so the next ambient-load bench episode is
+    distinguishable from a plan regression without a forensic round.
+    Three facts the r14 quiet-close forensics had to re-derive, now
+    asserted: exactly ONE stateful operator (the session aggregation),
+    state rows == distinct (user, session) pairs, and no second
+    shuffle sneaking into the stateful path."""
+    import json as _json
+
+    out = sw.streaming_sessionize(_stream_events(spark, events_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_guard")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess_guard"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [
+        p for p in (_json.loads(pr.json) for pr in q.recentProgress)
+        if p.get("stateOperators")
+    ]
+    assert progress, "no stateful progress recorded"
+    state = progress[-1]["stateOperators"]
+    assert len(state) == 1, f"expected ONE stateful operator: {state}"
+    assert "session" in state[0]["operatorName"].lower()
+    # events_dir: user 1 sessions {min 0, 5} + {min 70}, user 2 {min 0}
+    assert state[0]["numRowsTotal"] == 3
+    assert len(spark.sql("select * from sess_guard").collect()) == 3
+    # plan shape: the session aggregation is fed by exactly one hash
+    # exchange (partial agg -> shuffle -> state update/merge -> final)
+    plan = q._jsq.explainInternal(True)
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 1, f"session-window path grew a shuffle: {n_hash}"
