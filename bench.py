@@ -1151,6 +1151,7 @@ _NEW_OPS_R8 = [
     "multimodal_jpeg_pixel_decode",
     "multimodal_avi_frame_decode",
     "multimodal_mp4_frame_decode",
+    "multimodal_mjpg_avi_decode",
 ]
 
 

@@ -2523,6 +2523,104 @@ def gif_interlaced_summary(documents: DataFrame) -> DataFrame:
     ).transform(_ordered_once)
 
 
+def synth_mjpg_avi_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL Motion-JPEG AVIs — the full RIFF tree of
+    ``synth_avi_frame_corpus`` with strf biCompression = 'MJPG' and
+    every ``00dc`` chunk a COMPLETE baseline JPEG file (the
+    ``_jpeg_file_hex_sql`` closed form, geometry fixed per doc, frame
+    f's values D = 64 + (doc_id + 31f) % 64,
+    E = 64 + (5·doc_id + 13f) % 64) — built with pure built-in byte
+    expressions.  Each JPEG is 141 + 2·bw·bh bytes — always ODD, so
+    every frame chunk carries the RIFF pad byte (the spec path the
+    even-sized DIB corpus never exercises)."""
+    bw = "(1 + doc_id % 3)"
+    bh = "(1 + (doc_id * 7) % 3)"
+    w = f"(8 * {bw})"
+    h = f"(8 * {bh})"
+    n = "(2 + doc_id % 2)"
+    s_frame = f"(141 + 2 * {bw} * {bh})"
+    frame_hex = _jpeg_file_hex_sql(
+        bw, bh,
+        "64 + (doc_id + 31 * f) % 64", "64 + (doc_id * 5 + 13 * f) % 64",
+    )
+    movi_size = f"(4 + {n} * (8 + {s_frame} + 1))"  # +1: odd-size pad
+    riff_size = f"(4 + 200 + 8 + {movi_size})"
+    content_hex = F.expr(
+        "concat("
+        f"'52494646', {_le_hex_sql(riff_size, 4)}, '41564920',"   # RIFF/AVI
+        f"'4C495354', {_le_hex_sql('192', 4)}, '6864726C',"       # LIST hdrl
+        f"'61766968', {_le_hex_sql('56', 4)},"                    # avih
+        f"{_le_hex_sql('40000', 4)}, repeat('00', 12),"
+        f"{_le_hex_sql(n, 4)}, repeat('00', 4),"
+        f"{_le_hex_sql('1', 4)}, repeat('00', 4),"
+        f"{_le_hex_sql(w, 4)}, {_le_hex_sql(h, 4)}, repeat('00', 16),"
+        f"'4C495354', {_le_hex_sql('116', 4)}, '7374726C',"       # LIST strl
+        f"'73747268', {_le_hex_sql('56', 4)},"                    # strh
+        "'76696473', '4D4A5047', repeat('00', 12),"  # 'vids','MJPG'
+        f"{_le_hex_sql('1', 4)}, {_le_hex_sql('25', 4)},"
+        f"repeat('00', 4), {_le_hex_sql(n, 4)}, repeat('00', 20),"
+        f"'73747266', {_le_hex_sql('40', 4)},"                    # strf
+        f"{_le_hex_sql('40', 4)}, {_le_hex_sql(w, 4)},"
+        f"{_le_hex_sql(h, 4)}, '0100', '1800', '4D4A5047',"  # 24bpp, MJPG
+        f"{_le_hex_sql(s_frame, 4)}, repeat('00', 16),"
+        f"'4C495354', {_le_hex_sql(movi_size, 4)}, '6D6F7669',"   # LIST movi
+        f"array_join(transform(sequence(0, {n} - 1), f -> concat("
+        f"'30306463', {_le_hex_sql(s_frame, 4)}, {frame_hex}, '00')), ''))"
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(content_hex).alias("content"),
+        F.lit("video/avi").alias("media_type"),
+        "source",
+    )
+
+
+def mjpg_avi_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL cross-codec decode
+    (`multimodal_mjpg_avi_decode`): synthesize genuine Motion-JPEG
+    AVIs and decode them with ``decode_video_frames`` — the RIFF tree
+    walk hands each ``00dc`` chunk to the GENUINE baseline JPEG
+    decoder (marker walk, canonical Huffman, entropy decode, IDCT),
+    the real two-codec composition a production video pipeline runs.
+    The DuckDB oracle replicates the per-frame JPEG closed form
+    (even blocks D_f + 128, odd blocks D_f − E_f + 128), pinning every
+    channel sum and byte extremum end-to-end."""
+    return decode_video_frames(
+        synth_mjpg_avi_corpus(documents)
+    ).transform(_ordered_once)
+
+
+def _jpeg_file_hex_sql(bw: str, bh: str, d: str, e: str) -> str:
+    """SQL fragment: a COMPLETE closed-form baseline JPEG file as hex —
+    the ``synth_jpeg_pixel_corpus`` construction (byte-aligned custom
+    Huffman, DC-only blocks, Q[0] = 8) with parametric block geometry
+    and D/E value expressions, so the MJPG-in-AVI corpus can vary the
+    frame content per FRAME inside a transform lambda (``d``/``e`` may
+    reference the lambda variable ``f``).  File size is
+    141 + 2·bw·bh bytes (fixed segments 141: SOI 2 + DQT 69 + SOF0 13
+    + DHT 23+22 + SOS 10 + EOI 2)."""
+    nb = f"({bw} * {bh})"
+    vk = (
+        f"CASE WHEN k = 0 THEN ({d}) WHEN k % 2 = 1 THEN 127 - ({e}) "
+        f"ELSE ({e}) END"
+    )
+    scan = (
+        f"array_join(transform(flatten(transform("
+        f"sequence(0, CAST({nb} AS INT) - 1), k -> "
+        f"array(16 + ({vk}) div 16, (({vk}) % 16) * 16))), "
+        f"b -> lpad(hex(b), 2, '0')), '')"
+    )
+    dims = f"concat(lpad(hex(8 * {bh}), 4, '0'), lpad(hex(8 * {bw}), 4, '0'))"
+    return (
+        "concat('FFD8', 'FFDB004300', '08', repeat('01', 63), "
+        f"'FFC0000B08', {dims}, '01011100', "
+        "'FFC4001500', '0000000101', repeat('00', 11), '0007', "
+        "'FFC4001410', '00000001', repeat('00', 12), '00', "
+        "'FFDA000801010000', '3F00', "
+        f"{scan}, 'FFD9')"
+    )
+
+
 def synth_jpeg_pixel_corpus(documents: DataFrame) -> DataFrame:
     """Deterministic REAL baseline JPEGs with DECODABLE entropy
     payloads — SOI, DQT, SOF0, two DHTs, SOS, Huffman-coded scan, EOI —
@@ -2546,33 +2644,11 @@ def synth_jpeg_pixel_corpus(documents: DataFrame) -> DataFrame:
     baseline algorithm (multi-length Huffman, AC run/size, stuffing,
     restarts, and color are pinned by pytest goldens on genuinely
     compressed fixtures)."""
-    bw = "(1 + doc_id % 3)"
-    bh = "(1 + (doc_id * 7) % 3)"
-    vk = (
-        "CASE WHEN k = 0 THEN 64 + doc_id % 64 "
-        "WHEN k % 2 = 1 THEN 63 - (doc_id * 5) % 64 "
-        "ELSE 64 + (doc_id * 5) % 64 END"
-    )
-    scan_hex = F.expr(
-        f"array_join(transform(flatten(transform("
-        f"  sequence(0, CAST({bw} * {bh} AS INT) - 1), k -> "
-        f"  array(16 + ({vk}) div 16, (({vk}) % 16) * 16))), "
-        "  b -> lpad(hex(b), 2, '0')), '')"
-    )
-    dims_hex = F.expr(
-        f"concat(lpad(hex(8 * {bh}), 4, '0'), lpad(hex(8 * {bw}), 4, '0'))"
-    )  # T.81 SOF order: height (lines) first, then width
-    content_hex = F.concat(
-        F.lit("FFD8"),                                # SOI
-        F.lit("FFDB004300" + "08" + "01" * 63),       # DQT 0: Q[0]=8
-        F.lit("FFC0000B08"), dims_hex, F.lit("01011100"),  # SOF0 gray
-        # DHT DC 0: BITS=[...,1@len4,1@len5,...], HUFFVAL=[cat0, cat7]
-        F.lit("FFC4001500" + "0000000101" + "00" * 11 + "0007"),
-        # DHT AC 0: BITS=[...,1@len4,...], HUFFVAL=[EOB]
-        F.lit("FFC4001410" + "00000001" + "00" * 12 + "00"),
-        F.lit("FFDA000801010000" + "3F00"),           # SOS
-        scan_hex,
-        F.lit("FFD9"),                                # EOI
+    content_hex = F.expr(
+        _jpeg_file_hex_sql(
+            "(1 + doc_id % 3)", "(1 + (doc_id * 7) % 3)",
+            "64 + doc_id % 64", "64 + (doc_id * 5) % 64",
+        )
     )
     return documents.select(
         F.col("doc_id").alias("media_id"),

@@ -245,6 +245,45 @@ ORACLES: dict[str, str] = {
                CAST(greatest(max(b), max(gg), max(r)) AS INT) AS max_byte
         FROM per_frame GROUP BY doc_id ORDER BY media_id
     """,
+    "multimodal_mjpg_avi_decode": """
+        -- The Spark side synthesizes GENUINE Motion-JPEG AVIs (full
+        -- RIFF tree, strf biCompression='MJPG', every 00dc chunk a
+        -- complete closed-form baseline JPEG) and decodes them with
+        -- the REAL cross-codec path: RIFF walk -> per-frame genuine
+        -- JPEG decode (Huffman entropy + IDCT).  Frame f of doc d:
+        -- even blocks gray D_f + 128, odd blocks D_f - E_f + 128,
+        -- D_f = 64 + (d + 31f) % 64, E_f = 64 + (5d + 13f) % 64,
+        -- 64 px/block, bw*bh blocks (grayscale: R = G = B).
+        WITH geo AS (
+            SELECT doc_id,
+                   1 + doc_id % 3 AS bw,
+                   1 + (doc_id * 7) % 3 AS bh,
+                   2 + doc_id % 2 AS n
+            FROM documents
+        ), fr AS (
+            SELECT g.doc_id, g.bw, g.bh, g.n,
+                   g.bw * g.bh AS nb,
+                   (g.bw * g.bh) // 2 AS n_odd,
+                   64 + (g.doc_id + 31 * fs.f) % 64 AS d,
+                   64 + (g.doc_id * 5 + 13 * fs.f) % 64 AS e
+            FROM geo g, unnest(generate_series(0, g.n - 1)) fs(f)
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 * max(bw) AS INT) AS width,
+               CAST(8 * max(bh) AS INT) AS height,
+               CAST(max(n) AS INT) AS n_frames,
+               CAST(64 * max(nb) * max(n) AS BIGINT) AS n_pixels,
+               CAST(64 * sum((nb - n_odd) * (d + 128)
+                             + n_odd * (d - e + 128)) AS BIGINT) AS sum_b,
+               CAST(64 * sum((nb - n_odd) * (d + 128)
+                             + n_odd * (d - e + 128)) AS BIGINT) AS sum_g,
+               CAST(64 * sum((nb - n_odd) * (d + 128)
+                             + n_odd * (d - e + 128)) AS BIGINT) AS sum_r,
+               CAST(min(CASE WHEN nb > 1 THEN d - e + 128
+                             ELSE d + 128 END) AS INT) AS min_byte,
+               CAST(max(d + 128) AS INT) AS max_byte
+        FROM fr GROUP BY doc_id ORDER BY media_id
+    """,
     "multimodal_mp4_frame_decode": """
         -- The Spark side synthesizes GENUINE ISO-BMFF files (ftyp +
         -- full moov with real stsd/stts/stsc/stsz/stco sample tables +

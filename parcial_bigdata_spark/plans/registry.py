@@ -1051,6 +1051,13 @@ def q_mp4_frame_decode(spark, sf_dir):
     return mm_ops.mp4_frame_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_mjpg_avi_decode(spark, sf_dir):
+    # REAL cross-codec decode: the AVI RIFF walk hands each 00dc chunk
+    # to the genuine baseline JPEG decoder — container logic and
+    # entropy-decode logic composed, the Motion-JPEG production shape
+    return mm_ops.mjpg_avi_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_jpeg_pixel_decode(spark, sf_dir):
     # REAL baseline JPEG pixel decode: marker walk + canonical Huffman
     # construction + the genuine entropy decode (DC categories, EXTEND,
@@ -2210,6 +2217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_pixel_decode": q_jpeg_pixel_decode,
     "multimodal_avi_frame_decode": q_avi_frame_decode,
     "multimodal_mp4_frame_decode": q_mp4_frame_decode,
+    "multimodal_mjpg_avi_decode": q_mjpg_avi_decode,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2234,6 +2242,7 @@ INTRODUCED_ROUND = {
     "multimodal_jpeg_pixel_decode": 15,
     "multimodal_avi_frame_decode": 15,
     "multimodal_mp4_frame_decode": 15,
+    "multimodal_mjpg_avi_decode": 15,
     # round-14 additions
     "stats_spearman_rho": 14,
     "stats_anova_oneway": 14,

@@ -345,6 +345,33 @@ def test_mp4_taxonomy():
     assert mm._decode_mp4_frames(good)["n_pixels"] == w * h
 
 
+def test_mjpg_avi_corpus_end_to_end(spark, documents):
+    """The closed-form Motion-JPEG AVI corpus decoded through the
+    cross-codec path equals the per-frame JPEG construction arithmetic
+    (the DuckDB oracle's formula) — including the odd-size RIFF pad
+    byte every JPEG frame chunk carries (141 + 2·bw·bh is always
+    odd)."""
+    rows = mm.mjpg_avi_summary(documents).collect()
+    assert len(rows) == 5
+    for r in rows:
+        d = r.media_id
+        bw, bh, n = 1 + d % 3, 1 + (d * 7) % 3, 2 + d % 2
+        nb, n_odd = bw * bh, (bw * bh) // 2
+        total = 0
+        mins, maxs = [], []
+        for f in range(n):
+            dd = 64 + (d + 31 * f) % 64
+            ee = 64 + (d * 5 + 13 * f) % 64
+            total += 64 * ((nb - n_odd) * (dd + 128)
+                           + n_odd * (dd - ee + 128))
+            mins.append(dd - ee + 128 if nb > 1 else dd + 128)
+            maxs.append(dd + 128)
+        assert (r.width, r.height, r.n_frames) == (8 * bw, 8 * bh, n)
+        assert r.n_pixels == 64 * nb * n
+        assert r.sum_r == r.sum_g == r.sum_b == total
+        assert (r.min_byte, r.max_byte) == (min(mins), max(maxs))
+
+
 def test_decode_video_frames_spark_path(spark):
     """The mapInPandas wrapper: mixed AVI/MP4 batch, schema and values."""
     w, h = 6, 4
