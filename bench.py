@@ -1152,6 +1152,7 @@ _NEW_OPS_R8 = [
     "multimodal_avi_frame_decode",
     "multimodal_mp4_frame_decode",
     "multimodal_mjpg_avi_decode",
+    "stats_kruskal_wallis",
 ]
 
 

@@ -2615,6 +2615,86 @@ def mann_whitney_quantity(
     )
 
 
+def kruskal_wallis_value(events: DataFrame) -> DataFrame:
+    """Kruskal-Wallis k-group rank omnibus across event types on event
+    value (`stats_kruskal_wallis`): the k-group generalization of
+    `stats_mann_whitney` and the nonparametric complement to
+    `stats_anova_oneway` — "do the event types draw values from one
+    distribution?" without assuming normality.  Average ranks with the
+    standard tie correction (Kruskal & Wallis 1952).
+
+    Exactness: value rides the cent grid (DECIMAL(12,2) cast, the
+    engine-wide money posture), so pooled ranks come from the SAME
+    bounded-domain counting technique as Mann-Whitney — one pooled
+    (value) count frame, a cumulative window over it, the tied-block
+    average rank as the INTEGER double-rank dr = 2·cum_before + ct + 1
+    — and each group's double-rank sum r2_j = Σ c_j·dr plus the tie
+    term Σ(ct³−ct) aggregate as exact DECIMAL(38,0).  H is then ONE
+    IEEE sequence over those exact sums — Σ_j (r2_j/2)²/n_j scaled by
+    12/(N(N+1)), minus 3(N+1), over the tie correction
+    1 − Σ(ct³−ct)/(N³−N) — rounded at 4 dp (the k-term-double-sum
+    entropy-contract margin, the Levene precedent).  Degenerate inputs
+    (k < 2, N < 2, or every pooled value tied so the correction hits
+    0) leave h_stat NULL rather than raising.
+
+    Scale: one map-side-combining (type, value) aggregate over the
+    scan is the only fact-sized shuffle; the pooled-rank window, the
+    broadcast rank join, and the k-row reduce all run on frames
+    bounded by |cent-grid values| and |types|, never by row count."""
+    from pyspark.sql.window import Window
+
+    v = F.col("value").cast("decimal(12,2)")
+    counts = (
+        events.where(F.col("value").isNotNull())
+        .groupBy(F.col("event_type"), v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pooled = counts.groupBy("v").agg(F.sum("c").alias("ct"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dr = pooled.select(
+        "v",
+        "ct",
+        (2 * F.coalesce(F.sum("ct").over(w), F.lit(0)) + F.col("ct") + 1)
+        .alias("dr"),
+    )
+    dec = "decimal(38,0)"
+    grp = (
+        counts.join(F.broadcast(dr.select("v", "dr")), "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_j"),
+            F.sum(F.col("c").cast(dec) * F.col("dr")).alias("r2_j"),
+        )
+    )
+    ties = dr.agg(
+        F.sum(
+            F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie")
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n_j").alias("n_total"),
+        # (r2_j/2)²/n_j = r2_j²/(4 n_j); the k-term double sum is the
+        # only order-sensitive step — covered by the 4 dp margin
+        F.sum(
+            F.col("r2_j").cast("double") * F.col("r2_j").cast("double")
+            / (F.lit(4.0) * F.col("n_j").cast("double"))
+        ).alias("s"),
+    ).crossJoin(ties)
+    n = F.col("n_total").cast("double")
+    corr = F.lit(1.0) - F.col("tie").cast("double") / (n * n * n - n)
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("s") - F.lit(3.0) * (n + 1)
+    defined = (F.col("k_groups") > 1) & (F.col("n_total") > 1)
+    h = F.when(defined, F.when(corr > 0, h_raw / corr))
+    return tot.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("k_groups").cast("int").alias("k_groups"),
+        (F.col("k_groups") - 1).cast("int").alias("df"),
+        F.col("tie").cast("long").alias("tie_term"),
+        ratio_round(h, 4).alias("h_stat"),
+    )
+
+
 def levene_value_by_type(events: DataFrame) -> DataFrame:
     """Brown-Forsythe variance-homogeneity test across event types on
     event value (`stats_levene_value`): Levene's W with the

@@ -1385,6 +1385,53 @@ ORACLES["stats_mann_whitney"] = """
     FROM h
 """
 
+# Kruskal-Wallis k-group rank omnibus across event types: pooled
+# bounded-domain integer double-ranks, HUGEINT rank/tie sums, one
+# IEEE H sequence at the 4 dp k-term-double-sum margin
+ORACLES["stats_kruskal_wallis"] = """
+    WITH vals AS (
+        SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events
+        WHERE value IS NOT NULL
+    ), counts AS (
+        SELECT event_type, v, count(*) AS c FROM vals GROUP BY 1, 2
+    ), pooled AS (
+        SELECT v, sum(c) AS ct FROM counts GROUP BY v
+    ), dr AS (
+        SELECT v, ct,
+               2 * coalesce(sum(ct) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + ct + 1 AS dr
+        FROM pooled
+    ), grp AS (
+        SELECT c.event_type,
+               sum(c.c) AS n_j,
+               sum(CAST(c.c AS HUGEINT) * d.dr) AS r2_j
+        FROM counts c JOIN dr d USING (v) GROUP BY 1
+    ), ties AS (
+        SELECT sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie FROM dr
+    ), tot AS (
+        SELECT count(*) AS k_groups, sum(n_j) AS n_total,
+               sum(CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE)
+                   / (4.0 * CAST(n_j AS DOUBLE))) AS s
+        FROM grp
+    ), f AS (
+        SELECT k_groups, n_total, s, tie,
+               CAST(n_total AS DOUBLE) AS n,
+               1.0 - CAST(tie AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * n_total * n_total
+                      - n_total) AS corr
+        FROM tot, ties
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(k_groups AS INT) AS k_groups,
+           CAST(k_groups - 1 AS INT) AS df,
+           CAST(tie AS BIGINT) AS tie_term,
+           CASE WHEN k_groups > 1 AND n_total > 1 AND corr > 0 THEN
+               floor((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0))
+                     / corr * 1e4 + 0.5) / 1e4 END AS h_stat
+    FROM f
+"""
+
 # Brown-Forsythe W across event types: exact cent-grid lower medians
 # from the counting CTE, exact decimal deviation moments, the Konig
 # numerator form, W rounded at the 4 dp k-term-double-sum margin

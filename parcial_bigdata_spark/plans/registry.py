@@ -1677,6 +1677,14 @@ def q_mann_whitney(spark, sf_dir):
     return ana_ops.mann_whitney_quantity(_t(spark, sf_dir, "lineitem"))
 
 
+def q_kruskal_wallis(spark, sf_dir):
+    # k-group rank omnibus: pooled bounded-domain integer double-ranks,
+    # decimal(38,0) rank/tie sums, one IEEE H sequence at the 4 dp
+    # k-term-double-sum margin — completes the nonparametric family
+    # next to Mann-Whitney (2-group) and ANOVA (parametric k-group)
+    return ana_ops.kruskal_wallis_value(_t(spark, sf_dir, "events"))
+
+
 def q_levene_value(spark, sf_dir):
     # Brown–Forsythe variance homogeneity across event types: exact
     # cent-grid lower medians, exact decimal deviation moments, W at
@@ -2218,6 +2226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_avi_frame_decode": q_avi_frame_decode,
     "multimodal_mp4_frame_decode": q_mp4_frame_decode,
     "multimodal_mjpg_avi_decode": q_mjpg_avi_decode,
+    "stats_kruskal_wallis": q_kruskal_wallis,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2243,6 +2252,7 @@ INTRODUCED_ROUND = {
     "multimodal_avi_frame_decode": 15,
     "multimodal_mp4_frame_decode": 15,
     "multimodal_mjpg_avi_decode": 15,
+    "stats_kruskal_wallis": 15,
     # round-14 additions
     "stats_spearman_rho": 14,
     "stats_anova_oneway": 14,

@@ -368,3 +368,50 @@ class TestRunsTest:
         out = ana.runs_test_daily_revenue(orders).collect()[0]
         # every day equals the median: all dropped, z undefined
         assert out["z_score"] is None
+
+
+class TestKruskalWallis:
+    """stats_kruskal_wallis (round 15): k-group rank omnibus on the
+    cent grid — hand-computed H with ties, and the degenerate tiers."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, value double")
+
+    def test_hand_computed_with_ties(self, spark):
+        # a: [1, 2], b: [2, 3], c: [5] -> pooled ranks 1, 2.5, 2.5, 4, 5
+        # R_a = 3.5, R_b = 6.5, R_c = 5; H = .4*52.25 - 18 = 2.9
+        # tie term: one block of 2 -> 6; corr = 1 - 6/120 = .95
+        rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0), ("c", 5.0)]
+        out = ana.kruskal_wallis_value(self._ev(spark, rows)).collect()[0]
+        assert (out["n_total"], out["k_groups"], out["df"]) == (5, 3, 2)
+        assert out["tie_term"] == 6
+        assert out["h_stat"] == pytest.approx(_r(2.9 / 0.95, 4), abs=1e-12)
+
+    def test_two_groups_matches_mann_whitney_z_squared(self, spark):
+        # with k = 2 and no ties, H equals z² from the rank-sum normal
+        # approximation (the classical identity) up to rounding
+        rows = [("a", float(v)) for v in (1, 3, 5, 9)] + [
+            ("b", float(v)) for v in (2, 4, 6, 8)
+        ]
+        out = ana.kruskal_wallis_value(self._ev(spark, rows)).collect()[0]
+        # ranks 1..8: R_a = 1+3+5+8 = 17, R_b = 19; N = 8
+        h = 12.0 / (8 * 9) * (17.0**2 / 4 + 19.0**2 / 4) - 3 * 9
+        assert out["tie_term"] == 0
+        assert out["h_stat"] == pytest.approx(_r(h, 4), abs=1e-12)
+
+    def test_degenerate_single_group_and_all_tied(self, spark):
+        one = ana.kruskal_wallis_value(
+            self._ev(spark, [("a", 1.0), ("a", 2.0)])
+        ).collect()[0]
+        assert one["k_groups"] == 1 and one["h_stat"] is None
+        tied = ana.kruskal_wallis_value(
+            self._ev(spark, [("a", 7.0), ("b", 7.0), ("c", 7.0)])
+        ).collect()[0]
+        # every pooled value tied: correction term hits 0 -> NULL, no
+        # ANSI DIVIDE_BY_ZERO
+        assert tied["tie_term"] == 24 and tied["h_stat"] is None
+
+    def test_null_values_excluded(self, spark):
+        rows = [("a", 1.0), ("a", None), ("b", 2.0), ("b", 3.0)]
+        out = ana.kruskal_wallis_value(self._ev(spark, rows)).collect()[0]
+        assert out["n_total"] == 3
