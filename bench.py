@@ -1153,6 +1153,8 @@ _NEW_OPS_R8 = [
     "multimodal_mp4_frame_decode",
     "multimodal_mjpg_avi_decode",
     "stats_kruskal_wallis",
+    "multimodal_jpeg_restart_decode",
+    "events_mann_kendall_trend",
 ]
 
 

@@ -2695,6 +2695,82 @@ def kruskal_wallis_value(events: DataFrame) -> DataFrame:
     )
 
 
+def mann_kendall_daily(events: DataFrame) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily event-count
+    series (`events_mann_kendall_trend`): the NONPARAMETRIC trend
+    detector next to `events_theil_sen_trend`'s robust slope and
+    `orders_ols_trend`'s parametric line — "is daily activity
+    monotonically drifting?" with no linearity or normality
+    assumption.  S = Σ_{i<j} sign(y_j − y_i) over the date-ordered
+    series, tie-corrected variance
+    [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, continuity-corrected z
+    (Mann 1945; Kendall 1975).
+
+    Exactness: daily counts are INTEGERS, so S and the tie term
+    aggregate exactly (sign values are −1/0/1 longs; the tie term is
+    DECIMAL(38,0)); z is then ONE IEEE sequence over the exact
+    integers, rounded at 6 dp via ratio_round.  Degenerate inputs
+    (n < 2, or variance 0 when every count ties) leave z NULL.
+
+    Scale: ONE map-side-combining daily aggregate is the only
+    fact-sized shuffle; the pairwise sign census runs on the |days|²
+    grid of the POST-AGGREGATION dimension frame (≈2.5k days → ~3M
+    cheap pairs at sf0.1, broadcast nested-loop on a frame bounded by
+    the calendar, never by row count — the census-pinned
+    dimension-grid pattern shared with the periodogram and rich-club
+    queries)."""
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("a.d") < F.col("b.d")).agg(
+        F.coalesce(
+            F.sum(
+                F.signum(F.col("b.y") - F.col("a.y")).cast("long")
+            ),
+            F.lit(0),
+        ).alias("s_stat")
+    )
+    dec = "decimal(38,0)"
+    ties = daily.groupBy("y").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("t").alias("n_days"),
+        F.coalesce(
+            F.sum(
+                F.col("t").cast(dec)
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ),
+            F.lit(0).cast(dec),
+        ).alias("tie"),
+    )
+    tot = ties.crossJoin(s)
+    n = F.col("n_days").cast("double")
+    var = (
+        n * (n - 1) * (2 * n + 5) - F.col("tie").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    # continuity correction: the ±1 pulls |S| toward 0 (z = 0 at S = 0)
+    z = F.when(
+        (F.col("n_days") > 1),
+        F.when(
+            var > 0,
+            F.when(F.col("s_stat") > 0, (sd - 1) / F.sqrt(var))
+            .when(F.col("s_stat") < 0, (sd + 1) / F.sqrt(var))
+            .otherwise(F.lit(0.0)),
+        ),
+    )
+    return tot.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("tie").cast("long").alias("tie_term"),
+        ratio_round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )
+
+
 def levene_value_by_type(events: DataFrame) -> DataFrame:
     """Brown-Forsythe variance-homogeneity test across event types on
     event value (`stats_levene_value`): Levene's W with the

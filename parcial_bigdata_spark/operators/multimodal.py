@@ -2658,6 +2658,65 @@ def synth_jpeg_pixel_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_restart_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline JPEGs WITH RESTART MARKERS — the
+    ``synth_jpeg_pixel_corpus`` construction plus a DRI segment
+    (restart interval 2) and a byte-aligned RSTn marker after every
+    second MCU, marker index cycling 0..7 per T.81 E.1.4.
+
+    With interval 2, every restart interval encodes [diff +D, diff −E]
+    against the RESET predictor, so block k's gray value is the SAME
+    even/odd closed form as the base corpus — the query shares that
+    oracle verbatim, and any failure to consume a marker, realign the
+    bit reader, reset the predictors, or verify the RST sequence
+    corrupts values and breaks the hash."""
+    bw = "(1 + doc_id % 3)"
+    bh = "(1 + (doc_id * 7) % 3)"
+    nb = f"({bw} * {bh})"
+    d = "64 + doc_id % 64"
+    e = "64 + (doc_id * 5) % 64"
+    vk = (
+        f"CASE WHEN k % 2 = 0 THEN ({d}) ELSE 127 - ({e}) END"
+    )
+    # block bytes + an RSTn marker after every odd block except the last
+    scan = (
+        f"array_join(transform(sequence(0, CAST({nb} AS INT) - 1), k -> "
+        f"concat(lpad(hex(16 + ({vk}) div 16), 2, '0'),"
+        f" lpad(hex((({vk}) % 16) * 16), 2, '0'),"
+        f" IF(k % 2 = 1 AND k < {nb} - 1,"
+        f"    concat('FFD', hex((k div 2) % 8)), ''))), '')"
+    )
+    dims = f"concat(lpad(hex(8 * {bh}), 4, '0'), lpad(hex(8 * {bw}), 4, '0'))"
+    content_hex = F.expr(
+        "concat('FFD8', 'FFDB004300', '08', repeat('01', 63), "
+        f"'FFC0000B08', {dims}, '01011100', "
+        "'FFC4001500', '0000000101', repeat('00', 11), '0007', "
+        "'FFC4001410', '00000001', repeat('00', 12), '00', "
+        "'FFDD00040002', "                       # DRI: restart interval 2
+        "'FFDA000801010000', '3F00', "
+        f"{scan}, 'FFD9')"
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(content_hex).alias("content"),
+        F.lit("image/jpeg").alias("media_type"),
+        "source",
+    )
+
+
+def jpeg_restart_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL JPEG restart-marker decode
+    (`multimodal_jpeg_restart_decode`): the base JPEG corpus with DRI +
+    RSTn markers, decoded through the genuine path — marker
+    consumption, byte realignment, predictor reset, and RST-sequence
+    verification all sit on the hash path (interval 2 keeps the pixel
+    closed form identical to the base corpus, whose oracle this query
+    shares verbatim — the gif-interlaced precedent)."""
+    return decode_pixels(
+        synth_jpeg_restart_corpus(documents), use_fake_decode=False
+    ).transform(_ordered_once)
+
+
 def jpeg_pixel_summary(documents: DataFrame) -> DataFrame:
     """Driver-checkable REAL JPEG pixel decode
     (`multimodal_jpeg_pixel_decode`): synthesize genuine baseline

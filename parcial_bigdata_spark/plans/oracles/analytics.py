@@ -1385,6 +1385,47 @@ ORACLES["stats_mann_whitney"] = """
     FROM h
 """
 
+# Mann-Kendall monotone trend on the daily event-count series: exact
+# integer S over the date-ordered pairwise sign census, HUGEINT tie
+# term, one IEEE continuity-corrected z sequence at 6 dp
+ORACLES["events_mann_kendall_trend"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS y
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), s AS (
+        SELECT coalesce(sum(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END), 0)
+                   AS s_stat
+        FROM daily a JOIN daily b ON a.d < b.d
+    ), ties AS (
+        SELECT count(*) AS n_distinct, sum(t) AS n_days,
+               coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                        0) AS tie
+        FROM (SELECT y, count(*) AS t FROM daily GROUP BY y)
+    ), f AS (
+        SELECT n_days, s_stat, tie,
+               (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1)
+                * (2 * CAST(n_days AS DOUBLE) + 5)
+                - CAST(tie AS DOUBLE)) / 18.0 AS var
+        FROM ties, s
+    ), g AS (
+        SELECT n_days, s_stat, tie,
+               CASE WHEN n_days > 1 AND var > 0 THEN
+                   CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var)
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var)
+                        ELSE 0.0 END END AS z
+        FROM f
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(tie AS BIGINT) AS tie_term,
+           floor(z * 1e6 + 0.5) / 1e6 AS z_score,
+           abs(z) > 1.959964 AS significant_95
+    FROM g
+"""
+
 # Kruskal-Wallis k-group rank omnibus across event types: pooled
 # bounded-domain integer double-ranks, HUGEINT rank/tie sums, one
 # IEEE H sequence at the 4 dp k-term-double-sum margin

@@ -589,3 +589,12 @@ ORACLES["multimodal_png_interlaced_decode"] = ORACLES[
 ORACLES["multimodal_gif_interlaced_decode"] = ORACLES[
     "multimodal_gif_pixel_decode"
 ]
+
+# The restart-marker decode reads a corpus whose pixel content is
+# identical to the base JPEG corpus (DRI/RSTn change only the entropy
+# framing; interval 2 preserves the even/odd block closed form), so it
+# shares that oracle verbatim — marker consumption, byte realignment,
+# and predictor reset all sit on the hash path.
+ORACLES["multimodal_jpeg_restart_decode"] = ORACLES[
+    "multimodal_jpeg_pixel_decode"
+]

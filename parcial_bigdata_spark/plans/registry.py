@@ -1058,6 +1058,13 @@ def q_mjpg_avi_decode(spark, sf_dir):
     return mm_ops.mjpg_avi_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_jpeg_restart_decode(spark, sf_dir):
+    # DRI + RSTn markers on the genuine decode path: marker consume,
+    # byte realign, predictor reset, sequence check — all hash-pinned
+    # (interval 2 keeps the pixel closed form equal to the base corpus)
+    return mm_ops.jpeg_restart_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_jpeg_pixel_decode(spark, sf_dir):
     # REAL baseline JPEG pixel decode: marker walk + canonical Huffman
     # construction + the genuine entropy decode (DC categories, EXTEND,
@@ -1677,6 +1684,13 @@ def q_mann_whitney(spark, sf_dir):
     return ana_ops.mann_whitney_quantity(_t(spark, sf_dir, "lineitem"))
 
 
+def q_mann_kendall(spark, sf_dir):
+    # nonparametric monotone-trend test on daily counts next to
+    # Theil–Sen and OLS: exact integer S + tie term on the calendar-
+    # bounded dimension grid, one IEEE continuity-corrected z sequence
+    return ana_ops.mann_kendall_daily(_t(spark, sf_dir, "events"))
+
+
 def q_kruskal_wallis(spark, sf_dir):
     # k-group rank omnibus: pooled bounded-domain integer double-ranks,
     # decimal(38,0) rank/tie sums, one IEEE H sequence at the 4 dp
@@ -2227,6 +2241,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_mp4_frame_decode": q_mp4_frame_decode,
     "multimodal_mjpg_avi_decode": q_mjpg_avi_decode,
     "stats_kruskal_wallis": q_kruskal_wallis,
+    "multimodal_jpeg_restart_decode": q_jpeg_restart_decode,
+    "events_mann_kendall_trend": q_mann_kendall,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2253,6 +2269,8 @@ INTRODUCED_ROUND = {
     "multimodal_mp4_frame_decode": 15,
     "multimodal_mjpg_avi_decode": 15,
     "stats_kruskal_wallis": 15,
+    "multimodal_jpeg_restart_decode": 15,
+    "events_mann_kendall_trend": 15,
     # round-14 additions
     "stats_spearman_rho": 14,
     "stats_anova_oneway": 14,
@@ -2348,15 +2366,18 @@ INTRODUCED_ROUND = {
 # Budget math: with 5 standing slots (parity core 4 + one real streaming
 # run), each round rotates 45 queries.  A B-round staleness budget is
 # feasible only while |rotating registry| <= 45*B.  The round-11 5-round
-# budget (capacity 225) was already within 8 queries of its tripwire at
-# 207 rotating queries, so round 12 rebases to a SIX-round budget
-# (capacity 270): a query last slotted in round N must re-enter by N+6,
-# and a never-certified query introduced in round N takes its first slot
-# by N+3 (unchanged — new operators still certify promptly).  Feasibility
-# is no longer hand-derived per round: tests/test_staleness.py runs an
-# EDF (earliest-deadline-first) cumulative-demand check over every
-# rotating query's due round, so ANY future window composition that
-# wedges the schedule fails loudly at commit time.
+# budget (capacity 225) hit its tripwire at 207 rotating queries and
+# round 12 rebased to six rounds (capacity 270); the round-15 additions
+# put the rotating registry at EXACTLY that budget's alarm line (260),
+# so round 15 rebases again to a SEVEN-round budget (capacity 315, ~55
+# seats of true headroom): a query last slotted in round N must
+# re-enter by N+7, and a never-certified query introduced in round N
+# takes its first slot by N+3 (unchanged — new operators still certify
+# promptly).  Feasibility is no longer hand-derived per round:
+# tests/test_staleness.py runs an EDF (earliest-deadline-first)
+# cumulative-demand check over every rotating query's due round, so ANY
+# future window composition that wedges the schedule fails loudly at
+# commit time.
 #
 # Round-15 window (exactly the composition the round-14 rotation note
 # pre-committed): 5 standing + ALL 21 never-certified round-12
@@ -2371,13 +2392,14 @@ INTRODUCED_ROUND = {
 # (approx in window => twin in window), so twin-alone is legal.  This
 # window has ZERO rows-only queries: all 50 are oracle-checked.
 #
-# Forward plan (EDF-checked, not hand-tranched).  After this window:
-# r16 must seat the remaining 21 r10-tranche queries (due r16), and its
-# ~24 spare seats go to the stalest r11 tranche (45 queries, due r17);
-# r17 then seats the r11 remainder (~21) + the 9 never-certified r14
-# introductions (due r17) with ~15 seats spare.  Capacity tripwire:
-# 255 rotating (excl. standing) vs the 260 alarm line — additions this
-# round must stay <= 5 (or the budget extends to 7 rounds first).
+# Forward plan (EDF-checked, not hand-tranched).  Under the seven-round
+# budget the r10 tranche's remaining 21 queries are due r17, the r11
+# tranche r18, and the 9 never-certified r14 introductions keep their
+# r17 grace deadline — so r16's only HARD seats are discretionary; the
+# sensible r16 window still front-loads the r10 remainder + the stalest
+# r11 block (freshness beats slack), plus first slots for the 7
+# round-15 introductions (due r18).  Capacity: 260 rotating (excl.
+# standing) vs the 305 alarm line — ~45 addition seats of headroom.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [

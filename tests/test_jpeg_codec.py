@@ -385,3 +385,27 @@ def test_jpeg_corpus_block_placement():
         g = dd + 128 if k % 2 == 0 else dd - ee + 128
         img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = g
     assert stats["pos_weighted"] == _gray_stats(img)["pos_weighted"]
+
+
+def test_restart_corpus_matches_base_corpus(spark, documents):
+    """The DRI/RSTn corpus must decode to EXACTLY the base JPEG
+    corpus's statistics (interval 2 preserves the even/odd closed
+    form) — and actually carry DRI + restart markers."""
+    from parcial_bigdata_spark.operators import multimodal as mmod
+
+    blob = bytes(
+        mmod.synth_jpeg_restart_corpus(documents.limit(1))
+        .collect()[0].content
+    )
+    assert b"\xff\xdd\x00\x04\x00\x02" in blob  # DRI, interval 2
+    base = {
+        r.media_id: r
+        for r in mmod.jpeg_pixel_summary(documents).collect()
+    }
+    rst = {
+        r.media_id: r
+        for r in mmod.jpeg_restart_summary(documents).collect()
+    }
+    assert set(base) == set(rst)
+    for k in base:
+        assert base[k] == rst[k]

@@ -415,3 +415,50 @@ class TestKruskalWallis:
         rows = [("a", 1.0), ("a", None), ("b", 2.0), ("b", 3.0)]
         out = ana.kruskal_wallis_value(self._ev(spark, rows)).collect()[0]
         assert out["n_total"] == 3
+
+
+class TestMannKendall:
+    """events_mann_kendall_trend (round 15): exact integer S + tie
+    term, continuity-corrected z — hand-computed goldens."""
+
+    def _ev(self, spark, days_counts):
+        import datetime as dt
+        rows = []
+        eid = 0
+        for day, n in enumerate(days_counts):
+            for _ in range(n):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 1 + day, 12, 0, 0))
+                )
+                eid += 1
+        return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    def test_hand_computed_with_ties(self, spark):
+        # daily counts [3, 5, 4, 5]: S = +1+1+1-1+0+1 = 3
+        # ties: one pair of 5s -> t(t-1)(2t+5) = 2*1*9 = 18
+        # var = (4*3*13 - 18)/18 = 138/18; z = (3-1)/sqrt(var)
+        out = ana.mann_kendall_daily(
+            self._ev(spark, [3, 5, 4, 5])
+        ).collect()[0]
+        assert (out["n_days"], out["s_stat"], out["tie_term"]) == (4, 3, 18)
+        z = 2.0 / math.sqrt(138.0 / 18.0)
+        assert out["z_score"] == pytest.approx(_r(z, 6), abs=1e-12)
+        assert not out["significant_95"]
+
+    def test_strictly_increasing(self, spark):
+        # counts [1,2,3,4,5]: S = 10 (all pairs +1), tie term 0
+        out = ana.mann_kendall_daily(
+            self._ev(spark, [1, 2, 3, 4, 5])
+        ).collect()[0]
+        assert (out["s_stat"], out["tie_term"]) == (10, 0)
+        var = 5 * 4 * 15 / 18.0
+        assert out["z_score"] == pytest.approx(_r(9 / math.sqrt(var), 6))
+
+    def test_degenerate_flat_and_single_day(self, spark):
+        flat = ana.mann_kendall_daily(
+            self._ev(spark, [2, 2, 2])
+        ).collect()[0]
+        # every count tied: tie term == n(n-1)(2n+5) -> var 0 -> NULL
+        assert flat["s_stat"] == 0 and flat["z_score"] is None
+        one = ana.mann_kendall_daily(self._ev(spark, [4])).collect()[0]
+        assert one["n_days"] == 1 and one["z_score"] is None

@@ -42,7 +42,17 @@ from pathlib import Path
 from parcial_bigdata_spark.plans import registry
 
 REPO = Path(__file__).resolve().parent.parent
-MAX_ROUNDS_WITHOUT_SLOT = 6
+# Rebased 6 -> 7 in round 15: the round-15 additions put the rotating
+# registry at EXACTLY the six-round alarm line (260 vs capacity 270
+# minus the 10-seat headroom), and the capacity test's own remedy is
+# "extend MAX_ROUNDS_WITHOUT_SLOT or trim standing slots BEFORE the
+# rotation wedges".  Seven rounds gives capacity 315 (45 x 7) — 55
+# seats of true headroom — while the never-certified grace stays 3,
+# so NEW operators still certify promptly; only the re-certification
+# cadence of already-proven queries stretches by one round.  The EDF
+# feasibility test re-verifies the whole forward schedule under the
+# new budget automatically.
+MAX_ROUNDS_WITHOUT_SLOT = 7
 NEVER_CERTIFIED_GRACE = 3  # first slot due by INTRODUCED_ROUND + 3
 STANDING_SLOTS = 5  # parity core (4) + one real streaming run
 WINDOW_SIZE = 50
