@@ -1760,6 +1760,11 @@ def _decode_mp4_frames(content: bytes) -> dict:
     # stsz
     lo, hi = stsz
     sample_size, count = struct.unpack(">II", content[lo + 4 : lo + 12])
+    # allocation guard: a corrupt count can demand a multi-GB list
+    # BEFORE any per-sample validation runs; every real sample is >= 1
+    # byte, so count can never exceed the payload length
+    if count > len(content):
+        raise ValueError("MP4 stsz sample count exceeds the payload")
     if sample_size:
         sizes = [sample_size] * count
     else:
@@ -1796,7 +1801,13 @@ def _decode_mp4_frames(content: bytes) -> dict:
     ]
     per_chunk = []
     for i, (first, spc, _) in enumerate(runs):
-        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+        # clamp at the chunk count: a corrupt first_chunk in the NEXT
+        # run would otherwise demand a list as long as its raw value
+        last = (
+            min(runs[i + 1][0] - 1, len(offsets))
+            if i + 1 < len(runs)
+            else len(offsets)
+        )
         per_chunk += [spc] * (last - first + 1)
     if len(per_chunk) != len(offsets) or sum(per_chunk) != len(sizes):
         raise ValueError("MP4 sample-to-chunk mapping inconsistent")

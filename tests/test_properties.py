@@ -721,3 +721,77 @@ def test_bounded_domain_percentile_matches_sorted_selection(spark, rows):
         for p in (50, 90, 99):
             want = vals[m.ceil(p * n / 100) - 1]
             assert got[t][f"p{p}_days"] == want, (t, p)
+
+
+def _frame_decoder_fixtures():
+    """One VALID fixture per round-15 payload decoder, built by the
+    independent test encoders (pure Python — no Spark)."""
+    import numpy as np
+
+    from tests.test_jpeg_codec import QUANT_REAL, _block, _make_jpeg_full
+    from tests.test_video_frames import (
+        _avi, _dib_frame, _grad_bgr, _i420, _mp4,
+    )
+    from parcial_bigdata_spark.operators import multimodal as mm
+
+    jpeg = _make_jpeg_full(
+        16, 8, [[_block(20, [(1, 3)]), _block(-7)]], QUANT_REAL
+    )
+    avi = _avi([_dib_frame(_grad_bgr(6, 4, 5))], 6, 4)
+    y = np.full((4, 4), 90, dtype=np.uint8)
+    neutral = np.full((2, 2), 128, dtype=np.uint8)
+    mp4 = _mp4([_i420(y, neutral, neutral)], 4, 4)
+    return [
+        (jpeg, mm._decode_jpeg_pixels),
+        (avi, mm._decode_avi_frames),
+        (mp4, mm._decode_mp4_frames),
+    ]
+
+
+@given(payload=st.binary(min_size=0, max_size=96), which=st.integers(0, 2))
+@settings(**_SETTINGS)
+def test_frame_decoders_taxonomy_total_on_magic_prefixed_bytes(
+    payload, which
+):
+    """The round-15 pixel/frame decoders are TOTAL over adversarial
+    magic-prefixed bytes: every outcome is a well-typed stats dict,
+    ValueError (corrupt), or NotImplementedError (valid-but-out-of-
+    scope) — never any other exception, which would kill a whole Arrow
+    batch over one hostile blob."""
+    from parcial_bigdata_spark.operators import multimodal as mm
+
+    magic, fn = [
+        (b"\xff\xd8\xff", mm._decode_jpeg_pixels),
+        (b"RIFF\xff\x00\x00\x00AVI ", mm._decode_avi_frames),
+        (b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00",
+         mm._decode_mp4_frames),
+    ][which]
+    try:
+        stats = fn(magic + payload)
+    except (ValueError, NotImplementedError):
+        return
+    assert stats["n_pixels"] >= 0 and stats["width"] >= 1
+
+
+@given(
+    pos=st.integers(min_value=0, max_value=10_000),
+    val=st.integers(min_value=0, max_value=255),
+    which=st.integers(0, 2),
+)
+@settings(**_SETTINGS)
+def test_frame_decoders_total_under_single_byte_corruption(pos, val, which):
+    """Single-byte corruption of a VALID fixture reaches far deeper
+    than random tails (past the header walk, into sample tables,
+    entropy streams, plane geometry): the decoder must still resolve
+    to the ValueError/NotImplementedError taxonomy or a well-typed
+    dict — struct.error / IndexError / numpy shape errors leaking out
+    would be a crash in production's mapInPandas batch."""
+    fixtures = _frame_decoder_fixtures()
+    blob, fn = fixtures[which]
+    pos %= len(blob)
+    mutated = blob[:pos] + bytes([val]) + blob[pos + 1 :]
+    try:
+        stats = fn(mutated)
+    except (ValueError, NotImplementedError):
+        return
+    assert stats["n_pixels"] >= 0
