@@ -1155,6 +1155,7 @@ _NEW_OPS_R8 = [
     "stats_kruskal_wallis",
     "multimodal_jpeg_restart_decode",
     "events_mann_kendall_trend",
+    "events_seasonal_mann_kendall",
 ]
 
 

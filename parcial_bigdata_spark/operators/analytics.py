@@ -2771,6 +2771,96 @@ def mann_kendall_daily(events: DataFrame) -> DataFrame:
     )
 
 
+def seasonal_mann_kendall_daily(events: DataFrame) -> DataFrame:
+    """SEASONAL Mann-Kendall trend test on daily event counts with
+    weekday seasons (`events_seasonal_mann_kendall`): the Hirsch &
+    Slack (1984) extension of `events_mann_kendall_trend` — pairwise
+    signs are counted only WITHIN each weekday's date-ordered
+    sub-series, so a strong weekly cycle (the corpus has one —
+    `events_weekday_seasonality` measures it) cannot masquerade as or
+    mask a monotone drift.  S = Σ_w S_w, Var = Σ_w Var_w with the
+    per-season tie correction, continuity-corrected z.
+
+    Exactness: identical posture to the non-seasonal twin — integer
+    daily counts, exact long S per season, DECIMAL(38,0) tie terms,
+    one IEEE z sequence at 6 dp.  Seasons with a single day contribute
+    zero pairs and zero variance, exactly as the formula dictates.
+
+    Scale: ONE map-side daily aggregate; the within-season pairwise
+    census runs on the weekday-partitioned calendar grid
+    (Σ_w |days_w|² ≈ |days|²/7 — SMALLER than the non-seasonal twin's
+    grid), never on fact rows.  Weekday is computed as
+    datediff(epoch) % 7, the portable form both engines evaluate
+    identically (Spark dayofweek and DuckDB dayofweek disagree on
+    anchoring)."""
+    daily = (
+        events.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn(
+            "wd", F.pmod(F.datediff("d", F.lit("1970-01-01")), F.lit(7))
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(
+        b, (F.col("a.wd") == F.col("b.wd")) & (F.col("a.d") < F.col("b.d"))
+    ).agg(
+        F.coalesce(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y")).cast("long")),
+            F.lit(0),
+        ).alias("s_stat")
+    )
+    dec = "decimal(38,0)"
+    per_season = (
+        daily.groupBy("wd", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("wd")
+        .agg(
+            F.sum("t").alias("n_w"),
+            F.coalesce(
+                F.sum(
+                    F.col("t").cast(dec)
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("tie_w"),
+        )
+    )
+    # 18·Var_w = n_w(n_w−1)(2n_w+5) − tie_w is INTEGER, so the season
+    # sum stays exact decimal and only the final /18 enters doubles —
+    # no order-sensitive double summation anywhere before the z ratio
+    var18_w = (
+        F.col("n_w").cast(dec) * (F.col("n_w") - 1) * (2 * F.col("n_w") + 5)
+        - F.col("tie_w")
+    )
+    tot = per_season.agg(
+        F.count(F.lit(1)).alias("n_seasons"),
+        F.sum("n_w").alias("n_days"),
+        F.sum("tie_w").alias("tie"),
+        F.sum(var18_w).alias("var18"),
+    ).crossJoin(s)
+    var_total = F.col("var18").cast("double") / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(
+        F.col("n_days") > 1,
+        F.when(
+            var_total > 0,
+            F.when(F.col("s_stat") > 0, (sd - 1) / F.sqrt(var_total))
+            .when(F.col("s_stat") < 0, (sd + 1) / F.sqrt(var_total))
+            .otherwise(F.lit(0.0)),
+        ),
+    )
+    return tot.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_seasons").cast("int").alias("n_seasons"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("tie").cast("long").alias("tie_term"),
+        ratio_round(z, 6).alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant_95"),
+    )
+
+
 def levene_value_by_type(events: DataFrame) -> DataFrame:
     """Brown-Forsythe variance-homogeneity test across event types on
     event value (`stats_levene_value`): Levene's W with the

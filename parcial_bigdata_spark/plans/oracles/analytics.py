@@ -1426,6 +1426,56 @@ ORACLES["events_mann_kendall_trend"] = """
     FROM g
 """
 
+# Seasonal Mann-Kendall (weekday seasons): within-season pairwise sign
+# census, exact integer S and 18*Var sums (HUGEINT), one IEEE z at 6 dp;
+# weekday via epoch-days % 7 (portable — Spark/DuckDB dayofweek anchor
+# differently)
+ORACLES["events_seasonal_mann_kendall"] = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(*) AS y,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                   AS wd
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 3
+    ), s AS (
+        SELECT coalesce(sum(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END), 0)
+                   AS s_stat
+        FROM daily a JOIN daily b ON a.wd = b.wd AND a.d < b.d
+    ), per AS (
+        SELECT wd, sum(t) AS n_w,
+               coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                        0) AS tie_w
+        FROM (SELECT wd, y, count(*) AS t FROM daily GROUP BY wd, y)
+        GROUP BY wd
+    ), tot AS (
+        SELECT count(*) AS n_seasons, sum(n_w) AS n_days,
+               sum(tie_w) AS tie,
+               sum(CAST(n_w AS HUGEINT) * (n_w - 1) * (2 * n_w + 5)
+                   - tie_w) AS var18
+        FROM per
+    ), f AS (
+        SELECT n_seasons, n_days, tie, s_stat,
+               CAST(var18 AS DOUBLE) / 18.0 AS var
+        FROM tot, s
+    ), g AS (
+        SELECT n_seasons, n_days, tie, s_stat,
+               CASE WHEN n_days > 1 AND var > 0 THEN
+                   CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var)
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var)
+                        ELSE 0.0 END END AS z
+        FROM f
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_seasons AS INT) AS n_seasons,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(tie AS BIGINT) AS tie_term,
+           floor(z * 1e6 + 0.5) / 1e6 AS z_score,
+           abs(z) > 1.959964 AS significant_95
+    FROM g
+"""
+
 # Kruskal-Wallis k-group rank omnibus across event types: pooled
 # bounded-domain integer double-ranks, HUGEINT rank/tie sums, one
 # IEEE H sequence at the 4 dp k-term-double-sum margin

@@ -1691,6 +1691,14 @@ def q_mann_kendall(spark, sf_dir):
     return ana_ops.mann_kendall_daily(_t(spark, sf_dir, "events"))
 
 
+def q_seasonal_mann_kendall(spark, sf_dir):
+    # Hirsch–Slack seasonal MK with weekday seasons: within-season
+    # pairwise sign census on the weekday-partitioned calendar grid,
+    # exact integer S and 18·Var sums, one IEEE z sequence — the
+    # weekly cycle can no longer mask or fake a monotone drift
+    return ana_ops.seasonal_mann_kendall_daily(_t(spark, sf_dir, "events"))
+
+
 def q_kruskal_wallis(spark, sf_dir):
     # k-group rank omnibus: pooled bounded-domain integer double-ranks,
     # decimal(38,0) rank/tie sums, one IEEE H sequence at the 4 dp
@@ -2243,6 +2251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_kruskal_wallis": q_kruskal_wallis,
     "multimodal_jpeg_restart_decode": q_jpeg_restart_decode,
     "events_mann_kendall_trend": q_mann_kendall,
+    "events_seasonal_mann_kendall": q_seasonal_mann_kendall,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2271,6 +2280,7 @@ INTRODUCED_ROUND = {
     "stats_kruskal_wallis": 15,
     "multimodal_jpeg_restart_decode": 15,
     "events_mann_kendall_trend": 15,
+    "events_seasonal_mann_kendall": 15,
     # round-14 additions
     "stats_spearman_rho": 14,
     "stats_anova_oneway": 14,
@@ -2397,7 +2407,7 @@ INTRODUCED_ROUND = {
 # tranche r18, and the 9 never-certified r14 introductions keep their
 # r17 grace deadline — so r16's only HARD seats are discretionary; the
 # sensible r16 window still front-loads the r10 remainder + the stalest
-# r11 block (freshness beats slack), plus first slots for the 7
+# r11 block (freshness beats slack), plus first slots for the 8
 # round-15 introductions (due r18).  Capacity: 260 rotating (excl.
 # standing) vs the 305 alarm line — ~45 addition seats of headroom.
 # --------------------------------------------------------------------------

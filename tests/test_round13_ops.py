@@ -462,3 +462,49 @@ class TestMannKendall:
         assert flat["s_stat"] == 0 and flat["z_score"] is None
         one = ana.mann_kendall_daily(self._ev(spark, [4])).collect()[0]
         assert one["n_days"] == 1 and one["z_score"] is None
+
+
+class TestSeasonalMannKendall:
+    """events_seasonal_mann_kendall (round 15): within-weekday sign
+    census, exact 18*Var season sum — hand-computed golden."""
+
+    def test_hand_computed_two_seasons(self, spark):
+        import datetime as dt
+        rows, eid = [], 0
+        # season A (3 same-weekday dates, counts 2/3/4): S_A = 3,
+        # var18_A = 3*2*11 = 66, no ties
+        for day, n in zip((1, 8, 15), (2, 3, 4)):
+            for _ in range(n):
+                rows.append((eid, dt.datetime(2024, 1, day, 9, 0, 0)))
+                eid += 1
+        # season B (2 dates, counts 5/5): S_B = 0, tie 2*1*9 = 18,
+        # var18_B = 2*1*9 - 18 = 0
+        for day in (2, 9):
+            for _ in range(5):
+                rows.append((eid, dt.datetime(2024, 1, day, 9, 0, 0)))
+                eid += 1
+        out = ana.seasonal_mann_kendall_daily(
+            spark.createDataFrame(rows, "event_id long, ts timestamp")
+        ).collect()[0]
+        assert (out["n_days"], out["n_seasons"]) == (5, 2)
+        assert (out["s_stat"], out["tie_term"]) == (3, 18)
+        z = 2.0 / math.sqrt(66.0 / 18.0)
+        assert out["z_score"] == pytest.approx(_r(z, 6), abs=1e-12)
+
+    def test_weekly_cycle_is_invisible(self, spark):
+        import datetime as dt
+        # a pure weekly cycle (every Monday 5 events, every Tuesday 1)
+        # with NO drift: within each season counts are constant ->
+        # S = 0 and variance 0 -> z NULL (all-tied degenerate), where
+        # the NON-seasonal test would see large |S| noise across days
+        rows, eid = [], 0
+        for week in range(3):
+            for _ in range(5):
+                rows.append((eid, dt.datetime(2024, 1, 1 + 7 * week)))
+                eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 2 + 7 * week)))
+            eid += 1
+        out = ana.seasonal_mann_kendall_daily(
+            spark.createDataFrame(rows, "event_id long, ts timestamp")
+        ).collect()[0]
+        assert out["s_stat"] == 0 and out["z_score"] is None
