@@ -638,6 +638,25 @@ def _zero_bytes(n: int):
     return F.unhex(F.lit("00" * n))
 
 
+def _parallel_docs(documents: DataFrame) -> DataFrame:
+    """Spread the documents driving a synthetic corpus across the
+    session's shuffle partitions BEFORE the byte-expression build: the
+    sf parquet is a single file, so without this every synth + decode
+    pipeline runs as ONE task — profiling showed the GIF decode itself
+    costs 0.57 ms/image; the 3.7 s query was single-threaded pipeline
+    evaluation, not decode cost.  The exchange moves only (doc_id,
+    source) rows — trivially cheap at any SF — and real (non-synthetic)
+    media corpora never pass through here, so their partitioning is
+    untouched.  The partition count is EXPLICIT (defaultParallelism):
+    a bare ``repartition(col)`` shuffle is so small (~100 KB of ids)
+    that AQE coalesces it straight back to one partition, re-serializing
+    the pipeline — measured: the column-only form made the GIF query
+    SLOWER (5.1 → 6.9 s, shuffle overhead with zero parallelism
+    gained)."""
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.select("doc_id", "source").repartition(n, "doc_id")
+
+
 def synth_image_corpus(documents: DataFrame) -> DataFrame:
     """Deterministic REAL image containers built from the documents
     table with pure built-in byte expressions (no UDF): ``doc_id``
@@ -650,6 +669,7 @@ def synth_image_corpus(documents: DataFrame) -> DataFrame:
     same stdlib struct code an actual image corpus hits.  Fixed
     container sizes (png 33 B, bmp 54 B, gif 13 B, jpeg 39 B) make
     byte accounting oracle-exact."""
+    documents = _parallel_docs(documents)
     w = (F.lit(16) + F.col("doc_id") % 64).cast("bigint")
     h = (F.lit(16) + (F.col("doc_id") * 7) % 48).cast("bigint")
     png = F.concat(
@@ -708,6 +728,7 @@ def synth_video_corpus(documents: DataFrame) -> DataFrame:
     duration).  ``decode_media``'s REAL path walks these with the same
     stdlib chunk/box code an actual video corpus hits.  Fixed container
     sizes (avi 88 B, mp4 132 B) make byte accounting oracle-exact."""
+    documents = _parallel_docs(documents)
     frames = (F.lit(10) + F.col("doc_id") % 240).cast("bigint")
     w = (F.lit(32) + F.col("doc_id") % 32).cast("bigint")
     h = (F.lit(24) + F.col("doc_id") % 24).cast("bigint")
@@ -2018,6 +2039,7 @@ def synth_bmp_pixel_corpus(documents: DataFrame) -> DataFrame:
     channel sum and byte extremum is pinned end-to-end.  Rows are
     emitted in file order (bottom-up for positive height, but every
     pinned statistic is orientation-free)."""
+    documents = _parallel_docs(documents)
     w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     stride = F.floor((w * 3 + 3) / 4).cast("bigint") * 4
@@ -2077,6 +2099,7 @@ def synth_png_pixel_corpus(documents: DataFrame) -> DataFrame:
     the stdlib chunk walk reads lengths, not CRCs, so the decoded
     statistics are unchanged.  The oracle replicates the raw-byte
     closed form per RGB channel, pinning every statistic end-to-end."""
+    documents = _parallel_docs(documents)
     w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     raw_len = h * (1 + 3 * w)
@@ -2189,6 +2212,7 @@ def synth_png_interlaced_corpus(documents: DataFrame) -> DataFrame:
     filter ids and corrupt values); pure PLACEMENT errors are
     sum-invisible, so the golden pytest pins them with a
     position-weighted checksum over the final image bytes."""
+    documents = _parallel_docs(documents)
     x0 = "element_at(array(0,4,0,2,0,1,0), CAST(k + 1 AS INT))"
     y0 = "element_at(array(0,0,4,0,2,0,1), CAST(k + 1 AS INT))"
     dx = "element_at(array(8,8,4,4,2,2,1), CAST(k + 1 AS INT))"
@@ -2284,6 +2308,7 @@ def synth_png_palette_corpus(documents: DataFrame) -> DataFrame:
     index arithmetic.  The stored-mode deflate + HOF adler32 + F.crc32
     chunk CRCs make every byte spec-valid, exactly as the RGB corpus.
     The oracle replicates index → palette arithmetic per channel."""
+    documents = _parallel_docs(documents)
     w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     raw_len = h * (1 + w)
@@ -2413,6 +2438,7 @@ def synth_gif_pixel_corpus(
     index (doc_id + 7x + 13y) % 16.  Geometry matches the PNG corpora
     (width 4-15, height 4-11), so the stream (2wh+1 ≤ 331 bytes) spans
     at most two data sub-blocks — both split arms exercised."""
+    documents = _parallel_docs(documents)
     w = (F.lit(4) + F.col("doc_id") % 12).cast("bigint")
     h = (F.lit(4) + (F.col("doc_id") * 7) % 8).cast("bigint")
     # stream = (CLEAR, pixel) per pixel + one EOI = 2wh + 1 bytes
@@ -2544,6 +2570,7 @@ def synth_mjpg_avi_corpus(documents: DataFrame) -> DataFrame:
     expressions.  Each JPEG is 141 + 2·bw·bh bytes — always ODD, so
     every frame chunk carries the RIFF pad byte (the spec path the
     even-sized DIB corpus never exercises)."""
+    documents = _parallel_docs(documents)
     bw = "(1 + doc_id % 3)"
     bh = "(1 + (doc_id * 7) % 3)"
     w = f"(8 * {bw})"
@@ -2655,6 +2682,7 @@ def synth_jpeg_pixel_corpus(documents: DataFrame) -> DataFrame:
     baseline algorithm (multi-length Huffman, AC run/size, stuffing,
     restarts, and color are pinned by pytest goldens on genuinely
     compressed fixtures)."""
+    documents = _parallel_docs(documents)
     content_hex = F.expr(
         _jpeg_file_hex_sql(
             "(1 + doc_id % 3)", "(1 + (doc_id * 7) % 3)",
@@ -2681,6 +2709,7 @@ def synth_jpeg_restart_corpus(documents: DataFrame) -> DataFrame:
     oracle verbatim, and any failure to consume a marker, realign the
     bit reader, reset the predictors, or verify the RST sequence
     corrupts values and breaks the hash."""
+    documents = _parallel_docs(documents)
     bw = "(1 + doc_id % 3)"
     bh = "(1 + (doc_id * 7) % 3)"
     nb = f"({bw} * {bh})"
@@ -2775,6 +2804,7 @@ def synth_avi_frame_corpus(documents: DataFrame) -> DataFrame:
     GENERAL stride-aware bottom-up DIB walk (row order, stride
     slicing, and MJPG frames are pinned by pytest goldens on
     non-constant fixtures built by an independent encoder)."""
+    documents = _parallel_docs(documents)
     w = "(8 + doc_id % 8)"
     h = "(4 + doc_id % 4)"
     n = "(2 + doc_id % 3)"
@@ -2850,6 +2880,7 @@ def synth_mp4_frame_corpus(documents: DataFrame) -> DataFrame:
     chroma upsample + matrix transform (non-neutral chroma and
     multi-chunk layouts are pinned by pytest goldens built by an
     independent encoder)."""
+    documents = _parallel_docs(documents)
     w = "(8 + 2 * (doc_id % 5))"
     h = "(4 + 2 * (doc_id % 3))"
     n = "(2 + doc_id % 3)"
@@ -3115,6 +3146,7 @@ def synth_wav_corpus(documents: DataFrame) -> DataFrame:
     i is the two's-complement reading of ``(doc_id*13 + i*7) % 65536``
     — a closed form the DuckDB oracle replicates, pinning every decoded
     amplitude sum/square/extremum end-to-end."""
+    documents = _parallel_docs(documents)
     n = (F.lit(64) + F.col("doc_id") % 128).cast("bigint")
     samples_hex = F.expr(
         "array_join(transform("
@@ -3365,6 +3397,7 @@ def synth_gif_corpus(documents: DataFrame) -> DataFrame:
     filler.  The whole payload is assembled as ONE hex string
     (header ‖ repeat(frame, n) ‖ trailer) and unhexed once — codegen
     end to end."""
+    documents = _parallel_docs(documents)
     w = (F.lit(8) + F.col("doc_id") % 32).cast("bigint")
     h = (F.lit(8) + (F.col("doc_id") * 3) % 24).cast("bigint")
     n_frames = (F.lit(1) + F.col("doc_id") % 5).cast("int")
