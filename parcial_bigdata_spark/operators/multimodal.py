@@ -1365,12 +1365,29 @@ def _decode_jpeg_pixels(content: bytes) -> dict:
     sof = None
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at {pos}, got 0x{content[pos]:02x}")
-        marker = content[pos + 1]
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code byte — skip them (round-15 advice: a spec-legal
+        # padded file must not read as corrupt)
+        mpos = pos + 1
+        while mpos < len(content) and content[mpos] == 0xFF:
+            mpos += 1
+        if mpos >= len(content):
+            raise ValueError("truncated JPEG marker")
+        marker = content[mpos]
+        if marker == 0x00:
+            raise ValueError("stuffed 0xFF00 outside entropy-coded data")
         if marker == 0xD9:
             raise ValueError("JPEG EOI before any scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone markers with no length field
+            pos = mpos + 1
+            continue
+        pos = mpos - 1  # normalize: pos+1 is the marker code byte
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment header")
         (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
         seg = content[pos + 4 : pos + 2 + seg_len]
         if len(seg) != seg_len - 2:
@@ -1744,7 +1761,11 @@ def _decode_mp4_frames(content: bytes) -> dict:
         if mdia is None:
             continue
         hdlr = child(*mdia, b"hdlr")
-        if hdlr is None or content[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+        if (
+            hdlr is None
+            or hdlr[1] - hdlr[0] < 12
+            or content[hdlr[0] + 8 : hdlr[0] + 12] != b"vide"
+        ):
             continue
         minf = child(*mdia, b"minf")
         if minf is None:
@@ -1778,8 +1799,14 @@ def _decode_mp4_frames(content: bytes) -> dict:
     w, h = struct.unpack(">HH", content[entry_lo + 32 : entry_lo + 36])
     if w == 0 or h == 0 or w % 2 or h % 2:
         raise ValueError("I420 needs positive even geometry")
-    # stsz
+    # stsz — every fixed-width header read below is bounded against its
+    # OWN box extent (hi - lo) before unpacking: slices are bounded only
+    # by the whole payload, so an undersized box would otherwise read
+    # its sibling's bytes as counts, or raise struct.error (outside the
+    # documented taxonomy) near the file tail (round-15 advice)
     lo, hi = stsz
+    if hi - lo < 12:
+        raise ValueError("MP4 stsz table truncated")
     sample_size, count = struct.unpack(">II", content[lo + 4 : lo + 12])
     # allocation guard: a corrupt count can demand a multi-GB list
     # BEFORE any per-sample validation runs; every real sample is >= 1
@@ -1797,6 +1824,8 @@ def _decode_mp4_frames(content: bytes) -> dict:
     # stco / co64
     if stco is not None:
         lo, hi = stco
+        if hi - lo < 8:
+            raise ValueError("MP4 stco table truncated")
         (n_chunks,) = struct.unpack(">I", content[lo + 4 : lo + 8])
         if hi - lo - 8 < 4 * n_chunks:
             raise ValueError("MP4 stco table truncated")
@@ -1805,6 +1834,8 @@ def _decode_mp4_frames(content: bytes) -> dict:
         )
     else:
         lo, hi = co64
+        if hi - lo < 8:
+            raise ValueError("MP4 co64 table truncated")
         (n_chunks,) = struct.unpack(">I", content[lo + 4 : lo + 8])
         if hi - lo - 8 < 8 * n_chunks:
             raise ValueError("MP4 co64 table truncated")
@@ -1813,6 +1844,8 @@ def _decode_mp4_frames(content: bytes) -> dict:
         )
     # stsc: expand runs to per-chunk sample counts
     lo, hi = stsc
+    if hi - lo < 8:
+        raise ValueError("MP4 stsc table truncated or empty")
     (n_runs,) = struct.unpack(">I", content[lo + 4 : lo + 8])
     if hi - lo - 8 < 12 * n_runs or n_runs == 0:
         raise ValueError("MP4 stsc table truncated or empty")

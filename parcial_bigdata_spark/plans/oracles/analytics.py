@@ -1428,13 +1428,16 @@ ORACLES["events_mann_kendall_trend"] = """
 
 # Seasonal Mann-Kendall (weekday seasons): within-season pairwise sign
 # census, exact integer S and 18*Var sums (HUGEINT), one IEEE z at 6 dp;
-# weekday via epoch-days % 7 (portable — Spark/DuckDB dayofweek anchor
-# differently)
+# weekday via epoch-days mod 7 (portable — Spark/DuckDB dayofweek anchor
+# differently).  The modulus is the double-mod non-negative form: Spark
+# pmod() is always in [0,6] but DuckDB '%' is sign-preserving, so a bare
+# '% 7' would put pre-1970 dates in negative wd buckets and split the
+# seasons differently from the engine (round-15 advice, medium).
 ORACLES["events_seasonal_mann_kendall"] = """
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS d, count(*) AS y,
-               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
-                   AS wd
+               ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7)
+                + 7) % 7 AS wd
         FROM events WHERE ts IS NOT NULL GROUP BY 1, 3
     ), s AS (
         SELECT coalesce(sum(CASE WHEN b.y > a.y THEN 1

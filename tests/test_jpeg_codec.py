@@ -338,6 +338,44 @@ def test_jpeg_taxonomy_unsupported_vs_corrupt():
     assert mm._decode_jpeg_pixels(good)["n_pixels"] == 64
 
 
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code, and TEM (0x01) / RSTn are standalone length-less
+    markers.  Round-15 advice: the marker walk mis-read both as
+    length-bearing segments and raised the CORRUPT signal for spec-
+    legal files (so real mode never reached the PIL tier).  A padded
+    stream must decode to the identical pixels as the plain one."""
+    blocks = [_block(14, [(1, 3), (2, -2)]), _block(-9, [(3, 2)])]
+    w, h = 16, 8
+    plain = _make_jpeg_full(w, h, [blocks], QUANT_REAL)
+    ref = mm._decode_jpeg_pixels(plain)
+
+    # splice fill bytes before every pre-SOS marker boundary we know:
+    # after SOI, before DQT; and a long run before SOF0
+    dqt_at = plain.index(b"\xff\xdb")
+    sof_at = plain.index(b"\xff\xc0")
+    padded = (
+        plain[:dqt_at] + b"\xff" * 3 + plain[dqt_at:sof_at]
+        + b"\xff" * 7 + plain[sof_at:]
+    )
+    assert mm._decode_jpeg_pixels(padded) == ref
+
+    # a standalone TEM marker between segments parses as zero-length
+    tem = plain[:dqt_at] + b"\xff\x01" + plain[dqt_at:]
+    assert mm._decode_jpeg_pixels(tem) == ref
+
+    # both at once, including fill bytes immediately before the TEM
+    both = (
+        plain[:dqt_at] + b"\xff\xff\x01" + plain[dqt_at:sof_at]
+        + b"\xff\x01\xff" + plain[sof_at:]
+    )
+    assert mm._decode_jpeg_pixels(both) == ref
+
+    # a truncated trailing fill run is still corrupt, not a crash
+    with pytest.raises(ValueError):
+        mm._decode_jpeg_pixels(plain[:dqt_at] + b"\xff\xff")
+
+
 def test_jpeg_corpus_end_to_end(spark, documents):
     """End-to-end: the synthesized closed-form corpus decoded through
     decode_pixels equals the construction arithmetic (the DuckDB

@@ -508,3 +508,53 @@ class TestSeasonalMannKendall:
             spark.createDataFrame(rows, "event_id long, ts timestamp")
         ).collect()[0]
         assert out["s_stat"] == 0 and out["z_score"] is None
+
+    def test_pre_epoch_weekdays_match_oracle(self, spark):
+        """Round-15 advice (medium): Spark pmod(datediff, 7) is always
+        in [0, 6] but DuckDB '%' is sign-preserving, so a bare '% 7' in
+        the oracle put pre-1970 dates in NEGATIVE wd buckets — splitting
+        the seasons differently from the engine (extra singleton
+        seasons, different S / var / z).  The oracle now uses the
+        double-mod non-negative form; this corpus straddles the epoch
+        so both engines must merge 1969-12-31 (datediff -1, wd 6) into
+        the same season as 1970-01-07 (datediff 6, wd 6)."""
+        import datetime as dt
+
+        import duckdb
+        import pandas as pd
+
+        from parcial_bigdata_spark.plans.registry import ORACLES
+
+        rows, eid = [], 0
+        # season wd=6: 1969-12-31 (2 events) + 1970-01-07 (5 events)
+        # -> one sign pair ONLY if the pre-epoch day lands in wd 6
+        for day, n in ((dt.datetime(1969, 12, 31), 2),
+                       (dt.datetime(1970, 1, 7), 5),
+                       # season wd=0: 1970-01-01 (1) + 1970-01-08 (3)
+                       (dt.datetime(1970, 1, 1), 1),
+                       (dt.datetime(1970, 1, 8), 3)):
+            for _ in range(n):
+                rows.append((eid, day))
+                eid += 1
+        out = ana.seasonal_mann_kendall_daily(
+            spark.createDataFrame(rows, "event_id long, ts timestamp")
+        ).collect()[0]
+        # the merge itself: 2 two-day seasons, not 3 (one negative-wd
+        # singleton is exactly what the broken oracle produced)
+        assert (out["n_days"], out["n_seasons"]) == (4, 2)
+        assert out["s_stat"] == 2
+        con = duckdb.connect()
+        ev = pd.DataFrame(rows, columns=["event_id", "ts"]).astype(
+            {"ts": "datetime64[us]"}
+        )
+        # the registry oracle's events projection names every column
+        ev["user_id"], ev["event_type"] = 1, "view"
+        ev["value"], ev["props"] = 1.0, "{}"
+        con.register("events", ev)
+        ora = con.execute(
+            ORACLES["events_seasonal_mann_kendall"]
+        ).df().iloc[0]
+        for col in ("n_days", "n_seasons", "s_stat", "tie_term"):
+            assert int(ora[col]) == out[col], col
+        assert ora["z_score"] == pytest.approx(out["z_score"], abs=1e-12)
+        assert bool(ora["significant_95"]) == out["significant_95"]

@@ -345,6 +345,44 @@ def test_mp4_taxonomy():
     assert mm._decode_mp4_frames(good)["n_pixels"] == w * h
 
 
+def test_mp4_undersized_sample_table_boxes():
+    """Round-15 advice: sample-table header reads were bounded only by
+    the whole payload, so an UNDERSIZED box silently read its sibling's
+    bytes as counts (garbage caught late, or struct.error near the file
+    tail — outside the documented taxonomy).  Each table must now raise
+    ValueError('... truncated') against its OWN box extent."""
+    import re
+
+    w, h = 4, 4
+    y = np.full((h, w), 77, dtype=np.uint8)
+    neutral = np.full((h // 2, w // 2), 128, dtype=np.uint8)
+    good = _mp4([_i420(y, neutral, neutral)], w, h)
+
+    def shrink(blob: bytes, name: bytes) -> bytes:
+        """Shrink ``name``'s box to a bare 4-byte full-box header (size
+        12) and backfill with a ``free`` box so every enclosing box
+        size stays consistent — the undersized table is the ONLY
+        defect in the file."""
+        at = blob.index(name) - 4
+        (size,) = struct.unpack(">I", blob[at : at + 4])
+        assert size >= 20, "fixture box too small to shrink"
+        return (
+            blob[:at]
+            + struct.pack(">I", 12) + name + bytes(4)
+            + struct.pack(">I", size - 12) + b"free"
+            + blob[at + 20 : at + size]
+            + blob[at + size :]
+        )
+
+    for name in (b"stsz", b"stsc", b"stco"):
+        with pytest.raises(ValueError, match=re.escape("truncated")):
+            mm._decode_mp4_frames(shrink(good, name))
+    # control: the shrink helper itself keeps an otherwise-valid file
+    # valid — replacing stts (which the decoder never reads) must still
+    # decode
+    assert mm._decode_mp4_frames(shrink(good, b"stts"))["n_pixels"] == w * h
+
+
 def test_mjpg_avi_corpus_end_to_end(spark, documents):
     """The closed-form Motion-JPEG AVI corpus decoded through the
     cross-codec path equals the per-frame JPEG construction arithmetic
