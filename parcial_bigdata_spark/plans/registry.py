@@ -2367,7 +2367,7 @@ INTRODUCED_ROUND = {
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation (round 15)
+# Driver-window rotation (round 16)
 #
 # The driver certifies the FIRST 50 queries() entries each round; the full
 # registry is always verifiable locally (tools/check_correctness.py runs all
@@ -2376,40 +2376,40 @@ INTRODUCED_ROUND = {
 # Budget math: with 5 standing slots (parity core 4 + one real streaming
 # run), each round rotates 45 queries.  A B-round staleness budget is
 # feasible only while |rotating registry| <= 45*B.  The round-11 5-round
-# budget (capacity 225) hit its tripwire at 207 rotating queries and
-# round 12 rebased to six rounds (capacity 270); the round-15 additions
-# put the rotating registry at EXACTLY that budget's alarm line (260),
-# so round 15 rebases again to a SEVEN-round budget (capacity 315, ~55
-# seats of true headroom): a query last slotted in round N must
-# re-enter by N+7, and a never-certified query introduced in round N
-# takes its first slot by N+3 (unchanged — new operators still certify
-# promptly).  Feasibility is no longer hand-derived per round:
-# tests/test_staleness.py runs an EDF (earliest-deadline-first)
-# cumulative-demand check over every rotating query's due round, so ANY
-# future window composition that wedges the schedule fails loudly at
-# commit time.
+# budget (capacity 225) hit its tripwire at 207 rotating queries; round
+# 12 rebased to six rounds (capacity 270); round 15 rebased to SEVEN
+# (capacity 315): a query last slotted in round N must re-enter by N+7,
+# and a never-certified query introduced in round N takes its first slot
+# by N+3.  SEVEN IS THE CEILING — the round-15 verdict (item 2) bars a
+# fourth stretch because each rebase dilutes re-certification freshness;
+# from round 16 the budget is governance-pinned
+# (tests/test_staleness.py::test_governance_no_budget_stretch): if the
+# rotating registry approaches the 305 alarm line the remedy is
+# retiring or merging queries, never another stretch, and per-round
+# additions are capped at 8.  Feasibility stays EDF-checked
+# (earliest-deadline-first cumulative demand over every rotating
+# query's due round), so ANY window composition that wedges the
+# schedule fails loudly at commit time.
 #
-# Round-15 window (exactly the composition the round-14 rotation note
-# pre-committed): 5 standing + ALL 21 never-certified round-12
-# introductions (first slot due r15 — the EDF hard edge this round) +
-# the first 24, alphabetically, of the 45-query r10 tranche (last green
-# r10, due r16).  Alphabetical split keeps the tranche partition
-# deterministic and auditable; the remaining 21 r10 queries are the
-# r16 window's forced block.  The two rows-only approximates' audit
-# twins in the r10 tranche (dedup_simhash_check,
-# dedup_embedding_lsh_check) ride in this window; their approximates
-# are due r19 and the APPROX_TWINS invariant is one-directional
-# (approx in window => twin in window), so twin-alone is legal.  This
-# window has ZERO rows-only queries: all 50 are oracle-checked.
+# Round-16 window (exactly the composition the round-15 forward plan and
+# verdict item 1 pre-committed): 5 standing + first slots for ALL 17
+# never-certified r14/r15 introductions (due r17/r18 — front-loaded,
+# freshness beats slack) + the 21-query remainder of the r10 tranche
+# (last green r10, due r17 — the stalest block in the ledger) + the
+# first 7, alphabetically, of the 45-query r11 tranche (last green r11,
+# due r18).  Alphabetical tranche splits keep the partition
+# deterministic and auditable.  This window has ZERO rows-only queries:
+# all 50 are oracle-checked.
 #
-# Forward plan (EDF-checked, not hand-tranched).  Under the seven-round
-# budget the r10 tranche's remaining 21 queries are due r17, the r11
-# tranche r18, and the 9 never-certified r14 introductions keep their
-# r17 grace deadline — so r16's only HARD seats are discretionary; the
-# sensible r16 window still front-loads the r10 remainder + the stalest
-# r11 block (freshness beats slack), plus first slots for the 8
-# round-15 introductions (due r18).  Capacity: 260 rotating (excl.
-# standing) vs the 305 alarm line — ~45 addition seats of headroom.
+# Forward plan (EDF-checked AND pre-committed as checked data — the
+# round-15 verdict's r12/r13 pattern, now enforced by
+# tests/test_staleness.py::test_precommitted_r17_window): after this
+# window certifies, nothing in the ledger is due before r18, so r17's
+# seats are discretionary; the committed NEXT_WINDOW below takes the
+# remaining 38 r11-tranche queries (due r18) plus the first 7,
+# alphabetically, of the 45-query r12 tranche (due r19).  Capacity: 263
+# rotating (excl. standing) vs the 305 alarm line — 42 addition seats
+# of headroom at <= 8 additions/round.
 # --------------------------------------------------------------------------
 
 DRIVER_WINDOW = [
@@ -2417,29 +2417,68 @@ DRIVER_WINDOW = [
     "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
     # a real structured-streaming run — every round
     "streaming_hourly_rollup",
-    # never-certified: all 21 round-12 introductions (first slot due r15)
-    "dedup_component_size_hist", "embedding_random_projection",
-    "events_ab_proportion_test", "events_periodogram",
-    "events_poisson_rate_test", "events_theil_sen_trend", "events_top_paths",
-    "events_weekday_seasonality", "graph_common_neighbors",
-    "graph_harmonic_closeness", "graph_label_propagation", "graph_rich_club",
-    "multimodal_image_histogram", "multimodal_wav_silence",
-    "orders_kaplan_meier", "orders_nelson_aalen", "parts_price_elasticity",
-    "text_bigram_entropy", "text_boilerplate_ngrams", "text_js_divergence",
-    "text_readability",
-    # r10 tranche, first 24 alphabetically (last green r10, due r16;
-    # remainder of the tranche is the r16 window's forced block)
-    "agg_user_bookends", "dedup_components", "dedup_embedding_lsh_check",
-    "dedup_exact", "dedup_exact_survivors", "dedup_incremental_jaccard",
-    "dedup_ngram_jaccard", "dedup_simhash_check",
-    "equidepth_price_histogram", "events_cohort_revenue",
-    "events_daily_users", "events_retention_cohorts",
-    "events_time_decay_attribution", "events_time_weighted_avg",
-    "events_transition_matrix", "events_value_outliers", "graph_kcore",
-    "integrity_fk_audit", "multimodal_wav_sample_decode",
-    "orders_monthly_yoy", "orders_repeat_intervals",
-    "parts_copurchase_rules", "profile_orders_table",
-    "revenue_gini_by_nation",
+    # never-certified: first slots for all 9 r14 introductions (due r17)
+    # and all 8 r15 introductions (due r18)
+    "events_lag_xcorr", "events_mann_kendall_trend",
+    "events_markov_transitions", "events_seasonal_mann_kendall",
+    "multimodal_avi_frame_decode", "multimodal_gif_interlaced_decode",
+    "multimodal_gif_pixel_decode", "multimodal_jpeg_pixel_decode",
+    "multimodal_jpeg_restart_decode", "multimodal_mjpg_avi_decode",
+    "multimodal_mp4_frame_decode", "multimodal_png_interlaced_decode",
+    "multimodal_png_palette_decode", "stats_anova_oneway",
+    "stats_kruskal_wallis", "stats_spearman_rho",
+    "streaming_join_tail_audit",
+    # r10 tranche remainder, 21 queries (last green r10, due r17 — the
+    # forced block the r15 rotation note pre-committed)
+    "sample_chunk_documents", "sample_pps_systematic",
+    "sample_quota_by_source", "sample_stratified_exact",
+    "sample_token_length_hist", "setop_all_party_keys",
+    "setop_churned_customers", "setop_repeat_customers",
+    "setop_status_bag_overlap", "skew_lineitem_suppkey",
+    "stats_price_boxplot", "streaming_cdc_apply", "streaming_tier_rollup",
+    "supplier_return_report", "text_language_id", "text_pmi_collocations",
+    "text_quality_metrics", "text_token_counts", "text_top_tfidf_terms",
+    "text_vocabulary", "window_user_drawdown",
+    # r11 tranche, first 7 alphabetically (last green r11, due r18;
+    # remainder is NEXT_WINDOW's block)
+    "customers_rfm_segments", "dedup_component_survivors",
+    "dedup_cross_split_contamination", "dedup_embedding_cosine",
+    "dedup_ngram_decontaminate", "embedding_centroid_dispersion",
+    "embedding_dim_stats",
+]
+
+# The r17 window, pre-committed as CHECKED DATA (round-15 verdict item
+# 2): tests/test_staleness.py::test_precommitted_r17_window asserts it
+# is 50 unique registry queries containing the standing five and every
+# rotating query due r17-or-earlier once the r16 window certifies, and
+# the EDF check re-verifies global feasibility.  Composition: 5
+# standing + the 38-query r11-tranche remainder (due r18) + the first
+# 7, alphabetically, of the r12 tranche (due r19).
+NEXT_WINDOW = [
+    "interval_query", "interval_count", "ingest_accounting", "json_props_agg",
+    "streaming_hourly_rollup",
+    # r11 tranche remainder (due r18)
+    "embedding_kmeans_train", "embedding_pair_cosine_hist",
+    "embedding_scalar_quantization", "events_hourly_ohlc",
+    "events_mad_outliers", "events_quantile_normalize",
+    "graph_bfs_distances", "graph_degree_hist", "knn_cosine_brute_force",
+    "multimodal_frame_sample", "multimodal_png_pixel_decode",
+    "nation_supplier_hhi", "parts_abc_classes", "sample_epoch_repeat",
+    "sample_leakage_safe_split", "sample_pack_sequences",
+    "sample_split_assign", "sample_temperature_mix", "snapshot_diff_orders",
+    "source_csv_roundtrip", "stats_price_trimmed_means",
+    "streaming_cdc_apply_bucketed", "streaming_hourly_ohlc",
+    "streaming_running_zscore", "text_fingerprints", "text_gopher_flags",
+    "text_heavy_hitters", "text_length_ks_drift", "text_pii_redaction",
+    "text_quality_pass_rates", "text_repetition_ratios",
+    "text_sentence_stats", "text_source_drift", "text_top_words_per_lang",
+    "text_vocab_growth", "text_word_pairs", "text_zipf_fit",
+    "window_rolling_median",
+    # r12 tranche, first 7 alphabetically (due r19)
+    "asof_purchase_signup_tolerance", "dedup_ngram_coverage",
+    "events_activity_streaks", "events_interarrival_hist",
+    "events_sliding_distinct_users", "events_user_entropy",
+    "integrity_expectations",
 ]
 
 # Approximate queries that are rows-only by design (no SQL oracle) and

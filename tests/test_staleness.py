@@ -248,6 +248,88 @@ def test_forward_schedule_is_feasible():
         )
 
 
+def test_governance_no_budget_stretch():
+    """Round-15 verdict item 2: the staleness budget has been rebased
+    5 -> 6 -> 7 rounds as the registry grew, and each stretch dilutes
+    re-certification freshness.  SEVEN IS THE CEILING.  If the rotating
+    registry approaches the 305 alarm line, the remedy is retiring or
+    merging queries — never a fourth stretch — and additions are capped
+    at 8 per round from round 16 on so growth stays inside the 42-seat
+    headroom instead of racing the alarm line."""
+    assert MAX_ROUNDS_WITHOUT_SLOT == 7, (
+        "no fourth budget stretch: the round-15 verdict pins the "
+        "staleness budget at 7 rounds; if capacity is tight, retire or "
+        "merge registry queries instead of stretching the budget"
+    )
+    rotating = len([q for q in _rotating_queries() if q not in STANDING])
+    assert rotating <= 305, (
+        f"rotating registry ({rotating}) crossed the 305 alarm line; "
+        "retire or merge queries — the 7-round budget may NOT be "
+        "stretched (round-15 verdict item 2)"
+    )
+    from collections import Counter
+
+    per_round = Counter(
+        r for r in registry.INTRODUCED_ROUND.values() if r >= 16
+    )
+    too_many = {r: n for r, n in sorted(per_round.items()) if n > 8}
+    assert not too_many, (
+        f"more than 8 registry additions in a round: {too_many} — the "
+        "round-15 governance cap is <= 8/round"
+    )
+
+
+def test_precommitted_next_window():
+    """Round-15 verdict item 2 (the r12/r13 pattern, now checked data
+    instead of prose): ``registry.NEXT_WINDOW`` pre-commits the window
+    AFTER the upcoming one.  It must be a well-formed 50-query window
+    (unique, registered, standing five included, approx-twin invariant
+    honored) and must seat every rotating query whose staleness
+    deadline lands in the round it will run — so the next round's
+    composition can never be both late and surprising.
+
+    Round-boundary aware: in the boundary state (the newest CORRECTNESS
+    file's keys == DRIVER_WINDOW) the upcoming window has not been
+    pasted yet and NEXT_WINDOW IS the upcoming composition; otherwise
+    DRIVER_WINDOW runs at ``current`` and NEXT_WINDOW at ``current+1``
+    with DRIVER_WINDOW's seats assumed certified."""
+    rounds = _correctness_rounds()
+    current = _current_round(rounds)
+    window = set(registry.DRIVER_WINDOW)
+    nxt = list(registry.NEXT_WINDOW)
+    nxt_set = set(nxt)
+
+    assert len(nxt) == WINDOW_SIZE and len(nxt_set) == WINDOW_SIZE
+    assert STANDING <= nxt_set, "standing five missing from NEXT_WINDOW"
+    unknown = nxt_set - set(registry.QUERIES)
+    assert not unknown, f"NEXT_WINDOW names not in the registry: {unknown}"
+    for approx, twin in registry.APPROX_TWINS.items():
+        if approx in nxt_set:
+            assert twin in nxt_set, (
+                f"approximate {approx} in NEXT_WINDOW without its audit "
+                f"twin {twin}"
+            )
+
+    boundary_state = window == rounds[max(rounds)]
+    if boundary_state:
+        next_round = current  # NEXT_WINDOW is the upcoming composition
+        covered = nxt_set
+    else:
+        next_round = current + 1  # runs after DRIVER_WINDOW certifies
+        covered = window | nxt_set
+    late = []
+    for name in _rotating_queries():
+        if name in covered or name in STANDING:
+            continue
+        due = _due_round(name, rounds)
+        if due is not None and due <= next_round:
+            late.append(f"{name} (due r{due}, NEXT_WINDOW runs r{next_round})")
+    assert not late, (
+        "rotating queries fall due in the pre-committed window's round "
+        f"but hold no seat in it: {sorted(late)}"
+    )
+
+
 def test_never_certified_check_survives_round_boundary(monkeypatch):
     """Regression for the round-14 judged-tree red: a never-certified
     query whose introduction grace expires EXACTLY at the round the
