@@ -1156,6 +1156,8 @@ _NEW_OPS_R8 = [
     "multimodal_jpeg_restart_decode",
     "events_mann_kendall_trend",
     "events_seasonal_mann_kendall",
+    # round-16 additions
+    "multimodal_jpeg_subsampled_decode",
 ]
 
 

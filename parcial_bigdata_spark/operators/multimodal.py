@@ -1343,10 +1343,14 @@ def _decode_jpeg_pixels(content: bytes) -> dict:
     runs (closed-form corpora just make its outputs oracle-checkable,
     the PNG/GIF round-14 pattern).
 
-    Scope: baseline DCT (SOF0), 8-bit precision, grayscale or 3-
-    component 4:4:4 YCbCr.  Progressive (SOF2), 12-bit, subsampled, or
-    arithmetic-coded streams are valid JPEG outside this scope and
-    raise NotImplementedError so the optional PIL tier stays reachable;
+    Scope: baseline DCT (SOF0), 8-bit precision, grayscale or
+    3-component YCbCr at the dominant sampling layouts — 4:4:4,
+    4:2:2, 4:4:0, and 4:2:0 (luma up to 2x2, chroma 1x1; the T.81
+    A.2.3 MCU interleave, chroma upsampled by sample replication, the
+    same 2x2 math as the MP4 I420 path).  Progressive (SOF2), 12-bit,
+    wilder sampling layouts (4:1:1, factors > 2), or arithmetic-coded
+    streams are valid JPEG outside this scope and raise
+    NotImplementedError so the optional PIL tier stays reachable;
     corrupt payloads (bad magic, truncated segments, Huffman overruns,
     coefficient overflow) raise ValueError — corruption never
     masquerades as a missing dependency (round-7 advice)."""
@@ -1423,11 +1427,27 @@ def _decode_jpeg_pixels(content: bytes) -> dict:
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError("bad JPEG sampling factors")
+                comps.append({"id": cid, "tq": tq, "h": ch, "v": cv})
+            if nf == 1:
+                # single-component frames are non-interleaved: the scan
+                # is one data unit per MCU regardless of the declared
+                # factors (T.81 A.2.2), so normalize to 1x1
+                comps[0]["h"] = comps[0]["v"] = 1
+            else:
+                # color scope: chroma 1x1 with luma up to 2x2 covers
+                # 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 (the dominant layouts);
+                # anything wilder (4:1:1, subsampled luma vs a larger
+                # chroma, factors > 2) stays on the optional PIL tier
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps[1:]) or (
+                    comps[0]["h"] > 2 or comps[0]["v"] > 2
+                ):
                     raise NotImplementedError(
-                        "subsampled JPEG (H/V != 1/1) requires PIL"
+                        "JPEG sampling layout beyond 4:4:4/4:2:2/4:4:0/"
+                        "4:2:0 requires PIL"
                     )
-                comps.append({"id": cid, "tq": tq})
             sof = {"w": w, "h": h, "comps": comps}
         elif marker == 0xC4:  # DHT
             p = 0
@@ -1475,62 +1495,91 @@ def _decode_jpeg_pixels(content: bytes) -> dict:
     m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
     m[0, :] /= np.sqrt(2.0)
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    # MCU geometry (T.81 A.2.3): the interleave unit is hmax x vmax
+    # data units of 8x8 samples; component i contributes h_i x v_i
+    # blocks per MCU into a plane of ceil(w*h_i/hmax) x ceil(h*v_i/vmax)
+    # samples.  In the all-1x1 case (grayscale, 4:4:4) this degenerates
+    # to exactly the one-block-per-MCU raster.
+    hmax = max(c["h"] for c in sof["comps"])
+    vmax = max(c["v"] for c in sof["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        np.empty((bh * 8, bw * 8), dtype=np.uint8) for _ in sof["comps"]
+        np.empty((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.uint8)
+        for c in sof["comps"]
     ]
     reader = _JpegBitReader(content, pos)
     pred = [0] * len(sof["comps"])
     zz = np.empty(64, dtype=np.float64)
     n_mcu, next_rst = 0, 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 reader.sync_restart(next_rst)
                 next_rst = (next_rst + 1) & 0x07
                 pred = [0] * len(sof["comps"])
             n_mcu += 1
             for ci, (comp, sc) in enumerate(zip(sof["comps"], scan)):
-                try:
-                    t = reader.huff(dc_tabs[sc["td"]])
-                    if t > 11:
-                        raise ValueError("JPEG DC category > 11")
-                    diff = _jpeg_extend(reader.bits(t), t)
-                    pred[ci] += diff
-                    zz[:] = 0.0
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huff(ac_tabs[sc["ta"]])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 0:  # EOB
-                                break
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            raise ValueError(f"invalid JPEG AC run/size {rs:#x}")
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC coefficient past block end")
-                        zz[k] = _jpeg_extend(reader.bits(s), s)
-                        k += 1
-                except _JpegRestart:
-                    raise ValueError(
-                        "JPEG restart marker inside an entropy symbol"
-                    ) from None
-                quant = np.asarray(qt[comp["tq"]], dtype=np.float64)
-                block = np.zeros(64, dtype=np.float64)
-                block[_JPEG_ZIGZAG] = zz * quant
-                px = m.T @ block.reshape(8, 8) @ m + 128.0
-                planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
-                    np.clip(np.rint(px), 0, 255).astype(np.uint8)
-                )
+                for bu in range(comp["h"] * comp["v"]):
+                    by = my * comp["v"] + bu // comp["h"]
+                    bx = mx * comp["h"] + bu % comp["h"]
+                    try:
+                        t = reader.huff(dc_tabs[sc["td"]])
+                        if t > 11:
+                            raise ValueError("JPEG DC category > 11")
+                        diff = _jpeg_extend(reader.bits(t), t)
+                        pred[ci] += diff
+                        zz[:] = 0.0
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_tabs[sc["ta"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 0:  # EOB
+                                    break
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                raise ValueError(
+                                    f"invalid JPEG AC run/size {rs:#x}"
+                                )
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC coefficient past block end"
+                                )
+                            zz[k] = _jpeg_extend(reader.bits(s), s)
+                            k += 1
+                    except _JpegRestart:
+                        raise ValueError(
+                            "JPEG restart marker inside an entropy symbol"
+                        ) from None
+                    quant = np.asarray(qt[comp["tq"]], dtype=np.float64)
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_JPEG_ZIGZAG] = zz * quant
+                    px = m.T @ block.reshape(8, 8) @ m + 128.0
+                    planes[ci][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                        np.clip(np.rint(px), 0, 255).astype(np.uint8)
+                    )
     if len(planes) == 1:
         gray = planes[0][:h, :w].astype(np.int64)
         chans = np.stack([gray, gray, gray], axis=-1).reshape(-1, 3)
     else:
-        yp, cb, cr = (p[:h, :w].astype(np.float64) for p in planes)
+        # per-component crop to the true sample grid, then nearest-
+        # neighbor (sample replication) upsample back to full frame —
+        # the same 2x2 replication the MP4 I420 path uses; for 4:4:4
+        # every factor is 1 and this is the identity
+        full = []
+        for p, c in zip(planes, sof["comps"]):
+            cw = (w * c["h"] + hmax - 1) // hmax
+            ch = (h * c["v"] + vmax - 1) // vmax
+            up = np.repeat(
+                np.repeat(p[:ch, :cw], vmax // c["v"], axis=0),
+                hmax // c["h"], axis=1,
+            )
+            full.append(up[:h, :w])
+        yp, cb, cr = (p.astype(np.float64) for p in full)
         # JFIF YCbCr -> RGB (ITU T.871)
         r = yp + 1.402 * (cr - 128.0)
         g = yp - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
@@ -2787,6 +2836,80 @@ def jpeg_restart_summary(documents: DataFrame) -> DataFrame:
     shares verbatim — the gif-interlaced precedent)."""
     return decode_pixels(
         synth_jpeg_restart_corpus(documents), use_fake_decode=False
+    ).transform(_ordered_once)
+
+
+def synth_jpeg_subsampled_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL 4:2:0 color JPEGs — the dominant real-world
+    sampling layout — with fully decodable interleaved scans, built
+    with pure built-in byte expressions.
+
+    The closed form extends ``synth_jpeg_pixel_corpus``'s trick to the
+    T.81 A.2.3 MCU interleave: 3-component SOF0 with luma 2x2 and
+    chroma 1x1 (one 16x16 MCU = 4 Y blocks + 1 Cb + 1 Cr), the same
+    byte-aligned custom Huffman tables, every block DC-only.  Y block
+    k (global scan order, 4 per MCU) carries the base corpus' value
+    form — D at k = 0, 127 - E at odd k, E at even k >= 2 — 16 bits per
+    block; both chroma blocks code DC diff 0 (category-0 code 0000 +
+    EOB 0000 = one 0x00 byte each), so every chroma sample decodes to
+    EXACTLY 128 and the T.871 transform collapses to R = G = B = Y:
+    the 2x2 chroma upsample sits ON the hash path (any replication or
+    plane-geometry slip shifts a chroma sample off 128 and corrupts a
+    channel sum) while the pixel closed form stays exact.  An MCU is
+    4*2 + 1 + 1 = 10 bytes, byte-aligned, no 0xFF possible.  Because
+    the within-MCU Y raster makes global block parity equal COLUMN
+    parity (k = 4m + j -> k % 2 = j % 2 = bx % 2), the even/odd value
+    split is the same half-and-half census as the grayscale corpus.
+    Geometry: mw x mh MCUs (16mw x 16mh px), mw = 1 + doc_id % 2,
+    mh = 1 + (doc_id div 2) % 2 — no MCU crop, so the padded grid IS
+    the frame and the closed form needs no edge case."""
+    documents = _parallel_docs(documents)
+    mw = "(1 + doc_id % 2)"
+    mh = "(1 + (doc_id div 2) % 2)"
+    nm = f"({mw} * {mh})"
+    d = "64 + doc_id % 64"
+    e = "64 + (doc_id * 5) % 64"
+    vk = (
+        f"CASE WHEN (4 * m1 + j) = 0 THEN ({d}) "
+        f"WHEN j % 2 = 1 THEN 127 - ({e}) ELSE ({e}) END"
+    )
+    scan = (
+        f"array_join(transform(sequence(0, CAST({nm} AS INT) - 1), m1 -> "
+        f"concat(array_join(transform(sequence(0, 3), j -> "
+        f"concat(lpad(hex(16 + ({vk}) div 16), 2, '0'), "
+        f"lpad(hex((({vk}) % 16) * 16), 2, '0'))), ''), '0000')), '')"
+    )
+    dims = f"concat(lpad(hex(16 * {mh}), 4, '0'), lpad(hex(16 * {mw}), 4, '0'))"
+    content_hex = F.expr(
+        "concat('FFD8', 'FFDB004300', '08', repeat('01', 63), "
+        f"'FFC0001108', {dims}, '03012200021100031100', "
+        "'FFC4001500', '0000000101', repeat('00', 11), '0007', "
+        "'FFC4001410', '00000001', repeat('00', 12), '00', "
+        "'FFDA000C03010002000300', '003F00', "
+        f"{scan}, 'FFD9')"
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(content_hex).alias("content"),
+        F.lit("image/jpeg").alias("media_type"),
+        "source",
+    )
+
+
+def jpeg_subsampled_summary(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL 4:2:0 JPEG decode
+    (`multimodal_jpeg_subsampled_decode`): genuine chroma-subsampled
+    color JPEGs decoded through the generic MCU-interleave path —
+    per-component sampling geometry, the 4-blocks-then-Cb-then-Cr
+    entropy order, per-component DC predictor chains, and the 2x2
+    nearest-neighbor chroma upsample all sit on the hash path.
+    Neutral chroma (every chroma sample exactly 128) keeps the pixel
+    closed form exact for the DuckDB oracle; NON-neutral chroma
+    generality is pinned by the independent-encoder pytest goldens
+    (tests/test_jpeg_codec.py::test_jpeg_420_non_neutral_chroma_golden
+    and siblings)."""
+    return decode_pixels(
+        synth_jpeg_subsampled_corpus(documents), use_fake_decode=False
     ).transform(_ordered_once)
 
 

@@ -598,3 +598,40 @@ ORACLES["multimodal_gif_interlaced_decode"] = ORACLES[
 ORACLES["multimodal_jpeg_restart_decode"] = ORACLES[
     "multimodal_jpeg_pixel_decode"
 ]
+
+# 4:2:0 chroma-subsampled color JPEGs (round 16): the Spark side
+# synthesizes genuine interleaved-MCU scans (luma 2x2, chroma 1x1, one
+# 16x16 MCU = 4 Y + Cb + Cr blocks) whose chroma blocks all code DC
+# diff 0 — every chroma sample decodes to exactly 128, the T.871
+# transform collapses to R = G = B = Y, and the Y blocks carry the base
+# corpus' even/odd closed form (global block parity == column parity
+# under the within-MCU raster).  The 2x2 replication upsample sits on
+# the hash path: any geometry slip moves a chroma sample off 128 and
+# corrupts a channel sum.  mw x mh MCUs, no crop.
+ORACLES["multimodal_jpeg_subsampled_decode"] = """
+    WITH geo AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS mw,
+               1 + (doc_id // 2) % 2 AS mh,
+               64 + doc_id % 64 AS d,
+               64 + (doc_id * 5) % 64 AS e
+        FROM documents
+    ), agg AS (
+        SELECT doc_id, mw, mh, d, e,
+               4 * mw * mh AS nb
+        FROM geo
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 * mw AS INT) AS width,
+           CAST(16 * mh AS INT) AS height,
+           CAST(256 * mw * mh AS BIGINT) AS n_pixels,
+           CAST(64 * ((nb // 2) * (d + 128)
+                      + (nb // 2) * (d - e + 128)) AS BIGINT) AS sum_b,
+           CAST(64 * ((nb // 2) * (d + 128)
+                      + (nb // 2) * (d - e + 128)) AS BIGINT) AS sum_g,
+           CAST(64 * ((nb // 2) * (d + 128)
+                      + (nb // 2) * (d - e + 128)) AS BIGINT) AS sum_r,
+           CAST(d - e + 128 AS INT) AS min_byte,
+           CAST(d + 128 AS INT) AS max_byte
+    FROM agg ORDER BY media_id
+"""

@@ -1065,6 +1065,14 @@ def q_jpeg_restart_decode(spark, sf_dir):
     return mm_ops.jpeg_restart_summary(_t(spark, sf_dir, "documents"))
 
 
+def q_jpeg_subsampled_decode(spark, sf_dir):
+    # REAL 4:2:0 decode — the dominant real-world JPEG layout: generic
+    # T.81 MCU interleave (4 Y + Cb + Cr per 16x16 MCU), per-component
+    # DC predictor chains, 2x2 nearest-neighbor chroma upsample, T.871
+    # color transform; neutral chroma keeps the closed form exact
+    return mm_ops.jpeg_subsampled_summary(_t(spark, sf_dir, "documents"))
+
+
 def q_jpeg_pixel_decode(spark, sf_dir):
     # REAL baseline JPEG pixel decode: marker walk + canonical Huffman
     # construction + the genuine entropy decode (DC categories, EXTEND,
@@ -2252,6 +2260,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_restart_decode": q_jpeg_restart_decode,
     "events_mann_kendall_trend": q_mann_kendall,
     "events_seasonal_mann_kendall": q_seasonal_mann_kendall,
+    # round-16 additions (INTRODUCED_ROUND 16; first slots due r19)
+    "multimodal_jpeg_subsampled_decode": q_jpeg_subsampled_decode,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2272,6 +2282,8 @@ if _ilu.find_spec("PIL") is not None:
 # their CORRECTNESS_r*.json rows instead).  Remove an entry once its
 # query is driver-certified.
 INTRODUCED_ROUND = {
+    # round-16 additions
+    "multimodal_jpeg_subsampled_decode": 16,
     # round-15 additions
     "multimodal_jpeg_pixel_decode": 15,
     "multimodal_avi_frame_decode": 15,

@@ -114,20 +114,24 @@ def _encode_blocks(wr, blocks, dc_codes, ac_codes, pred0=0):
 
 
 def _make_jpeg_full(
-    w, h, comp_blocks, quant, restart=0, sof=0xC0, precision=8, hv=0x11
+    w, h, comp_blocks, quant, restart=0, sof=0xC0, precision=8, hv=0x11,
+    hv_list=None,
 ):
     """Independent baseline JPEG encoder.  ``comp_blocks``: per
     component, a list of 64-length zigzag-order quantized-coefficient
-    lists, one per MCU in raster order."""
+    lists — one per MCU in raster order when every component is 1x1,
+    or ``h*v`` consecutive blocks per MCU (T.81 A.2.3 interleave
+    order) when ``hv_list`` declares per-component sampling factors."""
     import struct
 
     nf = len(comp_blocks)
+    hv_list = hv_list or [hv] * nf
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(quant)
     out += bytes([0xFF, sof]) + struct.pack(">H", 8 + 3 * nf)
     out += bytes([precision]) + struct.pack(">HH", h, w) + bytes([nf])
     for c in range(nf):
-        out += bytes([c + 1, hv, 0])
+        out += bytes([c + 1, hv_list[c], 0])
     for tc, bits, vals in ((0, DC_BITS, DC_VALS), (1, AC_BITS, AC_VALS)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
@@ -139,7 +143,15 @@ def _make_jpeg_full(
     out += b"\x00\x3f\x00"
     dc_codes = _canon_codes(DC_BITS, DC_VALS)
     ac_codes = _canon_codes(AC_BITS, AC_VALS)
-    n_mcu = len(comp_blocks[0])
+    # single-component frames are non-interleaved (one data unit per
+    # MCU) no matter what factors the SOF declares — mirror T.81 A.2.2
+    per_mcu = (
+        [1] if nf == 1
+        else [(hv_list[c] >> 4) * (hv_list[c] & 0x0F) for c in range(nf)]
+    )
+    # max(1, ...) keeps deliberately-corrupt zero factors encodable
+    # (the decoder rejects them at SOF parse before the scan matters)
+    n_mcu = len(comp_blocks[0]) // max(1, per_mcu[0])
     preds = [0] * nf
     wr = _BitWriter()
     next_rst = 0
@@ -153,7 +165,9 @@ def _make_jpeg_full(
             preds = [0] * nf
         for c in range(nf):
             preds[c] = _encode_blocks(
-                wr, [comp_blocks[c][i]], dc_codes, ac_codes, preds[c]
+                wr,
+                comp_blocks[c][i * per_mcu[c] : (i + 1) * per_mcu[c]],
+                dc_codes, ac_codes, preds[c],
             )
     wr.flush()
     out += wr.buf + b"\xff\xd9"
@@ -315,17 +329,173 @@ def test_jpeg_color_444():
     assert stats["max_byte"] == int(max(r.max(), g.max(), b.max()))
 
 
+def _assemble_plane(blocks, mcux, mcuy, cmp_h, cmp_v, quant):
+    """Independent reference: place per-MCU interleaved blocks (flat
+    list, MCU-major, cmp_h*cmp_v consecutive blocks per MCU in raster
+    order) onto the padded component plane."""
+    img = np.zeros((mcuy * cmp_v * 8, mcux * cmp_h * 8), dtype=np.int64)
+    i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for bu in range(cmp_h * cmp_v):
+                by = my * cmp_v + bu // cmp_h
+                bx = mx * cmp_h + bu % cmp_h
+                img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = _ref_idct(
+                    blocks[i], quant
+                )
+                i += 1
+    return img
+
+
+def _ref_subsampled_stats(w, h, yb, cbb, crb, quant, yh, yv):
+    """Reference pixels for a YCbCr frame with luma factors (yh, yv)
+    and 1x1 chroma: MCU-interleaved placement, nearest-neighbor chroma
+    replication, T.871 conversion — fully independent of the decoder's
+    separable-IDCT/np.repeat implementation path."""
+    mcux = (w + 8 * yh - 1) // (8 * yh)
+    mcuy = (h + 8 * yv - 1) // (8 * yv)
+    yimg = _assemble_plane(yb, mcux, mcuy, yh, yv, quant)[:h, :w]
+    cw, ch_ = (w + yh - 1) // yh, (h + yv - 1) // yv
+    ups = []
+    for blocks in (cbb, crb):
+        p = _assemble_plane(blocks, mcux, mcuy, 1, 1, quant)[:ch_, :cw]
+        up = np.kron(p, np.ones((yv, yh), dtype=np.int64))[:h, :w]
+        ups.append(up.astype(np.float64))
+    cbimg, crimg = ups
+    yimg = yimg.astype(np.float64)
+    r = np.clip(np.rint(yimg + 1.402 * (crimg - 128)), 0, 255)
+    g = np.clip(
+        np.rint(yimg - 0.344136 * (cbimg - 128) - 0.714136 * (crimg - 128)),
+        0, 255,
+    )
+    b = np.clip(np.rint(yimg + 1.772 * (cbimg - 128)), 0, 255)
+    chans = np.stack([c.astype(np.int64) for c in (r, g, b)], axis=-1)
+    flat = chans.reshape(-1)
+    return {
+        "sum_r": int(chans[..., 0].sum()),
+        "sum_g": int(chans[..., 1].sum()),
+        "sum_b": int(chans[..., 2].sum()),
+        "min_byte": int(chans.min()),
+        "max_byte": int(chans.max()),
+        "pos_weighted": int(
+            (flat * np.arange(1, flat.size + 1, dtype=np.int64)).sum()
+        ),
+    }
+
+
+def test_jpeg_420_non_neutral_chroma_golden():
+    """4:2:0 with REAL chroma content (not the corpus' neutral 128):
+    one 16x16 MCU — 4 interleaved Y blocks with AC energy, 1 Cb, 1 Cr
+    — decoded pixels must equal the independent MCU-placement +
+    2x2-replication + T.871 reference exactly."""
+    yb = [_block(20, [(1, 4)]), _block(-10, [(2, 3)]),
+          _block(5), _block(15, [(1, -2)])]
+    cbb = [_block(9, [(1, 2)])]
+    crb = [_block(-12, [(3, 1)])]
+    w, h = 16, 16
+    blob = _make_jpeg_full(
+        w, h, [yb, cbb, crb], QUANT_REAL, hv_list=[0x22, 0x11, 0x11]
+    )
+    stats = mm._decode_jpeg_pixels(blob)
+    ref = _ref_subsampled_stats(w, h, yb, cbb, crb, QUANT_REAL, 2, 2)
+    for key, val in ref.items():
+        assert stats[key] == val, key
+    assert (stats["width"], stats["height"]) == (w, h)
+
+
+def test_jpeg_420_multi_mcu_order_and_predictors():
+    """Two 4:2:0 MCUs side by side: pins the MCU raster order, the
+    within-MCU Y-block raster, and the per-COMPONENT DC predictor
+    chains (Y predictor runs across all 8 Y blocks; each chroma
+    predictor across its 2)."""
+    yb = [_block(40 + 7 * i, [(1, (-1) ** i * 2)]) for i in range(8)]
+    cbb = [_block(16), _block(-16)]
+    crb = [_block(-8), _block(24)]
+    w, h = 32, 16
+    blob = _make_jpeg_full(
+        w, h, [yb, cbb, crb], QUANT_REAL, hv_list=[0x22, 0x11, 0x11]
+    )
+    stats = mm._decode_jpeg_pixels(blob)
+    ref = _ref_subsampled_stats(w, h, yb, cbb, crb, QUANT_REAL, 2, 2)
+    for key, val in ref.items():
+        assert stats[key] == val, key
+
+
+def test_jpeg_420_mcu_crop():
+    """4:2:0 with dimensions that are NOT MCU multiples (12x10): the
+    padded 16x16 MCU grid must crop back per component (Y 12x10,
+    chroma 6x5 upsampled to 12x10)."""
+    yb = [_block(30, [(1, 3)]), _block(-20), _block(10, [(4, 1)]),
+          _block(0)]
+    cbb = [_block(6)]
+    crb = [_block(-6, [(1, 1)])]
+    w, h = 12, 10
+    blob = _make_jpeg_full(
+        w, h, [yb, cbb, crb], QUANT_REAL, hv_list=[0x22, 0x11, 0x11]
+    )
+    stats = mm._decode_jpeg_pixels(blob)
+    ref = _ref_subsampled_stats(w, h, yb, cbb, crb, QUANT_REAL, 2, 2)
+    for key, val in ref.items():
+        assert stats[key] == val, key
+    assert stats["n_pixels"] == w * h
+
+
+def test_jpeg_422_golden():
+    """4:2:2 (luma 2x1): horizontal-only chroma replication through
+    the same generic MCU interleave."""
+    yb = [_block(25, [(1, 2)]), _block(-15, [(2, -1)])]
+    cbb = [_block(10)]
+    crb = [_block(-10)]
+    w, h = 16, 8
+    blob = _make_jpeg_full(
+        w, h, [yb, cbb, crb], QUANT_REAL, hv_list=[0x21, 0x11, 0x11]
+    )
+    stats = mm._decode_jpeg_pixels(blob)
+    ref = _ref_subsampled_stats(w, h, yb, cbb, crb, QUANT_REAL, 2, 1)
+    for key, val in ref.items():
+        assert stats[key] == val, key
+
+
+def test_jpeg_single_component_sampling_factors_ignored():
+    """T.81 A.2.2: a single-component frame is non-interleaved, so
+    declared sampling factors are ignored — a grayscale stream with
+    hv 2x2 must decode identically to the 1x1 stream (it previously
+    raised the out-of-scope signal)."""
+    blocks = [_block(14, [(1, 3)]), _block(-9)]
+    w, h = 16, 8
+    plain = _make_jpeg_full(w, h, [blocks], QUANT_REAL)
+    declared = _make_jpeg_full(w, h, [blocks], QUANT_REAL, hv=0x22)
+    assert mm._decode_jpeg_pixels(declared) == mm._decode_jpeg_pixels(plain)
+
+
 def test_jpeg_taxonomy_unsupported_vs_corrupt():
     """Valid-but-out-of-scope streams are NotImplementedError (the
     optional-PIL signal); corrupt streams are ValueError — never
     confused (round-7 advice)."""
     blocks = [_block(10)]
     good = _make_jpeg_full(8, 8, [blocks], [8] + [1] * 63)
-    # out-of-scope: progressive, 12-bit, subsampled
-    for kw in ({"sof": 0xC2}, {"precision": 12}, {"hv": 0x21}):
+    # out-of-scope: progressive, 12-bit
+    for kw in ({"sof": 0xC2}, {"precision": 12}):
         bad = _make_jpeg_full(8, 8, [blocks], [8] + [1] * 63, **kw)
         with pytest.raises(NotImplementedError):
             mm._decode_jpeg_pixels(bad)
+    # out-of-scope sampling layouts (color only — single-component
+    # factors are ignored per T.81 A.2.2): 4:1:1 luma, subsampled
+    # chroma relative to a 2x2 luma beyond the 1x1-chroma scope
+    for hvs in ([0x41, 0x11, 0x11], [0x22, 0x21, 0x11]):
+        bad = _make_jpeg_full(
+            8, 8, [blocks * 4, blocks, blocks], [8] + [1] * 63,
+            hv_list=hvs,
+        )
+        with pytest.raises(NotImplementedError, match="sampling"):
+            mm._decode_jpeg_pixels(bad)
+    # corrupt, not unsupported: zero sampling factor
+    bad = _make_jpeg_full(
+        8, 8, [blocks, blocks, blocks], [8] + [1] * 63,
+        hv_list=[0x01, 0x11, 0x11],
+    )
+    with pytest.raises(ValueError, match="sampling"):
+        mm._decode_jpeg_pixels(bad)
     # corrupt: bad magic, truncated entropy, EOI before scan
     with pytest.raises(ValueError, match="magic"):
         mm._decode_jpeg_pixels(b"\x00" + good[1:])
@@ -394,6 +564,26 @@ def test_jpeg_corpus_end_to_end(spark, documents):
         assert row.sum_r == row.sum_g == row.sum_b == exp_sum
         assert row.max_byte == dd + 128
         assert row.min_byte == (dd - ee + 128 if nb > 1 else dd + 128)
+
+
+def test_jpeg_subsampled_corpus_end_to_end(spark, documents):
+    """End-to-end: the 4:2:0 corpus decoded through decode_pixels
+    equals the construction arithmetic (the DuckDB oracle's formula) —
+    neutral chroma makes R = G = B = Y exact, and the within-MCU Y
+    raster makes the even/odd split half-and-half."""
+    out = mm.jpeg_subsampled_summary(documents).collect()
+    assert len(out) == 5
+    for row in out:
+        d_id = row.media_id
+        mw, mh = 1 + d_id % 2, 1 + (d_id // 2) % 2
+        nb = 4 * mw * mh
+        dd, ee = 64 + d_id % 64, 64 + (d_id * 5) % 64
+        exp_sum = 64 * (nb // 2 * (dd + 128) + nb // 2 * (dd - ee + 128))
+        assert (row.width, row.height) == (16 * mw, 16 * mh)
+        assert row.n_pixels == 256 * mw * mh
+        assert row.sum_r == row.sum_g == row.sum_b == exp_sum
+        assert row.max_byte == dd + 128
+        assert row.min_byte == dd - ee + 128
 
 
 def test_jpeg_corpus_block_placement():
