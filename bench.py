@@ -1158,6 +1158,10 @@ _NEW_OPS_R8 = [
     "events_seasonal_mann_kendall",
     # round-16 additions
     "multimodal_jpeg_subsampled_decode",
+    "dedup_ngram_containment",
+    "stats_mcnemar_paired",
+    "graph_local_clustering",
+    "stats_friedman_blocks",
 ]
 
 
@@ -1322,6 +1326,19 @@ def main() -> None:
     # a durable home regardless of stdout truncation.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail_record, indent=1) + "\n")
+    # Round-stamped bench-of-record artifact (round-15 verdict item 7):
+    # BENCH_DETAIL.json is overwritten by EVERY run — including the
+    # driver's untagged refresh — so the round's record-run per-query
+    # detail previously survived only in BASELINE.md prose.  Setting
+    # SPARK_GRAFT_BENCH_RECORD=<path> (e.g. BENCH_RECORD_r16.json)
+    # additionally writes this run's full detail to a file the driver
+    # never touches; the builder sets it exactly once per round, on the
+    # run BASELINE.md names as the record.
+    record_path = os.environ.get("SPARK_GRAFT_BENCH_RECORD")
+    if record_path:
+        Path(record_path).write_text(
+            json.dumps(detail_record, indent=1) + "\n"
+        )
     # Detail record first (unbounded size — probe history lives here),
     # compact headline LAST (the driver's 2000-char stdout tail capture
     # must always contain a complete parseable headline line).

@@ -3611,3 +3611,170 @@ def lag_xcorr_click_purchase(
         )
         .orderBy("lag_hours")
     )
+
+
+def mcnemar_purchase_halves(events: DataFrame) -> DataFrame:
+    """McNemar's paired test on conversion across the corpus' two time
+    halves (`stats_mcnemar_paired`): each user is their OWN pair —
+    "did they purchase in the first half?" vs "in the second half?" —
+    and only the DISCORDANT users (converted in exactly one half)
+    carry information.  The before/after sibling of the independent
+    two-proportion test (`events_ab_proportion_test`); Edwards'
+    continuity-corrected form, 1 df.
+
+    Exactness: the half boundary is the integer-microsecond midpoint,
+    tested as ``2*us <= min_us + max_us`` — NO division, so there is
+    no floor-vs-truncate divergence between engines (the round-15
+    seasonal-MK weekday advice is this exact bug class); b and c are
+    integers from one per-user aggregate; the χ² statistic is ONE
+    IEEE division of integers, reported at 6 dp.
+
+    Scale: one fact pass — the (user, half-flag) groupBy is the only
+    fact-sized shuffle (map-side combining max), the time bounds ride
+    a broadcast 1-row aggregate, and everything after runs on a 1-row
+    frame.  No window over row data, no per-user collect."""
+    ev = events.where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    bounds = ev.agg(
+        (F.min("us") + F.max("us")).alias("mm")
+    )
+    is_p = F.col("event_type") == "purchase"
+    in_h1 = (F.lit(2) * F.col("us")) <= F.col("mm")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(is_p & in_h1, 1).otherwise(0)).alias("p1"),
+            F.max(F.when(is_p & ~in_h1, 1).otherwise(0)).alias("p2"),
+        )
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        # coalesce(0): an empty corpus must read b = c = 0 like the
+        # oracle's coalesced sums, not NULL
+        F.coalesce(
+            F.sum(F.col("p1") * (1 - F.col("p2"))), F.lit(0)
+        ).alias("b"),
+        F.coalesce(
+            F.sum((1 - F.col("p1")) * F.col("p2")), F.lit(0)
+        ).alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    num = (F.abs(F.col("b") - F.col("c")) - 1)
+    chi2 = (num * num).cast("double") / bc.cast("double")
+    return agg.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("b").cast("long").alias("h1_only"),
+        F.col("c").cast("long").alias("h2_only"),
+        F.when(bc > 0, ratio_round(chi2, 6)).alias("chi2_cc"),
+        F.when(bc > 0, chi2 > 3.841459).alias("significant_95"),
+    )
+
+
+def friedman_activity_blocks(events: DataFrame) -> DataFrame:
+    """Friedman repeated-measures rank test (`stats_friedman_blocks`):
+    do the event TYPES differ in per-user activity once each user is
+    their own block?  Users are blocks, types are treatments, the
+    observation is the user's event count of that type, and ranking
+    WITHIN each user removes the user-volume nuisance factor a pooled
+    test (`stats_kruskal_wallis`) cannot — a heavy user inflates every
+    type equally and contributes the same ranks as a light one.  Only
+    COMPLETE blocks (users with >= 1 event of every corpus type) enter,
+    per the classical design; average ranks for ties with the
+    tie-general statistic (Conover 1999):
+    chi2_F = (k-1)·[Σ_t R_t² − n²k(k+1)²/4] / [A − nk(k+1)²/4],
+    A = Σ r², which reduces to the textbook 12/(nk(k+1)) form when no
+    ties exist.
+
+    Exactness: counts are integers, so within-block average ranks ride
+    the INTEGER double-rank grid dr = 2·(rank−1) + ties + 1 (the
+    Mann-Whitney/Kruskal technique applied per block) and every sum —
+    R2_t, Σ R2_t², A4 = Σ dr², and the n/k products — aggregates as
+    exact DECIMAL(38,0).  In double-ranks the statistic is
+    (k−1)·(Σ R2_t² − n²k(k+1)²) / (A4 − nk(k+1)²): integer numerator
+    and denominator, ONE IEEE multiply-divide sequence at the end,
+    rounded at 6 dp.  Significance compares the UNROUNDED statistic to
+    the fixed chi-square 0.95 quantile for df = k−1 ≤ 6 (a literal
+    map; NULL beyond — the corpus has a handful of types).  Degenerate
+    inputs (no complete blocks, k < 2, or every block fully tied so
+    the denominator is 0) leave the statistic NULL rather than raising.
+
+    Scale: one map-side-combining (user, type) count over the scan is
+    the only fact-sized shuffle; the rank windows partition by USER
+    (well-distributed, k rows per partition), and everything after
+    runs on |types|-row and 1-row frames."""
+    from pyspark.sql.window import Window
+
+    base = events.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = base.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    k_row = base.agg(F.countDistinct("event_type").alias("k"))
+    complete = (
+        counts.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nt"))
+        .crossJoin(F.broadcast(k_row))
+        .where(F.col("nt") == F.col("k"))
+        .select("user_id")
+    )
+    blocks = counts.join(complete, "user_id")
+    wr = Window.partitionBy("user_id").orderBy("y")
+    wt = Window.partitionBy("user_id", "y")
+    dr = blocks.select(
+        "user_id",
+        "event_type",
+        (
+            2 * (F.rank().over(wr) - 1)
+            + F.count(F.lit(1)).over(wt)
+            + 1
+        ).alias("dr"),
+    )
+    dec = "decimal(38,0)"
+    per_type = dr.groupBy("event_type").agg(
+        F.sum(F.col("dr").cast(dec)).alias("r2_t")
+    )
+    reduced = per_type.agg(
+        F.coalesce(
+            F.sum(F.col("r2_t") * F.col("r2_t")), F.lit(0).cast(dec)
+        ).alias("sr2")
+    ).crossJoin(
+        dr.agg(
+            F.countDistinct("user_id").alias("n"),
+            F.coalesce(
+                F.sum(F.col("dr").cast(dec) * F.col("dr")),
+                F.lit(0).cast(dec),
+            ).alias("a4"),
+        )
+    ).crossJoin(F.broadcast(k_row))
+    nn = F.col("n").cast(dec)
+    kk = F.col("k").cast(dec)
+    kp1sq = (F.col("k") + 1).cast(dec) * (F.col("k") + 1)
+    num = F.col("sr2") - nn * nn * kk * kp1sq
+    den = F.col("a4") - nn * kk * kp1sq
+    defined = (F.col("n") > 0) & (F.col("k") > 1) & (den > 0)
+    stat_raw = F.when(
+        defined,
+        (F.col("k") - 1).cast("double")
+        * num.cast("double")
+        / den.cast("double"),
+    )
+    crit = F.element_at(
+        F.create_map(
+            F.lit(1), F.lit(3.841459), F.lit(2), F.lit(5.991465),
+            F.lit(3), F.lit(7.814728), F.lit(4), F.lit(9.487729),
+            F.lit(5), F.lit(11.070498), F.lit(6), F.lit(12.591587),
+        ),
+        (F.col("k") - 1).cast("int"),
+    )
+    return reduced.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        ratio_round(stat_raw, 6).alias("chi2_f"),
+        F.when(
+            stat_raw.isNotNull() & crit.isNotNull(), stat_raw > crit
+        ).alias("significant_95"),
+    )

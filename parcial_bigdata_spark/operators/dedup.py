@@ -408,6 +408,114 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     )
 
 
+def containment_pairs(
+    documents: DataFrame, threshold: float = 0.7, min_tokens: int = 5
+) -> DataFrame:
+    """Exact n-gram (word-set) CONTAINMENT near-dup
+    (`dedup_ngram_containment`): C(A→B) = |A ∩ B| / |A| — the
+    asymmetric measure that catches a document EMBEDDED in a larger one
+    (boilerplate-wrapped reposts, quote-inflated copies, chunk
+    overlap), which resemblance-Jaccard structurally misses: J(A, B) ≤
+    |A|/|B| however perfectly A ⊆ B, so a short doc inside a long one
+    never crosses a Jaccard threshold.  A standard pre-training dedup
+    stage next to resemblance dedup (Broder's containment/resemblance
+    distinction; the reference has no dedup surface at all —
+    SURVEY.md §2 extension tier).
+
+    Semantics (= the DuckDB oracle): same-language ORDERED pairs with
+    doc_a the contained side — wsize_a < wsize_b, ties broken by
+    doc_id — both sides ≥ ``min_tokens`` distinct words (a 1-word doc
+    is contained everywhere; the floor keeps the result meaningful),
+    containment ≥ ``threshold``.  NO length band: asymmetric sizes are
+    the point, so the Jaccard query's length-bucket blocking is
+    unavailable and the prefix filter carries the whole pruning load.
+
+    Scale design — never a lang-only quadratic join:
+    - **Containment prefix filter** (the PPJoin lemma's asymmetric
+      form): C ≥ t ⟹ A shares ≥ ⌈t·|A|⌉ tokens with B, so at most
+      |A| − ⌈t·|A|⌉ of A's tokens miss B and at least one of A's first
+      |A| − ⌈t·|A|⌉ + 1 tokens (canonical rarest-first order) appears
+      in B.  A's side explodes only that prefix; B's side explodes its
+      full word set (Σ|B| rows — the corpus token volume, the same
+      linear cost the frequency probe already pays).  Join key =
+      (lang, token-hash); the canonical order pushes the
+      PREFIX_COMMONS Zipf-head tokens out of prefixes, so the A side
+      never lands on a hot token key and candidates scale with
+      RARE-token co-occurrence.  Hash collisions only add candidates —
+      the exact predicate re-verifies every pair (lossless).
+    - **Size-order prune** at candidate time (wsize_a < wsize_b, tie
+      doc_id) halves the pair space and fixes the orientation before
+      the shuffle.
+    Verification re-joins slim candidate ids to the word-set payloads
+    (the jaccard_pairs pattern): verify cost scales with candidates,
+    not blocks²."""
+    ws = _word_sets(documents).where(F.col("wsize") >= min_tokens)
+    freq = (
+        ws.select(F.explode("wset").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .take(PREFIX_COMMONS + 1)
+    )
+    commons_asc = [r.w for r in reversed(freq[:PREFIX_COMMONS])]
+    cmap = F.create_map(
+        *[x for i, w in enumerate(commons_asc) for x in (F.lit(w), F.lit(i + 1))]
+    )
+    keyed = F.array_sort(
+        F.transform(
+            "wset",
+            lambda w: F.struct(
+                F.coalesce(F.element_at(cmap, w), F.lit(0)).alias("p"),
+                F.xxhash64(w).alias("h"),
+                w.alias("w"),
+            ),
+        )
+    )
+    plen = (
+        F.col("wsize") - F.ceil(F.lit(float(threshold)) * F.col("wsize")) + F.lit(1)
+    ).cast("int")
+    feat = ws.select(
+        "doc_id",
+        "lang",
+        "wsize",
+        "wset",
+        F.transform(F.slice(keyed, F.lit(1), plen), lambda s: s["h"]).alias("prefix"),
+    )
+    slim = ["doc_id", "lang", "wsize"]
+    a = feat.select(*slim, F.explode("prefix").alias("ptok")).alias("a")
+    b = feat.select(
+        *slim,
+        F.explode(F.transform("wset", lambda w: F.xxhash64(w))).alias("tok"),
+    ).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.ptok") == F.col("b.tok"))
+            & (
+                (F.col("a.wsize") < F.col("b.wsize"))
+                | (
+                    (F.col("a.wsize") == F.col("b.wsize"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    payload = feat.select("doc_id", "wsize", "wset")
+    containment = (
+        F.size(F.array_intersect(F.col("pa.wset"), F.col("pb.wset"))).cast("double")
+        / F.col("pa.wsize")
+    )
+    return (
+        cand.join(payload.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
+        .join(payload.alias("pb"), F.col("doc_b") == F.col("pb.doc_id"))
+        .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def jaccard_pairs_incremental(
     base: DataFrame,
     new: DataFrame,

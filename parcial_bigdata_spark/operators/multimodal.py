@@ -3018,6 +3018,84 @@ def avi_frame_summary(documents: DataFrame) -> DataFrame:
     ).transform(_ordered_once)
 
 
+def _pyav_decode_frames(content: bytes) -> dict | None:
+    """Frame-pixel stats via the optional PyAV (ffmpeg) tier: None when
+    PyAV is absent or cannot open the payload (the caller's guard then
+    fires).  Frames are demuxed/decoded by libavformat/libavcodec and
+    converted to RGB ndarrays, then reduced with the SAME
+    ``_frame_rgb_stats`` arithmetic as the stdlib path — on an equipped
+    box the tier is hash-checked against the stdlib queries' shared
+    closed-form oracles."""
+    av_mod = _optional_av()
+    if av_mod is None or content is None:
+        return None
+    import io
+
+    try:
+        with av_mod.open(io.BytesIO(content)) as container:
+            frames = [
+                f.to_ndarray(format="rgb24").astype("int64")
+                for f in container.decode(video=0)
+            ]
+    except Exception:
+        return None
+    if not frames:
+        return None
+    return _frame_rgb_stats(frames)
+
+
+def pyav_frame_summary(documents: DataFrame) -> DataFrame:
+    """Optional-tier differential query (`multimodal_pyav_frame_decode`,
+    registered only when PyAV is importable — the round-13
+    `multimodal_pil_pixel_decode` pattern extended to video, round-15
+    verdict item 6): decode the SAME spec-valid uncompressed-DIB AVI
+    corpus as ``avi_frame_summary``, but FORCE the decode through the
+    PyAV/ffmpeg tier instead of the stdlib RIFF walk.  BI_RGB rawvideo
+    is bit-exact in ffmpeg (no IDCT, no color-space approximation), so
+    the closed-form DuckDB oracle is shared with the stdlib query
+    verbatim and on an equipped box libavformat's RIFF demux +
+    rawvideo decode + bottom-up flip are hash-checked end-to-end.  On
+    a box without PyAV the query never registers (declarative skip) —
+    the driver window and staleness ledger are unaffected.
+
+    Scale: same mapInPandas shape as ``decode_video_frames`` —
+    Arrow-batched, partition-parallel, row-local, zero shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                stats = _pyav_decode_frames(
+                    bytes(content) if content is not None else None
+                )
+                if stats is None:
+                    raise NotImplementedError(
+                        "multimodal_pyav_frame_decode requires the optional "
+                        "PyAV tier (not installed, or payload rejected)"
+                    )
+                rows.append(
+                    (
+                        mid, stats["width"], stats["height"],
+                        stats["n_frames"], stats["n_pixels"],
+                        stats["sum_b"], stats["sum_g"], stats["sum_r"],
+                        stats["min_byte"], stats["max_byte"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "n_pixels",
+                    "sum_b", "sum_g", "sum_r", "min_byte", "max_byte",
+                ],
+            )
+
+    return (
+        synth_avi_frame_corpus(documents)
+        .mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+        .transform(_ordered_once)
+    )
+
+
 def synth_mp4_frame_corpus(documents: DataFrame) -> DataFrame:
     """Deterministic REAL MP4 (ISO BMFF) files with DECODABLE planar
     I420 frame payloads — ftyp + a full moov (mvhd, trak → tkhd, mdia

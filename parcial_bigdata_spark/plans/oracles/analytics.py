@@ -1479,6 +1479,109 @@ ORACLES["events_seasonal_mann_kendall"] = """
     FROM g
 """
 
+# McNemar's paired test on per-user conversion across the corpus' two
+# time halves (Edwards continuity correction, 1 df).  The half
+# boundary is the integer-microsecond midpoint tested as
+# 2*us <= min+max — NO division, so no floor-vs-truncate divergence
+# between engines (the seasonal-MK weekday advice bug class).
+ORACLES["stats_mcnemar_paired"] = """
+    WITH ev AS (
+        SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), bounds AS (
+        SELECT min(us) + max(us) AS mm FROM ev
+    ), pu AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND 2 * us <= mm
+                        THEN 1 ELSE 0 END) AS p1,
+               max(CASE WHEN event_type = 'purchase' AND 2 * us > mm
+                        THEN 1 ELSE 0 END) AS p2
+        FROM ev, bounds GROUP BY user_id
+    ), agg AS (
+        SELECT count(*) AS n_users,
+               coalesce(sum(p1 * (1 - p2)), 0) AS b,
+               coalesce(sum((1 - p1) * p2), 0) AS c
+        FROM pu
+    )
+    SELECT CAST(n_users AS BIGINT) AS n_users,
+           CAST(b AS BIGINT) AS h1_only,
+           CAST(c AS BIGINT) AS h2_only,
+           CASE WHEN b + c > 0 THEN
+               floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                     / (b + c) * 1e6 + 0.5) / 1e6
+           END AS chi2_cc,
+           CASE WHEN b + c > 0 THEN
+               CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                   / (b + c) > 3.841459
+           END AS significant_95
+    FROM agg
+"""
+
+# Friedman repeated-measures rank test: users as blocks, event types
+# as treatments, per-user type counts as observations; only COMPLETE
+# blocks enter.  Integer double-ranks within each block (the
+# Mann-Whitney/Kruskal grid applied per user), HUGEINT sums, ONE IEEE
+# multiply-divide at the end; significance against the fixed
+# chi-square 0.95 quantile for df = k-1 <= 6.
+ORACLES["stats_friedman_blocks"] = """
+    WITH base AS (
+        SELECT user_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ), counts AS (
+        SELECT user_id, event_type, count(*) AS y
+        FROM base GROUP BY 1, 2
+    ), kk AS (
+        SELECT count(DISTINCT event_type) AS k FROM base
+    ), complete AS (
+        SELECT user_id FROM counts GROUP BY user_id
+        HAVING count(*) = (SELECT k FROM kk)
+    ), blocks AS (
+        SELECT c.user_id, c.event_type, c.y
+        FROM counts c JOIN complete USING (user_id)
+    ), dr AS (
+        SELECT user_id, event_type,
+               2 * (rank() OVER (PARTITION BY user_id ORDER BY y) - 1)
+               + count(*) OVER (PARTITION BY user_id, y) + 1 AS dr
+        FROM blocks
+    ), pt AS (
+        SELECT event_type, sum(CAST(dr AS HUGEINT)) AS r2_t
+        FROM dr GROUP BY 1
+    ), agg AS (
+        SELECT (SELECT count(*) FROM complete) AS n,
+               (SELECT k FROM kk) AS k,
+               coalesce((SELECT sum(r2_t * r2_t) FROM pt), 0) AS sr2,
+               coalesce((SELECT sum(CAST(dr AS HUGEINT) * dr) FROM dr),
+                        0) AS a4
+    ), f AS (
+        SELECT n, k,
+               sr2 - CAST(n AS HUGEINT) * n * k * (k + 1) * (k + 1)
+                   AS num,
+               a4 - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) AS den
+        FROM agg
+    ), g AS (
+        SELECT n, k,
+               CASE WHEN n > 0 AND k > 1 AND den > 0 THEN
+                   CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+                       / CAST(den AS DOUBLE)
+               END AS stat
+        FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           CAST(k AS INT) AS k_treatments,
+           CAST(k - 1 AS INT) AS df,
+           floor(stat * 1e6 + 0.5) / 1e6 AS chi2_f,
+           CASE WHEN stat IS NOT NULL AND k - 1 <= 6 THEN
+               stat > CASE k - 1 WHEN 1 THEN 3.841459
+                                 WHEN 2 THEN 5.991465
+                                 WHEN 3 THEN 7.814728
+                                 WHEN 4 THEN 9.487729
+                                 WHEN 5 THEN 11.070498
+                                 WHEN 6 THEN 12.591587 END
+           END AS significant_95
+    FROM g
+"""
+
 # Kruskal-Wallis k-group rank omnibus across event types: pooled
 # bounded-domain integer double-ranks, HUGEINT rank/tie sums, one
 # IEEE H sequence at the 4 dp k-term-double-sum margin

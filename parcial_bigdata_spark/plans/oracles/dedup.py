@@ -136,6 +136,31 @@ ORACLES: dict[str, str] = {
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
     """,
+    # asymmetric containment C(A->B) = |A∩B|/|A| — doc_a is the
+    # contained (smaller word set) side, ties by doc_id; both sides
+    # need >= 5 distinct words; NO length band (asymmetric sizes are
+    # the point).  The engine's prefix-filter blocking is lossless, so
+    # the naive same-language ordered join IS the oracle.
+    "dedup_ngram_containment": f"""
+        WITH ws AS (
+            SELECT doc_id, lang,
+                   list_distinct(string_split({_NORM_SQL}, ' ')) AS wset
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, lang, wset, len(wset) AS wsize
+            FROM ws WHERE len(wset) >= 5
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                       / a.wsize, 4) AS containment
+            FROM sized a JOIN sized b
+              ON a.lang = b.lang
+             AND (a.wsize < b.wsize
+                  OR (a.wsize = b.wsize AND a.doc_id < b.doc_id))
+        )
+        SELECT doc_a, doc_b, containment FROM pairs
+        WHERE containment >= 0.7 ORDER BY doc_a, doc_b
+    """,
     "dedup_incremental_jaccard": f"""
         -- incremental dedup: the blocked asymmetric join is lossless,
         -- so the naive new-batch x (base + earlier batch) join is the

@@ -74,6 +74,34 @@ ORACLES: dict[str, str] = {
         ORDER BY n_triangles DESC, node
         LIMIT 10
     """,
+    # per-node local clustering deciles over the co-purchase graph:
+    # c_v = 2*T_v/(deg*(deg-1)) for deg >= 2 nodes, bucketed by PURE
+    # INTEGER arithmetic (20*T div wedges, clamped to 9) — no IEEE
+    # anywhere, so no cross-engine rounding surface; zero-triangle
+    # deg>=2 nodes land in bucket 0 via the left join
+    "graph_local_clustering": """
+        WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+              FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        deg AS (SELECT node, count(*) AS deg FROM
+                    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY node),
+        tri AS (SELECT e1.u AS a, e1.v AS x, e2.v AS y FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        tv AS (SELECT node, count(*) AS t
+               FROM (SELECT a AS node FROM tri
+                     UNION ALL SELECT x FROM tri
+                     UNION ALL SELECT y FROM tri)
+               GROUP BY node),
+        per AS (SELECT d.node, d.deg, coalesce(tv.t, 0) AS t
+                FROM deg d LEFT JOIN tv ON d.node = tv.node
+                WHERE d.deg >= 2)
+        SELECT CAST(least(20 * t // (deg * (deg - 1)), 9) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(t) AS BIGINT) AS triangle_corners
+        FROM per GROUP BY 1 ORDER BY 1
+    """,
 }
 
 # single-source BFS: the oracle's bounded recursive walk produces every

@@ -823,6 +823,15 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup_ops.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def q_dedup_containment(spark, sf_dir):
+    # asymmetric doc-in-doc near-dup: containment |A∩B|/|A| with the
+    # PPJoin prefix filter carrying the pruning (no length band — the
+    # whole point is embedded shorter docs resemblance-Jaccard misses)
+    return dedup_ops.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     # daily-crawl incremental dedup: every fifth document arrives as
     # the "new batch", the rest is the settled base corpus; the probe
@@ -1707,6 +1716,28 @@ def q_seasonal_mann_kendall(spark, sf_dir):
     return ana_ops.seasonal_mann_kendall_daily(_t(spark, sf_dir, "events"))
 
 
+def q_mcnemar_paired(spark, sf_dir):
+    # McNemar's paired before/after conversion test: each user is
+    # their own pair across the corpus' two time halves; only the
+    # discordant users carry information (Edwards continuity, 1 df)
+    return ana_ops.mcnemar_purchase_halves(_t(spark, sf_dir, "events"))
+
+
+def q_friedman_blocks(spark, sf_dir):
+    # Friedman repeated-measures ranks: users as blocks, types as
+    # treatments — within-block ranking removes the user-volume
+    # nuisance a pooled Kruskal-Wallis cannot
+    return ana_ops.friedman_activity_blocks(_t(spark, sf_dir, "events"))
+
+
+def q_local_clustering(spark, sf_dir):
+    # per-node local clustering deciles of the co-purchase graph —
+    # pure integer bucketing (20*T div wedges), zero-IEEE semantics
+    return graph_ops.local_clustering_histogram(
+        _copurchase_edges(spark, sf_dir)
+    )
+
+
 def q_kruskal_wallis(spark, sf_dir):
     # k-group rank omnibus: pooled bounded-domain integer double-ranks,
     # decimal(38,0) rank/tie sums, one IEEE H sequence at the 4 dp
@@ -1785,6 +1816,13 @@ def q_pil_pixel_decode(spark, sf_dir):
     # decode of the same spec-valid PNG corpus, same closed-form oracle
     # (registered only when PIL is importable — see OPTIONAL_QUERIES)
     return mm_ops.pil_pixel_summary(_t(spark, sf_dir, "documents"))
+
+
+def q_pyav_frame_decode(spark, sf_dir):
+    # optional-tier twin of multimodal_avi_frame_decode: PyAV-forced
+    # decode of the same uncompressed-DIB AVI corpus, same closed-form
+    # oracle (registered only when PyAV is importable)
+    return mm_ops.pyav_frame_summary(_t(spark, sf_dir, "documents"))
 
 
 def q_rich_club(spark, sf_dir):
@@ -2262,6 +2300,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonal_mann_kendall": q_seasonal_mann_kendall,
     # round-16 additions (INTRODUCED_ROUND 16; first slots due r19)
     "multimodal_jpeg_subsampled_decode": q_jpeg_subsampled_decode,
+    "dedup_ngram_containment": q_dedup_containment,
+    "stats_mcnemar_paired": q_mcnemar_paired,
+    "graph_local_clustering": q_local_clustering,
+    "stats_friedman_blocks": q_friedman_blocks,
 }
 
 # Optional-tier queries: registered ONLY when their optional dependency
@@ -2270,11 +2312,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # the optional deps, so these never hold driver-window seats and the
 # staleness/EDF ledger excludes them by name; on an equipped box,
 # tools/check_correctness.py hash-checks them like any other query.
-OPTIONAL_QUERIES: set[str] = {"multimodal_pil_pixel_decode"}
+OPTIONAL_QUERIES: set[str] = {
+    "multimodal_pil_pixel_decode",
+    "multimodal_pyav_frame_decode",
+}
 import importlib.util as _ilu  # noqa: E402
 
 if _ilu.find_spec("PIL") is not None:
     QUERIES["multimodal_pil_pixel_decode"] = q_pil_pixel_decode
+
+if _ilu.find_spec("av") is not None:
+    QUERIES["multimodal_pyav_frame_decode"] = q_pyav_frame_decode
 
 # Round each oracle-checked query was added to the registry, ONLY for
 # queries that have never yet held a driver-window slot (the staleness
@@ -2284,6 +2332,10 @@ if _ilu.find_spec("PIL") is not None:
 INTRODUCED_ROUND = {
     # round-16 additions
     "multimodal_jpeg_subsampled_decode": 16,
+    "dedup_ngram_containment": 16,
+    "stats_mcnemar_paired": 16,
+    "graph_local_clustering": 16,
+    "stats_friedman_blocks": 16,
     # round-15 additions
     "multimodal_jpeg_pixel_decode": 15,
     "multimodal_avi_frame_decode": 15,
@@ -2537,4 +2589,13 @@ QUERIES = {name: QUERIES[name] for name in DRIVER_WINDOW} | {
 if "multimodal_pil_pixel_decode" in QUERIES:
     ORACLES["multimodal_pil_pixel_decode"] = ORACLES[
         "multimodal_png_pixel_decode"
+    ]
+
+# The PyAV-forced decode reads the SAME uncompressed-DIB AVI corpus as
+# the stdlib query (BI_RGB rawvideo is bit-exact in ffmpeg), so it
+# shares that query's closed-form oracle verbatim — same conditional
+# registration rule as the PIL twin.
+if "multimodal_pyav_frame_decode" in QUERIES:
+    ORACLES["multimodal_pyav_frame_decode"] = ORACLES[
+        "multimodal_avi_frame_decode"
     ]

@@ -60,6 +60,106 @@ def test_jaccard_blocking_is_lossless_vs_naive(spark, documents):
     assert got == expected
 
 
+def test_containment_catches_embedded_doc(spark):
+    """Containment's reason to exist: a short doc fully EMBEDDED in a
+    long one has containment 1.0 but Jaccard |A|/|B| — structurally
+    below any resemblance threshold (and outside the Jaccard query's
+    20% length band entirely)."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(18))
+    docs = spark.createDataFrame(
+        [
+            (1, small, "en", "web", len(small)),
+            (2, big, "en", "web", len(big)),
+            (3, "one two three four five six", "en", "web", 27),
+            (4, "tiny doc", "en", "web", 8),  # below the 5-word floor
+            (5, small, "es", "web", len(small)),  # other language
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(docs).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_containment_equal_size_tie_orientation(spark):
+    """Equal word-set sizes: doc_a must be the lower doc_id (the
+    oracle's tie rule), and both orientations' containments are the
+    same number."""
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "alpha beta gamma delta epsilon zeta eta lambda"
+    docs = spark.createDataFrame(
+        [(7, t1, "en", "w", len(t1)), (3, t2, "en", "w", len(t2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup.containment_pairs(docs, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in out] == [
+        (3, 7, round(7 / 8, 4))
+    ]
+
+
+def test_containment_prefix_blocking_is_lossless_vs_naive(spark):
+    """The containment prefix filter (PPJoin's asymmetric form) must
+    not drop pairs the naive same-language ordered quadratic join
+    finds — exercised on a corpus big enough that prefixes actually
+    prune (shared rare tokens, Zipf-head commons on every doc)."""
+    from pyspark.sql import functions as F
+
+    from parcial_bigdata_spark.operators.text import normalized
+
+    rows = []
+    commons = "the of and to in is was for on with"
+    for i in range(40):
+        rare = " ".join(f"tok{i}_{j}" for j in range(6 + i % 5))
+        # every third doc embeds the previous doc's rare tokens
+        if i % 3 == 2:
+            rare += " " + " ".join(f"tok{i-1}_{j}" for j in range(6 + (i - 1) % 5))
+        text = commons + " " + rare
+        rows.append((i, text, "en" if i % 4 else "es", "w", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    ws = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(F.split(normalized(F.col("text")), " ")).alias("wset"),
+    ).withColumn("wsize", F.size("wset")).where(F.col("wsize") >= 5)
+    a, b = ws.alias("a"), ws.alias("b")
+    cont = (
+        F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
+        / F.col("a.wsize")
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (
+                (F.col("a.wsize") < F.col("b.wsize"))
+                | ((F.col("a.wsize") == F.col("b.wsize"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(cont, 4).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.7)
+    )
+    expected = {(r.doc_a, r.doc_b, r.containment) for r in naive.collect()}
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup.containment_pairs(docs, threshold=0.7).collect()
+    }
+    assert got == expected and expected
+
+
 def test_default_length_slack_within_blocking_bound():
     """The default length_slack must satisfy the lossless ±1-bucket bound
     (slack ≤ 1 - 1/_BUCKET_BASE, isclose counts).  If _BUCKET_BASE is ever

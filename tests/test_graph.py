@@ -226,3 +226,45 @@ def test_degree_histogram_log2_buckets(spark):
     assert (out[0].n_nodes, out[0].min_degree, out[0].max_degree) == (5, 1, 1)
     assert (out[2].n_nodes, out[2].min_degree, out[2].max_degree) == (1, 5, 5)
     assert set(out) == {0, 2}
+
+
+def test_local_clustering_hand_computed(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5: c_1 = c_2 = 1.0
+    (bucket 9 via the clamp), c_3 = 1/3 (bucket 3), c_4 = 0 (bucket 0
+    — the zero-triangle deg>=2 node the left join must keep), node 5
+    deg 1 excluded."""
+    from parcial_bigdata_spark.operators.graph import (
+        local_clustering_histogram,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {
+        r.bucket: (r.n_nodes, r.triangle_corners)
+        for r in local_clustering_histogram(e).collect()
+    }
+    assert out == {0: (1, 0), 3: (1, 1), 9: (2, 2)}
+
+
+def test_local_clustering_exact_integer_buckets(spark):
+    """The decile is pure integer arithmetic: a node with c exactly on
+    a bucket edge (c = 0.5 -> 20*t div wedges = 10*... ) lands
+    deterministically.  K4 minus one edge: nodes a, d have deg 2 and
+    sit in one triangle (c = 1.0 -> bucket 9); b, c have deg 3, 1
+    triangle each of the 3 possible wedges (c = 1/3 -> bucket 3)."""
+    from parcial_bigdata_spark.operators.graph import (
+        local_clustering_histogram,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    out = {
+        r.bucket: (r.n_nodes, r.triangle_corners)
+        for r in local_clustering_histogram(e).collect()
+    }
+    # a: deg2 triangle abc c=1; d: deg2 triangle bcd c=1; b,c: deg3 t=2
+    # -> c = 4/6 = 2/3 -> 20*2 div 6 = 6
+    assert out == {6: (2, 4), 9: (2, 2)}

@@ -189,3 +189,46 @@ def test_pil_pixel_decode_not_registered_without_pil():
     assert "multimodal_pil_pixel_decode" not in registry.QUERIES
     assert "multimodal_pil_pixel_decode" not in registry.ORACLES
     assert "multimodal_pil_pixel_decode" in registry.OPTIONAL_QUERIES
+
+
+@pytest.mark.skipif(_HAS_AV, reason="PyAV installed: guard tier not active")
+class TestPyAVGuardTier:
+    """Round-15 verdict item 6: the PyAV video twin mirrors the PIL
+    pattern — on an unequipped box it never registers and its helper
+    returns None so the NotImplementedError guard names the tier."""
+
+    def test_frame_helper_returns_none(self):
+        assert mm._pyav_decode_frames(_EXOTIC) is None
+
+    def test_query_not_registered_without_av(self):
+        from parcial_bigdata_spark.plans import registry
+
+        assert "multimodal_pyav_frame_decode" not in registry.QUERIES
+        assert "multimodal_pyav_frame_decode" not in registry.ORACLES
+        assert "multimodal_pyav_frame_decode" in registry.OPTIONAL_QUERIES
+
+    def test_summary_raises_naming_tier(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "t", "en", "src0", 1)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        with pytest.raises(Exception, match="PyAV"):
+            mm.pyav_frame_summary(docs).collect()
+
+
+@pytest.mark.skipif(not _HAS_AV, reason="optional PyAV tier not installed")
+def test_pyav_frame_decode_query_matches_stdlib(spark):
+    """On a PyAV-equipped box the optional-tier registry query must
+    reproduce the stdlib AVI decode bit-for-bit — BI_RGB rawvideo has
+    no IDCT or color approximation, so libavformat's RIFF demux +
+    rawvideo decode + bottom-up flip share the stdlib query's
+    closed-form oracle exactly."""
+    docs = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 4}", 1) for i in range(10)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    av_rows = mm.pyav_frame_summary(docs).collect()
+    std_rows = mm.avi_frame_summary(docs).collect()
+    assert [tuple(r) for r in av_rows] == [tuple(r) for r in std_rows]
