@@ -3701,16 +3701,24 @@ def friedman_activity_blocks(events: DataFrame) -> DataFrame:
     the denominator is 0) leave the statistic NULL rather than raising.
 
     Scale: one map-side-combining (user, type) count over the scan is
-    the only fact-sized shuffle; the rank windows partition by USER
-    (well-distributed, k rows per partition), and everything after
-    runs on |types|-row and 1-row frames."""
+    the only fact-sized shuffle, materialized ONCE (``iter_checkpoint``
+    — the complete-block filter and the rank join both read it, and
+    without the lineage cut each reuse replays the whole fact scan);
+    the rank windows partition by USER (well-distributed, k rows per
+    partition), the ranked frame is checkpointed for the same reason
+    (the per-type sum and the A4/n reduce both read it), and
+    everything after runs on |types|-row and 1-row frames."""
     from pyspark.sql.window import Window
+
+    from parcial_bigdata_spark.operators.scale import iter_checkpoint
 
     base = events.where(
         F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
     )
-    counts = base.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("y")
+    counts = iter_checkpoint(
+        base.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("y")
+        )
     )
     k_row = base.agg(F.countDistinct("event_type").alias("k"))
     complete = (
@@ -3723,14 +3731,16 @@ def friedman_activity_blocks(events: DataFrame) -> DataFrame:
     blocks = counts.join(complete, "user_id")
     wr = Window.partitionBy("user_id").orderBy("y")
     wt = Window.partitionBy("user_id", "y")
-    dr = blocks.select(
-        "user_id",
-        "event_type",
-        (
-            2 * (F.rank().over(wr) - 1)
-            + F.count(F.lit(1)).over(wt)
-            + 1
-        ).alias("dr"),
+    dr = iter_checkpoint(
+        blocks.select(
+            "user_id",
+            "event_type",
+            (
+                2 * (F.rank().over(wr) - 1)
+                + F.count(F.lit(1)).over(wt)
+                + 1
+            ).alias("dr"),
+        )
     )
     dec = "decimal(38,0)"
     per_type = dr.groupBy("event_type").agg(
