@@ -418,6 +418,42 @@ def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
     return timings, detail
 
 
+# ---- Containment-dedup scale exponent (round 16) -------------------------
+# containment_pairs is the exact asymmetric twin of the minhash pipeline
+# (prefix-filtered candidate join, no length band, full-token B side) —
+# the B-side token explode is the linear-cost stage and the prefix join
+# the candidate driver.  Same cluster corpus and sizing rationale as
+# _run_dedup_scale (fixed overhead dominates below ~300k docs); pair
+# volume scales linearly with the corpus by construction.  Calibration
+# (quiet box): 13.1 / 14.7 / 36.7 s at 80k / 320k / 1.28M docs — tail
+# exponent ≈ 0.66; a tail drifting well above ~1.2 is the regression
+# flag (candidate blowup past the prefix filter).
+
+def _run_containment_scale(spark) -> tuple[dict[str, float], dict]:
+    from parcial_bigdata_spark.operators import dedup as D
+
+    timings: dict[str, float] = {}
+    detail: dict = {}
+    secs, sizes = [], []
+    for s in _DEDUP_SCALES:
+        docs = _split_corpus(spark, _DEDUP_BASE_CLUSTERS * s).persist()
+        n_docs = docs.count()
+        best, n_pairs = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pairs = D.containment_pairs(docs, threshold=0.7).count()
+            best = min(best, time.perf_counter() - t0)
+        el = round(best, 3)
+        docs.unpersist()
+        timings[f"containment_scale_x{s}"] = el
+        secs.append(el)
+        sizes.append(n_docs)
+        detail[f"x{s}"] = {"docs": n_docs, "pairs": n_pairs, "sec": el}
+    detail["exponent"] = _fit_exponent(sizes, secs)
+    detail["exponent_tail"] = _tail_exponent(sizes, secs)
+    return timings, detail
+
+
 # ---- Triangle-family scale exponent (round-8 verdict item 4) -------------
 # The CC/PageRank probes run on the clique+chain fixture whose max degree
 # is 5 — no test of the degree-ordered orientation's O(√m) out-degree
@@ -1255,6 +1291,10 @@ def main() -> None:
     probe_timings.update(skew_timings)
     dedup_timings, dedup_detail = _run_dedup_scale(probe_spark)
     probe_timings.update(dedup_timings)
+    containment_timings, containment_detail = _run_containment_scale(
+        probe_spark
+    )
+    probe_timings.update(containment_timings)
     tri_timings, tri_detail = _run_triangle_scale(probe_spark)
     probe_timings.update(tri_timings)
     incr_timings, incr_detail = _run_incr_dedup_scale(probe_spark)
@@ -1308,6 +1348,7 @@ def main() -> None:
         "skew_lsh": skew_detail,
         "graph_scale": graph_detail,
         "dedup_scale": dedup_detail,
+        "containment_scale": containment_detail,
         "triangle_scale": tri_detail,
         "incr_dedup_scale": incr_detail,
         "kcore_scale": kcore_detail,
