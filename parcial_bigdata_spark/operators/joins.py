@@ -921,6 +921,26 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
         F.unix_micros("session_start").alias("s_us"),
         F.unix_micros("session_end").alias("e_us"),
     )
+    # Both join sides derive from this one session frame.  When the
+    # planner can broadcast side b (small inputs), the broadcast child
+    # is a SEPARATE subtree — the scan + two session windows execute
+    # TWICE (exchange reuse only dedupes identical shuffle stages, and
+    # a broadcast is not a shuffle).  Same adaptive gate as
+    # paragraph_dedup / the decontamination Bloom: a provably small
+    # local scan eagerly materializes the slim session frame once
+    # (iter_checkpoint — blocks are reclaimed with the result frame),
+    # so sessionization runs exactly once in either posture; unknown /
+    # remote / large sizes keep the lazy form, where both sides shuffle
+    # on the bucket key and AQE's stage cache already reuses the one
+    # sessionize exchange (r16; guide §2.4).
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        local_scan_bytes,
+    )
+
+    scan_bytes = local_scan_bytes(events)
+    if scan_bytes is not None and scan_bytes < 256 * 1024 * 1024:
+        sess = iter_checkpoint(sess)
     bucketed = sess.select(
         "*",
         F.explode(

@@ -13,7 +13,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from parcial_bigdata_spark.functions.vector import cosine, dot, elementwise_avg
+from parcial_bigdata_spark.functions.vector import (
+    cosine,
+    dot,
+    elementwise_avg,
+    norm,
+)
 
 
 def knn_brute_force(embeddings: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
@@ -96,34 +101,51 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     exact SQL oracle.  Centroids broadcast (k rows); the corpus streams
     through one scan.
 
-    The argmax is a groupBy max over struct(sim, -cluster) — lexical
-    struct ordering gives highest sim then lowest cluster id, exactly
-    the old row_number(sim DESC, cluster ASC) = 1 — NOT a per-vec
-    window: the window shuffles and sorts all n·k candidate rows, while
-    the aggregate collapses each vector's k candidates map-side (they
-    are emitted consecutively by the broadcast join in the same task),
-    so the exchange carries one partial row per vector — a k× shuffle
-    cut with no sort."""
-    s = F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
-    sc = F.struct(s.alias("sim"), (-F.col("cluster")).alias("negc"))
-    # Group by the primitive vec_id ONLY and carry the embedding through
-    # the aggregate with first(): grouping on the array column would (a)
-    # return Spark's normalized key (-0.0→0.0, NaN canonicalized) instead
-    # of the bit-identical input vector and (b) forgo the primitive-key
-    # fast-path hash aggregate (round-4 advice).  Every group is one
-    # vec_id's k candidate rows with an identical embedding, so first()
-    # is deterministic in value.
-    return (
-        embeddings.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", sc.alias("sc"))
-        .groupBy("vec_id")
-        .agg(F.first("embedding").alias("embedding"), F.max("sc").alias("sc"))
-        .select(
-            "vec_id",
-            "embedding",
-            (-F.col("sc.negc")).alias("cluster"),
-            F.col("sc.sim").alias("sim"),
+    r16 rewrite (guide §2.4 "remove shuffles outright"): the k-row
+    centroid frame collapses to ONE row holding an array of
+    (cluster, centroid, cnrm) structs, broadcast onto the corpus; the
+    argmax is then a row-local array_max over the k candidate
+    struct(sim, -cluster) values.  The former crossJoin(k rows) +
+    groupBy(vec_id) form collapsed the k candidates map-side but still
+    EXCHANGED one row per vector WITH its embedding payload — a
+    full-corpus shuffle per Lloyd round for a decision that is
+    row-local once the centroids are known.  Now the plan has zero
+    exchanges on the corpus side.
+
+    Numerics are unchanged per (row, centroid): the same
+    `round(dot/(norm_a·norm_c), 6)` double folds in the same order —
+    norms are hoisted exactly as embedding_near_duplicates hoists them
+    (same deterministic fold per vector, same multiply/divide order,
+    bitwise-identical; the centroid norm is computed once per centroid
+    in the broadcast row instead of once per pair).  array_max over
+    struct(sim, negc) is the same lexical (sim DESC, cluster ASC)
+    argmax the groupBy's F.max(struct) computed; rounded sims make it
+    order-independent, so the array_sort (cluster order) is only for
+    plan determinism."""
+    cent = centroids.select(
+        F.struct(
+            F.col("cluster").alias("cluster"),
+            F.col("centroid").alias("centroid"),
+            norm(F.col("centroid")).alias("cnrm"),
+        ).alias("c")
+    )
+    carr = F.broadcast(cent.agg(F.array_sort(F.collect_list("c")).alias("carr")))
+    base = embeddings.crossJoin(carr).where(F.size("carr") > 0).select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm"), "carr"
+    )
+
+    def _cand(s):
+        sim = F.round(
+            dot(F.col("embedding"), s["centroid"]) / (F.col("nrm") * s["cnrm"]), 6
         )
+        return F.struct(sim.alias("sim"), (-s["cluster"]).alias("negc"))
+
+    best = F.array_max(F.transform("carr", _cand))
+    return base.select(
+        "vec_id",
+        "embedding",
+        (-best["negc"]).alias("cluster"),
+        best["sim"].alias("sim"),
     )
 
 
