@@ -234,6 +234,25 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
             "or lower length_slack"
         )
     ws = _word_sets(documents)
+    # Adaptive materialization (r16; guide §2.4): the word-set frame —
+    # normalize regex, split, array_distinct per doc, the CPU-heavy text
+    # pass — feeds the stat probe below AND both sides of the candidate
+    # join; lazily it executes 2-3× per call (the probe once, the join's
+    # b-side again, and a 3rd time when the planner broadcasts a side,
+    # since a broadcast child is not a reusable shuffle stage).  A
+    # provably small local corpus eagerly checkpoints it once (the
+    # paragraph_dedup / decontamination-Bloom gate; iter_checkpoint so
+    # blocks free with the result); unknown/remote/large corpora keep
+    # the lazy form — at 100 TB re-deriving the narrow scan is the cheap
+    # axis next to materializing the exploded word sets.
+    from parcial_bigdata_spark.operators.scale import (
+        iter_checkpoint,
+        local_scan_bytes,
+    )
+
+    _scan_bytes = local_scan_bytes(documents)
+    if _scan_bytes is not None and _scan_bytes < 256 * 1024 * 1024:
+        ws = iter_checkpoint(ws)
 
     # Adaptive stat probe (like AQE's runtime statistics), one top-K
     # aggregation job serving BOTH paths: when the corpus dictionary
