@@ -1659,24 +1659,36 @@ def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7, k: int
     generator, so the whole operator is one shuffle (on band hash) + one
     pair dedup — shingling/signatures run exactly once.  (Approximate
     recall by design → no SQL oracle; the exact ``jaccard_pairs``
-    operator is the oracle-checked ground truth.)"""
+    operator is the oracle-checked ground truth.)
+
+    Verify-then-dedup (r16, guide §2.3 "shuffle fewer bytes"): the
+    exact-Jaccard verification runs MAP-SIDE on the collision rows —
+    where both shingle arrays are already local from the grouped pair
+    expansion — and the threshold filter drops LSH false positives
+    before any exchange, so the pair-dedup shuffle carries only slim
+    (doc_a, doc_b, jaccard) rows of QUALIFYING pairs.  The former
+    dedup-then-verify order shipped both shingle arrays for every
+    collision row (incl. all false positives) through the (doc_a,
+    doc_b) exchange.  A pair colliding in b bands re-verifies b ≤
+    n_bands times — row-local array CPU, the cheap axis next to
+    shuffling the arrays; duplicate rows carry the identical rounded
+    jaccard, so the dedup keeps the same values."""
     banded = _banded(documents, k, carry_shingles=True)
-    pairs = (
+    jac = F.size(
+        F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+    ).cast("double") / F.size(
+        F.array_union(F.col("a.shingles"), F.col("b.shingles"))
+    )
+    return (
         _bucket_pairs(banded, ["band_id", "band_hash"], ["shingles"])
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sa"),
-            F.col("b.shingles").alias("sb"),
+            F.round(jac, 4).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_union("sa", "sb")
-    )
-    return pairs.select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
 
 
 # ------------------------------------------------------------------- SimHash
