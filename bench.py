@@ -392,6 +392,12 @@ def _run_graph_scale(spark) -> tuple[dict[str, float], dict]:
 _DEDUP_SCALES = (1, 4, 16)
 _DEDUP_BASE_CLUSTERS = 16_000  # ×5 docs per cluster
 
+# r17 (verdict item 1): carried-shingles vs slim-pairs+rejoin verify A/B
+# for minhash_near_duplicates, at the two LARGEST corpus sizes (below
+# ~300k docs fixed overhead hides the shuffle-byte axis).  Order
+# alternates between reps so ambient drift hits both variants equally.
+_DEDUP_AB_SCALES = (16, 64)
+
 
 def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
     from parcial_bigdata_spark.operators import dedup as D
@@ -415,6 +421,37 @@ def _run_dedup_scale(spark) -> tuple[dict[str, float], dict]:
         detail[f"x{s}"] = {"docs": n_docs, "pairs": n_pairs, "sec": el}
     detail["exponent"] = _fit_exponent(sizes, secs)
     detail["exponent_tail"] = _tail_exponent(sizes, secs)
+
+    # Carried-vs-rejoin verify A/B (r17).  The probe corpora are
+    # in-memory frames (local_scan_bytes → None), so the public
+    # operator's adaptive gate routes them to the rejoin form; here the
+    # two private impls are timed explicitly, interleaved min-of-2 with
+    # alternating order (the BASELINE.md protocol for this box).
+    variants = (
+        ("carried", D._minhash_verify_carried),
+        ("rejoin", D._minhash_verify_rejoin),
+    )
+    detail["verify_ab"] = {}
+    for s in _DEDUP_AB_SCALES:
+        docs = _split_corpus(spark, _DEDUP_BASE_CLUSTERS * s).persist()
+        n_docs = docs.count()
+        best: dict[str, float] = {}
+        pairs: dict[str, int] = {}
+        for rep in range(2):
+            order = variants if rep % 2 == 0 else variants[::-1]
+            for label, fn in order:
+                t0 = time.perf_counter()
+                pairs[label] = fn(docs, 0.6, 3).count()
+                el = time.perf_counter() - t0
+                best[label] = min(best.get(label, float("inf")), el)
+        docs.unpersist()
+        for label, _ in variants:
+            timings[f"dedup_verify_{label}_x{s}"] = round(best[label], 3)
+        detail["verify_ab"][f"x{s}"] = {
+            "docs": n_docs,
+            **{f"{lb}_sec": round(best[lb], 3) for lb, _ in variants},
+            **{f"{lb}_pairs": pairs[lb] for lb, _ in variants},
+        }
     return timings, detail
 
 

@@ -86,7 +86,10 @@ def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
     Output: one row per document with paragraph accounting and the
     cleaned text (empty string when every paragraph was seen earlier —
     the fully-boilerplate case)."""
-    from parcial_bigdata_spark.operators.scale import local_scan_bytes
+    from parcial_bigdata_spark.operators.scale import (
+        SMALL_LOCAL_SCAN_BYTES,
+        local_scan_bytes,
+    )
 
     words = F.split(F.col("text"), " ")
     n_paras = F.ceil(F.size(words) / F.lit(para_words)).cast("int")
@@ -102,7 +105,7 @@ def paragraph_dedup(documents: DataFrame, para_words: int = 20) -> DataFrame:
         ).alias("idx", "para"),
     )
     scan_bytes = local_scan_bytes(documents)
-    if scan_bytes is not None and scan_bytes < 256 * 1024 * 1024:
+    if scan_bytes is not None and scan_bytes < SMALL_LOCAL_SCAN_BYTES:
         # iter_checkpoint, NOT persist(): a bare persist here has no
         # unpersist path (the result is returned lazily), so every call
         # would pin cached blocks until session end (round-8 advice).
@@ -246,12 +249,13 @@ def jaccard_pairs(documents: DataFrame, threshold: float = 0.8, length_slack: fl
     # the lazy form — at 100 TB re-deriving the narrow scan is the cheap
     # axis next to materializing the exploded word sets.
     from parcial_bigdata_spark.operators.scale import (
+        SMALL_LOCAL_SCAN_BYTES,
         iter_checkpoint,
         local_scan_bytes,
     )
 
     _scan_bytes = local_scan_bytes(documents)
-    if _scan_bytes is not None and _scan_bytes < 256 * 1024 * 1024:
+    if _scan_bytes is not None and _scan_bytes < SMALL_LOCAL_SCAN_BYTES:
         ws = iter_checkpoint(ws)
 
     # Adaptive stat probe (like AQE's runtime statistics), one top-K
@@ -1651,28 +1655,14 @@ def minhash_candidates(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7, k: int = 3) -> DataFrame:
-    """Full MinHash+LSH near-dup: banded candidates, then exact shingle-
-    Jaccard verification of ONLY the candidates.
-
-    The shingle arrays ride along the banded rows into the bucket pair
-    generator, so the whole operator is one shuffle (on band hash) + one
-    pair dedup — shingling/signatures run exactly once.  (Approximate
-    recall by design → no SQL oracle; the exact ``jaccard_pairs``
-    operator is the oracle-checked ground truth.)
-
-    Verify-then-dedup (r16, guide §2.3 "shuffle fewer bytes"): the
-    exact-Jaccard verification runs MAP-SIDE on the collision rows —
-    where both shingle arrays are already local from the grouped pair
-    expansion — and the threshold filter drops LSH false positives
-    before any exchange, so the pair-dedup shuffle carries only slim
-    (doc_a, doc_b, jaccard) rows of QUALIFYING pairs.  The former
-    dedup-then-verify order shipped both shingle arrays for every
-    collision row (incl. all false positives) through the (doc_a,
-    doc_b) exchange.  A pair colliding in b bands re-verifies b ≤
-    n_bands times — row-local array CPU, the cheap axis next to
-    shuffling the arrays; duplicate rows carry the identical rounded
-    jaccard, so the dedup keeps the same values."""
+def _minhash_verify_carried(documents: DataFrame, threshold: float, k: int) -> DataFrame:
+    """Carried-payload verify: shingle arrays ride the banded rows into
+    the bucket pair generator; exact Jaccard + threshold run MAP-SIDE on
+    the collision rows (both arrays task-local from the grouped pair
+    expansion, r16 guide §2.3), so the pair-dedup exchange carries only
+    slim qualifying (doc_a, doc_b, jaccard) rows.  ONE text/shingle pass
+    — the fewest-jobs shape for small corpora; the cost is the band
+    exchange shipping each doc's shingle array × n_bands."""
     banded = _banded(documents, k, carry_shingles=True)
     jac = F.size(
         F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
@@ -1689,6 +1679,72 @@ def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7, k: int
         .where(F.col("jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def _minhash_verify_rejoin(documents: DataFrame, threshold: float, k: int) -> DataFrame:
+    """Slim-pairs + payload-rejoin verify (guide §8 "decide with small
+    rows, move big rows once"): the band exchange carries NOTHING but
+    (doc_id, band_id, band_hash) — no shingle arrays, no LSH false
+    positives' payloads; distinct candidate pairs then re-join the
+    shingle table (both join sides are the IDENTICAL subtree, so the
+    payload exchange plans once and the second side is a
+    ReusedExchange).  Each doc's array crosses the wire once per join
+    side instead of once per band (n_bands ×), so the shuffled array
+    bytes drop ~2× and the verify runs once per DISTINCT pair instead
+    of once per collision row.  The price is re-deriving the
+    shingle pass for the payload table — the cheap axis at scale,
+    where shuffle bytes dominate recompute (§2.3)."""
+    cand = (
+        _bucket_pairs(
+            _banded(documents, k, carry_shingles=False),
+            ["band_id", "band_hash"],
+            [],
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    payload = shingles(documents, k)
+    jac = F.size(
+        F.array_intersect(F.col("pa.shingles"), F.col("pb.shingles"))
+    ).cast("double") / F.size(
+        F.array_union(F.col("pa.shingles"), F.col("pb.shingles"))
+    )
+    return (
+        cand.join(payload.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
+        .join(payload.alias("pb"), F.col("doc_b") == F.col("pb.doc_id"))
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(documents: DataFrame, threshold: float = 0.7, k: int = 3) -> DataFrame:
+    """Full MinHash+LSH near-dup: banded candidates, then exact shingle-
+    Jaccard verification of ONLY the candidates.  (Approximate recall by
+    design → no SQL oracle; the exact ``jaccard_pairs`` operator is the
+    oracle-checked ground truth.)
+
+    Both verify shapes produce the identical result set — same distinct
+    candidate pairs (the bucket cap keys on (band, hash, doc_id) order,
+    payload-independent), same per-pair rounded Jaccard, same threshold:
+    - ``_minhash_verify_carried``: one shingle pass; arrays ride the
+      band exchange × n_bands.  Fewest jobs — the small-corpus shape.
+    - ``_minhash_verify_rejoin``: slim band rows; distinct pairs re-join
+      the shingle table (one reused payload exchange).  ~2× fewer array
+      bytes shuffled — the at-scale shape (guide §2.3/§8).
+    The posture gate is the repo's standard adaptive rule
+    (SMALL_LOCAL_SCAN_BYTES): provably small local corpora take the
+    carried form, unknown/remote/large corpora the rejoin form.
+    Crossover measured in bench.py `_run_dedup_scale` (r17): see
+    BENCH_DETAIL.json `dedup_scale.verify_ab`."""
+    from parcial_bigdata_spark.operators.scale import (
+        SMALL_LOCAL_SCAN_BYTES,
+        local_scan_bytes,
+    )
+
+    scan_bytes = local_scan_bytes(documents)
+    if scan_bytes is not None and scan_bytes < SMALL_LOCAL_SCAN_BYTES:
+        return _minhash_verify_carried(documents, threshold, k)
+    return _minhash_verify_rejoin(documents, threshold, k)
 
 
 # ------------------------------------------------------------------- SimHash

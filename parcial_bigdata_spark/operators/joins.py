@@ -911,7 +911,16 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     dedup length-band blocking.
 
     Overlap arithmetic stays in integer microseconds end-to-end — no
-    float rounding anywhere."""
+    float rounding anywhere.
+
+    Eager side effect (r16 advice): on a provably small LOCAL
+    file-backed ``events`` scan (< SMALL_LOCAL_SCAN_BYTES) this function
+    runs a Spark job at DataFrame-CONSTRUCTION time — the slim session
+    frame is iter_checkpointed so sessionization executes once instead
+    of on both join sides.  Plan-only consumers therefore pay full
+    sessionization, and the localCheckpoint blocks live until the
+    returned frame is garbage-collected; unknown / remote / large
+    inputs keep the fully lazy form."""
     from parcial_bigdata_spark.operators.windows import sessions_unordered
 
     hour_us = 3_600_000_000
@@ -934,12 +943,13 @@ def session_overlap_pairs(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     # on the bucket key and AQE's stage cache already reuses the one
     # sessionize exchange (r16; guide §2.4).
     from parcial_bigdata_spark.operators.scale import (
+        SMALL_LOCAL_SCAN_BYTES,
         iter_checkpoint,
         local_scan_bytes,
     )
 
     scan_bytes = local_scan_bytes(events)
-    if scan_bytes is not None and scan_bytes < 256 * 1024 * 1024:
+    if scan_bytes is not None and scan_bytes < SMALL_LOCAL_SCAN_BYTES:
         sess = iter_checkpoint(sess)
     bucketed = sess.select(
         "*",

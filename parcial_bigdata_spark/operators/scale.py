@@ -12,6 +12,15 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Shared adaptive-materialization gate (paragraph_dedup, jaccard_pairs,
+# session_overlap_pairs): a file-backed input scan provably below this
+# many LOCAL bytes eagerly iter_checkpoints the reused intermediate —
+# above it (or when the size is unknowable) the lazy form stays, because
+# at cluster scale re-deriving a narrow scan is the cheap axis next to
+# materializing exploded/derived frames.  One constant so the threshold
+# cannot silently drift per operator (r16 advice).
+SMALL_LOCAL_SCAN_BYTES = 256 * 1024 * 1024
+
 
 def lit_lookup(mapping: dict, key_col: str):
     """Literal lookup expression key→value for a BOUNDED driver-side

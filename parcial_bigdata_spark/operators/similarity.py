@@ -121,7 +121,15 @@ def assign_clusters(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     struct(sim, negc) is the same lexical (sim DESC, cluster ASC)
     argmax the groupBy's F.max(struct) computed; rounded sims make it
     order-independent, so the array_sort (cluster order) is only for
-    plan determinism."""
+    plan determinism.
+
+    Contract notes (r16 advice): the output has ONE ROW PER INPUT ROW —
+    duplicate vec_ids are assigned independently, not collapsed (the
+    pre-r16 groupBy(vec_id) form collapsed them; current callers — the
+    Lloyd loop, the training summary — never pass duplicates).  The
+    whole centroid set rides a single collect_list row, so k·dim must
+    stay broadcast-sized (true for any IVF coarse quantizer; not a
+    surface for million-centroid codebooks)."""
     cent = centroids.select(
         F.struct(
             F.col("cluster").alias("cluster"),

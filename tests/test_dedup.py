@@ -186,6 +186,48 @@ def test_minhash_finds_exact_and_near_dups(documents):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_minhash_verify_shapes_equivalent(documents):
+    """The carried-payload and slim-pairs+rejoin verify forms (r17 size
+    gate) must produce the identical pair set with identical jaccards —
+    the gate is a pure physical-plan choice."""
+    carried = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._minhash_verify_carried(documents, 0.5, 3).collect()
+    }
+    rejoin = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._minhash_verify_rejoin(documents, 0.5, 3).collect()
+    }
+    assert carried == rejoin and carried
+
+
+def test_minhash_posture_gate_routes_by_scan_size(documents, monkeypatch):
+    """In-memory / unknown-size corpora take the rejoin (at-scale) form;
+    provably small local scans take the carried form.  Pin the routing by
+    observing which private impl the public wrapper calls."""
+    calls = []
+    real_carried = dedup._minhash_verify_carried
+    real_rejoin = dedup._minhash_verify_rejoin
+    monkeypatch.setattr(
+        dedup, "_minhash_verify_carried",
+        lambda d, t, k: calls.append("carried") or real_carried(d, t, k),
+    )
+    monkeypatch.setattr(
+        dedup, "_minhash_verify_rejoin",
+        lambda d, t, k: calls.append("rejoin") or real_rejoin(d, t, k),
+    )
+    dedup.minhash_near_duplicates(documents, threshold=0.5)
+    assert calls == ["rejoin"]  # in-memory frame → assume big → rejoin
+
+    import parcial_bigdata_spark.operators.scale as scale_mod
+
+    monkeypatch.setattr(
+        scale_mod, "local_scan_bytes", lambda df, files=None: 1024
+    )
+    dedup.minhash_near_duplicates(documents, threshold=0.5)
+    assert calls == ["rejoin", "carried"]  # small local scan → carried
+
+
 def test_simhash_flags_near_dup_pair(documents):
     out = dedup.simhash_near_duplicates(documents, max_hamming=10).collect()
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
