@@ -907,18 +907,32 @@ def _knn_rows(spark, n):
 
 def _run_knn_scale(spark) -> tuple[dict[str, float], dict]:
     from parcial_bigdata_spark.operators.similarity import (
-        knn_brute_force_arrow, knn_ivf,
+        knn_brute_force_arrow, knn_ivf, knn_lsh,
     )
 
     timings: dict[str, float] = {}
-    detail: dict = {"arrow": {}, "ivf": {}}
-    # warm both plan shapes (Arrow python workers + matmul JIT for the
-    # brute-force path, centroid broadcast + window for IVF)
+    detail: dict = {"arrow": {}, "ivf": {}, "lsh": {}}
+    # warm all plan shapes (Arrow python workers + matmul JIT for the
+    # brute-force path, centroid broadcast + window for IVF, plane
+    # projections + bucket join for LSH)
     knn_brute_force_arrow(_knn_rows(spark, 5_000), _KNN_QUERY_IDS).count()
     knn_ivf(_knn_rows(spark, 5_000), _KNN_QUERY_IDS).count()
-    for family, fn in (("arrow", knn_brute_force_arrow), ("ivf", knn_ivf)):
+    knn_lsh(_knn_rows(spark, 5_000), _KNN_QUERY_IDS).count()
+    # r17 (verdict item 6): ivf and lsh additionally probe x64 (3.2M
+    # vectors) to confirm the nprobe/bucket pruning exponents hold past
+    # the fixed-overhead regime; arrow keeps x16 (its matmul cost is
+    # linear by construction, and the x64 point would add ~4x the probe
+    # session's Arrow bytes for no open question).
+    fam_scales = {
+        "arrow": _KNN_SCALES,
+        "ivf": _KNN_SCALES + (64,),
+        "lsh": _KNN_SCALES + (64,),
+    }
+    for family, fn in (
+        ("arrow", knn_brute_force_arrow), ("ivf", knn_ivf), ("lsh", knn_lsh)
+    ):
         secs, sizes = [], []
-        for s in _KNN_SCALES:
+        for s in fam_scales[family]:
             rows = _knn_rows(spark, _KNN_BASE_VECS * s).persist()
             n = rows.count()  # materialize input outside the timing
             t0 = time.perf_counter()
@@ -1031,6 +1045,47 @@ def _run_streaming_scale(spark) -> tuple[dict[str, float], dict]:
             sizes.append(n)
         detail[family]["exponent"] = _fit_exponent(sizes, secs)
         detail[family]["exponent_tail"] = _tail_exponent(sizes, secs)
+
+    # r17 (verdict item 7): state-store provider A/B at the largest
+    # state point — the default HDFS-backed in-memory provider vs the
+    # built-in RocksDB provider (the documented cluster posture for
+    # state that outgrows executor heap, guide §5; gate:
+    # SPARK_GRAFT_STATE_STORE=rocksdb in session.get_spark).  The
+    # provider conf binds at query start, so one session can time both.
+    import shutil
+    import tempfile
+
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    s = _STREAM_SCALES[-1]
+    tmp = tempfile.mkdtemp(prefix=f"stream-scale-rocksdb-x{s}-")
+    try:
+        _stream_events(spark, s).coalesce(8).write.mode("overwrite").parquet(tmp)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+        t0 = time.perf_counter()
+        sessionize_available_now(spark, tmp).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        el = round(time.perf_counter() - t0, 3)
+        timings[f"streaming_sessionize_scale_x{s}_rocksdb"] = el
+        detail["sessionize"][f"x{s}_rocksdb"] = {
+            "events": _STREAM_BASE_EVENTS * s,
+            "sec": el,
+            "provider": "rocksdb",
+        }
+    except Exception as e:  # provider missing on an exotic build: record, don't abort
+        detail["sessionize"][f"x{s}_rocksdb"] = {"error": str(e)[:200]}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
     return timings, detail
 
 

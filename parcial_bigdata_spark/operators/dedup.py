@@ -510,6 +510,13 @@ def containment_pairs(
         *slim,
         F.explode(F.transform("wset", lambda w: F.xxhash64(w))).alias("tok"),
     ).alias("b")
+    # wsize_a rides the slim candidate rows (8 bytes, functionally
+    # dependent on doc_a) so the verify step needs only (doc_id, wset)
+    # from BOTH payload sides — the two payload subtrees become
+    # IDENTICAL and plan as one reused exchange/broadcast instead of
+    # two full text passes (r17; guide §2.4 "remove shuffles outright").
+    # Before, pa projected wsize and pb did not, so the planner could
+    # never dedupe the subtrees and the corpus text pass ran twice.
     cand = (
         a.join(
             b,
@@ -523,13 +530,17 @@ def containment_pairs(
                 )
             ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.wsize").alias("wsize_a"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    payload = feat.select("doc_id", "wsize", "wset")
+    payload = feat.select("doc_id", "wset")
     containment = (
         F.size(F.array_intersect(F.col("pa.wset"), F.col("pb.wset"))).cast("double")
-        / F.col("pa.wsize")
+        / F.col("wsize_a")
     )
     return (
         cand.join(payload.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
@@ -660,13 +671,21 @@ def jaccard_pairs_incremental(
         )
         .dropDuplicates(["new_doc", "dup_of"])
     )
-    payload = feat.select("doc_id", "wset")
+    # The pa side joins on new_doc, which is ALWAYS a new-batch doc (the
+    # probe explodes only is_new rows), so its payload never needs the
+    # base corpus: restricting it to is_new prunes the base branch of
+    # the union from that subtree entirely — one full base text pass
+    # removed at any scale, the axis this operator exists to protect
+    # (r17; guide §2.3 "project before the exchange").  The pb side
+    # (dup_of: any base doc or an earlier new doc) keeps the full union.
+    payload_new = feat.where("is_new").select("doc_id", "wset")
+    payload_all = feat.select("doc_id", "wset")
     inter = F.size(F.array_intersect(F.col("pa.wset"), F.col("pb.wset")))
     union = F.size(F.array_union(F.col("pa.wset"), F.col("pb.wset")))
     jac = inter.cast("double") / union
     return (
-        cand.join(payload.alias("pa"), F.col("new_doc") == F.col("pa.doc_id"))
-        .join(payload.alias("pb"), F.col("dup_of") == F.col("pb.doc_id"))
+        cand.join(payload_new.alias("pa"), F.col("new_doc") == F.col("pa.doc_id"))
+        .join(payload_all.alias("pb"), F.col("dup_of") == F.col("pb.doc_id"))
         .select(
             "new_doc",
             "dup_of",
@@ -1252,23 +1271,23 @@ def ngram_contamination(
 
     Plan: both sides reduce to hashed n-grams (one xxhash64 per word,
     then one per n-gram of word-hashes — never re-concatenated strings);
-    the train side collapses to a DISTINCT hash set; eval grams are
-    pre-pruned through a broadcast Bloom filter built from that set
-    (``gram_bloom`` — round-3 verdict item 6) applied MAP-SIDE on the
-    raw gram stream, before any exchange — so every eval-side shuffle
-    (per-doc dedup, the left-semi equi-join, the per-doc hit count)
-    carries only Bloom-positive grams, a fraction of a percent on a
-    clean corpus.  False positives are re-checked by the join itself,
-    so the result is exactly the unfiltered answer and the SQL oracle
-    is unchanged.  Per-doc gram totals are computed ROW-LOCALLY
-    (array_distinct over the in-row gram transform — no explode, no
-    shuffle at all), which leaves zero full-width eval shuffles in the
-    plan; the price is a second eval scan (totals + candidates), the
-    cheap axis at 100 TB next to shuffling the gram stream.  Pass
-    ``bloom_bits=None`` to disable the prune (the ground-truth path the
-    tests compare against); size ``bloom_bits`` ≈ 30× the distinct
-    train-gram count for a <1% false-positive rate with two hashes
-    (fp ≈ (k·n/m)^k).  Measured at sf0.1: 5.5% of eval gram
+    the train side collapses to a DISTINCT hash set; the eval side is
+    ONE scan (r17) — per-doc distinct grams build row-locally and
+    explode with an anchor row per doc carrying the gram total, so the
+    gram join and a single per-doc aggregation produce totals and hit
+    counts together (no second eval pass, no per-doc dedup exchange,
+    no totals join).  Eval grams are pre-pruned through a broadcast
+    Bloom filter built from the train set (``gram_bloom`` — round-3
+    verdict item 6) applied MAP-SIDE on the exploded rows, before any
+    exchange — so both eval-side shuffles (the gram equi-join, the
+    per-doc count) carry only Bloom-positive grams plus one anchor row
+    per doc, a fraction of a percent on a clean corpus.  False
+    positives are re-checked by the join itself, so the result is
+    exactly the unfiltered answer and the SQL oracle is unchanged.
+    Pass ``bloom_bits=None`` to disable the prune (the ground-truth
+    path the tests compare against); size ``bloom_bits`` ≈ 30× the
+    distinct train-gram count for a <1% false-positive rate with two
+    hashes (fp ≈ (k·n/m)^k).  Measured at sf0.1: 5.5% of eval gram
     occurrences pass the filter (94% shuffle-volume cut); the
     fixed-cost bloom-build stage adds ~0.3 s at this scale — noise
     against the r3 baseline locally, and the term that vanishes at
@@ -1292,58 +1311,91 @@ def ngram_contamination(
     must default to the scale path.  An explicit int always builds the
     filter (the heuristic override); ``None`` never does."""
     train_set = _doc_gram_stream(train, n).select("gram").distinct()
-    stream = _doc_gram_stream(eval_, n)
     if bloom_bits == "auto":
         from parcial_bigdata_spark.operators.scale import local_scan_bytes
 
         eval_bytes = local_scan_bytes(eval_)
         small = eval_bytes is not None and eval_bytes < _BLOOM_MIN_EVAL_BYTES
         bloom_bits = None if small else 1 << 22
-    if bloom_bits is not None:
-        # Build the filter from the PRE-distinct train gram stream:
-        # bit-OR insertion is idempotent, so duplicates change nothing,
-        # and skipping the distinct here means the expensive train-side
-        # dedup exchange runs ONCE (for the semi-join) instead of being
-        # recomputed for the bloom branch.  The extra occurrences all
-        # fold map-side into ≤ bits/64 partial-agg groups — no
-        # gram-cardinality shuffle on this branch at any scale.
-        bloom = gram_bloom(
-            _doc_gram_stream(train, n).select("gram"), bloom_bits, bloom_hashes
-        )
-        candidates = (
-            stream.crossJoin(F.broadcast(bloom))
-            .where(_bloom_maybe("gram", bloom_bits, bloom_hashes))
-            .select("doc_id", "gram")
-            .dropDuplicates(["doc_id", "gram"])
-        )
-    else:
-        candidates = stream.dropDuplicates(["doc_id", "gram"])
-    # Row-local per-doc totals: the distinct-gram COUNT never needs the
-    # grams exploded — array_distinct over the in-row transform gives
-    # n_ngrams with no exchange in the branch.
-    wh = _word_hashes(eval_)
+    # Single eval scan (r17, guide §2.4): per-doc distinct grams build
+    # ROW-LOCALLY (array_distinct over the in-row transform — the plan
+    # materializes the array once per doc, then the Generate explodes
+    # the column reference), with one ANCHOR row per doc prepended at
+    # pos 0 carrying the distinct-gram count.  The anchor keeps every
+    # screened doc visible through the gram join/aggregation, so the
+    # former second eval pass (row-local totals) and the final
+    # totals⋈contaminated join disappear — at scale that is a full
+    # corpus read removed; eval-side exchanges drop 3 → 2 (the per-doc
+    # dedup exchange is subsumed by the in-row array_distinct).  The
+    # anchor's pseudo-gram is xxhash64(doc_id, salt), join-key-uniform
+    # (never a null-key hot partition); an accidental collision with a
+    # real train gram is harmless because hit counting ignores anchor
+    # rows (n_ngrams IS NOT NULL).  Measured (r17): identical results
+    # at sf0.01/sf0.1 and on synthetic corpora both postures; sf0.1
+    # 1.88 → 1.66 s; Bloom-ON eval-scale probe x4 12.8 vs 13.7 s, x16
+    # statistically tied under ambient load (44-45 s both, three
+    # windows).
+    wh = _word_hashes(eval_).where(F.size("wh") >= n)
     gram_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("wh") - n),
             lambda i: F.xxhash64(*[F.get("wh", i + j) for j in range(n)]),
         )
     )
-    totals = wh.where(F.size("wh") >= n).select(
-        "doc_id", F.size(gram_arr).alias("n_ngrams")
-    )
-    contaminated = (
-        candidates.join(train_set, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    return (
-        totals.join(contaminated, "doc_id", "left")
+    rows = (
+        wh.select("doc_id", gram_arr.alias("grams"))
         .select(
             "doc_id",
-            "n_ngrams",
-            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
-                "n_contaminated"
-            ),
+            F.size("grams").alias("nn"),
+            F.posexplode(
+                F.concat(
+                    F.array(F.xxhash64(F.col("doc_id"), F.lit(-7))),
+                    F.col("grams"),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("pos") == 0, F.col("nn")).alias("n_ngrams"),
+            "gram",
+        )
+    )
+    if bloom_bits is not None:
+        # Build the filter from the PRE-distinct train gram stream:
+        # bit-OR insertion is idempotent, so duplicates change nothing,
+        # and skipping the distinct here means the expensive train-side
+        # dedup exchange runs ONCE (for the join) instead of being
+        # recomputed for the bloom branch.  The extra occurrences all
+        # fold map-side into ≤ bits/64 partial-agg groups — no
+        # gram-cardinality shuffle on this branch at any scale.  The
+        # prune applies MAP-SIDE on the exploded rows, before any
+        # exchange; anchors always pass.
+        bloom = gram_bloom(
+            _doc_gram_stream(train, n).select("gram"), bloom_bits, bloom_hashes
+        )
+        rows = (
+            rows.crossJoin(F.broadcast(bloom))
+            .where(
+                F.col("n_ngrams").isNotNull()
+                | _bloom_maybe("gram", bloom_bits, bloom_hashes)
+            )
+            .select("doc_id", "n_ngrams", "gram")
+        )
+    # Left join against the DISTINCT train set marks each surviving
+    # per-doc-distinct gram row (no row multiplication possible); one
+    # groupBy then yields totals and hit counts together.
+    marked = rows.join(train_set.withColumn("_hit", F.lit(1)), "gram", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.sum(
+                F.when(
+                    F.col("n_ngrams").isNull() & F.col("_hit").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
         )
         .withColumn(
             "contaminated_frac",
