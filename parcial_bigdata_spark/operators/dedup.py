@@ -1255,6 +1255,41 @@ def _bloom_maybe(gram_col: str, bits: int, n_hashes: int):
 # Measured at sf0.1 (~5 MB scans): 2.0 s with Bloom vs 1.37 s without.
 _BLOOM_MIN_EVAL_BYTES = 64 * 1024 * 1024
 
+# Bloom auto-sizing (r17).  A Bloom filter saturates when items exceed
+# its capacity — at m/n = 0.58 bits/item with 2 hashes the
+# false-positive rate is ~93% (measured on a 7.2M-gram train against
+# the former fixed 4M-bit filter): nearly every eval gram passes, so
+# the prune cuts nothing while still paying the build scan + 2 hashes
+# per eval gram.  Under "auto" the filter is therefore sized from the
+# train side's local scan bytes (~1 gram occurrence per 6 text bytes —
+# an OVERestimate of distinct grams, which errs toward a bigger
+# filter): bits = 16 × est_grams clamped to [2^22, 2^27] (map ≤ 16 MiB
+# broadcast).  A train whose estimate exceeds 2^27/16 grams would
+# saturate even the largest filter → the prune is SKIPPED (pure
+# overhead otherwise).  Unknown train sizes (in-memory frames, remote
+# stores) keep the legacy 2^22 default rather than guessing.  All of
+# this is posture only — false positives fall through to the exact
+# join, so results never change.
+_BLOOM_MAX_BITS = 1 << 27
+_BLOOM_BITS_PER_ITEM = 16
+_BLOOM_BYTES_PER_GRAM = 6
+
+
+def _auto_bloom_bits(train: DataFrame) -> int | None:
+    """Bloom geometry for ``bloom_bits="auto"`` with a big eval: sized
+    from the train scan, or ``None`` (skip) when any filter we can
+    broadcast would saturate."""
+    from parcial_bigdata_spark.operators.scale import local_scan_bytes
+
+    train_bytes = local_scan_bytes(train)
+    if train_bytes is None:
+        return 1 << 22  # unknowable: keep the legacy default posture
+    est_grams = max(1, train_bytes // _BLOOM_BYTES_PER_GRAM)
+    want = est_grams * _BLOOM_BITS_PER_ITEM
+    if want > _BLOOM_MAX_BITS:
+        return None
+    return max(1 << 22, 1 << (want - 1).bit_length())
+
 
 def ngram_contamination(
     train: DataFrame,
@@ -1308,15 +1343,21 @@ def ngram_contamination(
     eval side skips the Bloom (the result is bit-identical either way;
     the prune only drops work), while unknown sizes — in-memory
     frames, remote object stores — keep it: at 100 TB the decision
-    must default to the scale path.  An explicit int always builds the
-    filter (the heuristic override); ``None`` never does."""
+    must default to the scale path.  When the Bloom stays on, its
+    geometry is sized from the TRAIN scan (``_auto_bloom_bits``):
+    ~16 bits per estimated gram, clamped to [2²², 2²⁷]; a train too
+    big for any broadcastable filter skips the prune instead of
+    paying for a saturated one (r17 — a 7.2M-gram train against the
+    former fixed 4M-bit filter measured ~93% false positives: all
+    cost, no cut).  An explicit int always builds the filter (the
+    heuristic override); ``None`` never does."""
     train_set = _doc_gram_stream(train, n).select("gram").distinct()
     if bloom_bits == "auto":
         from parcial_bigdata_spark.operators.scale import local_scan_bytes
 
         eval_bytes = local_scan_bytes(eval_)
         small = eval_bytes is not None and eval_bytes < _BLOOM_MIN_EVAL_BYTES
-        bloom_bits = None if small else 1 << 22
+        bloom_bits = None if small else _auto_bloom_bits(train)
     # Single eval scan (r17, guide §2.4): per-doc distinct grams build
     # ROW-LOCALLY (array_distinct over the in-row transform — the plan
     # materializes the array once per doc, then the Generate explodes

@@ -592,6 +592,30 @@ def test_ngram_contamination_partial_overlap(spark, documents):
     assert (out[5].n_contaminated, out[5].contaminated_frac) == (0, 0.0)
 
 
+def test_auto_bloom_bits_sizing(spark, documents, monkeypatch):
+    """r17 Bloom geometry: unknown train size keeps the legacy 2^22
+    default; a sized local train gets ~16 bits/gram rounded up to a
+    power of two within [2^22, 2^27]; a train too big for any
+    broadcastable filter skips the prune (None)."""
+    import parcial_bigdata_spark.operators.scale as scale_mod
+
+    # in-memory frame: inputFiles empty -> unknowable -> legacy default
+    assert dedup._auto_bloom_bits(documents) == 1 << 22
+
+    monkeypatch.setattr(
+        scale_mod, "local_scan_bytes", lambda df, files=None: 12 * 1024 * 1024
+    )
+    bits = dedup._auto_bloom_bits(documents)
+    est = (12 * 1024 * 1024) // dedup._BLOOM_BYTES_PER_GRAM
+    assert bits == 1 << (est * dedup._BLOOM_BITS_PER_ITEM - 1).bit_length()
+    assert (1 << 22) <= bits <= dedup._BLOOM_MAX_BITS
+
+    monkeypatch.setattr(
+        scale_mod, "local_scan_bytes", lambda df, files=None: 10 * 1024 ** 3
+    )
+    assert dedup._auto_bloom_bits(documents) is None
+
+
 def test_ngram_contamination_short_docs_excluded(spark, documents):
     """Eval docs below n words have no n-grams and emit no row."""
     short = spark.createDataFrame(
